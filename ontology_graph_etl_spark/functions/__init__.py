@@ -1,0 +1,18 @@
+"""Scalar expression helpers — the reference's per-record Python functions
+re-expressed as JVM-side Column expressions (whole-stage-codegen'd, never
+row-at-a-time Python). SURVEY.md §2.6.
+"""
+
+from .text import (
+    first_prefix,
+    format_merge_statement,
+    sanitize_value,
+    stable_surrogate_id,
+)
+
+__all__ = [
+    "first_prefix",
+    "format_merge_statement",
+    "sanitize_value",
+    "stable_surrogate_id",
+]

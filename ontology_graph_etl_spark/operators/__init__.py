@@ -1,0 +1,8 @@
+"""Operator library — the reference's operator inventory (SURVEY.md §2)
+plus the large-scale pipeline extensions, each as a composable function
+over DataFrames. Everything here is declarative DataFrame API so Catalyst
+owns physical planning (broadcast vs shuffle, AQE skew handling)."""
+
+from . import dedup, graph, relational, similarity, textops, upsert
+
+__all__ = ["dedup", "graph", "relational", "similarity", "textops", "upsert"]

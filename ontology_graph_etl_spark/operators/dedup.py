@@ -1,0 +1,312 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Exact dedup lives in ``upsert.exact_dedup``; this module adds the
+near-duplicate family: MinHash+LSH, SimHash, and n-gram Jaccard. All
+hashing uses ``xxhash64`` (JVM-side, whole-stage-codegen'd) seeded
+deterministically — no Python in the hot path, no randomness at runtime.
+
+Scale notes (the 100 TB story):
+- MinHash signatures are computed per-row (narrow, no shuffle).
+- LSH banding shuffles once on (band, band_signature) — candidate
+  generation touches only bucket collisions, never the O(n^2) pairs.
+- Verification joins only candidate pairs back to shingle sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize(df: DataFrame, text_col: str, out_col: str = "tokens") -> DataFrame:
+    """Whitespace tokenization with lowercase + empty-token drop."""
+    return df.withColumn(
+        out_col,
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""),
+    )
+
+
+def shingles(
+    df: DataFrame, tokens_col: str, n: int = 3, out_col: str = "shingles"
+) -> DataFrame:
+    """Word n-gram shingles as a distinct array; documents shorter than
+    ``n`` tokens contribute their full token string as a single shingle
+    (so they still participate rather than vanish)."""
+    toks = F.col(tokens_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return df.withColumn(out_col, F.array_distinct(grams))
+
+
+def minhash_signature(
+    df: DataFrame,
+    shingles_col: str = "shingles",
+    num_hashes: int = 64,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """MinHash signature: for seed s in 0..k-1, min over shingles of
+    xxhash64(shingle, seed). Pure array expressions — per-row, narrow,
+    codegen'd; 100 TB scales linearly with zero shuffle."""
+    sh = F.col(shingles_col)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(sh, lambda g: F.xxhash64(g, s))
+        ),
+    )
+    return df.withColumn(out_col, sig)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    minhash_col: str = "minhash",
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` rows, bucket by
+    (band_index, hash(band_slice)), self-join within buckets.
+
+    Returns distinct candidate pairs (id_a < id_b). The only shuffle is
+    the bucket groupBy; bucket skew (a degenerate shingle shared by
+    millions of docs) is handled by AQE skew-join splitting.
+    """
+    num_hashes_expr = F.size(F.col(minhash_col))
+    rows_per_band = (num_hashes_expr / bands).cast("int")
+    banded = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col(minhash_col),
+                                b * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_sig"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str = "shingles",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Verify candidate pairs with exact Jaccard over shingle sets.
+
+    Joins only the candidate pairs (LSH output — tiny vs O(n^2)) back to
+    the shingle arrays; intersection via ``array_intersect`` stays
+    JVM-side.
+    """
+    sides = df.select(F.col(id_col).alias("__id"), F.col(shingles_col))
+    out = (
+        pairs.join(
+            sides.select(
+                F.col("__id").alias("id_a"), F.col(shingles_col).alias("__sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sides.select(
+                F.col("__id").alias("id_b"), F.col(shingles_col).alias("__sh_b")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "intersection",
+            F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b"))),
+        )
+        .withColumn(
+            "union_size",
+            F.size(F.col("__sh_a")) + F.size(F.col("__sh_b")) - F.col("intersection"),
+        )
+        .withColumn(
+            "jaccard",
+            F.when(F.col("union_size") > 0,
+                   F.col("intersection") / F.col("union_size")).otherwise(F.lit(0.0)),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup pipeline:
+    shingle → minhash → band → bucket-join → exact-Jaccard verify."""
+    prepared = shingles(
+        tokenize(df.select(id_col, text_col), text_col), "tokens", shingle_n
+    )
+    signed = minhash_signature(prepared, "shingles", num_hashes)
+    candidates = lsh_candidate_pairs(signed, id_col, "minhash", bands)
+    return jaccard_verify(candidates, prepared, id_col, "shingles", threshold)
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash", bits: int = 64
+) -> DataFrame:
+    """SimHash fingerprint per document: each token's xxhash64 votes
+    +1/-1 on every bit position (weighted by token frequency); the sign
+    of each bit's vote sum forms the 64-bit fingerprint.
+
+    Plan shape: explode tokens → 64 conditional-sum aggregates in ONE
+    groupBy — partial aggregation runs map-side, so the shuffle carries
+    64 ints per document, not the token stream. The bit loop is Python
+    build-time only; runtime is pure codegen'd long arithmetic.
+
+    Returns ``(id_col, simhash)``.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("__tok"),
+    ).withColumn("__h", F.xxhash64("__tok"))
+    # signed bit masks: 1<<63 wraps to long min, matching two's complement
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("__h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+            ).alias(f"__b{b}")
+            for b, m in enumerate(masks)
+        ]
+    )
+    fingerprint = None
+    for b, m in enumerate(masks):
+        term = F.when(F.col(f"__b{b}") > 0, F.lit(m)).otherwise(F.lit(0)).cast("long")
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select(F.col(id_col), fingerprint.alias(out_col))
+
+
+def hamming_distance(a, b):
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    block_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup: block on 16-bit prefixes (4 rotations) so that
+    any pair within Hamming distance 3 of a 64-bit hash collides in at
+    least one block (pigeonhole over 4 blocks), then verify distance.
+    The shuffle is on (block_idx, block_value) — never all-pairs."""
+    fp = simhash(df.select(id_col, text_col), id_col, text_col)
+    blocks = fp.select(
+        F.col(id_col).alias("doc"),
+        F.col("simhash"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(64 // block_bits - 1)),
+                lambda b: F.shiftrightunsigned(
+                    F.col("simhash"), b * block_bits
+                ).bitwiseAND(F.lit((1 << block_bits) - 1)),
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.block_idx") == F.col("r.block_idx"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            hamming_distance(F.col("l.simhash"), F.col("r.simhash")).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)
+
+
+def jaccard_pairs_exact(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact token-set Jaccard over all colliding pairs via an inverted
+    index: explode distinct tokens, self-join on token (only docs sharing
+    a token ever meet — sparse, not O(n^2)), count shared tokens, then
+    jaccard = |∩| / (|a| + |b| - |∩|).
+
+    SQL-expressible → has a DuckDB oracle (q56). At 100 TB the token join
+    is the scale risk: stopword-like tokens create huge buckets — the
+    LSH variant (``minhash_near_duplicates``) is the scale path, this is
+    the exact baseline.
+    """
+    toks = (
+        tokenize(df.select(id_col, text_col), text_col)
+        .select(F.col(id_col).alias("doc"), F.explode("tokens").alias("token"))
+        .distinct()
+    )
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tokens"))
+    l, r = toks.alias("l"), toks.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.token") == F.col("r.token"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .groupBy(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc").alias("id_a"), F.col("n_tokens").alias("n_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc").alias("id_b"), F.col("n_tokens").alias("n_b")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("intersection")
+            / (F.col("n_a") + F.col("n_b") - F.col("intersection")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,196 @@
+"""Property-graph layer (SURVEY.md §2.8) — nodes/edges DataFrames in the
+GraphFrames convention, traversals as pure DataFrame joins.
+
+The reference builds its graph by templating Cypher MERGE/MATCH text
+(main.py:62,91,299) and the queries the graph serves (neighborhoods,
+motifs, ancestor closure) run inside Neo4j. Here the graph IS two
+DataFrames and every traversal is a Catalyst-planned join — no GraphX /
+GraphFrames dependency (SURVEY.md §7: avoided entirely).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .upsert import first_wins
+
+
+def build_nodes(
+    rows: DataFrame,
+    id_col: str,
+    label_col: str,
+    order_col: str,
+    prop_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """G1 — node upsert keyed by (label, id), first-wins by ingest order
+    (reference ``MERGE (n:Label {id:..}) ON CREATE SET``, main.py:62,299).
+
+    Returns the canonical nodes table ``(id, label, **props)``. One hash
+    shuffle on (label, id); write-side should partition by ``label``.
+    """
+    props = prop_cols or {}
+    selected = rows.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(label_col).alias("label"),
+        F.col(order_col).alias("__order"),
+        *[F.col(src).alias(dst) for src, dst in props.items()],
+    )
+    return first_wins(selected, ["label", "id"], "__order").drop("__order")
+
+
+def build_edges(
+    rels: DataFrame,
+    nodes: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rel_col: str = "relationship",
+) -> DataFrame:
+    """G2/J3 — edge creation with endpoint validation: an edge
+    materializes only if BOTH endpoints exist as nodes (the reference's
+    ``MATCH (a) MATCH (b) CREATE (a)-[r]->(b)``, main.py:91 — an
+    unmatched MATCH silently produces nothing).
+
+    Two equi inner joins against the node-id set. The node-id projection
+    is small relative to the edge fact table → broadcast both probes so
+    the edge table never shuffles.
+    """
+    ids = nodes.select(F.col("id").alias("__nid")).distinct()
+    return (
+        rels.join(
+            F.broadcast(ids), rels[src_col] == F.col("__nid"), "inner"
+        )
+        .drop("__nid")
+        .join(F.broadcast(ids), rels[dst_col] == F.col("__nid"), "inner")
+        .drop("__nid")
+        .select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(rel_col).alias("relationship"),
+        )
+    )
+
+
+def one_hop(
+    nodes: DataFrame,
+    edges: DataFrame,
+    relationship: str | None = None,
+    src_filter=None,
+) -> DataFrame:
+    """G3 — 1-hop neighborhood with node attributes on both endpoints
+    (e.g. "genes targeted by drug X": corpus HAS_TARGET edges,
+    relationships_sheet5.cypher). Relationship filter is applied before
+    the joins so partition pruning on a relationship-partitioned edge
+    table kicks in."""
+    e = edges
+    if relationship is not None:
+        e = e.where(F.col("relationship") == relationship)
+    src_nodes = nodes
+    if src_filter is not None:
+        src_nodes = src_nodes.where(src_filter)
+    return (
+        e.join(
+            src_nodes.select(
+                F.col("id").alias("src"), F.col("name").alias("src_name")
+            ),
+            "src",
+        )
+        .join(
+            nodes.select(
+                F.col("id").alias("dst"), F.col("name").alias("dst_name")
+            ),
+            "dst",
+        )
+        .select("src", "src_name", "relationship", "dst", "dst_name")
+    )
+
+
+def two_hop_motif(
+    edges: DataFrame, rel1: str | None = None, rel2: str | None = None
+) -> DataFrame:
+    """G4 — 2-hop motif ``(a)-[r1]->(b)-[r2]->(c)`` (e.g. drug -TREATS->
+    neoplasm -HAS_BIOMARKER-> gene, sheets 4+3 of the corpus). Self-join
+    of edges on ``dst = src`` with relationship predicates pushed below
+    the join."""
+    e1 = edges if rel1 is None else edges.where(F.col("relationship") == rel1)
+    e2 = edges if rel2 is None else edges.where(F.col("relationship") == rel2)
+    return (
+        e1.select(
+            F.col("src").alias("a"),
+            F.col("relationship").alias("rel1"),
+            F.col("dst").alias("b"),
+        )
+        .join(
+            e2.select(
+                F.col("src").alias("b"),
+                F.col("relationship").alias("rel2"),
+                F.col("dst").alias("c"),
+            ),
+            "b",
+        )
+        .select("a", "rel1", "b", "rel2", "c")
+    )
+
+
+def closure(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """G5 — transitive closure / ancestors (``PARENT_OF*``, generator
+    main.py:81-93): all (node, ancestor) pairs reachable via 1+ hops.
+
+    Semi-naive iteration: each round joins only the *frontier* (pairs
+    discovered last round) against the base edges, unions into the
+    accumulated closure, and dedups — the standard datalog evaluation,
+    which does O(depth) shuffles over frontier-sized (not closure-sized)
+    inputs. ``localCheckpoint`` truncates lineage each round so the plan
+    doesn't grow exponentially (SURVEY.md §4 item 1). Terminates at
+    fixpoint; ``max_iterations`` guards cyclic inputs.
+    """
+    base = (
+        edges.select(
+            F.col(src_col).alias("node"), F.col(dst_col).alias("anc")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    acc = base
+    frontier = base
+    for _ in range(max_iterations):
+        # frontier ⋈ base: extend each known pair by one hop
+        extended = (
+            frontier.join(
+                base.select(
+                    F.col("node").alias("anc"), F.col("anc").alias("anc2")
+                ),
+                "anc",
+            )
+            .select("node", F.col("anc2").alias("anc"))
+            .distinct()
+        )
+        new_pairs = extended.join(acc, ["node", "anc"], "left_anti").localCheckpoint()
+        if new_pairs.isEmpty():
+            break
+        acc = acc.union(new_pairs).localCheckpoint()
+        frontier = new_pairs
+    return acc
+
+
+def edge_histogram(edges: DataFrame) -> DataFrame:
+    """G6 — relationship histogram (the corpus shape itself, SURVEY.md
+    §1.1): one partial-aggregated shuffle."""
+    return edges.groupBy("relationship").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Node degree table: out/in degree per node id via a single
+    explode-free union + aggregate."""
+    out_deg = edges.select(F.col("src").alias("id"), F.lit(1).alias("out"), F.lit(0).alias("in"))
+    in_deg = edges.select(F.col("dst").alias("id"), F.lit(0).alias("out"), F.lit(1).alias("in"))
+    return (
+        out_deg.unionByName(in_deg)
+        .groupBy("id")
+        .agg(F.sum("out").alias("out_degree"), F.sum("in").alias("in_degree"))
+    )

@@ -1,0 +1,105 @@
+"""Relational operator core (SURVEY.md §2.3-2.4, §2.7).
+
+The reference implements these as per-row Python `if`s and dict lookups
+(main.py:292-295, 335-336, 351-355); here each is a lazy DataFrame
+transform. Join strategy is left to Catalyst/AQE except where a side is
+known-small, which we hint with ``broadcast`` (the reference's in-memory
+dict lookup, main.py:335-336, IS a broadcast hash join semantically).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def prefix_scan(df: DataFrame, order_col: str, stop_predicate: Column) -> DataFrame:
+    """S5 — ordered-prefix scan: rows strictly before the first row (in
+    ``order_col`` order) satisfying ``stop_predicate``.
+
+    Mirrors the reference's "break at first empty key" Excel loop
+    (main.py:285-286). Order-dependent semantics need an explicit order
+    column in an unordered engine (SURVEY.md §7 risks). Computed as a
+    min-aggregate + cross-joined scalar so it stays a two-stage
+    distributed plan (no window over a global sort, no driver collect).
+    """
+    boundary = df.where(stop_predicate).agg(
+        F.min(order_col).alias("__stop_at")
+    )
+    return (
+        df.crossJoin(F.broadcast(boundary))
+        .where(
+            F.col("__stop_at").isNull() | (F.col(order_col) < F.col("__stop_at"))
+        )
+        .drop("__stop_at")
+    )
+
+
+def project_by_ordinal(df: DataFrame, mapping: dict[str, int]) -> DataFrame:
+    """S6 — config-driven column projection by ordinal.
+
+    The reference drives extraction from ``worksheet_metadata`` ordinal
+    configs (main.py:182-266, row[column_node1_id] at main.py:292-293);
+    here the config is ``{out_name: ordinal}`` applied to any DataFrame.
+    """
+    cols = df.columns
+    return df.select(
+        *[F.col(cols[ordinal]).alias(out) for out, ordinal in mapping.items()]
+    )
+
+
+def lookup_join(
+    df: DataFrame, mapping: DataFrame, on: str | Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """J1 — broadcast hash lookup join (reference dict lookup,
+    main.py:335-336, 351-352). The mapping side is broadcast: at 100 TB
+    the fact side never shuffles for a dimension lookup."""
+    return df.join(F.broadcast(mapping), on, how)
+
+
+def anti_join(df: DataFrame, other: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """J2 — anti join (the reference's printed ``'not found: '`` audit,
+    main.py:354-355, relationalized)."""
+    return df.join(F.broadcast(other), on, "left_anti")
+
+
+def semi_contains_join(
+    lines: DataFrame, probes: DataFrame, line_col: str, probe_col: str
+) -> DataFrame:
+    """J4 — substring semi join (theta): keep lines containing any probe
+    value (reference's commented-out missing-id scan, main.py:385-398).
+
+    Broadcast nested-loop is the only strategy for a contains-theta join;
+    correct at scale only because the probe side is small — which is the
+    precondition the reference's use case satisfies (a list of ids).
+    """
+    return lines.join(
+        F.broadcast(probes),
+        F.expr(f"contains({line_col}, cast({probe_col} as string))"),
+        "left_semi",
+    )
+
+
+def conditional_props(
+    df: DataFrame, id_cols: Sequence[str], prop_cols: Sequence[str]
+) -> DataFrame:
+    """P2 — conditional property inclusion: empty-string properties become
+    null (the reference omits falsy properties from generated Cypher,
+    main.py:64-77; relationally that is a null, SURVEY.md §2.3)."""
+    keep = [F.col(c) for c in id_cols]
+    props = [
+        F.when(
+            F.col(c).isNotNull() & (F.col(c).cast("string") != ""), F.col(c)
+        ).alias(c)
+        for c in prop_cols
+    ]
+    return df.select(*keep, *props)
+
+
+def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """Top-k: ``orderBy().limit()`` — Spark plans this as TakeOrderedAndProject
+    (per-partition heap + driver merge of k rows), never a global sort.
+    Callers must include a unique tie-break column for determinism."""
+    return df.orderBy(*order_by).limit(k)

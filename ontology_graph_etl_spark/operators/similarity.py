@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — exact, a broadcast nested-loop of
+queries × corpus with the dot product as a codegen'd array expression
+(``zip_with`` + ``aggregate``), then a per-query window rank. Correct at
+any corpus size as long as the *query* side is broadcastable.
+
+Scale path: LSH bucketing via random hyperplanes (signed projections) —
+each vector hashes to a bucket; queries only join their bucket (+ optional
+multi-probe neighbors). Hyperplanes are derived deterministically from
+``xxhash64`` so there is no runtime randomness and executors never need a
+shared random state. An IVF variant would k-means the corpus; hyperplane
+LSH gives the same bucket-pruning shape without an iterative training
+pass, which is the right trade for a streaming-friendly pipeline.
+
+Embedding near-dup (cosine > t) reuses the same machinery with a
+threshold filter instead of a top-k rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns — JVM-side fold, no UDF."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def with_normalized(
+    df: DataFrame, vec_col: str, out_col: str = "unit_vec"
+) -> DataFrame:
+    """Attach an L2-normalized copy (double precision) of the embedding.
+    Normalizing once up front turns every cosine into a plain dot
+    product — at 100 TB this halves the per-pair arithmetic."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn(out_col, F.transform(v, lambda x: x / _norm(v)))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two raw (unnormalized) vectors, double math."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force exact cosine top-k: for every query vector, the k most
+    similar corpus vectors (self-match excluded).
+
+    Plan shape: broadcast(queries) × corpus nested loop with a codegen'd
+    dot product, then ``row_number`` per query — the window shuffles only
+    (query, candidate-k-ish) rows after AQE. Ties broken by neighbor id
+    for determinism (hash-checked by the driver).
+    """
+    q = with_normalized(queries, vec_col, "q_vec").select(
+        F.col(id_col).alias("query_id"), "q_vec"
+    )
+    c = with_normalized(corpus, vec_col, "c_vec").select(
+        F.col(id_col).alias("neighbor_id"), "c_vec"
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _hyperplane(seed: int, plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component j of plane p is
+    a signed value derived from xxhash64(seed, p, j). Centered roughly on
+    zero; only the *sign structure* matters for LSH bucketing."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.xxhash64(F.lit(seed), F.lit(plane), j).cast("double")
+            / F.lit(float(2**63))
+        ),
+    )
+
+
+def lsh_bucket(
+    df: DataFrame,
+    vec_col: str,
+    num_planes: int = 8,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id: bit b = sign(v · plane_b). Narrow,
+    deterministic, no shuffle; 2^num_planes buckets."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = first["d"] if first else 0
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = F.lit(0)
+    for b in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(v, _hyperplane(seed, b, dim), lambda x, h: x * h),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: bucket corpus and queries with the same
+    hyperplanes, join on bucket, rank within (exact rescoring inside the
+    bucket). Recall < 1.0 by construction; the scale win is that each
+    query touches |corpus| / 2^planes candidates on average, and the join
+    is a plain equi-join Catalyst can shuffle-partition."""
+    cb = lsh_bucket(corpus, vec_col, num_planes, seed).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("bucket"),
+        F.col(vec_col).alias("c_raw"),
+    )
+    qb = lsh_bucket(queries, vec_col, num_planes, seed).select(
+        F.col(id_col).alias("query_id"),
+        F.col("bucket"),
+        F.col(vec_col).alias("q_raw"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_raw"), F.col("c_raw")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
+    Brute-force all-pairs — exact baseline with a DuckDB oracle; the
+    LSH-bucketed variant (join on ``lsh_bucket`` first) is the 100-TB
+    path since near-dups nearly always share a bucket."""
+    n = with_normalized(df, vec_col, "u").select(
+        F.col(id_col).alias("id"), "u"
+    )
+    l, r = n.alias("l"), n.alias("r")
+    return (
+        l.join(r, F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(_dot(F.col("l.u"), F.col("r.u")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,156 @@
+"""Text analysis operators for training-data pipelines (SURVEY.md §2.11):
+language-ID, quality scoring, token counting, fingerprinting, tf-idf.
+
+Everything is built-in expressions over a single narrow pass — at 100 TB
+these run at parquet-scan speed with zero shuffles (tf-idf excepted: one
+shuffle for document frequencies, broadcast back).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Tiny English function-word list for the n-gram/stopword heuristic.
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this", "are",
+)
+
+
+def token_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, and a BPE-ish
+    subword estimate (word-piece regex: runs of letters, digits, or a
+    single other symbol — a deterministic proxy for tokenizer cost)."""
+    tokens = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    bpe_ish = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+    )
+    return df.withColumn("n_tokens", F.size(tokens)).withColumn(
+        "n_distinct_tokens", F.size(F.array_distinct(tokens))
+    ).withColumn("n_subword_tokens", F.size(bpe_ish))
+
+
+def language_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: stopword-hit ratio over tokens (an n-gram
+    profile degenerate to unigrams — adequate for en/unknown separation;
+    a real system plugs a model in via the same column contract).
+
+    Emits ``stopword_ratio`` (double) and ``lang_pred`` ('en' | 'und').
+    """
+    tokens = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    hits = F.size(
+        F.filter(tokens, lambda t: t.isin(*[F.lit(s) for s in EN_STOPWORDS]))
+    )
+    ratio = F.when(F.size(tokens) > 0, hits / F.size(tokens)).otherwise(F.lit(0.0))
+    return df.withColumn("stopword_ratio", F.round(ratio, 6)).withColumn(
+        out_col, F.when(F.col("stopword_ratio") >= 0.02, "en").otherwise("und")
+    )
+
+
+def quality_score(df: DataFrame, text_col: str) -> DataFrame:
+    """Document quality scoring: length, punctuation ratio, stopword
+    ratio, type-token ratio → a bounded [0,1] composite. The exact
+    weights are a policy choice; the operator contract is the shape."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    tokens = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    n_tokens = F.size(tokens)
+    punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    ttr = F.when(
+        n_tokens > 0, F.size(F.array_distinct(tokens)) / n_tokens
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.filter(tokens, lambda t: t.isin(*[F.lit(s) for s in EN_STOPWORDS]))
+    )
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    length_score = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+    score = (
+        0.4 * length_score
+        + 0.3 * ttr
+        + 0.2 * F.least(stop_ratio * 10, F.lit(1.0))
+        + 0.1 * (1 - F.least(punct_ratio * 5, F.lit(1.0)))
+    )
+    return (
+        df.withColumn("n_chars_measured", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("type_token_ratio", F.round(ttr, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (lowercased,
+    whitespace-collapsed) — the exact-dedup key. md5 (not xxhash) so the
+    DuckDB oracle can reproduce it bit-for-bit."""
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out_col, F.md5(normalized.cast("binary")))
+
+
+def rolling_hashes(
+    df: DataFrame, text_col: str, window: int = 8, out_col: str = "winnow_hashes"
+) -> DataFrame:
+    """Winnowing-style rolling fingerprints: hash every ``window``-gram of
+    characters, keep the per-position minimum over a window of hashes —
+    the classic local fingerprinting scheme for plagiarism/overlap
+    detection, as array expressions (narrow, no shuffle)."""
+    chars = F.split(F.lower(F.col(text_col)), "")
+    n = F.size(chars)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws("", F.slice(chars, i + 1, window))),
+    )
+    winnowed = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(grams) - window, F.lit(0))),
+            lambda i: F.array_min(F.slice(grams, i + 1, window)),
+        )
+    )
+    return df.withColumn(out_col, winnowed)
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 3
+) -> DataFrame:
+    """Top tf-idf terms per document.
+
+    tf from a per-doc explode (narrow after the explode's implicit
+    shuffle-free pass), df from one groupBy on token, idf broadcast back
+    onto the term rows. ln-based idf: ln(N / df). Deterministic
+    tie-break on term so the driver's hash check is stable.
+    """
+    n_docs = df.count()
+    terms = (
+        tokenize_terms(df, id_col, text_col)
+        .groupBy("doc", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_freq = terms.groupBy("token").agg(
+        F.countDistinct("doc").alias("df")
+    )
+    scored = terms.join(F.broadcast(doc_freq), "token").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            F.col("doc").alias(id_col), "token", "tf", "df", "tfidf", "rank"
+        )
+    )
+
+
+def tokenize_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, token) rows — lowercased whitespace tokens, empties dropped."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("token"),
+    )

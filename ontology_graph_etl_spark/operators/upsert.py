@@ -1,0 +1,82 @@
+"""Upsert / keyed-update semantics (SURVEY.md §2.5 A3-A4).
+
+The reference's ``MERGE ... ON CREATE SET`` (main.py:62,299) is
+*first-wins by file order*: once a node exists, later statements with the
+same key never overwrite its properties. ``dropDuplicates`` is
+nondeterministic under shuffle, so first-wins needs an explicit ingest
+order column — the single most subtle semantic in the engine
+(SURVEY.md §7 risks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def first_wins(
+    df: DataFrame, keys: Sequence[str], order_col: str
+) -> DataFrame:
+    """A3 — deterministic first-wins dedup: for each key group keep the
+    row with the smallest ``order_col``.
+
+    Implemented as ``row_number`` over (keys, order) — a single hash
+    shuffle on the keys with map-side partial sort; AQE handles skewed
+    keys. Equivalent Cypher: ``MERGE (n {id:..}) ON CREATE SET ...``
+    executed in file order (reference main.py:62).
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def last_wins(df: DataFrame, keys: Sequence[str], order_col: str) -> DataFrame:
+    """Last-wins variant (``MERGE ... SET`` semantics): highest order wins."""
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def update_by_key(
+    base: DataFrame,
+    updates: DataFrame,
+    on: str | Sequence[str],
+    set_cols: Sequence[str],
+) -> DataFrame:
+    """A4 — keyed property update (reference ``MATCH ... SET n.entity_id``,
+    main.py:351-352): overwrite ``set_cols`` for matched keys, keep
+    existing values (or null) elsewhere. Left join + coalesce — the batch
+    form of Delta ``MERGE WHEN MATCHED THEN UPDATE``.
+
+    The updates side is typically a small keyed dimension → broadcast,
+    so the 100-TB base never shuffles.
+    """
+    on_cols = [on] if isinstance(on, str) else list(on)
+    upd = updates.select(
+        *on_cols, *[F.col(c).alias(f"__new_{c}") for c in set_cols]
+    )
+    out = base.join(F.broadcast(upd), on_cols, "left")
+    for c in set_cols:
+        existing = F.col(c) if c in base.columns else F.lit(None)
+        out = out.withColumn(c, F.coalesce(F.col(f"__new_{c}"), existing))
+    return out.drop(*[f"__new_{c}" for c in set_cols])
+
+
+def exact_dedup(
+    df: DataFrame, keys: Sequence[str], order_col: str | None = None
+) -> DataFrame:
+    """Exact dedup. With ``order_col`` → deterministic first-wins; without
+    → hash-groupBy keeping the min of every other column is NOT implied,
+    so we fall back to ``dropDuplicates`` (any-wins) which is cheaper
+    (partial map-side dedup before the shuffle)."""
+    if order_col is not None:
+        return first_wins(df, keys, order_col)
+    return df.dropDuplicates(list(keys))

@@ -1,0 +1,1055 @@
+"""Driver-contract query registry (SURVEY.md §2 operator inventory).
+
+Each entry binds one implemented operator to:
+- a Spark callable ``(spark, sf_dir) -> DataFrame`` exercising the real
+  package operator (not an inline reimplementation), and
+- an ANSI-SQL oracle DuckDB runs on the same parquet tables (None for
+  genuinely non-SQL-expressible ops → driver's rows-only check).
+
+Determinism rules applied throughout (the driver hash-compares values):
+- every computed column aliased identically on both sides;
+- double aggregates rounded (fp summation order differs across engines);
+- ranks/top-k carry a unique tie-break column;
+- Spark ``row_number`` is INT → oracle casts to INTEGER; DuckDB
+  ``SUM(int)`` is HUGEINT → oracle casts to BIGINT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import format_merge_statement, sanitize_value
+from ..io import load_table
+from ..operators import dedup, graph, relational, similarity, textops, upsert
+from ..streaming import windows
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    spark: SparkQuery
+    oracle: str | None  # None → driver does rows-only check
+    survey_ref: str  # SURVEY.md §2 operator ids this query certifies
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 Scans / sources
+# ---------------------------------------------------------------------------
+
+
+def _q01_scan_jsonl(spark, sf_dir):
+    # S1/P1 — pinned-schema scan + field projection (reference main.py:54-77)
+    return _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+
+
+_q01_sql = "SELECT doc_id, lang, source, n_chars FROM documents"
+
+
+def _q02_scan_map(spark, sf_dir):
+    # S3 — whole-doc dict relationalized to a 2-col mapping (main.py:335-336)
+    return _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.col("n_name").alias("value"),
+    )
+
+
+_q02_sql = "SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS value FROM nation"
+
+
+def _q03_prefix_scan(spark, sf_dir):
+    # S5 — ordered-prefix scan: rows before the first stop row
+    # (reference "break at first empty key", main.py:285-286)
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return relational.prefix_scan(ev, "event_id", F.col("event_type") == "error")
+
+
+_q03_sql = """
+SELECT event_id, user_id, event_type FROM events
+WHERE event_id < (SELECT MIN(event_id) FROM events WHERE event_type = 'error')
+"""
+
+
+def _q04_meta_project(spark, sf_dir):
+    # S6 — config-driven projection by column ordinal (main.py:292-293)
+    return relational.project_by_ordinal(
+        _t(spark, sf_dir, "part"),
+        {"node1_id": 0, "node1_value": 1, "node2_value": 3},
+    ).select(
+        F.col("node1_id").cast("string").alias("node1_id"),
+        "node1_value",
+        "node2_value",
+    )
+
+
+_q04_sql = """
+SELECT CAST(p_partkey AS VARCHAR) AS node1_id, p_name AS node1_value,
+       p_type AS node2_value
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Projections / filters
+# ---------------------------------------------------------------------------
+
+
+def _q05_conditional_props(spark, sf_dir):
+    # P2 — empty-string properties become null (main.py:64-77)
+    return relational.conditional_props(
+        _t(spark, sf_dir, "documents"), ["doc_id"], ["lang", "source"]
+    )
+
+
+_q05_sql = """
+SELECT doc_id,
+       CASE WHEN lang IS NOT NULL AND lang <> '' THEN lang END AS lang,
+       CASE WHEN source IS NOT NULL AND source <> '' THEN source END AS source
+FROM documents
+"""
+
+
+def _q06_filter_notnull(spark, sf_dir):
+    # P3 — not-null filter (main.py:294-295)
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("event_id", "user_id")
+    )
+
+
+_q06_sql = "SELECT event_id, user_id FROM events WHERE user_id IS NOT NULL"
+
+
+def _q07_filter_neq(spark, sf_dir):
+    # P4 — inequality filter (the Cancer-Numeric-Modifier skip, main.py:370-371)
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") != "error")
+        .select("event_id", "event_type")
+    )
+
+
+_q07_sql = "SELECT event_id, event_type FROM events WHERE event_type <> 'error'"
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Joins
+# ---------------------------------------------------------------------------
+
+
+def _q08_lookup_join(spark, sf_dir):
+    # J1 — broadcast hash lookup join (the in-memory dict, main.py:335-336)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation_name")
+    )
+    return relational.lookup_join(cust, nation, "c_nationkey").select(
+        "c_custkey", "c_name", "nation_name"
+    )
+
+
+_q08_sql = """
+SELECT c_custkey, c_name, n_name AS nation_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def _q09_anti_join(spark, sf_dir):
+    # J2 — anti join (the 'not found' audit, main.py:354-355):
+    # customers with no high-value order (the filter keeps the result
+    # non-vacuous at every scale factor — every customer has *some* order)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    placed = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return relational.anti_join(cust, placed, "c_custkey")
+
+
+_q09_sql = """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+def _q10_edge_join(spark, sf_dir):
+    # J3/G2 — edge creation with endpoint validation (MATCH+MATCH+CREATE,
+    # main.py:91): an edge exists only if both endpoints exist as nodes.
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    nodes = orders.select(
+        F.col("o_orderkey").cast("string").alias("id")
+    ).unionByName(supplier.select(F.col("s_suppkey").cast("string").alias("id")))
+    rels = lineitem.select(
+        F.col("l_orderkey").cast("string").alias("src"),
+        F.col("l_suppkey").cast("string").alias("dst"),
+        F.lit("SUPPLIED_BY").alias("relationship"),
+    )
+    return graph.build_edges(rels, nodes.withColumn("label", F.lit("N")))
+
+
+_q10_sql = """
+SELECT CAST(l.l_orderkey AS VARCHAR) AS src,
+       CAST(l.l_suppkey AS VARCHAR) AS dst,
+       'SUPPLIED_BY' AS relationship
+FROM lineitem l
+JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON l.l_orderkey = o.o_orderkey
+JOIN (SELECT DISTINCT s_suppkey FROM supplier) s ON l.l_suppkey = s.s_suppkey
+"""
+
+
+def _q11_semi_contains(spark, sf_dir):
+    # J4 — substring semi join (broadcast nested-loop theta, main.py:385-398)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = spark.createDataFrame(
+        [("customer",), ("window",), ("merge",)], ["word"]
+    )
+    return relational.semi_contains_join(docs, probes, "text", "word")
+
+
+_q11_sql = """
+WITH probe(word) AS (VALUES ('customer'), ('window'), ('merge'))
+SELECT d.doc_id, d.text FROM documents d
+WHERE EXISTS (SELECT 1 FROM probe p WHERE contains(d.text, p.word))
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Aggregations / dedup / upsert
+# ---------------------------------------------------------------------------
+
+
+def _q12_array_distinct(spark, sf_dir):
+    # A1/F3 — split → prefix → set-dedup (main.py:378-382), as one array
+    # expression; joined to a string so the cross-engine hash is stable.
+    prefixes = F.array_join(
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.split(F.col("text"), " "), lambda t: F.substring(t, 1, 3)
+                )
+            )
+        ),
+        ",",
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", prefixes.alias("prefixes")
+    )
+
+
+_q12_sql = """
+SELECT doc_id,
+       array_to_string(
+         list_sort(list_distinct(
+           list_transform(string_split(text, ' '), t -> t[1:3])
+         )), ',') AS prefixes
+FROM documents
+"""
+
+
+def _q13_group_count(spark, sf_dir):
+    # A2 — row counting, grouped (main.py:280-301)
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_q13_sql = "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY event_type"
+
+
+def _q14_upsert_first_wins(spark, sf_dir):
+    # A3/G1 — deterministic first-wins upsert (MERGE ... ON CREATE SET in
+    # file order, main.py:62,299): first event per user wins.
+    first = upsert.first_wins(_t(spark, sf_dir, "events"), ["user_id"], "event_id")
+    return first.select(
+        "user_id",
+        F.col("event_type").alias("first_event_type"),
+        F.col("value").alias("first_value"),
+    )
+
+
+_q14_sql = """
+SELECT user_id, event_type AS first_event_type, value AS first_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def _q15_update_by_key(spark, sf_dir):
+    # A4 — keyed property update (MATCH ... SET n.entity_id, main.py:351-352)
+    base = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .withColumn("total_spent", F.lit(None).cast("double"))
+    )
+    updates = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum("o_totalprice").alias("total_spent"))
+    )
+    updated = upsert.update_by_key(base, updates, "c_custkey", ["total_spent"])
+    return updated.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.coalesce(F.col("total_spent"), F.lit(0.0)), 2).alias("total_spent"),
+    )
+
+
+_q15_sql = """
+SELECT c.c_custkey, c.c_name,
+       ROUND(COALESCE(t.total_spent, 0.0), 2) AS total_spent
+FROM customer c
+LEFT JOIN (SELECT o_custkey, SUM(o_totalprice) AS total_spent
+           FROM orders GROUP BY o_custkey) t
+  ON c.c_custkey = t.o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Scalar functions
+# ---------------------------------------------------------------------------
+
+
+def _q16_regex_sanitize(spark, sf_dir):
+    # F1 — sanitize_value (main.py:44-49)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", sanitize_value(F.col("text")).alias("sanitized")
+    )
+
+
+_q16_sql = r"""
+SELECT doc_id,
+       COALESCE(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'), '') AS sanitized
+FROM documents
+"""
+
+
+def _q17_format_string(spark, sf_dir):
+    # F2 — string templating for the cypher-codegen compat sink
+    # (string.Template, main.py:62); quotes escaped unlike the reference.
+    return _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        format_merge_statement(
+            "Nation", F.col("n_nationkey"), F.col("n_name")
+        ).alias("statement"),
+    )
+
+
+_q17_sql = r"""
+SELECT CAST(n_nationkey AS BIGINT) AS id,
+       'MERGE (n:Nation {id: ''' || CAST(n_nationkey AS VARCHAR)
+         || '''}) ON CREATE SET n.name = '''
+         || regexp_replace(n_name, '''', '\''', 'g') || '''' AS statement
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Relational built-ins over the TPC-H-ish corpus
+# ---------------------------------------------------------------------------
+
+
+def _q20_join3(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+_q20_sql = """
+SELECT n_name AS nation_name,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _q21_agg_suite(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+_q21_sql = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q22_sort_limit(spark, sf_dir):
+    # top-k via TakeOrderedAndProject; unique tie-break on o_orderkey
+    return relational.top_k(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+_q22_sql = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def _q23_window_rank(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+_q23_sql = """
+SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn
+FROM (SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def _q24_set_ops(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    placed = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+    return cust.intersect(placed).subtract(supp)
+
+
+_q24_sql = """
+WITH a AS (SELECT c_custkey AS k FROM customer),
+     b AS (SELECT o_custkey AS k FROM orders),
+     c AS (SELECT s_suppkey AS k FROM supplier)
+SELECT k FROM (SELECT k FROM a INTERSECT SELECT k FROM b) EXCEPT SELECT k FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.8 Graph queries (operators/graph.py over TPC-H-derived graphs)
+# ---------------------------------------------------------------------------
+
+
+def _q30_one_hop(spark, sf_dir):
+    # G3 — 1-hop neighborhood with node attributes on both ends
+    supplier = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    nodes = supplier.select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("id"),
+        F.lit("Supplier").alias("label"),
+        F.col("s_name").alias("name"),
+        F.col("s_suppkey").alias("key"),
+    ).unionByName(
+        part.select(
+            F.concat(F.lit("P"), F.col("p_partkey").cast("string")).alias("id"),
+            F.lit("Part").alias("label"),
+            F.col("p_name").alias("name"),
+            F.col("p_partkey").alias("key"),
+        )
+    )
+    edges = lineitem.select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+        F.lit("SUPPLIES").alias("relationship"),
+    ).distinct()
+    return graph.one_hop(
+        nodes,
+        edges,
+        "SUPPLIES",
+        src_filter=(F.col("label") == "Supplier") & (F.col("key") <= 10),
+    )
+
+
+_q30_sql = """
+SELECT 'S' || CAST(l.l_suppkey AS VARCHAR) AS src,
+       s.s_name AS src_name,
+       'SUPPLIES' AS relationship,
+       'P' || CAST(l.l_partkey AS VARCHAR) AS dst,
+       p.p_name AS dst_name
+FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem) l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE s.s_suppkey <= 10
+"""
+
+
+def _q31_two_hop_motif(spark, sf_dir):
+    # G4 — 2-hop motif via edge self-join on dst=src
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    e1 = orders.select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("dst"),
+        F.lit("PLACED").alias("relationship"),
+    )
+    e2 = lineitem.select(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+        F.lit("CONTAINS").alias("relationship"),
+    )
+    motifs = graph.two_hop_motif(e1.unionByName(e2), "PLACED", "CONTAINS")
+    return motifs.groupBy("a").agg(F.count(F.lit(1)).alias("n_motifs"))
+
+
+_q31_sql = """
+SELECT 'C' || CAST(o.o_custkey AS VARCHAR) AS a,
+       CAST(COUNT(*) AS BIGINT) AS n_motifs
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
+def _q32_closure(spark, sf_dir):
+    # G5 — transitive closure (PARENT_OF*, main.py:81-93) over a derived
+    # part hierarchy: parent(p) = p div 10, endpoint-validated.
+    part = _t(spark, sf_dir, "part")
+    keys = part.select("p_partkey")
+    edges = (
+        part.select(
+            F.col("p_partkey").alias("child"),
+            F.expr("p_partkey div 10").alias("parent"),
+        )
+        .where(F.col("child") >= 10)
+        .join(
+            F.broadcast(keys.select(F.col("p_partkey").alias("parent"))),
+            "parent",
+        )
+    )
+    return graph.closure(edges, "child", "parent")
+
+
+_q32_sql = """
+WITH e AS (
+  SELECT p.p_partkey AS child, p.p_partkey // 10 AS parent
+  FROM part p
+  JOIN part pp ON pp.p_partkey = p.p_partkey // 10
+  WHERE p.p_partkey >= 10
+)
+SELECT node, anc FROM (
+  WITH RECURSIVE closure(node, anc) AS (
+    SELECT child, parent FROM e
+    UNION
+    SELECT c.node, e.parent FROM closure c JOIN e ON e.child = c.anc
+  )
+  SELECT node, anc FROM closure
+)
+"""
+
+
+def _q33_edge_histogram(spark, sf_dir):
+    # G6 — relationship histogram over a 5-relationship union graph
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+
+    def e(df, src, dst, rel, sp, dp):
+        return df.select(
+            F.concat(F.lit(sp), F.col(src).cast("string")).alias("src"),
+            F.concat(F.lit(dp), F.col(dst).cast("string")).alias("dst"),
+            F.lit(rel).alias("relationship"),
+        )
+
+    edges = (
+        e(orders, "o_custkey", "o_orderkey", "PLACED", "C", "O")
+        .unionByName(e(lineitem, "l_orderkey", "l_partkey", "CONTAINS", "O", "P"))
+        .unionByName(e(lineitem, "l_orderkey", "l_suppkey", "SUPPLIED_BY", "O", "S"))
+        .unionByName(e(customer, "c_custkey", "c_nationkey", "LOCATED_IN", "C", "N"))
+        .unionByName(e(nation, "n_nationkey", "n_regionkey", "PART_OF", "N", "R"))
+    )
+    return graph.edge_histogram(edges).withColumnRenamed("cnt", "cnt")
+
+
+_q33_sql = """
+SELECT 'PLACED' AS relationship, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders
+UNION ALL
+SELECT 'CONTAINS', CAST(COUNT(*) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'SUPPLIED_BY', CAST(COUNT(*) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'LOCATED_IN', CAST(COUNT(*) AS BIGINT) FROM customer
+UNION ALL
+SELECT 'PART_OF', CAST(COUNT(*) AS BIGINT) FROM nation
+"""
+
+
+def _q34_degrees(spark, sf_dir):
+    # degree table over the PLACED+CONTAINS graph
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = orders.select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("dst"),
+    ).unionByName(
+        lineitem.select(
+            F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+    )
+    d = graph.degrees(edges)
+    return d.select(
+        "id",
+        F.col("out_degree").cast("long").alias("out_degree"),
+        F.col("in_degree").cast("long").alias("in_degree"),
+    )
+
+
+_q34_sql = """
+WITH edges AS (
+  SELECT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+         'O' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+  UNION ALL
+  SELECT 'O' || CAST(l_orderkey AS VARCHAR), 'P' || CAST(l_partkey AS VARCHAR)
+  FROM lineitem
+),
+touch AS (
+  SELECT src AS id, 1 AS o, 0 AS i FROM edges
+  UNION ALL
+  SELECT dst AS id, 0 AS o, 1 AS i FROM edges
+)
+SELECT id, CAST(SUM(o) AS BIGINT) AS out_degree, CAST(SUM(i) AS BIGINT) AS in_degree
+FROM touch GROUP BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.10 Streaming surface (batch-checkable twins)
+# ---------------------------------------------------------------------------
+
+
+def _q40_tumbling_agg(spark, sf_dir):
+    return windows.tumbling_counts(_t(spark, sf_dir, "events"), unit="hour")
+
+
+_q40_sql = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q41_session_window(spark, sf_dir):
+    return windows.sessionize(_t(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+_q41_sql = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+def _q42_sliding_window(spark, sf_dir):
+    # F.window struct semantics — no clean ANSI twin → rows-only check
+    return windows.sliding_counts(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# §2.11 North-star extensions: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+
+def _q50_minhash_simjoin(spark, sf_dir):
+    # MinHash+LSH near-dup: shingle→minhash→band→bucket-join→verify.
+    # Approximate candidate generation → rows-only check.
+    return dedup.minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q51_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
+_q51_sql = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.e, c.e), 6) AS cosine_sim
+  FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def _q52_tfidf_topterms(spark, sf_dir):
+    return textops.tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", top_n=3
+    ).select(
+        "doc_id",
+        "token",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        "tfidf",
+        "rank",
+    )
+
+
+_q52_sql = """
+WITH toks AS (
+  SELECT doc_id AS doc,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+  FROM documents
+),
+terms AS (
+  SELECT doc, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc, token
+),
+doc_freq AS (
+  SELECT token, CAST(COUNT(DISTINCT doc) AS BIGINT) AS df FROM terms GROUP BY token
+),
+scored AS (
+  SELECT t.doc, t.token, t.tf, d.df,
+         ROUND(t.tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / d.df),
+               6) AS tfidf
+  FROM terms t JOIN doc_freq d ON t.token = d.token
+)
+SELECT doc AS doc_id, token, tf, df, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc ORDER BY tfidf DESC, token)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+def _q53_approx_agg(spark, sf_dir):
+    # approximate aggregates — approximate by definition → rows-only
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
+    )
+
+
+def _q54_exact_dedup(spark, sf_dir):
+    # exact dedup by content key, deterministic representative (min id)
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+    )
+
+
+_q54_sql = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text FROM documents GROUP BY text
+"""
+
+
+def _q55_simhash(spark, sf_dir):
+    # 64-bit SimHash fingerprints (xxhash64 bit votes) → rows-only
+    # (DuckDB lacks xxhash64; cross-checked by unit tests instead)
+    return dedup.simhash(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id", "text"
+    )
+
+
+def _q56_jaccard_pairs(spark, sf_dir):
+    return dedup.jaccard_pairs_exact(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_q56_sql = """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS doc,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+  FROM documents
+),
+sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc),
+inter AS (
+  SELECT l.doc AS id_a, r.doc AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM toks l JOIN toks r ON l.token = r.token AND l.doc < r.doc
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(i / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+WHERE i / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+def _q57_lang_id(spark, sf_dir):
+    return textops.language_id(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "text"
+    ).select("doc_id", "stopword_ratio", "lang_pred")
+
+
+_STOPWORD_SQL_LIST = ", ".join(f"'{w}'" for w in textops.EN_STOPWORDS)
+
+_q57_sql = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> x IN ({_STOPWORD_SQL_LIST})))
+                        AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS ratio
+  FROM t
+)
+SELECT doc_id, ROUND(ratio, 6) AS stopword_ratio,
+       CASE WHEN ROUND(ratio, 6) >= 0.02 THEN 'en' ELSE 'und' END AS lang_pred
+FROM r
+"""
+
+
+def _q58_quality_score(spark, sf_dir):
+    return textops.quality_score(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "text"
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "punct_ratio",
+        "type_token_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+_q58_sql = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+         length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END
+           AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS ttr,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> x IN ({_STOPWORD_SQL_LIST})))
+                        AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         least(len(toks) / 50.0, 1.0) AS length_score
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(ttr, 6) AS type_token_ratio,
+       ROUND(stop_ratio, 6) AS stopword_ratio,
+       ROUND(0.4 * length_score + 0.3 * ttr
+             + 0.2 * least(stop_ratio * 10, 1.0)
+             + 0.1 * (1 - least(punct_ratio * 5, 1.0)), 6) AS quality_score
+FROM m
+"""
+
+
+def _q59_token_count(spark, sf_dir):
+    return textops.token_stats(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "text"
+    ).select("doc_id", "n_tokens", "n_distinct_tokens", "n_subword_tokens")
+
+
+_q59_sql = r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER)
+         AS n_tokens,
+       CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))
+            AS INTEGER) AS n_distinct_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+            AS INTEGER) AS n_subword_tokens
+FROM documents
+"""
+
+
+def _q60_fingerprint(spark, sf_dir):
+    return textops.fingerprint(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "text"
+    ).select("doc_id", "fingerprint")
+
+
+_q60_sql = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def _q61_lsh_topk(spark, sf_dir):
+    # LSH-bucketed approximate ANN — recall < 1 by design → rows-only
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
+def _q62_embedding_neardup(spark, sf_dir):
+    # threshold 0.3: the synthetic embeddings' pairwise cosine tops out
+    # ~0.51, so a production-style 0.95 would be vacuously empty here
+    return similarity.embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.3
+    )
+
+
+_q62_sql = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.3
+"""
+
+
+def _q80_binary_meta(spark, sf_dir):
+    # multimodal plumbing: opaque binary payload → JVM-side metadata
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    from ..sources.multimodal import binary_metadata
+
+    return binary_metadata(docs, "payload", ["doc_id"])
+
+
+_q80_sql = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256_hex
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: list[QueryDef] = [
+    QueryDef("q01_scan_jsonl", _q01_scan_jsonl, _q01_sql, "S1,P1"),
+    QueryDef("q02_scan_map", _q02_scan_map, _q02_sql, "S3"),
+    QueryDef("q03_prefix_scan", _q03_prefix_scan, _q03_sql, "S5,P6"),
+    QueryDef("q04_meta_project", _q04_meta_project, _q04_sql, "S6"),
+    QueryDef("q05_conditional_props", _q05_conditional_props, _q05_sql, "P2"),
+    QueryDef("q06_filter_notnull", _q06_filter_notnull, _q06_sql, "P3"),
+    QueryDef("q07_filter_neq", _q07_filter_neq, _q07_sql, "P4"),
+    QueryDef("q08_lookup_join", _q08_lookup_join, _q08_sql, "J1,P5"),
+    QueryDef("q09_anti_join", _q09_anti_join, _q09_sql, "J2"),
+    QueryDef("q10_edge_join", _q10_edge_join, _q10_sql, "J3,G2"),
+    QueryDef("q11_semi_contains", _q11_semi_contains, _q11_sql, "J4"),
+    QueryDef("q12_array_distinct", _q12_array_distinct, _q12_sql, "A1,F3"),
+    QueryDef("q13_group_count", _q13_group_count, _q13_sql, "A2"),
+    QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
+    QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
+    QueryDef("q16_regex_sanitize", _q16_regex_sanitize, _q16_sql, "F1"),
+    QueryDef("q17_format_string", _q17_format_string, _q17_sql, "F2,F4,K1"),
+    QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
+    QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
+    QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
+    QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
+    QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
+    QueryDef("q30_one_hop", _q30_one_hop, _q30_sql, "G3"),
+    QueryDef("q31_two_hop_motif", _q31_two_hop_motif, _q31_sql, "G4"),
+    QueryDef("q32_closure", _q32_closure, _q32_sql, "G5"),
+    QueryDef("q33_edge_histogram", _q33_edge_histogram, _q33_sql, "G6"),
+    QueryDef("q34_degrees", _q34_degrees, _q34_sql, "G6"),
+    QueryDef("q40_tumbling_agg", _q40_tumbling_agg, _q40_sql, "§2.10"),
+    QueryDef("q41_session_window", _q41_session_window, _q41_sql, "§2.10"),
+    QueryDef("q42_sliding_window", _q42_sliding_window, None, "§2.10"),
+    QueryDef("q50_minhash_simjoin", _q50_minhash_simjoin, None, "§2.11"),
+    QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
+    QueryDef("q52_tfidf_topterms", _q52_tfidf_topterms, _q52_sql, "§2.11"),
+    QueryDef("q53_approx_agg", _q53_approx_agg, None, "§2.11"),
+    QueryDef("q54_exact_dedup", _q54_exact_dedup, _q54_sql, "§2.11"),
+    QueryDef("q55_simhash", _q55_simhash, None, "§2.11"),
+    QueryDef("q56_jaccard_pairs", _q56_jaccard_pairs, _q56_sql, "§2.11"),
+    QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
+    QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
+    QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
+    QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
+    QueryDef("q61_lsh_topk", _q61_lsh_topk, None, "§2.11"),
+    QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),
+    QueryDef("q80_binary_meta", _q80_binary_meta, _q80_sql, "multimodal"),
+]
+
+
+def queries() -> dict[str, SparkQuery]:
+    return {q.name: q.spark for q in QUERIES}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {q.name: q.oracle for q in QUERIES if q.oracle is not None}

@@ -1,0 +1,144 @@
+"""Streaming windows & stateful ops (SURVEY.md §2.10).
+
+The reference is batch-only; the driver's ``events`` table adds the
+streaming surface. Design rule: every transform here takes a DataFrame
+and works identically on a batch frame and a ``readStream`` frame — the
+batch path is what the DuckDB oracle checks, the streaming path is
+verified by the batch-stream equivalence test (same input, availableNow
+trigger, identical end-of-stream result).
+
+Session windows have two implementations with intentionally identical
+results on bounded data:
+- ``sessionize`` — gaps-and-islands via lag + cumulative sum window
+  functions (batch; SQL-expressible → oracle-checkable);
+- ``stream_session_counts`` — ``F.session_window`` (streaming-native,
+  state-store backed, watermark-driven eviction at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    unit: str = "hour",
+    extra_keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling window aggregate via ``date_trunc`` — identical semantics
+    to ``F.window(ts, '1 hour')`` for aligned tumbling windows, but emits
+    a flat timestamp column (oracle-friendly, and cheaper: no struct).
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    return (
+        events.groupBy(bucket, *[F.col(k) for k in extra_keys])
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Sliding window aggregate via ``F.window`` (each event lands in
+    window/slide buckets). Window struct flattened to start/end."""
+    w = F.window(F.col(ts_col), window_duration, slide)
+    return events.groupBy(w.alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts when
+    the gap to the previous event of the same user exceeds ``gap_seconds``.
+
+    Two window passes over the same (user, ts) partitioning — Spark
+    reuses the single sort+shuffle for both. Emits one row per session:
+    (user_id, session_start, session_end, n_events, session_seq).
+    """
+    order = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col("event_id").asc()
+    )
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(order)
+    marked = events.withColumn(
+        "__new_session",
+        F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_seq",
+        F.sum("__new_session").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        numbered.groupBy(user_col, "session_seq")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def stream_session_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming-native session windows: ``F.session_window`` with a
+    watermark bounds state (late events beyond the watermark are dropped —
+    the deliberate trade for bounded state at 100 TB/day)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            user_col,
+            "n_events",
+        )
+    )
+
+
+def dedup_events(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Exactly-once event dedup. Batch: plain ``dropDuplicates``.
+    Streaming: pass ``watermark`` → ``dropDuplicatesWithinWatermark``
+    keeps state bounded by the watermark horizon instead of growing
+    forever (the difference between a demo and a pipeline)."""
+    if watermark is not None:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))
+
+
+def read_event_stream(spark, path: str, schema) -> DataFrame:
+    """File-source stream over a parquet directory (the batch table's
+    streaming twin); ``maxFilesPerTrigger`` left default — bench/tests use
+    ``availableNow`` triggers for bounded runs."""
+    return spark.readStream.schema(schema).parquet(path)

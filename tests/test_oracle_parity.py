@@ -1,0 +1,91 @@
+"""Driver-mirror correctness gate: every registry query with an oracle is
+run on Spark AND DuckDB at the test scale factor, then compared on
+row count + schema (column names) + order-insensitive values — the same
+checks CORRECTNESS_r{N}.json records (SURVEY.md §5 item 1).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+
+from ontology_graph_etl_spark.plans.registry import QUERIES
+
+
+def _canon(value):
+    """Canonicalize a cell for order-insensitive cross-engine compare."""
+    if value is None:
+        return None
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "nan"
+        # both engines round computed doubles by contract; guard tiny fp
+        return round(value, 9)
+    if isinstance(value, datetime.datetime):
+        return value.isoformat()
+    if isinstance(value, (list, tuple)):
+        return tuple(_canon(v) for v in value)
+    return value
+
+
+def _frame_key(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(
+        tuple(_canon(row[i]) for i in order) for row in rows
+    )
+
+
+ORACLE_QUERIES = [q for q in QUERIES if q.oracle is not None]
+ROWS_ONLY_QUERIES = [q for q in QUERIES if q.oracle is None]
+
+
+@pytest.mark.parametrize("qdef", ORACLE_QUERIES, ids=lambda q: q.name)
+def test_oracle_parity(qdef, spark, oracle, sf_dir):
+    sdf = qdef.spark(spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    cur = oracle.execute(qdef.oracle)
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = cur.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{qdef.name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{qdef.name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    skey = _frame_key(spark_cols, spark_rows)
+    dkey = _frame_key(duck_cols, duck_rows)
+    if skey != dkey:
+        diffs = [
+            (s, d) for s, d in zip(skey, dkey) if s != d
+        ][:5]
+        raise AssertionError(f"{qdef.name}: value mismatch, first diffs: {diffs}")
+
+
+@pytest.mark.parametrize("qdef", ROWS_ONLY_QUERIES, ids=lambda q: q.name)
+def test_rows_only_queries_run(qdef, spark, sf_dir):
+    sdf = qdef.spark(spark, sf_dir)
+    assert sdf.count() >= 0
+    assert len(sdf.columns) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "revenue" in df.columns
+
+
+def test_registry_contract():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 40
