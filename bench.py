@@ -1,0 +1,74 @@
+"""Benchmark runner — times the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set: one query per engine subsystem — scans/joins/aggs
+(q20/q21), window + top-k (q22/q23), first-wins upsert (q14), graph
+motifs + closure (q31/q32), sessionization (q41), MinHash near-dup
+(q50), cosine top-k ANN (q51), tf-idf (q52), SimHash (q55) — i.e. the
+plans a 100 TB training-data pipeline actually runs.
+
+Methodology: one warm-up run of q20 (JVM/codegen warm), then each query
+executed once with a count-style action that materializes the full
+result but doesn't ship rows to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from ontology_graph_etl_spark.plans.registry import queries
+from ontology_graph_etl_spark.session import get_spark
+
+HEADLINE = [
+    "q14_upsert_first_wins",
+    "q20_join3",
+    "q21_agg_suite",
+    "q22_sort_limit",
+    "q23_window_rank",
+    "q31_two_hop_motif",
+    "q32_closure",
+    "q41_session_window",
+    "q50_minhash_simjoin",
+    "q51_cosine_topk",
+    "q52_tfidf_topterms",
+    "q55_simhash",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="ontology-graph-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = queries()
+    # warm-up: JVM JIT + codegen + parquet footer cache
+    registry["q20_join3"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        df = registry[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

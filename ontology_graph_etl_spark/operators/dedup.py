@@ -40,23 +40,62 @@ def shingles(
     return df.withColumn(out_col, F.array_distinct(grams))
 
 
+#: Mersenne prime 2^31-1 — the universal-hashing modulus. Keeping all
+#: values below 2^31 bounds every product under 2^62, so the arithmetic
+#: can never overflow a long (matters: Spark 4 runs ANSI mode, where
+#: long overflow raises instead of wrapping).
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _permutation_constants(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the k universal-hash
+    permutations h_i(x) = (a_i*x + b_i) mod p, a_i ∈ [1, p-1]."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signature(
     df: DataFrame,
     shingles_col: str = "shingles",
     num_hashes: int = 64,
     out_col: str = "minhash",
 ) -> DataFrame:
-    """MinHash signature: for seed s in 0..k-1, min over shingles of
-    xxhash64(shingle, seed). Pure array expressions — per-row, narrow,
-    codegen'd; 100 TB scales linearly with zero shuffle."""
-    sh = F.col(shingles_col)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(sh, lambda g: F.xxhash64(g, s))
-        ),
+    """MinHash signature via hash-once + k universal-hash permutations:
+    each shingle is string-hashed ONCE (``xxhash64``, folded into
+    [0, p)), then the k signature slots take ``min((a_i*h + b_i) mod p)``
+    over the base hashes — cheap long multiply-adds that stay inside
+    whole-stage codegen.
+
+    The naive form (k string hashes per shingle) was the dominant bench
+    cost at sf0.1; this is the standard one-permutation-family fix.
+    Per-row, narrow, zero shuffle — 100 TB scales linearly with the scan.
+    """
+    base = F.transform(
+        F.col(shingles_col), lambda g: F.pmod(F.xxhash64(g), F.lit(_MERSENNE_31))
     )
-    return df.withColumn(out_col, sig)
+    consts = _permutation_constants(num_hashes)
+
+    def _slot(a: int, b: int):
+        # closure factory: PySpark requires single-parameter lambdas for
+        # transform (default args would read as extra lambda parameters)
+        return F.array_min(
+            F.transform(
+                F.col("__mh_base"),
+                lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_31),
+            )
+        )
+
+    sig = F.array(*[_slot(a, b) for a, b in consts])
+    return (
+        df.withColumn("__mh_base", base)
+        .withColumn(out_col, sig)
+        .drop("__mh_base")
+    )
 
 
 def lsh_candidate_pairs(
@@ -74,23 +113,15 @@ def lsh_candidate_pairs(
     """
     num_hashes_expr = F.size(F.col(minhash_col))
     rows_per_band = (num_hashes_expr / bands).cast("int")
+    # xxhash64 hashes the band slice (an array<long>) directly — no
+    # string materialization per band
     banded = df.select(
         F.col(id_col).alias("doc"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                F.col(minhash_col),
-                                b * rows_per_band + 1,
-                                rows_per_band,
-                            ),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
+                    F.slice(F.col(minhash_col), b * rows_per_band + 1, rows_per_band)
                 ),
             )
         ).alias("band", "band_sig"),

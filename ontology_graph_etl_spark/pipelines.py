@@ -1,0 +1,166 @@
+"""End-to-end pipelines — the reference's three entry-point flows
+(SURVEY.md §3) recomposed as single lazy Spark plans.
+
+The reference stages everything through text files: generate Cypher to
+disk, then execute the file against Neo4j in batches (main.py:400-410).
+Here each flow is one DataFrame plan from input tables to canonical
+nodes/edges (or enriched) tables; the cypher-codegen and Neo4j sinks
+remain available as compatibility outputs (sinks/).
+
+All flows are idempotent: re-running over the same inputs, or over their
+own output, produces identical tables (the semantic heart of MERGE —
+tested in tests/test_pipelines.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions import sanitize_value
+from .operators import graph
+from .operators.relational import anti_join, lookup_join
+from .operators.upsert import first_wins, update_by_key
+from .sources.enrichment import Transport, enrich_property_types
+
+
+def build_concept_graph(
+    concepts: DataFrame,
+    hierarchy: DataFrame,
+    order_col: str = "line_no",
+) -> tuple[DataFrame, DataFrame]:
+    """Entry point 1 (main.py:402-404): concept nodes + PARENT_OF edges.
+
+    - Node upsert keyed by (label, id), first line wins
+      (``MERGE ... ON CREATE SET``, main.py:62).
+    - ``name`` is sanitized like the reference's ``sanitize_value``
+      (main.py:44-49); unlike the reference, *every* property goes through
+      the same path, so quote-bearing values can't break anything
+      (SURVEY.md §5 defect b).
+    - Edges materialize only when both endpoints exist
+      (``MATCH``+``MATCH``+``CREATE``, main.py:91).
+
+    Returns ``(nodes, edges)``.
+    """
+    node_rows = concepts.select(
+        F.col("id"),
+        F.lit("Concept").alias("label"),
+        F.col(order_col),
+        sanitize_value(F.col("name")).alias("name"),
+        F.col("semantic_type"),
+        F.col("cui"),
+        F.col("search_type"),
+        F.col("property_concept"),
+    )
+    nodes = graph.build_nodes(
+        node_rows,
+        "id",
+        "label",
+        order_col,
+        prop_cols={
+            "name": "name",
+            "semantic_type": "semantic_type",
+            "cui": "cui",
+            "search_type": "search_type",
+            "property_concept": "property_concept",
+        },
+    )
+    rels = hierarchy.select(
+        F.col("parent_id").cast("string").alias("src"),
+        F.col("child_id").cast("string").alias("dst"),
+        F.lit("PARENT_OF").alias("relationship"),
+    ).dropDuplicates(["src", "dst", "relationship"])
+    edges = graph.build_edges(rels, nodes)
+    return nodes, edges
+
+
+def build_sheet_graph(
+    rel_rows: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Entry point 2 (main.py:406, body main.py:278-302): typed nodes and
+    relationships from the flattened spreadsheet rows.
+
+    Both endpoints of every row become node candidates; the first
+    occurrence across (sheet_index, line_no) order wins — matching the
+    reference executing sheet files in order with ``MERGE ... ON CREATE
+    SET`` (main.py:299). Rows with null ``node2_id`` were already
+    filtered by extraction (main.py:294-295) but the filter is repeated
+    here so the pipeline is safe on raw rows.
+
+    Returns ``(nodes, edges)`` where nodes carry the reference's ``type``
+    property (trailing-space values preserved verbatim — parity with
+    defect c, SURVEY.md §5).
+    """
+    rows = rel_rows.where(F.col("node2_id").isNotNull()).withColumn(
+        "__order",
+        F.col("sheet_index").cast("long") * F.lit(1_000_000) + F.col("line_no"),
+    )
+    ends = rows.select(
+        F.col("node1_id").alias("id"),
+        F.col("node1_type").alias("label"),
+        sanitize_value(F.col("node1_value")).alias("name"),
+        F.col("node1_type").alias("type"),
+        (F.col("__order") * 2).alias("__order"),  # node1 precedes node2
+    ).unionByName(
+        rows.select(
+            F.col("node2_id").alias("id"),
+            F.col("node2_type").alias("label"),
+            sanitize_value(F.col("node2_value")).alias("name"),
+            F.col("node2_type").alias("type"),
+            (F.col("__order") * 2 + 1).alias("__order"),
+        )
+    )
+    nodes = first_wins(ends, ["label", "id"], "__order").drop("__order")
+    rels = rows.select(
+        F.col("node1_id").alias("src"),
+        F.col("node2_id").alias("dst"),
+        F.col("relationship"),
+    ).dropDuplicates(["src", "dst", "relationship"])
+    edges = graph.build_edges(rels, nodes)
+    return nodes, edges
+
+
+def enrich_concepts(
+    concepts: DataFrame,
+    mapping: DataFrame,
+    transport: Transport | None = None,
+) -> dict[str, DataFrame]:
+    """Entry point 3 (main.py:409 + main.py:332-355): id-mapping update,
+    not-found audit, and (optionally) HTTP property-type enrichment.
+
+    Returns a dict of result tables:
+    - ``updated``: concepts with ``entity_id`` set for mapped ids
+      (``MATCH ... SET n.entity_id``, main.py:351-352 — A4);
+    - ``not_found``: ids absent from the mapping (the printed audit,
+      main.py:354-355 — J2);
+    - ``enriched`` (when a transport is given): per-concept property
+      types via batched ``mapInPandas`` (S8) instead of the reference's
+      25,610 sequential HTTP round-trips.
+    """
+    with_entity = update_by_key(
+        concepts.withColumn("entity_id", F.lit(None).cast("long")),
+        mapping.select("id", F.col("entity_id").alias("entity_id")),
+        "id",
+        ["entity_id"],
+    )
+    out = {
+        "updated": with_entity,
+        "not_found": anti_join(
+            concepts.select("id").distinct(), mapping.select("id"), "id"
+        ),
+    }
+    if transport is not None:
+        out["enriched"] = enrich_property_types(concepts, transport)
+    return out
+
+
+def graph_summary(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Operational audit the reference did with prints (main.py:301,354):
+    per-label node counts joined with per-relationship edge counts."""
+    n = nodes.groupBy(F.col("label").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).withColumn("kind", F.lit("node_label"))
+    e = graph.edge_histogram(edges).select(
+        F.col("relationship").alias("key"), "cnt"
+    ).withColumn("kind", F.lit("relationship"))
+    return n.unionByName(e).select("kind", "key", "cnt")

@@ -68,14 +68,22 @@ _q02_sql = "SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS value FROM natio
 
 def _q03_prefix_scan(spark, sf_dir):
     # S5 — ordered-prefix scan: rows before the first stop row
-    # (reference "break at first empty key", main.py:285-286)
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
-    return relational.prefix_scan(ev, "event_id", F.col("event_type") == "error")
+    # (reference "break at first empty key", main.py:285-286).
+    # Stop predicate chosen so the prefix is non-empty AND a stop row
+    # exists at every test SF (event_id 0 is already an 'error' in the
+    # testdata, which would make a bare error-stop vacuous).
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return relational.prefix_scan(
+        ev, "event_id", (F.col("event_type") == "error") & (F.col("value") > 200)
+    ).drop("value")
 
 
 _q03_sql = """
 SELECT event_id, user_id, event_type FROM events
-WHERE event_id < (SELECT MIN(event_id) FROM events WHERE event_type = 'error')
+WHERE event_id < (SELECT MIN(event_id) FROM events
+                  WHERE event_type = 'error' AND value > 200)
 """
 
 

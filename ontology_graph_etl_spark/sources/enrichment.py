@@ -92,9 +92,16 @@ def enrich_property_types(
                 result = transport(int(concept_id))
                 if result is None:
                     continue
-                out_ids.append(concept_id)
+                out_ids.append(int(concept_id))
                 out_types.append(result)
-            yield pd.DataFrame({"id": out_ids, "raw_types": out_types})
+            # explicit dtypes: an empty partition would otherwise default
+            # to float64 series, which Arrow can't cast to list<string>
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(out_ids, dtype="int64"),
+                    "raw_types": pd.Series(out_types, dtype="object"),
+                }
+            )
 
     raw = ids.mapInPandas(fetch, schema=raw_schema)
     prefixes = F.array_distinct(
@@ -103,7 +110,9 @@ def enrich_property_types(
     return raw.select(
         "id",
         prefixes.alias("property_types"),
-        F.element_at(prefixes, 1).alias("node_type"),
+        # try_element_at: an empty response yields null node_type instead
+        # of an ANSI out-of-bounds error
+        F.try_element_at(prefixes, F.lit(1)).alias("node_type"),
     )
 
 

@@ -1,0 +1,171 @@
+"""Ontology fixture golden tests (SURVEY.md §5 item 2-3).
+
+The fixture tables (FIXTURES.md) carry adversarial rows targeting the
+reference's latent defects: duplicate keys with conflicting names
+(first-wins A3), dangling hierarchy endpoints (endpoint validation J3),
+a 2-node cycle (closure guard G5), quote-bearing/unicode names
+(injection defect b), and trailing-space type names (defect c).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_graph_etl_spark import fixtures
+from ontology_graph_etl_spark.operators import graph
+from ontology_graph_etl_spark.operators.upsert import first_wins
+from ontology_graph_etl_spark.pipelines import build_concept_graph
+
+
+@pytest.fixture(scope="module")
+def ont(spark):
+    concepts = fixtures.concepts(spark, n=400).cache()
+    hierarchy = fixtures.concept_hierarchy(spark, concepts).cache()
+    return {"concepts": concepts, "hierarchy": hierarchy}
+
+
+@pytest.fixture(scope="module")
+def built(spark, ont):
+    nodes, edges = build_concept_graph(ont["concepts"], ont["hierarchy"])
+    return nodes.cache(), edges.cache()
+
+
+def test_first_wins_earliest_line_survives(spark, ont):
+    nodes = first_wins(ont["concepts"], ["id"], "line_no")
+    # every duplicate group keeps exactly the minimum line_no
+    expected = ont["concepts"].groupBy("id").agg(F.min("line_no").alias("line_no"))
+    assert nodes.select("id", "line_no").exceptAll(expected).count() == 0
+    assert nodes.count() == expected.count()
+    # the injected conflicting-name rows (added later) never win
+    assert nodes.where(F.col("name").startswith("CONFLICTING")).count() == 0
+
+
+def test_node_upsert_unique_keys(built):
+    nodes, _ = built
+    total = nodes.count()
+    distinct = nodes.select("label", "id").distinct().count()
+    assert total == distinct > 0
+
+
+def test_edges_endpoint_validated(built):
+    """Dangling endpoints (999_999_xxx fixtures) must be absent: edge
+    endpoints ⊆ node ids — the MATCH+MATCH semantics of main.py:91."""
+    nodes, edges = built
+    ids = nodes.select(F.col("id").alias("nid"))
+    dangling_src = edges.join(ids, edges.src == ids.nid, "left_anti")
+    dangling_dst = edges.join(ids, edges.dst == ids.nid, "left_anti")
+    assert dangling_src.count() == 0
+    assert dangling_dst.count() == 0
+    assert edges.count() > 0
+
+
+def test_upsert_idempotent(built):
+    """Running first-wins over its own output changes nothing — the
+    semantic heart of MERGE (SURVEY.md §5 invariant)."""
+    nodes, _ = built
+    again = first_wins(
+        nodes.withColumn("__ord", F.monotonically_increasing_id()),
+        ["label", "id"],
+        "__ord",
+    ).drop("__ord")
+    assert again.count() == nodes.count()
+    assert again.exceptAll(nodes).count() == 0
+
+
+def test_closure_matches_duckdb_recursive(built):
+    """G5 closure over the validated PARENT_OF DAG == DuckDB WITH
+    RECURSIVE on the same edge list (duplicate fixture edges included)."""
+    _, edges = built
+    pdf = (
+        edges.select(
+            F.col("dst").cast("long").alias("child"),
+            F.col("src").cast("long").alias("parent"),
+        )
+        .toPandas()
+    )
+    got = {
+        (int(r.node), int(r.anc))
+        for r in graph.closure(
+            edges.select(
+                F.col("dst").cast("long").alias("child"),
+                F.col("src").cast("long").alias("parent"),
+            ),
+            "child",
+            "parent",
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("e", pdf)
+    want = {
+        (int(a), int(b))
+        for a, b in con.execute(
+            """
+            WITH RECURSIVE c(node, anc) AS (
+              SELECT DISTINCT child, parent FROM e
+              UNION
+              SELECT c.node, e.parent FROM c JOIN e ON e.child = c.anc
+            ) SELECT node, anc FROM c
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+    assert len(got) > len(pdf)  # multi-hop pairs actually exist
+
+
+def test_closure_is_fixpoint(spark, built):
+    """Joining the closure once more adds nothing (SURVEY.md §5)."""
+    _, edges = built
+    e = edges.select(
+        F.col("dst").alias("node"), F.col("src").alias("anc")
+    ).distinct()
+    closed = graph.closure(edges, "dst", "src").cache()
+    extended = (
+        closed.join(
+            e.select(F.col("node").alias("anc"), F.col("anc").alias("anc2")),
+            "anc",
+        )
+        .select("node", F.col("anc2").alias("anc"))
+        .distinct()
+    )
+    assert extended.exceptAll(closed).count() == 0
+
+
+def test_closure_cycle_guard_terminates(spark):
+    """A cyclic edge list must terminate (max_iterations) and contain the
+    full cycle reachability, not hang."""
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], ["src", "dst"]
+    )
+    out = graph.closure(cyc, "src", "dst", max_iterations=10)
+    rows = {(r.node, r.anc) for r in out.collect()}
+    # every node reaches every node (incl. itself) in a 3-cycle
+    assert rows == {(a, b) for a in (1, 2, 3) for b in (1, 2, 3)}
+
+
+def test_quote_bearing_names_survive(built):
+    """Injection fixture (defect b): apostrophe names flow through the
+    relational path sanitized, never breaking anything."""
+    nodes, _ = built
+    # sanitize_value strips the quote chars; no node name retains one
+    assert nodes.where(F.col("name").contains("'")).count() == 0
+    # but the rows themselves survived (non-Hodgkin's → nonHodgkins)
+    assert nodes.where(F.col("name").contains("nonHodgkins")).count() > 0
+
+
+def test_two_hop_and_one_hop_consistency(built):
+    """|two_hop(a,b,c)| computed by motif join equals the join-count
+    identity sum over intermediate nodes."""
+    _, edges = built
+    motifs = graph.two_hop_motif(edges, "PARENT_OF", "PARENT_OF")
+    direct = (
+        edges.select(F.col("src").alias("b1"), F.col("dst").alias("mid"))
+        .join(
+            edges.select(F.col("src").alias("mid"), F.col("dst").alias("c1")),
+            "mid",
+        )
+        .count()
+    )
+    assert motifs.count() == direct

@@ -1,0 +1,142 @@
+"""End-to-end pipeline tests — the reference's three entry-point flows
+(SURVEY.md §3) over FIXTURES tables, plus the sheet-extraction semantics
+(prefix scan, null-dst filter, trailing-space parity).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_graph_etl_spark import fixtures, pipelines
+from ontology_graph_etl_spark.sources.enrichment import snapshot_transport
+from ontology_graph_etl_spark.sources.tabular import (
+    WORKSHEET_METADATA,
+    extract_relationships,
+)
+
+
+@pytest.fixture(scope="module")
+def ont(spark):
+    concepts = fixtures.concepts(spark, n=300).cache()
+    return {
+        "concepts": concepts,
+        "hierarchy": fixtures.concept_hierarchy(spark, concepts).cache(),
+        "rel_rows": fixtures.relationship_rows(spark, rows_per_sheet=25).cache(),
+        "mapping": fixtures.concept_id_mapping(spark, concepts).cache(),
+        "sheet_raw": fixtures.sheet_raw(spark).cache(),
+    }
+
+
+def test_sheet_graph_end_to_end(ont):
+    nodes, edges = pipelines.build_sheet_graph(ont["rel_rows"])
+    nodes, edges = nodes.cache(), edges.cache()
+    # unique (label, id) after first-wins
+    assert nodes.count() == nodes.select("label", "id").distinct().count()
+    # trailing-space type parity (defect c preserved verbatim)
+    assert nodes.where(F.col("type") == "SurgicalExtent ").count() > 0
+    # every relationship in the metadata corpus appears
+    rels = {r.relationship for r in edges.select("relationship").distinct().collect()}
+    assert "TREATS" in rels and "MEMBER_OF" in rels
+    # endpoint containment
+    ids = nodes.select(F.col("id").alias("nid"))
+    assert edges.join(ids, edges.src == ids.nid, "left_anti").count() == 0
+    assert edges.join(ids, edges.dst == ids.nid, "left_anti").count() == 0
+
+
+def test_sheet_graph_null_dst_filtered(ont):
+    _, edges = pipelines.build_sheet_graph(ont["rel_rows"])
+    assert edges.where(F.col("dst").isNull()).count() == 0
+
+
+def test_concept_graph_idempotent_rerun(ont):
+    """Running the pipeline twice over the same inputs gives identical
+    tables (MERGE semantics, SURVEY.md §5 invariant 3)."""
+    n1, e1 = pipelines.build_concept_graph(ont["concepts"], ont["hierarchy"])
+    n2, e2 = pipelines.build_concept_graph(ont["concepts"], ont["hierarchy"])
+    assert n1.exceptAll(n2).count() == 0 and n2.exceptAll(n1).count() == 0
+    assert e1.exceptAll(e2).count() == 0 and e2.exceptAll(e1).count() == 0
+
+
+def test_enrich_concepts_mapping_and_audit(ont):
+    out = pipelines.enrich_concepts(ont["concepts"], ont["mapping"])
+    updated, not_found = out["updated"].cache(), out["not_found"].cache()
+    n_concept_ids = ont["concepts"].select("id").distinct().count()
+    n_mapped = ont["mapping"].count()
+    # A4: exactly the mapped ids carry an entity_id
+    assert (
+        updated.where(F.col("entity_id").isNotNull())
+        .select("id").distinct().count() == n_mapped
+    )
+    # J2: audit covers the gap exactly
+    assert not_found.count() == n_concept_ids - n_mapped
+
+
+def test_enrich_with_snapshot_transport(ont):
+    ids = [r.id for r in ont["concepts"].select("id").distinct().limit(20).collect()]
+    snapshot = {
+        ids[0]: ["Disease:rest", "Disease:obs", "Neoplasm:rest"],
+        ids[1]: ["Response:rest"],
+        ids[2]: [],
+    }
+    out = pipelines.enrich_concepts(
+        ont["concepts"], ont["mapping"], transport=snapshot_transport(snapshot)
+    )
+    enriched = {r.id: r for r in out["enriched"].collect()}
+    # split→prefix→set-dedup parity (main.py:378-382)
+    assert enriched[ids[0]].property_types == ["Disease", "Neoplasm"]
+    assert enriched[ids[0]].node_type == "Disease"
+    assert enriched[ids[1]].property_types == ["Response"]
+    # empty response yields empty array, null node_type; misses are absent
+    assert enriched[ids[2]].property_types == []
+    assert set(enriched) == {ids[0], ids[1], ids[2]}
+
+
+def test_enrich_excludes_semantic_type(spark, ont):
+    """Filter parity: Cancer-Numeric-Modifier concepts are never fetched
+    (main.py:370-371)."""
+    excluded = [
+        r.id
+        for r in ont["concepts"]
+        .where(F.col("semantic_type") == "Cancer-Numeric-Modifier")
+        .select("id").distinct().collect()
+    ]
+    assert excluded, "fixture must include the excluded semantic type"
+    snapshot = {i: ["Disease:rest"] for i in excluded}
+    out = pipelines.enrich_concepts(
+        ont["concepts"], ont["mapping"], transport=snapshot_transport(snapshot)
+    )
+    assert out["enriched"].count() == 0
+
+
+def test_extract_relationships_prefix_and_ordinals(ont):
+    """S5/S6: stop-at-first-empty-key (row 40's null col0 stops the scan —
+    later non-null rows excluded) + ordinal-driven projection."""
+    cfg = WORKSHEET_METADATA[1]
+    out = extract_relationships(ont["sheet_raw"], cfg).cache()
+    assert out.agg(F.max("line_no")).first()[0] < 40
+    assert out.where(F.col("node2_id").isNull()).count() == 0
+    # ordinals (0,1,2,3): node1_value comes from col0
+    row = out.orderBy("line_no").first()
+    assert row.node1_value.startswith("r") and row.node1_value.endswith("c0")
+    assert row.relationship == "TYPE_OF"
+
+
+def test_extract_relationships_custom_ordinals(ont):
+    """Sheet 2 reads node2 from ordinals (8, 6) — main.py:186-188."""
+    cfg = WORKSHEET_METADATA[2]
+    out = extract_relationships(ont["sheet_raw"], cfg)
+    row = out.orderBy("line_no").first()
+    assert row.node2_value.endswith("c8")
+    assert row.node2_id.endswith("c6")
+
+
+def test_graph_summary_counts(ont):
+    nodes, edges = pipelines.build_sheet_graph(ont["rel_rows"])
+    summary = pipelines.graph_summary(nodes, edges)
+    kinds = {r.kind for r in summary.collect()}
+    assert kinds == {"node_label", "relationship"}
+    total_nodes = sum(
+        r.cnt for r in summary.where(F.col("kind") == "node_label").collect()
+    )
+    assert total_nodes == nodes.count()

@@ -1,0 +1,109 @@
+"""Sink/source unit tests: lossless batching (regression for the
+reference's off-by-one, SURVEY.md §5 defect a), cypher-codegen escaping
+(defect b), multimodal plumbing, and scalar function parity.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from ontology_graph_etl_spark.functions import (
+    first_prefix,
+    format_merge_statement,
+    sanitize_value,
+    stable_surrogate_id,
+)
+from ontology_graph_etl_spark.sinks.neo4j import iter_batches
+from ontology_graph_etl_spark.sources.multimodal import (
+    binary_metadata,
+    extract_features,
+    fake_decoder,
+)
+
+
+def test_iter_batches_lossless_at_boundary():
+    """The reference drops indices 999, 1999, ... (main.py:319-324).
+    Exactly the driver-verified scenario: 2,500 statements, batch 1000."""
+    statements = list(range(2500))
+    batches = list(iter_batches(statements, 1000))
+    assert [len(b) for b in batches] == [1000, 1000, 500]
+    flat = [x for b in batches for x in b]
+    assert flat == statements  # nothing dropped, order preserved
+    assert 999 in flat and 1999 in flat  # the reference's lost indices
+
+
+def test_iter_batches_edge_sizes():
+    assert list(iter_batches([], 10)) == []
+    assert list(iter_batches([1], 10)) == [[1]]
+    assert [len(b) for b in iter_batches(list(range(10)), 10)] == [10]
+
+
+def test_sanitize_value_parity(spark):
+    """Matches reference sanitize_value (main.py:44-49): strip everything
+    but alnum+whitespace; None → ''. Adversarial fixture values."""
+    df = spark.createDataFrame(
+        [("non-Hodgkin's lymphoma",), ("(+/-) margin",), (None,), ("",),
+         ("plain text 123",)],
+        ["v"],
+    )
+    got = [r.s for r in df.select(sanitize_value(F.col("v")).alias("s")).collect()]
+    assert got == ["nonHodgkins lymphoma", " margin", "", "", "plain text 123"]
+    for s in got:
+        assert re.fullmatch(r"[a-zA-Z0-9\s]*", s)
+
+
+def test_format_merge_statement_escapes_quotes(spark):
+    """The reference interpolates unsanitized values into Cypher
+    (defect b); the compat sink must escape them."""
+    df = spark.createDataFrame([(1, "O'Brien")], ["id", "name"])
+    stmt = df.select(
+        format_merge_statement("Concept", F.col("id"), F.col("name")).alias("s")
+    ).first()["s"]
+    assert stmt == "MERGE (n:Concept {id: '1'}) ON CREATE SET n.name = 'O\\'Brien'"
+
+
+def test_first_prefix(spark):
+    df = spark.createDataFrame([("Disease:rest",), ("Neoplasm",)], ["t"])
+    got = [r.p for r in df.select(first_prefix(F.col("t")).alias("p")).collect()]
+    assert got == ["Disease", "Neoplasm"]
+
+
+def test_stable_surrogate_id_deterministic(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["x", "y"])
+    out = df.select(stable_surrogate_id(F.col("x"), F.col("y")).alias("sid"))
+    vals = [r.sid for r in out.collect()]
+    assert vals[0] == vals[1] != vals[2]
+    assert len(vals[0]) == 64  # sha256 hex
+
+
+def test_binary_metadata_jvm_side(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello")), (2, bytearray(b""))], ["doc_id", "payload"]
+    )
+    out = {r.doc_id: r for r in binary_metadata(df, "payload", ["doc_id"]).collect()}
+    assert out[1].n_bytes == 5
+    assert out[2].n_bytes == 0
+    assert len(out[1].sha256_hex) == 64
+
+
+def test_extract_features_contract(spark):
+    """Multimodal mapInPandas plumbing: schema, nulls by media type,
+    deterministic fake decode."""
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"img-bytes")),
+            (2, "audio", bytearray(b"aud-bytes")),
+            (3, "video", None),
+        ],
+        ["asset_id", "media_type", "payload"],
+    )
+    out = {r.asset_id: r for r in extract_features(df, fake_decoder).collect()}
+    assert out[1].width is not None and out[1].duration_s is None
+    assert out[2].width is None and out[2].duration_s is not None
+    assert out[3].n_bytes == 0
+    assert len(out[1].feature_vec) == 8
+    # determinism: same payload → same features
+    again = {r.asset_id: r for r in extract_features(df, fake_decoder).collect()}
+    assert again[1].feature_vec == out[1].feature_vec

@@ -1,0 +1,115 @@
+"""Batch–stream equivalence (SURVEY.md §5 item 4): the same transform
+over the static ``events`` table and over ``readStream`` of the same
+parquet yields identical end-of-stream results (availableNow trigger).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_graph_etl_spark.io import load_table
+from ontology_graph_etl_spark.streaming import windows
+
+
+def _run_stream_to_memory(spark, stream_df, name: str):
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.table(name)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir, tmp_path_factory):
+    # the file stream source needs a *directory*; symlink the single
+    # parquet file into one (testdata itself is read-only)
+    path = os.path.join(sf_dir, "events.parquet")
+    stream_dir = tmp_path_factory.mktemp("events_stream")
+    os.symlink(path, stream_dir / "events.parquet")
+    raw = spark.readStream.schema(
+        spark.read.parquet(path).schema
+    ).parquet(str(stream_dir))
+    # apply the same ns→timestamp conversion load_table does
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def test_tumbling_agg_batch_stream_equivalence(spark, events_batch, events_stream):
+    batch = windows.tumbling_counts(events_batch)
+    streamed = _run_stream_to_memory(
+        spark, windows.tumbling_counts(events_stream), "tumbling_mem"
+    )
+    assert batch.exceptAll(streamed).count() == 0
+    assert streamed.exceptAll(batch).count() == 0
+
+
+def test_streaming_dedup_bounded_state(spark, events_batch, events_stream):
+    """dropDuplicatesWithinWatermark on the stream ≡ dropDuplicates on the
+    batch for bounded input (all data within the watermark horizon)."""
+    deduped_stream = windows.dedup_events(
+        events_stream, keys=("event_id",), watermark="365 days"
+    ).groupBy().agg(F.count(F.lit(1)).alias("n"))
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            deduped_stream.writeStream.format("memory")
+            .queryName("dedup_mem")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = spark.table("dedup_mem").first()["n"]
+    want = windows.dedup_events(events_batch, keys=("event_id",)).count()
+    assert got == want
+
+
+def test_session_window_stream_runs(spark, events_stream):
+    """Streaming-native session windows (state-store path) produce rows
+    under availableNow — the append-mode watermark-eviction path."""
+    sess = windows.stream_session_counts(events_stream, gap="30 minutes")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            sess.writeStream.format("memory")
+            .queryName("sess_mem")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    got = spark.table("sess_mem")
+    assert got.count() > 0
+    assert set(got.columns) == {"session_start", "session_end", "user_id", "n_events"}
+
+
+def test_sessionize_matches_session_window_semantics(spark, events_batch):
+    """The two session implementations agree on bounded data: same number
+    of sessions per user (gaps-and-islands vs F.session_window)."""
+    a = windows.sessionize(events_batch, gap_seconds=1800)
+    b = (
+        events_batch.groupBy(
+            F.session_window(F.col("ts"), "30 minutes"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    per_user_a = a.groupBy("user_id").count()
+    per_user_b = b.groupBy("user_id").count()
+    assert per_user_a.exceptAll(per_user_b).count() == 0
+    assert per_user_b.exceptAll(per_user_a).count() == 0
