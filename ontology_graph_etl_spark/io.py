@@ -33,6 +33,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     downstream plan sees real timestamps.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin the session TZ even on externally-created sessions (the driver
+    # passes its own): timestamp truncation/windowing must agree with the
+    # DuckDB oracle, which treats naive timestamps as-is.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     expected = TESTDATA_SCHEMAS.get(name)

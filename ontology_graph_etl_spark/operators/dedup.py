@@ -212,34 +212,38 @@ def simhash(
     +1/-1 on every bit position (weighted by token frequency); the sign
     of each bit's vote sum forms the 64-bit fingerprint.
 
-    Plan shape: explode tokens → 64 conditional-sum aggregates in ONE
-    groupBy — partial aggregation runs map-side, so the shuffle carries
-    64 ints per document, not the token stream. The bit loop is Python
-    build-time only; runtime is pure codegen'd long arithmetic.
+    SimHash is a per-document computation, so the whole thing is narrow
+    array expressions over the token array — NO explode, NO shuffle
+    (an earlier explode+groupBy form shuffled the token stream; this one
+    scales with the scan alone). Tokens are hashed once into ``__hs``;
+    each bit's vote is a codegen'd fold over those longs.
 
+    Documents with no tokens are dropped (parity with the grouped form).
     Returns ``(id_col, simhash)``.
     """
-    toks = df.select(
-        F.col(id_col),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-        ).alias("__tok"),
-    ).withColumn("__h", F.xxhash64("__tok"))
     # signed bit masks: 1<<63 wraps to long min, matching two's complement
     masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
-    votes = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.col("__h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
-            ).alias(f"__b{b}")
-            for b, m in enumerate(masks)
-        ]
-    )
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""),
+            lambda t: F.xxhash64(t),
+        ).alias("__hs"),
+    ).where(F.size("__hs") > 0)
+
+    def vote(m: int):
+        return F.aggregate(
+            F.col("__hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(m)) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
     fingerprint = None
-    for b, m in enumerate(masks):
-        term = F.when(F.col(f"__b{b}") > 0, F.lit(m)).otherwise(F.lit(0)).cast("long")
+    for m in masks:
+        term = F.when(vote(m) > 0, F.lit(m)).otherwise(F.lit(0)).cast("long")
         fingerprint = term if fingerprint is None else fingerprint + term
-    return votes.select(F.col(id_col), fingerprint.alias(out_col))
+    return hashed.select(F.col(id_col), fingerprint.alias(out_col))
 
 
 def hamming_distance(a, b):

@@ -45,23 +45,26 @@ def build_edges(
     src_col: str = "src",
     dst_col: str = "dst",
     rel_col: str = "relationship",
+    broadcast_nodes: bool = False,
 ) -> DataFrame:
     """G2/J3 — edge creation with endpoint validation: an edge
     materializes only if BOTH endpoints exist as nodes (the reference's
     ``MATCH (a) MATCH (b) CREATE (a)-[r]->(b)``, main.py:91 — an
     unmatched MATCH silently produces nothing).
 
-    Two equi inner joins against the node-id set. The node-id projection
-    is small relative to the edge fact table → broadcast both probes so
-    the edge table never shuffles.
+    Two equi inner joins against the node-id set. Pass
+    ``broadcast_nodes=True`` only when the node set is known-small (the
+    ontology case: ~25K nodes) so the edge fact table never shuffles;
+    the default lets AQE pick — a forced broadcast of a billion-node id
+    set would OOM every executor at 100 TB.
     """
     ids = nodes.select(F.col("id").alias("__nid")).distinct()
+    if broadcast_nodes:
+        ids = F.broadcast(ids)
     return (
-        rels.join(
-            F.broadcast(ids), rels[src_col] == F.col("__nid"), "inner"
-        )
+        rels.join(ids, rels[src_col] == F.col("__nid"), "inner")
         .drop("__nid")
-        .join(F.broadcast(ids), rels[dst_col] == F.col("__nid"), "inner")
+        .join(ids, rels[dst_col] == F.col("__nid"), "inner")
         .drop("__nid")
         .select(
             F.col(src_col).alias("src"),

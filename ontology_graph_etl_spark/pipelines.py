@@ -70,7 +70,7 @@ def build_concept_graph(
         F.col("child_id").cast("string").alias("dst"),
         F.lit("PARENT_OF").alias("relationship"),
     ).dropDuplicates(["src", "dst", "relationship"])
-    edges = graph.build_edges(rels, nodes)
+    edges = graph.build_edges(rels, nodes, broadcast_nodes=True)
     return nodes, edges
 
 
@@ -116,7 +116,7 @@ def build_sheet_graph(
         F.col("node2_id").alias("dst"),
         F.col("relationship"),
     ).dropDuplicates(["src", "dst", "relationship"])
-    edges = graph.build_edges(rels, nodes)
+    edges = graph.build_edges(rels, nodes, broadcast_nodes=True)
     return nodes, edges
 
 

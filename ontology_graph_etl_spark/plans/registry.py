@@ -717,8 +717,26 @@ FROM numbered GROUP BY user_id, session_seq
 
 
 def _q42_sliding_window(spark, sf_dir):
-    # F.window struct semantics — no clean ANSI twin → rows-only check
+    # sliding 1h/30m windows: every event lands in exactly two windows
+    # (starts time_bucket(ts) and time_bucket(ts)-30m), which the oracle
+    # enumerates with UNNEST
     return windows.sliding_counts(_t(spark, sf_dir, "events"))
+
+
+_q42_sql = """
+WITH hit AS (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+           AS window_start,
+         event_type
+  FROM events
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+       CAST(window_start + INTERVAL '1 hour' AS TIMESTAMP) AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM hit GROUP BY 1, 2, 3
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1037,7 +1055,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("q34_degrees", _q34_degrees, _q34_sql, "G6"),
     QueryDef("q40_tumbling_agg", _q40_tumbling_agg, _q40_sql, "§2.10"),
     QueryDef("q41_session_window", _q41_session_window, _q41_sql, "§2.10"),
-    QueryDef("q42_sliding_window", _q42_sliding_window, None, "§2.10"),
+    QueryDef("q42_sliding_window", _q42_sliding_window, _q42_sql, "§2.10"),
     QueryDef("q50_minhash_simjoin", _q50_minhash_simjoin, None, "§2.11"),
     QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
     QueryDef("q52_tfidf_topterms", _q52_tfidf_topterms, _q52_sql, "§2.11"),

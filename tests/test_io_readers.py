@@ -1,0 +1,80 @@
+"""Reader/writer tests for io.py — the reference-shaped input paths
+(JSONL S1/S2, whole-doc JSON S3/S4, text lines S7) and canonical sinks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ontology_graph_etl_spark import io as oio
+
+CONCEPT_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), True),
+        StructField("name", StringType(), True),
+        StructField("semantic_type", StringType(), True),
+    ]
+)
+
+
+def test_read_jsonl_pinned_schema_and_line_no(spark, tmp_path):
+    path = str(tmp_path / "concepts.json")
+    records = [
+        {"id": 191083, "name": "lung neoplasm", "semantic_type": "Neoplasm"},
+        {"id": 385464, "name": "melanoma", "semantic_type": "Neoplasm"},
+        {"id": 100001, "name": "BRAF", "semantic_type": "Gene", "extra": "ignored"},
+    ]
+    with open(path, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    df = oio.read_jsonl(spark, path, CONCEPT_SCHEMA, with_line_no=True)
+    assert df.columns == ["id", "name", "semantic_type", "line_no"]
+    rows = df.orderBy("line_no").collect()
+    assert [r.id for r in rows] == [191083, 385464, 100001]
+    # line_no is strictly increasing in file order (single-file scan)
+    assert rows[0].line_no < rows[1].line_no < rows[2].line_no
+
+
+def test_read_json_doc_dict(spark, tmp_path):
+    path = str(tmp_path / "mapping.json")
+    with open(path, "w") as f:
+        json.dump({"191083": 7000001, "385464": 7000002}, f)
+    df = oio.read_json_doc(spark, path)
+    row = df.first()
+    assert row["191083"] == 7000001
+
+
+def test_read_text_lines(spark, tmp_path):
+    path = str(tmp_path / "stmts.cypher")
+    with open(path, "w") as f:
+        f.write("MERGE (a)\nMERGE (b)\nMERGE (c)\n")
+    df = oio.read_text_lines(spark, path)
+    assert df.count() == 3
+    assert df.columns == ["value"]
+
+
+def test_write_parquet_partitioned_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("1", "Concept", "a"), ("2", "Gene", "b"), ("3", "Gene", "c")],
+        ["id", "label", "name"],
+    )
+    out = str(tmp_path / "nodes")
+    oio.write_parquet(df, out, partition_by=("label",))
+    # label partitioning materialized on disk → partition pruning works
+    assert os.path.isdir(os.path.join(out, "label=Gene"))
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    pruned = back.where(F.col("label") == "Gene")
+    assert pruned.count() == 2
+
+
+def test_write_text_lines_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("stmt1",), ("stmt2",)], ["statement"])
+    out = str(tmp_path / "stmts")
+    oio.write_text_lines(df, out)
+    back = spark.read.text(out)
+    assert {r.value for r in back.collect()} == {"stmt1", "stmt2"}

@@ -113,3 +113,44 @@ def test_sessionize_matches_session_window_semantics(spark, events_batch):
     per_user_b = b.groupBy("user_id").count()
     assert per_user_a.exceptAll(per_user_b).count() == 0
     assert per_user_b.exceptAll(per_user_a).count() == 0
+
+
+def test_stateful_running_totals_matches_batch(spark, events_batch, events_stream):
+    """applyInPandasWithState custom operator: the last emitted state per
+    user at end-of-stream equals the batch groupBy aggregate."""
+    from ontology_graph_etl_spark.streaming.stateful import running_totals
+
+    out = running_totals(events_stream.where(F.col("user_id").isNotNull()))
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stateful_mem")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    got = spark.table("stateful_mem")
+    # update-mode emits one row per key per micro-batch; the final state
+    # per key is the max n_events row
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        got.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
+    )
+    want = (
+        events_batch.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 4).alias(
+                "total_value"
+            ),
+        )
+    )
+    assert final.exceptAll(want).count() == 0
+    assert want.exceptAll(final).count() == 0
