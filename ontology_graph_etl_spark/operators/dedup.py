@@ -110,6 +110,11 @@ def lsh_candidate_pairs(
     Returns distinct candidate pairs (id_a < id_b). The only shuffle is
     the bucket groupBy; bucket skew (a degenerate shingle shared by
     millions of docs) is handled by AQE skew-join splitting.
+
+    The banded frame is materialized (``localCheckpoint``) before the
+    self-join: otherwise Catalyst's project-collapse inlines the whole
+    upstream signature expression into each of the ``bands`` hash slots
+    AND both join sides recompute it — measured 8x slower at sf0.1.
     """
     num_hashes_expr = F.size(F.col(minhash_col))
     rows_per_band = (num_hashes_expr / bands).cast("int")
@@ -125,7 +130,7 @@ def lsh_candidate_pairs(
                 ),
             )
         ).alias("band", "band_sig"),
-    )
+    ).localCheckpoint()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -196,10 +201,16 @@ def minhash_near_duplicates(
     threshold: float = 0.7,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup pipeline:
-    shingle → minhash → band → bucket-join → exact-Jaccard verify."""
+    shingle → minhash → band → bucket-join → exact-Jaccard verify.
+
+    The shingled frame is materialized once (``localCheckpoint``,
+    spills to disk when larger than memory): it feeds the signature AND
+    both sides of the verification join — recomputing the tokenize +
+    shingle scan three times costs more than storing it.
+    """
     prepared = shingles(
         tokenize(df.select(id_col, text_col), text_col), "tokens", shingle_n
-    )
+    ).localCheckpoint()
     signed = minhash_signature(prepared, "shingles", num_hashes)
     candidates = lsh_candidate_pairs(signed, id_col, "minhash", bands)
     return jaccard_verify(candidates, prepared, id_col, "shingles", threshold)
@@ -261,8 +272,13 @@ def simhash_near_duplicates(
     """SimHash near-dup: block on 16-bit prefixes (4 rotations) so that
     any pair within Hamming distance 3 of a 64-bit hash collides in at
     least one block (pigeonhole over 4 blocks), then verify distance.
-    The shuffle is on (block_idx, block_value) — never all-pairs."""
-    fp = simhash(df.select(id_col, text_col), id_col, text_col)
+    The shuffle is on (block_idx, block_value) — never all-pairs.
+
+    Fingerprints are materialized before blocking: the simhash
+    expression is 64 folds wide, and project-collapse + the self-join
+    would otherwise recompute it 2 x 4 times (see lsh_candidate_pairs).
+    """
+    fp = simhash(df.select(id_col, text_col), id_col, text_col).localCheckpoint()
     blocks = fp.select(
         F.col(id_col).alias("doc"),
         F.col("simhash"),
@@ -312,6 +328,8 @@ def jaccard_pairs_exact(
         tokenize(df.select(id_col, text_col), text_col)
         .select(F.col(id_col).alias("doc"), F.explode("tokens").alias("token"))
         .distinct()
+        # materialized once; the inverted-index self-join reads it twice
+        .localCheckpoint()
     )
     sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tokens"))
     l, r = toks.alias("l"), toks.alias("r")

@@ -78,3 +78,29 @@ def test_write_text_lines_roundtrip(spark, tmp_path):
     oio.write_text_lines(df, out)
     back = spark.read.text(out)
     assert {r.value for r in back.collect()} == {"stmt1", "stmt2"}
+
+
+def test_graph_store_partition_pruning(spark, tmp_path):
+    """GraphStore writes label/relationship-partitioned tables and a
+    filtered read prunes partitions (PartitionFilters in the scan)."""
+    from ontology_graph_etl_spark.graph_store import GraphStore
+
+    nodes = spark.createDataFrame(
+        [("1", "Gene", "BRAF"), ("2", "Gene", "EGFR"), ("3", "Drug", "dab")],
+        ["id", "label", "name"],
+    )
+    edges = spark.createDataFrame(
+        [("3", "1", "HAS_TARGET"), ("3", "2", "TREATS")],
+        ["src", "dst", "relationship"],
+    )
+    store = GraphStore(str(tmp_path / "g"))
+    store.save(nodes, edges)
+
+    genes = store.nodes(spark, label="Gene")
+    assert genes.count() == 2
+    targets = store.edges(spark, relationship="HAS_TARGET")
+    assert targets.count() == 1
+    plan = targets._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "HAS_TARGET" in plan
+    # full load sees everything, partition col preserved
+    assert store.nodes(spark).count() == 3

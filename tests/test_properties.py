@@ -1,0 +1,99 @@
+"""Property-based invariants (SURVEY.md §5 item 3) via hypothesis.
+
+Spark round-trips are expensive, so examples are small and capped; the
+properties themselves are the point: sanitize is a projection onto the
+allowed alphabet, first-wins is deterministic + idempotent, closure is a
+fixpoint, batching is lossless for any (n, batch_size).
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from ontology_graph_etl_spark.functions import sanitize_value
+from ontology_graph_etl_spark.operators.graph import closure
+from ontology_graph_etl_spark.operators.upsert import first_wins
+from ontology_graph_etl_spark.sinks.neo4j import iter_batches
+
+SETTINGS = settings(max_examples=10, deadline=None)
+
+
+@given(
+    values=st.lists(
+        st.one_of(st.none(), st.text(max_size=40)), min_size=1, max_size=20
+    )
+)
+@SETTINGS
+def test_sanitize_always_in_alphabet(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    out = [r.s for r in df.select(sanitize_value(F.col("v")).alias("s")).collect()]
+    for s in out:
+        assert s is not None
+        assert re.fullmatch(r"[a-zA-Z0-9\s]*", s), repr(s)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),       # key
+            st.integers(0, 1000),    # order
+            st.text(max_size=8),     # payload
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+@SETTINGS
+def test_first_wins_min_order_and_idempotent(spark, rows):
+    df = spark.createDataFrame(rows, ["k", "ord", "v"])
+    won = first_wins(df, ["k"], "ord")
+    got = {(r.k, r.ord) for r in won.collect()}
+    want = {}
+    for k, o, _ in rows:
+        want[k] = min(want.get(k, o), o)
+    assert got == set(want.items())
+    again = first_wins(won, ["k"], "ord")
+    assert {(r.k, r.ord) for r in again.collect()} == got
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=15,
+        unique=True,
+    )
+)
+@SETTINGS
+def test_closure_reachability_matches_python(spark, edges):
+    """Spark closure == python transitive reachability, for arbitrary
+    small digraphs (cycles included)."""
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.node, r.anc) for r in closure(df, "src", "dst", max_iterations=12).collect()}
+    # python fixpoint
+    want = set(edges)
+    changed = True
+    while changed:
+        changed = False
+        for a, b in list(want):
+            for c, d in edges:
+                if b == c and (a, d) not in want:
+                    want.add((a, d))
+                    changed = True
+    assert got == want
+
+
+@given(
+    n=st.integers(0, 50),
+    batch_size=st.integers(1, 60),
+)
+@SETTINGS
+def test_iter_batches_lossless_any_size(n, batch_size):
+    items = list(range(n))
+    batches = list(iter_batches(items, batch_size))
+    assert [x for b in batches for x in b] == items
+    assert all(0 < len(b) <= batch_size for b in batches)
