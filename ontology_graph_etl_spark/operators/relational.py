@@ -103,3 +103,37 @@ def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
     (per-partition heap + driver merge of k rows), never a global sort.
     Callers must include a unique tie-break column for determinism."""
     return df.orderBy(*order_by).limit(k)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi join: append a random salt (0..num_salts-1) to
+    the (large, skewed) left side's key and replicate each right-side row
+    once per salt value, then join on (key, salt).
+
+    This splits a hot key's rows across ``num_salts`` reducers at the
+    cost of replicating the right side ``num_salts``×. Use when a single
+    key dominates (AQE's skew-join splits sort-merge partitions, but a
+    build-side megakey on a non-broadcastable join still serializes);
+    for ordinary skew prefer plain join + AQE.
+
+    ``F.rand`` is seeded per-partition by Spark — the salt is
+    nondeterministic but the JOIN RESULT is identical to the unsalted
+    join (every left row still meets every matching right row exactly
+    once, because the right side carries all salt values).
+    """
+    salt = (F.rand() * num_salts).cast("int")
+    l = left.withColumn("__salt", salt)
+    r = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(num_salts).select(
+                F.col("id").cast("int").alias("__salt")
+            )
+        )
+    )
+    return l.join(r, [on, "__salt"], how).drop("__salt")

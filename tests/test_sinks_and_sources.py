@@ -107,3 +107,47 @@ def test_extract_features_contract(spark):
     # determinism: same payload → same features
     again = {r.asset_id: r for r in extract_features(df, fake_decoder).collect()}
     assert again[1].feature_vec == out[1].feature_vec
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join result == plain join result on skewed input (one hot
+    key holding 90% of rows)."""
+    from ontology_graph_etl_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame(
+        [(1, f"v{i}") for i in range(900)] + [(i % 7 + 2, f"w{i}") for i in range(100)],
+        ["k", "payload"],
+    )
+    right = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(1, 9)], ["k", "dim"]
+    )
+    got = salted_join(left, right, "k", num_salts=8)
+    want = left.join(right, "k")
+    assert got.count() == want.count() == 1000
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_cypher_codegen_roundtrip(spark, tmp_path):
+    """Compat sink: one statement per node/edge, quotes escaped, written
+    as line-text and readable back (reference statement-file shape)."""
+    from ontology_graph_etl_spark.sinks import cypher_codegen as cg
+
+    nodes = spark.createDataFrame(
+        [("API1", "MedicationAPI", "O'Brien drug", "MedicationAPI"),
+         ("NT2", "NeoplasmType", "melanoma", "NeoplasmType ")],
+        ["id", "label", "name", "type"],
+    )
+    edges = spark.createDataFrame(
+        [("API1", "NT2", "TREATS")], ["src", "dst", "relationship"]
+    )
+    stmts = cg.node_merge_statements(nodes)
+    got = {r.value for r in stmts.collect()}
+    assert any(r"O\'Brien" in s for s in got)  # escaped, not raw
+    assert all(s.startswith("MERGE (n:") for s in got)
+
+    out = str(tmp_path / "stmts")
+    cg.write_statements(stmts.unionByName(cg.edge_create_statements(edges)), out)
+    back = spark.read.text(out)
+    assert back.count() == 3
+    assert back.where(F.col("value").startswith("MATCH (a {id: 'API1'")).count() == 1
