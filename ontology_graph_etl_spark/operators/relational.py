@@ -137,3 +137,60 @@ def salted_join(
         )
     )
     return l.join(r, [on, "__salt"], how).drop("__salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Backward as-of join: each left row is matched with the single
+    right row of the same key whose ``right_ts`` is the latest one
+    ``<= left_ts`` (equality matches).
+
+    Spark has no as-of join operator; the scalable composition is
+    union + window: tag both sides, sort each key partition by
+    (ts, side), and carry the last-seen right payload forward with
+    ``last(ignorenulls)``. ONE hash shuffle on the key, no range
+    explosion, no per-key driver loop — the plan a 100 TB event/feature
+    join needs. (A join + filter + rank formulation explodes to all
+    key-pairs before pruning; this never materializes them.)
+
+    Right rows with duplicate (key, ts) are resolved latest-wins by
+    their sort order; pre-dedup the right side for full determinism.
+    Returns all left columns plus ``payload_cols`` from the right side.
+    """
+    from pyspark.sql import Window
+
+    l = left.withColumn("__is_left", F.lit(1))
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias(left_ts),
+        *[F.col(c) for c in payload_cols],
+    ).withColumn("__is_left", F.lit(0))
+    for c in left.columns:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None))
+    for c in payload_cols:
+        if c not in l.columns:
+            l = l.withColumn(c, F.lit(None))
+    unioned = l.select(r.columns).unionByName(r)
+    # right rows sort before left rows at equal ts → equality matches
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(left_ts).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[c for c in unioned.columns if c not in payload_cols],
+        *[
+            F.last(F.when(F.col("__is_left") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(c)
+            for c in payload_cols
+        ],
+    )
+    return carried.where(F.col("__is_left") == 1).drop("__is_left")

@@ -491,6 +491,62 @@ SELECT k FROM (SELECT k FROM a INTERSECT SELECT k FROM b) EXCEPT SELECT k FROM c
 # ---------------------------------------------------------------------------
 
 
+def _q25_rollup(spark, sf_dir):
+    # grouping-sets surface: rollup with subtotal + grand-total rows
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+_q25_sql = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _q26_asof_join(spark, sf_dir):
+    # as-of join — an operator Spark lacks, composed as union + window
+    # (single key shuffle, no range explosion): each event matched with
+    # the user's most recent purchase at-or-before its timestamp.
+    # Left filtered to non-null users: SQL equality never matches null
+    # keys, but a window PARTITION BY groups them (semantic mismatch).
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("event_id", "user_id", "ts")
+    )
+    purchases = (
+        _t(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return relational.asof_join(
+        ev, purchases, "user_id", "ts", "ts", ["purchase_id", "purchase_value"]
+    ).select("event_id", "user_id", "ts", "purchase_id", "purchase_value")
+
+
+_q26_sql = """
+SELECT e.event_id, e.user_id, e.ts,
+       p.event_id AS purchase_id, p.value AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE user_id IS NOT NULL) e
+ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
 def _q30_one_hop(spark, sf_dir):
     # G3 — 1-hop neighborhood with node attributes on both ends
     supplier = _t(spark, sf_dir, "supplier")
@@ -1048,6 +1104,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
     QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
     QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
+    QueryDef("q25_rollup", _q25_rollup, _q25_sql, "§2.7"),
+    QueryDef("q26_asof_join", _q26_asof_join, _q26_sql, "§2.7"),
     QueryDef("q30_one_hop", _q30_one_hop, _q30_sql, "G3"),
     QueryDef("q31_two_hop_motif", _q31_two_hop_motif, _q31_sql, "G4"),
     QueryDef("q32_closure", _q32_closure, _q32_sql, "G5"),

@@ -151,3 +151,26 @@ def test_cypher_codegen_roundtrip(spark, tmp_path):
     back = spark.read.text(out)
     assert back.count() == 3
     assert back.where(F.col("value").startswith("MATCH (a {id: 'API1'")).count() == 1
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: equality matches, earlier rows carry forward, rows
+    before any right row get nulls, keys never cross."""
+    from ontology_graph_etl_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 5), (2, 1, 10), (3, 1, 20), (4, 2, 10), (5, 3, 10)],
+        ["event_id", "k", "t"],
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 15, "b"), (2, 30, "c")], ["k", "t", "tag"]
+    )
+    out = {
+        r.event_id: r.tag
+        for r in asof_join(left, right, "k", "t", "t", ["tag"]).collect()
+    }
+    assert out[1] is None        # before any right row
+    assert out[2] == "a"         # equality ts matches
+    assert out[3] == "b"         # latest at-or-before wins
+    assert out[4] is None        # right row strictly later
+    assert out[5] is None        # key absent from right
