@@ -161,22 +161,24 @@ def closure(
     )
     acc = base
     frontier = base
+    hops = base.select(F.col("node").alias("anc"), F.col("anc").alias("anc2"))
     for _ in range(max_iterations):
-        # frontier ⋈ base: extend each known pair by one hop
-        extended = (
-            frontier.join(
-                base.select(
-                    F.col("node").alias("anc"), F.col("anc").alias("anc2")
-                ),
-                "anc",
-            )
-            .select("node", F.col("anc2").alias("anc"))
-            .distinct()
+        # frontier ⋈ base: extend each known pair by one hop; dedup AFTER
+        # the anti join (smaller input to the distinct shuffle)
+        extended = frontier.join(hops, "anc").select(
+            "node", F.col("anc2").alias("anc")
         )
-        new_pairs = extended.join(acc, ["node", "anc"], "left_anti").localCheckpoint()
+        new_pairs = (
+            extended.join(acc, ["node", "anc"], "left_anti")
+            .distinct()
+            .localCheckpoint()
+        )
         if new_pairs.isEmpty():
             break
-        acc = acc.union(new_pairs).localCheckpoint()
+        # acc is a union of already-checkpointed frontiers — unioning is
+        # free; re-checkpointing it each round would materialize the whole
+        # closure O(depth) times
+        acc = acc.union(new_pairs)
         frontier = new_pairs
     return acc
 

@@ -795,6 +795,27 @@ FROM hit GROUP BY 1, 2, 3
 """
 
 
+def _q43_gap_stats(spark, sf_dir):
+    # §2.9 grouped-custom-logic surface: registry runs the built-in
+    # (codegen) twin; tests assert the applyInPandas path agrees.
+    from ..operators.grouped import gap_stats_builtin
+
+    return gap_stats_builtin(_t(spark, sf_dir, "events"))
+
+
+_q43_sql = """
+WITH g AS (
+  SELECT user_id,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+           AS gap
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(AVG(gap), 6) AS mean_gap_s, ROUND(MAX(gap), 6) AS max_gap_s
+FROM g GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.11 North-star extensions: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
@@ -1114,6 +1135,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("q40_tumbling_agg", _q40_tumbling_agg, _q40_sql, "§2.10"),
     QueryDef("q41_session_window", _q41_session_window, _q41_sql, "§2.10"),
     QueryDef("q42_sliding_window", _q42_sliding_window, _q42_sql, "§2.10"),
+    QueryDef("q43_gap_stats", _q43_gap_stats, _q43_sql, "§2.9"),
     QueryDef("q50_minhash_simjoin", _q50_minhash_simjoin, None, "§2.11"),
     QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
     QueryDef("q52_tfidf_topterms", _q52_tfidf_topterms, _q52_sql, "§2.11"),

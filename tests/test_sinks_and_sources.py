@@ -174,3 +174,27 @@ def test_asof_join_semantics(spark):
     assert out[3] == "b"         # latest at-or-before wins
     assert out[4] is None        # right row strictly later
     assert out[5] is None        # key absent from right
+
+
+def test_gap_stats_pandas_matches_builtin(spark, sf_dir):
+    """applyInPandas grouped op == built-in window/agg twin (within float
+    tolerance — pandas sums in a different order)."""
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators.grouped import (
+        gap_stats_builtin,
+        gap_stats_pandas,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    a = {r.user_id: r for r in gap_stats_pandas(events).collect()}
+    b = {r.user_id: r for r in gap_stats_builtin(events).collect()}
+    assert set(a) == set(b) and len(a) > 0
+    for uid, ra in a.items():
+        rb = b[uid]
+        assert ra.n_events == rb.n_events
+        for f in ("mean_gap_s", "max_gap_s"):
+            va, vb = getattr(ra, f), getattr(rb, f)
+            if va is None or vb is None:
+                assert va == vb
+            else:
+                assert abs(va - vb) < 1e-3, (uid, f, va, vb)
