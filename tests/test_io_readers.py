@@ -104,3 +104,38 @@ def test_graph_store_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "HAS_TARGET" in plan
     # full load sees everything, partition col preserved
     assert store.nodes(spark).count() == 3
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key join WITHOUT an Exchange in
+    the physical plan (write-side pre-shuffle amortizes the nightly join)."""
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    li, od = f"li_{suffix}", f"od_{suffix}"
+    lineitem = spark.range(0, 10000).select(
+        (F.col("id") % 500).alias("orderkey"), (F.col("id") % 7).alias("qty")
+    )
+    orders = spark.range(0, 500).select(
+        F.col("id").alias("orderkey"), (F.col("id") % 3).alias("prio")
+    )
+    oio.write_bucketed_table(lineitem, li, "orderkey", num_buckets=8)
+    oio.write_bucketed_table(orders, od, "orderkey", num_buckets=8)
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table(li).join(spark.table(od), "orderkey")
+            .groupBy("prio").agg(F.sum("qty").alias("total"))
+        )
+        assert joined.count() == 3
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # both scans read bucketed layout; no Exchange on the join key —
+        # the sort-merge join consumes bucket-partitioned input directly
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning(orderkey" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql(f"DROP TABLE IF EXISTS {li}")
+        spark.sql(f"DROP TABLE IF EXISTS {od}")
