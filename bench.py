@@ -26,6 +26,7 @@ from ontology_graph_etl_spark.session import get_spark
 HEADLINE = [
     "q14_upsert_first_wins",
     "q20_join3",
+    "q26_asof_join",
     "q21_agg_suite",
     "q22_sort_limit",
     "q23_window_rank",

@@ -162,6 +162,7 @@ def closure(
     acc = base
     frontier = base
     hops = base.select(F.col("node").alias("anc"), F.col("anc").alias("anc2"))
+    converged = False
     for _ in range(max_iterations):
         # frontier ⋈ base: extend each known pair by one hop; dedup AFTER
         # the anti join (smaller input to the distinct shuffle)
@@ -174,12 +175,22 @@ def closure(
             .localCheckpoint()
         )
         if new_pairs.isEmpty():
+            converged = True
             break
         # acc is a union of already-checkpointed frontiers — unioning is
         # free; re-checkpointing it each round would materialize the whole
         # closure O(depth) times
         acc = acc.union(new_pairs)
         frontier = new_pairs
+    if not converged:
+        # never cap silently: a truncated closure looks complete but isn't
+        import warnings
+
+        warnings.warn(
+            f"closure did not reach fixpoint within {max_iterations} "
+            "iterations; result is truncated at that depth",
+            stacklevel=2,
+        )
     return acc
 
 
