@@ -8,6 +8,7 @@ from .text import (
     format_merge_statement,
     sanitize_value,
     stable_surrogate_id,
+    whitespace_tokens,
 )
 
 __all__ = [
@@ -15,4 +16,5 @@ __all__ = [
     "format_merge_statement",
     "sanitize_value",
     "stable_surrogate_id",
+    "whitespace_tokens",
 ]

@@ -26,6 +26,17 @@ def sanitize_value(col: Column) -> Column:
     )
 
 
+def whitespace_tokens(col: Column, lowercase: bool = True) -> Column:
+    """THE tokenization policy: split on ``\\s+`` runs, drop empties,
+    lowercase by default. Every text operator (token stats, language-ID,
+    quality, tf-idf, MinHash/SimHash/Jaccard dedup) MUST use this helper —
+    the DuckDB oracles mirror it with ``regexp_split_to_array(· , '\\s+')``,
+    and any site with its own inline split silently diverges from them.
+    """
+    base = F.lower(col) if lowercase else col
+    return F.filter(F.split(base, r"\s+"), lambda t: t != "")
+
+
 def first_prefix(col: Column, sep: str = ":") -> Column:
     """F3 — split + first element (reference ``type.split(':')[0]``,
     main.py:380-382)."""

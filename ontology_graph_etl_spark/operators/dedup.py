@@ -17,13 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import whitespace_tokens
+
 
 def tokenize(df: DataFrame, text_col: str, out_col: str = "tokens") -> DataFrame:
     """Whitespace tokenization with lowercase + empty-token drop."""
-    return df.withColumn(
-        out_col,
-        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""),
-    )
+    return df.withColumn(out_col, whitespace_tokens(F.col(text_col)))
 
 
 def shingles(
@@ -103,6 +102,7 @@ def lsh_candidate_pairs(
     id_col: str,
     minhash_col: str = "minhash",
     bands: int = 16,
+    num_hashes: int = 64,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` rows, bucket by
     (band_index, hash(band_slice)), self-join within buckets.
@@ -116,8 +116,15 @@ def lsh_candidate_pairs(
     upstream signature expression into each of the ``bands`` hash slots
     AND both join sides recompute it — measured 8x slower at sf0.1.
     """
-    num_hashes_expr = F.size(F.col(minhash_col))
-    rows_per_band = (num_hashes_expr / bands).cast("int")
+    if bands > num_hashes or num_hashes % bands != 0:
+        # a zero-width band hashes the empty slice for every doc — all
+        # docs collide and the join degenerates to the O(n^2) cross
+        # product LSH exists to avoid; a non-dividing band count would
+        # silently drop the tail signature slots (reduced recall)
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}"
+        )
+    rows_per_band = num_hashes // bands
     # xxhash64 hashes the band slice (an array<long>) directly — no
     # string materialization per band
     banded = df.select(
@@ -212,7 +219,7 @@ def minhash_near_duplicates(
         tokenize(df.select(id_col, text_col), text_col), "tokens", shingle_n
     ).localCheckpoint()
     signed = minhash_signature(prepared, "shingles", num_hashes)
-    candidates = lsh_candidate_pairs(signed, id_col, "minhash", bands)
+    candidates = lsh_candidate_pairs(signed, id_col, "minhash", bands, num_hashes)
     return jaccard_verify(candidates, prepared, id_col, "shingles", threshold)
 
 
@@ -237,8 +244,7 @@ def simhash(
     hashed = df.select(
         F.col(id_col),
         F.transform(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""),
-            lambda t: F.xxhash64(t),
+            whitespace_tokens(F.col(text_col)), lambda t: F.xxhash64(t)
         ).alias("__hs"),
     ).where(F.size("__hs") > 0)
 

@@ -124,9 +124,18 @@ def salted_join(
 
     ``F.rand`` is seeded per-partition by Spark — the salt is
     nondeterministic but the JOIN RESULT is identical to the unsalted
-    join (every left row still meets every matching right row exactly
-    once, because the right side carries all salt values).
+    join for the supported join types (every left row still meets every
+    matching right row exactly once, because the right side carries all
+    salt values). Right/full outer joins are rejected: an unmatched
+    right row would surface once per salt replica.
     """
+    if how.replace("_", "").lower() not in (
+        "inner", "left", "leftouter", "leftsemi", "leftanti", "cross"
+    ):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched right "
+            "rows are replicated per salt (use a plain join + AQE)"
+        )
     salt = (F.rand() * num_salts).cast("int")
     l = left.withColumn("__salt", salt)
     r = right.crossJoin(
@@ -162,21 +171,34 @@ def asof_join(
     Right rows with duplicate (key, ts) are resolved latest-wins by
     their sort order; pre-dedup the right side for full determinism.
     Returns all left columns plus ``payload_cols`` from the right side.
+
+    The carried value is a STRUCT of all payload columns, not per-column
+    ``last(ignorenulls)``: the struct is non-null whenever a right row
+    exists, so a matched row's NULL payload field stays NULL (per-column
+    carry would skip it and leak an older row's value), and all payload
+    fields always come from the SAME right row.
     """
     from pyspark.sql import Window
 
-    l = left.withColumn("__is_left", F.lit(1))
-    r = right.select(
-        F.col(on),
-        F.col(right_ts).alias(left_ts),
-        *[F.col(c) for c in payload_cols],
-    ).withColumn("__is_left", F.lit(0))
+    l = left.withColumn("__is_left", F.lit(1)).withColumn(
+        "__rp",
+        F.lit(None).cast(
+            "struct<" + ", ".join(f"`{c}`: string" for c in payload_cols) + ">"
+        ),
+    )
+    r = (
+        right.select(
+            F.col(on),
+            F.col(right_ts).alias(left_ts),
+            F.struct(*[F.col(c) for c in payload_cols]).alias("__rp"),
+        )
+        .withColumn("__is_left", F.lit(0))
+    )
     for c in left.columns:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None))
-    for c in payload_cols:
-        if c not in l.columns:
-            l = l.withColumn(c, F.lit(None))
+    # align the null-struct's field types with the real payload struct
+    l = l.withColumn("__rp", F.lit(None).cast(r.schema["__rp"].dataType))
     unioned = l.select(r.columns).unionByName(r)
     # right rows sort before left rows at equal ts → equality matches
     w = (
@@ -184,13 +206,13 @@ def asof_join(
         .orderBy(F.col(left_ts).asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        *[c for c in unioned.columns if c not in payload_cols],
-        *[
-            F.last(F.when(F.col("__is_left") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(c)
-            for c in payload_cols
-        ],
+    carried = unioned.withColumn(
+        "__match", F.last(F.col("__rp"), ignorenulls=True).over(w)
     )
-    return carried.where(F.col("__is_left") == 1).drop("__is_left")
+    return (
+        carried.where(F.col("__is_left") == 1)
+        .select(
+            *[c for c in left.columns],
+            *[F.col("__match").getField(c).alias(c) for c in payload_cols],
+        )
+    )

@@ -33,8 +33,11 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    # guarded against all-zero vectors: dividing by the tiny epsilon
+    # yields ~0 similarity instead of NULL/NaN rows that silently rank
+    return F.greatest(
+        F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)),
+        F.lit(1e-12),
     )
 
 
@@ -42,14 +45,24 @@ def with_normalized(
     df: DataFrame, vec_col: str, out_col: str = "unit_vec"
 ) -> DataFrame:
     """Attach an L2-normalized copy (double precision) of the embedding.
-    Normalizing once up front turns every cosine into a plain dot
-    product — at 100 TB this halves the per-pair arithmetic."""
+
+    The norm is computed once per row into a real column and the divide
+    references that column — embedding ``_norm`` inside the per-element
+    lambda would re-run the whole-vector fold per component (O(d²)/row;
+    higher-order functions are interpreted, no common-subexpression
+    elimination saves you).
+    """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return df.withColumn(out_col, F.transform(v, lambda x: x / _norm(v)))
+    return (
+        df.withColumn("__l2", _norm(v))
+        .withColumn(out_col, F.transform(v, lambda x: x / F.col("__l2")))
+        .drop("__l2")
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two raw (unnormalized) vectors, double math."""
+    """Cosine similarity of two raw (unnormalized) vectors, double math:
+    three single-pass folds (dot + both norms), zero-vector safe."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
@@ -69,20 +82,21 @@ def cosine_topk(
     dot product, then ``row_number`` per query — the window shuffles only
     (query, candidate-k-ish) rows after AQE. Ties broken by neighbor id
     for determinism (hash-checked by the driver).
+
+    Scoring uses raw vectors (dot + two norm folds per pair, each a
+    single pass): pre-normalized arrays would be recomputed per element
+    once Catalyst collapses the projection into the join (higher-order
+    lambdas get no subexpression elimination).
     """
-    q = with_normalized(queries, vec_col, "q_vec").select(
-        F.col(id_col).alias("query_id"), "q_vec"
-    )
-    c = with_normalized(corpus, vec_col, "c_vec").select(
-        F.col(id_col).alias("neighbor_id"), "c_vec"
-    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_raw"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_raw"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_dot(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(cosine(F.col("q_raw"), F.col("c_raw")), 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -95,19 +109,6 @@ def cosine_topk(
     )
 
 
-def _hyperplane(seed: int, plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component j of plane p is
-    a signed value derived from xxhash64(seed, p, j). Centered roughly on
-    zero; only the *sign structure* matters for LSH bucketing."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (
-            F.xxhash64(F.lit(seed), F.lit(plane), j).cast("double")
-            / F.lit(float(2**63))
-        ),
-    )
-
-
 def lsh_bucket(
     df: DataFrame,
     vec_col: str,
@@ -116,14 +117,31 @@ def lsh_bucket(
     out_col: str = "bucket",
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id: bit b = sign(v · plane_b). Narrow,
-    deterministic, no shuffle; 2^num_planes buckets."""
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = first["d"] if first else 0
+    deterministic, no shuffle; 2^num_planes buckets.
+
+    Hyperplane component j of plane p is derived in-plan from
+    ``xxhash64(seed, p, j)`` with j indexed per element — the vector
+    dimension is never sniffed with a driver-side action (an eager
+    ``.first()`` here would run the whole upstream plan at construction
+    time and break on streaming inputs). Only the sign structure of the
+    planes matters for bucketing.
+    """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bucket = F.lit(0)
     for b in range(num_planes):
+        # zip each component with its position-derived plane coefficient
         proj = F.aggregate(
-            F.zip_with(v, _hyperplane(seed, b, dim), lambda x, h: x * h),
+            F.zip_with(
+                v,
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(v) - 1, F.lit(0))),
+                    lambda j: (
+                        F.xxhash64(F.lit(seed), F.lit(b), j).cast("double")
+                        / F.lit(float(2**63))
+                    ),
+                ),
+                lambda x, h: x * h,
+            ),
             F.lit(0.0),
             lambda acc, val: acc + val,
         )
@@ -183,17 +201,16 @@ def embedding_near_duplicates(
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
     Brute-force all-pairs — exact baseline with a DuckDB oracle; the
     LSH-bucketed variant (join on ``lsh_bucket`` first) is the 100-TB
-    path since near-dups nearly always share a bucket."""
-    n = with_normalized(df, vec_col, "u").select(
-        F.col(id_col).alias("id"), "u"
-    )
+    path since near-dups nearly always share a bucket. Raw-vector
+    scoring for the same project-collapse reason as ``cosine_topk``."""
+    n = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     l, r = n.alias("l"), n.alias("r")
     return (
         l.join(r, F.col("l.id") < F.col("r.id"))
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.round(_dot(F.col("l.u"), F.col("r.u")), 6).alias("cosine_sim"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
     )

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import whitespace_tokens
+
 #: Tiny English function-word list for the n-gram/stopword heuristic.
 EN_STOPWORDS = (
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
@@ -22,7 +24,7 @@ def token_stats(df: DataFrame, text_col: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, and a BPE-ish
     subword estimate (word-piece regex: runs of letters, digits, or a
     single other symbol — a deterministic proxy for tokenizer cost)."""
-    tokens = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    tokens = whitespace_tokens(F.col(text_col), lowercase=False)
     bpe_ish = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
     )
@@ -38,7 +40,7 @@ def language_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> Dat
 
     Emits ``stopword_ratio`` (double) and ``lang_pred`` ('en' | 'und').
     """
-    tokens = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    tokens = whitespace_tokens(F.col(text_col))
     hits = F.size(
         F.filter(tokens, lambda t: t.isin(*[F.lit(s) for s in EN_STOPWORDS]))
     )
@@ -54,7 +56,7 @@ def quality_score(df: DataFrame, text_col: str) -> DataFrame:
     weights are a policy choice; the operator contract is the shape."""
     text = F.col(text_col)
     n_chars = F.length(text)
-    tokens = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    tokens = whitespace_tokens(text)
     n_tokens = F.size(tokens)
     punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
@@ -150,7 +152,5 @@ def tokenize_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc, token) rows — lowercased whitespace tokens, empties dropped."""
     return df.select(
         F.col(id_col).alias("doc"),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-        ).alias("token"),
+        F.explode(whitespace_tokens(F.col(text_col))).alias("token"),
     )

@@ -16,18 +16,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _order_cols(order_col: str | Sequence[str]) -> list[str]:
+    return [order_col] if isinstance(order_col, str) else list(order_col)
+
+
 def first_wins(
-    df: DataFrame, keys: Sequence[str], order_col: str
+    df: DataFrame, keys: Sequence[str], order_col: str | Sequence[str]
 ) -> DataFrame:
     """A3 — deterministic first-wins dedup: for each key group keep the
-    row with the smallest ``order_col``.
+    row that sorts first on ``order_col`` (a column name or a sequence of
+    names compared lexicographically — use a sequence when order spans
+    several dimensions, e.g. (sheet_index, line_no); encoding them into
+    one arithmetic column breaks silently once a component overflows its
+    assumed range).
 
     Implemented as ``row_number`` over (keys, order) — a single hash
     shuffle on the keys with map-side partial sort; AQE handles skewed
     keys. Equivalent Cypher: ``MERGE (n {id:..}) ON CREATE SET ...``
     executed in file order (reference main.py:62).
     """
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).asc() for c in _order_cols(order_col)]
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -35,9 +45,13 @@ def first_wins(
     )
 
 
-def last_wins(df: DataFrame, keys: Sequence[str], order_col: str) -> DataFrame:
+def last_wins(
+    df: DataFrame, keys: Sequence[str], order_col: str | Sequence[str]
+) -> DataFrame:
     """Last-wins variant (``MERGE ... SET`` semantics): highest order wins."""
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in _order_cols(order_col)]
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

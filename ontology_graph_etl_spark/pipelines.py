@@ -91,26 +91,32 @@ def build_sheet_graph(
     property (trailing-space values preserved verbatim — parity with
     defect c, SURVEY.md §5).
     """
-    rows = rel_rows.where(F.col("node2_id").isNotNull()).withColumn(
-        "__order",
-        F.col("sheet_index").cast("long") * F.lit(1_000_000) + F.col("line_no"),
-    )
+    rows = rel_rows.where(F.col("node2_id").isNotNull())
+    # lexicographic (sheet, line, side) order — NOT an arithmetic
+    # encoding, which breaks silently once line_no exceeds the assumed
+    # range (monotonically_increasing_id values start at partition*2^33)
     ends = rows.select(
         F.col("node1_id").alias("id"),
         F.col("node1_type").alias("label"),
         sanitize_value(F.col("node1_value")).alias("name"),
         F.col("node1_type").alias("type"),
-        (F.col("__order") * 2).alias("__order"),  # node1 precedes node2
+        F.col("sheet_index").alias("__sheet"),
+        F.col("line_no").alias("__line"),
+        F.lit(0).alias("__side"),  # node1 precedes node2 within a row
     ).unionByName(
         rows.select(
             F.col("node2_id").alias("id"),
             F.col("node2_type").alias("label"),
             sanitize_value(F.col("node2_value")).alias("name"),
             F.col("node2_type").alias("type"),
-            (F.col("__order") * 2 + 1).alias("__order"),
+            F.col("sheet_index").alias("__sheet"),
+            F.col("line_no").alias("__line"),
+            F.lit(1).alias("__side"),
         )
     )
-    nodes = first_wins(ends, ["label", "id"], "__order").drop("__order")
+    nodes = first_wins(
+        ends, ["label", "id"], ["__sheet", "__line", "__side"]
+    ).drop("__sheet", "__line", "__side")
     rels = rows.select(
         F.col("node1_id").alias("src"),
         F.col("node2_id").alias("dst"),

@@ -247,7 +247,7 @@ def _q12_array_distinct(spark, sf_dir):
         F.array_sort(
             F.array_distinct(
                 F.transform(
-                    F.split(F.col("text"), " "), lambda t: F.substring(t, 1, 3)
+                    F.split(F.col("text"), r"\s+"), lambda t: F.substring(t, 1, 3)
                 )
             )
         ),
@@ -262,7 +262,7 @@ _q12_sql = """
 SELECT doc_id,
        array_to_string(
          list_sort(list_distinct(
-           list_transform(string_split(text, ' '), t -> t[1:3])
+           list_transform(regexp_split_to_array(text, '\s+'), t -> t[1:3])
          )), ',') AS prefixes
 FROM documents
 """
@@ -870,7 +870,7 @@ def _q52_tfidf_topterms(spark, sf_dir):
 _q52_sql = """
 WITH toks AS (
   SELECT doc_id AS doc,
-         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
   FROM documents
 ),
 terms AS (
@@ -934,7 +934,7 @@ def _q56_jaccard_pairs(spark, sf_dir):
 _q56_sql = """
 WITH toks AS (
   SELECT DISTINCT doc_id AS doc,
-         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
   FROM documents
 ),
 sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc),
@@ -962,7 +962,7 @@ _STOPWORD_SQL_LIST = ", ".join(f"'{w}'" for w in textops.EN_STOPWORDS)
 _q57_sql = f"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
   FROM documents
 ),
 r AS (
@@ -996,7 +996,7 @@ _q58_sql = rf"""
 WITH t AS (
   SELECT doc_id, text,
          length(text) AS n_chars,
-         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks,
          length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct
   FROM documents
 ),
@@ -1034,9 +1034,9 @@ def _q59_token_count(spark, sf_dir):
 
 _q59_sql = r"""
 SELECT doc_id,
-       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER)
+       CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INTEGER)
          AS n_tokens,
-       CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))
+       CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')))
             AS INTEGER) AS n_distinct_tokens,
        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
             AS INTEGER) AS n_subword_tokens

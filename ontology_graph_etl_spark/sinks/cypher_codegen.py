@@ -24,7 +24,11 @@ def _escape(col: Column) -> Column:
 def node_merge_statements(nodes: DataFrame) -> DataFrame:
     """One ``MERGE (n:Label {id}) ON CREATE SET n.name=...`` per node
     (reference template main.py:299). Returns a single-column ``value``
-    DataFrame ready for the text sink."""
+    DataFrame ready for the text sink. ``type`` is optional — concept
+    nodes (build_concept_graph output) don't carry one and fall back to
+    the label, matching the reference where ``type`` equals the sheet's
+    node type."""
+    type_col = F.col("type") if "type" in nodes.columns else F.lit(None)
     return nodes.select(
         F.concat(
             F.lit("MERGE (n:"),
@@ -34,7 +38,7 @@ def node_merge_statements(nodes: DataFrame) -> DataFrame:
             F.lit("'}) ON CREATE SET n.name = '"),
             _escape(F.col("name")),
             F.lit("', n.type = '"),
-            _escape(F.coalesce(F.col("type"), F.col("label"))),
+            _escape(F.coalesce(type_col, F.col("label"))),
             F.lit("'"),
         ).alias("value")
     )

@@ -26,19 +26,18 @@ def tumbling_counts(
     ts_col: str = "ts",
     unit: str = "hour",
     extra_keys: tuple[str, ...] = ("event_type",),
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Tumbling window aggregate via ``date_trunc`` — identical semantics
     to ``F.window(ts, '1 hour')`` for aligned tumbling windows, but emits
     a flat timestamp column (oracle-friendly, and cheaper: no struct).
+    ``value_col=None`` (or a frame without the column) skips the sum.
     """
     bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
-    return (
-        events.groupBy(bucket, *[F.col(k) for k in extra_keys])
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-    )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None and value_col in events.columns:
+        aggs.append(F.round(F.sum(value_col), 4).alias(f"sum_{value_col}"))
+    return events.groupBy(bucket, *[F.col(k) for k in extra_keys]).agg(*aggs)
 
 
 def sliding_counts(
@@ -65,6 +64,7 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: int = 1800,
+    tie_break_col: str | None = "event_id",
 ) -> DataFrame:
     """Batch sessionization (gaps-and-islands): a new session starts when
     the gap to the previous event of the same user exceeds ``gap_seconds``.
@@ -72,10 +72,13 @@ def sessionize(
     Two window passes over the same (user, ts) partitioning — Spark
     reuses the single sort+shuffle for both. Emits one row per session:
     (user_id, session_start, session_end, n_events, session_seq).
+    ``tie_break_col`` makes ordering deterministic for equal timestamps;
+    it is skipped when absent from the frame.
     """
-    order = Window.partitionBy(user_col).orderBy(
-        F.col(ts_col).asc(), F.col("event_id").asc()
-    )
+    order_cols = [F.col(ts_col).asc()]
+    if tie_break_col is not None and tie_break_col in events.columns:
+        order_cols.append(F.col(tie_break_col).asc())
+    order = Window.partitionBy(user_col).orderBy(*order_cols)
     gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(order)
     marked = events.withColumn(
         "__new_session",

@@ -198,3 +198,69 @@ def test_gap_stats_pandas_matches_builtin(spark, sf_dir):
                 assert va == vb
             else:
                 assert abs(va - vb) < 1e-3, (uid, f, va, vb)
+
+
+def test_asof_join_null_payload_not_skipped(spark):
+    """A matched right row's NULL payload must surface as NULL — not be
+    skipped in favor of an older row — and all payload fields must come
+    from the same right row."""
+    from ontology_graph_etl_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 25), (1, 15)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 10, 5.0, "early"), (1, 20, None, "late")],
+        "k int, t int, val double, tag string",
+    )
+    out = {r.t: r for r in asof_join(left, right, "k", "t", "t", ["val", "tag"]).collect()}
+    # t=25 matches the ts=20 row: val must be NULL (from that row), tag 'late'
+    assert out[25].val is None and out[25].tag == "late"
+    # t=15 matches ts=10: both fields from the same (early) row
+    assert out[15].val == 5.0 and out[15].tag == "early"
+
+
+def test_salted_join_rejects_right_outer(spark):
+    from ontology_graph_etl_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame([(1, "a")], ["k", "v"])
+    right = spark.createDataFrame([(1, "b")], ["k", "w"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full")
+    with _pytest.raises(ValueError):
+        salted_join(left, right, "k", how="right")
+
+
+def test_lsh_rejects_invalid_band_config(spark):
+    from ontology_graph_etl_spark.operators.dedup import lsh_candidate_pairs
+
+    df = spark.createDataFrame([(1, [1, 2, 3, 4])], ["id", "minhash"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_candidate_pairs(df, "id", bands=16, num_hashes=8)
+    with _pytest.raises(ValueError):
+        lsh_candidate_pairs(df, "id", bands=24, num_hashes=64)
+
+
+def test_first_wins_multi_order_lexicographic(spark):
+    """(sheet, line) ordering is lexicographic: sheet 1 row with a huge
+    line_no still beats sheet 2 row with a tiny one (the arithmetic
+    encoding this replaced got that wrong)."""
+    from ontology_graph_etl_spark.operators.upsert import first_wins
+
+    df = spark.createDataFrame(
+        [("x", 1, 8_589_934_599, "sheet1-wins"), ("x", 2, 5, "sheet2-loses")],
+        ["id", "sheet", "line", "name"],
+    )
+    got = first_wins(df, ["id"], ["sheet", "line"]).first()
+    assert got.name == "sheet1-wins"
+
+
+def test_node_merge_statements_without_type_column(spark):
+    """Concept nodes (no 'type' column) must codegen with label fallback."""
+    from ontology_graph_etl_spark.sinks.cypher_codegen import node_merge_statements
+
+    nodes = spark.createDataFrame([("7", "Concept", "melanoma")], ["id", "label", "name"])
+    stmt = node_merge_statements(nodes).first()["value"]
+    assert "n.type = 'Concept'" in stmt
