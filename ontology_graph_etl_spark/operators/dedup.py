@@ -213,11 +213,17 @@ def minhash_near_duplicates(
     The shingled frame is materialized once (``localCheckpoint``,
     spills to disk when larger than memory): it feeds the signature AND
     both sides of the verification join — recomputing the tokenize +
-    shingle scan three times costs more than storing it.
+    shingle scan three times costs more than storing it. Only
+    (id, shingles) is stored — carrying text/tokens through the
+    checkpoint would double its footprint for nothing.
     """
-    prepared = shingles(
-        tokenize(df.select(id_col, text_col), text_col), "tokens", shingle_n
-    ).localCheckpoint()
+    prepared = (
+        shingles(
+            tokenize(df.select(id_col, text_col), text_col), "tokens", shingle_n
+        )
+        .select(id_col, "shingles")
+        .localCheckpoint()
+    )
     signed = minhash_signature(prepared, "shingles", num_hashes)
     candidates = lsh_candidate_pairs(signed, id_col, "minhash", bands, num_hashes)
     return jaccard_verify(candidates, prepared, id_col, "shingles", threshold)
