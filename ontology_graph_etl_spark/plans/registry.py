@@ -1064,6 +1064,15 @@ def _q61_lsh_topk(spark, sf_dir):
     )
 
 
+def _q63_ivf_topk(spark, sf_dir):
+    # IVF coarse-quantized ANN — trained quantizer, recall < 1 → rows-only
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, num_lists=8, nprobe=3,
+    )
+
+
 def _q62_embedding_neardup(spark, sf_dir):
     # threshold 0.3: the synthetic embeddings' pairwise cosine tops out
     # ~0.51, so a production-style 0.95 would be vacuously empty here
@@ -1149,6 +1158,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
     QueryDef("q61_lsh_topk", _q61_lsh_topk, None, "§2.11"),
     QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),
+    QueryDef("q63_ivf_topk", _q63_ivf_topk, None, "§2.11"),
     QueryDef("q80_binary_meta", _q80_binary_meta, _q80_sql, "multimodal"),
 ]
 

@@ -97,3 +97,33 @@ def test_iter_batches_lossless_any_size(n, batch_size):
     batches = list(iter_batches(items, batch_size))
     assert [x for b in batches for x in b] == items
     assert all(0 < len(b) <= batch_size for b in batches)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)),
+        min_size=1, max_size=12, unique=True,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40), st.integers(0, 99)),
+        min_size=0, max_size=12,
+        unique_by=lambda r: (r[0], r[1]),  # dedup (key, ts): tie order undefined
+    ),
+)
+@SETTINGS
+def test_asof_join_matches_python_reference(spark, left, right):
+    """asof_join == the obvious per-row python scan: the matched right row
+    is the unique one with max ts <= left ts for the same key."""
+    from ontology_graph_etl_spark.operators.relational import asof_join
+
+    ldf = spark.createDataFrame(left, "k int, t int")
+    rdf = spark.createDataFrame(right, "k int, t int, payload int")
+    got = {
+        (r.k, r.t): r.payload
+        for r in asof_join(ldf, rdf, "k", "t", "t", ["payload"]).collect()
+    }
+    want = {}
+    for k, t in left:
+        candidates = [(rt, p) for rk, rt, p in right if rk == k and rt <= t]
+        want[(k, t)] = max(candidates)[1] if candidates else None
+    assert got == want

@@ -1,0 +1,63 @@
+"""ANN recall tests: the approximate paths (LSH, IVF) are checked against
+brute-force cosine_topk — they may miss neighbors (recall < 1) but every
+neighbor they DO return must carry the exact brute-force score, and
+recall must clear a sanity floor on the test corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_graph_etl_spark.io import load_table
+from ontology_graph_etl_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def exact(spark, emb):
+    out = similarity.cosine_topk(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+    return {(r.query_id, r.neighbor_id): r.cosine_sim for r in out.collect()}
+
+
+def _check_approx(rows, exact_scores, min_recall):
+    got = {(r.query_id, r.neighbor_id): r.cosine_sim for r in rows}
+    # scores of returned pairs are exact (same rounding, same math)
+    exact_all = dict(exact_scores)
+    overlap = [p for p in got if p in exact_all]
+    for p in overlap:
+        assert abs(got[p] - exact_all[p]) < 1e-6
+    recall = len(overlap) / max(1, len(exact_all))
+    assert recall >= min_recall, f"recall {recall:.2f} < {min_recall}"
+
+
+def test_ivf_topk_recall(emb, exact):
+    rows = similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, num_lists=8, nprobe=4,
+    ).collect()
+    _check_approx(rows, exact, min_recall=0.5)
+
+
+def test_lsh_topk_runs_and_scores_exact(emb, exact):
+    rows = similarity.lsh_topk(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, num_planes=4,
+    ).collect()
+    # random-projection recall on tiny synthetic data is loose; only the
+    # score-exactness contract is asserted plus non-emptiness
+    assert rows
+    _check_approx(rows, exact, min_recall=0.0)
+
+
+def test_ivf_assign_partitions_corpus(emb):
+    assigned, model = similarity.ivf_assign(emb, "embedding", num_lists=8)
+    counts = assigned.groupBy("list_id").count().collect()
+    assert len(counts) == 8
+    assert sum(r["count"] for r in counts) == emb.count()
