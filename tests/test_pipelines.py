@@ -140,3 +140,36 @@ def test_graph_summary_counts(ont):
         r.cnt for r in summary.where(F.col("kind") == "node_label").collect()
     )
     assert total_nodes == nodes.count()
+
+
+def test_pipeline_through_graph_store_roundtrip(spark, ont, tmp_path):
+    """End-to-end: build the sheet graph, persist via GraphStore
+    (label/relationship partitioned), re-read, and traverse — counts and
+    a one-hop query survive the storage round-trip."""
+    from ontology_graph_etl_spark.graph_store import GraphStore
+    from ontology_graph_etl_spark.operators import graph
+
+    nodes, edges = pipelines.build_sheet_graph(ont["rel_rows"])
+    store = GraphStore(str(tmp_path / "ontology"))
+    store.save(nodes, edges)
+
+    nodes_back = store.nodes(spark)
+    edges_back = store.edges(spark)
+    assert nodes_back.count() == nodes.count()
+    assert edges_back.count() == edges.count()
+
+    treats = store.edges(spark, relationship="TREATS")
+    assert treats.count() == edges.where(F.col("relationship") == "TREATS").count()
+
+    hop = graph.one_hop(nodes_back, edges_back, "TREATS")
+    # one_hop matches nodes by id ACROSS labels (the reference's
+    # label-less `MATCH (a {id:..})`, main.py:91) — ids shared between
+    # 'SurgicalExtent' and 'SurgicalExtent ' (trailing-space fixture)
+    # legitimately multiply rows, so hop >= treats with equal distinct
+    # edge sets
+    assert hop.count() >= treats.count()
+    assert (
+        hop.select("src", "dst").distinct().count()
+        == treats.select("src", "dst").distinct().count()
+    )
+    assert set(hop.columns) == {"src", "src_name", "relationship", "dst", "dst_name"}
