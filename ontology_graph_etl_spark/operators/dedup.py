@@ -14,6 +14,10 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+import re
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -37,6 +41,42 @@ def shingles(
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
     return df.withColumn(out_col, F.array_distinct(grams))
+
+
+#: Java ``\s`` without UNICODE_CHARACTER_CLASS — what Spark's
+#: ``split(·, '\\s+')`` matches. Python's ``\s`` is wider (unicode
+#: whitespace), so the UDF twin must use this class explicitly.
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def shingle_text(
+    df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles"
+) -> DataFrame:
+    """Fused tokenize+shingle as one vectorized ``pandas_udf`` — the
+    set-identical twin of ``shingles(tokenize(df, text))`` (property-
+    tested in tests/test_properties.py).
+
+    Exists for plan-compile economics, same story as
+    :func:`minhash_signature`: the expression form is a stack of
+    higher-order-function lambdas that Catalyst interprets (no codegen,
+    no CSE) and that bloat analysis time; one UDF node computes the same
+    arrays with a trivially small plan. Narrow, per-row, Arrow-batched.
+    """
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _shingle(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = [w for w in _JAVA_WS.split(t.lower()) if w] if t else []
+            grams = [
+                " ".join(toks[i : i + n])
+                for i in range(max(len(toks) - n, 0) + 1)
+            ]
+            out.append(list(dict.fromkeys(grams)))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _shingle(F.col(text_col)))
 
 
 #: Mersenne prime 2^31-1 — the universal-hashing modulus. Keeping all
@@ -64,16 +104,56 @@ def minhash_signature(
     num_hashes: int = 64,
     out_col: str = "minhash",
 ) -> DataFrame:
-    """MinHash signature via hash-once + k universal-hash permutations:
-    each shingle is string-hashed ONCE (``xxhash64``, folded into
-    [0, p)), then the k signature slots take ``min((a_i*h + b_i) mod p)``
-    over the base hashes — cheap long multiply-adds that stay inside
-    whole-stage codegen.
+    """MinHash signature: each shingle is string-hashed ONCE
+    (``xxhash64`` JVM-side, folded into [0, p)), then the k signature
+    slots take ``min((a_i*h + b_i) mod p)`` over the base hashes.
 
-    The naive form (k string hashes per shingle) was the dominant bench
-    cost at sf0.1; this is the standard one-permutation-family fix.
+    The k-permutation min runs in a vectorized Arrow ``pandas_udf``
+    (one (k × n_shingles) int64 broadcast per row batch): the equivalent
+    k-slot Catalyst expression tree is interpreted (higher-order-function
+    lambdas get no codegen and no CSE) AND its ~64-slot plan dominates
+    analysis/optimization time — the UDF computes identical values
+    (property-tested in tests/test_properties.py) with a one-node plan.
     Per-row, narrow, zero shuffle — 100 TB scales linearly with the scan.
     """
+    from pyspark.sql.types import ArrayType, LongType
+
+    consts = _permutation_constants(num_hashes)
+    a_vec = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in consts], dtype=np.int64)[:, None]
+    p = _MERSENNE_31
+    empty_sig = np.full(num_hashes, p, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _mh(shingle_hashes: pd.Series) -> pd.Series:
+        out = []
+        for hashes in shingle_hashes:
+            hv = np.asarray(hashes, dtype=np.int64)[None, :]
+            if hv.size == 0:
+                # empty shingle set → sentinel signature (p in every
+                # slot, unreachable by real hashes mod p)
+                out.append(empty_sig)
+            else:
+                # a,h < 2^31 so a*h + b < 2^62: no int64 overflow
+                out.append(((a_vec * hv + b_vec) % p).min(axis=1))
+        return pd.Series(out)
+
+    base = F.transform(
+        F.col(shingles_col), lambda g: F.pmod(F.xxhash64(g), F.lit(_MERSENNE_31))
+    )
+    return df.withColumn(out_col, _mh(base))
+
+
+def minhash_signature_expr(
+    df: DataFrame,
+    shingles_col: str = "shingles",
+    num_hashes: int = 64,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Pure-expression twin of :func:`minhash_signature` (k
+    ``array_min(transform(...))`` slots). Kept as the executable spec the
+    UDF fast path is tested against; slower because Catalyst interprets
+    HOF lambdas and the k-slot tree bloats plan compilation."""
     base = F.transform(
         F.col(shingles_col), lambda g: F.pmod(F.xxhash64(g), F.lit(_MERSENNE_31))
     )
@@ -218,9 +298,7 @@ def minhash_near_duplicates(
     checkpoint would double its footprint for nothing.
     """
     prepared = (
-        shingles(
-            tokenize(df.select(id_col, text_col), text_col), "tokens", shingle_n
-        )
+        shingle_text(df.select(id_col, text_col), text_col, shingle_n)
         .select(id_col, "shingles")
         .localCheckpoint()
     )
@@ -236,15 +314,49 @@ def simhash(
     +1/-1 on every bit position (weighted by token frequency); the sign
     of each bit's vote sum forms the 64-bit fingerprint.
 
-    SimHash is a per-document computation, so the whole thing is narrow
-    array expressions over the token array — NO explode, NO shuffle
-    (an earlier explode+groupBy form shuffled the token stream; this one
-    scales with the scan alone). Tokens are hashed once into ``__hs``;
-    each bit's vote is a codegen'd fold over those longs.
+    Tokens are hashed once JVM-side (``xxhash64``); the 64 bit-votes run
+    in a vectorized ``pandas_udf`` (one (n_tokens × 64) bit matrix per
+    row) — the equivalent 64 ``aggregate`` folds are interpreted by
+    Catalyst with no CSE (O(64·n) per row) and dominate plan compile.
+    Identical values property-tested against :func:`simhash_expr`.
 
-    Documents with no tokens are dropped (parity with the grouped form).
-    Returns ``(id_col, simhash)``.
+    SimHash is per-document: narrow, NO explode, NO shuffle — scales
+    with the scan alone. Documents with no tokens are dropped (parity
+    with the grouped form). Returns ``(id_col, simhash)``.
     """
+    from pyspark.sql.types import LongType
+
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    @F.pandas_udf(LongType())
+    def _sh(token_hashes: pd.Series) -> pd.Series:
+        out = np.empty(len(token_hashes), dtype=np.uint64)
+        for i, hashes in enumerate(token_hashes):
+            hv = np.asarray(hashes, dtype=np.int64).view(np.uint64)[:, None]
+            # bit b of each hash → vote +1/-1; sum over tokens
+            votes = (((hv >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1).sum(
+                axis=0
+            )
+            out[i] = ((votes > 0).astype(np.uint64) << shifts).sum(
+                dtype=np.uint64
+            )
+        return pd.Series(out.view(np.int64))
+
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            whitespace_tokens(F.col(text_col)), lambda t: F.xxhash64(t)
+        ).alias("__hs"),
+    ).where(F.size("__hs") > 0)
+    return hashed.select(F.col(id_col), _sh(F.col("__hs")).alias(out_col))
+
+
+def simhash_expr(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash", bits: int = 64
+) -> DataFrame:
+    """Pure-expression twin of :func:`simhash` (64 ``aggregate`` bit-vote
+    folds). Kept as the executable spec the UDF fast path is tested
+    against."""
     # signed bit masks: 1<<63 wraps to long min, matching two's complement
     masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
     hashed = df.select(

@@ -127,3 +127,90 @@ def test_asof_join_matches_python_reference(spark, left, right):
         candidates = [(rt, p) for rk, rt, p in right if rk == k and rt <= t]
         want[(k, t)] = max(candidates)[1] if candidates else None
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=60),
+        min_size=1, max_size=8,
+    )
+)
+@SETTINGS
+def test_minhash_udf_matches_expression_spec(spark, docs):
+    """The vectorized pandas_udf MinHash fast path computes exactly the
+    values of the pure-expression spec (same permutation constants, same
+    universal-hash formula) — including empty shingle sets."""
+    from ontology_graph_etl_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signature_expr,
+        shingles,
+        tokenize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id int, text string"
+    )
+    prepared = shingles(tokenize(df, "text"), "tokens", 2)
+    fast = {
+        r.doc_id: r.minhash
+        for r in minhash_signature(prepared, "shingles", 16).collect()
+    }
+    spec = {
+        r.doc_id: r.minhash
+        for r in minhash_signature_expr(prepared, "shingles", 16).collect()
+    }
+    assert fast == spec
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="aB \t\ncd-", min_size=0, max_size=60),
+        min_size=1, max_size=8,
+    )
+)
+@SETTINGS
+def test_shingle_udf_matches_expression_pipeline(spark, docs):
+    """The fused pandas_udf shingler produces exactly the shingle SETS of
+    shingles(tokenize(df)) — downstream users (MinHash, Jaccard verify)
+    are all order-insensitive, so set equality is the contract."""
+    from ontology_graph_etl_spark.operators.dedup import (
+        shingle_text,
+        shingles,
+        tokenize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id int, text string"
+    )
+    fast = {
+        r.doc_id: sorted(r.shingles)
+        for r in shingle_text(df, "text", 2).collect()
+    }
+    spec = {
+        r.doc_id: sorted(r.shingles)
+        for r in shingles(tokenize(df, "text"), "tokens", 2).collect()
+    }
+    assert fast == spec
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="aBc d\t", min_size=0, max_size=40),
+        min_size=1, max_size=8,
+    )
+)
+@SETTINGS
+def test_simhash_udf_matches_expression_spec(spark, docs):
+    """The vectorized pandas_udf SimHash computes exactly the 64-bit
+    fingerprints of the pure-expression bit-vote spec, including the
+    signed bit-63 wrap."""
+    from ontology_graph_etl_spark.operators.dedup import simhash, simhash_expr
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id int, text string"
+    )
+    fast = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    spec = {
+        r.doc_id: r.simhash for r in simhash_expr(df, "doc_id", "text").collect()
+    }
+    assert fast == spec
