@@ -61,12 +61,22 @@ def main() -> None:
 
     spark.range(32, numPartitions=32).select(_warm("id")).count()
 
+    # Each query is timed twice. The first (cold) run includes Catalyst
+    # analysis + whole-stage-codegen janino compilation — a one-time cost
+    # per plan shape that dominates at this scale (SCALING.md: warm
+    # execution of several headline queries is 3-8x the cold number). The
+    # second (warm) run is steady-state execution, the number that
+    # actually projects to long-lived 100 TB jobs. Headline stays cold
+    # for continuity with earlier rounds.
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         start = time.perf_counter()
-        df = registry[name](spark, sf_dir)
-        df.count()
+        registry[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - start, 3)
+        start = time.perf_counter()
+        registry[name](spark, sf_dir).count()
+        warm[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -76,6 +86,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_warm": round(sum(warm.values()), 3),
+                "queries_warm": warm,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -125,13 +125,18 @@ def tfidf_top_terms(
     tie-break on term so the driver's hash check is stable.
     """
     n_docs = df.count()
+    # terms feeds BOTH the df aggregation and the scored join — without
+    # the checkpoint each branch re-runs tokenize+explode+groupBy
     terms = (
         tokenize_terms(df, id_col, text_col)
         .groupBy("doc", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
+    # terms is unique per (doc, token), so count(*) == countDistinct(doc)
+    # without the extra dedup pass
     doc_freq = terms.groupBy("token").agg(
-        F.countDistinct("doc").alias("df")
+        F.count(F.lit(1)).alias("df")
     )
     scored = terms.join(F.broadcast(doc_freq), "token").withColumn(
         "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
