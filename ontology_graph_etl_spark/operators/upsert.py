@@ -84,6 +84,68 @@ def update_by_key(
     return out.drop(*[f"__new_{c}" for c in set_cols])
 
 
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    on: str | Sequence[str],
+    update_cols: Sequence[str] | None = None,
+    insert: bool = True,
+    delete_unmatched_source: bool = False,
+) -> DataFrame:
+    """Batch MERGE — the full Delta-style
+    ``MERGE WHEN MATCHED THEN UPDATE [WHEN NOT MATCHED THEN INSERT]``
+    as one full-outer join, for incremental upsert pipelines on plain
+    Parquet (Delta isn't available in this environment; the semantics
+    are identical and the result can be atomically rewritten).
+
+    - matched keys: ``update_cols`` take the source value (all shared
+      non-key columns when None), everything else keeps the target value;
+    - unmatched source keys: inserted when ``insert=True``, else dropped;
+    - unmatched target keys: kept, unless ``delete_unmatched_source``
+      (i.e. WHEN NOT MATCHED BY SOURCE THEN DELETE).
+
+    Scale: one shuffle on the merge keys for both sides; when the source
+    is a small changeset Spark's AQE converts it to a broadcast join, so
+    the 100-TB target never shuffles.
+    """
+    on_cols = [on] if isinstance(on, str) else list(on)
+    if update_cols is None:
+        update_cols = [
+            c
+            for c in source.columns
+            if c in target.columns and c not in on_cols
+        ]
+    src = source.select(
+        *on_cols,
+        F.lit(True).alias("__src_present"),
+        *[F.col(c).alias(f"__src_{c}") for c in source.columns if c not in on_cols],
+    )
+    tgt = target.withColumn("__tgt_present", F.lit(True))
+    joined = tgt.join(src, on_cols, "full_outer")
+
+    out_cols = []
+    for c in target.columns:
+        if c in on_cols:
+            out_cols.append(F.col(c))
+        elif c in update_cols:
+            # matched or insert → source value; target-only row → target
+            out_cols.append(
+                F.when(
+                    F.col("__src_present").isNotNull(), F.col(f"__src_{c}")
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    result = joined.select(*out_cols, "__src_present", "__tgt_present")
+    if not insert:
+        result = result.where(F.col("__tgt_present").isNotNull())
+    if delete_unmatched_source:
+        result = result.where(F.col("__src_present").isNotNull())
+    return result.drop("__src_present", "__tgt_present")
+
+
 def exact_dedup(
     df: DataFrame, keys: Sequence[str], order_col: str | None = None
 ) -> DataFrame:

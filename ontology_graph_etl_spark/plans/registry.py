@@ -1107,6 +1107,112 @@ FROM documents
 """
 
 
+def _q18_enrichment(spark, sf_dir):
+    # S8 — HTTP enrichment as mapInPandas (main.py:372-383), with a
+    # deterministic functional transport standing in for the service:
+    # id % 5 == 0 simulates a non-200 response (row dropped), others
+    # return two always-distinct "Type:detail" strings whose prefixes
+    # become property_types / node_type. Deterministic → full oracle.
+    from ..sources.enrichment import enrich_property_types
+
+    def transport(cid: int):
+        if cid % 5 == 0:
+            return None
+        return [f"A{cid % 7}:x", f"B{cid % 3}:y"]
+
+    concepts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id")
+    )
+    return enrich_property_types(concepts, transport)
+
+
+_q18_sql = """
+SELECT c_custkey AS id,
+       ['A' || CAST(c_custkey % 7 AS VARCHAR),
+        'B' || CAST(c_custkey % 3 AS VARCHAR)] AS property_types,
+       'A' || CAST(c_custkey % 7 AS VARCHAR) AS node_type
+FROM customer
+WHERE c_custkey % 5 <> 0
+"""
+
+
+def _q19_merge_into(spark, sf_dir):
+    # Delta-style MERGE on plain parquet frames: matched keys update
+    # name+balance from the source changeset, source keys shifted out of
+    # range (o_custkey % 10 == 0 → +1000000) become inserts, unmatched
+    # target rows are kept.
+    target = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    source = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("c_acctbal"))
+        .select(
+            F.when(
+                F.col("o_custkey") % 10 == 0, F.col("o_custkey") + 1000000
+            )
+            .otherwise(F.col("o_custkey"))
+            .alias("c_custkey"),
+            F.concat(F.lit("ACCT-"), F.col("o_custkey").cast("string")).alias(
+                "c_name"
+            ),
+            "c_acctbal",
+        )
+    )
+    merged = upsert.merge_into(
+        target, source, "c_custkey", ["c_name", "c_acctbal"]
+    )
+    return merged.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+
+
+_q19_sql = """
+WITH src AS (
+  SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey + 1000000
+              ELSE o_custkey END AS c_custkey,
+         'ACCT-' || CAST(o_custkey AS VARCHAR) AS c_name,
+         ROUND(SUM(o_totalprice), 2) AS c_acctbal
+  FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END
+         AS c_name,
+       ROUND(CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                  ELSE t.c_acctbal END, 2) AS c_acctbal
+FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+"""
+
+
+def _q81_media_features(spark, sf_dir):
+    # multimodal decode plumbing: binary payloads + typed metadata
+    # through the mapInPandas feature extractor with the deterministic
+    # fake decoder (media codecs are stubbed — SURVEY.md §2.11 /
+    # sources/multimodal.py). Content-derived pseudo-features aren't
+    # SQL-expressible (sha256 over BLOB bytes) → rows-only check.
+    from ..sources.multimodal import extract_features
+
+    assets = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        "width",
+        "height",
+        "duration_s",
+        F.round(F.element_at("feature_vec", 1), 6).alias("feat0"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1160,6 +1266,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),
     QueryDef("q63_ivf_topk", _q63_ivf_topk, None, "§2.11"),
     QueryDef("q80_binary_meta", _q80_binary_meta, _q80_sql, "multimodal"),
+    QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
+    QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),
+    QueryDef("q81_media_features", _q81_media_features, None, "multimodal"),
 ]
 
 

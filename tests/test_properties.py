@@ -214,3 +214,34 @@ def test_simhash_udf_matches_expression_spec(spark, docs):
         r.doc_id: r.simhash for r in simhash_expr(df, "doc_id", "text").collect()
     }
     assert fast == spec
+
+
+@given(
+    target=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 99), st.integers(0, 99)),
+        min_size=0, max_size=10, unique_by=lambda r: r[0],
+    ),
+    source=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(100, 199)),
+        min_size=0, max_size=10, unique_by=lambda r: r[0],
+    ),
+)
+@SETTINGS
+def test_merge_into_matches_python_reference(spark, target, source):
+    """merge_into == the dict-based MERGE reference: matched keys take
+    the source value for update columns and keep the rest, source-only
+    keys insert (nulls in non-updated columns), target-only keys stay."""
+    from ontology_graph_etl_spark.operators.upsert import merge_into
+
+    tdf = spark.createDataFrame(target, "k int, a int, b int") if target else \
+        spark.createDataFrame([], "k int, a int, b int")
+    sdf = spark.createDataFrame(source, "k int, a int") if source else \
+        spark.createDataFrame([], "k int, a int")
+    got = {
+        r.k: (r.a, r.b)
+        for r in merge_into(tdf, sdf, "k", ["a"]).collect()
+    }
+    want = {k: (a, b) for k, a, b in target}
+    for k, a in source:
+        want[k] = (a, want[k][1]) if k in want else (a, None)
+    assert got == want
