@@ -194,6 +194,61 @@ def closure(
     return acc
 
 
+def closure_doubling(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """G5 via path doubling: R_{k+1} = R_k ∪ (R_k ∘ R_k), reaching paths
+    of length 2^k after k rounds — ⌈log2(depth)⌉ iterations instead of
+    the semi-naive loop's ``depth``.
+
+    Strategy tradeoff vs :func:`closure` (property-tested equivalent):
+    doubling self-joins and dedups the FULL closure-so-far each round
+    (2 shuffles/round over O(closure) rows), semi-naive touches only the
+    frontier (3 shuffles/round over O(frontier) rows). Measured at
+    sf0.1 on the depth-6 div-10 part hierarchy, semi-naive wins (1.4s
+    vs 1.6s warm): its frontier shrinks 10x per round, so doubling's
+    fewer rounds don't pay for re-shuffling the whole closure. Doubling
+    only wins when depth is large RELATIVE to closure growth (long thin
+    chains). Fixpoint detection compares pair counts (monotone — no
+    anti-join needed).
+    """
+    acc = (
+        edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("anc"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = acc.count()
+    converged = False
+    for _ in range(max_iterations):
+        hop = acc.select(F.col("node").alias("anc"), F.col("anc").alias("anc2"))
+        doubled = (
+            acc.unionByName(
+                acc.join(hop, "anc").select(
+                    "node", F.col("anc2").alias("anc")
+                )
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        m = doubled.count()
+        if m == n:
+            converged = True
+            break
+        acc, n = doubled, m
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"closure_doubling did not reach fixpoint within "
+            f"{max_iterations} iterations; result is truncated",
+            stacklevel=2,
+        )
+    return acc
+
+
 def edge_histogram(edges: DataFrame) -> DataFrame:
     """G6 — relationship histogram (the corpus shape itself, SURVEY.md
     §1.1): one partial-aggregated shuffle."""

@@ -633,6 +633,9 @@ def _q32_closure(spark, sf_dir):
             "parent",
         )
     )
+    # semi-naive: measured faster than closure_doubling even on this
+    # shallow hierarchy (frontier shrinks 10x per round; doubling
+    # re-shuffles the full closure each round — see its docstring)
     return graph.closure(edges, "child", "parent")
 
 

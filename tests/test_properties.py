@@ -72,8 +72,14 @@ def test_first_wins_min_order_and_idempotent(spark, rows):
 def test_closure_reachability_matches_python(spark, edges):
     """Spark closure == python transitive reachability, for arbitrary
     small digraphs (cycles included)."""
+    from ontology_graph_etl_spark.operators.graph import closure_doubling
+
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {(r.node, r.anc) for r in closure(df, "src", "dst", max_iterations=12).collect()}
+    got_doubling = {
+        (r.node, r.anc)
+        for r in closure_doubling(df, "src", "dst", max_iterations=12).collect()
+    }
     # python fixpoint
     want = set(edges)
     changed = True
@@ -85,6 +91,7 @@ def test_closure_reachability_matches_python(spark, edges):
                     want.add((a, d))
                     changed = True
     assert got == want
+    assert got_doubling == want
 
 
 @given(
