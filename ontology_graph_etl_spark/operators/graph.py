@@ -249,6 +249,92 @@ def closure_doubling(
     return acc
 
 
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over the undirected view of ``edges`` →
+    ``(id, component)`` where ``component`` is the minimum node id
+    reachable from ``id`` (a canonical, deterministic label).
+
+    Iterative min-label propagation with path compression: each round
+    every node takes the min of its own label, its neighbors' labels,
+    and its current label's label (the compression step — labels jump
+    toward the component minimum exponentially, so rounds ≈
+    O(log diameter), not O(diameter)). Each round is two shuffles (join
+    + min-aggregate) over the edge list; ``localCheckpoint`` truncates
+    lineage. This is the DataFrame form of the map-reduce "small-star"
+    algorithm family (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — no GraphX dependency.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        # candidate labels: own, neighbor's current label, and the label
+        # of the current label (path compression)
+        neighbor = (
+            und.join(
+                labels.select(
+                    F.col("id").alias("b"), F.col("component").alias("cand")
+                ),
+                "b",
+            )
+            .select(F.col("a").alias("id"), "cand")
+        )
+        compress = (
+            labels.alias("l")
+            .join(
+                labels.select(
+                    F.col("id").alias("component"),
+                    F.col("component").alias("cand"),
+                ).alias("c"),
+                "component",
+            )
+            .select("id", "cand")
+        )
+        own = labels.select("id", F.col("component").alias("cand"))
+        new_labels = (
+            own.unionByName(neighbor)
+            .unionByName(compress)
+            .groupBy("id")
+            .agg(F.min("cand").alias("component"))
+            .localCheckpoint()
+        )
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations",
+            stacklevel=2,
+        )
+    return labels
+
+
 def edge_histogram(edges: DataFrame) -> DataFrame:
     """G6 — relationship histogram (the corpus shape itself, SURVEY.md
     §1.1): one partial-aggregated shuffle."""

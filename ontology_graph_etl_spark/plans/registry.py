@@ -511,6 +511,27 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def _q27_cube(spark, sf_dir):
+    # full grouping-sets surface: cube = every subset of the grouping
+    # keys, incl. the cross-dimension subtotals rollup omits
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+_q27_sql = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def _q26_asof_join(spark, sf_dir):
     # as-of join — an operator Spark lacks, composed as union + window
     # (single key shuffle, no range explosion): each event matched with
@@ -1110,6 +1131,46 @@ FROM documents
 """
 
 
+def _q35_connected_components(spark, sf_dir):
+    # connected components over the undirected div-10 part-hierarchy
+    # forest (min-label propagation with path compression); components
+    # are the digit-rooted trees.
+    part = _t(spark, sf_dir, "part")
+    keys = part.select("p_partkey")
+    edges = (
+        part.select(
+            F.col("p_partkey").alias("child"),
+            F.expr("p_partkey div 10").alias("parent"),
+        )
+        .where(F.col("child") >= 10)
+        .join(
+            F.broadcast(keys.select(F.col("p_partkey").alias("parent"))),
+            "parent",
+        )
+    )
+    return graph.connected_components(edges, "child", "parent")
+
+
+_q35_sql = """
+WITH RECURSIVE e AS (
+  SELECT p.p_partkey AS child, p.p_partkey // 10 AS parent
+  FROM part p
+  JOIN part pp ON pp.p_partkey = p.p_partkey // 10
+  WHERE p.p_partkey >= 10
+), und AS (
+  SELECT child AS a, parent AS b FROM e
+  UNION
+  SELECT parent AS a, child AS b FROM e
+), reach(node, r) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
+)
+SELECT node AS id, MIN(r) AS component
+FROM reach GROUP BY node
+"""
+
+
 def _q18_enrichment(spark, sf_dir):
     # S8 — HTTP enrichment as mapInPandas (main.py:372-383), with a
     # deterministic functional transport standing in for the service:
@@ -1245,6 +1306,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
     QueryDef("q25_rollup", _q25_rollup, _q25_sql, "§2.7"),
     QueryDef("q26_asof_join", _q26_asof_join, _q26_sql, "§2.7"),
+    QueryDef("q27_cube", _q27_cube, _q27_sql, "§2.7"),
     QueryDef("q30_one_hop", _q30_one_hop, _q30_sql, "G3"),
     QueryDef("q31_two_hop_motif", _q31_two_hop_motif, _q31_sql, "G4"),
     QueryDef("q32_closure", _q32_closure, _q32_sql, "G5"),
@@ -1269,6 +1331,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),
     QueryDef("q63_ivf_topk", _q63_ivf_topk, None, "§2.11"),
     QueryDef("q80_binary_meta", _q80_binary_meta, _q80_sql, "multimodal"),
+    QueryDef(
+        "q35_connected_components", _q35_connected_components, _q35_sql, "G5"
+    ),
     QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
     QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),
     QueryDef("q81_media_features", _q81_media_features, None, "multimodal"),

@@ -252,3 +252,42 @@ def test_merge_into_matches_python_reference(spark, target, source):
     for k, a in source:
         want[k] = (a, want[k][1]) if k in want else (a, None)
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1, max_size=15, unique=True,
+    )
+)
+@SETTINGS
+def test_connected_components_matches_union_find(spark, edges):
+    """connected_components == textbook union-find over the undirected
+    graph, with min-id canonical labels."""
+    from ontology_graph_etl_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r.id, r.component)
+        for r in connected_components(df, "src", "dst").collect()
+    }
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    groups = {}
+    for v in parent:
+        groups.setdefault(find(v), []).append(v)
+    want = {
+        (v, min(members))
+        for members in groups.values()
+        for v in members
+    }
+    assert got == want
