@@ -335,6 +335,143 @@ def connected_components(
     return labels
 
 
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Single-source-set BFS hop distances → ``(id, dist)`` for every
+    node reachable from ``sources`` (a 1-column DataFrame of node ids),
+    ``dist`` = minimum hop count (0 for the sources themselves).
+
+    Frontier iteration: each round expands only the nodes discovered
+    last round (semi-naive, like :func:`closure`), so per-round shuffle
+    input is frontier-sized; visited nodes are never re-expanded. Rounds
+    = graph depth from the source set; ``localCheckpoint`` truncates
+    lineage per round. The reference's graph serves exactly this shape
+    of query via Cypher variable-length paths over ``PARENT_OF``
+    (generator main.py:81-93).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    converged = False
+    for _ in range(max_iterations):
+        expanded = (
+            frontier.join(e, frontier.id == e.src)
+            .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        new_frontier = (
+            expanded.join(dist.select("id"), "id", "left_anti").localCheckpoint()
+        )
+        if new_frontier.isEmpty():
+            converged = True
+            break
+        dist = dist.union(new_frontier)
+        frontier = new_frontier
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"shortest_paths did not exhaust the graph within "
+            f"{max_iterations} iterations; distances beyond that depth "
+            "are missing",
+            stacklevel=2,
+        )
+    return dist
+
+
+#: fixed-point scale for :func:`pagerank` — rank mass is carried in
+#: integer units of 1e-12 so every arithmetic step is exact and
+#: engine-order-independent (BIGINT sums commute; double sums don't).
+PAGERANK_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic fixed-point PageRank → ``(id, pr)`` with ``pr`` in
+    integer units of 1/PAGERANK_SCALE (sum ≈ PAGERANK_SCALE minus
+    truncation + dangling loss).
+
+    All arithmetic is integer (``div``): rank starts at ``SCALE div N``;
+    each round a node sends ``pr div out_degree`` to each out-neighbor
+    and new rank is ``(100-d)*(SCALE div N) div 100 + d*inbound div
+    100``. Dangling-node mass is dropped (the standard "no
+    redistribution" variant), documented rather than hidden. Integer
+    arithmetic makes the result bit-identical across engines and
+    partitionings — float PageRank differs in the last ulps with shuffle
+    order, which would flake any hash-compared oracle.
+
+    Per iteration: one equi-join of the rank table against the edge list
+    (shuffle on node id) + one aggregate — the same cost profile as one
+    semi-naive closure round. Ranks/degrees are narrow (id, long);
+    ``localCheckpoint`` bounds lineage.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    base = PAGERANK_SCALE // n
+    out_deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    ranks = nodes.withColumn("pr", F.lit(base).cast("long")).localCheckpoint()
+    teleport = (100 - damping_pct) * base // 100
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(out_deg, "id")
+            .join(e, ranks.id == e.src)
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("pr div out_degree").alias("share"),
+            )
+            .groupBy("id")
+            .agg(F.sum("share").alias("inbound"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(inbound, 0L)) div 100"
+                    )
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def edge_histogram(edges: DataFrame) -> DataFrame:
     """G6 — relationship histogram (the corpus shape itself, SURVEY.md
     §1.1): one partial-aggregated shuffle."""

@@ -148,6 +148,61 @@ def salted_join(
     return l.join(r, [on, "__salt"], how).drop("__salt")
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval range join: each ``points`` row is matched to
+    every ``intervals`` row with ``start <= point < end`` (half-open).
+    Columns are compared on their original types; ``bucket_width`` is in
+    the units of the columns' epoch/long cast (seconds for timestamps).
+
+    Spark plans a raw inequality join as broadcast-nested-loop — O(n·m)
+    and a driver-memory bomb at scale. The scalable composition buckets
+    the domain: every interval is replicated to each ``bucket_width``-
+    sized bucket it overlaps (``sequence`` + ``explode`` — JVM-side, no
+    UDF), points land in exactly one bucket, and the match becomes an
+    EQUI join on bucket id plus a residual range filter. Shuffle cost is
+    O(n + m·avg_spans); pick ``bucket_width`` ≈ the typical interval
+    length so most intervals replicate to ~2 buckets. Intervals with
+    NULL or inverted bounds produce no matches (dropped pre-join).
+    """
+    if how != "inner":
+        raise ValueError("interval_join supports only how='inner'")
+    p_bucket = F.floor(F.col(point_col).cast("long") / bucket_width)
+    i = intervals.where(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(start_col) < F.col(end_col))
+    ).withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("long") / bucket_width),
+                # end is exclusive: a bucket starting exactly at `end`
+                # cannot contain a match
+                F.floor(
+                    (F.col(end_col).cast("long") - 1) / bucket_width
+                ),
+            )
+        ),
+    )
+    p = points.withColumn("__bucket", p_bucket)
+    return (
+        p.join(i, "__bucket")
+        .where(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("__bucket")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

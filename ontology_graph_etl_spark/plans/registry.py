@@ -80,7 +80,7 @@ def _q03_prefix_scan(spark, sf_dir):
     ).drop("value")
 
 
-_q03_sql = """
+_q03_sql = r"""
 SELECT event_id, user_id, event_type FROM events
 WHERE event_id < (SELECT MIN(event_id) FROM events
                   WHERE event_type = 'error' AND value > 200)
@@ -99,7 +99,7 @@ def _q04_meta_project(spark, sf_dir):
     )
 
 
-_q04_sql = """
+_q04_sql = r"""
 SELECT CAST(p_partkey AS VARCHAR) AS node1_id, p_name AS node1_value,
        p_type AS node2_value
 FROM part
@@ -118,7 +118,7 @@ def _q05_conditional_props(spark, sf_dir):
     )
 
 
-_q05_sql = """
+_q05_sql = r"""
 SELECT doc_id,
        CASE WHEN lang IS NOT NULL AND lang <> '' THEN lang END AS lang,
        CASE WHEN source IS NOT NULL AND source <> '' THEN source END AS source
@@ -166,7 +166,7 @@ def _q08_lookup_join(spark, sf_dir):
     )
 
 
-_q08_sql = """
+_q08_sql = r"""
 SELECT c_custkey, c_name, n_name AS nation_name
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 """
@@ -185,7 +185,7 @@ def _q09_anti_join(spark, sf_dir):
     return relational.anti_join(cust, placed, "c_custkey")
 
 
-_q09_sql = """
+_q09_sql = r"""
 SELECT c_custkey FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
@@ -209,7 +209,7 @@ def _q10_edge_join(spark, sf_dir):
     return graph.build_edges(rels, nodes.withColumn("label", F.lit("N")))
 
 
-_q10_sql = """
+_q10_sql = r"""
 SELECT CAST(l.l_orderkey AS VARCHAR) AS src,
        CAST(l.l_suppkey AS VARCHAR) AS dst,
        'SUPPLIED_BY' AS relationship
@@ -228,7 +228,7 @@ def _q11_semi_contains(spark, sf_dir):
     return relational.semi_contains_join(docs, probes, "text", "word")
 
 
-_q11_sql = """
+_q11_sql = r"""
 WITH probe(word) AS (VALUES ('customer'), ('window'), ('merge'))
 SELECT d.doc_id, d.text FROM documents d
 WHERE EXISTS (SELECT 1 FROM probe p WHERE contains(d.text, p.word))
@@ -258,7 +258,7 @@ def _q12_array_distinct(spark, sf_dir):
     )
 
 
-_q12_sql = """
+_q12_sql = r"""
 SELECT doc_id,
        array_to_string(
          list_sort(list_distinct(
@@ -291,7 +291,7 @@ def _q14_upsert_first_wins(spark, sf_dir):
     )
 
 
-_q14_sql = """
+_q14_sql = r"""
 SELECT user_id, event_type AS first_event_type, value AS first_value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
       FROM events)
@@ -319,7 +319,7 @@ def _q15_update_by_key(spark, sf_dir):
     )
 
 
-_q15_sql = """
+_q15_sql = r"""
 SELECT c.c_custkey, c.c_name,
        ROUND(COALESCE(t.total_spent, 0.0), 2) AS total_spent
 FROM customer c
@@ -392,7 +392,7 @@ def _q20_join3(spark, sf_dir):
     )
 
 
-_q20_sql = """
+_q20_sql = r"""
 SELECT n_name AS nation_name,
        CAST(COUNT(*) AS BIGINT) AS n_lineitems,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -419,7 +419,7 @@ def _q21_agg_suite(spark, sf_dir):
     )
 
 
-_q21_sql = """
+_q21_sql = r"""
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
        ROUND(AVG(l_extendedprice), 2) AS avg_price,
@@ -441,7 +441,7 @@ def _q22_sort_limit(spark, sf_dir):
     )
 
 
-_q22_sql = """
+_q22_sql = r"""
 SELECT o_orderkey, o_totalprice FROM orders
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
@@ -461,7 +461,7 @@ def _q23_window_rank(spark, sf_dir):
     )
 
 
-_q23_sql = """
+_q23_sql = r"""
 SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn
 FROM (SELECT o_custkey, o_orderkey,
              row_number() OVER (PARTITION BY o_custkey
@@ -478,7 +478,7 @@ def _q24_set_ops(spark, sf_dir):
     return cust.intersect(placed).subtract(supp)
 
 
-_q24_sql = """
+_q24_sql = r"""
 WITH a AS (SELECT c_custkey AS k FROM customer),
      b AS (SELECT o_custkey AS k FROM orders),
      c AS (SELECT s_suppkey AS k FROM supplier)
@@ -503,7 +503,7 @@ def _q25_rollup(spark, sf_dir):
     )
 
 
-_q25_sql = """
+_q25_sql = r"""
 SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS cnt,
        ROUND(SUM(l_quantity), 2) AS sum_qty
@@ -524,7 +524,7 @@ def _q27_cube(spark, sf_dir):
     )
 
 
-_q27_sql = """
+_q27_sql = r"""
 SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS cnt,
        ROUND(AVG(l_extendedprice), 2) AS avg_price
@@ -558,7 +558,7 @@ def _q26_asof_join(spark, sf_dir):
     ).select("event_id", "user_id", "ts", "purchase_id", "purchase_value")
 
 
-_q26_sql = """
+_q26_sql = r"""
 SELECT e.event_id, e.user_id, e.ts,
        p.event_id AS purchase_id, p.value AS purchase_value
 FROM (SELECT event_id, user_id, ts FROM events WHERE user_id IS NOT NULL) e
@@ -599,7 +599,7 @@ def _q30_one_hop(spark, sf_dir):
     )
 
 
-_q30_sql = """
+_q30_sql = r"""
 SELECT 'S' || CAST(l.l_suppkey AS VARCHAR) AS src,
        s.s_name AS src_name,
        'SUPPLIES' AS relationship,
@@ -630,7 +630,7 @@ def _q31_two_hop_motif(spark, sf_dir):
     return motifs.groupBy("a").agg(F.count(F.lit(1)).alias("n_motifs"))
 
 
-_q31_sql = """
+_q31_sql = r"""
 SELECT 'C' || CAST(o.o_custkey AS VARCHAR) AS a,
        CAST(COUNT(*) AS BIGINT) AS n_motifs
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -660,7 +660,7 @@ def _q32_closure(spark, sf_dir):
     return graph.closure(edges, "child", "parent")
 
 
-_q32_sql = """
+_q32_sql = r"""
 WITH e AS (
   SELECT p.p_partkey AS child, p.p_partkey // 10 AS parent
   FROM part p
@@ -702,7 +702,7 @@ def _q33_edge_histogram(spark, sf_dir):
     return graph.edge_histogram(edges).withColumnRenamed("cnt", "cnt")
 
 
-_q33_sql = """
+_q33_sql = r"""
 SELECT 'PLACED' AS relationship, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders
 UNION ALL
 SELECT 'CONTAINS', CAST(COUNT(*) AS BIGINT) FROM lineitem
@@ -736,7 +736,7 @@ def _q34_degrees(spark, sf_dir):
     )
 
 
-_q34_sql = """
+_q34_sql = r"""
 WITH edges AS (
   SELECT 'C' || CAST(o_custkey AS VARCHAR) AS src,
          'O' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
@@ -763,7 +763,7 @@ def _q40_tumbling_agg(spark, sf_dir):
     return windows.tumbling_counts(_t(spark, sf_dir, "events"), unit="hour")
 
 
-_q40_sql = """
+_q40_sql = r"""
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 4) AS sum_value
@@ -775,7 +775,7 @@ def _q41_session_window(spark, sf_dir):
     return windows.sessionize(_t(spark, sf_dir, "events"), gap_seconds=1800)
 
 
-_q41_sql = """
+_q41_sql = r"""
 WITH marked AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -803,7 +803,7 @@ def _q42_sliding_window(spark, sf_dir):
     return windows.sliding_counts(_t(spark, sf_dir, "events"))
 
 
-_q42_sql = """
+_q42_sql = r"""
 WITH hit AS (
   SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
                  time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
@@ -827,7 +827,7 @@ def _q43_gap_stats(spark, sf_dir):
     return gap_stats_builtin(_t(spark, sf_dir, "events"))
 
 
-_q43_sql = """
+_q43_sql = r"""
 WITH g AS (
   SELECT user_id,
          epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts)
@@ -860,7 +860,7 @@ def _q51_cosine_topk(spark, sf_dir):
     )
 
 
-_q51_sql = """
+_q51_sql = r"""
 WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
            FROM embeddings WHERE vec_id < 10),
      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -891,7 +891,7 @@ def _q52_tfidf_topterms(spark, sf_dir):
     )
 
 
-_q52_sql = """
+_q52_sql = r"""
 WITH toks AS (
   SELECT doc_id AS doc,
          unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
@@ -936,7 +936,7 @@ def _q54_exact_dedup(spark, sf_dir):
     )
 
 
-_q54_sql = """
+_q54_sql = r"""
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text FROM documents GROUP BY text
 """
 
@@ -955,7 +955,7 @@ def _q56_jaccard_pairs(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-_q56_sql = """
+_q56_sql = r"""
 WITH toks AS (
   SELECT DISTINCT doc_id AS doc,
          unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
@@ -983,7 +983,7 @@ def _q57_lang_id(spark, sf_dir):
 
 _STOPWORD_SQL_LIST = ", ".join(f"'{w}'" for w in textops.EN_STOPWORDS)
 
-_q57_sql = f"""
+_q57_sql = rf"""
 WITH t AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
@@ -1105,7 +1105,7 @@ def _q62_embedding_neardup(spark, sf_dir):
     )
 
 
-_q62_sql = """
+_q62_sql = r"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine_sim
@@ -1124,7 +1124,7 @@ def _q80_binary_meta(spark, sf_dir):
     return binary_metadata(docs, "payload", ["doc_id"])
 
 
-_q80_sql = """
+_q80_sql = r"""
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        sha256(text) AS sha256_hex
 FROM documents
@@ -1151,7 +1151,7 @@ def _q35_connected_components(spark, sf_dir):
     return graph.connected_components(edges, "child", "parent")
 
 
-_q35_sql = """
+_q35_sql = r"""
 WITH RECURSIVE e AS (
   SELECT p.p_partkey AS child, p.p_partkey // 10 AS parent
   FROM part p
@@ -1190,7 +1190,7 @@ def _q18_enrichment(spark, sf_dir):
     return enrich_property_types(concepts, transport)
 
 
-_q18_sql = """
+_q18_sql = r"""
 SELECT c_custkey AS id,
        ['A' || CAST(c_custkey % 7 AS VARCHAR),
         'B' || CAST(c_custkey % 3 AS VARCHAR)] AS property_types,
@@ -1232,7 +1232,7 @@ def _q19_merge_into(spark, sf_dir):
     )
 
 
-_q19_sql = """
+_q19_sql = r"""
 WITH src AS (
   SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey + 1000000
               ELSE o_custkey END AS c_custkey,
@@ -1275,6 +1275,190 @@ def _q81_media_features(spark, sf_dir):
         "duration_s",
         F.round(F.element_at("feature_vec", 1), 6).alias("feat0"),
     )
+
+
+def _q28_interval_join(spark, sf_dir):
+    # Range/interval join — every ~199th event opens a 45-minute window;
+    # count events (and checksum their ids) falling in each window.
+    # Scale path: bucketed equi-join (operators/relational.py::
+    # interval_join), never a broadcast-nested-loop inequality join.
+    events = _t(spark, sf_dir, "events")
+    intervals = events.where(F.col("event_id") % 199 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("end_ts"),
+    )
+    joined = relational.interval_join(
+        events.select("event_id", "ts"),
+        intervals,
+        point_col="ts",
+        start_col="start_ts",
+        end_col="end_ts",
+        bucket_width=2700,  # = interval length → ≤2 buckets per interval
+    )
+    return joined.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").cast("long").alias("sum_event_id"),
+    )
+
+
+_q28_sql = """
+WITH i AS (
+  SELECT event_id AS interval_id, ts AS start_ts,
+         ts + INTERVAL 45 MINUTE AS end_ts
+  FROM events WHERE event_id % 199 = 0
+)
+SELECT i.interval_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(e.event_id) AS BIGINT) AS sum_event_id
+FROM events e
+JOIN i ON e.ts >= i.start_ts AND e.ts < i.end_ts
+GROUP BY 1
+"""
+
+
+def _q36_shortest_path(spark, sf_dir):
+    # G7 — BFS hop distances from the root set of the derived part
+    # hierarchy (parent = p div 10), edges directed parent→child.
+    part = _t(spark, sf_dir, "part")
+    keys = part.select("p_partkey")
+    edges = (
+        part.select(
+            F.col("p_partkey").alias("child"),
+            F.expr("p_partkey div 10").alias("parent"),
+        )
+        .where(F.col("child") >= 10)
+        .join(
+            F.broadcast(keys.select(F.col("p_partkey").alias("parent"))),
+            "parent",
+        )
+        .select(F.col("parent").alias("src"), F.col("child").alias("dst"))
+    )
+    sources = part.select("p_partkey").where(F.col("p_partkey") < 10)
+    return graph.shortest_paths(edges, sources).select(
+        F.col("id").alias("node"), F.col("dist").cast("int").alias("dist")
+    )
+
+
+_q36_sql = """
+WITH RECURSIVE e AS (
+  SELECT p.p_partkey // 10 AS parent, p.p_partkey AS child
+  FROM part p
+  JOIN part pp ON pp.p_partkey = p.p_partkey // 10
+  WHERE p.p_partkey >= 10
+),
+bfs(node, d) AS (
+  SELECT p_partkey, 0 FROM part WHERE p_partkey < 10
+  UNION ALL
+  SELECT e.child, b.d + 1 FROM bfs b JOIN e ON e.parent = b.node
+)
+SELECT node, CAST(MIN(d) AS INTEGER) AS dist FROM bfs GROUP BY node
+"""
+
+
+def _q37_pagerank(spark, sf_dir):
+    # G8 — deterministic integer PageRank (3 iterations, d=0.85) over the
+    # customer→order→part graph. Integer fixed-point arithmetic
+    # (operators/graph.py::pagerank) so the oracle hash-matches exactly.
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    e1 = orders.select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    e2 = lineitem.select(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return graph.pagerank(e1.unionByName(e2), iterations=3).select(
+        "id", F.col("pr").cast("long").alias("pr")
+    )
+
+
+def _pagerank_oracle_sql(iterations: int = 3) -> str:
+    """Chained-CTE DuckDB twin of graph.pagerank: same integer
+    arithmetic, same iteration count — bit-identical by construction."""
+    scale = graph.PAGERANK_SCALE
+    cte = [
+        """e AS (
+  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+         'O' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+  UNION
+  SELECT DISTINCT 'O' || CAST(l_orderkey AS VARCHAR),
+         'P' || CAST(l_partkey AS VARCHAR) FROM lineitem
+)""",
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        f"params AS (SELECT CAST({scale} AS BIGINT) // COUNT(*) AS base FROM nodes)",
+        "outdeg AS (SELECT src AS id, COUNT(*) AS od FROM e GROUP BY 1)",
+        "r0 AS (SELECT id, (SELECT base FROM params) AS pr FROM nodes)",
+    ]
+    for k in range(iterations):
+        cte.append(
+            f"""c{k + 1} AS (
+  SELECT e.dst AS id, SUM(r{k}.pr // o.od) AS inbound
+  FROM r{k} JOIN outdeg o ON o.id = r{k}.id JOIN e ON e.src = r{k}.id
+  GROUP BY 1
+)"""
+        )
+        cte.append(
+            f"""r{k + 1} AS (
+  SELECT n.id,
+         (SELECT (15 * base) // 100 FROM params)
+           + (85 * COALESCE(c{k + 1}.inbound, 0)) // 100 AS pr
+  FROM nodes n LEFT JOIN c{k + 1} ON c{k + 1}.id = n.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"\nSELECT id, CAST(pr AS BIGINT) AS pr FROM r{iterations}"
+    )
+
+
+_q37_sql = _pagerank_oracle_sql(3)
+
+
+def _q44_percentile(spark, sf_dir):
+    # Exact interpolated percentiles per group (Spark `percentile` ==
+    # DuckDB `quantile_cont`); quartile fractions are exact binary
+    # doubles so the interpolation arithmetic is engine-identical.
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75_price"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25_qty"),
+    )
+
+
+_q44_sql = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+       ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _q65_deterministic_split(spark, sf_dir):
+    # Deterministic train/valid/test split — hash-based assignment
+    # (md5 of the key), stable across runs, engines, and partitionings;
+    # the split a 100 TB corpus actually needs (no sampling state, no
+    # seed coordination — pure per-row expression, zero shuffle).
+    docs = _t(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(h < "cccd", "train").when(h < "e666", "valid").otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+_q65_sql = """
+SELECT doc_id,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1337,6 +1521,13 @@ QUERIES: list[QueryDef] = [
     QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
     QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),
     QueryDef("q81_media_features", _q81_media_features, None, "multimodal"),
+    QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
+    QueryDef("q36_shortest_path", _q36_shortest_path, _q36_sql, "G7"),
+    QueryDef("q37_pagerank", _q37_pagerank, _q37_sql, "G8"),
+    QueryDef("q44_percentile", _q44_percentile, _q44_sql, "§2.7"),
+    QueryDef(
+        "q65_deterministic_split", _q65_deterministic_split, _q65_sql, "§2.11"
+    ),
 ]
 
 

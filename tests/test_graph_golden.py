@@ -169,3 +169,37 @@ def test_two_hop_and_one_hop_consistency(built):
         .count()
     )
     assert motifs.count() == direct
+
+
+def test_shortest_paths_min_distance_and_cycles(spark):
+    """BFS distances: min over multiple paths wins; cycles terminate;
+    unreachable nodes are absent."""
+    # 1→2→3→4, plus shortcut 1→3; 5→6 unreachable from source {1};
+    # back-edge 4→1 closes a cycle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (4, 1), (5, 6)], ["src", "dst"]
+    )
+    sources = spark.createDataFrame([(1,)], ["id"])
+    dist = {r.id: r.dist for r in graph.shortest_paths(edges, sources).collect()}
+    assert dist == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_shortest_paths_multi_source(spark):
+    edges = spark.createDataFrame([(1, 2), (3, 2), (2, 4)], ["src", "dst"])
+    sources = spark.createDataFrame([(1,), (3,)], ["id"])
+    dist = {r.id: r.dist for r in graph.shortest_paths(edges, sources).collect()}
+    assert dist == {1: 0, 3: 0, 2: 1, 4: 2}
+
+
+def test_pagerank_deterministic_and_mass_bounded(spark):
+    """Integer PageRank: re-running gives bit-identical ranks; total mass
+    never exceeds SCALE; a sink hub outranks its spokes."""
+    # star: spokes 1..4 all point at hub 0, hub dangles
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 5)], ["src", "dst"]
+    )
+    r1 = {r.id: r.pr for r in graph.pagerank(edges, iterations=3).collect()}
+    r2 = {r.id: r.pr for r in graph.pagerank(edges, iterations=3).collect()}
+    assert r1 == r2
+    assert sum(r1.values()) <= graph.PAGERANK_SCALE
+    assert r1[0] > r1[1] == r1[2] == r1[3] == r1[4]

@@ -291,3 +291,38 @@ def test_connected_components_matches_union_find(spark, edges):
         for v in members
     }
     assert got == want
+
+
+@given(
+    points=st.lists(st.integers(0, 500), min_size=0, max_size=30),
+    intervals=st.lists(
+        st.tuples(st.integers(-50, 450), st.integers(1, 120)),
+        min_size=0,
+        max_size=10,
+    ),
+    width=st.sampled_from([7, 60, 100]),
+)
+@settings(max_examples=20, deadline=None)
+def test_interval_join_matches_python_reference(spark, points, intervals, width):
+    """Bucketed interval join ≡ naive nested-loop semantics (half-open),
+    for any bucket width."""
+    from ontology_graph_etl_spark.operators.relational import interval_join
+
+    pdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)], "pid: long, p: long"
+    )
+    idf = spark.createDataFrame(
+        [(j, s, s + d) for j, (s, d) in enumerate(intervals)],
+        "iid: long, s: long, e: long",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(pdf, idf, "p", "s", "e", bucket_width=width).collect()
+    }
+    want = {
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (s, d) in enumerate(intervals)
+        if s <= p < s + d
+    }
+    assert got == want
