@@ -472,6 +472,39 @@ def pagerank(
     return ranks
 
 
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Global triangle count over the undirected view of ``edges`` —
+    one row ``(n_triangles)``, each triangle counted exactly once.
+
+    Edges are canonically oriented low→high id, then two equi-joins
+    enumerate wedges and close them: (a,b) ⋈ (b,c) ⋈ (a,c) with
+    a < b < c. Both joins shuffle on a single node-id key and the
+    orientation halves the edge list up front; at cluster scale the
+    standard refinement is orienting by degree instead of id (bounds
+    wedge fan-out by arboricity) — id orientation keeps the oracle
+    twin exact.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    e1 = und
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
 def edge_histogram(edges: DataFrame) -> DataFrame:
     """G6 — relationship histogram (the corpus shape itself, SURVEY.md
     §1.1): one partial-aggregated shuffle."""

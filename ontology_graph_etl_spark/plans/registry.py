@@ -1461,6 +1461,190 @@ FROM documents
 """
 
 
+def _q38_triangle_count(spark, sf_dir):
+    # G10 — triangle count over the supplier co-occurrence graph
+    # (suppliers sharing an order). Canonical low→high orientation so
+    # each triangle counts once; two single-key shuffles.
+    lineitem = _t(spark, sf_dir, "lineitem")
+    l1 = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
+    l2 = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
+    pairs = (
+        l1.join(l2, "ok")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        # keep only strongly co-occurring pairs: the complete graph every
+        # pair forms at this SF is a vacuous correctness probe
+        .where(F.col("n_co") >= 25)
+        .select("src", "dst")
+    )
+    return graph.triangle_count(pairs)
+
+
+_q38_sql = """
+WITH und AS (
+  SELECT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1
+  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                  AND l1.l_suppkey < l2.l_suppkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 25
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM und e1
+JOIN und e2 ON e2.a = e1.b
+WHERE EXISTS (SELECT 1 FROM und e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+"""
+
+
+def _q45_topk_per_group(spark, sf_dir):
+    # Top-k rows per group (largest docs per source) — window rank with
+    # per-partition pruning (WindowGroupLimit pushes the k-filter below
+    # the shuffle), the "best k examples per bucket" selection a
+    # training pipeline runs constantly.
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(
+            "source", "doc_id", "n_chars", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+_q45_sql = """
+SELECT source, doc_id, n_chars, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 3
+"""
+
+
+def _q46_funnel(spark, sf_dir):
+    # Ordered-event funnel: users who viewed, then clicked strictly
+    # after their first view, then purchased strictly after their first
+    # qualifying click. Chained min-aggregates — each stage is one
+    # shuffle on user_id; no window over the full event stream.
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("v_ts"))
+            & (F.col("ts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    stage = lambda df, name: df.agg(  # noqa: E731
+        F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n_users")
+    )
+    return (
+        stage(v, "view").unionByName(stage(c, "click")).unionByName(
+            stage(p, "purchase")
+        )
+    )
+
+
+_q46_sql = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.v_ts
+              AND e.ts <= v.v_ts + INTERVAL 24 HOUR
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.c_ts
+              AND e.ts <= c.c_ts + INTERVAL 24 HOUR
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT 'view' AS stage, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+UNION ALL
+SELECT 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+UNION ALL
+SELECT 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+"""
+
+
+def _q66_dedup_clusters(spark, sf_dir):
+    # Similarity × graph composition: exact n-gram-Jaccard near-dup
+    # pairs (≥0.5) → connected components → one cluster id (min doc_id)
+    # per document; unpaired docs are their own cluster. This is the
+    # full dedup-decision pipeline (which docs to keep/drop), not just
+    # the pair list.
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs_exact(
+        docs, "doc_id", "text", threshold=0.5
+    ).select("id_a", "id_b")
+    comps = graph.connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    singles = (
+        docs.select("doc_id")
+        .join(comps.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster"))
+    )
+    return comps.unionByName(singles)
+
+
+_q66_sql = r"""
+WITH RECURSIVE toks AS (
+  SELECT DISTINCT doc_id AS doc,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc),
+inter AS (
+  SELECT l.doc AS id_a, r.doc AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM toks l JOIN toks r ON l.token = r.token AND l.doc < r.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc = id_a
+  JOIN sizes sb ON sb.doc = id_b
+  WHERE i / (sa.n + sb.n - i) >= 0.5
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
+)
+SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1528,6 +1712,10 @@ QUERIES: list[QueryDef] = [
     QueryDef(
         "q65_deterministic_split", _q65_deterministic_split, _q65_sql, "§2.11"
     ),
+    QueryDef("q38_triangle_count", _q38_triangle_count, _q38_sql, "G10"),
+    QueryDef("q45_topk_per_group", _q45_topk_per_group, _q45_sql, "§2.7"),
+    QueryDef("q46_funnel", _q46_funnel, _q46_sql, "§2.10"),
+    QueryDef("q66_dedup_clusters", _q66_dedup_clusters, _q66_sql, "§2.11"),
 ]
 
 

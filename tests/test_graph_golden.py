@@ -203,3 +203,16 @@ def test_pagerank_deterministic_and_mass_bounded(spark):
     assert r1 == r2
     assert sum(r1.values()) <= graph.PAGERANK_SCALE
     assert r1[0] > r1[1] == r1[2] == r1[3] == r1[4]
+
+
+def test_triangle_count_k4_plus_tail(spark):
+    """K4 has exactly 4 triangles; a dangling tail edge adds none.
+    Orientation-insensitive: edges given in mixed directions."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]  # both dirs
+    edges = spark.createDataFrame(k4 + [(3, 9), (9, 3)], ["src", "dst"])
+    assert graph.triangle_count(edges).collect()[0].n_triangles == 4
+
+
+def test_triangle_count_triangle_free(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    assert graph.triangle_count(edges).collect()[0].n_triangles == 0
