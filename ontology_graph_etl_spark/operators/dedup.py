@@ -487,3 +487,85 @@ def jaccard_pairs_exact(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def lsh_dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 1,
+    verify_threshold: float | None = 0.5,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Near-dup cluster assignment at scale: ``(id, cluster)`` for every
+    document, via MinHash-LSH STAR edges + connected components.
+
+    ``shingle_n`` picks the similarity space: 1 = token-set (bag-of-
+    words, order-insensitive — matches the exact-Jaccard twin q66 and
+    suits corpora whose duplicates shuffle word order), 3+ = word
+    n-grams (order-sensitive near-dup detection). ``verify_threshold``
+    applies to STAR edges (hub ↔ member), not arbitrary pairs — set it
+    at or below the pairwise threshold you care about, because a
+    cluster with pairwise similarity ≥ t can have hub-member similarity
+    below t (triangle-inequality slack; measured on the test corpus:
+    verify 0.8 splits the 0.8-pairwise clusters, verify 0.5 reproduces
+    them exactly).
+
+    The all-pairs formulations (``jaccard_pairs_exact``, or LSH buckets
+    self-joined) are quadratic in cluster size — a corpus whose near-dup
+    clusters hold k docs emits C(k,2) pairs per cluster (measured at
+    sf0.1: 8.9M pairs from 5,000 docs, 114 s). Connectivity doesn't need
+    all pairs: within each LSH bucket it suffices to link every doc to
+    the bucket's minimum doc id (a star) — O(bucket size) edges, built
+    with one groupBy + one join, no self-join anywhere. Components of
+    the star graph equal components of the full within-bucket pair
+    graph when edges are unverified; with ``verify_threshold`` set, each
+    star edge is exact-Jaccard-checked (O(edges), not O(pairs)), which
+    restores precision at a small recall cost vs verifying all pairs (a
+    cluster member whose star edge fails splits off even if some other
+    pair would have kept it — the standard precision/recall trade of
+    LSH dedup at scale). Probabilistic by construction → rows-only
+    check, no SQL oracle (q66 is the exact oracle-checked twin).
+    """
+    prepared = (
+        shingle_text(df.select(id_col, text_col), text_col, shingle_n)
+        .select(id_col, "shingles")
+        .localCheckpoint()
+    )
+    signed = minhash_signature(prepared, "shingles", num_hashes)
+    rows_per_band = num_hashes // bands
+    banded = signed.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "band_sig"),
+    )
+    hubs = banded.groupBy("band", "band_sig").agg(F.min("doc").alias("hub"))
+    star = (
+        banded.join(hubs, ["band", "band_sig"])
+        .where(F.col("doc") != F.col("hub"))
+        .select(F.col("hub").alias("id_a"), F.col("doc").alias("id_b"))
+        .distinct()
+    )
+    if verify_threshold is not None:
+        star = jaccard_verify(
+            star, prepared, id_col, "shingles", verify_threshold
+        ).select("id_a", "id_b")
+    from .graph import connected_components
+
+    comps = connected_components(
+        star, "id_a", "id_b", max_iterations=max_iterations
+    ).select(F.col("id").alias(id_col), F.col("component").alias("cluster"))
+    singles = (
+        df.select(id_col)
+        .join(comps.select(id_col), id_col, "left_anti")
+        .select(F.col(id_col), F.col(id_col).alias("cluster"))
+    )
+    return comps.unionByName(singles)

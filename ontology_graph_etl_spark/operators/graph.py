@@ -443,12 +443,19 @@ def pagerank(
     out_deg = e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_degree")
     )
+    # out-degree is joined into the edge list ONCE, outside the loop —
+    # each iteration then needs a single join (ranks ⋈ edges) + one
+    # aggregate, two shuffles instead of three
+    e_deg = (
+        e.join(out_deg, e.src == out_deg.id)
+        .select("src", "dst", "out_degree")
+        .localCheckpoint()
+    )
     ranks = nodes.withColumn("pr", F.lit(base).cast("long")).localCheckpoint()
     teleport = (100 - damping_pct) * base // 100
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
-            ranks.join(out_deg, "id")
-            .join(e, ranks.id == e.src)
+            ranks.join(e_deg, ranks.id == e_deg.src)
             .select(
                 F.col("dst").alias("id"),
                 F.expr("pr div out_degree").alias("share"),
@@ -456,19 +463,18 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("share").alias("inbound"))
         )
-        ranks = (
-            nodes.join(contribs, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(inbound, 0L)) div 100"
-                    )
-                ).cast("long").alias("pr"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.lit(teleport)
+                + F.expr(f"({damping_pct} * coalesce(inbound, 0L)) div 100")
+            ).cast("long").alias("pr"),
         )
+        # checkpoint periodically, not per-iteration: an eager
+        # materialization every round costs more than it saves until the
+        # lineage gets deep enough to bloat planning (~4 joins)
+        if (it + 1) % 4 == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 

@@ -1461,6 +1461,17 @@ FROM documents
 """
 
 
+def _q67_lsh_dedup_clusters(spark, sf_dir):
+    # Scale-path twin of q66: MinHash-LSH star edges + connected
+    # components — linear in cluster size where the exact pair graph is
+    # quadratic (SCALING.md has the measured gap). Probabilistic →
+    # rows-only check.
+    return dedup.lsh_dedup_clusters(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        shingle_n=1, verify_threshold=0.5,
+    )
+
+
 def _q38_triangle_count(spark, sf_dir):
     # G10 — triangle count over the supplier co-occurrence graph
     # (suppliers sharing an order). Canonical low→high orientation so
@@ -1600,7 +1611,7 @@ def _q66_dedup_clusters(spark, sf_dir):
     # the pair list.
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs_exact(
-        docs, "doc_id", "text", threshold=0.5
+        docs, "doc_id", "text", threshold=0.8
     ).select("id_a", "id_b")
     comps = graph.connected_components(pairs, "id_a", "id_b").select(
         F.col("id").alias("doc_id"), F.col("component").alias("cluster")
@@ -1629,7 +1640,7 @@ pairs AS (
   SELECT id_a, id_b FROM inter
   JOIN sizes sa ON sa.doc = id_a
   JOIN sizes sb ON sb.doc = id_b
-  WHERE i / (sa.n + sb.n - i) >= 0.5
+  WHERE i / (sa.n + sb.n - i) >= 0.8
 ),
 und AS (
   SELECT id_a AS a, id_b AS b FROM pairs
@@ -1716,6 +1727,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("q45_topk_per_group", _q45_topk_per_group, _q45_sql, "§2.7"),
     QueryDef("q46_funnel", _q46_funnel, _q46_sql, "§2.10"),
     QueryDef("q66_dedup_clusters", _q66_dedup_clusters, _q66_sql, "§2.11"),
+    QueryDef("q67_lsh_dedup_clusters", _q67_lsh_dedup_clusters, None, "§2.11"),
 ]
 
 

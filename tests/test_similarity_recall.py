@@ -61,3 +61,43 @@ def test_ivf_assign_partitions_corpus(emb):
     counts = assigned.groupBy("list_id").count().collect()
     assert len(counts) == 8
     assert sum(r["count"] for r in counts) == emb.count()
+
+
+def test_lsh_dedup_clusters_agree_with_exact(spark, sf_dir):
+    """LSH star-edge clustering reproduces the exact-Jaccard clustering
+    on the test corpus: same doc count, and high pairwise agreement
+    (same-cluster relation) vs the exact threshold-0.8 components."""
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators import dedup
+    from ontology_graph_etl_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    exact_pairs = dedup.jaccard_pairs_exact(
+        docs, "doc_id", "text", threshold=0.8
+    ).select("id_a", "id_b")
+    exact = {
+        r.id: r.component
+        for r in connected_components(exact_pairs, "id_a", "id_b").collect()
+    }
+    approx_rows = dedup.lsh_dedup_clusters(
+        docs, "doc_id", "text", shingle_n=1, verify_threshold=0.5
+    ).collect()
+    approx = {r.doc_id: r.cluster for r in approx_rows}
+    assert len(approx) == n_docs
+
+    # pairwise agreement over docs the exact clustering binds together
+    import itertools
+
+    by_cluster: dict = {}
+    for doc, c in exact.items():
+        by_cluster.setdefault(c, []).append(doc)
+    same = [
+        (a, b)
+        for members in by_cluster.values()
+        for a, b in itertools.islice(itertools.combinations(members, 2), 200)
+    ]
+    if same:
+        hit = sum(1 for a, b in same if approx[a] == approx[b])
+        assert hit / len(same) >= 0.95, f"recall {hit}/{len(same)}"
