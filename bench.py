@@ -37,6 +37,10 @@ HEADLINE = [
     "q51_cosine_topk",
     "q52_tfidf_topterms",
     "q55_simhash",
+    "q28_interval_join",
+    "q37_pagerank",
+    "q46_funnel",
+    "q67_lsh_dedup_clusters",
 ]
 
 
