@@ -1,0 +1,90 @@
+"""Physical-plan regression tests: the scale posture (SCALING.md) is a
+set of claims about plans, not just results — filters reach the parquet
+scan, small dims broadcast, range joins never degenerate to nested
+loops, top-k never globally sorts. These tests pin those claims so a
+refactor that silently de-optimizes a plan fails CI, not the cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ontology_graph_etl_spark.plans.registry import queries
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_scan_projection_pruned(spark, sf_dir):
+    """q01 projects 4 of documents' 5 columns — the scan must not read
+    `text` (the wide column)."""
+    plan = _plan(spark, sf_dir, "q01_scan_jsonl")
+    scan = next(s for s in plan.split("\n\n") if "Scan parquet" in s)
+    assert "text" not in scan, "column pruning lost: text read but not needed"
+
+
+def test_filter_pushed_to_scan(spark, sf_dir):
+    """q07's inequality filter must reach the parquet reader."""
+    plan = _plan(spark, sf_dir, "q07_filter_neq")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull" in plan or "Not(EqualTo" in plan
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    """q20's nation/customer dims must broadcast — the lineitem fact
+    side never shuffles for a dimension lookup."""
+    plan = _plan(spark, sf_dir, "q20_join3")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_interval_join_never_nested_loop(spark, sf_dir):
+    """q28's range predicate must be planned as the bucketed EQUI join,
+    not BroadcastNestedLoopJoin (the O(n*m) default for inequality
+    joins)."""
+    plan = _plan(spark, sf_dir, "q28_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """q22 (orderBy + limit) must plan as TakeOrderedAndProject —
+    per-partition heaps, never a global sort."""
+    plan = _plan(spark, sf_dir, "q22_sort_limit")
+    assert "TakeOrderedAndProject" in plan
+    # a global Sort node outside the take would mean the full sort ran
+    take_free = plan.replace("TakeOrderedAndProject", "")
+    assert "Sort [" not in take_free.split("== Physical Plan ==")[-1].split(
+        "\n\n"
+    )[0]
+
+
+def test_topk_per_group_prunes_below_shuffle(spark, sf_dir):
+    """q45's rank<=3 filter must push into the window machinery
+    (WindowGroupLimit) so partitions prune before/while shuffling."""
+    plan = _plan(spark, sf_dir, "q45_topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_semi_contains_is_broadcast(spark, sf_dir):
+    """q11's theta join is only scale-safe as a BROADCAST nested loop
+    (small probe side); a shuffled cartesian would be a regression."""
+    plan = _plan(spark, sf_dir, "q11_semi_contains")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q20_join3", "q21_agg_suite", "q13_group_count"],
+)
+def test_aggregates_have_partial_phase(spark, sf_dir, name):
+    """groupBy aggregations must keep the map-side partial phase (two
+    HashAggregate nodes around the shuffle)."""
+    plan = _plan(spark, sf_dir, name)
+    assert plan.count("HashAggregate") >= 2
