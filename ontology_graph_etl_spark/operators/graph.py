@@ -284,6 +284,23 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    # Convergence check strategy: labels are per-row monotonically
+    # non-increasing (each round takes a min over a set containing the
+    # current label). For NUMERIC ids the total sum therefore strictly
+    # decreases iff any label changed — one cheap aggregate per round
+    # (exact, no collision risk; decimal(38,0) so huge ids can't
+    # overflow ANSI long arithmetic). Non-numeric ids fall back to a
+    # changed-rows anti-join probe.
+    numeric_labels = labels.schema["component"].dataType.typeName() in (
+        "byte", "short", "integer", "long", "decimal"
+    )
+    prev_sum = (
+        labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
+        if numeric_labels
+        else None
+    )
     for _ in range(max_iterations):
         # candidate labels: own, neighbor's current label, and the label
         # of the current label (path compression)
@@ -315,12 +332,21 @@ def connected_components(
             .agg(F.min("cand").alias("component"))
             .localCheckpoint()
         )
-        converged = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .isEmpty()
-        )
+        if numeric_labels:
+            new_sum = (
+                new_labels.agg(
+                    F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+                ).collect()[0].s
+            )
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.component") != F.col("o.component"))
+                .isEmpty()
+            )
         labels = new_labels
         if converged:
             break
