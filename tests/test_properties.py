@@ -326,3 +326,76 @@ def test_interval_join_matches_python_reference(spark, points, intervals, width)
         if s <= p < s + d
     }
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+    ).filter(lambda es: any(a != b for a, b in es)),
+)
+@settings(max_examples=15, deadline=None)
+def test_pagerank_matches_python_reference(spark, edges):
+    """Integer PageRank ≡ the same fixed-point arithmetic in pure
+    Python, on arbitrary small digraphs (self-loops dropped)."""
+    from ontology_graph_etl_spark.operators.graph import (
+        PAGERANK_SCALE,
+        pagerank,
+    )
+
+    es = sorted({(a, b) for a, b in edges if a != b})
+    sdf = spark.createDataFrame(es, ["src", "dst"])
+    got = {r.id: r.pr for r in pagerank(sdf, iterations=3).collect()}
+
+    nodes = sorted({n for e in es for n in e})
+    n = len(nodes)
+    base = PAGERANK_SCALE // n
+    out_deg: dict = {}
+    for a, _ in es:
+        out_deg[a] = out_deg.get(a, 0) + 1
+    pr = {v: base for v in nodes}
+    teleport = 15 * base // 100
+    for _ in range(3):
+        inbound = {v: 0 for v in nodes}
+        for a, b in es:
+            inbound[b] += pr[a] // out_deg[a]
+        pr = {v: teleport + (85 * inbound[v]) // 100 for v in nodes}
+    assert got == pr
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=40,
+    ),
+    n_sources=st.integers(1, 3),
+)
+@settings(max_examples=15, deadline=None)
+def test_shortest_paths_matches_python_bfs(spark, edges, n_sources):
+    from collections import deque
+
+    from ontology_graph_etl_spark.operators.graph import shortest_paths
+
+    es = sorted({(a, b) for a, b in edges if a != b})
+    if not es:
+        return
+    nodes = sorted({n for e in es for n in e})
+    sources = nodes[:n_sources]
+    sdf = spark.createDataFrame(es, ["src", "dst"])
+    srcdf = spark.createDataFrame([(s,) for s in sources], ["id"])
+    got = {r.id: r.dist for r in shortest_paths(sdf, srcdf).collect()}
+
+    adj: dict = {}
+    for a, b in es:
+        adj.setdefault(a, []).append(b)
+    want = {s: 0 for s in sources}
+    dq = deque(sources)
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, []):
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+    assert got == want
