@@ -61,7 +61,25 @@ def shingle_text(
     higher-order-function lambdas that Catalyst interprets (no codegen,
     no CSE) and that bloat analysis time; one UDF node computes the same
     arrays with a trivially small plan. Narrow, per-row, Arrow-batched.
+
+    ``n == 1`` (token sets) needs no n-gram assembly at all, so it skips
+    Python entirely: split + filter + array_distinct are JVM-side
+    expressions (measured ~4x faster than the Arrow UDF at sf0.1 —
+    there's no lambda stack to amortize at n=1).
     """
+    if n == 1:
+        return df.withColumn(
+            out_col,
+            F.array_distinct(
+                F.filter(
+                    F.split(
+                        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                        r"\s+",
+                    ),
+                    lambda t: t != "",
+                )
+            ),
+        )
     from pyspark.sql.types import ArrayType, StringType
 
     @F.pandas_udf(ArrayType(StringType()))

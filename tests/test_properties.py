@@ -399,3 +399,29 @@ def test_shortest_paths_matches_python_bfs(spark, edges, n_sources):
                 want[v] = want[u] + 1
                 dq.append(v)
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab \t\nXY'"), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_shingle_n1_expression_matches_python(spark, texts):
+    """The n=1 (token-set) fast path of shingle_text ≡ the Python
+    tokenizer the UDF path uses, including null/empty/whitespace-only
+    and mixed-case inputs."""
+    from ontology_graph_etl_spark.operators.dedup import _JAVA_WS, shingle_text
+
+    rows = [(i, t) for i, t in enumerate(texts)] + [(len(texts), None)]
+    df = spark.createDataFrame(rows, "id: long, text: string")
+    got = {
+        r.id: r.shingles for r in shingle_text(df, "text", 1).collect()
+    }
+    for i, t in rows:
+        toks = [w for w in _JAVA_WS.split(t.lower()) if w] if t else []
+        assert got[i] == list(dict.fromkeys(toks)), (i, t)
