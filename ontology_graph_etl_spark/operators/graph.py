@@ -151,6 +151,13 @@ def closure(
     inputs. ``localCheckpoint`` truncates lineage each round so the plan
     doesn't grow exponentially (SURVEY.md §4 item 1). Terminates at
     fixpoint; ``max_iterations`` guards cyclic inputs.
+
+    The base edge list is constant across rounds; when it is small
+    (≤ ``_CLOSURE_BROADCAST_EDGES`` rows — known for free after its
+    checkpoint) it is broadcast into every extend join, so the frontier
+    is never shuffled for the join — only the anti-join/dedup moves it.
+    Ontology hierarchies are exactly this shape: edges ≈ #concepts,
+    closure ≫ edges.
     """
     base = (
         edges.select(
@@ -159,9 +166,12 @@ def closure(
         .distinct()
         .localCheckpoint()
     )
+    small_base = base.count() <= _CLOSURE_BROADCAST_EDGES
     acc = base
     frontier = base
     hops = base.select(F.col("node").alias("anc"), F.col("anc").alias("anc2"))
+    if small_base:
+        hops = F.broadcast(hops)
     converged = False
     for _ in range(max_iterations):
         # frontier ⋈ base: extend each known pair by one hop; dedup AFTER
@@ -253,6 +263,15 @@ def closure_doubling(
 #: single union-find task (a few tens of MB through Arrow, well under a
 #: second of dict-based union-find).
 _CC_LOCAL_EDGE_LIMIT = 1_000_000
+
+#: Node count up to which PageRank broadcasts the rank table each round
+#: (~16 MB of (long, long) rows — above this, edges are co-partitioned
+#: once and the node-sized side shuffles instead).
+_PAGERANK_BROADCAST_NODES = 1_000_000
+
+#: Base-edge count up to which transitive closure broadcasts the edge
+#: list into each frontier-extend join.
+_CLOSURE_BROADCAST_EDGES = 1_000_000
 
 
 def _union_find_partition(batches):
@@ -455,9 +474,19 @@ def pagerank(
     order, which would flake any hash-compared oracle.
 
     Per iteration: one equi-join of the rank table against the edge list
-    (shuffle on node id) + one aggregate — the same cost profile as one
-    semi-naive closure round. Ranks/degrees are narrow (id, long);
-    ``localCheckpoint`` bounds lineage.
+    + one aggregate. The join strategy is picked from the node count
+    (already known — it prices the base rank):
+
+    - **small graphs** (≤ ``_PAGERANK_BROADCAST_NODES`` nodes): the rank
+      table is broadcast, so the edge list never shuffles — per round
+      only the map-side-combined contribution partials move;
+    - **large graphs**: the edge list is hash-partitioned on ``src``
+      ONCE (``repartition`` before the checkpoint — ``localCheckpoint``
+      preserves partitioning), so each round shuffles only the
+      node-sized rank table against stationary edges.
+
+    Ranks/degrees are narrow (id, long); ``localCheckpoint`` bounds
+    lineage.
     """
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -473,22 +502,25 @@ def pagerank(
     )
     n = nodes.count()
     base = PAGERANK_SCALE // n
+    small = n <= _PAGERANK_BROADCAST_NODES
     out_deg = e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_degree")
     )
     # out-degree is joined into the edge list ONCE, outside the loop —
     # each iteration then needs a single join (ranks ⋈ edges) + one
     # aggregate, two shuffles instead of three
-    e_deg = (
-        e.join(out_deg, e.src == out_deg.id)
-        .select("src", "dst", "out_degree")
-        .localCheckpoint()
+    e_deg = e.join(out_deg, e.src == out_deg.id).select(
+        "src", "dst", "out_degree"
     )
+    if not small:
+        e_deg = e_deg.repartition("src")
+    e_deg = e_deg.localCheckpoint()
     ranks = nodes.withColumn("pr", F.lit(base).cast("long")).localCheckpoint()
     teleport = (100 - damping_pct) * base // 100
     for it in range(iterations):
         contribs = (
-            ranks.join(e_deg, ranks.id == e_deg.src)
+            (F.broadcast(ranks) if small else ranks)
+            .join(e_deg, ranks.id == e_deg.src)
             .select(
                 F.col("dst").alias("id"),
                 F.expr("pr div out_degree").alias("share"),
@@ -496,7 +528,9 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("share").alias("inbound"))
         )
-        ranks = nodes.join(contribs, "id", "left").select(
+        ranks = nodes.join(
+            F.broadcast(contribs) if small else contribs, "id", "left"
+        ).select(
             "id",
             (
                 F.lit(teleport)

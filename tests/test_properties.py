@@ -293,6 +293,108 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == want
 
 
+def _cc_reference(edges):
+    """Textbook union-find → {(node, min-id-of-component)}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    groups = {}
+    for v in parent:
+        groups.setdefault(find(v), []).append(v)
+    return {(v, min(ms)) for ms in groups.values() for v in ms}
+
+
+def test_connected_components_contraction_path(spark, monkeypatch):
+    """Force the 100 TB path: with a tiny _CC_LOCAL_EDGE_LIMIT the edge
+    list is far above the single-task limit, so the partition-local
+    union-find contraction rounds actually run (at real scale this is
+    the default; at test scale the limit normally short-circuits them).
+    Labels must be identical to the textbook result."""
+    import random
+
+    import ontology_graph_etl_spark.operators.graph as g
+
+    rng = random.Random(7)
+    # chains + cycles + cross links over 40 nodes
+    edges = [(i, i + 1) for i in range(0, 38, 2)]
+    edges += [(rng.randrange(40), rng.randrange(40)) for _ in range(25)]
+    monkeypatch.setattr(g, "_CC_LOCAL_EDGE_LIMIT", 45)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r.id, r.component)
+        for r in g.connected_components(df, "src", "dst").collect()
+    }
+    assert got == _cc_reference(edges)
+
+
+def test_connected_components_round_exhaustion_still_correct(
+    spark, monkeypatch
+):
+    """If the contracted list never fits the local limit within
+    max_iterations, the final pass runs anyway (slow, warned — never
+    wrong): the contraction floor is #nodes, which a limit of 4 can't
+    reach."""
+    import warnings
+
+    import ontology_graph_etl_spark.operators.graph as g
+
+    edges = [(i, i + 1) for i in range(12)]
+    monkeypatch.setattr(g, "_CC_LOCAL_EDGE_LIMIT", 4)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        got = {
+            (r.id, r.component)
+            for r in g.connected_components(
+                df, "src", "dst", max_iterations=2
+            ).collect()
+        }
+    assert got == _cc_reference(edges)
+
+
+def test_closure_shuffle_path_matches_broadcast(spark, monkeypatch):
+    """Closure with the base-edge broadcast disabled (the huge-edge-list
+    path) ≡ the broadcast path."""
+    import random
+
+    import ontology_graph_etl_spark.operators.graph as g
+
+    rng = random.Random(13)
+    edges = [(i, i + 1) for i in range(15)] + [
+        (rng.randrange(20), rng.randrange(20, 30)) for _ in range(15)
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    bcast = {(r.node, r.anc) for r in g.closure(df).collect()}
+    monkeypatch.setattr(g, "_CLOSURE_BROADCAST_EDGES", 0)
+    shuffled = {(r.node, r.anc) for r in g.closure(df).collect()}
+    assert bcast == shuffled
+
+
+def test_pagerank_copartitioned_path_matches_broadcast(spark, monkeypatch):
+    """The large-graph PageRank path (edges co-partitioned, rank table
+    shuffled) must be value-identical to the small-graph broadcast path
+    — integer arithmetic makes both bit-exact."""
+    import random
+
+    import ontology_graph_etl_spark.operators.graph as g
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(60)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    small = {(r.id, r.pr) for r in g.pagerank(df, iterations=3).collect()}
+    monkeypatch.setattr(g, "_PAGERANK_BROADCAST_NODES", 0)
+    large = {(r.id, r.pr) for r in g.pagerank(df, iterations=3).collect()}
+    assert small == large
+
+
 @given(
     points=st.lists(st.integers(0, 500), min_size=0, max_size=30),
     intervals=st.lists(
