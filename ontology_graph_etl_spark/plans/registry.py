@@ -613,21 +613,28 @@ WHERE s.s_suppkey <= 10
 
 
 def _q31_two_hop_motif(spark, sf_dir):
-    # G4 — 2-hop motif via edge self-join on dst=src
+    # G4 — 2-hop motif via edge self-join on dst=src. Node ids are
+    # encoded into disjoint long ranges for the join/agg (numeric
+    # shuffle keys — same measured win as q37, SCALING.md) and decoded
+    # to the "C123" string convention afterward; only customers appear
+    # in the output so the decode is a single concat.
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
+    _O = 10**12
     e1 = orders.select(
-        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("dst"),
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") + _O).alias("dst"),
         F.lit("PLACED").alias("relationship"),
     )
     e2 = lineitem.select(
-        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("src"),
-        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+        (F.col("l_orderkey") + _O).alias("src"),
+        (F.col("l_partkey") + 2 * _O).alias("dst"),
         F.lit("CONTAINS").alias("relationship"),
     )
     motifs = graph.two_hop_motif(e1.unionByName(e2), "PLACED", "CONTAINS")
-    return motifs.groupBy("a").agg(F.count(F.lit(1)).alias("n_motifs"))
+    return motifs.groupBy("a").agg(F.count(F.lit(1)).alias("n_motifs")).select(
+        F.concat(F.lit("C"), F.col("a").cast("string")).alias("a"), "n_motifs"
+    )
 
 
 _q31_sql = r"""

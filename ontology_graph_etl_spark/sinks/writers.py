@@ -34,3 +34,41 @@ def read_nodes(spark: SparkSession, path: str) -> DataFrame:
 
 def read_edges(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def jsonl_to_json_array(
+    spark: SparkSession, in_path: str, out_path: str
+) -> None:
+    """K4 compat util — rewrite a JSON-Lines file as one JSON array
+    (reference main.py:33-42, which appends ``,`` per line between
+    ``[``/``]`` markers; F5 rstrip/concat main.py:41-42).
+
+    Kept only for interop with consumers of the reference's converted
+    files — Spark reads JSONL natively (S1) and whole-doc arrays via
+    ``multiLine`` (S4), so nothing in this engine needs the conversion.
+    "Comma after every line but the last" is order-dependent, so the
+    file is read ``wholetext`` (one row per file — the only
+    order-guaranteed text read) and converted with one expression:
+    ``,`` appended at each interior newline, bracket lines around. The
+    reference instead emits a trailing comma before ``]`` — invalid
+    JSON, not replicated. Whole-file-in-one-task is fine here: this is
+    a driver-convenience interop util (the reference held the file in
+    memory too, main.py:35), not a cluster-scale path.
+    """
+    from pyspark.sql import functions as F
+
+    whole = spark.read.text(in_path, wholetext=True)
+    out = whole.select(
+        F.concat(
+            F.lit("[\n"),
+            F.regexp_replace(
+                # rtrim only strips spaces — the trailing newline needs
+                # an anchored regex or the last record grows a comma
+                F.regexp_replace(F.col("value"), r"\s+$", ""),
+                r"[ \t\r]*\n",
+                ",\n",
+            ),
+            F.lit("\n]"),
+        ).alias("value")
+    )
+    out.coalesce(1).write.mode("overwrite").text(out_path)

@@ -264,3 +264,21 @@ def test_node_merge_statements_without_type_column(spark):
     nodes = spark.createDataFrame([("7", "Concept", "melanoma")], ["id", "label", "name"])
     stmt = node_merge_statements(nodes).first()["value"]
     assert "n.type = 'Concept'" in stmt
+
+
+def test_jsonl_to_json_array_roundtrip(spark, tmp_path):
+    """K4 compat converter (main.py:33-42): JSONL in → ONE valid JSON
+    array out (the reference's own output has a trailing comma before
+    ']' — invalid; ours parses), record order preserved."""
+    import json
+    from pathlib import Path
+
+    from ontology_graph_etl_spark.sinks.writers import jsonl_to_json_array
+
+    records = [{"id": i, "name": f"n{i}"} for i in range(5)]
+    src = tmp_path / "in.jsonl"
+    src.write_text("".join(json.dumps(r) + "\n" for r in records))
+    out_dir = tmp_path / "out"
+    jsonl_to_json_array(spark, str(src), str(out_dir))
+    [part] = Path(out_dir).glob("part-*.txt")
+    assert json.loads(part.read_text()) == records
