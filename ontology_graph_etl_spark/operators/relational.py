@@ -271,3 +271,35 @@ def asof_join(
             *[F.col("__match").getField(c).alias(c) for c in payload_cols],
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+) -> DataFrame:
+    """Deterministic per-stratum sampling: a row survives iff the first
+    4 md5 hex digits of its key fall below its stratum's threshold
+    (``floor(fraction * 2^16)`` in hex).
+
+    Unlike ``df.sampleBy`` (seeded RNG whose draws move with
+    partitioning and row order), the keep/drop decision is a pure
+    per-row function of the key — stable across runs, engines,
+    partitionings, and appends (a re-ingested row keeps its fate), and
+    reproducible in any engine with md5 (the DuckDB oracle q68 checks
+    exactly that). Zero shuffle, zero state — the 100 TB form of "give
+    me 10% of each stratum". Strata absent from ``fractions`` are
+    dropped; fractions ≥ 1.0 keep the whole stratum.
+    """
+    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    keep = F.lit(False)
+    for stratum, frac in fractions.items():
+        in_stratum = F.col(strata_col) == stratum
+        if frac >= 1.0:
+            cond = in_stratum
+        else:
+            threshold = format(max(int(frac * 65536), 0), "04x")
+            cond = in_stratum & (h < F.lit(threshold))
+        keep = keep | cond
+    return df.where(keep)

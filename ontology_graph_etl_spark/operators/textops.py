@@ -159,3 +159,93 @@ def tokenize_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("doc"),
         F.explode(whitespace_tokens(F.col(text_col))).alias("token"),
     )
+
+
+def word_ngrams(text_col, n: int):
+    """Non-distinct word n-gram array expression (texts shorter than
+    ``n`` tokens yield an empty array — unlike dedup.shingles, which
+    falls back to the whole text, because quality/contamination metrics
+    must not count a partial gram)."""
+    toks = whitespace_tokens(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_score(
+    df: DataFrame, text_col: str, n: int = 2, out_col: str = "dup_ngram_ratio"
+) -> DataFrame:
+    """Within-document repetition (Gopher-style quality signal): the
+    fraction of word n-grams that are repeats of an earlier n-gram,
+    ``1 - distinct/total`` (0.0 for texts shorter than ``n`` tokens).
+    Pure per-row expressions — narrow, shuffle-free, scan-speed."""
+    grams = word_ngrams(F.col(text_col), n)
+    total = F.size(grams)
+    ratio = F.when(
+        total > 0, 1 - F.size(F.array_distinct(grams)) / total
+    ).otherwise(F.lit(0.0))
+    return df.withColumn(out_col, F.round(ratio, 6))
+
+
+def benchmark_ngrams(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-grams of a benchmark/eval corpus — the blocklist
+    side of :func:`ngram_overlap`."""
+    return df.select(
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    ).distinct()
+
+
+def ngram_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    n: int = 3,
+) -> DataFrame:
+    """Decontamination check: per document, how many of its distinct
+    word n-grams appear in the benchmark gram set (docs with zero
+    overlap are absent — the common case at scale, keeping the result
+    sparse). The benchmark side is broadcast — eval sets are small by
+    construction; the corpus side stays partition-parallel with one
+    explode + one aggregate."""
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    bench = benchmark.select(
+        F.col(benchmark.columns[0]).alias("gram")
+    ).distinct()
+    return (
+        grams.join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+#: PII patterns chosen to parse identically under Java regex (Spark) and
+#: RE2 (DuckDB oracle): no lookarounds, no backrefs.
+PII_PATTERNS = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("PHONE", r"\b\d{3}[- ]\d{4}\b"),
+)
+
+
+def pii_redact(
+    df: DataFrame, text_col: str, out_col: str = "redacted"
+) -> DataFrame:
+    """PII scrubbing: replace email addresses and phone-like sequences
+    with ``[EMAIL]`` / ``[PHONE]`` placeholders and count the
+    redactions. Patterns apply in declaration order, each counting its
+    hits on the text as the previous pattern left it. JVM-side
+    ``regexp_replace`` — scan-speed, no Python in the path."""
+    red = F.col(text_col)
+    n_hits = F.lit(0)
+    for label, pattern in PII_PATTERNS:
+        n_hits = n_hits + F.size(F.regexp_extract_all(red, F.lit(pattern), F.lit(0)))
+        red = F.regexp_replace(red, pattern, f"[{label}]")
+    return df.withColumn("n_redactions", n_hits.cast("int")).withColumn(
+        out_col, red
+    )

@@ -1486,6 +1486,139 @@ FROM documents
 """
 
 
+_Q68_FRACTIONS = {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 1.0}
+
+
+def _q68_stratified_sample(spark, sf_dir):
+    # Deterministic hash-based per-stratum sampling (the reproducible
+    # form of sampleBy): pure per-row md5-threshold decision, zero
+    # shuffle, stable under reruns/appends/partitioning. src3 at 1.0
+    # exercises the keep-everything clamp.
+    docs = _t(spark, sf_dir, "documents")
+    return relational.stratified_sample(
+        docs, "doc_id", "source", _Q68_FRACTIONS
+    ).select("doc_id", "source")
+
+
+_q68_sql = r"""
+SELECT doc_id, source FROM documents
+WHERE (source = 'src0' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+   OR (source = 'src1' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
+   OR (source = 'src2' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000')
+   OR (source = 'src3')
+"""
+
+
+def _q70_decontaminate(spark, sf_dir):
+    # Benchmark decontamination: distinct word-trigram overlap between
+    # each document and an "eval set" (every 100th doc stands in for
+    # one). Corpus side: explode + aggregate, partition-parallel;
+    # benchmark side broadcast.
+    docs = _t(spark, sf_dir, "documents")
+    bench = textops.benchmark_ngrams(
+        docs.where(F.col("doc_id") % 100 == 0), "text", 3
+    )
+    return textops.ngram_overlap(docs, "doc_id", "text", bench, 3)
+
+
+_q70_sql = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS arr
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i FROM toks
+),
+grams AS (
+  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
+  FROM idx
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 100 = 0)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM grams JOIN bench USING (gram)
+GROUP BY doc_id
+"""
+
+
+def _q71_repetition(spark, sf_dir):
+    # Within-doc repetition quality signal: duplicate word-bigram
+    # fraction, pure narrow expressions.
+    docs = _t(spark, sf_dir, "documents")
+    return textops.repetition_score(docs, "text").select(
+        "doc_id", "dup_ngram_ratio"
+    )
+
+
+_q71_sql = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS arr
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 1)) AS i FROM toks
+),
+grams AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS gram FROM idx
+),
+agg AS (
+  SELECT doc_id,
+         round(1.0 - CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 6) AS r
+  FROM grams GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.r, 0.0) AS dup_ngram_ratio
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _q72_pii_redact(spark, sf_dir):
+    # PII scrubbing plumbing: the corpus has no PII, so each doc gets a
+    # deterministic synthetic contact suffix, then email+phone redaction
+    # runs JVM-side. The oracle reproduces both the synthesis and the
+    # redaction (patterns chosen to parse identically in Java regex and
+    # RE2).
+    docs = _t(spark, sf_dir, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return textops.pii_redact(with_pii, "text").select(
+        "doc_id", "n_redactions", "redacted"
+    )
+
+
+_q72_sql = r"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e_hits,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '[EMAIL]', 'g') AS r1
+  FROM t
+)
+SELECT doc_id,
+       CAST(e_hits + len(regexp_extract_all(r1, '\b\d{3}[- ]\d{4}\b'))
+            AS INTEGER) AS n_redactions,
+       regexp_replace(r1, '\b\d{3}[- ]\d{4}\b', '[PHONE]', 'g') AS redacted
+FROM s1
+"""
+
+
 def _q67_lsh_dedup_clusters(spark, sf_dir):
     # Scale-path twin of q66: MinHash-LSH star edges + connected
     # components — linear in cluster size where the exact pair graph is
@@ -1753,6 +1886,12 @@ QUERIES: list[QueryDef] = [
     QueryDef("q46_funnel", _q46_funnel, _q46_sql, "§2.10"),
     QueryDef("q66_dedup_clusters", _q66_dedup_clusters, _q66_sql, "§2.11"),
     QueryDef("q67_lsh_dedup_clusters", _q67_lsh_dedup_clusters, None, "§2.11"),
+    QueryDef(
+        "q68_stratified_sample", _q68_stratified_sample, _q68_sql, "§2.11"
+    ),
+    QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),
+    QueryDef("q71_repetition", _q71_repetition, _q71_sql, "§2.11"),
+    QueryDef("q72_pii_redact", _q72_pii_redact, _q72_sql, "§2.11"),
 ]
 
 
