@@ -88,3 +88,19 @@ def test_aggregates_have_partial_phase(spark, sf_dir, name):
     HashAggregate nodes around the shuffle)."""
     plan = _plan(spark, sf_dir, name)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_decontamination_benchmark_broadcasts(spark, sf_dir):
+    """q70's benchmark gram set must broadcast — the corpus-side gram
+    explode stays partition-parallel and never shuffles against the
+    (small) eval set."""
+    plan = _plan(spark, sf_dir, "q70_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_is_scan_plus_filter(spark, sf_dir):
+    """q68 must stay a single narrow stage: scan + filter, no exchange
+    anywhere (the whole point of hash-threshold sampling at 100 TB)."""
+    plan = _plan(spark, sf_dir, "q68_stratified_sample")
+    assert "Exchange" not in plan
