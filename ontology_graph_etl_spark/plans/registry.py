@@ -1619,6 +1619,39 @@ FROM s1
 """
 
 
+def _q73_event_correlation(spark, sf_dir):
+    # Stream-stream correlation join, batch twin: errors within 10
+    # minutes after a click by the same user. The same
+    # event_correlation_join runs on readStream frames with bounded
+    # join state (tests/test_streaming.py equivalence test); here
+    # withWatermark is a no-op and the plan is an equi join on user_id
+    # with a range residual.
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = windows.event_correlation_join(clicks, errors)
+    return joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("error_id"),
+    )
+
+
+_q73_sql = r"""
+SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id
+FROM events c
+JOIN events e
+  ON e.user_id = c.user_id
+ AND e.ts >= c.ts
+ AND e.ts <= c.ts + INTERVAL 10 MINUTE
+WHERE c.event_type = 'click' AND e.event_type = 'error'
+"""
+
+
 def _q67_lsh_dedup_clusters(spark, sf_dir):
     # Scale-path twin of q66: MinHash-LSH star edges + connected
     # components — linear in cluster size where the exact pair graph is
@@ -1892,6 +1925,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),
     QueryDef("q71_repetition", _q71_repetition, _q71_sql, "§2.11"),
     QueryDef("q72_pii_redact", _q72_pii_redact, _q72_sql, "§2.11"),
+    QueryDef("q73_event_correlation", _q73_event_correlation, _q73_sql, "§2.10"),
 ]
 
 

@@ -145,3 +145,37 @@ def read_event_stream(spark, path: str, schema) -> DataFrame:
     streaming twin); ``maxFilesPerTrigger`` left default — bench/tests use
     ``availableNow`` triggers for bounded runs."""
     return spark.readStream.schema(schema).parquet(path)
+
+
+def event_correlation_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    max_delay: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: pair each left event with right events
+    of the same key occurring within ``[left.ts, left.ts + max_delay]``
+    (e.g. "errors within 10 minutes after a click").
+
+    Both sides carry a watermark and the join condition bounds the time
+    range in BOTH directions — exactly what Structured Streaming needs
+    to evict join state (an unbounded-range stream-stream join would
+    buffer forever). On batch frames ``withWatermark`` is a no-op and
+    the same plan runs as an ordinary equi join with a range residual —
+    that batch twin is the DuckDB-oracle-checked q73. The shuffle key is
+    ``key_col`` alone; the range predicate never degenerates to a
+    nested loop because the equi key anchors the join.
+    """
+    lhs = left.withWatermark(ts_col, watermark).alias("l")
+    rhs = right.withWatermark(ts_col, watermark).alias("r")
+    lk, rk = F.col(f"l.{key_col}"), F.col(f"r.{key_col}")
+    lt, rt = F.col(f"l.{ts_col}"), F.col(f"r.{ts_col}")
+    return lhs.join(
+        rhs,
+        (lk == rk)
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {max_delay}")),
+        "inner",
+    )

@@ -154,3 +154,50 @@ def test_stateful_running_totals_matches_batch(spark, events_batch, events_strea
     )
     assert final.exceptAll(want).count() == 0
     assert want.exceptAll(final).count() == 0
+
+
+def _run_stream_to_memory_append(spark, stream_df, name: str):
+    """Append-mode runner — stream-stream joins emit append-only."""
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_stream_join_batch_equivalence(
+    spark, events_batch, events_stream
+):
+    """event_correlation_join over two readStream sides (watermarked,
+    time-bounded join state) ≡ the batch inner join at end-of-stream."""
+
+    def split(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        errors = df.where(F.col("event_type") == "error").select(
+            "user_id", "ts", "event_id"
+        )
+        return clicks, errors
+
+    out_cols = [
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("error_id"),
+    ]
+    bc, be = split(events_batch)
+    batch = windows.event_correlation_join(bc, be).select(*out_cols)
+    sc, se = split(events_stream)
+    streamed = _run_stream_to_memory_append(
+        spark,
+        windows.event_correlation_join(sc, se).select(*out_cols),
+        "sscorr_mem",
+    )
+    assert batch.count() > 0
+    assert batch.exceptAll(streamed).count() == 0
+    assert streamed.exceptAll(batch).count() == 0
