@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import whitespace_tokens
+from .util import ensure_parallelism
 
 
 def tokenize(df: DataFrame, text_col: str, out_col: str = "tokens") -> DataFrame:
@@ -316,7 +317,9 @@ def minhash_near_duplicates(
     checkpoint would double its footprint for nothing.
     """
     prepared = (
-        shingle_text(df.select(id_col, text_col), text_col, shingle_n)
+        shingle_text(
+            ensure_parallelism(df.select(id_col, text_col)), text_col, shingle_n
+        )
         .select(id_col, "shingles")
         .localCheckpoint()
     )
@@ -360,7 +363,7 @@ def simhash(
             )
         return pd.Series(out.view(np.int64))
 
-    hashed = df.select(
+    hashed = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.transform(
             whitespace_tokens(F.col(text_col)), lambda t: F.xxhash64(t)
@@ -467,7 +470,7 @@ def jaccard_pairs_exact(
     the exact baseline.
     """
     toks = (
-        tokenize(df.select(id_col, text_col), text_col)
+        tokenize(ensure_parallelism(df.select(id_col, text_col)), text_col)
         .select(F.col(id_col).alias("doc"), F.explode("tokens").alias("token"))
         .distinct()
         # materialized once; the inverted-index self-join reads it twice
@@ -548,7 +551,9 @@ def lsh_dedup_clusters(
     check, no SQL oracle (q66 is the exact oracle-checked twin).
     """
     prepared = (
-        shingle_text(df.select(id_col, text_col), text_col, shingle_n)
+        shingle_text(
+            ensure_parallelism(df.select(id_col, text_col)), text_col, shingle_n
+        )
         .select(id_col, "shingles")
         .localCheckpoint()
     )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import whitespace_tokens
+from .util import ensure_parallelism
 
 #: Tiny English function-word list for the n-gram/stopword heuristic.
 EN_STOPWORDS = (
@@ -128,7 +129,7 @@ def tfidf_top_terms(
     # terms feeds BOTH the df aggregation and the scored join — without
     # the checkpoint each branch re-runs tokenize+explode+groupBy
     terms = (
-        tokenize_terms(df, id_col, text_col)
+        tokenize_terms(ensure_parallelism(df.select(id_col, text_col)), id_col, text_col)
         .groupBy("doc", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint()
@@ -212,7 +213,7 @@ def ngram_overlap(
     sparse). The benchmark side is broadcast — eval sets are small by
     construction; the corpus side stays partition-parallel with one
     explode + one aggregate."""
-    grams = df.select(
+    grams = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
     ).distinct()
     bench = benchmark.select(
