@@ -117,15 +117,37 @@ def _permutation_constants(num_hashes: int, seed: int = 42) -> list[tuple[int, i
     ]
 
 
+def _base_hash_expr(shingles_col: str, base_hash: str):
+    """Per-shingle base hash folded into [0, p): ``xxhash64`` (cheapest,
+    production default) or ``md5`` (first 15 hex digits as an integer —
+    reproducible in any SQL engine, which is what lets the FULL
+    MinHash+LSH pipeline be DuckDB-oracle-checked in q50)."""
+    if base_hash == "xxhash64":
+        return F.transform(
+            F.col(shingles_col),
+            lambda g: F.pmod(F.xxhash64(g), F.lit(_MERSENNE_31)),
+        )
+    if base_hash == "md5":
+        return F.transform(
+            F.col(shingles_col),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+                "long"
+            )
+            % _MERSENNE_31,
+        )
+    raise ValueError(f"unknown base_hash {base_hash!r}")
+
+
 def minhash_signature(
     df: DataFrame,
     shingles_col: str = "shingles",
     num_hashes: int = 64,
     out_col: str = "minhash",
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signature: each shingle is string-hashed ONCE
-    (``xxhash64`` JVM-side, folded into [0, p)), then the k signature
-    slots take ``min((a_i*h + b_i) mod p)`` over the base hashes.
+    """MinHash signature: each shingle is string-hashed ONCE (JVM-side,
+    folded into [0, p)), then the k signature slots take
+    ``min((a_i*h + b_i) mod p)`` over the base hashes.
 
     The k-permutation min runs in a vectorized Arrow ``pandas_udf``
     (one (k × n_shingles) int64 broadcast per row batch): the equivalent
@@ -157,10 +179,7 @@ def minhash_signature(
                 out.append(((a_vec * hv + b_vec) % p).min(axis=1))
         return pd.Series(out)
 
-    base = F.transform(
-        F.col(shingles_col), lambda g: F.pmod(F.xxhash64(g), F.lit(_MERSENNE_31))
-    )
-    return df.withColumn(out_col, _mh(base))
+    return df.withColumn(out_col, _mh(_base_hash_expr(shingles_col, base_hash)))
 
 
 def minhash_signature_expr(
@@ -305,6 +324,7 @@ def minhash_near_duplicates(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup pipeline:
     shingle → minhash → band → bucket-join → exact-Jaccard verify.
@@ -323,7 +343,7 @@ def minhash_near_duplicates(
         .select(id_col, "shingles")
         .localCheckpoint()
     )
-    signed = minhash_signature(prepared, "shingles", num_hashes)
+    signed = minhash_signature(prepared, "shingles", num_hashes, base_hash=base_hash)
     candidates = lsh_candidate_pairs(signed, id_col, "minhash", bands, num_hashes)
     return jaccard_verify(candidates, prepared, id_col, "shingles", threshold)
 

@@ -854,10 +854,88 @@ FROM g GROUP BY user_id
 
 def _q50_minhash_simjoin(spark, sf_dir):
     # MinHash+LSH near-dup: shingle→minhash→band→bucket-join→verify.
-    # Approximate candidate generation → rows-only check.
+    # Runs with the md5 base hash so the ENTIRE pipeline — trigram
+    # shingling with short-doc fallback, 64 universal-hash permutation
+    # minima, 16-band bucketing, candidate self-join, exact-Jaccard
+    # verification — is reproduced statement-for-statement by the DuckDB
+    # oracle (band keys compare slice VALUES, so the engine-local
+    # xxhash64 bucket key needs no oracle parity; production keeps the
+    # cheaper xxhash64 base, property-tested in tests/test_properties).
     return dedup.minhash_near_duplicates(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=0.5,
+        base_hash="md5",
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q50_oracle_sql() -> str:
+    """DuckDB twin of the full MinHash+LSH pipeline (md5 base hash)."""
+    p = 2147483647
+    perms = ",\n    ".join(
+        f"({k}, {a}::BIGINT, {b}::BIGINT)"
+        for k, (a, b) in enumerate(dedup._permutation_constants(64))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS arr
+  FROM documents
+),
+-- trigram shingles with the shingle_text fallback: positions
+-- 1..greatest(len-2, 1); short docs yield their whole token string
+idx AS (
+  SELECT doc_id, arr,
+         unnest(generate_series(1, greatest(len(arr) - 2, 1))) AS i
+  FROM toks
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(arr[i:least(i + 2, len(arr))], ' ') AS gram
+  FROM idx
+),
+hashes AS (
+  SELECT doc_id, gram,
+         CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) % {p} AS h
+  FROM grams
+),
+perms(k, a, b) AS (
+  VALUES
+    {perms}
+),
+sig AS (
+  SELECT doc_id, k, MIN((a * h + b) % {p}) AS s
+  FROM hashes CROSS JOIN perms
+  GROUP BY doc_id, k
+),
+-- 16 bands of 4 slots; the band key is the ordered slot tuple (equality
+-- of tuples == equality of Spark's xxhash64 over the same slice)
+band_keys AS (
+  SELECT doc_id, k // 4 AS band,
+         string_agg(CAST(s AS VARCHAR), ',' ORDER BY k) AS band_key
+  FROM sig GROUP BY doc_id, k // 4
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM band_keys l JOIN band_keys r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS i
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.id_a
+  JOIN grams gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+"""
 
 
 def _q51_cosine_topk(spark, sf_dir):
@@ -1886,7 +1964,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("q41_session_window", _q41_session_window, _q41_sql, "§2.10"),
     QueryDef("q42_sliding_window", _q42_sliding_window, _q42_sql, "§2.10"),
     QueryDef("q43_gap_stats", _q43_gap_stats, _q43_sql, "§2.9"),
-    QueryDef("q50_minhash_simjoin", _q50_minhash_simjoin, None, "§2.11"),
+    QueryDef(
+        "q50_minhash_simjoin", _q50_minhash_simjoin, _q50_oracle_sql(), "§2.11"
+    ),
     QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
     QueryDef("q52_tfidf_topterms", _q52_tfidf_topterms, _q52_sql, "§2.11"),
     QueryDef("q53_approx_agg", _q53_approx_agg, None, "§2.11"),
