@@ -349,7 +349,12 @@ def minhash_near_duplicates(
 
 
 def simhash(
-    df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash", bits: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "simhash",
+    bits: int = 64,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash fingerprint per document: each token's xxhash64 votes
     +1/-1 on every bit position (weighted by token frequency); the sign
@@ -383,10 +388,21 @@ def simhash(
             )
         return pd.Series(out.view(np.int64))
 
+    if base_hash == "xxhash64":
+        token_hash = lambda t: F.xxhash64(t)  # noqa: E731
+    elif base_hash == "md5":
+        # first 15 md5 hex digits as an integer — 60 usable bits, and
+        # reproducible in any SQL engine (the q55 oracle re-derives the
+        # fingerprint bit-for-bit in DuckDB); pass bits<=60 with it
+        token_hash = lambda t: F.conv(  # noqa: E731
+            F.substring(F.md5(t), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown base_hash {base_hash!r}")
     hashed = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.transform(
-            whitespace_tokens(F.col(text_col)), lambda t: F.xxhash64(t)
+            whitespace_tokens(F.col(text_col)), token_hash
         ).alias("__hs"),
     ).where(F.size("__hs") > 0)
     return hashed.select(F.col(id_col), _sh(F.col("__hs")).alias(out_col))

@@ -1027,11 +1027,42 @@ SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text FROM documents GROUP BY text
 
 
 def _q55_simhash(spark, sf_dir):
-    # 64-bit SimHash fingerprints (xxhash64 bit votes) → rows-only
-    # (DuckDB lacks xxhash64; cross-checked by unit tests instead)
+    # SimHash fingerprints with the md5 base hash (60 usable bits) so
+    # the per-bit vote sums and the final fingerprint are re-derived
+    # bit-for-bit by the DuckDB oracle; production keeps the cheaper
+    # 64-bit xxhash64 base (property-tested against its expression spec).
     return dedup.simhash(
-        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id", "text"
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        "text",
+        bits=60,
+        base_hash="md5",
     )
+
+
+_q55_sql = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS hv
+  FROM toks
+),
+votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bits
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
 
 
 def _q56_jaccard_pairs(spark, sf_dir):
@@ -1971,7 +2002,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("q52_tfidf_topterms", _q52_tfidf_topterms, _q52_sql, "§2.11"),
     QueryDef("q53_approx_agg", _q53_approx_agg, None, "§2.11"),
     QueryDef("q54_exact_dedup", _q54_exact_dedup, _q54_sql, "§2.11"),
-    QueryDef("q55_simhash", _q55_simhash, None, "§2.11"),
+    QueryDef("q55_simhash", _q55_simhash, _q55_sql, "§2.11"),
     QueryDef("q56_jaccard_pairs", _q56_jaccard_pairs, _q56_sql, "§2.11"),
     QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
     QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
