@@ -555,6 +555,7 @@ def lsh_dedup_clusters(
     shingle_n: int = 1,
     verify_threshold: float | None = 0.5,
     max_iterations: int = 50,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup cluster assignment at scale: ``(id, cluster)`` for every
     document, via MinHash-LSH STAR edges + connected components.
@@ -593,7 +594,7 @@ def lsh_dedup_clusters(
         .select(id_col, "shingles")
         .localCheckpoint()
     )
-    signed = minhash_signature(prepared, "shingles", num_hashes)
+    signed = minhash_signature(prepared, "shingles", num_hashes, base_hash=base_hash)
     rows_per_band = num_hashes // bands
     banded = signed.select(
         F.col(id_col).alias("doc"),

@@ -1764,12 +1764,90 @@ WHERE c.event_type = 'click' AND e.event_type = 'error'
 def _q67_lsh_dedup_clusters(spark, sf_dir):
     # Scale-path twin of q66: MinHash-LSH star edges + connected
     # components — linear in cluster size where the exact pair graph is
-    # quadratic (SCALING.md has the measured gap). Probabilistic →
-    # rows-only check.
+    # quadratic (SCALING.md has the measured gap). md5 base hash →
+    # every stage (token-set signatures, banding, hub stars, Jaccard
+    # verify, recursive components, singleton fill) is reproduced by
+    # the DuckDB oracle; production uses xxhash64.
     return dedup.lsh_dedup_clusters(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        shingle_n=1, verify_threshold=0.5,
+        shingle_n=1, verify_threshold=0.5, base_hash="md5",
     )
+
+
+def _q67_oracle_sql() -> str:
+    """DuckDB twin of the full LSH dedup-clustering pipeline."""
+    p = 2147483647
+    perms = ",\n    ".join(
+        f"({k}, {a}::BIGINT, {b}::BIGINT)"
+        for k, (a, b) in enumerate(dedup._permutation_constants(64))
+    )
+    return f"""
+WITH RECURSIVE grams AS (
+  -- shingle_n=1: the distinct token set
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+hashes AS (
+  SELECT doc_id, tok,
+         CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % {p} AS h
+  FROM grams
+),
+perms(k, a, b) AS (
+  VALUES
+    {perms}
+),
+sig AS (
+  SELECT doc_id, k, MIN((a * h + b) % {p}) AS s
+  FROM hashes CROSS JOIN perms
+  GROUP BY doc_id, k
+),
+band_keys AS (
+  SELECT doc_id, k // 4 AS band,
+         string_agg(CAST(s AS VARCHAR), ',' ORDER BY k) AS bk
+  FROM sig GROUP BY doc_id, k // 4
+),
+hubs AS (
+  SELECT band, bk, MIN(doc_id) AS hub FROM band_keys GROUP BY band, bk
+),
+star0 AS (
+  SELECT DISTINCT h.hub AS id_a, b.doc_id AS id_b
+  FROM band_keys b JOIN hubs h ON h.band = b.band AND h.bk = b.bk
+  WHERE b.doc_id <> h.hub
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT s.id_a, s.id_b, COUNT(*) AS i
+  FROM star0 s
+  JOIN grams ga ON ga.doc_id = s.id_a
+  JOIN grams gb ON gb.doc_id = s.id_b AND gb.tok = ga.tok
+  GROUP BY s.id_a, s.id_b
+),
+star AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM star
+  UNION
+  SELECT id_b AS a, id_a AS b FROM star
+),
+reach(node, r) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
+),
+comp AS (SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node)
+SELECT doc_id, cluster FROM comp
+UNION ALL
+SELECT d.doc_id, d.doc_id AS cluster
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+WHERE c.doc_id IS NULL
+"""
 
 
 def _q38_triangle_count(spark, sf_dir):
@@ -2029,7 +2107,12 @@ QUERIES: list[QueryDef] = [
     QueryDef("q45_topk_per_group", _q45_topk_per_group, _q45_sql, "§2.7"),
     QueryDef("q46_funnel", _q46_funnel, _q46_sql, "§2.10"),
     QueryDef("q66_dedup_clusters", _q66_dedup_clusters, _q66_sql, "§2.11"),
-    QueryDef("q67_lsh_dedup_clusters", _q67_lsh_dedup_clusters, None, "§2.11"),
+    QueryDef(
+        "q67_lsh_dedup_clusters",
+        _q67_lsh_dedup_clusters,
+        _q67_oracle_sql(),
+        "§2.11",
+    ),
     QueryDef(
         "q68_stratified_sample", _q68_stratified_sample, _q68_sql, "§2.11"
     ),
