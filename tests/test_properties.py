@@ -527,3 +527,67 @@ def test_shingle_n1_expression_matches_python(spark, texts):
     for i, t in rows:
         toks = [w for w in _JAVA_WS.split(t.lower()) if w] if t else []
         assert got[i] == list(dict.fromkeys(toks)), (i, t)
+
+
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=40),
+    frac=st.sampled_from([0.0, 0.25, 0.5, 1.0]),
+)
+@settings(max_examples=10, deadline=None)
+def test_stratified_sample_deterministic_and_partition_invariant(
+    spark, keys, frac
+):
+    """The keep/drop decision is a pure function of the key: the same
+    input sampled twice — once repartitioned — yields the same rows,
+    and every surviving row belongs to a listed stratum."""
+    from ontology_graph_etl_spark.operators.relational import (
+        stratified_sample,
+    )
+
+    rows = [(k, f"s{k % 3}") for k in keys]
+    df = spark.createDataFrame(rows, "k: long, stratum: string")
+    fr = {"s0": frac, "s1": 1.0}
+    a = {tuple(r) for r in stratified_sample(df, "k", "stratum", fr).collect()}
+    b = {
+        tuple(r)
+        for r in stratified_sample(
+            df.repartition(7), "k", "stratum", fr
+        ).collect()
+    }
+    assert a == b
+    assert all(s in fr for _, s in a)
+    # fraction 1.0 keeps the whole stratum; 0.0 keeps none of it
+    assert {r for r in rows if r[1] == "s1"} <= a
+    if frac == 0.0:
+        assert not any(s == "s0" for _, s in a)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab @.-5 \n"), min_size=0, max_size=30
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_pii_redact_leaves_no_matches(spark, texts):
+    """After redaction no PII pattern matches remain, and rows without
+    matches pass through byte-identical."""
+    import re as _re
+
+    from ontology_graph_etl_spark.operators.textops import (
+        PII_PATTERNS,
+        pii_redact,
+    )
+
+    rows = [(i, t + " a@b.co or 555-1234") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i: long, text: string")
+    out = {r.i: (r.redacted, r.n_redactions) for r in
+           pii_redact(df, "text").collect()}
+    for i, t in rows:
+        red, n = out[i]
+        for _, pat in PII_PATTERNS:
+            assert not _re.search(pat, red), (t, red)
+        assert n >= 2  # the appended suffix always carries one of each
