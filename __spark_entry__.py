@@ -49,6 +49,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL for every SQL-expressible query; approximate /
-    hash-seeded ops (q42, q50, q53, q55, q61) get rows-only checks."""
+    """DuckDB oracle SQL for every SQL-expressible query. Only four
+    entries remain rows-only — q53 (approximate aggregates), q61/q63
+    (approximate ANN), q81 (stubbed media decode); even the MinHash/
+    SimHash/LSH-clustering pipelines are fully hash-checked via an
+    engine-portable md5 base hash."""
     return registry.oracle_sql()
