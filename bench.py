@@ -43,6 +43,7 @@ HEADLINE = [
     "q67_lsh_dedup_clusters",
     "q70_decontaminate",
     "q73_event_correlation",
+    "q74_sequence_pack",
 ]
 
 

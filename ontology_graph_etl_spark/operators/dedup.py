@@ -18,7 +18,7 @@ import re
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import whitespace_tokens
@@ -629,3 +629,36 @@ def lsh_dedup_clusters(
         .select(F.col(id_col), F.col(id_col).alias("cluster"))
     )
     return comps.unionByName(singles)
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str,
+    quality_col: str,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """The keep/drop decision that near-dup clustering exists for: within
+    each cluster keep exactly one document — the highest-``quality_col``
+    one, ties broken by minimum id (deterministic under any
+    partitioning; an arbitrary ``dropDuplicates`` pick would flake every
+    hash-compared rerun).
+
+    ``clusters`` is ``(id, cluster)`` from :func:`lsh_dedup_clusters` /
+    the exact twin; ``quality`` carries the scoring column (e.g.
+    ``quality_score`` output, or a length column). One window over
+    ``cluster`` — clusters are small by construction (near-dup groups),
+    so the partition-by key is well distributed; no global sort. Returns
+    every input doc with its cluster and a ``keep`` flag, so the
+    downstream filter (or its negation, an audit of what was dropped) is
+    one predicate.
+    """
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        clusters.join(quality.select(id_col, quality_col), id_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("keep", F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -303,3 +303,49 @@ def stratified_sample(
             cond = in_stratum & (h < F.lit(threshold))
         keep = keep | cond
     return df.where(keep)
+
+
+def domain_mix(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    weights: dict[str, int],
+) -> DataFrame:
+    """Resample to a target domain mixture: keep as many rows as possible
+    while the surviving rows' domain proportions match ``weights``
+    (integer percents). The standard pre-training "mix web/code/books at
+    40/30/30" step.
+
+    Two passes. Pass 1 aggregates per-domain counts — a handful of rows
+    regardless of corpus size (domains are few by construction), safe to
+    bring to the driver. The largest exactly-mixed output is
+    ``T = min_d(count_d * 100 // weight_d)`` — the most-underrepresented
+    domain binds everything else. Pass 2 is a pure per-row filter: a row
+    survives iff the first 8 md5 hex digits of its key (a uniform 32-bit
+    integer) fall under its domain's integer-arithmetic threshold
+    ``(weight*T//100) * 2^32 // count_d``. Like
+    :func:`stratified_sample` this is deterministic across runs, engines,
+    and partitionings, costs zero shuffles on the data pass, and is
+    reproducible in any engine with md5 (oracle q75). Per-domain output
+    sizes are binomial around the target (hash sampling is rate-based,
+    not exact-count); domains absent from ``weights`` are dropped.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    active = {
+        d: w for d, w in weights.items() if w > 0 and counts.get(d, 0) > 0
+    }
+    if not active:
+        return df.where(F.lit(False))
+    total = min(counts[d] * 100 // w for d, w in active.items())
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    keep = F.lit(False)
+    for d, w in active.items():
+        target = w * total // 100
+        cut = target * (1 << 32) // counts[d]
+        keep = keep | ((F.col(domain_col) == d) & (h < F.lit(cut)))
+    return df.where(keep)

@@ -226,6 +226,70 @@ def ngram_overlap(
     )
 
 
+def sequence_pack(
+    df: DataFrame, id_col: str, text_col: str, max_len: int = 2048
+) -> DataFrame:
+    """Sequence packing for training batches: concatenate every document's
+    tokens in a deterministic pseudo-random order (md5 of the id — a
+    reproducible global shuffle, no RNG state) and cut the token stream
+    into fixed ``max_len`` packs. Each document gets the pack id and
+    offset where its first token lands; documents straddle pack
+    boundaries — the standard concat-and-chunk LLM batching.
+
+    The global running token total is computed hierarchically — the
+    scalable form of a global cumulative sum (a ``Window.orderBy`` with
+    no partition key collapses to ONE task at 100 TB):
+
+    1. rows hash into 256 ordered buckets (the first md5 hex byte of the
+       order key, so bucket ranges ARE contiguous slices of the global
+       order);
+    2. a per-bucket window computes within-bucket prefix sums — 256-way
+       parallel, one shuffle;
+    3. per-bucket totals (exactly ≤256 rows, any corpus size) come back
+       to the driver, are prefix-summed, and broadcast-join back as
+       bucket offsets.
+
+    Output: ``(id, n_tokens, pack_id, pack_offset)``.
+    """
+    okey = F.md5(F.col(id_col).cast("string"))
+    toks = whitespace_tokens(F.col(text_col), lowercase=False)
+    base = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        okey.alias("__okey"),
+        F.substring(okey, 1, 2).alias("__bucket"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy("__okey", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "__local_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    totals = sorted(
+        base.groupBy("__bucket").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    offsets, acc = [], 0
+    for bucket, t in totals:
+        offsets.append((bucket, acc))
+        acc += t
+    spark = df.sparkSession
+    offset_df = spark.createDataFrame(
+        offsets, "__bucket string, __offset long"
+    )
+    start = F.col("__offset") + F.col("__local_start")
+    return (
+        local.join(F.broadcast(offset_df), "__bucket")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.expr(f"(__offset + __local_start) div {max_len}").alias("pack_id"),
+            (start % max_len).alias("pack_offset"),
+        )
+    )
+
+
 #: PII patterns chosen to parse identically under Java regex (Spark) and
 #: RE2 (DuckDB oracle): no lookarounds, no backrefs.
 PII_PATTERNS = (

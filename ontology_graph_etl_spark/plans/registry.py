@@ -2034,6 +2034,134 @@ SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node
 """
 
 
+def _q69_cluster_representatives(spark, sf_dir):
+    # The dedup DECISION end-to-end: exact-Jaccard clusters (q66
+    # machinery) × per-doc quality (n_chars) → one kept representative
+    # per cluster (highest quality, min-id tie-break), every doc
+    # labelled keep/drop.
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs_exact(
+        docs, "doc_id", "text", threshold=0.8
+    ).select("id_a", "id_b")
+    comps = graph.connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    singles = (
+        docs.select("doc_id")
+        .join(comps.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster"))
+    )
+    clusters = comps.unionByName(singles)
+    return dedup.cluster_representatives(
+        clusters, docs, "doc_id", "n_chars"
+    ).select("doc_id", "cluster", "n_chars", "keep")
+
+
+_q69_sql = r"""
+WITH RECURSIVE toks AS (
+  SELECT DISTINCT doc_id AS doc,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc),
+inter AS (
+  SELECT l.doc AS id_a, r.doc AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM toks l JOIN toks r ON l.token = r.token AND l.doc < r.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc = id_a
+  JOIN sizes sb ON sb.doc = id_b
+  WHERE i / (sa.n + sb.n - i) >= 0.8
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
+),
+clusters AS (SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node),
+ranked AS (
+  SELECT c.doc_id, c.cluster, d.n_chars,
+         row_number() OVER (
+           PARTITION BY c.cluster ORDER BY d.n_chars DESC, c.doc_id ASC
+         ) AS rn
+  FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, cluster, n_chars, rn = 1 AS keep FROM ranked
+"""
+
+
+_Q74_MAX_LEN = 2048
+
+
+def _q74_sequence_pack(spark, sf_dir):
+    # Concat-and-chunk sequence packing: deterministic md5-order global
+    # shuffle + hierarchical (bucketed) cumulative token sum → pack id /
+    # offset per document. The oracle's single global window is the
+    # semantic spec; the Spark side computes the identical order via 256
+    # parallel bucket windows + driver prefix of 256 bucket totals.
+    docs = _t(spark, sf_dir, "documents")
+    return textops.sequence_pack(docs, "doc_id", "text", _Q74_MAX_LEN)
+
+
+_q74_sql = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS okey
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY okey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS strt
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       strt // {_Q74_MAX_LEN} AS pack_id,
+       strt % {_Q74_MAX_LEN} AS pack_offset
+FROM c
+"""
+
+
+_Q75_WEIGHTS = {"src0": 40, "src1": 30, "src2": 20, "src3": 10}
+
+
+def _q75_domain_mix(spark, sf_dir):
+    # Domain-mixture resampling: per-domain counts (pass 1, tiny) fix
+    # the largest exactly-mixed output; pass 2 is a pure md5-threshold
+    # filter with integer-arithmetic cutoffs the oracle reproduces.
+    docs = _t(spark, sf_dir, "documents")
+    return relational.domain_mix(
+        docs, "doc_id", "source", _Q75_WEIGHTS
+    ).select("doc_id", "source")
+
+
+_q75_sql = r"""
+WITH w(source, wt) AS (
+  VALUES ('src0', 40), ('src1', 30), ('src2', 20), ('src3', 10)
+),
+c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+t AS (SELECT MIN(n * 100 // wt) AS tot FROM c JOIN w USING (source)),
+thr AS (
+  SELECT source, ((wt * tot // 100) * 4294967296 // n) AS cut
+  FROM c JOIN w USING (source) CROSS JOIN t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr USING (source)
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < cut
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2120,6 +2248,14 @@ QUERIES: list[QueryDef] = [
     QueryDef("q71_repetition", _q71_repetition, _q71_sql, "§2.11"),
     QueryDef("q72_pii_redact", _q72_pii_redact, _q72_sql, "§2.11"),
     QueryDef("q73_event_correlation", _q73_event_correlation, _q73_sql, "§2.10"),
+    QueryDef(
+        "q69_cluster_representatives",
+        _q69_cluster_representatives,
+        _q69_sql,
+        "§2.11",
+    ),
+    QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
+    QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
 ]
 
 

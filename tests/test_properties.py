@@ -591,3 +591,115 @@ def test_pii_redact_leaves_no_matches(spark, texts):
         for _, pat in PII_PATTERNS:
             assert not _re.search(pat, red), (t, red)
         assert n >= 2  # the appended suffix always carries one of each
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 10_000), st.text(
+            alphabet=st.sampled_from("ab c d \n"), max_size=40
+        )),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda d: d[0],
+    ),
+    max_len=st.sampled_from([1, 7, 64]),
+)
+@settings(max_examples=10, deadline=None)
+def test_sequence_pack_matches_python_reference(spark, docs, max_len):
+    """The bucketed two-phase cumulative sum reproduces the semantic
+    spec — a single global cumsum over (md5(id), id) order — exactly,
+    and offsets stay inside the pack."""
+    import hashlib
+
+    from ontology_graph_etl_spark.operators.textops import sequence_pack
+
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = {
+        r.doc_id: (r.n_tokens, r.pack_id, r.pack_offset)
+        for r in sequence_pack(df, "doc_id", "text", max_len).collect()
+    }
+    ordered = sorted(
+        docs, key=lambda d: (hashlib.md5(str(d[0]).encode()).hexdigest(), d[0])
+    )
+    start = 0
+    for doc_id, text in ordered:
+        n = len([t for t in text.split() if t])
+        assert got[doc_id] == (n, start // max_len, start % max_len), doc_id
+        assert 0 <= got[doc_id][2] < max_len
+        start += n
+    assert len(got) == len(docs)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 100_000), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: r[0],
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_domain_mix_deterministic_subset_with_bounded_rates(spark, rows):
+    """domain_mix output is a deterministic subset of the input, keeps
+    only weighted domains, and never keeps more than its integer-target
+    rows' worth of hash space (rate <= target/count by construction)."""
+    from collections import Counter
+
+    from ontology_graph_etl_spark.operators.relational import domain_mix
+
+    weights = {"a": 60, "b": 40}
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    kept = {(r.doc_id, r.source) for r in
+            domain_mix(df, "doc_id", "source", weights).collect()}
+    again = {(r.doc_id, r.source) for r in
+             domain_mix(df, "doc_id", "source", weights).collect()}
+    assert kept == again
+    assert kept <= set(rows)
+    assert all(s in weights for _, s in kept)
+    counts = Counter(s for _, s in rows)
+    if all(counts.get(d) for d in weights):
+        total = min(counts[d] * 100 // w for d, w in weights.items())
+        for d, w in weights.items():
+            # binomial around target, but never above the stratum size
+            assert sum(1 for _, s in kept if s == d) <= counts[d]
+            assert w * total // 100 <= counts[d]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 50),    # doc id
+            st.integers(0, 8),     # cluster
+            st.integers(0, 5),     # quality
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_cluster_representatives_one_keeper_max_quality(spark, rows):
+    """Exactly one keeper per cluster; the keeper has the cluster's max
+    quality (min id among ties); nothing is lost or invented."""
+    from ontology_graph_etl_spark.operators.dedup import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(i, c) for i, c, _ in rows], "doc_id: long, cluster: long"
+    )
+    quality = spark.createDataFrame(
+        [(i, q) for i, _, q in rows], "doc_id: long, q: long"
+    )
+    out = [
+        (r.doc_id, r.cluster, r.q, r.keep)
+        for r in cluster_representatives(
+            clusters, quality, "doc_id", "q"
+        ).collect()
+    ]
+    assert len(out) == len(rows)
+    by_cluster: dict = {}
+    for i, c, q in rows:
+        best = by_cluster.get(c)
+        if best is None or (-q, i) < (-best[1], best[0]):
+            by_cluster[c] = (i, q)
+    for doc_id, cluster, q, keep in out:
+        assert keep == (by_cluster[cluster][0] == doc_id), (doc_id, cluster)
