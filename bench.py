@@ -44,6 +44,7 @@ HEADLINE = [
     "q70_decontaminate",
     "q73_event_correlation",
     "q74_sequence_pack",
+    "q78_incremental_dedup",
 ]
 
 

@@ -215,6 +215,40 @@ def minhash_signature_expr(
     )
 
 
+def _band_keys(
+    df: DataFrame,
+    id_col: str,
+    minhash_col: str,
+    bands: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Explode a signature frame into ``(doc, band, band_sig)`` band-key
+    rows, materialized (``localCheckpoint``) so the downstream bucket
+    join never inlines/recomputes the signature expression per side."""
+    if bands > num_hashes or num_hashes % bands != 0:
+        # a zero-width band hashes the empty slice for every doc — all
+        # docs collide and the join degenerates to the O(n^2) cross
+        # product LSH exists to avoid; a non-dividing band count would
+        # silently drop the tail signature slots (reduced recall)
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}"
+        )
+    rows_per_band = num_hashes // bands
+    # xxhash64 hashes the band slice (an array<long>) directly — no
+    # string materialization per band
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col(minhash_col), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "band_sig"),
+    ).localCheckpoint()
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -234,28 +268,7 @@ def lsh_candidate_pairs(
     upstream signature expression into each of the ``bands`` hash slots
     AND both join sides recompute it — measured 8x slower at sf0.1.
     """
-    if bands > num_hashes or num_hashes % bands != 0:
-        # a zero-width band hashes the empty slice for every doc — all
-        # docs collide and the join degenerates to the O(n^2) cross
-        # product LSH exists to avoid; a non-dividing band count would
-        # silently drop the tail signature slots (reduced recall)
-        raise ValueError(
-            f"bands={bands} must divide num_hashes={num_hashes}"
-        )
-    rows_per_band = num_hashes // bands
-    # xxhash64 hashes the band slice (an array<long>) directly — no
-    # string materialization per band
-    banded = df.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col(minhash_col), b * rows_per_band + 1, rows_per_band)
-                ),
-            )
-        ).alias("band", "band_sig"),
-    ).localCheckpoint()
+    banded = _band_keys(df, id_col, minhash_col, bands, num_hashes)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -276,14 +289,22 @@ def jaccard_verify(
     id_col: str,
     shingles_col: str = "shingles",
     threshold: float = 0.7,
+    df_b: DataFrame | None = None,
 ) -> DataFrame:
     """Verify candidate pairs with exact Jaccard over shingle sets.
 
     Joins only the candidate pairs (LSH output — tiny vs O(n^2)) back to
     the shingle arrays; intersection via ``array_intersect`` stays
-    JVM-side.
+    JVM-side. ``df_b`` (default: ``df``) supplies the ``id_b`` side for
+    asymmetric screens (incremental ingest: new batch vs existing
+    corpus) where the two sides are different frames.
     """
     sides = df.select(F.col(id_col).alias("__id"), F.col(shingles_col))
+    sides_b = (
+        sides
+        if df_b is None
+        else df_b.select(F.col(id_col).alias("__id"), F.col(shingles_col))
+    )
     out = (
         pairs.join(
             sides.select(
@@ -292,7 +313,7 @@ def jaccard_verify(
             "id_a",
         )
         .join(
-            sides.select(
+            sides_b.select(
                 F.col("__id").alias("id_b"), F.col(shingles_col).alias("__sh_b")
             ),
             "id_b",
@@ -346,6 +367,72 @@ def minhash_near_duplicates(
     signed = minhash_signature(prepared, "shingles", num_hashes, base_hash=base_hash)
     candidates = lsh_candidate_pairs(signed, id_col, "minhash", bands, num_hashes)
     return jaccard_verify(candidates, prepared, id_col, "shingles", threshold)
+
+
+def incremental_near_duplicates(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Continuous-ingest dedup: screen an ``incoming`` batch against an
+    ``existing`` corpus, returning ``(incoming_id, existing_id, jaccard)``
+    near-dup pairs. Same shingle→minhash→band machinery as
+    :func:`minhash_near_duplicates`, but the bucket join is
+    incoming×existing instead of a self-join — candidate work scales
+    with |incoming| (the small side), not |corpus|².
+
+    The 100 TB shape: in a real pipeline the existing side's band keys
+    and shingle sets are computed once at ingest and stored (partitioned
+    by ``(band, band_sig)`` bucket), so screening a new batch touches
+    only the buckets the batch's own keys land in — this function
+    recomputes them so correctness is checkable end-to-end from raw
+    text. Exact duplicates always collide (identical signatures share
+    every band), so recall misses only genuinely-partial overlaps.
+    """
+
+    def _prep(d: DataFrame) -> DataFrame:
+        return (
+            shingle_text(
+                ensure_parallelism(d.select(id_col, text_col)),
+                text_col,
+                shingle_n,
+            )
+            .select(id_col, "shingles")
+            .localCheckpoint()
+        )
+
+    ex, inc = _prep(existing), _prep(incoming)
+    ex_bands = _band_keys(
+        minhash_signature(ex, "shingles", num_hashes, base_hash=base_hash),
+        id_col, "minhash", bands, num_hashes,
+    )
+    inc_bands = _band_keys(
+        minhash_signature(inc, "shingles", num_hashes, base_hash=base_hash),
+        id_col, "minhash", bands, num_hashes,
+    )
+    candidates = (
+        inc_bands.alias("l")
+        .join(
+            ex_bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig")),
+        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .distinct()
+    )
+    return jaccard_verify(
+        candidates, inc, id_col, "shingles", threshold, df_b=ex
+    ).select(
+        F.col("id_a").alias("incoming_id"),
+        F.col("id_b").alias("existing_id"),
+        "jaccard",
+    )
 
 
 def simhash(

@@ -218,6 +218,62 @@ def embedding_near_duplicates(
     )
 
 
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """Deterministic k-means assignment step (the E-step of Lloyd's, and
+    the cluster-based-curation primitive: semantic sharding, per-cluster
+    sampling, diversity filtering all start from this map).
+
+    Seeds are the ``k`` vectors with the smallest ``(md5(id), id)`` —
+    a reproducible pseudo-random draw with no RNG state, so the whole
+    operator is hash-checkable across engines (q76), unlike
+    :func:`ivf_assign`'s ml-lib centroids. Each vector goes to its
+    max-cosine centroid; similarity is rounded to 6 decimals BEFORE the
+    argmax and ties break to the lowest centroid id, so the decision
+    boundary is identical in any engine that computes the same rounded
+    value.
+
+    Scale shape: the seed pick is a tiny global top-k (k rows to the
+    driver); assignment embeds the k×dim centroid matrix as literals in
+    a per-row expression — zero shuffle, zero Python, linear in the
+    scan exactly like a broadcast map-join against a k-row dimension.
+    """
+    seeds = (
+        df.select(id_col, vec_col)
+        .withColumn("__o", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__o", id_col)
+        .limit(k)
+        .collect()
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in row[vec_col]]),
+                    ),
+                    6,
+                ).alias("sim"),
+                # negate so array_max's lexicographic struct compare
+                # resolves sim ties to the LOWEST centroid id
+                F.lit(-i).alias("neg_cid"),
+            )
+            for i, row in enumerate(seeds)
+        ]
+    )
+    best = F.array_max(scored)
+    return df.select(
+        F.col(id_col),
+        (-best["neg_cid"]).alias("centroid_id"),
+        best["sim"].alias("sim"),
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     vec_col: str,

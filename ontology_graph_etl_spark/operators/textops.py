@@ -290,6 +290,34 @@ def sequence_pack(
     )
 
 
+def vocab_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 20
+) -> DataFrame:
+    """Corpus vocabulary head: the ``k`` most frequent tokens with total
+    occurrence count (``tf``) and document frequency (``df``), ranked
+    ``(tf desc, token asc)`` — the vocabulary/BPE-seeding and
+    stopword-discovery pass of a training pipeline.
+
+    Scale shape: explode → one groupBy(token) with map-side partial
+    aggregation (token cardinality ≪ corpus size, so the shuffle carries
+    one row per distinct token per partition), then a global top-k that
+    Spark executes as per-partition limits + a k-row final sort. The
+    rank window runs AFTER the limit, over k rows — the unpartitioned
+    window never sees the corpus.
+    """
+    toks = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("__doc"),
+        F.explode(whitespace_tokens(F.col(text_col))).alias("token"),
+    )
+    agg = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct(F.col("__doc")).alias("df"),
+    )
+    top = agg.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 #: PII patterns chosen to parse identically under Java regex (Spark) and
 #: RE2 (DuckDB oracle): no lookarounds, no backrefs.
 PII_PATTERNS = (

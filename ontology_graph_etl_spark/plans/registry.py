@@ -2162,6 +2162,177 @@ WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < 
 """
 
 
+_Q76_K = 8
+
+
+def _q76_kmeans_assign(spark, sf_dir):
+    # Deterministic k-means E-step over embeddings: seeds are the k
+    # vectors with smallest (md5(id), id); assignment is a zero-shuffle
+    # per-row argmax over centroid literals, sim rounded to 6 before the
+    # argmax so the decision boundary is engine-portable.
+    return similarity.kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=_Q76_K
+    )
+
+
+_q76_sql = rf"""
+WITH seeds AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS e,
+         CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS INTEGER) - 1 AS cid
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_Q76_K}
+),
+scored AS (
+  SELECT v.vec_id, s.cid,
+         round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), s.e), 6)
+           AS sim
+  FROM embeddings v CROSS JOIN seeds s
+)
+SELECT vec_id, cid AS centroid_id, sim
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1
+"""
+
+
+_Q77_K = 20
+
+
+def _q77_vocab_topk(spark, sf_dir):
+    # Corpus vocabulary head: top-k tokens by total count with document
+    # frequency — partial-agg groupBy + per-partition-pruned top-k.
+    return textops.vocab_topk(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=_Q77_K
+    )
+
+
+_q77_sql = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+agg AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY token
+),
+top AS (SELECT * FROM agg ORDER BY tf DESC, token LIMIT {_Q77_K})
+SELECT token, tf, df,
+       CAST(row_number() OVER (ORDER BY tf DESC, token) AS INTEGER) AS rank
+FROM top
+"""
+
+
+def _q78_incremental_dedup(spark, sf_dir):
+    # Continuous-ingest screen: docs with doc_id % 10 == 0 play the
+    # incoming batch, the rest the existing corpus; every incoming doc
+    # gets a keep/drop verdict from the incoming×existing LSH screen
+    # (md5 base so the full pipeline is oracle-reproducible, q50-style).
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.where(F.col("doc_id") % 10 != 0)
+    incoming = docs.where(F.col("doc_id") % 10 == 0)
+    pairs = dedup.incremental_near_duplicates(
+        existing, incoming, "doc_id", "text", threshold=0.5, base_hash="md5"
+    )
+    agg = pairs.groupBy("incoming_id").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
+    return (
+        incoming.select("doc_id")
+        .join(agg, incoming["doc_id"] == agg["incoming_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_dups"), F.lit(0).cast("long")).alias("n_dups"),
+            "max_jaccard",
+            F.col("max_jaccard").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def _q78_oracle_sql() -> str:
+    """DuckDB twin of the incremental LSH screen (md5 base hash): the
+    per-doc pipeline is identical to q50's, so sig/band keys are built
+    over all documents once and the candidate join filters sides by the
+    same % 10 split."""
+    p = 2147483647
+    perms = ",\n    ".join(
+        f"({k}, {a}::BIGINT, {b}::BIGINT)"
+        for k, (a, b) in enumerate(dedup._permutation_constants(64))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS arr
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, arr,
+         unnest(generate_series(1, greatest(len(arr) - 2, 1))) AS i
+  FROM toks
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(arr[i:least(i + 2, len(arr))], ' ') AS gram
+  FROM idx
+),
+hashes AS (
+  SELECT doc_id, gram,
+         CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) % {p} AS h
+  FROM grams
+),
+perms(k, a, b) AS (
+  VALUES
+    {perms}
+),
+sig AS (
+  SELECT doc_id, k, MIN((a * h + b) % {p}) AS s
+  FROM hashes CROSS JOIN perms
+  GROUP BY doc_id, k
+),
+band_keys AS (
+  SELECT doc_id, k // 4 AS band,
+         string_agg(CAST(s AS VARCHAR), ',' ORDER BY k) AS band_key
+  FROM sig GROUP BY doc_id, k // 4
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS incoming_id, r.doc_id AS existing_id
+  FROM band_keys l JOIN band_keys r
+    ON l.band = r.band AND l.band_key = r.band_key
+  WHERE l.doc_id % 10 = 0 AND r.doc_id % 10 <> 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.incoming_id, c.existing_id, COUNT(*) AS i
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.incoming_id
+  JOIN grams gb ON gb.doc_id = c.existing_id AND gb.gram = ga.gram
+  GROUP BY c.incoming_id, c.existing_id
+),
+pairs AS (
+  SELECT i.incoming_id,
+         CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS j
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.incoming_id
+  JOIN sizes sb ON sb.doc_id = i.existing_id
+  WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+),
+agg AS (
+  SELECT incoming_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+         round(MAX(j), 6) AS max_jaccard
+  FROM pairs GROUP BY incoming_id
+)
+SELECT d.doc_id, CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups,
+       a.max_jaccard, a.max_jaccard IS NOT NULL AS is_dup
+FROM documents d LEFT JOIN agg a ON a.incoming_id = d.doc_id
+WHERE d.doc_id % 10 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2256,6 +2427,14 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
     QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
+    QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
+    QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
+    QueryDef(
+        "q78_incremental_dedup",
+        _q78_incremental_dedup,
+        _q78_oracle_sql(),
+        "§2.11",
+    ),
 ]
 
 

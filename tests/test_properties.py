@@ -703,3 +703,137 @@ def test_cluster_representatives_one_keeper_max_quality(spark, rows):
             by_cluster[c] = (i, q)
     for doc_id, cluster, q, keep in out:
         assert keep == (by_cluster[cluster][0] == doc_id), (doc_id, cluster)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 10_000), st.text(
+            alphabet=st.sampled_from("xy z w \n"), max_size=30
+        )),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda d: d[0],
+    ),
+    k=st.sampled_from([1, 5, 50]),
+)
+@settings(max_examples=10, deadline=None)
+def test_vocab_topk_matches_counter(spark, docs, k):
+    """Top-k vocabulary equals a Counter reference under the
+    (tf desc, token asc) order, with exact per-token doc frequency."""
+    from collections import Counter
+
+    from ontology_graph_etl_spark.operators.textops import vocab_topk
+
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = [
+        (r.token, r.tf, r.df, r.rank)
+        for r in vocab_topk(df, "doc_id", "text", k)
+        .orderBy("rank")
+        .collect()
+    ]
+    tf = Counter()
+    docf = Counter()
+    for _, text in docs:
+        toks = [t for t in text.lower().split() if t]
+        tf.update(toks)
+        docf.update(set(toks))
+    want = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == [
+        (tok, n, docf[tok], i + 1) for i, (tok, n) in enumerate(want)
+    ]
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),
+            st.lists(
+                st.floats(-1, 1, allow_nan=False, width=32),
+                min_size=4, max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda v: v[0],
+    ),
+    k=st.sampled_from([1, 3, 8]),
+)
+@settings(max_examples=10, deadline=None)
+def test_kmeans_assign_matches_numpy(spark, vecs, k):
+    """Every vector lands on its max-rounded-cosine seed centroid with
+    min-centroid-id tie-break, seeds being the k smallest (md5(id), id)."""
+    import hashlib
+
+    import numpy as np
+
+    from ontology_graph_etl_spark.operators.similarity import kmeans_assign
+
+    df = spark.createDataFrame(vecs, "vec_id: long, embedding: array<float>")
+    got = {
+        r.vec_id: (r.centroid_id, r.sim)
+        for r in kmeans_assign(df, "vec_id", "embedding", k).collect()
+    }
+    seeds = sorted(
+        vecs, key=lambda v: (hashlib.md5(str(v[0]).encode()).hexdigest(), v[0])
+    )[:k]
+
+    def cos(a, b):
+        a = np.asarray(a, dtype=np.float32).astype(np.float64)
+        b = np.asarray(b, dtype=np.float32).astype(np.float64)
+        na = max(float(np.sqrt((a * a).sum())), 1e-12)
+        nb = max(float(np.sqrt((b * b).sum())), 1e-12)
+        return round(float((a * b).sum()) / (na * nb), 6)
+
+    for vid, emb in vecs:
+        sims = [cos(emb, s[1]) for s in seeds]
+        best = max(range(len(seeds)), key=lambda i: (sims[i], -i))
+        assert got[vid] == (best, sims[best]), vid
+    assert len(got) == len(vecs)
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_incremental_screen_exact_dups_flagged_and_precise(spark, data):
+    """Incoming docs that are exact copies of existing docs are always
+    flagged (identical shingle sets share every band); every reported
+    pair's jaccard matches the brute-force value and clears threshold."""
+    from ontology_graph_etl_spark.operators.dedup import (
+        incremental_near_duplicates,
+    )
+
+    words = "aa bb cc dd ee".split()
+    texts = data.draw(
+        st.lists(
+            st.lists(st.sampled_from(words), min_size=1, max_size=8).map(
+                " ".join
+            ),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    existing = [(i, t) for i, t in enumerate(texts)]
+    n_copy = data.draw(st.integers(1, len(texts)))
+    incoming = [(1000 + i, texts[i]) for i in range(n_copy)]
+
+    ex = spark.createDataFrame(existing, "doc_id: long, text: string")
+    inc = spark.createDataFrame(incoming, "doc_id: long, text: string")
+    pairs = {
+        (r.incoming_id, r.existing_id): r.jaccard
+        for r in incremental_near_duplicates(
+            ex, inc, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+
+    def sh(text):
+        toks = [t for t in text.lower().split() if t]
+        n = max(len(toks) - 3, 0) + 1
+        return {" ".join(toks[i : i + 3]) for i in range(n)}
+
+    for iid, itext in incoming:
+        # the source doc it was copied from must be reported with j=1
+        src = iid - 1000
+        assert pairs.get((iid, src)) == 1.0, (iid, src, pairs)
+    for (iid, eid), j in pairs.items():
+        a, b = sh(dict(incoming)[iid]), sh(dict(existing)[eid])
+        want = len(a & b) / len(a | b)
+        assert abs(j - want) < 1e-9 and want >= 0.5, (iid, eid)
