@@ -2337,7 +2337,89 @@ WHERE d.doc_id % 10 = 0
 # Registry
 # ---------------------------------------------------------------------------
 
+# Ordering contract: the driver's correctness harness consumes a prefix
+# window of this list (round 1: exactly the first 50 entries), so order
+# encodes certification priority, not semantics. Front of the list:
+# queries with no driver row yet (round 1 positions 51-74), then this
+# round's new operators, then the highest-value re-certifications
+# (graph/dedup/similarity — anything whose module changed this round).
+# The tail holds the simplest single-table queries, all of which already
+# hold green rows in CORRECTNESS_r01.json.
 QUERIES: list[QueryDef] = [
+    # --- no driver correctness row as of round 1 ---
+    QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
+    QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),
+    QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
+    QueryDef("q36_shortest_path", _q36_shortest_path, _q36_sql, "G7"),
+    QueryDef("q37_pagerank", _q37_pagerank, _q37_sql, "G8"),
+    QueryDef("q38_triangle_count", _q38_triangle_count, _q38_sql, "G10"),
+    QueryDef("q44_percentile", _q44_percentile, _q44_sql, "§2.7"),
+    QueryDef("q45_topk_per_group", _q45_topk_per_group, _q45_sql, "§2.7"),
+    QueryDef("q46_funnel", _q46_funnel, _q46_sql, "§2.10"),
+    QueryDef(
+        "q65_deterministic_split", _q65_deterministic_split, _q65_sql, "§2.11"
+    ),
+    QueryDef("q66_dedup_clusters", _q66_dedup_clusters, _q66_sql, "§2.11"),
+    QueryDef(
+        "q67_lsh_dedup_clusters",
+        _q67_lsh_dedup_clusters,
+        _q67_oracle_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q68_stratified_sample", _q68_stratified_sample, _q68_sql, "§2.11"
+    ),
+    QueryDef(
+        "q69_cluster_representatives",
+        _q69_cluster_representatives,
+        _q69_sql,
+        "§2.11",
+    ),
+    QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),
+    QueryDef("q71_repetition", _q71_repetition, _q71_sql, "§2.11"),
+    QueryDef("q72_pii_redact", _q72_pii_redact, _q72_sql, "§2.11"),
+    QueryDef("q73_event_correlation", _q73_event_correlation, _q73_sql, "§2.10"),
+    QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
+    QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
+    QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
+    QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
+    QueryDef(
+        "q78_incremental_dedup",
+        _q78_incremental_dedup,
+        _q78_oracle_sql(),
+        "§2.11",
+    ),
+    QueryDef("q81_media_features", _q81_media_features, None, "multimodal"),
+    # --- high-value re-certifications (modules touched this round) ---
+    QueryDef(
+        "q35_connected_components", _q35_connected_components, _q35_sql, "G5"
+    ),
+    QueryDef(
+        "q50_minhash_simjoin", _q50_minhash_simjoin, _q50_oracle_sql(), "§2.11"
+    ),
+    QueryDef("q54_exact_dedup", _q54_exact_dedup, _q54_sql, "§2.11"),
+    QueryDef("q55_simhash", _q55_simhash, _q55_sql, "§2.11"),
+    QueryDef("q56_jaccard_pairs", _q56_jaccard_pairs, _q56_sql, "§2.11"),
+    QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),
+    QueryDef("q61_lsh_topk", _q61_lsh_topk, None, "§2.11"),
+    QueryDef("q63_ivf_topk", _q63_ivf_topk, None, "§2.11"),
+    QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
+    QueryDef("q52_tfidf_topterms", _q52_tfidf_topterms, _q52_sql, "§2.11"),
+    QueryDef("q53_approx_agg", _q53_approx_agg, None, "§2.11"),
+    QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
+    QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
+    QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
+    QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
+    QueryDef("q80_binary_meta", _q80_binary_meta, _q80_sql, "multimodal"),
+    QueryDef("q26_asof_join", _q26_asof_join, _q26_sql, "§2.7"),
+    QueryDef("q32_closure", _q32_closure, _q32_sql, "G5"),
+    QueryDef("q30_one_hop", _q30_one_hop, _q30_sql, "G3"),
+    QueryDef("q31_two_hop_motif", _q31_two_hop_motif, _q31_sql, "G4"),
+    QueryDef("q33_edge_histogram", _q33_edge_histogram, _q33_sql, "G6"),
+    QueryDef("q34_degrees", _q34_degrees, _q34_sql, "G6"),
+    QueryDef("q43_gap_stats", _q43_gap_stats, _q43_sql, "§2.9"),
+    QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
+    # --- green in CORRECTNESS_r01.json; simplest plans, window tail ---
     QueryDef("q01_scan_jsonl", _q01_scan_jsonl, _q01_sql, "S1,P1"),
     QueryDef("q02_scan_map", _q02_scan_map, _q02_sql, "S3"),
     QueryDef("q03_prefix_scan", _q03_prefix_scan, _q03_sql, "S5,P6"),
@@ -2351,7 +2433,6 @@ QUERIES: list[QueryDef] = [
     QueryDef("q11_semi_contains", _q11_semi_contains, _q11_sql, "J4"),
     QueryDef("q12_array_distinct", _q12_array_distinct, _q12_sql, "A1,F3"),
     QueryDef("q13_group_count", _q13_group_count, _q13_sql, "A2"),
-    QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
     QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
     QueryDef("q16_regex_sanitize", _q16_regex_sanitize, _q16_sql, "F1"),
     QueryDef("q17_format_string", _q17_format_string, _q17_sql, "F2,F4,K1"),
@@ -2361,80 +2442,10 @@ QUERIES: list[QueryDef] = [
     QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
     QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
     QueryDef("q25_rollup", _q25_rollup, _q25_sql, "§2.7"),
-    QueryDef("q26_asof_join", _q26_asof_join, _q26_sql, "§2.7"),
     QueryDef("q27_cube", _q27_cube, _q27_sql, "§2.7"),
-    QueryDef("q30_one_hop", _q30_one_hop, _q30_sql, "G3"),
-    QueryDef("q31_two_hop_motif", _q31_two_hop_motif, _q31_sql, "G4"),
-    QueryDef("q32_closure", _q32_closure, _q32_sql, "G5"),
-    QueryDef("q33_edge_histogram", _q33_edge_histogram, _q33_sql, "G6"),
-    QueryDef("q34_degrees", _q34_degrees, _q34_sql, "G6"),
     QueryDef("q40_tumbling_agg", _q40_tumbling_agg, _q40_sql, "§2.10"),
     QueryDef("q41_session_window", _q41_session_window, _q41_sql, "§2.10"),
     QueryDef("q42_sliding_window", _q42_sliding_window, _q42_sql, "§2.10"),
-    QueryDef("q43_gap_stats", _q43_gap_stats, _q43_sql, "§2.9"),
-    QueryDef(
-        "q50_minhash_simjoin", _q50_minhash_simjoin, _q50_oracle_sql(), "§2.11"
-    ),
-    QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
-    QueryDef("q52_tfidf_topterms", _q52_tfidf_topterms, _q52_sql, "§2.11"),
-    QueryDef("q53_approx_agg", _q53_approx_agg, None, "§2.11"),
-    QueryDef("q54_exact_dedup", _q54_exact_dedup, _q54_sql, "§2.11"),
-    QueryDef("q55_simhash", _q55_simhash, _q55_sql, "§2.11"),
-    QueryDef("q56_jaccard_pairs", _q56_jaccard_pairs, _q56_sql, "§2.11"),
-    QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
-    QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
-    QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
-    QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
-    QueryDef("q61_lsh_topk", _q61_lsh_topk, None, "§2.11"),
-    QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),
-    QueryDef("q63_ivf_topk", _q63_ivf_topk, None, "§2.11"),
-    QueryDef("q80_binary_meta", _q80_binary_meta, _q80_sql, "multimodal"),
-    QueryDef(
-        "q35_connected_components", _q35_connected_components, _q35_sql, "G5"
-    ),
-    QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
-    QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),
-    QueryDef("q81_media_features", _q81_media_features, None, "multimodal"),
-    QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
-    QueryDef("q36_shortest_path", _q36_shortest_path, _q36_sql, "G7"),
-    QueryDef("q37_pagerank", _q37_pagerank, _q37_sql, "G8"),
-    QueryDef("q44_percentile", _q44_percentile, _q44_sql, "§2.7"),
-    QueryDef(
-        "q65_deterministic_split", _q65_deterministic_split, _q65_sql, "§2.11"
-    ),
-    QueryDef("q38_triangle_count", _q38_triangle_count, _q38_sql, "G10"),
-    QueryDef("q45_topk_per_group", _q45_topk_per_group, _q45_sql, "§2.7"),
-    QueryDef("q46_funnel", _q46_funnel, _q46_sql, "§2.10"),
-    QueryDef("q66_dedup_clusters", _q66_dedup_clusters, _q66_sql, "§2.11"),
-    QueryDef(
-        "q67_lsh_dedup_clusters",
-        _q67_lsh_dedup_clusters,
-        _q67_oracle_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q68_stratified_sample", _q68_stratified_sample, _q68_sql, "§2.11"
-    ),
-    QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),
-    QueryDef("q71_repetition", _q71_repetition, _q71_sql, "§2.11"),
-    QueryDef("q72_pii_redact", _q72_pii_redact, _q72_sql, "§2.11"),
-    QueryDef("q73_event_correlation", _q73_event_correlation, _q73_sql, "§2.10"),
-    QueryDef(
-        "q69_cluster_representatives",
-        _q69_cluster_representatives,
-        _q69_sql,
-        "§2.11",
-    ),
-    QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
-    QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
-    QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
-    QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
-    QueryDef(
-        "q78_incremental_dedup",
-        _q78_incremental_dedup,
-        _q78_oracle_sql(),
-        "§2.11",
-    ),
 ]
 
 
