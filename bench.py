@@ -76,18 +76,23 @@ def main() -> None:
     # second (warm) run is steady-state execution, the number that
     # actually projects to long-lived 100 TB jobs. Headline stays cold
     # for continuity with earlier rounds.
-    import gc
-
     def _release_checkpoints() -> None:
         # Iterative/similarity queries localCheckpoint intermediates;
         # the blocks free only when the ContextCleaner notices the
-        # dropped references. Left to GC timing, blocks from 19 queries
+        # dropped references. Left to GC timing, blocks from 21 queries
         # x 2 runs pile up and late queries slow down erratically
-        # (measured: q70 "warm" 3x its isolated time). Collect both
-        # heaps between timings so every query is measured against a
-        # clean block manager.
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
+        # (round 1: q70 "warm" measured above its cold run under the
+        # driver). Deterministic fix: every localCheckpoint registers in
+        # the context's persistent-RDD map, and each timing below starts
+        # from a fresh invocation of the query function — so between
+        # timings every persistent RDD is dead weight and is unpersisted
+        # (blocking) explicitly. No reliance on System.gc() heuristics.
+        entries = (
+            spark.sparkContext._jsc.sc().getPersistentRDDs().toList()
+        )
+        it = entries.iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(True)
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
