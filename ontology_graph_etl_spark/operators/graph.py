@@ -336,6 +336,16 @@ def connected_components(
        not O(log diameter) join rounds of label propagation (measured
        5.7 s → ~1 s on the sf0.1 LSH dedup star graph).
 
+    The contraction floor is one star edge per node, so a graph with
+    more distinct nodes than the limit can never contract under it.
+    That is detected as a **stall** (edge count shrinking <10% in a
+    round while still above the limit): instead of spinning out the
+    rounds and coalescing the whole node set into one task (an OOM at
+    real scale, not just a slowdown), the algorithm switches to
+    distributed min-label propagation with pointer jumping over the
+    already-contracted star graph — O(log n) rounds of bounded
+    shuffles, no single-task state (:func:`_min_label_propagation`).
+
     Minimum-id labels are order-insensitive, so duplicate edges and
     doubled directions need no ``distinct()`` — union-find absorbs them
     cheaper than a full-width shuffle would.
@@ -357,11 +367,17 @@ def connected_components(
         [StructField("a", id_type), StructField("b", id_type)]
     )
     cur = und
+    prev_edges: int | None = None
+    stalled = False
     for _ in range(max_iterations):
         cur = cur.localCheckpoint()
         n_edges = cur.count()  # free: counts the checkpointed blocks
         if n_edges <= _CC_LOCAL_EDGE_LIMIT:
             break
+        if prev_edges is not None and n_edges > 0.9 * prev_edges:
+            stalled = True
+            break
+        prev_edges = n_edges
         # enough partitions that each holds ~the local limit, floored at
         # the session's parallelism so executors stay busy
         n_parts = max(
@@ -372,19 +388,73 @@ def connected_components(
             _union_find_partition, pair_schema
         )
     else:
-        import warnings
-
-        warnings.warn(
-            f"connected_components edge list still above "
-            f"{_CC_LOCAL_EDGE_LIMIT} rows after {max_iterations} "
-            "contraction rounds; final pass may be slow",
-            stacklevel=2,
-        )
+        stalled = True
+    if stalled:
+        return _min_label_propagation(cur, max_iterations)
     return (
         cur.coalesce(1)
         .mapInPandas(_union_find_partition, pair_schema)
         .select(F.col("a").alias("id"), F.col("b").alias("component"))
     )
+
+
+def _min_label_propagation(
+    cur: DataFrame, max_iterations: int
+) -> DataFrame:
+    """Distributed fallback labeling for :func:`connected_components`
+    when the contracted edge list has more distinct nodes than the
+    single-task limit: min-label propagation with one pointer-jump per
+    round (label(x) ← min over neighbors' labels, then label(x) ←
+    label(label(x))), converging in O(log n) rounds on the star graphs
+    contraction emits. Every step is an equi-join + groupBy — bounded
+    shuffles, nothing node-set-sized in one task."""
+    e = (
+        cur.unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .localCheckpoint()
+    )
+    lab = (
+        cur.select("a")
+        .unionByName(cur.select(F.col("b").alias("a")))
+        .distinct()
+        .select(F.col("a").alias("id"), F.col("a").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        cand = e.join(lab, e["b"] == lab["id"]).select(
+            e["a"].alias("id"), lab["comp"].alias("comp")
+        )
+        merged = (
+            lab.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp ← comp's comp (labels only ever shrink, so
+        # the jumped label is always ≤ the propagated one)
+        ptr = merged.select(
+            F.col("id").alias("jid"), F.col("comp").alias("jcomp")
+        )
+        jumped = (
+            merged.join(ptr, merged["comp"] == ptr["jid"], "left")
+            .select(
+                merged["id"],
+                F.coalesce(ptr["jcomp"], merged["comp"]).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        converged = (
+            jumped.join(
+                lab.withColumnRenamed("comp", "__old"), "id"
+            )
+            .where(F.col("comp") != F.col("__old"))
+            .isEmpty()
+        )
+        lab = jumped
+        if converged:
+            break
+    return lab.select("id", F.col("comp").alias("component"))
 
 
 def shortest_paths(

@@ -319,10 +319,17 @@ def vocab_topk(
 
 
 #: PII patterns chosen to parse identically under Java regex (Spark) and
-#: RE2 (DuckDB oracle): no lookarounds, no backrefs.
+#: RE2 (DuckDB oracle): no lookarounds, no backrefs. Phone coverage:
+#: NANP 10/11-digit forms first (dashed, dotted, spaced, parenthesized,
+#: unseparated, optional +1/1- prefix), then bare separator-required
+#: 7-digit local forms — order matters, the longer pattern must consume
+#: its area code before the 7-digit one can grab the trailing fragment.
+#: The unseparated-10-digit case means any 10-digit run redacts; that is
+#: the right bias for a scrubbing op (favor recall over precision).
 PII_PATTERNS = (
     ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
-    ("PHONE", r"\b\d{3}[- ]\d{4}\b"),
+    ("PHONE", r"(\+?1[-. ])?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b"),
+    ("PHONE", r"\b\d{3}[-. ]\d{4}\b"),
 )
 
 

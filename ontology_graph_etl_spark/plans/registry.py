@@ -1714,17 +1714,26 @@ WITH t AS (
 s1 AS (
   SELECT doc_id,
          len(regexp_extract_all(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e_hits,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS h1,
          regexp_replace(text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
              '[EMAIL]', 'g') AS r1
   FROM t
+),
+s2 AS (
+  SELECT doc_id, h1,
+         len(regexp_extract_all(r1,
+             '(\+?1[-. ])?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b')) AS h2,
+         regexp_replace(r1,
+             '(\+?1[-. ])?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b',
+             '[PHONE]', 'g') AS r2
+  FROM s1
 )
 SELECT doc_id,
-       CAST(e_hits + len(regexp_extract_all(r1, '\b\d{3}[- ]\d{4}\b'))
+       CAST(h1 + h2 + len(regexp_extract_all(r2, '\b\d{3}[-. ]\d{4}\b'))
             AS INTEGER) AS n_redactions,
-       regexp_replace(r1, '\b\d{3}[- ]\d{4}\b', '[PHONE]', 'g') AS redacted
-FROM s1
+       regexp_replace(r2, '\b\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS redacted
+FROM s2
 """
 
 
@@ -2175,6 +2184,11 @@ def _q76_kmeans_assign(spark, sf_dir):
     )
 
 
+# Cosine is spelled out as explicit dot/norm folds instead of
+# list_cosine_similarity so the arithmetic mirrors the Spark side
+# exactly: same 1e-12 zero-norm clamp (an all-zero vector scores ~0
+# here and in Spark; the builtin returns -1), and the same
+# sequential-fold shape for the three sums.
 _q76_sql = rf"""
 WITH seeds AS (
   SELECT CAST(embedding AS DOUBLE[]) AS e,
@@ -2187,8 +2201,15 @@ WITH seeds AS (
 ),
 scored AS (
   SELECT v.vec_id, s.cid,
-         round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), s.e), 6)
-           AS sim
+         round(
+           list_sum(list_transform(
+             list_zip(CAST(v.embedding AS DOUBLE[]), s.e),
+             x -> x[1] * x[2]))
+           / (greatest(sqrt(list_sum(list_transform(
+                CAST(v.embedding AS DOUBLE[]), x -> x * x))), 1e-12)
+              * greatest(sqrt(list_sum(list_transform(
+                  s.e, x -> x * x))), 1e-12)),
+           6) AS sim
   FROM embeddings v CROSS JOIN seeds s
 )
 SELECT vec_id, cid AS centroid_id, sim

@@ -48,26 +48,33 @@ def jsonl_to_json_array(
     ``multiLine`` (S4), so nothing in this engine needs the conversion.
     "Comma after every line but the last" is order-dependent, so the
     file is read ``wholetext`` (one row per file — the only
-    order-guaranteed text read) and converted with one expression:
-    ``,`` appended at each interior newline, bracket lines around. The
-    reference instead emits a trailing comma before ``]`` — invalid
-    JSON, not replicated. Whole-file-in-one-task is fine here: this is
+    order-guaranteed text read), split into lines, **blank lines
+    dropped** (a blank interior line would otherwise become a bare
+    comma — invalid JSON), and joined with ``,\n`` between brackets.
+    The reference instead emits a trailing comma before ``]`` — invalid
+    JSON, not replicated. The input must resolve to exactly one file
+    (a directory of parts has no defined record order across files);
+    anything else raises. Whole-file-in-one-task is fine here: this is
     a driver-convenience interop util (the reference held the file in
     memory too, main.py:35), not a cluster-scale path.
     """
     from pyspark.sql import functions as F
 
     whole = spark.read.text(in_path, wholetext=True)
+    n_files = whole.count()
+    if n_files != 1:
+        raise ValueError(
+            f"jsonl_to_json_array expects exactly one input file, "
+            f"got {n_files} under {in_path!r}"
+        )
+    lines = F.filter(
+        F.split(F.col("value"), r"\r?\n"),
+        lambda s: F.trim(s) != "",
+    )
     out = whole.select(
         F.concat(
             F.lit("[\n"),
-            F.regexp_replace(
-                # rtrim only strips spaces — the trailing newline needs
-                # an anchored regex or the last record grows a comma
-                F.regexp_replace(F.col("value"), r"\s+$", ""),
-                r"[ \t\r]*\n",
-                ",\n",
-            ),
+            F.array_join(lines, ",\n"),
             F.lit("\n]"),
         ).alias("value")
     )

@@ -339,24 +339,59 @@ def test_connected_components_round_exhaustion_still_correct(
     spark, monkeypatch
 ):
     """If the contracted list never fits the local limit within
-    max_iterations, the final pass runs anyway (slow, warned — never
-    wrong): the contraction floor is #nodes, which a limit of 4 can't
-    reach."""
-    import warnings
-
+    max_iterations, the distributed min-label-propagation fallback
+    labels the graph instead of coalescing every node into one task:
+    the contraction floor is #nodes, which a limit of 4 can't reach."""
     import ontology_graph_etl_spark.operators.graph as g
 
     edges = [(i, i + 1) for i in range(12)]
     monkeypatch.setattr(g, "_CC_LOCAL_EDGE_LIMIT", 4)
     df = spark.createDataFrame(edges, ["src", "dst"])
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        got = {
-            (r.id, r.component)
-            for r in g.connected_components(
-                df, "src", "dst", max_iterations=2
-            ).collect()
-        }
+    got = {
+        (r.id, r.component)
+        for r in g.connected_components(
+            df, "src", "dst", max_iterations=2
+        ).collect()
+    }
+    assert got == _cc_reference(edges)
+
+
+def test_connected_components_stall_fallback(spark, monkeypatch):
+    """More distinct nodes than the single-task limit: contraction
+    stalls at its one-star-edge-per-node floor, stall detection fires
+    (<10% shrink while above the limit), and the distributed
+    min-label-propagation path must produce the exact same labels as
+    the textbook result — on a topology mixing chains, a cycle, and
+    isolated pairs so propagation needs multiple rounds."""
+    import ontology_graph_etl_spark.operators.graph as g
+
+    edges = [(i, i + 1) for i in range(0, 30)]  # one 31-node chain
+    edges += [(100, 101), (101, 102), (102, 100)]  # cycle
+    edges += [(200, 201), (300, 301)]  # isolated pairs
+    monkeypatch.setattr(g, "_CC_LOCAL_EDGE_LIMIT", 6)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r.id, r.component)
+        for r in g.connected_components(df, "src", "dst").collect()
+    }
+    assert got == _cc_reference(edges)
+
+
+def test_min_label_propagation_direct(spark):
+    """The fallback is exact on its own, without contraction rounds
+    first — run it directly over a raw doubled edge list."""
+    import ontology_graph_etl_spark.operators.graph as g
+    from pyspark.sql import functions as F
+
+    edges = [(1, 2), (2, 3), (4, 5), (6, 6), (7, 8), (8, 9), (9, 1)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    und = df.unionByName(
+        df.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    got = {
+        (r.id, r.component)
+        for r in g._min_label_propagation(und, 20).collect()
+    }
     assert got == _cc_reference(edges)
 
 
@@ -591,6 +626,37 @@ def test_pii_redact_leaves_no_matches(spark, texts):
         for _, pat in PII_PATTERNS:
             assert not _re.search(pat, red), (t, red)
         assert n >= 2  # the appended suffix always carries one of each
+
+
+def test_pii_redact_real_phone_formats(spark):
+    """The phone patterns must catch the formats people actually write:
+    dashed/dotted/spaced 10-digit, parenthesized area code,
+    unseparated 10-digit, +1 / 1- prefixes — each fully consumed (no
+    leftover area-code fragment), plus the bare 7-digit local form."""
+    from ontology_graph_etl_spark.operators.textops import pii_redact
+
+    cases = [
+        (0, "call 555-123-4567 now", 1),
+        (1, "call 555.123.4567 now", 1),
+        (2, "call 555 123 4567 now", 1),
+        (3, "call (555) 123-4567 now", 1),
+        (4, "call (555)123-4567 now", 1),
+        (5, "call 5551234567 now", 1),
+        (6, "call +1 555-123-4567 now", 1),
+        (7, "call 1-555-123-4567 now", 1),
+        (8, "call 123-4567 now", 1),
+        (9, "no phone here", 0),
+    ]
+    df = spark.createDataFrame(cases, "i: long, text: string, want: int")
+    got = {r.i: (r.redacted, r.n_redactions) for r in
+           pii_redact(df, "text").collect()}
+    for i, text, want in cases:
+        red, n = got[i]
+        assert n == want, (text, red)
+        if want:
+            # the number is gone entirely — no dangling digit fragments
+            assert "4567" not in red and "555" not in red, (text, red)
+            assert "[PHONE]" in red
 
 
 @given(

@@ -282,3 +282,32 @@ def test_jsonl_to_json_array_roundtrip(spark, tmp_path):
     jsonl_to_json_array(spark, str(src), str(out_dir))
     [part] = Path(out_dir).glob("part-*.txt")
     assert json.loads(part.read_text()) == records
+
+
+def test_jsonl_to_json_array_skips_blank_lines(spark, tmp_path):
+    """Interior/trailing blank lines must not become bare commas
+    (invalid JSON) — they are dropped before joining."""
+    import json
+    from pathlib import Path
+
+    from ontology_graph_etl_spark.sinks.writers import jsonl_to_json_array
+
+    src = tmp_path / "in.jsonl"
+    src.write_text('{"id": 1}\n\n{"id": 2}\n   \n{"id": 3}\n\n')
+    out_dir = tmp_path / "out"
+    jsonl_to_json_array(spark, str(src), str(out_dir))
+    [part] = Path(out_dir).glob("part-*.txt")
+    assert json.loads(part.read_text()) == [{"id": 1}, {"id": 2}, {"id": 3}]
+
+
+def test_jsonl_to_json_array_rejects_multi_file_input(spark, tmp_path):
+    """A directory of several files has no defined record order — the
+    converter must refuse rather than emit concatenated arrays."""
+    import pytest
+
+    from ontology_graph_etl_spark.sinks.writers import jsonl_to_json_array
+
+    (tmp_path / "a.jsonl").write_text('{"id": 1}\n')
+    (tmp_path / "b.jsonl").write_text('{"id": 2}\n')
+    with pytest.raises(ValueError, match="exactly one input file"):
+        jsonl_to_json_array(spark, str(tmp_path), str(tmp_path / "out"))
