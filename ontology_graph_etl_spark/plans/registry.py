@@ -1303,13 +1303,20 @@ def _q18_enrichment(spark, sf_dir):
     concepts = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id")
     )
-    return enrich_property_types(concepts, transport)
+    enriched = enrich_property_types(concepts, transport)
+    # driver-contract projection: the canonicalizer sorts on every column,
+    # so array<string> must flatten to a scalar (comma-join keeps order)
+    return enriched.select(
+        "id",
+        F.concat_ws(",", "property_types").alias("property_types"),
+        "node_type",
+    )
 
 
 _q18_sql = r"""
 SELECT c_custkey AS id,
-       ['A' || CAST(c_custkey % 7 AS VARCHAR),
-        'B' || CAST(c_custkey % 3 AS VARCHAR)] AS property_types,
+       'A' || CAST(c_custkey % 7 AS VARCHAR) || ',' ||
+       'B' || CAST(c_custkey % 3 AS VARCHAR) AS property_types,
        'A' || CAST(c_custkey % 7 AS VARCHAR) AS node_type
 FROM customer
 WHERE c_custkey % 5 <> 0

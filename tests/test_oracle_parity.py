@@ -42,6 +42,23 @@ ROWS_ONLY_QUERIES = [q for q in QUERIES if q.oracle is None]
 
 
 @pytest.mark.parametrize("qdef", ORACLE_QUERIES, ids=lambda q: q.name)
+def test_oracle_queries_emit_atomic_columns(qdef, spark, sf_dir):
+    # The driver canonicalizes via pandas sort_values over every column;
+    # list/map/struct cells are unhashable there and crash the compare
+    # (observed: q18 in CORRECTNESS_r02). Oracle-checked queries must
+    # therefore project arrays down to scalars (e.g. concat_ws).
+    from pyspark.sql.types import AtomicType
+
+    sdf = qdef.spark(spark, sf_dir)
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if not isinstance(f.dataType, AtomicType)
+    ]
+    assert not bad, f"{qdef.name}: non-atomic driver-compare columns {bad}"
+
+
+@pytest.mark.parametrize("qdef", ORACLE_QUERIES, ids=lambda q: q.name)
 def test_oracle_parity(qdef, spark, oracle, sf_dir):
     sdf = qdef.spark(spark, sf_dir)
     spark_rows = [tuple(r) for r in sdf.collect()]
