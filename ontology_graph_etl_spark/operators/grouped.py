@@ -28,6 +28,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from .util import epoch_double
+
 GAP_STATS_SCHEMA = StructType(
     [
         StructField("user_id", LongType(), False),
@@ -69,9 +71,8 @@ def gap_stats_builtin(
     """The same statistics as pure window + aggregate expressions — the
     fast path (whole-stage codegen, no Python) and the oracle twin."""
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
-    gap = (
-        F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast("double")
-    )
+    ts_sec = epoch_double(F.col(ts_col), events.schema[ts_col].dataType)
+    gap = ts_sec - F.lag(ts_sec).over(w)
     return (
         events.select(user_col, ts_col)
         .where(F.col(user_col).isNotNull())

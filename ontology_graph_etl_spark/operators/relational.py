@@ -14,6 +14,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import epoch_units
+
 
 def prefix_scan(df: DataFrame, order_col: str, stop_predicate: Column) -> DataFrame:
     """S5 — ordered-prefix scan: rows strictly before the first row (in
@@ -174,7 +176,20 @@ def interval_join(
     """
     if how != "inner":
         raise ValueError("interval_join supports only how='inner'")
-    p_bucket = F.floor(F.col(point_col).cast("long") / bucket_width)
+    p_units, per_s = epoch_units(
+        F.col(point_col), points.schema[point_col].dataType
+    )
+    s_units, _ = epoch_units(
+        F.col(start_col), intervals.schema[start_col].dataType
+    )
+    e_units, _ = epoch_units(
+        F.col(end_col), intervals.schema[end_col].dataType
+    )
+    # timestamps bucket in microsecond units (sub-second exact, and the
+    # only ANSI-legal epoch form); numeric domains bucket in their own
+    # units. bucket_width stays in seconds either way.
+    width = bucket_width * per_s
+    p_bucket = F.floor(p_units / width)
     i = intervals.where(
         F.col(start_col).isNotNull()
         & F.col(end_col).isNotNull()
@@ -183,12 +198,10 @@ def interval_join(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col(start_col).cast("long") / bucket_width),
+                F.floor(s_units / width),
                 # end is exclusive: a bucket starting exactly at `end`
                 # cannot contain a match
-                F.floor(
-                    (F.col(end_col).cast("long") - 1) / bucket_width
-                ),
+                F.floor((e_units - 1) / width),
             )
         ),
     )

@@ -223,6 +223,8 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
+    method: str = "auto",
+    max_literal_entries: int = 4096,
 ) -> DataFrame:
     """Deterministic k-means assignment step (the E-step of Lloyd's, and
     the cluster-based-curation primitive: semantic sharding, per-cluster
@@ -238,9 +240,21 @@ def kmeans_assign(
     value.
 
     Scale shape: the seed pick is a tiny global top-k (k rows to the
-    driver); assignment embeds the k×dim centroid matrix as literals in
-    a per-row expression — zero shuffle, zero Python, linear in the
-    scan exactly like a broadcast map-join against a k-row dimension.
+    driver). Assignment has two physical strategies, same rounded-argmax
+    contract (identical JVM double arithmetic, so identical output):
+
+    - ``literal`` — the k×dim centroid matrix embedded as literals in a
+      per-row expression: zero shuffle, zero Python. Plan size is
+      O(k·dim); past a few thousand entries Catalyst analysis time
+      becomes the bottleneck (a plan-size bomb at the k≈1000s used for
+      real semantic sharding).
+    - ``broadcast`` — centroids as a broadcast k-row frame: broadcast
+      nested-loop join (each input partition × the k-row build side)
+      then a per-id max. Partial aggregation collapses the k candidate
+      rows per id map-side, so the one shuffle carries n rows, not n·k.
+      Requires unique ids (the E-step key). Plan size is O(1) in k.
+
+    ``auto`` picks ``literal`` while ``k·dim <= max_literal_entries``.
     """
     seeds = (
         df.select(id_col, vec_col)
@@ -249,6 +263,41 @@ def kmeans_assign(
         .limit(k)
         .collect()
     )
+    if method == "auto":
+        dim = len(seeds[0][vec_col]) if seeds else 0
+        method = "literal" if k * dim <= max_literal_entries else "broadcast"
+    if method == "broadcast" and seeds:
+        spark = df.sparkSession
+        centroids = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (i, [float(x) for x in row[vec_col]])
+                    for i, row in enumerate(seeds)
+                ],
+                "cid int, cvec array<double>",
+            )
+        )
+        scored = df.select(F.col(id_col), F.col(vec_col)).crossJoin(centroids)
+        return (
+            scored.select(
+                F.col(id_col),
+                F.struct(
+                    F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias(
+                        "sim"
+                    ),
+                    (-F.col("cid")).alias("neg_cid"),
+                ).alias("__cand"),
+            )
+            .groupBy(id_col)
+            .agg(F.max("__cand").alias("__best"))
+            .select(
+                F.col(id_col),
+                (-F.col("__best.neg_cid")).cast("int").alias("centroid_id"),
+                F.col("__best.sim").alias("sim"),
+            )
+        )
+    elif method not in ("literal", "broadcast"):
+        raise ValueError(f"unknown kmeans_assign method {method!r}")
     scored = F.array(
         *[
             F.struct(

@@ -2,7 +2,38 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DataType, DateType, TimestampNTZType, TimestampType
+
+
+def epoch_units(c: Column, dt: DataType) -> tuple[Column, int]:
+    """ANSI-safe conversion of a point-in-time (or already-numeric)
+    column to integral units: Spark 4's ANSI type checker rejects direct
+    timestamp->numeric casts, so temporal columns must go through
+    unix_micros/unix_date. Returns ``(long_column, units_per_second)``:
+    timestamps convert to microseconds (sub-second exact), dates and
+    numerics to seconds. TIMESTAMP_NTZ is reinterpreted in the session
+    zone (pinned UTC by session.get_spark), matching DuckDB's naive
+    timestamp arithmetic.
+    """
+    if isinstance(dt, TimestampNTZType):
+        c, dt = c.cast("timestamp"), TimestampType()
+    if isinstance(dt, TimestampType):
+        return F.unix_micros(c), 1_000_000
+    if isinstance(dt, DateType):
+        return F.unix_date(c).cast("long") * 86400, 1
+    return c.cast("long"), 1
+
+
+def epoch_double(c: Column, dt: DataType) -> Column:
+    """Fractional epoch seconds as DOUBLE — the ANSI-safe spelling of the
+    old ``cast(ts as double)`` (same arithmetic: micros / 1e6), used for
+    gap/duration math that must match a DuckDB ``epoch()`` oracle."""
+    units, per_s = epoch_units(c, dt)
+    if per_s == 1_000_000:
+        return units / F.lit(1_000_000.0)
+    return units.cast("double")
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:

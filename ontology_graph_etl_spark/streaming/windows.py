@@ -20,6 +20,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import TimestampNTZType
+
+from ..operators.util import epoch_double
+
+
+def _event_time_ready(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (with local-tz semantics); parquet
+    event tables read as TIMESTAMP_NTZ. Reinterpret in the session zone
+    (pinned UTC by session.get_spark) on the STREAMING side only — batch
+    twins keep their exact source type so oracle compares stay
+    bit-identical."""
+    if df.isStreaming and isinstance(
+        df.schema[ts_col].dataType, TimestampNTZType
+    ):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
 
 def tumbling_counts(
     events: DataFrame,
@@ -79,7 +96,8 @@ def sessionize(
     if tie_break_col is not None and tie_break_col in events.columns:
         order_cols.append(F.col(tie_break_col).asc())
     order = Window.partitionBy(user_col).orderBy(*order_cols)
-    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(order)
+    ts_sec = epoch_double(F.col(ts_col), events.schema[ts_col].dataType)
+    gap = ts_sec - F.lag(ts_sec).over(order)
     marked = events.withColumn(
         "__new_session",
         F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0),
@@ -110,6 +128,7 @@ def stream_session_counts(
     """Streaming-native session windows: ``F.session_window`` with a
     watermark bounds state (late events beyond the watermark are dropped —
     the deliberate trade for bounded state at 100 TB/day)."""
+    events = _event_time_ready(events, ts_col)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
@@ -134,6 +153,7 @@ def dedup_events(
     keeps state bounded by the watermark horizon instead of growing
     forever (the difference between a demo and a pipeline)."""
     if watermark is not None:
+        events = _event_time_ready(events, ts_col)
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             list(keys)
         )
@@ -168,8 +188,8 @@ def event_correlation_join(
     ``key_col`` alone; the range predicate never degenerates to a
     nested loop because the equi key anchors the join.
     """
-    lhs = left.withWatermark(ts_col, watermark).alias("l")
-    rhs = right.withWatermark(ts_col, watermark).alias("r")
+    lhs = _event_time_ready(left, ts_col).withWatermark(ts_col, watermark).alias("l")
+    rhs = _event_time_ready(right, ts_col).withWatermark(ts_col, watermark).alias("r")
     lk, rk = F.col(f"l.{key_col}"), F.col(f"r.{key_col}")
     lt, rt = F.col(f"l.{ts_col}"), F.col(f"r.{ts_col}")
     return lhs.join(

@@ -104,3 +104,30 @@ def test_stratified_sample_is_scan_plus_filter(spark, sf_dir):
     anywhere (the whole point of hash-threshold sampling at 100 TB)."""
     plan = _plan(spark, sf_dir, "q68_stratified_sample")
     assert "Exchange" not in plan
+
+
+def test_kmeans_broadcast_plan_constant_in_k(spark, sf_dir):
+    """kmeans_assign's broadcast strategy must not embed the centroid
+    matrix in the plan: at k=256 the literal form is a Catalyst
+    analysis bomb (O(k*dim) literals per row expression); the broadcast
+    form's plan stays O(1) in k and joins a broadcast k-row frame."""
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bc = kmeans_assign(emb, "vec_id", "embedding", k=64, method="broadcast")
+    plan = bc._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    lit = kmeans_assign(emb, "vec_id", "embedding", k=64, method="literal")
+    lit_plan = lit._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # the broadcast plan carries no per-row centroid literals; the
+    # literal plan at k=64 embeds the whole matrix per row expression
+    assert len(plan) < len(lit_plan) / 4

@@ -857,6 +857,44 @@ def test_kmeans_assign_matches_numpy(spark, vecs, k):
     assert len(got) == len(vecs)
 
 
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),
+            st.lists(
+                st.floats(-1, 1, allow_nan=False, width=32),
+                min_size=4, max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda v: v[0],
+    ),
+    k=st.sampled_from([1, 3, 8]),
+)
+@settings(max_examples=8, deadline=None)
+def test_kmeans_broadcast_equals_literal(spark, vecs, k):
+    """The broadcast k-row-frame strategy is the same operator as the
+    literal strategy: identical JVM double arithmetic, identical
+    rounded-argmax tie-break, so exactly equal output on any input."""
+    from ontology_graph_etl_spark.operators.similarity import kmeans_assign
+
+    df = spark.createDataFrame(vecs, "vec_id: long, embedding: array<float>")
+    lit = {
+        r.vec_id: (r.centroid_id, r.sim)
+        for r in kmeans_assign(
+            df, "vec_id", "embedding", k, method="literal"
+        ).collect()
+    }
+    bc = {
+        r.vec_id: (r.centroid_id, r.sim)
+        for r in kmeans_assign(
+            df, "vec_id", "embedding", k, method="broadcast"
+        ).collect()
+    }
+    assert lit == bc
+
+
 @given(data=st.data())
 @settings(max_examples=8, deadline=None)
 def test_incremental_screen_exact_dups_flagged_and_precise(spark, data):
