@@ -6,8 +6,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Headline set: one query per engine subsystem — scans/joins/aggs
 (q20/q21), window + top-k (q22/q23), first-wins upsert (q14), graph
 motifs + closure (q31/q32), sessionization (q41), MinHash near-dup
-(q50), cosine top-k ANN (q51), tf-idf (q52), SimHash (q55) — i.e. the
-plans a 100 TB training-data pipeline actually runs.
+(q50), cosine top-k ANN (q51), tf-idf (q52), SimHash (q55), sign-bucket
+embedding LSH (q82), and the full curation composition (q85) — i.e. the
+plans a 100 TB training-data pipeline actually runs. Rounds 1-2 ran the
+first 21 names; q82/q85 append in round 3 so per-query history stays
+comparable.
 
 Methodology: one warm-up run of q20 (JVM/codegen warm), then each query
 executed once with a count-style action that materializes the full
@@ -45,6 +48,8 @@ HEADLINE = [
     "q73_event_correlation",
     "q74_sequence_pack",
     "q78_incremental_dedup",
+    "q82_lsh_neardup",
+    "q85_curate",
 ]
 
 

@@ -616,18 +616,29 @@ def pagerank(
 
 
 def triangle_count(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    orient: str = "id",
 ) -> DataFrame:
     """Global triangle count over the undirected view of ``edges`` —
     one row ``(n_triangles)``, each triangle counted exactly once.
 
-    Edges are canonically oriented low→high id, then two equi-joins
-    enumerate wedges and close them: (a,b) ⋈ (b,c) ⋈ (a,c) with
-    a < b < c. Both joins shuffle on a single node-id key and the
-    orientation halves the edge list up front; at cluster scale the
-    standard refinement is orienting by degree instead of id (bounds
-    wedge fan-out by arboricity) — id orientation keeps the oracle
-    twin exact.
+    Edges are acyclically oriented, then two equi-joins enumerate
+    wedges and close them: (a,b) ⋈ (b,c) semi-⋈ (a,c). Any acyclic
+    orientation counts each triangle exactly once (at its unique
+    rank-middle node), so both strategies return the same number and
+    share the same oracle:
+
+    - ``orient="id"`` — low→high node id. Zero extra cost; wedge
+      fan-out is bounded by the max out-degree under id order, which a
+      hub node with a small id blows up (a celebrity node of degree d
+      contributes O(d²) wedges).
+    - ``orient="degree"`` — low→high (degree, id). Two extra
+      co-partitioned joins to attach degrees, in exchange for wedge
+      fan-out bounded by O(sqrt(m)) per node on any graph (the
+      arboricity bound) — the difference between hours and minutes on
+      power-law graphs at cluster scale.
     """
     und = (
         edges.select(
@@ -638,6 +649,31 @@ def triangle_count(
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
+    if orient == "degree":
+        deg = (
+            und.select(F.col("a").alias("id"))
+            .unionByName(und.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        und = (
+            und.join(deg.select(F.col("id").alias("a"), F.col("d").alias("da")), "a")
+            .join(deg.select(F.col("id").alias("b"), F.col("d").alias("db")), "b")
+            .select(
+                F.when(
+                    (F.col("da") < F.col("db"))
+                    | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                    F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+                )
+                .otherwise(
+                    F.struct(F.col("b").alias("x"), F.col("a").alias("y"))
+                )
+                .alias("e")
+            )
+            .select(F.col("e.x").alias("a"), F.col("e.y").alias("b"))
+        )
+    elif orient != "id":
+        raise ValueError(f"unknown triangle_count orientation {orient!r}")
     e1 = und
     e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e3 = und.select(F.col("a").alias("a"), F.col("b").alias("c"))

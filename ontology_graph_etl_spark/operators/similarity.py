@@ -218,6 +218,81 @@ def embedding_near_duplicates(
     )
 
 
+def embedding_near_duplicates_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bands: int = 8,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Sign-bucket LSH near-dup pairs — the 100 TB production path for
+    :func:`embedding_near_duplicates` (whose all-pairs cross join is the
+    correctness-scale twin).
+
+    The hash family is axis-aligned random projection: bit ``i`` is the
+    sign of coordinate ``i`` (for unit-ish embeddings the coordinate
+    hyperplanes are as good as sampled Gaussian ones, and having no RNG
+    makes the whole pipeline deterministic and engine-portable — full
+    DuckDB oracle, like q50's md5-base MinHash). Bits group into
+    ``n_bands`` bands of ``band_bits``; two vectors are candidates iff
+    they agree on EVERY bit of at least one band. Candidates come from
+    an equi self-join on ``(band, bucket)`` — shuffle is linear in
+    rows×bands, never O(n²) — and the exact cosine verify runs only on
+    bucket collisions. Near-dup recall rises steeply with cosine: at
+    the 0.95-style thresholds dedup uses, disagreeing on all ``n_bands``
+    bands requires many sign flips at once. Requires ``n_bands *
+    band_bits <= dim``.
+    """
+    dims = n_bands * band_bits
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = df.select(F.col(id_col).alias("id"), v.alias("v"))
+    bits = F.transform(
+        F.slice(F.col("v"), 1, dims),
+        lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    banded = (
+        n.withColumn("__bits", bits)
+        .select(
+            "id",
+            "v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "",
+                                F.slice(
+                                    F.col("__bits"),
+                                    b * band_bits + 1,
+                                    band_bits,
+                                ),
+                            ).alias("bucket"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("id", "v", "bb.band", "bb.bucket")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        # multi-band collisions dedupe in the same aggregate that carries
+        # the vectors forward (all values per pair are identical)
+        .agg(F.first("l.v").alias("va"), F.first("r.v").alias("vb"))
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+    ).where(F.col("cosine_sim") >= threshold)
+
+
 def kmeans_assign(
     df: DataFrame,
     id_col: str = "vec_id",

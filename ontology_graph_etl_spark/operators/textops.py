@@ -124,8 +124,12 @@ def tfidf_top_terms(
     shuffle-free pass), df from one groupBy on token, idf broadcast back
     onto the term rows. ln-based idf: ln(N / df). Deterministic
     tie-break on term so the driver's hash check is stable.
+
+    N (total docs) rides along as a broadcast 1-row aggregate instead of
+    a separate ``df.count()`` action — one job, and the corpus scan is
+    never repeated for a scalar.
     """
-    n_docs = df.count()
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
     # terms feeds BOTH the df aggregation and the scored join — without
     # the checkpoint each branch re-runs tokenize+explode+groupBy
     terms = (
@@ -139,8 +143,13 @@ def tfidf_top_terms(
     doc_freq = terms.groupBy("token").agg(
         F.count(F.lit(1)).alias("df")
     )
-    scored = terms.join(F.broadcast(doc_freq), "token").withColumn(
-        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    scored = (
+        terms.join(F.broadcast(doc_freq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 6),
+        )
     )
     w = Window.partitionBy("doc").orderBy(
         F.col("tfidf").desc(), F.col("token").asc()
@@ -348,4 +357,155 @@ def pii_redact(
         red = F.regexp_replace(red, pattern, f"[{label}]")
     return df.withColumn("n_redactions", n_hits.cast("int")).withColumn(
         out_col, red
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    paragraphs=None,
+    joiner: str = " ",
+) -> DataFrame:
+    """Exact paragraph-level dedup (the C4/RefinedWeb within-corpus
+    pass): a paragraph instance survives only if it is the FIRST
+    occurrence of that exact paragraph in the whole corpus, ordered by
+    ``(doc, position)``; each doc is reassembled from its surviving
+    paragraphs in original order. Output per doc: ``n_paras``,
+    ``n_kept``, ``text_clean`` (docs whose every paragraph was seen
+    earlier come back empty, ready for a length filter).
+
+    ``paragraphs`` is a Column producing ``array<string>`` — defaults to
+    splitting on blank lines; pass a custom chunker for corpora without
+    paragraph structure. Empty/whitespace paragraphs are dropped before
+    dedup (they are formatting, not content).
+
+    Scale shape: posexplode → ONE shuffle partitioned by paragraph text
+    for the first-occurrence rank, then one groupBy(doc) to reassemble.
+    Boilerplate paragraphs repeated across a large fraction of the
+    corpus make the rank partition skewed — AQE's skew handling splits
+    the sort, and the rank never materializes pairs (unlike a self-join
+    formulation, which would square the boilerplate count).
+    """
+    if paragraphs is None:
+        paragraphs = F.split(F.col(text_col), r"\n{2,}")
+    paras = (
+        df.select(F.col(id_col), F.posexplode(paragraphs).alias("idx", "para"))
+        .where(F.trim(F.col("para")) != "")
+    )
+    w = Window.partitionBy("para").orderBy(F.col(id_col).asc(), F.col("idx").asc())
+    kept = paras.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"],
+            ),
+            joiner,
+        ).alias("text_clean"),
+    )
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def token_chunks(text_col, chunk_tokens: int):
+    """Fixed-size token windows as paragraph proxies for corpora without
+    paragraph structure (the testdata documents are single-line): chunk
+    ``i`` is tokens ``[i*n, (i+1)*n)`` rejoined with spaces."""
+    toks = whitespace_tokens(text_col, lowercase=False)
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    # sequence(0, -1) would count DOWN — guard the empty-document case
+    return F.when(n_chunks > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+#: Gopher-rule bounds (Rae et al. 2021 §A1.1, the standard web-scale
+#: quality gate): tuned for English web text; every bound is a column so
+#: downstream can re-cut without recomputing the metrics.
+GOPHER_BOUNDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "max_bullet_line_frac": 0.9,
+    "min_stopword_hits": 2,
+}
+
+
+def gopher_quality_filters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style document quality metrics + pass/fail flags: word
+    count bounds, mean word length bounds, symbol-to-word ratio (# and
+    ellipsis), bullet-line fraction, and a stopword floor. Pure
+    JVM expressions — runs at scan speed, zero shuffles, and composes
+    with ``quality_score`` (heuristic ratios) as the standard pre-train
+    cleaning gate."""
+    b = GOPHER_BOUNDS
+    toks = whitespace_tokens(F.col(text_col), lowercase=False)
+    lines = F.split(F.col(text_col), r"\n")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_word_len = F.when(
+        n_words > 0, F.round(sum_len / n_words, 6)
+    ).otherwise(F.lit(0.0))
+    n_hash = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"#", ""))
+    )
+    n_ellipsis = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = F.when(
+        n_words > 0, F.round((n_hash + n_ellipsis) / n_words, 6)
+    ).otherwise(F.lit(0.0))
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.rlike(r"^\s*([-*•])\s"),
+        )
+    )
+    bullet_frac = F.round(bullet_lines / F.greatest(F.size(lines), F.lit(1)), 6)
+    stop_hits = F.size(
+        F.filter(
+            toks,
+            lambda t: F.lower(t).isin(*EN_STOPWORDS),
+        )
+    )
+    passes = (
+        n_words.between(b["min_words"], b["max_words"])
+        & mean_word_len.between(b["min_mean_word_len"], b["max_mean_word_len"])
+        & (symbol_ratio <= b["max_symbol_ratio"])
+        & (bullet_frac <= b["max_bullet_line_frac"])
+        & (stop_hits >= b["min_stopword_hits"])
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.cast("double").alias("mean_word_len"),
+        symbol_ratio.cast("double").alias("symbol_ratio"),
+        bullet_frac.cast("double").alias("bullet_line_frac"),
+        stop_hits.cast("long").alias("n_stopword_hits"),
+        passes.alias("passes_gopher"),
     )

@@ -14,7 +14,7 @@ tested in tests/test_pipelines.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .functions import sanitize_value
@@ -170,3 +170,85 @@ def graph_summary(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         F.col("relationship").alias("key"), "cnt"
     ).withColumn("kind", F.lit("relationship"))
     return n.unionByName(e).select("kind", "key", "cnt")
+
+
+def curate_pretraining_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_dup_threshold: float = 0.5,
+    train_frac: float = 0.8,
+    valid_frac: float = 0.1,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """One-call training-data curation — the composition the individual
+    §2.11 operators exist for:
+
+    1. Gopher quality gate (``gopher_quality_filters``) — drop reasons
+       ride along as columns.
+    2. Exact dedup, first-wins by min id over identical text.
+    3. MinHash-LSH near-dup clustering over the surviving docs
+       (``lsh_dedup_clusters`` — banded, never O(n²)).
+    4. One representative per cluster: highest ``quality_score``, min-id
+       tie-break (``cluster_representatives``).
+    5. Deterministic md5-threshold train/valid/test split — stable
+       across runs, engines, and partitionings.
+
+    Returns EVERY input doc annotated with the full decision trail
+    (quality metrics + flags, ``exact_keep``, ``cluster``, ``near_keep``,
+    ``split``, and the final ``keep``), so the clean corpus is one
+    filter and every drop is auditable. The whole thing is lazy; at
+    100 TB the costs are the LSH band shuffle and the exact-dedup text
+    shuffle — everything else is scan-speed expressions and broadcast
+    joins.
+    """
+    from .operators.dedup import cluster_representatives, lsh_dedup_clusters
+    from .operators.textops import gopher_quality_filters, quality_score
+
+    gq = gopher_quality_filters(docs, id_col, text_col)
+    quality = quality_score(docs.select(id_col, text_col), text_col).select(
+        id_col, "quality_score"
+    )
+    w_text = Window.partitionBy(text_col).orderBy(F.col(id_col).asc())
+    exact = (
+        docs.select(id_col, text_col)
+        .withColumn("__rn", F.row_number().over(w_text))
+        .select(id_col, (F.col("__rn") == 1).alias("exact_keep"))
+    )
+    survivors = (
+        docs.join(gq.select(id_col, "passes_gopher"), id_col)
+        .join(exact, id_col)
+        .where(F.col("passes_gopher") & F.col("exact_keep"))
+        .select(id_col, text_col)
+    )
+    clusters = lsh_dedup_clusters(
+        survivors,
+        id_col,
+        text_col,
+        verify_threshold=near_dup_threshold,
+        base_hash=base_hash,
+    )
+    reps = cluster_representatives(
+        clusters, quality, id_col, "quality_score"
+    ).select(id_col, "cluster", F.col("keep").alias("near_keep"))
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long") / F.lit(float(1 << 32))
+    split = (
+        F.when(h < train_frac, "train")
+        .when(h < train_frac + valid_frac, "valid")
+        .otherwise("test")
+    )
+    return (
+        docs.join(gq, id_col)
+        .join(exact, id_col)
+        .join(quality, id_col)
+        .join(reps, id_col, "left")
+        .withColumn("split", split)
+        .withColumn(
+            "keep",
+            F.col("passes_gopher")
+            & F.col("exact_keep")
+            & F.coalesce(F.col("near_keep"), F.lit(False)),
+        )
+    )

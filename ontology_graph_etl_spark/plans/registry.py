@@ -1230,6 +1230,305 @@ WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.3
 """
 
 
+def _q82_lsh_neardup(spark, sf_dir):
+    # sign-bucket LSH near-dup — the bucketed production path whose
+    # all-pairs twin is q62; same 0.3 threshold (see q62 note), so the
+    # result is q62's pairs restricted to band collisions. No RNG →
+    # the whole bucket→verify pipeline re-derives in DuckDB.
+    return similarity.embedding_near_duplicates_lsh(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.3,
+        n_bands=8,
+        band_bits=8,
+    )
+
+
+# Cosine spelled as explicit dot/norm folds with the 1e-12 zero-norm
+# clamp so the arithmetic mirrors operators/similarity.py::cosine
+# exactly (q76 precedent).
+_q82_sql = r"""
+WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+bits AS (
+  SELECT id, e,
+         list_transform(e[1:64],
+                        x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END) AS b
+  FROM v
+),
+bands AS (
+  SELECT id, e, band,
+         array_to_string(b[band * 8 + 1 : band * 8 + 8], '') AS bucket
+  FROM bits CROSS JOIN (SELECT unnest(range(8)) AS band) g
+),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         any_value(a.e) AS ea, any_value(b.e) AS eb
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.id < b.id
+  GROUP BY a.id, b.id
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(
+           list_sum(list_transform(list_zip(ea, eb), x -> x[1] * x[2]))
+           / (greatest(sqrt(list_sum(list_transform(ea, x -> x * x))),
+                       1e-12)
+              * greatest(sqrt(list_sum(list_transform(eb, x -> x * x))),
+                         1e-12)),
+           6) AS cosine_sim
+  FROM cand
+)
+SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.3
+"""
+
+
+_Q83_CHUNK = 10
+
+
+def _q83_paragraph_dedup(spark, sf_dir):
+    # exact paragraph-level corpus dedup (C4/RefinedWeb pass): the
+    # testdata documents are single-line, so fixed 10-token chunks
+    # stand in for paragraphs (textops.token_chunks) — the dedup
+    # machinery (global first-occurrence rank + reassembly) is the
+    # production operator either way.
+    docs = _t(spark, sf_dir, "documents")
+    return textops.paragraph_dedup(
+        docs,
+        "doc_id",
+        "text",
+        paragraphs=textops.token_chunks(F.col("text"), _Q83_CHUNK),
+    )
+
+
+_q83_sql = rf"""
+WITH split AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         list_transform(
+           range(CAST(ceil(len(l) / {_Q83_CHUNK}.0) AS INTEGER)),
+           i -> array_to_string(
+             l[i * {_Q83_CHUNK} + 1 : i * {_Q83_CHUNK} + {_Q83_CHUNK}], ' '))
+           AS cl
+  FROM split
+),
+paras0 AS (
+  SELECT doc_id,
+         unnest(range(1, len(cl) + 1)) AS idx1,
+         unnest(cl) AS para
+  FROM chunks
+),
+paras AS (SELECT doc_id, idx1, para FROM paras0 WHERE trim(para) <> ''),
+kept AS (
+  SELECT doc_id, idx1, para FROM (
+    SELECT doc_id, idx1, para,
+           row_number() OVER (PARTITION BY para
+                              ORDER BY doc_id, idx1) AS rn
+    FROM paras) t WHERE rn = 1
+),
+tot AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(para, ' ' ORDER BY idx1) AS text_clean
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(t.n_paras, 0) AS BIGINT) AS n_paras,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(a.text_clean, '') AS text_clean
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _q84_gopher_quality(spark, sf_dir):
+    # Gopher-rule quality gate (word bounds, mean word length, symbol
+    # ratio, bullet lines, stopword floor) — scan-speed expressions.
+    return textops.gopher_quality_filters(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+_q84_sql = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l,
+         regexp_split_to_array(text, '\n') AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(l) AS BIGINT) AS n_words,
+         CASE WHEN len(l) > 0
+              THEN round(list_sum(list_transform(l, x -> length(x)))
+                         / len(l), 6)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(l) > 0
+              THEN round(
+                ((length(text) - length(replace(text, '#', '')))
+                 + (length(text) - length(replace(text, '...', ''))) / 3)
+                / len(l), 6)
+              ELSE 0.0 END AS symbol_ratio,
+         round(len(list_filter(lines,
+                               ln -> regexp_matches(ln, '^\s*([-*•])\s')))
+               / greatest(len(lines), 1), 6) AS bullet_line_frac,
+         CAST(len(list_filter(l, t -> list_contains(
+           ['the','a','an','and','or','of','to','in','is','it',
+            'that','for','on','with','as','at','by','be','this','are'],
+           lower(t)))) AS BIGINT) AS n_stopword_hits
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+       n_stopword_hits,
+       (n_words BETWEEN 50 AND 100000)
+       AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       AND (symbol_ratio <= 0.1)
+       AND (bullet_line_frac <= 0.9)
+       AND (n_stopword_hits >= 2) AS passes_gopher
+FROM m
+"""
+
+
+def _q85_curate(spark, sf_dir):
+    # the one-call curation composition (pipelines.py): Gopher gate →
+    # exact dedup → LSH near-dup clusters → best-quality representative
+    # → deterministic split. md5 base hash so the ENTIRE pipeline —
+    # every gate metric, the cluster recursion, the rep choice, the
+    # split — is re-derived value-for-value by one DuckDB query.
+    from .. import pipelines
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = pipelines.curate_pretraining_corpus(docs, base_hash="md5")
+    return out.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_line_frac",
+        "n_stopword_hits",
+        "passes_gopher",
+        "exact_keep",
+        "quality_score",
+        "cluster",
+        "near_keep",
+        "split",
+        "keep",
+    )
+
+
+def _q85_sql() -> str:
+    return rf"""
+WITH RECURSIVE gq_base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l,
+         regexp_split_to_array(text, '\n') AS lines
+  FROM documents
+),
+gq AS (
+  SELECT doc_id,
+         CAST(len(l) AS BIGINT) AS n_words,
+         CASE WHEN len(l) > 0
+              THEN round(list_sum(list_transform(l, x -> length(x)))
+                         / len(l), 6)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(l) > 0
+              THEN round(
+                ((length(text) - length(replace(text, '#', '')))
+                 + (length(text) - length(replace(text, '...', ''))) / 3)
+                / len(l), 6)
+              ELSE 0.0 END AS symbol_ratio,
+         round(len(list_filter(lines,
+                               ln -> regexp_matches(ln, '^\s*([-*•])\s')))
+               / greatest(len(lines), 1), 6) AS bullet_line_frac,
+         CAST(len(list_filter(l, t -> list_contains(
+           [{_STOPWORD_SQL_LIST}], lower(t)))) AS BIGINT)
+           AS n_stopword_hits
+  FROM gq_base
+),
+gate AS (
+  SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+         n_stopword_hits,
+         (n_words BETWEEN 50 AND 100000)
+         AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         AND (symbol_ratio <= 0.1)
+         AND (bullet_line_frac <= 0.9)
+         AND (n_stopword_hits >= 2) AS passes_gopher
+  FROM gq
+),
+exact AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+           AS exact_keep
+  FROM documents
+),
+q_t AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS toks,
+         length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct
+  FROM documents
+),
+quality AS (
+  SELECT doc_id,
+         ROUND(0.4 * least(len(toks) / 50.0, 1.0)
+               + 0.3 * (CASE WHEN len(toks) > 0
+                             THEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                                  / len(toks)
+                             ELSE 0.0 END)
+               + 0.2 * least((CASE WHEN len(toks) > 0
+                                   THEN CAST(len(list_filter(toks,
+                                     x -> x IN ({_STOPWORD_SQL_LIST})))
+                                     AS DOUBLE) / len(toks)
+                                   ELSE 0.0 END) * 10, 1.0)
+               + 0.1 * (1 - least((CASE WHEN n_chars > 0
+                                        THEN CAST(punct AS DOUBLE) / n_chars
+                                        ELSE 0.0 END) * 5, 1.0)),
+               6) AS quality_score
+  FROM q_t
+),
+survivors AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN gate USING (doc_id)
+  JOIN exact USING (doc_id)
+  WHERE gate.passes_gopher AND exact.exact_keep
+),
+{_lsh_cluster_ctes("survivors")},
+reps AS (
+  SELECT c.doc_id, c.cluster,
+         row_number() OVER (PARTITION BY c.cluster
+                            ORDER BY q.quality_score DESC,
+                                     c.doc_id ASC) = 1 AS near_keep
+  FROM clusters c JOIN quality q USING (doc_id)
+)
+SELECT d.doc_id,
+       g.n_words, g.mean_word_len, g.symbol_ratio, g.bullet_line_frac,
+       g.n_stopword_hits, g.passes_gopher,
+       e.exact_keep,
+       q.quality_score,
+       r.cluster, r.near_keep,
+       CASE WHEN CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),
+                                         1, 8)) AS BIGINT)
+                 / 4294967296.0 < 0.8 THEN 'train'
+            WHEN CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),
+                                         1, 8)) AS BIGINT)
+                 / 4294967296.0 < 0.9 THEN 'valid'
+            ELSE 'test' END AS split,
+       g.passes_gopher AND e.exact_keep
+         AND coalesce(r.near_keep, FALSE) AS keep
+FROM documents d
+JOIN gate g USING (doc_id)
+JOIN exact e USING (doc_id)
+JOIN quality q USING (doc_id)
+LEFT JOIN reps r USING (doc_id)
+"""
+
+
 def _q80_binary_meta(spark, sf_dir):
     # multimodal plumbing: opaque binary payload → JVM-side metadata
     docs = _t(spark, sf_dir, "documents").withColumn(
@@ -1376,8 +1675,10 @@ def _q81_media_features(spark, sf_dir):
     # multimodal decode plumbing: binary payloads + typed metadata
     # through the mapInPandas feature extractor with the deterministic
     # fake decoder (media codecs are stubbed — SURVEY.md §2.11 /
-    # sources/multimodal.py). Content-derived pseudo-features aren't
-    # SQL-expressible (sha256 over BLOB bytes) → rows-only check.
+    # sources/multimodal.py). The fake features are sha256 arithmetic
+    # over the payload bytes; payloads here are UTF-8 text, so DuckDB's
+    # sha256(VARCHAR) (which hashes the string's UTF-8 bytes) re-derives
+    # every feature — full oracle, nibble-by-nibble.
     from ..sources.multimodal import extract_features
 
     assets = _t(spark, sf_dir, "documents").select(
@@ -1398,6 +1699,44 @@ def _q81_media_features(spark, sf_dir):
         "duration_s",
         F.round(F.element_at("feature_vec", 1), 6).alias("feat0"),
     )
+
+
+# digest byte n = hex chars (2n+1, 2n+2); a nibble decodes via strpos
+# into '0123456789abcdef'. Same HALF_UP rounding on identical doubles.
+def _hexbyte(n: int) -> str:
+    return (
+        f"(strpos('0123456789abcdef', substr(d, {2 * n + 1}, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr(d, {2 * n + 2}, 1)) - 1"
+    )
+
+
+_q81_sql = rf"""
+WITH base AS (
+  SELECT doc_id AS asset_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1]
+           AS media_type,
+         CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
+         sha256(coalesce(text, '')) AS d
+  FROM documents
+),
+bytes AS (
+  SELECT *,
+         {_hexbyte(8)} AS byte8,
+         {_hexbyte(9)} AS byte9,
+         {_hexbyte(10)} AS byte10,
+         {_hexbyte(0)} AS byte0
+  FROM base
+)
+SELECT asset_id, media_type, n_bytes,
+       CASE WHEN media_type = 'image'
+            THEN CAST(64 + byte8 % 192 AS INTEGER) END AS width,
+       CASE WHEN media_type = 'image'
+            THEN CAST(64 + byte9 % 192 AS INTEGER) END AS height,
+       CASE WHEN media_type IN ('audio', 'video')
+            THEN round(byte10 / 8.0, 3) END AS duration_s,
+       round(byte0 / 255.0, 6) AS feat0
+FROM bytes
+"""
 
 
 def _q28_interval_join(spark, sf_dir):
@@ -1790,20 +2129,23 @@ def _q67_lsh_dedup_clusters(spark, sf_dir):
     )
 
 
-def _q67_oracle_sql() -> str:
-    """DuckDB twin of the full LSH dedup-clustering pipeline."""
+def _lsh_cluster_ctes(source: str = "documents") -> str:
+    """The q67 LSH dedup-clustering pipeline as a reusable CTE chain
+    ending in ``clusters(doc_id, cluster)`` — parameterized on the doc
+    source so compositions (q85 curation) can run it over a filtered
+    CTE. Must be spliced after a ``WITH RECURSIVE`` (``reach`` is
+    recursive)."""
     p = 2147483647
     perms = ",\n    ".join(
         f"({k}, {a}::BIGINT, {b}::BIGINT)"
         for k, (a, b) in enumerate(dedup._permutation_constants(64))
     )
-    return f"""
-WITH RECURSIVE grams AS (
+    return f"""grams AS (
   -- shingle_n=1: the distinct token set
   SELECT DISTINCT doc_id,
          unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                             x -> x <> '')) AS tok
-  FROM documents
+  FROM {source}
 ),
 hashes AS (
   SELECT doc_id, tok,
@@ -1857,13 +2199,23 @@ reach(node, r) AS (
   UNION
   SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
 ),
-comp AS (SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node)
-SELECT doc_id, cluster FROM comp
-UNION ALL
-SELECT d.doc_id, d.doc_id AS cluster
-FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
-WHERE c.doc_id IS NULL
-"""
+comp AS (SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node),
+clusters AS (
+  SELECT doc_id, cluster FROM comp
+  UNION ALL
+  SELECT d.doc_id, d.doc_id AS cluster
+  FROM {source} d LEFT JOIN comp c ON c.doc_id = d.doc_id
+  WHERE c.doc_id IS NULL
+)"""
+
+
+def _q67_oracle_sql() -> str:
+    """DuckDB twin of the full LSH dedup-clustering pipeline."""
+    return (
+        "WITH RECURSIVE "
+        + _lsh_cluster_ctes("documents")
+        + "\nSELECT doc_id, cluster FROM clusters"
+    )
 
 
 def _q38_triangle_count(spark, sf_dir):
@@ -2374,6 +2726,11 @@ WHERE d.doc_id % 10 = 0
 # The tail holds the simplest single-table queries, all of which already
 # hold green rows in CORRECTNESS_r01.json.
 QUERIES: list[QueryDef] = [
+    # --- round 3 new operators (no driver row yet) ---
+    QueryDef("q82_lsh_neardup", _q82_lsh_neardup, _q82_sql, "§2.11"),
+    QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
+    QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
+    QueryDef("q85_curate", _q85_curate, _q85_sql(), "§2.11"),
     # --- no driver correctness row as of round 1 ---
     QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
     QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),
@@ -2417,7 +2774,7 @@ QUERIES: list[QueryDef] = [
         _q78_oracle_sql(),
         "§2.11",
     ),
-    QueryDef("q81_media_features", _q81_media_features, None, "multimodal"),
+    QueryDef("q81_media_features", _q81_media_features, _q81_sql, "multimodal"),
     # --- high-value re-certifications (modules touched this round) ---
     QueryDef(
         "q35_connected_components", _q35_connected_components, _q35_sql, "G5"

@@ -32,9 +32,11 @@ def _canon(value):
 
 def _frame_key(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
-    return sorted(
-        tuple(_canon(row[i]) for i in order) for row in rows
-    )
+    canon_rows = [tuple(_canon(row[i]) for i in order) for row in rows]
+    # a None/int mix within one column breaks plain tuple sort; repr is
+    # a total, deterministic order over canonical cells (the driver's
+    # pandas sort handles NULLs natively — this mirrors its tolerance)
+    return sorted(canon_rows, key=repr)
 
 
 ORACLE_QUERIES = [q for q in QUERIES if q.oracle is not None]

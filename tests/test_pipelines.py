@@ -173,3 +173,51 @@ def test_pipeline_through_graph_store_roundtrip(spark, ont, tmp_path):
         == treats.select("src", "dst").distinct().count()
     )
     assert set(hop.columns) == {"src", "src_name", "relationship", "dst", "dst_name"}
+
+
+def test_curate_pretraining_corpus_end_to_end(spark, sf_dir):
+    """The one-call curation composition: every doc comes back exactly
+    once with a full decision trail; the kept corpus has no exact dups,
+    at most one doc per near-dup cluster, and a deterministic split."""
+    import os
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.pipelines import curate_pretraining_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = curate_pretraining_corpus(docs).cache()
+    try:
+        rows = out.collect()
+        n_docs = docs.count()
+        assert len(rows) == n_docs
+        assert len({r.doc_id for r in rows}) == n_docs
+
+        by_id = {r.doc_id: r for r in rows}
+        texts = {r.doc_id: r.text for r in docs.collect()}
+        # exact dedup: identical text -> only the min id has exact_keep
+        first_seen = {}
+        for did in sorted(texts):
+            first_seen.setdefault(texts[did], did)
+        for did, r in by_id.items():
+            assert r.exact_keep == (first_seen[texts[did]] == did), did
+
+        kept = [r for r in rows if r.keep]
+        assert 0 < len(kept) < n_docs
+        kept_texts = [texts[r.doc_id] for r in kept]
+        assert len(set(kept_texts)) == len(kept_texts)  # no exact dups
+        clusters = [r.cluster for r in kept]
+        assert len(set(clusters)) == len(clusters)  # one rep per cluster
+        # kept docs passed the quality gate
+        assert all(r.passes_gopher for r in kept)
+        # split is total, deterministic, and ~80/10/10
+        assert {r.split for r in rows} <= {"train", "valid", "test"}
+        frac_train = sum(r.split == "train" for r in rows) / len(rows)
+        assert 0.6 < frac_train < 0.95
+
+        again = {
+            (r.doc_id, r.keep, r.split, r.cluster)
+            for r in curate_pretraining_corpus(docs).collect()
+        }
+        assert again == {(r.doc_id, r.keep, r.split, r.cluster) for r in rows}
+    finally:
+        out.unpersist()

@@ -941,3 +941,89 @@ def test_incremental_screen_exact_dups_flagged_and_precise(spark, data):
         a, b = sh(dict(incoming)[iid]), sh(dict(existing)[eid])
         want = len(a & b) / len(a | b)
         assert abs(j - want) < 1e-9 and want >= 0.5, (iid, eid)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["alpha beta", "gamma delta", "eps zeta",
+                                  "beta gamma", "  ", "solo"]),
+                 min_size=0, max_size=5),
+        min_size=1, max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_paragraph_dedup_matches_reference(spark, docs):
+    """Global first-occurrence paragraph dedup: a paragraph instance
+    survives iff no identical paragraph precedes it in (doc, idx)
+    order; docs reassemble from survivors in position order."""
+    from ontology_graph_etl_spark.operators.textops import paragraph_dedup
+
+    rows = [(i, "\n\n".join(paras)) for i, paras in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        r.doc_id: (r.n_paras, r.n_kept, r.text_clean)
+        for r in paragraph_dedup(df, "doc_id", "text").collect()
+    }
+    seen: set[str] = set()
+    for i, paras in enumerate(docs):
+        # split of the joined text, like the operator's default splitter
+        split = "\n\n".join(paras).split("\n\n")
+        nonempty = [p for p in split if p.strip() != ""]
+        kept = []
+        for p in nonempty:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        assert got[i] == (len(nonempty), len(kept), " ".join(kept)), i
+    assert len(got) == len(docs)
+
+
+def test_gopher_filters_flag_crafted_docs(spark):
+    from ontology_graph_etl_spark.operators.textops import (
+        gopher_quality_filters,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog and it is fine " * 5
+    short = "too short"
+    symbols = "the " + "# " * 80 + "of it is that " * 10
+    bullets = "- item one\n- item two\n- item three"
+    df = spark.createDataFrame(
+        [(0, good), (1, short), (2, symbols), (3, bullets)],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r for r in gopher_quality_filters(df).collect()}
+    assert got[0].passes_gopher
+    assert not got[1].passes_gopher          # word floor
+    assert not got[2].passes_gopher          # symbol ratio
+    assert got[2].symbol_ratio > 0.1
+    assert got[3].bullet_line_frac == 1.0    # every line is a bullet
+    assert not got[3].passes_gopher
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1, max_size=20, unique=True,
+    )
+)
+@SETTINGS
+def test_triangle_orientations_agree_with_python(spark, edges):
+    """id- and degree-orientation count the same triangles (any acyclic
+    orientation closes each triangle exactly once), and both match the
+    brute-force python count."""
+    from itertools import combinations
+
+    from ontology_graph_etl_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    by_id = triangle_count(df).collect()[0]["n_triangles"]
+    by_deg = triangle_count(df, orient="degree").collect()[0]["n_triangles"]
+    und = {frozenset(e) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    want = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= und
+    )
+    assert by_id == want
+    assert by_deg == want
