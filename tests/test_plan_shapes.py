@@ -131,3 +131,27 @@ def test_kmeans_broadcast_plan_constant_in_k(spark, sf_dir):
     # the broadcast plan carries no per-row centroid literals; the
     # literal plan at k=64 embeds the whole matrix per row expression
     assert len(plan) < len(lit_plan) / 4
+
+
+def test_lsh_neardup_is_equi_join(spark, sf_dir):
+    """q82's candidate generation must be the (band, bucket) EQUI
+    self-join — never a nested-loop/cartesian pair enumeration."""
+    plan = _plan(spark, sf_dir, "q82_lsh_neardup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_paragraph_dedup_single_rank_shuffle(spark, sf_dir):
+    """q83's first-occurrence rank must be one window over the paragraph
+    partition — no self-join on paragraph text (which would square the
+    boilerplate count)."""
+    plan = _plan(spark, sf_dir, "q83_paragraph_dedup")
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gopher_gate_no_exchange(spark, sf_dir):
+    """q84 is scan-speed expressions only — no shuffle anywhere."""
+    plan = _plan(spark, sf_dir, "q84_gopher_quality")
+    assert "Exchange" not in plan

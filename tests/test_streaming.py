@@ -201,3 +201,70 @@ def test_stream_stream_join_batch_equivalence(
     assert batch.count() > 0
     assert batch.exceptAll(streamed).count() == 0
     assert streamed.exceptAll(batch).count() == 0
+
+
+def test_streaming_ingest_dedup_foreachbatch(spark, sf_dir, tmp_path):
+    """Continuous-ingest near-dup screening as a stream: documents
+    arrive as micro-batch files; each batch is screened against the
+    existing corpus via incremental_near_duplicates inside
+    foreachBatch. The union of per-batch verdicts equals the one-shot
+    batch screen of the same docs — the streaming path is the batch
+    operator applied per micro-batch, no separate code path to drift."""
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators.dedup import (
+        incremental_near_duplicates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 3 != 0).cache()
+    incoming = docs.where(F.col("doc_id") % 3 == 0).cache()
+    try:
+        want = {
+            (r.incoming_id, r.existing_id)
+            for r in incremental_near_duplicates(
+                corpus, incoming, "doc_id", "text", threshold=0.5
+            ).collect()
+        }
+
+        in_dir = tmp_path / "incoming"
+        in_dir.mkdir()
+        # two micro-batch FILES (not Spark output dirs — the file stream
+        # source lists plain files) so foreachBatch fires more than once
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for i in range(2):
+            pdf = (
+                incoming.where(F.col("doc_id") % 2 == i)
+                .toPandas()
+            )
+            pq.write_table(
+                pa.Table.from_pandas(pdf), str(in_dir / f"b{i}.parquet")
+            )
+        got: set = set()
+
+        def screen(batch_df, batch_id):
+            got.update(
+                (r.incoming_id, r.existing_id)
+                for r in incremental_near_duplicates(
+                    corpus, batch_df, "doc_id", "text", threshold=0.5
+                ).collect()
+            )
+
+        stream = (
+            spark.readStream.schema(incoming.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        q = (
+            stream.writeStream.foreachBatch(screen)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert got == want
+        assert len(want) > 0
+    finally:
+        corpus.unpersist()
+        incoming.unpersist()
