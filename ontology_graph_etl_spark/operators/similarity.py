@@ -398,6 +398,93 @@ def kmeans_assign(
     )
 
 
+def ivf_topk_deterministic(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_lists: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate cosine top-k with a fully deterministic index —
+    the hash-checkable twin of :func:`ivf_topk` (whose ml-lib k-means
+    training is seed- and partitioning-dependent → rows-only check).
+
+    The coarse quantizer is :func:`kmeans_assign`'s md5-seeded E-step:
+    centroids are the ``num_lists`` corpus vectors with smallest
+    ``(md5(id), id)``, lists are the rounded-argmax assignment. No Lloyd
+    iterations — seed centroids partition the space just as validly for
+    an inverted-file index (recall is tested against brute force), and
+    every stage re-derives bit-for-bit in any engine. Search: rank
+    centroids per query by the same rounded cosine, take ``nprobe``,
+    rescore exactly inside those lists, top-k by (sim desc, id asc) —
+    self-matches excluded.
+
+    Scale shape identical to :func:`ivf_topk`: per-query candidate work
+    ~|corpus|·nprobe/num_lists, probe is an equi-join on ``list_id``.
+    """
+    spark = corpus.sparkSession
+    seeds = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__o", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__o", id_col)
+        .limit(num_lists)
+        .collect()
+    )
+    ctr = F.broadcast(
+        spark.createDataFrame(
+            [
+                (i, [float(x) for x in r[vec_col]])
+                for i, r in enumerate(seeds)
+            ],
+            "list_id int, centroid array<double>",
+        )
+    )
+    assigned = (
+        kmeans_assign(corpus, id_col, vec_col, k=num_lists)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("centroid_id").alias("list_id"),
+        )
+        .join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_raw"),
+            ),
+            "neighbor_id",
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_raw")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), F.col("list_id").asc()
+    )
+    probed = (
+        q.crossJoin(ctr)
+        .withColumn(
+            "__csim", F.round(cosine(F.col("q_raw"), F.col("centroid")), 6)
+        )
+        .withColumn("__r", F.row_number().over(w_probe))
+        .where(F.col("__r") <= nprobe)
+        .select("query_id", "q_raw", "list_id")
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        probed.join(assigned, "list_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("q_raw"), F.col("c_raw")), 6)
+        )
+        .withColumn("rank", F.row_number().over(w_k))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     vec_col: str,

@@ -1213,6 +1213,83 @@ def _q63_ivf_topk(spark, sf_dir):
     )
 
 
+def _cos_fold_sql(a: str, b: str) -> str:
+    """Explicit dot/norm cosine fold with the 1e-12 zero-norm clamp,
+    rounded to 6 — mirrors operators/similarity.py::cosine exactly
+    (q76/q82 precedent)."""
+    return (
+        f"round(list_sum(list_transform(list_zip({a}, {b}),"
+        f" x -> x[1] * x[2]))"
+        f" / (greatest(sqrt(list_sum(list_transform({a}, x -> x * x))),"
+        f" 1e-12)"
+        f" * greatest(sqrt(list_sum(list_transform({b}, x -> x * x))),"
+        f" 1e-12)), 6)"
+    )
+
+
+_Q86 = {"num_lists": 8, "nprobe": 3, "k": 5}
+
+
+def _q86_ivf_det_topk(spark, sf_dir):
+    # deterministic IVF ANN: md5-seeded coarse quantizer + rounded
+    # argmax lists + nprobe probe — the hash-checked twin of q63's
+    # ml-lib IVF (same plan shape, engine-portable index).
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_deterministic(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=_Q86["k"], num_lists=_Q86["num_lists"], nprobe=_Q86["nprobe"],
+    )
+
+
+def _q86_sql() -> str:
+    cos_vs = _cos_fold_sql("v.e", "s.e")
+    cos_qs = _cos_fold_sql("q.qe", "s.e")
+    cos_qc = _cos_fold_sql("qe", "ce")
+    return f"""
+WITH seeds AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS e,
+         CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS INTEGER) - 1 AS cid
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_Q86["num_lists"]}
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+assign AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT v.vec_id, s.cid, {cos_vs} AS sim
+    FROM v CROSS JOIN seeds s) t
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid ASC) = 1
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+probe AS (
+  SELECT query_id, qe, cid AS list_id FROM (
+    SELECT q.query_id, q.qe, s.cid, {cos_qs} AS csim
+    FROM q CROSS JOIN seeds s) t
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY csim DESC, cid ASC)
+          <= {_Q86["nprobe"]}
+),
+cand AS (
+  SELECT p.query_id, p.qe, a.vec_id AS neighbor_id, v.e AS ce
+  FROM probe p
+  JOIN assign a ON a.list_id = p.list_id
+  JOIN v ON v.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine_sim
+FROM (
+  SELECT query_id, neighbor_id, {cos_qc} AS cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {cos_qc} DESC,
+                                     neighbor_id ASC) AS rank
+  FROM cand) t
+WHERE rank <= {_Q86["k"]}
+"""
+
+
 def _q62_embedding_neardup(spark, sf_dir):
     # threshold 0.3: the synthetic embeddings' pairwise cosine tops out
     # ~0.51, so a production-style 0.95 would be vacuously empty here
@@ -2731,6 +2808,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
     QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
     QueryDef("q85_curate", _q85_curate, _q85_sql(), "§2.11"),
+    QueryDef("q86_ivf_det_topk", _q86_ivf_det_topk, _q86_sql(), "§2.11"),
     # --- no driver correctness row as of round 1 ---
     QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
     QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),

@@ -155,3 +155,12 @@ def test_gopher_gate_no_exchange(spark, sf_dir):
     """q84 is scan-speed expressions only — no shuffle anywhere."""
     plan = _plan(spark, sf_dir, "q84_gopher_quality")
     assert "Exchange" not in plan
+
+
+def test_ivf_det_probe_is_hash_join(spark, sf_dir):
+    """q86's list probe must hash-join candidates on list_id (tiny probe
+    side broadcasts); the only nested-loop joins are the intentional
+    broadcast crosses against the num_lists-row centroid frame."""
+    plan = _plan(spark, sf_dir, "q86_ivf_det_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -101,3 +101,20 @@ def test_lsh_dedup_clusters_agree_with_exact(spark, sf_dir):
     if same:
         hit = sum(1 for a, b in same if approx[a] == approx[b])
         assert hit / len(same) >= 0.95, f"recall {hit}/{len(same)}"
+
+
+def test_ivf_det_topk_recall(emb, exact):
+    """The deterministic IVF twin must clear the same recall floor as
+    the ml-lib IVF — seed centroids partition the space well enough —
+    and, being deterministic, must be bit-stable across reruns."""
+    out = similarity.ivf_topk_deterministic(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, num_lists=8, nprobe=3,
+    )
+    rows = out.collect()
+    _check_approx(rows, exact, min_recall=0.3)
+    again = similarity.ivf_topk_deterministic(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, num_lists=8, nprobe=3,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
