@@ -293,6 +293,48 @@ def embedding_near_duplicates_lsh(
     ).where(F.col("cosine_sim") >= threshold)
 
 
+def semantic_dedup_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bands: int = 8,
+    band_bits: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup over embeddings: sign-bucket LSH
+    near-dup pairs (:func:`embedding_near_duplicates_lsh`) → connected
+    components → per-item ``(id, cluster, keep)``. ``cluster`` is the
+    component's minimum id (canonical label from
+    ``graph.connected_components``), so the representative choice
+    ``keep = (id == cluster)`` costs NO extra shuffle or window — the
+    min-id rep falls out of the component label itself. Items with no
+    near-dup form singleton clusters and are kept.
+
+    The text-side twin is ``dedup.lsh_dedup_clusters`` (MinHash over
+    shingles); this is the embedding-space version — the pair for
+    catching paraphrases and re-renders that share no surface text.
+    Scale shape: band equi-join + the contraction-based components —
+    both linear-ish, never O(n²).
+    """
+    from .graph import connected_components
+
+    pairs = embedding_near_duplicates_lsh(
+        df, id_col, vec_col, threshold, n_bands, band_bits
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster"))
+    )
+
+
 def kmeans_assign(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -509,3 +509,52 @@ def gopher_quality_filters(
         stop_hits.cast("long").alias("n_stopword_hits"),
         passes.alias("passes_gopher"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style LM quality proxy: mean per-token natural-log
+    probability of the document under the corpus's OWN unigram
+    distribution. Gibberish and boilerplate-stuffed docs score far from
+    the corpus mode; the standard cheap stand-in for a KenLM perplexity
+    filter when no external model ships with the engine.
+
+    Two-pass: one token-frequency aggregate (map-side partial, one
+    shuffle; vocabulary-sized result broadcast back), then scan-speed
+    scoring — ln(freq/total) averaged over the doc's tokens. No
+    smoothing needed: every scored token is in the corpus by
+    construction. Empty docs score NULL.
+    """
+    toks = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("__doc"),
+            F.explode(whitespace_tokens(F.col(text_col))).alias("token"),
+        )
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_n"))
+    total = freq.agg(F.sum("tok_n").alias("__total"))
+    scored = (
+        toks.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "__doc",
+            F.log(F.col("tok_n") / F.col("__total")).alias("__lp"),
+        )
+    )
+    per_doc = scored.groupBy("__doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+    )
+    return (
+        df.select(id_col)
+        .join(
+            per_doc.withColumnRenamed("__doc", id_col), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.col("mean_logprob"),
+        )
+    )

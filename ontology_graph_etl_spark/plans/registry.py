@@ -1324,9 +1324,9 @@ def _q82_lsh_neardup(spark, sf_dir):
 
 # Cosine spelled as explicit dot/norm folds with the 1e-12 zero-norm
 # clamp so the arithmetic mirrors operators/similarity.py::cosine
-# exactly (q76 precedent).
-_q82_sql = r"""
-WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+# exactly (q76 precedent). The chain ends in ``pairs(id_a, id_b,
+# cosine_sim)`` so compositions (q87 semantic dedup) can splice it.
+_sign_lsh_pair_ctes = r"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
            FROM embeddings),
 bits AS (
   SELECT id, e,
@@ -1356,9 +1356,47 @@ scored AS (
                          1e-12)),
            6) AS cosine_sim
   FROM cand
+),
+pairs AS (
+  SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.3
+)"""
+
+_q82_sql = (
+    "WITH " + _sign_lsh_pair_ctes + "\nSELECT id_a, id_b, cosine_sim FROM pairs"
 )
-SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.3
+
+
+def _q87_semantic_dedup(spark, sf_dir):
+    # SemDeDup-style: sign-LSH pair graph → connected components →
+    # min-id representative, all engine-portable (cluster IS the min
+    # label, so keep needs no extra pass). Text-side twin: q67.
+    return similarity.semantic_dedup_clusters(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.3, n_bands=8, band_bits=8,
+    )
+
+
+_q87_sql = (
+    "WITH RECURSIVE "
+    + _sign_lsh_pair_ctes
+    + r""",
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
+),
+comp AS (SELECT node AS vec_id, MIN(r) AS cluster FROM reach GROUP BY node)
+SELECT e.vec_id,
+       coalesce(c.cluster, e.vec_id) AS cluster,
+       e.vec_id = coalesce(c.cluster, e.vec_id) AS keep
+FROM embeddings e LEFT JOIN comp c USING (vec_id)
 """
+)
 
 
 _Q83_CHUNK = 10
@@ -1603,6 +1641,39 @@ JOIN gate g USING (doc_id)
 JOIN exact e USING (doc_id)
 JOIN quality q USING (doc_id)
 LEFT JOIN reps r USING (doc_id)
+"""
+
+
+def _q88_unigram_logprob(spark, sf_dir):
+    # CCNet-style LM quality proxy: mean ln p(token) under the corpus's
+    # own unigram distribution — the cheap stand-in for a KenLM
+    # perplexity filter (textops.unigram_logprob).
+    return textops.unigram_logprob(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+_q88_sql = r"""
+WITH toks AS (
+  SELECT doc_id AS d,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+freq AS (SELECT token, count(*) AS tok_n FROM toks GROUP BY token),
+total AS (SELECT CAST(sum(tok_n) AS BIGINT) AS t FROM freq),
+scored AS (
+  SELECT d, ln(CAST(tok_n AS DOUBLE) / t) AS lp
+  FROM toks JOIN freq USING (token) CROSS JOIN total
+),
+per_doc AS (
+  SELECT d, count(*) AS n_tokens, round(avg(lp), 6) AS mean_logprob
+  FROM scored GROUP BY d
+)
+SELECT doc.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       p.mean_logprob
+FROM documents doc LEFT JOIN per_doc p ON p.d = doc.doc_id
 """
 
 
@@ -2809,6 +2880,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
     QueryDef("q85_curate", _q85_curate, _q85_sql(), "§2.11"),
     QueryDef("q86_ivf_det_topk", _q86_ivf_det_topk, _q86_sql(), "§2.11"),
+    QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
+    QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
     # --- no driver correctness row as of round 1 ---
     QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
     QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),

@@ -1027,3 +1027,99 @@ def test_triangle_orientations_agree_with_python(spark, edges):
     )
     assert by_id == want
     assert by_deg == want
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(0, 500),
+            st.lists(
+                st.sampled_from([-1.0, -0.5, 0.5, 1.0]),
+                min_size=8, max_size=8,
+            ),
+        ),
+        min_size=2, max_size=14,
+        unique_by=lambda v: v[0],
+    )
+)
+@SETTINGS
+def test_semantic_dedup_matches_union_find(spark, vecs):
+    """cluster = min id reachable through the LSH-pair graph (python
+    union-find over the operator's own pair output), keep = (id ==
+    cluster), singletons kept."""
+    from ontology_graph_etl_spark.operators.similarity import (
+        embedding_near_duplicates_lsh,
+        semantic_dedup_clusters,
+    )
+
+    df = spark.createDataFrame(vecs, "vec_id: long, embedding: array<float>")
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates_lsh(
+            df, threshold=0.5, n_bands=2, band_bits=4
+        ).collect()
+    ]
+    got = {
+        r.vec_id: (r.cluster, r.keep)
+        for r in semantic_dedup_clusters(
+            df, threshold=0.5, n_bands=2, band_bits=4
+        ).collect()
+    }
+    parent = {v[0]: v[0] for v in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots: dict[int, int] = {}
+    for v, _ in vecs:
+        r = find(v)
+        roots[r] = min(roots.get(r, v), v)
+    for v, _ in vecs:
+        want_cluster = roots[find(v)]
+        assert got[v] == (want_cluster, v == want_cluster), v
+    assert len(got) == len(vecs)
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30),
+        min_size=1, max_size=8,
+    )
+)
+@SETTINGS
+def test_unigram_logprob_matches_counter(spark, docs):
+    """mean_logprob == mean of ln(corpus_count/corpus_total) over the
+    doc's tokens (Counter reference); empty docs -> (0, None)."""
+    import math
+    from collections import Counter
+
+    from ontology_graph_etl_spark.operators.textops import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id: long, text: string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_logprob)
+        for r in unigram_logprob(df).collect()
+    }
+    toks_per_doc = [
+        [t for t in d.lower().split() if t] for d in docs
+    ]
+    corpus = Counter(t for toks in toks_per_doc for t in toks)
+    total = sum(corpus.values())
+    for i, toks in enumerate(toks_per_doc):
+        if not toks:
+            assert got[i] == (0, None), i
+        else:
+            want = round(
+                sum(math.log(corpus[t] / total) for t in toks) / len(toks), 6
+            )
+            assert got[i][0] == len(toks)
+            assert abs(got[i][1] - want) < 2e-6, i
