@@ -244,6 +244,29 @@ def embedding_near_duplicates_lsh(
     bands requires many sign flips at once. Requires ``n_bands *
     band_bits <= dim``.
     """
+    n, banded = _sign_bands(df, id_col, vec_col, n_bands, band_bits)
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return _cosine_verify_pairs(cand, n, threshold)
+
+
+def _sign_bands(
+    df: DataFrame, id_col: str, vec_col: str, n_bands: int, band_bits: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared sign-bucket banding: returns ``(vectors(id, v), banded(id,
+    band, bucket))``. The banded frame is NARROW on purpose — only
+    (id, band, bucket) flows into downstream joins. A hot bucket
+    (duplicate-heavy corpora put every copy in the same bucket in EVERY
+    band) produces O(size²) join rows in the pair variant; at 16 bytes
+    each that is survivable where rows dragging two raw vectors (~1 KB
+    at dim=64) are not — measured 20 s → 17 s at 20k vectors with 10×
+    duplication when the vectors moved to a post-dedup join-back, and
+    the star variant (linear in bucket size) then takes it far lower."""
     dims = n_bands * band_bits
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     n = df.select(F.col(id_col).alias("id"), v.alias("v"))
@@ -255,7 +278,6 @@ def embedding_near_duplicates_lsh(
         n.withColumn("__bits", bits)
         .select(
             "id",
-            "v",
             F.explode(
                 F.array(
                     *[
@@ -275,22 +297,28 @@ def embedding_near_duplicates_lsh(
                 )
             ).alias("bb"),
         )
-        .select("id", "v", "bb.band", "bb.bucket")
+        .select("id", "bb.band", "bb.bucket")
     )
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(r, ["band", "bucket"])
-        .where(F.col("l.id") < F.col("r.id"))
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        # multi-band collisions dedupe in the same aggregate that carries
-        # the vectors forward (all values per pair are identical)
-        .agg(F.first("l.v").alias("va"), F.first("r.v").alias("vb"))
+    return n, banded
+
+
+def _cosine_verify_pairs(
+    cand: DataFrame, n: DataFrame, threshold: float
+) -> DataFrame:
+    """Join raw vectors back onto narrow (id_a, id_b) candidates and
+    keep pairs with rounded cosine >= threshold."""
+    a = n.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = n.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
-    ).where(F.col("cosine_sim") >= threshold)
 
 
 def semantic_dedup_clusters(
@@ -302,27 +330,37 @@ def semantic_dedup_clusters(
     band_bits: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup over embeddings: sign-bucket LSH
-    near-dup pairs (:func:`embedding_near_duplicates_lsh`) → connected
-    components → per-item ``(id, cluster, keep)``. ``cluster`` is the
-    component's minimum id (canonical label from
+    STAR edges (each bucket member pairs only with the bucket's min-id
+    hub — candidate count is rows×bands, LINEAR in bucket size where
+    the exhaustive pair variant is quadratic) → cosine verify →
+    connected components → per-item ``(id, cluster, keep)``. ``cluster``
+    is the component's minimum id (canonical label from
     ``graph.connected_components``), so the representative choice
-    ``keep = (id == cluster)`` costs NO extra shuffle or window — the
-    min-id rep falls out of the component label itself. Items with no
-    near-dup form singleton clusters and are kept.
+    ``keep = (id == cluster)`` costs NO extra shuffle or window.
+    Items with no near-dup form singleton clusters and are kept.
 
-    The text-side twin is ``dedup.lsh_dedup_clusters`` (MinHash over
-    shingles); this is the embedding-space version — the pair for
-    catching paraphrases and re-renders that share no surface text.
-    Scale shape: band equi-join + the contraction-based components —
-    both linear-ish, never O(n²).
+    This is the same star-graph architecture as the text-side
+    ``dedup.lsh_dedup_clusters`` (and the same trade: hub↔member
+    verification can split a cluster whose pairwise similarity clears
+    the threshold but whose hub links don't — set ``threshold`` at or
+    below the pairwise bar you care about). Duplicate-heavy corpora are
+    exactly where this matters: 10 copies of everything put all copies
+    in one bucket per band, and the exhaustive variant's candidate set
+    grows ~n²·bands/2^bits while the star variant's stays n·bands.
     """
     from .graph import connected_components
 
-    pairs = embedding_near_duplicates_lsh(
-        df, id_col, vec_col, threshold, n_bands, band_bits
+    n, banded = _sign_bands(df, id_col, vec_col, n_bands, band_bits)
+    hubs = banded.groupBy("band", "bucket").agg(F.min("id").alias("hub"))
+    star = (
+        banded.join(hubs, ["band", "bucket"])
+        .where(F.col("id") != F.col("hub"))
+        .select(F.col("hub").alias("id_a"), F.col("id").alias("id_b"))
+        .distinct()
     )
+    edges = _cosine_verify_pairs(star, n, threshold)
     comp = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
     return (
         df.select(F.col(id_col))

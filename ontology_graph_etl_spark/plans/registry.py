@@ -1324,9 +1324,9 @@ def _q82_lsh_neardup(spark, sf_dir):
 
 # Cosine spelled as explicit dot/norm folds with the 1e-12 zero-norm
 # clamp so the arithmetic mirrors operators/similarity.py::cosine
-# exactly (q76 precedent). The chain ends in ``pairs(id_a, id_b,
-# cosine_sim)`` so compositions (q87 semantic dedup) can splice it.
-_sign_lsh_pair_ctes = r"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+# exactly (q76 precedent). The banding chain is shared: q82 appends the
+# exhaustive within-bucket pairing, q87 the star-edge variant.
+_sign_band_ctes = r"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
            FROM embeddings),
 bits AS (
   SELECT id, e,
@@ -1338,38 +1338,45 @@ bands AS (
   SELECT id, e, band,
          array_to_string(b[band * 8 + 1 : band * 8 + 8], '') AS bucket
   FROM bits CROSS JOIN (SELECT unnest(range(8)) AS band) g
-),
-cand AS (
-  SELECT a.id AS id_a, b.id AS id_b,
-         any_value(a.e) AS ea, any_value(b.e) AS eb
-  FROM bands a JOIN bands b USING (band, bucket)
-  WHERE a.id < b.id
-  GROUP BY a.id, b.id
-),
-scored AS (
-  SELECT id_a, id_b,
-         round(
-           list_sum(list_transform(list_zip(ea, eb), x -> x[1] * x[2]))
-           / (greatest(sqrt(list_sum(list_transform(ea, x -> x * x))),
-                       1e-12)
-              * greatest(sqrt(list_sum(list_transform(eb, x -> x * x))),
-                         1e-12)),
-           6) AS cosine_sim
-  FROM cand
-),
-pairs AS (
-  SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.3
 )"""
 
+
+def _verified_pair_ctes(cand_sql: str, threshold: float) -> str:
+    """Splice after ``bands``: ``cand_sql`` must yield (id_a, id_b);
+    vectors join back narrow-first exactly like the Spark side."""
+    return f"""cand AS (
+{cand_sql}
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         {_cos_fold_sql("a.e", "b.e")} AS cosine_sim
+  FROM cand c JOIN v a ON a.id = c.id_a JOIN v b ON b.id = c.id_b
+),
+pairs AS (
+  SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= {threshold}
+)"""
+
+
 _q82_sql = (
-    "WITH " + _sign_lsh_pair_ctes + "\nSELECT id_a, id_b, cosine_sim FROM pairs"
+    "WITH "
+    + _sign_band_ctes
+    + ",\n"
+    + _verified_pair_ctes(
+        """  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.id < b.id""",
+        0.3,
+    )
+    + "\nSELECT id_a, id_b, cosine_sim FROM pairs"
 )
 
 
 def _q87_semantic_dedup(spark, sf_dir):
-    # SemDeDup-style: sign-LSH pair graph → connected components →
-    # min-id representative, all engine-portable (cluster IS the min
-    # label, so keep needs no extra pass). Text-side twin: q67.
+    # SemDeDup-style: sign-LSH STAR edges (hub = bucket min id —
+    # candidates linear in bucket size, the q67 architecture in
+    # embedding space) → cosine verify → connected components → min-id
+    # representative (cluster IS the min label, so keep needs no extra
+    # pass). All engine-portable.
     return similarity.semantic_dedup_clusters(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         threshold=0.3, n_bands=8, band_bits=8,
@@ -1378,7 +1385,16 @@ def _q87_semantic_dedup(spark, sf_dir):
 
 _q87_sql = (
     "WITH RECURSIVE "
-    + _sign_lsh_pair_ctes
+    + _sign_band_ctes
+    + ",\nhubs AS (\n"
+    + "  SELECT band, bucket, MIN(id) AS hub FROM bands GROUP BY band, bucket\n"
+    + "),\n"
+    + _verified_pair_ctes(
+        """  SELECT DISTINCT h.hub AS id_a, b.id AS id_b
+  FROM bands b JOIN hubs h USING (band, bucket)
+  WHERE b.id <> h.hub""",
+        0.3,
+    )
     + r""",
 und AS (
   SELECT id_a AS a, id_b AS b FROM pairs

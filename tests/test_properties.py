@@ -1043,28 +1043,44 @@ def test_triangle_orientations_agree_with_python(spark, edges):
     )
 )
 @SETTINGS
-def test_semantic_dedup_matches_union_find(spark, vecs):
-    """cluster = min id reachable through the LSH-pair graph (python
-    union-find over the operator's own pair output), keep = (id ==
-    cluster), singletons kept."""
+def test_semantic_dedup_matches_star_union_find(spark, vecs):
+    """Full python mirror of the star pipeline: sign buckets → hub =
+    bucket min id → verified star edges (rounded cosine >= threshold) →
+    union-find min labels; keep = (id == cluster), singletons kept."""
+    import numpy as np
+
     from ontology_graph_etl_spark.operators.similarity import (
-        embedding_near_duplicates_lsh,
         semantic_dedup_clusters,
     )
 
+    n_bands, band_bits, threshold = 2, 4, 0.5
     df = spark.createDataFrame(vecs, "vec_id: long, embedding: array<float>")
-    pairs = [
-        (r.id_a, r.id_b)
-        for r in embedding_near_duplicates_lsh(
-            df, threshold=0.5, n_bands=2, band_bits=4
-        ).collect()
-    ]
     got = {
         r.vec_id: (r.cluster, r.keep)
         for r in semantic_dedup_clusters(
-            df, threshold=0.5, n_bands=2, band_bits=4
+            df, threshold=threshold, n_bands=n_bands, band_bits=band_bits
         ).collect()
     }
+
+    def bits(emb):
+        arr = np.asarray(emb, dtype=np.float32).astype(np.float64)
+        return ["1" if x >= 0 else "0" for x in arr[: n_bands * band_bits]]
+
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for vid, emb in vecs:
+        bs = bits(emb)
+        for band in range(n_bands):
+            key = (band, "".join(bs[band * band_bits:(band + 1) * band_bits]))
+            buckets.setdefault(key, []).append(vid)
+
+    def cos(a, b):
+        a = np.asarray(a, dtype=np.float32).astype(np.float64)
+        b = np.asarray(b, dtype=np.float32).astype(np.float64)
+        na = max(float(np.sqrt((a * a).sum())), 1e-12)
+        nb = max(float(np.sqrt((b * b).sum())), 1e-12)
+        return round(float((a * b).sum()) / (na * nb), 6)
+
+    by_id = dict(vecs)
     parent = {v[0]: v[0] for v in vecs}
 
     def find(x):
@@ -1073,10 +1089,13 @@ def test_semantic_dedup_matches_union_find(spark, vecs):
             x = parent[x]
         return x
 
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+    for members in buckets.values():
+        hub = min(members)
+        for m in members:
+            if m != hub and cos(by_id[hub], by_id[m]) >= threshold:
+                ra, rb = find(hub), find(m)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
     roots: dict[int, int] = {}
     for v, _ in vecs:
         r = find(v)
