@@ -14,7 +14,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .util import epoch_units
+from .util import epoch_double, epoch_units
 
 
 def prefix_scan(df: DataFrame, order_col: str, stop_predicate: Column) -> DataFrame:
@@ -223,10 +223,16 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload_cols: Sequence[str],
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join: each left row is matched with the single
-    right row of the same key whose ``right_ts`` is the latest one
-    ``<= left_ts`` (equality matches).
+    """As-of join: each left row is matched with the single right row of
+    the same key nearest in time — ``direction="backward"`` takes the
+    latest ``right_ts <= left_ts`` (equality matches),
+    ``direction="forward"`` the earliest ``right_ts >= left_ts`` — the
+    pandas/polars ``merge_asof`` surface. ``tolerance`` (seconds for
+    temporal columns, same units for numeric ones) nulls the payload
+    when the matched row is further than that from the left timestamp.
 
     Spark has no as-of join operator; the scalable composition is
     union + window: tag both sides, sort each key partition by
@@ -240,7 +246,8 @@ def asof_join(
     their sort order; pre-dedup the right side for full determinism.
     Returns all left columns plus ``payload_cols`` from the right side.
 
-    The carried value is a STRUCT of all payload columns, not per-column
+    The carried value is a STRUCT of all payload columns (plus the
+    matched ``right_ts``, for tolerance), not per-column
     ``last(ignorenulls)``: the struct is non-null whenever a right row
     exists, so a matched row's NULL payload field stays NULL (per-column
     carry would skip it and leak an older row's value), and all payload
@@ -248,35 +255,54 @@ def asof_join(
     """
     from pyspark.sql import Window
 
-    l = left.withColumn("__is_left", F.lit(1)).withColumn(
-        "__rp",
-        F.lit(None).cast(
-            "struct<" + ", ".join(f"`{c}`: string" for c in payload_cols) + ">"
-        ),
-    )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown asof_join direction {direction!r}")
+    l = left.withColumn("__is_left", F.lit(1))
     r = (
         right.select(
             F.col(on),
             F.col(right_ts).alias(left_ts),
-            F.struct(*[F.col(c) for c in payload_cols]).alias("__rp"),
+            F.struct(
+                F.col(right_ts).alias("__match_ts"),
+                *[F.col(c) for c in payload_cols],
+            ).alias("__rp"),
         )
         .withColumn("__is_left", F.lit(0))
     )
     for c in left.columns:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None))
-    # align the null-struct's field types with the real payload struct
+    # null struct on the left side, typed like the real payload struct
     l = l.withColumn("__rp", F.lit(None).cast(r.schema["__rp"].dataType))
     unioned = l.select(r.columns).unionByName(r)
-    # right rows sort before left rows at equal ts → equality matches
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col(left_ts).asc(), F.col("__is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn(
-        "__match", F.last(F.col("__rp"), ignorenulls=True).over(w)
-    )
+    if direction == "backward":
+        # right rows sort before left rows at equal ts → equality
+        # matches; carry the last-seen right struct forward
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(left_ts).asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        match = F.last(F.col("__rp"), ignorenulls=True).over(w)
+    else:
+        # left rows sort before right rows at equal ts → equality
+        # matches; take the first right struct at-or-after
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(left_ts).asc(), F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        match = F.first(F.col("__rp"), ignorenulls=True).over(w)
+    carried = unioned.withColumn("__match", match)
+    if tolerance is not None:
+        ts_dt = carried.schema[left_ts].dataType
+        gap = F.abs(
+            epoch_double(F.col("__match").getField("__match_ts"), ts_dt)
+            - epoch_double(F.col(left_ts), ts_dt)
+        )
+        carried = carried.withColumn(
+            "__match", F.when(gap <= tolerance, F.col("__match"))
+        )
     return (
         carried.where(F.col("__is_left") == 1)
         .select(

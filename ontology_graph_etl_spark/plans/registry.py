@@ -568,6 +568,50 @@ ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
 """
 
 
+_Q89_TOL_S = 3600
+
+
+def _q89_asof_forward(spark, sf_dir):
+    # forward as-of with tolerance (the full merge_asof surface): each
+    # event matched with the user's NEXT purchase at-or-after its
+    # timestamp, nulled when it is more than an hour later.
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("event_id", "user_id", "ts")
+    )
+    purchases = (
+        _t(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return relational.asof_join(
+        ev, purchases, "user_id", "ts", "ts",
+        ["purchase_id", "purchase_value"],
+        direction="forward", tolerance=_Q89_TOL_S,
+    ).select("event_id", "user_id", "ts", "purchase_id", "purchase_value")
+
+
+_q89_sql = rf"""
+SELECT e.event_id, e.user_id, e.ts,
+       CASE WHEN p.ts IS NOT NULL
+            AND epoch(p.ts) - epoch(e.ts) <= {_Q89_TOL_S}
+            THEN p.event_id END AS purchase_id,
+       CASE WHEN p.ts IS NOT NULL
+            AND epoch(p.ts) - epoch(e.ts) <= {_Q89_TOL_S}
+            THEN p.value END AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE user_id IS NOT NULL) e
+ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
+  ON e.user_id = p.user_id AND e.ts <= p.ts
+"""
+
+
 def _q30_one_hop(spark, sf_dir):
     # G3 — 1-hop neighborhood with node attributes on both ends
     supplier = _t(spark, sf_dir, "supplier")
@@ -2898,6 +2942,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("q86_ivf_det_topk", _q86_ivf_det_topk, _q86_sql(), "§2.11"),
     QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
     QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
+    QueryDef("q89_asof_forward", _q89_asof_forward, _q89_sql, "§2.7"),
     # --- no driver correctness row as of round 1 ---
     QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
     QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),

@@ -1142,3 +1142,42 @@ def test_unigram_logprob_matches_counter(spark, docs):
             )
             assert got[i][0] == len(toks)
             assert abs(got[i][1] - want) < 2e-6, i
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)),
+        min_size=1, max_size=12, unique=True,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40), st.integers(0, 99)),
+        min_size=0, max_size=12,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    tol=st.sampled_from([None, 0, 5, 100]),
+)
+@SETTINGS
+def test_asof_forward_with_tolerance_matches_python(spark, left, right, tol):
+    """direction='forward': the matched right row is the one with min
+    ts >= left ts for the same key; tolerance nulls matches farther
+    than tol units away."""
+    from ontology_graph_etl_spark.operators.relational import asof_join
+
+    ldf = spark.createDataFrame(left, "k int, t int")
+    rdf = spark.createDataFrame(right, "k int, t int, payload int")
+    got = {
+        (r.k, r.t): r.payload
+        for r in asof_join(
+            ldf, rdf, "k", "t", "t", ["payload"],
+            direction="forward", tolerance=tol,
+        ).collect()
+    }
+    want = {}
+    for k, t in left:
+        cands = [(rt, p) for rk, rt, p in right if rk == k and rt >= t]
+        if not cands:
+            want[(k, t)] = None
+        else:
+            rt, p = min(cands)
+            want[(k, t)] = p if (tol is None or rt - t <= tol) else None
+    assert got == want
