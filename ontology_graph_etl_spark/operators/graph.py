@@ -10,7 +10,7 @@ GraphFrames dependency (SURVEY.md §7: avoided entirely).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .upsert import first_wins
@@ -681,6 +681,68 @@ def triangle_count(
         e1.join(e2, "b")
         .join(e3, ["a", "c"], "left_semi")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def label_propagation_communities(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection over the
+    undirected view of ``edges`` → ``(id, community)``.
+
+    Labels start as node ids; each round every node adopts the most
+    frequent label among its DISTINCT neighbors, ties to the smallest
+    label. A FIXED round count (not a convergence test) plus the total
+    tie order make the result deterministic and engine-portable —
+    classic LPA oscillates on bipartite-ish structure, so an unrolled
+    oracle needs the round count pinned anyway. Communities differ from
+    connected components: a component splits into locally-dense label
+    basins instead of collapsing to one min id.
+
+    Scale shape per round: one equi-join (edges × labels, co-partitioned
+    on the neighbor endpoint) + one partial-agg vote count + one
+    per-node window over the vote rows — all keyed shuffles, nothing
+    node-quadratic; ``localCheckpoint`` truncates lineage per round.
+    Self-loops are dropped; isolated nodes never appear (edge-defined).
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(rounds):
+        votes = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label")
+                ),
+                "b",
+            )
+            .groupBy("a", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("a").orderBy(
+            F.col("c").desc(), F.col("label").asc()
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(F.col("a").alias("node"), "label")
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("node").alias("id"), F.col("label").alias("community")
     )
 
 

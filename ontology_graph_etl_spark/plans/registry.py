@@ -612,6 +612,53 @@ ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
 """
 
 
+_Q90_ROUNDS = 3
+
+
+def _q90_lpa_communities(spark, sf_dir):
+    # community detection (deterministic synchronous LPA, fixed rounds)
+    # over the co-purchase graph: parts are adjacent when some order
+    # contains both.
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    edges = x.join(y, "l_orderkey").where(
+        F.col("x.l_partkey") != F.col("y.l_partkey")
+    ).select(
+        F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+    )
+    return graph.label_propagation_communities(
+        edges, rounds=_Q90_ROUNDS
+    )
+
+
+def _q90_sql() -> str:
+    ctes = [
+        """und AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey <> l2.l_partkey
+)""",
+        """l0 AS (
+  SELECT a AS node, a AS label FROM (SELECT DISTINCT a FROM und) t
+)""",
+    ]
+    for k in range(1, _Q90_ROUNDS + 1):
+        ctes.append(f"""l{k} AS (
+  SELECT a AS node, label FROM (
+    SELECT u.a, l.label, count(*) AS c,
+           row_number() OVER (PARTITION BY u.a
+                              ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM und u JOIN l{k - 1} l ON l.node = u.b
+    GROUP BY u.a, l.label) t
+  WHERE rn = 1
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS id, label AS community FROM l{_Q90_ROUNDS}"
+    )
+
+
 def _q30_one_hop(spark, sf_dir):
     # G3 — 1-hop neighborhood with node attributes on both ends
     supplier = _t(spark, sf_dir, "supplier")
@@ -2943,6 +2990,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
     QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
     QueryDef("q89_asof_forward", _q89_asof_forward, _q89_sql, "§2.7"),
+    QueryDef("q90_lpa_communities", _q90_lpa_communities, _q90_sql(), "§2.8"),
     # --- no driver correctness row as of round 1 ---
     QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
     QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),

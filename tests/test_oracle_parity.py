@@ -139,3 +139,15 @@ def test_q53_approx_within_declared_tolerance(spark, oracle, sf_dir):
             """
         ).fetchone()
         assert lo <= row[col] <= hi, (col, row[col], lo, hi)
+
+
+@pytest.mark.parametrize("qdef", ROWS_ONLY_QUERIES, ids=lambda q: q.name)
+def test_rows_only_queries_deterministic(qdef, spark, sf_dir):
+    """The three rows-only queries have no value oracle, so pin the next
+    best contract: two independent invocations return identical rows
+    (seeded hyperplanes, seeded ml-lib k-means on a stable local
+    partitioning, and HLL/quantile sketches are all deterministic for
+    fixed input)."""
+    a = _frame_key(*(lambda d: (d.columns, d.collect()))(qdef.spark(spark, sf_dir)))
+    b = _frame_key(*(lambda d: (d.columns, d.collect()))(qdef.spark(spark, sf_dir)))
+    assert a == b

@@ -1181,3 +1181,42 @@ def test_asof_forward_with_tolerance_matches_python(spark, left, right, tol):
             rt, p = min(cands)
             want[(k, t)] = p if (tol is None or rt - t <= tol) else None
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1, max_size=16, unique=True,
+    ),
+    rounds=st.sampled_from([1, 2, 3]),
+)
+@SETTINGS
+def test_lpa_communities_match_python(spark, edges, rounds):
+    """Synchronous LPA with fixed rounds and (count desc, label asc)
+    tie-break == the direct python simulation, for arbitrary small
+    graphs including oscillating bipartite ones."""
+    from collections import Counter
+
+    from ontology_graph_etl_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.id: r.community
+        for r in label_propagation_communities(df, rounds=rounds).collect()
+    }
+    und: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a != b:
+            und.setdefault(a, set()).add(b)
+            und.setdefault(b, set()).add(a)
+    labels = {n: n for n in und}
+    for _ in range(rounds):
+        new = {}
+        for n, neigh in und.items():
+            votes = Counter(labels[m] for m in neigh)
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+    assert got == labels
