@@ -612,6 +612,81 @@ ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
 """
 
 
+def _q91_snapshot_diff(spark, sf_dir):
+    # recurring-ingest audit: diff two corpus snapshots (derived
+    # deterministically from documents: different id filters, a third
+    # of the shared docs edited) into added/removed/changed/unchanged.
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.upper(F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return relational.snapshot_diff(old, new, "doc_id", ["text"])
+
+
+_q91_sql = r"""
+WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END AS text
+  FROM documents WHERE doc_id % 5 <> 0
+),
+o AS (SELECT doc_id,
+             md5(concat_ws(chr(1),
+                           coalesce(text, chr(0) || 'null'))) AS fo
+      FROM old),
+n AS (SELECT doc_id,
+             md5(concat_ws(chr(1),
+                           coalesce(text, chr(0) || 'null'))) AS fn
+      FROM new)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN fo <> fn THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
+def _q92_distribution_drift(spark, sf_dir):
+    # categorical drift (PSI) between two event snapshots — the
+    # monitoring primitive for a recurring ingest.
+    ev = _t(spark, sf_dir, "events")
+    return relational.distribution_drift(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        "event_type",
+    )
+
+
+_q92_sql = r"""
+WITH ca AS (SELECT event_type AS category, count(*) AS n
+            FROM events WHERE event_id % 2 = 0 GROUP BY event_type),
+ta AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM ca),
+sa AS (SELECT category, CAST(n AS DOUBLE) / t AS share_a
+       FROM ca CROSS JOIN ta),
+cb AS (SELECT event_type AS category, count(*) AS n
+       FROM events WHERE event_id % 2 = 1 GROUP BY event_type),
+tb AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cb),
+sb AS (SELECT category, CAST(n AS DOUBLE) / t AS share_b
+       FROM cb CROSS JOIN tb),
+j AS (
+  SELECT coalesce(sa.category, sb.category) AS category,
+         greatest(coalesce(share_a, 0.0), 1e-6) AS ga,
+         greatest(coalesce(share_b, 0.0), 1e-6) AS gb
+  FROM sa FULL OUTER JOIN sb ON sa.category = sb.category
+)
+SELECT category,
+       round(ga, 6) AS share_a,
+       round(gb, 6) AS share_b,
+       round((ga - gb) * ln(ga / gb), 6) AS psi_contrib
+FROM j
+"""
+
+
 _Q90_ROUNDS = 3
 
 
@@ -2991,6 +3066,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
     QueryDef("q89_asof_forward", _q89_asof_forward, _q89_sql, "§2.7"),
     QueryDef("q90_lpa_communities", _q90_lpa_communities, _q90_sql(), "§2.8"),
+    QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),
+    QueryDef("q92_distribution_drift", _q92_distribution_drift, _q92_sql, "§2.11"),
     # --- no driver correctness row as of round 1 ---
     QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
     QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),

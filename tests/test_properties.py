@@ -1220,3 +1220,43 @@ def test_lpa_communities_match_python(spark, edges, rounds):
             new[n] = best[0]
         labels = new
     assert got == labels
+
+
+def test_snapshot_diff_classifications(spark):
+    from ontology_graph_etl_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "id: long, v: string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "x"), (4, None), (5, "e")], "id: long, v: string"
+    )
+    got = {r.id: r.status for r in snapshot_diff(old, new, "id", ["v"]).collect()}
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",   # null -> value
+        4: "changed",   # value -> null (null-safe compare)
+        5: "added",
+    }
+
+
+def test_distribution_drift_psi_properties(spark):
+    """PSI contributions are 0 for identical shares, positive for any
+    share change, and clamp keeps one-sided categories finite."""
+    from ontology_graph_etl_spark.operators.relational import (
+        distribution_drift,
+    )
+
+    a = spark.createDataFrame(
+        [("x",)] * 50 + [("y",)] * 50, "c: string"
+    )
+    b = spark.createDataFrame(
+        [("x",)] * 80 + [("y",)] * 20 + [("z",)] * 1, "c: string"
+    )
+    got = {r.category: r for r in distribution_drift(a, b, "c").collect()}
+    same = distribution_drift(a, a, "c").collect()
+    assert all(r.psi_contrib == 0.0 for r in same)
+    assert got["x"].psi_contrib > 0 and got["y"].psi_contrib > 0
+    assert got["z"].share_a == 1e-6  # clamped, finite contribution
+    assert got["z"].psi_contrib > 0
