@@ -3,6 +3,15 @@ plus the large-scale pipeline extensions, each as a composable function
 over DataFrames. Everything here is declarative DataFrame API so Catalyst
 owns physical planning (broadcast vs shuffle, AQE skew handling)."""
 
-from . import dedup, graph, relational, similarity, textops, upsert
+from . import dedup, graph, grouped, relational, similarity, textops, upsert, util
 
-__all__ = ["dedup", "graph", "relational", "similarity", "textops", "upsert"]
+__all__ = [
+    "dedup",
+    "graph",
+    "grouped",
+    "relational",
+    "similarity",
+    "textops",
+    "upsert",
+    "util",
+]
