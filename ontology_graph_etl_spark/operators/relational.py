@@ -295,10 +295,15 @@ def asof_join(
         match = F.first(F.col("__rp"), ignorenulls=True).over(w)
     carried = unioned.withColumn("__match", match)
     if tolerance is not None:
-        ts_dt = carried.schema[left_ts].dataType
+        # __match_ts keeps the RIGHT column's original type inside the
+        # struct (the union may have widened the top-level ts column),
+        # so each side converts to epoch seconds with its own dtype —
+        # mixing them (e.g. date vs timestamp) would compute wrong gaps.
+        left_ts_dt = carried.schema[left_ts].dataType
+        right_ts_dt = right.schema[right_ts].dataType
         gap = F.abs(
-            epoch_double(F.col("__match").getField("__match_ts"), ts_dt)
-            - epoch_double(F.col(left_ts), ts_dt)
+            epoch_double(F.col("__match").getField("__match_ts"), right_ts_dt)
+            - epoch_double(F.col(left_ts), left_ts_dt)
         )
         carried = carried.withColumn(
             "__match", F.when(gap <= tolerance, F.col("__match"))

@@ -270,9 +270,27 @@ def _sign_bands(
     dims = n_bands * band_bits
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     n = df.select(F.col(id_col).alias("id"), v.alias("v"))
-    bits = F.transform(
-        F.slice(F.col("v"), 1, dims),
-        lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+    # Enforce the documented `n_bands * band_bits <= dim` contract at
+    # execution time (JVM-side, no extra job): a short embedding would
+    # make F.slice silently yield short bit arrays, so later bands all
+    # collapse into one empty-string bucket where every vector collides
+    # and the LSH candidate set degenerates toward all-pairs.
+    dim_ok = F.assert_true(
+        F.size(F.col("v")) >= dims,
+        F.concat(
+            F.lit(
+                f"sign-LSH requires embedding dim >= n_bands*band_bits={dims};"
+                " got dim="
+            ),
+            F.size(F.col("v")).cast("string"),
+        ),
+    )
+    bits = F.when(
+        dim_ok.isNull(),
+        F.transform(
+            F.slice(F.col("v"), 1, dims),
+            lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
     )
     banded = (
         n.withColumn("__bits", bits)
@@ -421,7 +439,18 @@ def kmeans_assign(
     if method == "auto":
         dim = len(seeds[0][vec_col]) if seeds else 0
         method = "literal" if k * dim <= max_literal_entries else "broadcast"
-    if method == "broadcast" and seeds:
+    if method not in ("literal", "broadcast"):
+        raise ValueError(f"unknown kmeans_assign method {method!r}")
+    if not seeds:
+        # Empty input ⇒ no centroids; return the empty result with the
+        # output schema instead of letting either strategy hit an
+        # analysis-time error (F.array() over zero centroid structs).
+        return df.select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias("centroid_id"),
+            F.lit(None).cast("double").alias("sim"),
+        )
+    if method == "broadcast":
         spark = df.sparkSession
         centroids = F.broadcast(
             spark.createDataFrame(
@@ -451,8 +480,6 @@ def kmeans_assign(
                 F.col("__best.sim").alias("sim"),
             )
         )
-    elif method not in ("literal", "broadcast"):
-        raise ValueError(f"unknown kmeans_assign method {method!r}")
     scored = F.array(
         *[
             F.struct(

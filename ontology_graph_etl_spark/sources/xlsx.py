@@ -21,6 +21,13 @@ Cell-value semantics mirror ``iter_rows(values_only=True)``: shared
 strings, inline strings, formula-cached strings, booleans, and numbers
 (int when the stored lexical form has no fraction/exponent, else float);
 empty/missing cells are None; rows pad to the sheet's max used column.
+
+Known divergence: date/time-formatted numeric cells come back as the raw
+Excel serial NUMBER (``styles.xml`` number formats are not interpreted),
+where openpyxl would yield ``datetime`` objects. The reference workbooks
+carry identifiers and names, not dates, so the ETL path never sees this;
+callers feeding date-styled sheets should convert serials themselves
+(days since 1899-12-30, Excel's leap-year-bug epoch).
 """
 
 from __future__ import annotations
@@ -296,8 +303,15 @@ _ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 
 
 def _xml_escape(s: str) -> str:
+    # Used in both text and attribute-value contexts (sheet name="...");
+    # quotes must be escaped or a sheet name containing one produces
+    # malformed workbook.xml.
     return (
-        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        s.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+        .replace("'", "&apos;")
     )
 
 

@@ -1260,3 +1260,74 @@ def test_distribution_drift_psi_properties(spark):
     assert got["x"].psi_contrib > 0 and got["y"].psi_contrib > 0
     assert got["z"].share_a == 1e-6  # clamped, finite contribution
     assert got["z"].psi_contrib > 0
+
+
+# ---------------------------------------------------------------------------
+# round-4 ADVICE regression tests
+# ---------------------------------------------------------------------------
+
+
+def test_sign_lsh_rejects_short_embeddings(spark):
+    """n_bands*band_bits > dim must raise at execution, not silently
+    collapse later bands into one all-colliding empty bucket."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    from ontology_graph_etl_spark.operators.similarity import (
+        embedding_near_duplicates_lsh,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0]), (2, [1.0, 1.0])], "vec_id: long, embedding: array<double>"
+    )
+    # dim=2 but n_bands*band_bits=8: every vector would share the ""
+    # bucket in bands 1..3 without the guard
+    with pytest.raises(Exception) as exc:
+        embedding_near_duplicates_lsh(
+            df, "vec_id", "embedding", n_bands=4, band_bits=2
+        ).collect()
+    assert "n_bands*band_bits" in str(exc.value)
+    # and the compliant config still runs
+    ok = embedding_near_duplicates_lsh(
+        df, "vec_id", "embedding", n_bands=2, band_bits=1, threshold=0.99
+    ).collect()
+    assert ok == []
+
+
+def test_asof_tolerance_mixed_date_timestamp(spark):
+    """left=timestamp, right=date: the tolerance gap must convert each
+    side with its OWN dtype (a date serial read as micros is wrong by
+    factor 86400e6)."""
+    import datetime as dt
+
+    from ontology_graph_etl_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 3, 0, 0, 0))], "k int, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), 7), (1, dt.date(2024, 1, 2), 9)],
+        "k int, t date, payload int",
+    )
+    wide = asof_join(
+        left, right, "k", "t", "t", ["payload"], tolerance=90000.0
+    ).collect()
+    assert [r.payload for r in wide] == [9]  # gap = 86400 s <= 90000
+    tight = asof_join(
+        left, right, "k", "t", "t", ["payload"], tolerance=3600.0
+    ).collect()
+    assert [r.payload for r in tight] == [None]
+
+
+def test_kmeans_assign_empty_input_both_methods(spark):
+    """Empty frame returns an empty result with the output schema for
+    every strategy instead of an analysis-time error."""
+    from ontology_graph_etl_spark.operators.similarity import kmeans_assign
+
+    empty = spark.createDataFrame(
+        [], "vec_id: long, embedding: array<double>"
+    )
+    for method in ("auto", "literal", "broadcast"):
+        out = kmeans_assign(empty, "vec_id", "embedding", 4, method=method)
+        assert out.columns == ["vec_id", "centroid_id", "sim"]
+        assert out.count() == 0

@@ -138,3 +138,20 @@ def test_distributed_matches_driver_side(spark, tmp_path):
             [(r["line_no"], r["c0"], r["c1"]) for r in by_file[f"b{i}.xlsx"]]
         )
         assert got == [(2, f"a{i}", str(i)), (3, f"b{i}", str(i * 10))]
+
+
+def test_sheet_name_with_quotes_round_trips(tmp_path):
+    """Sheet names containing quotes must survive write->parse: the
+    attribute context in workbook.xml needs " escaped."""
+    from ontology_graph_etl_spark.sources.xlsx import (
+        parse_workbook,
+        write_xlsx,
+    )
+
+    path = str(tmp_path / "quoted.xlsx")
+    rows = [["a", 1], ["b", 2]]
+    write_xlsx(path, {'she"et <&> \'x\'': rows})
+    with open(path, "rb") as f:
+        book = parse_workbook(f.read())
+    assert list(book) == ['she"et <&> \'x\'']
+    assert book['she"et <&> \'x\''] == [["a", 1], ["b", 2]]
