@@ -117,18 +117,44 @@ def lsh_bucket(
     num_planes: int = 8,
     seed: int = 42,
     out_col: str = "bucket",
+    plane_hash: str = "xxhash64",
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id: bit b = sign(v · plane_b). Narrow,
     deterministic, no shuffle; 2^num_planes buckets.
 
-    Hyperplane component j of plane p is derived in-plan from
-    ``xxhash64(seed, p, j)`` with j indexed per element — the vector
-    dimension is never sniffed with a driver-side action (an eager
-    ``.first()`` here would run the whole upstream plan at construction
-    time and break on streaming inputs). Only the sign structure of the
-    planes matters for bucketing.
+    Hyperplane component j of plane p is derived in-plan from a hash of
+    ``(seed, p, j)`` with j indexed per element — the vector dimension is
+    never sniffed with a driver-side action (an eager ``.first()`` here
+    would run the whole upstream plan at construction time and break on
+    streaming inputs). Only the sign structure of the planes matters for
+    bucketing.
+
+    ``plane_hash`` picks the coefficient hash (q55-simhash precedent):
+
+    - ``"xxhash64"`` (default) — one JVM hash call per coefficient, the
+      production path.
+    - ``"md5"`` — coefficients from the top 60 bits of
+      ``md5(seed-p-j)``, re-derivable in any engine with md5 + hex →
+      bigint, which makes the whole bucket assignment (and q61's top-k
+      built on it) hash-checkable against a DuckDB oracle. Projections
+      are rounded to 6 decimals before the sign test so the bit can't
+      depend on engine-specific float summation order.
     """
+    if plane_hash not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown lsh_bucket plane_hash {plane_hash!r}")
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def coef(b: int, j):
+        if plane_hash == "xxhash64":
+            return F.xxhash64(F.lit(seed), F.lit(b), j).cast(
+                "double"
+            ) / F.lit(float(2**63))
+        key = F.concat_ws(
+            "-", F.lit(str(seed)), F.lit(str(b)), j.cast("string")
+        )
+        hv = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+        return (hv - F.lit(2**59)).cast("double") / F.lit(float(2**59))
+
     bucket = F.lit(0)
     for b in range(num_planes):
         # zip each component with its position-derived plane coefficient
@@ -137,16 +163,18 @@ def lsh_bucket(
                 v,
                 F.transform(
                     F.sequence(F.lit(0), F.greatest(F.size(v) - 1, F.lit(0))),
-                    lambda j: (
-                        F.xxhash64(F.lit(seed), F.lit(b), j).cast("double")
-                        / F.lit(float(2**63))
-                    ),
+                    # single-param lambda on purpose: F.transform treats a
+                    # second parameter as the element-index slot, which
+                    # would shadow the captured band id
+                    lambda j: coef(b, j),  # noqa: B023 — built this iteration
                 ),
                 lambda x, h: x * h,
             ),
             F.lit(0.0),
             lambda acc, val: acc + val,
         )
+        if plane_hash == "md5":
+            proj = F.round(proj, 6)
         bucket = bucket + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return df.withColumn(out_col, bucket)
 
@@ -159,18 +187,22 @@ def lsh_topk(
     k: int = 5,
     num_planes: int = 6,
     seed: int = 42,
+    plane_hash: str = "xxhash64",
 ) -> DataFrame:
     """Approximate cosine top-k: bucket corpus and queries with the same
     hyperplanes, join on bucket, rank within (exact rescoring inside the
     bucket). Recall < 1.0 by construction; the scale win is that each
     query touches |corpus| / 2^planes candidates on average, and the join
-    is a plain equi-join Catalyst can shuffle-partition."""
-    cb = lsh_bucket(corpus, vec_col, num_planes, seed).select(
+    is a plain equi-join Catalyst can shuffle-partition. With
+    ``plane_hash="md5"`` every stage (buckets, candidates, rescoring,
+    rank) re-derives bit-for-bit in a SQL oracle — approximate in recall,
+    still deterministic and hash-checkable (q61)."""
+    cb = lsh_bucket(corpus, vec_col, num_planes, seed, plane_hash=plane_hash).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("bucket"),
         F.col(vec_col).alias("c_raw"),
     )
-    qb = lsh_bucket(queries, vec_col, num_planes, seed).select(
+    qb = lsh_bucket(queries, vec_col, num_planes, seed, plane_hash=plane_hash).select(
         F.col(id_col).alias("query_id"),
         F.col("bucket"),
         F.col(vec_col).alias("q_raw"),

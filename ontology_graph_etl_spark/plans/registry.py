@@ -1169,12 +1169,55 @@ QUALIFY rank <= 3
 
 
 def _q53_approx_agg(spark, sf_dir):
-    # approximate aggregates — approximate by definition → rows-only
-    return _t(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
+    # Approximate aggregates, made hash-checkable: the output carries the
+    # EXACT answers (hash-checked normally) plus within-tolerance booleans
+    # comparing each approximate aggregate to its exact twin — HLL++ at
+    # default rsd=0.05 within 3·rsd, percentile_approx at default accuracy
+    # 10000 within a ±10/10000 rank neighborhood. The DuckDB oracle emits
+    # the same exact values and literal TRUE booleans, so an
+    # out-of-tolerance approximation becomes a driver hash mismatch
+    # (previously rows-only; the tolerance contract lived only in pytest).
+    eps10 = 10.0 / 10_000
+    agg = _t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_suppkey").alias("__approx_nd"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("__approx_p50"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("__approx_p99"),
+        F.countDistinct("l_suppkey").alias("exact_suppliers"),
+        F.percentile("l_extendedprice", 0.5).alias("__exact_p50"),
+        F.percentile("l_extendedprice", 0.99).alias("__exact_p99"),
+        F.percentile("l_extendedprice", 0.5 - eps10).alias("__p50_lo"),
+        F.percentile("l_extendedprice", 0.5 + eps10).alias("__p50_hi"),
+        F.percentile("l_extendedprice", 0.99 - eps10).alias("__p99_lo"),
+        F.percentile("l_extendedprice", min(0.99 + eps10, 1.0)).alias(
+            "__p99_hi"
+        ),
     )
+    return agg.select(
+        F.col("exact_suppliers"),
+        F.round("__exact_p50", 6).alias("exact_median_price"),
+        F.round("__exact_p99", 6).alias("exact_p99_price"),
+        (
+            F.abs(F.col("__approx_nd") - F.col("exact_suppliers"))
+            <= 3 * 0.05 * F.col("exact_suppliers")
+        ).alias("suppliers_ok"),
+        F.col("__approx_p50")
+        .between(F.col("__p50_lo"), F.col("__p50_hi"))
+        .alias("median_ok"),
+        F.col("__approx_p99")
+        .between(F.col("__p99_lo"), F.col("__p99_hi"))
+        .alias("p99_ok"),
+    )
+
+
+_q53_sql = r"""
+SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_median_price,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS exact_p99_price,
+       TRUE AS suppliers_ok,
+       TRUE AS median_ok,
+       TRUE AS p99_ok
+FROM lineitem
+"""
 
 
 def _q54_exact_dedup(spark, sf_dir):
@@ -1362,16 +1405,83 @@ FROM documents
 """
 
 
+_Q61 = {"k": 5, "num_planes": 6, "seed": 42}
+
+
 def _q61_lsh_topk(spark, sf_dir):
-    # LSH-bucketed approximate ANN — recall < 1 by design → rows-only
+    # LSH-bucketed approximate ANN. Approximate in RECALL, deterministic
+    # in output: with the md5 plane hash (q55-simhash precedent —
+    # production keeps xxhash64) the buckets, candidates, and rank all
+    # re-derive bit-for-bit in DuckDB, so the driver hash-checks the
+    # full pipeline despite it being an approximation of brute force.
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(
-        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=_Q61["k"], num_planes=_Q61["num_planes"], seed=_Q61["seed"],
+        plane_hash="md5",
     )
 
 
+def _q61_sql() -> str:
+    cos = _cos_fold_sql("q.e", "c.e")
+    np_, seed, k = _Q61["num_planes"], _Q61["seed"], _Q61["k"]
+    # coefficient = (top-60-bits of md5('seed-b-j') - 2^59) / 2^59, the
+    # same fold lsh_bucket(plane_hash="md5") computes; projections round
+    # to 6 before the sign test on both engines.
+    coef = (
+        f"(CAST(('0x' || substring(md5('{seed}-' || CAST(bj.b AS VARCHAR)"
+        f" || '-' || CAST(bj.j AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f" - 576460752303423488) / 576460752303423488.0"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, len(embedding) AS d
+  FROM embeddings
+),
+proj AS (
+  SELECT v.vec_id, bj.b, SUM(v.e[bj.j + 1] * ({coef})) AS p
+  FROM v
+  JOIN (SELECT bb.b, jj.j
+        FROM (SELECT unnest(generate_series(0, {np_ - 1})) AS b) bb
+        CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS j) jj) bj
+    ON bj.j < v.d
+  GROUP BY v.vec_id, bj.b
+),
+buckets AS (
+  SELECT vec_id,
+         SUM(CASE WHEN round(p, 6) > 0 THEN (1 << b) ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id
+),
+scored AS (
+  SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+         {cos} AS cosine_sim
+  FROM buckets qb
+  JOIN buckets cb ON qb.bucket = cb.bucket AND qb.vec_id <> cb.vec_id
+  JOIN v q ON q.vec_id = qb.vec_id
+  JOIN v c ON c.vec_id = cb.vec_id
+  WHERE qb.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY cosine_sim DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q63_ivf_topk(spark, sf_dir):
-    # IVF coarse-quantized ANN — trained quantizer, recall < 1 → rows-only
+    # IVF ANN over an ml-lib-TRAINED quantizer — the ONE remaining
+    # rows-only query by design: KMeans training is seed- and
+    # partitioning-dependent inside the JVM, so no external engine can
+    # re-derive the centroids. Its hash-checked deterministic twin is
+    # q86 (same plan shape, md5-seeded quantizer, full DuckDB oracle);
+    # recall is pinned by tests/test_similarity_recall.py and two
+    # invocations are asserted identical by test_oracle_parity.py.
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
         emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding",
@@ -3048,100 +3158,25 @@ WHERE d.doc_id % 10 = 0
 # ---------------------------------------------------------------------------
 
 # Ordering contract: the driver's correctness harness consumes a prefix
-# window of this list (round 1: exactly the first 50 entries), so order
-# encodes certification priority, not semantics. Front of the list:
-# queries with no driver row yet (round 1 positions 51-74), then this
-# round's new operators, then the highest-value re-certifications
-# (graph/dedup/similarity — anything whose module changed this round).
-# The tail holds the simplest single-table queries, all of which already
-# hold green rows in CORRECTNESS_r01.json.
+# window of this list (observed r1-r3: exactly the first 50 entries), so
+# order encodes certification priority, not semantics. Rotate each
+# round: lead with queries lacking a fresh row from the previous round,
+# then everything whose implementation changed this round; the tail
+# holds queries green in the immediately preceding CORRECTNESS file and
+# untouched since.
 QUERIES: list[QueryDef] = [
-    # --- round 3 new operators (no driver row yet) ---
-    QueryDef("q82_lsh_neardup", _q82_lsh_neardup, _q82_sql, "§2.11"),
-    QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
-    QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
-    QueryDef("q85_curate", _q85_curate, _q85_sql(), "§2.11"),
-    QueryDef("q86_ivf_det_topk", _q86_ivf_det_topk, _q86_sql(), "§2.11"),
-    QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
-    QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
-    QueryDef("q89_asof_forward", _q89_asof_forward, _q89_sql, "§2.7"),
-    QueryDef("q90_lpa_communities", _q90_lpa_communities, _q90_sql(), "§2.8"),
-    QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),
-    QueryDef("q92_distribution_drift", _q92_distribution_drift, _q92_sql, "§2.11"),
-    # --- no driver correctness row as of round 1 ---
-    QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
-    QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),
-    QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
-    QueryDef("q36_shortest_path", _q36_shortest_path, _q36_sql, "G7"),
-    QueryDef("q37_pagerank", _q37_pagerank, _q37_sql, "G8"),
-    QueryDef("q38_triangle_count", _q38_triangle_count, _q38_sql, "G10"),
-    QueryDef("q44_percentile", _q44_percentile, _q44_sql, "§2.7"),
-    QueryDef("q45_topk_per_group", _q45_topk_per_group, _q45_sql, "§2.7"),
-    QueryDef("q46_funnel", _q46_funnel, _q46_sql, "§2.10"),
-    QueryDef(
-        "q65_deterministic_split", _q65_deterministic_split, _q65_sql, "§2.11"
-    ),
-    QueryDef("q66_dedup_clusters", _q66_dedup_clusters, _q66_sql, "§2.11"),
-    QueryDef(
-        "q67_lsh_dedup_clusters",
-        _q67_lsh_dedup_clusters,
-        _q67_oracle_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q68_stratified_sample", _q68_stratified_sample, _q68_sql, "§2.11"
-    ),
-    QueryDef(
-        "q69_cluster_representatives",
-        _q69_cluster_representatives,
-        _q69_sql,
-        "§2.11",
-    ),
-    QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),
-    QueryDef("q71_repetition", _q71_repetition, _q71_sql, "§2.11"),
-    QueryDef("q72_pii_redact", _q72_pii_redact, _q72_sql, "§2.11"),
-    QueryDef("q73_event_correlation", _q73_event_correlation, _q73_sql, "§2.10"),
-    QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
-    QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
-    QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
-    QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
-    QueryDef(
-        "q78_incremental_dedup",
-        _q78_incremental_dedup,
-        _q78_oracle_sql(),
-        "§2.11",
-    ),
-    QueryDef("q81_media_features", _q81_media_features, _q81_sql, "multimodal"),
-    # --- high-value re-certifications (modules touched this round) ---
-    QueryDef(
-        "q35_connected_components", _q35_connected_components, _q35_sql, "G5"
-    ),
-    QueryDef(
-        "q50_minhash_simjoin", _q50_minhash_simjoin, _q50_oracle_sql(), "§2.11"
-    ),
-    QueryDef("q54_exact_dedup", _q54_exact_dedup, _q54_sql, "§2.11"),
-    QueryDef("q55_simhash", _q55_simhash, _q55_sql, "§2.11"),
-    QueryDef("q56_jaccard_pairs", _q56_jaccard_pairs, _q56_sql, "§2.11"),
-    QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),
-    QueryDef("q61_lsh_topk", _q61_lsh_topk, None, "§2.11"),
-    QueryDef("q63_ivf_topk", _q63_ivf_topk, None, "§2.11"),
-    QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
-    QueryDef("q52_tfidf_topterms", _q52_tfidf_topterms, _q52_sql, "§2.11"),
-    QueryDef("q53_approx_agg", _q53_approx_agg, None, "§2.11"),
-    QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
-    QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
-    QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
-    QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
-    QueryDef("q80_binary_meta", _q80_binary_meta, _q80_sql, "multimodal"),
+    # --- round-4 window (driver consumes the first 50 entries) ---
+    # Lead: the 35 queries whose last green row is r1/r2 (the r3 window
+    # sampled positions 1-50 of the old ordering), starting with
+    # q26_asof_join whose shared implementation changed in r3 AND r4.
     QueryDef("q26_asof_join", _q26_asof_join, _q26_sql, "§2.7"),
-    QueryDef("q32_closure", _q32_closure, _q32_sql, "G5"),
+    QueryDef("q80_binary_meta", _q80_binary_meta, _q80_sql, "multimodal"),
     QueryDef("q30_one_hop", _q30_one_hop, _q30_sql, "G3"),
     QueryDef("q31_two_hop_motif", _q31_two_hop_motif, _q31_sql, "G4"),
+    QueryDef("q32_closure", _q32_closure, _q32_sql, "G5"),
     QueryDef("q33_edge_histogram", _q33_edge_histogram, _q33_sql, "G6"),
     QueryDef("q34_degrees", _q34_degrees, _q34_sql, "G6"),
     QueryDef("q43_gap_stats", _q43_gap_stats, _q43_sql, "§2.9"),
-    QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
-    # --- green in CORRECTNESS_r01.json; simplest plans, window tail ---
     QueryDef("q01_scan_jsonl", _q01_scan_jsonl, _q01_sql, "S1,P1"),
     QueryDef("q02_scan_map", _q02_scan_map, _q02_sql, "S3"),
     QueryDef("q03_prefix_scan", _q03_prefix_scan, _q03_sql, "S5,P6"),
@@ -3155,6 +3190,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("q11_semi_contains", _q11_semi_contains, _q11_sql, "J4"),
     QueryDef("q12_array_distinct", _q12_array_distinct, _q12_sql, "A1,F3"),
     QueryDef("q13_group_count", _q13_group_count, _q13_sql, "A2"),
+    QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
     QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
     QueryDef("q16_regex_sanitize", _q16_regex_sanitize, _q16_sql, "F1"),
     QueryDef("q17_format_string", _q17_format_string, _q17_sql, "F2,F4,K1"),
@@ -3168,6 +3204,61 @@ QUERIES: list[QueryDef] = [
     QueryDef("q40_tumbling_agg", _q40_tumbling_agg, _q40_sql, "§2.10"),
     QueryDef("q41_session_window", _q41_session_window, _q41_sql, "§2.10"),
     QueryDef("q42_sliding_window", _q42_sliding_window, _q42_sql, "§2.10"),
+    # Then: every query whose implementation changed this round —
+    # newly-oracled q53/q61 (q63 stays rows-only by design, fresh row
+    # documents it), the as-of forward path (right-dtype tolerance fix),
+    # and the similarity/relational modules touched by the round-4 edits.
+    QueryDef("q53_approx_agg", _q53_approx_agg, _q53_sql, "§2.11"),
+    QueryDef("q61_lsh_topk", _q61_lsh_topk, _q61_sql(), "§2.11"),
+    QueryDef("q63_ivf_topk", _q63_ivf_topk, None, "§2.11"),
+    QueryDef("q89_asof_forward", _q89_asof_forward, _q89_sql, "§2.7"),
+    QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),
+    QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
+    QueryDef("q82_lsh_neardup", _q82_lsh_neardup, _q82_sql, "§2.11"),
+    QueryDef("q86_ivf_det_topk", _q86_ivf_det_topk, _q86_sql(), "§2.11"),
+    QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
+    QueryDef("q85_curate", _q85_curate, _q85_sql(), "§2.11"),
+    QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
+    QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
+    QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),
+    QueryDef("q92_distribution_drift", _q92_distribution_drift, _q92_sql, "§2.11"),
+    QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
+    # --- tail: r3-green and unchanged this round ---
+    QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
+    QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),
+    QueryDef("q35_connected_components", _q35_connected_components, _q35_sql, "G9"),
+    QueryDef("q36_shortest_path", _q36_shortest_path, _q36_sql, "G7"),
+    QueryDef("q37_pagerank", _q37_pagerank, _q37_sql, "G8"),
+    QueryDef("q38_triangle_count", _q38_triangle_count, _q38_sql, "G10"),
+    QueryDef("q44_percentile", _q44_percentile, _q44_sql, "§2.7"),
+    QueryDef("q45_topk_per_group", _q45_topk_per_group, _q45_sql, "§2.7"),
+    QueryDef("q46_funnel", _q46_funnel, _q46_sql, "§2.10"),
+    QueryDef("q50_minhash_simjoin", _q50_minhash_simjoin, _q50_oracle_sql(), "§2.11"),
+    QueryDef("q52_tfidf_topterms", _q52_tfidf_topterms, _q52_sql, "§2.11"),
+    QueryDef("q54_exact_dedup", _q54_exact_dedup, _q54_sql, "§2.11"),
+    QueryDef("q55_simhash", _q55_simhash, _q55_sql, "§2.11"),
+    QueryDef("q56_jaccard_pairs", _q56_jaccard_pairs, _q56_sql, "§2.11"),
+    QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
+    QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
+    QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
+    QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
+    QueryDef("q65_deterministic_split", _q65_deterministic_split, _q65_sql, "§2.11"),
+    QueryDef("q66_dedup_clusters", _q66_dedup_clusters, _q66_sql, "§2.11"),
+    QueryDef("q67_lsh_dedup_clusters", _q67_lsh_dedup_clusters, _q67_oracle_sql(), "§2.11"),
+    QueryDef("q68_stratified_sample", _q68_stratified_sample, _q68_sql, "§2.11"),
+    QueryDef("q69_cluster_representatives", _q69_cluster_representatives, _q69_sql, "§2.11"),
+    QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),
+    QueryDef("q71_repetition", _q71_repetition, _q71_sql, "§2.11"),
+    QueryDef("q72_pii_redact", _q72_pii_redact, _q72_sql, "§2.11"),
+    QueryDef("q73_event_correlation", _q73_event_correlation, _q73_sql, "§2.10"),
+    QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
+    QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
+    QueryDef("q78_incremental_dedup", _q78_incremental_dedup, _q78_oracle_sql(), "§2.11"),
+    QueryDef("q81_media_features", _q81_media_features, _q81_sql, "multimodal"),
+    QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
+    QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
+    QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
+    QueryDef("q90_lpa_communities", _q90_lpa_communities, _q90_sql(), "§2.8"),
 ]
 
 
