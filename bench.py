@@ -15,12 +15,24 @@ comparable.
 Methodology: one warm-up run of q20 (JVM/codegen warm), then each query
 executed once with a count-style action that materializes the full
 result but doesn't ship rows to the driver.
+
+Round-4 additions that make a noisy bench host distinguishable from
+plan drift inside the artifact itself: per-query PLAN FINGERPRINTS
+(sha256 of the executed plan, normalized for run-varying expression /
+plan ids) recorded for both the cold and warm invocation — identical
+fingerprints + divergent times ⇒ host interference, divergent
+fingerprints ⇒ genuine plan change — plus 1-minute loadavg snapshots
+before and after the run. q90-q92 join the headline set so the newest
+operators accumulate per-round history; earlier names keep their
+positions so per-query history stays comparable.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import time
 
 from ontology_graph_etl_spark.plans.registry import queries
@@ -50,7 +62,25 @@ HEADLINE = [
     "q78_incremental_dedup",
     "q82_lsh_neardup",
     "q85_curate",
+    "q90_lpa_communities",
+    "q91_snapshot_diff",
+    "q92_distribution_drift",
 ]
+
+# Run-varying atoms inside an executed-plan string: expression ids
+# (#123), codegen/plan ids, exchange reuse ids, and higher-order-
+# function lambda variable numbering (x_1 vs x_11 across invocations).
+# Everything else (operator tree, join strategies, pushed filters,
+# partitioning) is the plan identity we want to pin across runs and
+# rounds.
+_PLAN_ID_RE = re.compile(
+    r"#\d+|plan_id=\d+|\[id=#?\d+\]|, id=#?\d+|(?<=lambda )\w+_\d+"
+)
+
+
+def _plan_fingerprint(df) -> str:
+    s = df._jdf.queryExecution().simpleString()
+    return hashlib.sha256(_PLAN_ID_RE.sub("", s).encode()).hexdigest()[:16]
 
 
 def main() -> None:
@@ -99,16 +129,28 @@ def main() -> None:
         while it.hasNext():
             it.next()._2().unpersist(True)
 
+    load_before = os.getloadavg()
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    plans: dict[str, str] = {}
+    plans_unstable: list[str] = []
     for name in HEADLINE:
+        # construction stays INSIDE the timed window: iterative queries
+        # (pagerank/closure/LPA) run jobs while building their result
+        # frame, and rounds 1-3 timed exactly construction + count
         start = time.perf_counter()
-        registry[name](spark, sf_dir).count()
+        cold_df = registry[name](spark, sf_dir)
+        cold_df.count()
         timings[name] = round(time.perf_counter() - start, 3)
+        fp_cold = _plan_fingerprint(cold_df)  # after count: outside timing
         _release_checkpoints()
         start = time.perf_counter()
-        registry[name](spark, sf_dir).count()
+        warm_df = registry[name](spark, sf_dir)
+        warm_df.count()
         warm[name] = round(time.perf_counter() - start, 3)
+        if _plan_fingerprint(warm_df) != fp_cold:
+            plans_unstable.append(name)
+        plans[name] = fp_cold
         _release_checkpoints()
 
     total = round(sum(timings.values()), 3)
@@ -122,6 +164,10 @@ def main() -> None:
                 "value_warm": round(sum(warm.values()), 3),
                 "queries_warm": warm,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "plans": plans,
+                "plans_unstable": plans_unstable,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )
