@@ -225,6 +225,7 @@ def asof_join(
     payload_cols: Sequence[str],
     direction: str = "backward",
     tolerance: float | None = None,
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """As-of join: each left row is matched with the single right row of
     the same key nearest in time — ``direction="backward"`` takes the
@@ -241,6 +242,22 @@ def asof_join(
     explosion, no per-key driver loop — the plan a 100 TB event/feature
     join needs. (A join + filter + rank formulation explodes to all
     key-pairs before pruning; this never materializes them.)
+
+    SKEW POSTURE: per-key as-of semantics inherently serialize each
+    key's rows into one window partition, so one hot key (a symbol with
+    half the ticks, a device with half the events) becomes one
+    straggler task. ``bucket_width`` (same units as ``tolerance``)
+    activates the segmented plan: rows hash-shuffle on
+    ``(key, floor(ts/width))`` so a hot key's timeline splits into many
+    parallel partitions; each segment scans locally, and cross-segment
+    carry-in is resolved on the per-segment AGGREGATE frame (one row
+    per (key, segment) — the same hierarchical-prefix trick as
+    sequence packing, textops.py::pack_sequences). Output is identical
+    to the default plan (property-tested); cost is one extra small
+    shuffle, so reach for it when a key can exceed ~a few million rows,
+    and size ``bucket_width`` so a hot key spreads over hundreds of
+    segments. The hot-key partition ceases to exist rather than being
+    worked around.
 
     Right rows with duplicate (key, ts) are resolved latest-wins by
     their sort order; pre-dedup the right side for full determinism.
@@ -275,25 +292,31 @@ def asof_join(
     # null struct on the left side, typed like the real payload struct
     l = l.withColumn("__rp", F.lit(None).cast(r.schema["__rp"].dataType))
     unioned = l.select(r.columns).unionByName(r)
-    if direction == "backward":
-        # right rows sort before left rows at equal ts → equality
-        # matches; carry the last-seen right struct forward
-        w = (
-            Window.partitionBy(on)
-            .orderBy(F.col(left_ts).asc(), F.col("__is_left").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        match = F.last(F.col("__rp"), ignorenulls=True).over(w)
+    backward = direction == "backward"
+    if bucket_width is None:
+        if backward:
+            # right rows sort before left rows at equal ts → equality
+            # matches; carry the last-seen right struct forward
+            w = (
+                Window.partitionBy(on)
+                .orderBy(F.col(left_ts).asc(), F.col("__is_left").asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            match = F.last(F.col("__rp"), ignorenulls=True).over(w)
+        else:
+            # left rows sort before right rows at equal ts → equality
+            # matches; take the first right struct at-or-after
+            w = (
+                Window.partitionBy(on)
+                .orderBy(F.col(left_ts).asc(), F.col("__is_left").desc())
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            match = F.first(F.col("__rp"), ignorenulls=True).over(w)
+        carried = unioned.withColumn("__match", match)
     else:
-        # left rows sort before right rows at equal ts → equality
-        # matches; take the first right struct at-or-after
-        w = (
-            Window.partitionBy(on)
-            .orderBy(F.col(left_ts).asc(), F.col("__is_left").desc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carried = _asof_segmented(
+            unioned, on, left_ts, backward, bucket_width
         )
-        match = F.first(F.col("__rp"), ignorenulls=True).over(w)
-    carried = unioned.withColumn("__match", match)
     if tolerance is not None:
         # __match_ts keeps the RIGHT column's original type inside the
         # struct (the union may have widened the top-level ts column),
@@ -314,6 +337,80 @@ def asof_join(
             *[c for c in left.columns],
             *[F.col("__match").getField(c).alias(c) for c in payload_cols],
         )
+    )
+
+
+def _asof_segmented(
+    unioned: DataFrame,
+    on: str,
+    ts: str,
+    backward: bool,
+    width: float,
+) -> DataFrame:
+    """Skew-resistant as-of carry: partition the tagged union by
+    ``(key, floor(ts/width))`` so a hot key's timeline parallelizes.
+
+    Three stages, all shuffling on (key, segment) except the tiny
+    carry window:
+
+    1. in-segment scan — the usual (ts, side) window, but per segment;
+    2. per-segment boundary — each segment's last (backward) / first
+       (forward) right struct, ONE ROW per (key, segment);
+    3. carry-in — on that aggregate frame, the last/first non-null
+       boundary over strictly earlier/later segments. This window is
+       per-key again but over segment COUNTS (thousands), not row
+       counts (millions) — if keys ever span millions of segments,
+       apply the same trick recursively.
+
+    A left row's match = its in-segment match, else the carry-in.
+    """
+    from pyspark.sql import Window
+
+    dt = unioned.schema[ts].dataType
+    seg = F.floor(epoch_double(F.col(ts), dt) / F.lit(float(width)))
+    u = unioned.withColumn("__seg", seg)
+    if backward:
+        w_in = (
+            Window.partitionBy(on, "__seg")
+            .orderBy(F.col(ts).asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        within = F.last("__rp", ignorenulls=True).over(w_in)
+    else:
+        w_in = (
+            Window.partitionBy(on, "__seg")
+            .orderBy(F.col(ts).asc(), F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        within = F.first("__rp", ignorenulls=True).over(w_in)
+    u = u.withColumn("__within", within)
+    right_rows = u.where(F.col("__is_left") == 0)
+    pick = F.max_by if backward else F.min_by
+    seg_bound = right_rows.groupBy(on, "__seg").agg(
+        pick("__rp", F.col(ts)).alias("__bound")
+    )
+    segs = (
+        u.select(on, "__seg")
+        .distinct()
+        .join(seg_bound, [on, "__seg"], "left")
+    )
+    if backward:
+        w_c = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__seg").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = F.last("__bound", ignorenulls=True).over(w_c)
+    else:
+        w_c = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__seg").asc())
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        carry = F.first("__bound", ignorenulls=True).over(w_c)
+    carry_df = segs.select(on, "__seg", carry.alias("__carry"))
+    return u.join(carry_df, [on, "__seg"], "left").withColumn(
+        "__match", F.coalesce("__within", "__carry")
     )
 
 

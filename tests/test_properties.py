@@ -1331,3 +1331,73 @@ def test_kmeans_assign_empty_input_both_methods(spark):
         out = kmeans_assign(empty, "vec_id", "embedding", 4, method=method)
         assert out.columns == ["vec_id", "centroid_id", "sim"]
         assert out.count() == 0
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 60)),
+        min_size=1, max_size=14, unique=True,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 60), st.integers(0, 99)),
+        min_size=0, max_size=14,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+    tol=st.sampled_from([None, 7]),
+    width=st.sampled_from([1, 5, 100]),
+)
+@SETTINGS
+def test_asof_segmented_equals_default(spark, left, right, direction, tol, width):
+    """bucket_width activates the segmented (skew-resistant) plan; its
+    output must be IDENTICAL to the default single-window plan for any
+    width, direction, and tolerance — including widths smaller than the
+    data span (many segments, carry-in exercised) and larger (one
+    segment, pure in-segment path)."""
+    from ontology_graph_etl_spark.operators.relational import asof_join
+
+    ldf = spark.createDataFrame(left, "k int, t int")
+    rdf = spark.createDataFrame(right, "k int, t int, payload int")
+    base = {
+        (r.k, r.t): r.payload
+        for r in asof_join(
+            ldf, rdf, "k", "t", "t", ["payload"],
+            direction=direction, tolerance=tol,
+        ).collect()
+    }
+    seg = {
+        (r.k, r.t): r.payload
+        for r in asof_join(
+            ldf, rdf, "k", "t", "t", ["payload"],
+            direction=direction, tolerance=tol, bucket_width=width,
+        ).collect()
+    }
+    assert seg == base
+
+
+def test_asof_hot_key_spreads_over_segments(spark):
+    """Skew posture: one key holding 50% of all rows. The segmented plan
+    must (a) produce the same answer as the default plan and (b) spread
+    the hot key across many (key, segment) window partitions instead of
+    serializing it into one."""
+    from ontology_graph_etl_spark.operators.relational import asof_join
+
+    n = 20_000
+    # hot key 0: every other row; keys 1..99 share the rest
+    left = [(0 if i % 2 == 0 else 1 + (i % 99), i) for i in range(n)]
+    right = [
+        (0 if i % 2 == 0 else 1 + (i % 99), i, i * 7 % 1000)
+        for i in range(0, n, 3)
+    ]
+    ldf = spark.createDataFrame(left, "k int, t int")
+    rdf = spark.createDataFrame(right, "k int, t int, payload int")
+    seg_df = asof_join(
+        ldf, rdf, "k", "t", "t", ["payload"], bucket_width=100
+    )
+    base = asof_join(ldf, rdf, "k", "t", "t", ["payload"])
+    got = {(r.k, r.t): r.payload for r in seg_df.collect()}
+    want = {(r.k, r.t): r.payload for r in base.collect()}
+    assert got == want
+    # the hot key's 10k rows now live in t/100 = 200 window partitions
+    plan = seg_df._jdf.queryExecution().executedPlan().toString()
+    assert "__seg" in plan  # windows keyed by (k, __seg), not k alone
