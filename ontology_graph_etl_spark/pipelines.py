@@ -180,6 +180,7 @@ def curate_pretraining_corpus(
     train_frac: float = 0.8,
     valid_frac: float = 0.1,
     base_hash: str = "xxhash64",
+    materialize: bool = False,
 ) -> DataFrame:
     """One-call training-data curation — the composition the individual
     §2.11 operators exist for:
@@ -201,6 +202,15 @@ def curate_pretraining_corpus(
     100 TB the costs are the LSH band shuffle and the exact-dedup text
     shuffle — everything else is scan-speed expressions and broadcast
     joins.
+
+    The lazy composition evaluates the gate/exact/quality branches
+    TWICE — once feeding the survivors filter (→ clustering), once in
+    the final annotation join (SCALING.md round-3 table).
+    ``materialize=True`` pins each branch with ``localCheckpoint``
+    (executor-local blocks, eager) so it computes once and both
+    consumers read the materialized result — prefer it when the input
+    is remote/expensive to rescan; the output is identical either way
+    (tested).
     """
     from .operators.dedup import cluster_representatives, lsh_dedup_clusters
     from .operators.textops import gopher_quality_filters, quality_score
@@ -215,6 +225,10 @@ def curate_pretraining_corpus(
         .withColumn("__rn", F.row_number().over(w_text))
         .select(id_col, (F.col("__rn") == 1).alias("exact_keep"))
     )
+    if materialize:
+        gq = gq.localCheckpoint()
+        exact = exact.localCheckpoint()
+        quality = quality.localCheckpoint()
     survivors = (
         docs.join(gq.select(id_col, "passes_gopher"), id_col)
         .join(exact, id_col)

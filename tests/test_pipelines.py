@@ -221,3 +221,29 @@ def test_curate_pretraining_corpus_end_to_end(spark, sf_dir):
         assert again == {(r.doc_id, r.keep, r.split, r.cluster) for r in rows}
     finally:
         out.unpersist()
+
+
+def test_curate_materialize_identical_output_one_scan(spark, sf_dir):
+    """materialize=True must change the PLAN (gate/exact/quality branches
+    pinned as in-memory RDDs, parquet rescanned fewer times), never the
+    OUTPUT."""
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.pipelines import curate_pretraining_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lazy = curate_pretraining_corpus(docs)
+    mat = curate_pretraining_corpus(docs, materialize=True)
+    key = lambda r: r["doc_id"]
+    assert sorted(map(tuple, lazy.collect()), key=repr) == sorted(
+        map(tuple, mat.collect()), key=repr
+    )
+    lazy_plan = lazy._jdf.queryExecution().executedPlan().toString()
+    mat_plan = mat._jdf.queryExecution().executedPlan().toString()
+    # the three checkpointed branches add ExistingRDD scans beyond the
+    # clustering stage's own internal checkpoints (present in both)...
+    assert (
+        mat_plan.count("Scan ExistingRDD")
+        >= lazy_plan.count("Scan ExistingRDD") + 3
+    )
+    # ...and the parquet source is scanned strictly fewer times
+    assert mat_plan.count("Scan parquet") < lazy_plan.count("Scan parquet")

@@ -155,3 +155,58 @@ def test_sheet_name_with_quotes_round_trips(tmp_path):
         book = parse_workbook(f.read())
     assert list(book) == ['she"et <&> \'x\'']
     assert book['she"et <&> \'x\''] == [["a", 1], ["b", 2]]
+
+
+def test_distributed_fleet_of_100_workbooks(spark, tmp_path):
+    """Fleet-scale shape for read_sheets_distributed: ~100 workbooks in
+    one binaryFile scan, each with its own row count and its own
+    stop-marker row. line_no must restart per file and preserve sheet
+    row order, so the reference's prefix-stop semantics (break at first
+    empty key cell, main.py:285-289) can be applied per file by
+    partitioning on src_file."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark.sources.xlsx import (
+        read_sheets_distributed,
+        write_xlsx,
+    )
+
+    n_files = 100
+    expect: dict[str, list[tuple[int, str]]] = {}
+    for i in range(n_files):
+        n_data = 2 + (i % 7)
+        rows = [["key", "val"]]  # header
+        rows += [[f"k{i}_{j}", str(j)] for j in range(n_data)]
+        # stop marker (empty key cell), then rows the prefix scan drops
+        rows += [[None, "stop"], [f"junk{i}", "x"], [f"junk{i}b", "y"]]
+        write_xlsx(str(tmp_path / f"wb{i:03d}.xlsx"), {"s": rows})
+        # line_no is 1-based over sheet rows; header row (line 1) skipped
+        expect[f"wb{i:03d}.xlsx"] = [
+            (j + 2, f"k{i}_{j}") for j in range(n_data)
+        ]
+
+    df = read_sheets_distributed(
+        spark, str(tmp_path), sheet="s", n_cols=2, header=True
+    )
+    # per-file prefix stop: rows strictly before the first empty c0
+    stop = F.min(F.when(F.col("c0").isNull(), F.col("line_no"))).over(
+        Window.partitionBy("src_file")
+    )
+    kept = (
+        df.withColumn("__stop", stop)
+        .where(F.col("line_no") < F.coalesce(F.col("__stop"), F.lit(2**31)))
+        .select("src_file", "line_no", "c0")
+        .collect()
+    )
+    got: dict[str, list[tuple[int, str]]] = {}
+    for r in kept:
+        name = r.src_file.rsplit("/", 1)[-1]
+        got.setdefault(name, []).append((r.line_no, r.c0))
+    assert len(got) == n_files
+    for name, want in expect.items():
+        assert sorted(got[name]) == want, name
+    # total rows across the fleet: sum of per-file data rows
+    assert sum(len(v) for v in got.values()) == sum(
+        len(v) for v in expect.values()
+    )
