@@ -716,3 +716,42 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k result against its exact
+    twin: ``|approx ∩ exact| / |exact|`` per query id.
+
+    The standard ANN evaluation join (recall@k). Both inputs are the
+    ``(query_id, neighbor_id, ...)`` shape every top-k operator here
+    emits (``cosine_topk``, ``lsh_topk``, ``ivf_topk``,
+    ``ivf_topk_deterministic``). Queries present in ``exact`` but absent
+    from ``approx`` get recall 0.0 (left join from the exact side — an
+    ANN path that drops a query entirely must show up as a miss, not
+    vanish from the report).
+
+    Scale: two per-query aggregates plus one equi-join on
+    ``(query, neighbor)`` — everything shuffles on the query key, k rows
+    per query; no pairwise blow-up.
+    """
+    e = exact.select(
+        F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
+    )
+    a = approx.select(
+        F.col(query_col).alias("__q"),
+        F.col(neighbor_col).alias("__n"),
+        F.lit(1).alias("__hit"),
+    )
+    joined = e.join(a, ["__q", "__n"], "left")
+    return joined.groupBy("__q").agg(
+        (
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            / F.count(F.lit(1))
+        ).alias("recall"),
+        F.count(F.lit(1)).cast("long").alias("exact_k"),
+    ).select(F.col("__q").alias(query_col), "recall", "exact_k")

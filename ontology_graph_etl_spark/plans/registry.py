@@ -1475,18 +1475,44 @@ FROM ranked WHERE rank <= {k}
 
 
 def _q63_ivf_topk(spark, sf_dir):
-    # IVF ANN over an ml-lib-TRAINED quantizer — the ONE remaining
-    # rows-only query by design: KMeans training is seed- and
+    # IVF ANN over an ml-lib-TRAINED quantizer, made hash-checkable via
+    # the q53 tolerance-row technique: KMeans centroids are seed- and
     # partitioning-dependent inside the JVM, so no external engine can
-    # re-derive the centroids. Its hash-checked deterministic twin is
-    # q86 (same plan shape, md5-seeded quantizer, full DuckDB oracle);
-    # recall is pinned by tests/test_similarity_recall.py and two
-    # invocations are asserted identical by test_oracle_parity.py.
+    # re-derive the *neighbor lists* — but the verification CONTRACT is
+    # engine-portable. The output carries an exact fact DuckDB
+    # reproduces (query count) plus two contract booleans: every query
+    # returned a full k=5 result set, and MEAN recall@5 vs the
+    # brute-force cosine_topk twin clears 0.4 (measured 0.62-0.64 at
+    # both test SFs with nprobe=3/8; per-query recall is 0.2-1.0, so the
+    # floor is aggregate — the module recall test pins 0.5 at
+    # nprobe=4/8). An IVF regression that tanks recall or drops queries
+    # now becomes a driver hash mismatch instead of an invisible
+    # rows-only pass. The fully deterministic twin (every stage
+    # re-derived by DuckDB) remains q86.
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
-        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding",
-        k=5, num_lists=8, nprobe=3,
+    queries = emb.where(F.col("vec_id") < 10)
+    approx = similarity.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, num_lists=8, nprobe=3,
     )
+    exact = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    rec = similarity.topk_recall(approx, exact)
+    hits = approx.groupBy("query_id").count()
+    complete = rec.join(hits, "query_id", "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.min(
+            F.coalesce(F.col("count"), F.lit(0)) == F.col("exact_k")
+        ).alias("results_complete"),
+        (F.avg("recall") >= 0.4).alias("mean_recall_floor_ok"),
+    )
+    return complete
+
+
+_q63_sql = r"""
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       TRUE AS results_complete,
+       TRUE AS mean_recall_floor_ok
+FROM embeddings WHERE vec_id < 10
+"""
 
 
 def _cos_fold_sql(a: str, b: str) -> str:
@@ -3205,12 +3231,13 @@ QUERIES: list[QueryDef] = [
     QueryDef("q41_session_window", _q41_session_window, _q41_sql, "§2.10"),
     QueryDef("q42_sliding_window", _q42_sliding_window, _q42_sql, "§2.10"),
     # Then: every query whose implementation changed this round —
-    # newly-oracled q53/q61 (q63 stays rows-only by design, fresh row
-    # documents it), the as-of forward path (right-dtype tolerance fix),
-    # and the similarity/relational modules touched by the round-4 edits.
+    # newly-oracled q53/q61/q63 (q63 now carries a recall-contract row
+    # via the q53 tolerance technique; its fully-deterministic twin is
+    # q86), the as-of forward path (right-dtype tolerance fix), and the
+    # similarity/relational modules touched by the round-4 edits.
     QueryDef("q53_approx_agg", _q53_approx_agg, _q53_sql, "§2.11"),
     QueryDef("q61_lsh_topk", _q61_lsh_topk, _q61_sql(), "§2.11"),
-    QueryDef("q63_ivf_topk", _q63_ivf_topk, None, "§2.11"),
+    QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
     QueryDef("q89_asof_forward", _q89_asof_forward, _q89_sql, "§2.7"),
     QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),
     QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),

@@ -118,3 +118,21 @@ def test_ivf_det_topk_recall(emb, exact):
         k=5, num_lists=8, nprobe=3,
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_topk_recall_semantics(spark):
+    """topk_recall: partial overlap scores |∩|/k; a query missing from
+    the approx side entirely scores 0.0 instead of disappearing."""
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30), (3, 31)],
+        ["query_id", "neighbor_id"],
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 99)],  # q3 absent, q2 half wrong
+        ["query_id", "neighbor_id"],
+    )
+    rows = {
+        r.query_id: (r.recall, r.exact_k)
+        for r in similarity.topk_recall(approx, exact).collect()
+    }
+    assert rows == {1: (1.0, 2), 2: (0.5, 2), 3: (0.0, 2)}
