@@ -558,3 +558,136 @@ def unigram_logprob(
             F.col("mean_logprob"),
         )
     )
+
+
+def boilerplate_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_frac: float = 0.05,
+    min_docs: int = 5,
+    paragraphs=None,
+    joiner: str = " ",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet/RefinedWeb
+    common-line pass, distinct from :func:`paragraph_dedup`): a
+    paragraph is BOILERPLATE when it appears in more than
+    ``max(min_docs, max_doc_frac * n_docs)`` distinct documents —
+    navigation menus, cookie banners, footers — and every instance is
+    removed from every document (paragraph_dedup, by contrast, keeps
+    the first occurrence). Output per doc: ``n_paras``, ``n_kept``,
+    ``text_clean``.
+
+    ``paragraphs`` is a Column producing ``array<string>`` (default:
+    blank-line split; pass :func:`token_chunks` for unstructured
+    corpora).
+
+    Scale shape: one explode + one groupBy(paragraph) distinct-doc
+    count — the frequency table is then filtered to ONLY the
+    above-threshold paragraphs, which is tiny by construction (a
+    paragraph must recur across >=min_docs docs to enter it), so the
+    removal join is a broadcast LEFT ANTI against the boilerplate set;
+    the corpus never shuffles a second time. The distinct-doc count
+    itself shuffles on paragraph text; AQE splits the boilerplate-key
+    skew exactly as in paragraph_dedup.
+    """
+    if paragraphs is None:
+        paragraphs = F.split(F.col(text_col), r"\n{2,}")
+    paras = (
+        df.select(F.col(id_col), F.posexplode(paragraphs).alias("idx", "para"))
+        .where(F.trim(F.col("para")) != "")
+    )
+    n_docs = df.count()  # O(1) driver scalar, sets the threshold
+    thresh = max(int(min_docs), int(max_doc_frac * n_docs))
+    boiler = (
+        paras.groupBy("para")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") > thresh)
+        .select("para")
+    )
+    kept = paras.join(F.broadcast(boiler), "para", "left_anti")
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"],
+            ),
+            joiner,
+        ).alias("text_clean"),
+    )
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    flag_frac: float = 0.3,
+) -> DataFrame:
+    """Cross-document duplicate-span tagging (the Dolma/Lee-et-al
+    "dedup documents by duplicated substrings" signal, at n-gram
+    granularity): per document, the fraction of its word ``n``-grams
+    that also occur in at least one OTHER document. Output:
+    ``n_ngrams`` (distinct grams in the doc), ``n_dup`` (of those, how
+    many are shared), ``dup_frac``, and ``dup_flag`` (``dup_frac >=
+    flag_frac``) — the standard pre-filter before expensive
+    suffix-array exact-substring dedup, and a tagging pass that lets
+    downstream REMOVE spans rather than whole docs.
+
+    Scale shape: explode distinct grams per doc (one narrow pass),
+    count distinct docs per gram (one shuffle on gram), mark grams with
+    >=2 docs, aggregate back per doc (second shuffle on doc id). Both
+    shuffles move (gram, doc) pairs — linear in corpus token count,
+    never pairwise. Texts shorter than ``n`` tokens yield zero grams
+    and ``dup_frac`` 0.0.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    gram_docs = grams.groupBy("gram").agg(
+        F.countDistinct(id_col).alias("__nd")
+    )
+    per_doc = (
+        grams.join(gram_docs, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum((F.col("__nd") >= 2).cast("long")).alias("n_dup"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            F.round(
+                F.when(
+                    F.coalesce("n_ngrams", F.lit(0)) > 0,
+                    F.coalesce("n_dup", F.lit(0)) / F.col("n_ngrams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+            (
+                F.when(
+                    F.coalesce("n_ngrams", F.lit(0)) > 0,
+                    F.coalesce("n_dup", F.lit(0)) / F.col("n_ngrams"),
+                ).otherwise(F.lit(0.0))
+                >= flag_frac
+            ).alias("dup_flag"),
+        )
+    )

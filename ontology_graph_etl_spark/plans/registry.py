@@ -3179,6 +3179,128 @@ WHERE d.doc_id % 10 = 0
 """
 
 
+_Q93_CHUNK = 3
+_Q93_MIN_DOCS = 5
+_Q93_FRAC = 0.01
+
+
+def _q93_boilerplate(spark, sf_dir):
+    # corpus-frequency boilerplate removal (CCNet/RefinedWeb common-line
+    # pass): 3-token chunks appearing in > max(5, 1% of docs) distinct
+    # documents are stripped from EVERY doc (vs q83's first-wins dedup).
+    # At sf0.01 the threshold (5 docs) catches 15 real chunks, so the
+    # removal path is exercised, not vacuous.
+    docs = _t(spark, sf_dir, "documents")
+    return textops.boilerplate_removal(
+        docs,
+        "doc_id",
+        "text",
+        max_doc_frac=_Q93_FRAC,
+        min_docs=_Q93_MIN_DOCS,
+        paragraphs=textops.token_chunks(F.col("text"), _Q93_CHUNK),
+    )
+
+
+_q93_sql = rf"""
+WITH split AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         list_transform(
+           range(CAST(ceil(len(l) / {_Q93_CHUNK}.0) AS INTEGER)),
+           i -> array_to_string(
+             l[i * {_Q93_CHUNK} + 1 : i * {_Q93_CHUNK} + {_Q93_CHUNK}], ' '))
+           AS cl
+  FROM split
+),
+paras0 AS (
+  SELECT doc_id,
+         unnest(range(1, len(cl) + 1)) AS idx1,
+         unnest(cl) AS para
+  FROM chunks
+),
+paras AS (SELECT doc_id, idx1, para FROM paras0 WHERE trim(para) <> ''),
+boiler AS (
+  SELECT para FROM paras GROUP BY para
+  HAVING count(DISTINCT doc_id) >
+         greatest({_Q93_MIN_DOCS},
+                  CAST(floor({_Q93_FRAC} * (SELECT count(*) FROM documents))
+                       AS INTEGER))
+),
+kept AS (
+  SELECT p.doc_id, p.idx1, p.para FROM paras p
+  WHERE p.para NOT IN (SELECT para FROM boiler)
+),
+tot AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(para, ' ' ORDER BY idx1) AS text_clean
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(t.n_paras, 0) AS BIGINT) AS n_paras,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(a.text_clean, '') AS text_clean
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+_Q94_N = 3
+_Q94_FLAG = 0.5
+
+
+def _q94_dup_spans(spark, sf_dir):
+    # cross-document duplicate-span tagging (Dolma-style): fraction of a
+    # doc's distinct 3-grams shared with any other doc; dup_flag at 0.5.
+    return textops.duplicate_span_stats(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=_Q94_N,
+        flag_frac=_Q94_FLAG,
+    )
+
+
+_q94_sql = rf"""
+WITH split AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+           AS l
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(l) >= {_Q94_N}
+              THEN list_transform(range(len(l) - {_Q94_N} + 1),
+                                  i -> array_to_string(
+                                    l[i + 1 : i + {_Q94_N}], ' '))
+              ELSE [] END AS gl
+  FROM split
+),
+grams AS (SELECT DISTINCT doc_id, unnest(gl) AS gram FROM g),
+gd AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM grams GROUP BY gram),
+per_doc AS (
+  SELECT grams.doc_id,
+         count(*) AS n_ngrams,
+         sum(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM grams JOIN gd USING (gram) GROUP BY grams.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup,
+       round(CASE WHEN coalesce(p.n_ngrams, 0) > 0
+                  THEN CAST(p.n_dup AS DOUBLE) / p.n_ngrams
+                  ELSE 0.0 END, 6) AS dup_frac,
+       CASE WHEN coalesce(p.n_ngrams, 0) > 0
+            THEN CAST(p.n_dup AS DOUBLE) / p.n_ngrams
+            ELSE 0.0 END >= {_Q94_FLAG} AS dup_flag
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3247,10 +3369,15 @@ QUERIES: list[QueryDef] = [
     QueryDef("q85_curate", _q85_curate, _q85_sql(), "§2.11"),
     QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
     QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
+    QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
+    # New this round — never certified, so they take window slots from
+    # q91/q92 (r3-green; snapshot_diff/distribution_drift untouched by
+    # the round-4 relational.py edits, which only reshaped asof_join).
+    QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
+    QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
+    # --- tail: r3-green and unchanged this round ---
     QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),
     QueryDef("q92_distribution_drift", _q92_distribution_drift, _q92_sql, "§2.11"),
-    QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
-    # --- tail: r3-green and unchanged this round ---
     QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
     QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),
     QueryDef("q35_connected_components", _q35_connected_components, _q35_sql, "G9"),

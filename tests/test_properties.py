@@ -1401,3 +1401,86 @@ def test_asof_hot_key_spreads_over_segments(spark):
     # the hot key's 10k rows now live in t/100 = 200 window partitions
     plan = seg_df._jdf.queryExecution().executedPlan().toString()
     assert "__seg" in plan  # windows keyed by (k, __seg), not k alone
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["nav menu", "cookie banner", "body one",
+                                  "body two", "  "]),
+                 min_size=0, max_size=6),
+        min_size=1, max_size=10,
+    ),
+    min_docs=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=10, deadline=None)
+def test_boilerplate_removal_matches_reference(spark, docs, min_docs):
+    """Corpus-frequency boilerplate pass: a paragraph is removed from
+    EVERY doc iff it occurs in more than max(min_docs, frac*n_docs)
+    distinct docs (unlike paragraph_dedup's first-wins keep)."""
+    from ontology_graph_etl_spark.operators.textops import boilerplate_removal
+
+    rows = [(i, "\n\n".join(paras)) for i, paras in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        r.doc_id: (r.n_paras, r.n_kept, r.text_clean)
+        for r in boilerplate_removal(
+            df, "doc_id", "text", max_doc_frac=0.0, min_docs=min_docs
+        ).collect()
+    }
+    from collections import defaultdict
+
+    owners = defaultdict(set)
+    splits = {}
+    for i, paras in enumerate(docs):
+        split = "\n\n".join(paras).split("\n\n")
+        splits[i] = [p for p in split if p.strip() != ""]
+        for p in splits[i]:
+            owners[p].add(i)
+    boiler = {p for p, o in owners.items() if len(o) > min_docs}
+    for i in range(len(docs)):
+        kept = [p for p in splits[i] if p not in boiler]
+        assert got[i] == (len(splits[i]), len(kept), " ".join(kept)), i
+    assert len(got) == len(docs)
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12),
+        min_size=1, max_size=8,
+    ),
+    n=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=10, deadline=None)
+def test_duplicate_span_stats_matches_reference(spark, docs, n):
+    """dup_frac = shared-distinct-n-grams / distinct-n-grams per doc;
+    docs shorter than n tokens report zero grams and frac 0.0."""
+    from ontology_graph_etl_spark.operators.textops import (
+        duplicate_span_stats,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id: long, text: string"
+    )
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_dup, r.dup_frac, r.dup_flag)
+        for r in duplicate_span_stats(
+            df, "doc_id", "text", n=n, flag_frac=0.5
+        ).collect()
+    }
+
+    def grams(t):
+        toks = [x for x in t.lower().split() if x]
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        } if len(toks) >= n else set()
+
+    all_g = [grams(t) for t in docs]
+    for i, g in enumerate(all_g):
+        shared = {
+            x for x in g
+            if any(x in h for j, h in enumerate(all_g) if j != i)
+        }
+        frac = round(len(shared) / len(g), 6) if g else 0.0
+        flag = (len(shared) / len(g) >= 0.5) if g else False
+        assert got[i] == (len(g), len(shared), frac, flag), i
+    assert len(got) == len(docs)
