@@ -702,11 +702,20 @@ def label_propagation_communities(
     connected components: a component splits into locally-dense label
     basins instead of collapsing to one min id.
 
-    Scale shape per round: one equi-join (edges × labels, co-partitioned
-    on the neighbor endpoint) + one partial-agg vote count + one
-    per-node window over the vote rows — all keyed shuffles, nothing
-    node-quadratic; ``localCheckpoint`` truncates lineage per round.
-    Self-loops are dropped; isolated nodes never appear (edge-defined).
+    Scale shape per round, PageRank's adaptive strategy (graph.py
+    ``pagerank``): on small graphs (≤ ``_PAGERANK_BROADCAST_NODES``
+    nodes) the label table is BROADCAST, so the edge list never
+    shuffles — only the map-side-combined vote partials move; on large
+    graphs the edge list is hash-partitioned on the neighbor endpoint
+    ONCE before its checkpoint, so each round shuffles only the
+    node-sized label table. The winning label is picked with
+    ``min(struct(-count, label))`` — a hash aggregate with map-side
+    combine (maximize count, tie to smallest label) instead of a
+    sort-window over the vote rows. Nothing is node-quadratic;
+    ``localCheckpoint`` truncates lineage every 4th round (an eager
+    materialization per round costs more than it saves, same cadence
+    as pagerank). Self-loops are dropped; isolated nodes never appear
+    (edge-defined).
     """
     und = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
@@ -716,15 +725,17 @@ def label_propagation_communities(
         .where(F.col("a") != F.col("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
-        .localCheckpoint()
     )
-    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    for _ in range(rounds):
+    nodes = und.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    small = nodes.count() <= _PAGERANK_BROADCAST_NODES
+    if not small:
+        und = und.repartition("b")
+    und = und.localCheckpoint()
+    labels = nodes.withColumn("label", F.col("node"))
+    for rnd in range(rounds):
         votes = (
             und.join(
-                labels.select(
+                (F.broadcast(labels) if small else labels).select(
                     F.col("node").alias("b"), F.col("label")
                 ),
                 "b",
@@ -732,15 +743,19 @@ def label_propagation_communities(
             .groupBy("a", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        w = Window.partitionBy("a").orderBy(
-            F.col("c").desc(), F.col("label").asc()
-        )
         labels = (
-            votes.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select(F.col("a").alias("node"), "label")
-            .localCheckpoint()
+            votes.groupBy("a")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("label").alias("l")
+                    )
+                ).alias("m")
+            )
+            .select(F.col("a").alias("node"), F.col("m.l").alias("label"))
         )
+        if rnd + 1 < rounds:
+            labels = labels.localCheckpoint()
     return labels.select(
         F.col("node").alias("id"), F.col("label").alias("community")
     )
