@@ -3301,6 +3301,57 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def _q95_frame_sample(spark, sf_dir):
+    # multimodal frame sampling: the 1→N mapInPandas shape (one binary
+    # asset fans out to several frame rows inside the Arrow batch, no
+    # explode/shuffle). The fake sampler's spec is all-integer
+    # arithmetic over byte length/position, so DuckDB re-derives every
+    # frame row including the payload slice (compared as hex).
+    from ..sources.multimodal import sample_frames
+
+    assets = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    frames = sample_frames(assets)
+    return frames.select(
+        "asset_id",
+        "media_type",
+        "n_frames",
+        "frame_idx",
+        "t_offset_ms",
+        F.hex(F.col("frame_payload")).alias("frame_hex"),
+    )
+
+
+# DuckDB cannot slice BLOBs, so the oracle slices the VARCHAR and
+# encodes the slice — byte-identical to the Spark-side byte slice
+# because the testdata text is ASCII (1 byte per char).
+_q95_sql = r"""
+WITH m AS (
+  SELECT doc_id AS asset_id, text,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+f AS (
+  SELECT asset_id, text, n, least(8, 1 + n % 4) AS nf
+  FROM m WHERE n > 0
+),
+idx AS (
+  SELECT asset_id, text, n, nf, unnest(range(nf)) AS i FROM f
+)
+SELECT asset_id,
+       'video' AS media_type,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST((i * n * 1000) // (8 * nf) AS BIGINT) AS t_offset_ms,
+       hex(encode(substring(text, CAST(i * (n // nf) + 1 AS INTEGER),
+                            CAST(n // nf AS INTEGER)))) AS frame_hex
+FROM idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3367,15 +3418,18 @@ QUERIES: list[QueryDef] = [
     QueryDef("q86_ivf_det_topk", _q86_ivf_det_topk, _q86_sql(), "§2.11"),
     QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
     QueryDef("q85_curate", _q85_curate, _q85_sql(), "§2.11"),
-    QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
     QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
     QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
     # New this round — never certified, so they take window slots from
-    # q91/q92 (r3-green; snapshot_diff/distribution_drift untouched by
-    # the round-4 relational.py edits, which only reshaped asof_join).
+    # r3-green queries untouched by the round-4 edits (q91/q92:
+    # snapshot_diff/distribution_drift, relational.py edits only
+    # reshaped asof_join; q51: brute cosine, similarity.py edits only
+    # touched LSH banding/kmeans/IVF paths).
     QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
     QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
+    QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
     # --- tail: r3-green and unchanged this round ---
+    QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
     QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),
     QueryDef("q92_distribution_drift", _q92_distribution_drift, _q92_sql, "§2.11"),
     QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),

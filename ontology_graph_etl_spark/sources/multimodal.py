@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -115,4 +116,139 @@ def binary_metadata(df: DataFrame, payload_col: str, id_cols: list[str]) -> Data
         *id_cols,
         F.octet_length(F.col(payload_col)).cast("long").alias("n_bytes"),
         F.sha2(F.col(payload_col), 256).alias("sha256_hex"),
+    )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("payload_out", BinaryType(), True),
+    ]
+)
+
+#: resizer(payload, target_w, target_h) -> dict(width, height, payload_out)
+Resizer = Callable[[bytes, int, int], dict]
+
+
+def fake_resizer(payload: bytes, target_w: int, target_h: int) -> dict:
+    """Deterministic resize fake: 'pixels' are the raw bytes; the output
+    payload is the input truncated/cycled to ``target_w * target_h``
+    bytes — content-derived, so identical across runs/partitionings."""
+    n = max(0, target_w * target_h)
+    src = payload or b"\x00"
+    out = (src * (n // len(src) + 1))[:n]
+    return {"width": target_w, "height": target_h, "payload_out": out}
+
+
+def resize_images(
+    assets: DataFrame,
+    target_w: int,
+    target_h: int,
+    resizer: Resizer = fake_resizer,
+) -> DataFrame:
+    """Resize pass over binary image payloads via ``mapInPandas`` —
+    1→1 row shape, partition-preserving, Arrow-batched. Production
+    wires a PIL/turbojpeg resizer through the seam; the fake keeps the
+    Spark-side contract (schema, batching, determinism) testable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for _, row in batch.iterrows():
+                payload = row["payload"] if row["payload"] is not None else b""
+                r = resizer(bytes(payload), target_w, target_h)
+                rows.append(
+                    {
+                        "asset_id": row["asset_id"],
+                        "width": r.get("width"),
+                        "height": r.get("height"),
+                        "payload_out": r.get("payload_out"),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("t_offset_ms", LongType(), True),
+        StructField("frame_payload", BinaryType(), True),
+    ]
+)
+
+#: sampler(payload, media_type) -> list of dicts, one per sampled frame
+FrameSampler = Callable[[bytes, str], list]
+
+
+def fake_frame_sampler(payload: bytes, media_type: str) -> list:
+    """Deterministic frame-sampling fake with an ARITHMETIC spec (every
+    field derives from byte length and position, so an external engine
+    can re-derive it): duration is ``n_bytes / 8`` seconds, frame
+    count is ``1 + n_bytes mod 4`` (capped at 8), frame ``i`` is the
+    byte slice ``[i*stride, (i+1)*stride)`` with ``stride = n_bytes div
+    n_frames`` at integer offset ``(i * n_bytes * 1000) div (8 *
+    n_frames)`` milliseconds — all-integer arithmetic, so no
+    engine-specific float rounding can leak into a hash compare. Empty
+    payloads yield no frames (a 0-byte video has nothing to sample)."""
+    n = len(payload or b"")
+    if n == 0:
+        return []
+    n_frames = min(8, 1 + n % 4)
+    stride = n // n_frames
+    frames = []
+    for i in range(n_frames):
+        frames.append(
+            {
+                "n_frames": n_frames,
+                "frame_idx": i,
+                "t_offset_ms": (i * n * 1000) // (8 * n_frames),
+                "frame_payload": payload[i * stride : (i + 1) * stride],
+            }
+        )
+    return frames
+
+
+def sample_frames(
+    assets: DataFrame, sampler: FrameSampler = fake_frame_sampler
+) -> DataFrame:
+    """Frame sampling over binary video/audio payloads via
+    ``mapInPandas`` — the 1→N row shape (one input asset fans out to
+    multiple frame rows inside the Arrow batch, no explode/shuffle).
+    Production wires an ffmpeg/pyav sampler through the seam.
+
+    At 100 TB this stays an embarrassingly parallel scan: output rows
+    are produced inside the same task that read the input split, so
+    frame fan-out never shuffles; downstream repartitions only if the
+    next stage needs a different key."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for _, row in batch.iterrows():
+                payload = row["payload"] if row["payload"] is not None else b""
+                for f in sampler(bytes(payload), row["media_type"]):
+                    rows.append(
+                        {
+                            "asset_id": row["asset_id"],
+                            "media_type": row["media_type"],
+                            **f,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAMES_SCHEMA.fields]
+            )
+
+    return assets.select("asset_id", "media_type", "payload").mapInPandas(
+        run, schema=FRAMES_SCHEMA
     )

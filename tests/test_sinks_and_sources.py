@@ -311,3 +311,48 @@ def test_jsonl_to_json_array_rejects_multi_file_input(spark, tmp_path):
     (tmp_path / "b.jsonl").write_text('{"id": 2}\n')
     with pytest.raises(ValueError, match="exactly one input file"):
         jsonl_to_json_array(spark, str(tmp_path), str(tmp_path / "out"))
+
+
+def test_resize_images_contract(spark):
+    """Resize mapInPandas plumbing: 1→1 shape, output payload sized to
+    target_w*target_h, deterministic fake."""
+    from ontology_graph_etl_spark.sources.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"pixeldata")), (2, None)],
+        ["asset_id", "payload"],
+    )
+    out = {r.asset_id: r for r in resize_images(df, 4, 3).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].width, out[1].height) == (4, 3)
+    assert len(bytes(out[1].payload_out)) == 12
+    # cycled content is content-derived, not random
+    assert bytes(out[1].payload_out) == (b"pixeldata" * 2)[:12]
+    assert len(bytes(out[2].payload_out)) == 12  # empty input pads zeros
+    again = {r.asset_id: r for r in resize_images(df, 4, 3).collect()}
+    assert bytes(again[1].payload_out) == bytes(out[1].payload_out)
+
+
+def test_sample_frames_contract(spark):
+    """Frame sampling mapInPandas plumbing: the 1→N fan-out happens
+    inside the Arrow batch; spec is all-integer arithmetic; empty
+    payloads yield zero rows."""
+    from ontology_graph_etl_spark.sources.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [
+            (1, "video", bytearray(b"0123456789")),  # n=10 -> nf=3
+            (2, "video", bytearray(b"")),
+            (3, "audio", None),
+        ],
+        ["asset_id", "media_type", "payload"],
+    )
+    rows = sample_frames(df).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    assert set(by_asset) == {1}  # empty/None payloads -> no frames
+    frames = sorted(by_asset[1], key=lambda r: r.frame_idx)
+    assert [r.n_frames for r in frames] == [3, 3, 3]
+    assert [bytes(r.frame_payload) for r in frames] == [b"012", b"345", b"678"]
+    assert [r.t_offset_ms for r in frames] == [0, 416, 833]
