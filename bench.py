@@ -65,6 +65,12 @@ HEADLINE = [
     "q90_lpa_communities",
     "q91_snapshot_diff",
     "q92_distribution_drift",
+    # round-4 additions: boilerplate removal, duplicate-span tagging,
+    # multimodal frame sampling — new operators start accumulating
+    # per-round performance history immediately (round-3 verdict #8).
+    "q93_boilerplate",
+    "q94_dup_spans",
+    "q95_frame_sample",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids
