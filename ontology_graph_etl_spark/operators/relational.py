@@ -9,6 +9,7 @@ dict lookup, main.py:335-336, IS a broadcast hash join semantically).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -475,21 +476,71 @@ def domain_mix(
         r[0]: r[1]
         for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    return _mix_by_integer_weights(df, key_col, domain_col, counts, weights, 100)
+
+
+def _mix_by_integer_weights(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    counts: dict,
+    weights: dict,
+    scale: int,
+) -> DataFrame:
+    """Shared mixing core: keep-rate thresholds from integer weights on
+    an integer ``scale`` — all-integer arithmetic, so the thresholds
+    (and therefore the surviving row set) are engine-portable."""
     active = {
         d: w for d, w in weights.items() if w > 0 and counts.get(d, 0) > 0
     }
     if not active:
         return df.where(F.lit(False))
-    total = min(counts[d] * 100 // w for d, w in active.items())
+    total = min(counts[d] * scale // w for d, w in active.items())
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
     keep = F.lit(False)
     for d, w in active.items():
-        target = w * total // 100
+        target = w * total // scale
         cut = target * (1 << 32) // counts[d]
         keep = keep | ((F.col(domain_col) == d) & (h < F.lit(cut)))
     return df.where(keep)
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+) -> DataFrame:
+    """Temperature-scaled domain resampling at alpha = 0.5 (the
+    UniMax/multilingual-sampling move): target shares are proportional
+    to ``sqrt(count_d)`` instead of raw counts, flattening the head
+    domains and boosting the tail without any hand-written weight
+    table. Down-sampling only (an engine can't invent rows): the output
+    is the largest total whose per-domain shares match the sqrt
+    weights, with the most-underrepresented domain binding the rest.
+
+    Engine-portability is why alpha is PINNED at 0.5: ``sqrt`` is
+    correctly rounded under IEEE 754, so ``floor(sqrt(n))`` equals
+    Python's ``math.isqrt(n)`` for any count below 2^52 and the integer
+    thresholds derived from it are bit-identical in every engine —
+    a float ``pow(n, alpha)`` is NOT correctly rounded and may differ
+    in the last ulp across libm implementations, which would flip
+    thresholds and break hash-compared oracles (q96). For other
+    temperatures, compute a weight table offline and call
+    :func:`domain_mix`.
+
+    Same cost shape as domain_mix: one tiny per-domain count aggregate,
+    then a zero-shuffle per-row md5-threshold filter.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    weights = {d: math.isqrt(n) for d, n in counts.items()}
+    return _mix_by_integer_weights(
+        df, key_col, domain_col, counts, weights, max(1, sum(weights.values()))
+    )
 
 
 def snapshot_diff(

@@ -3352,6 +3352,35 @@ FROM idx
 """
 
 
+def _q96_temperature_mix(spark, sf_dir):
+    # temperature-scaled domain resampling (alpha=0.5, UniMax-style):
+    # target shares proportional to isqrt(count_d) — integer sqrt is
+    # engine-portable (IEEE sqrt is correctly rounded; pow is not),
+    # so DuckDB re-derives counts, weights, thresholds, and the md5
+    # keep-filter from scratch.
+    return relational.temperature_mix(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "doc_id",
+        "lang",
+    )
+
+
+_q96_sql = r"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM c),
+s AS (SELECT greatest(1, SUM(wt)) AS sw FROM w),
+t AS (SELECT MIN(n * sw // wt) AS tot FROM w CROSS JOIN s WHERE wt > 0),
+thr AS (
+  SELECT lang, ((wt * tot // sw) * 4294967296 // n) AS cut
+  FROM w CROSS JOIN s CROSS JOIN t WHERE wt > 0
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr USING (lang)
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < cut
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3418,7 +3447,6 @@ QUERIES: list[QueryDef] = [
     QueryDef("q86_ivf_det_topk", _q86_ivf_det_topk, _q86_sql(), "§2.11"),
     QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
     QueryDef("q85_curate", _q85_curate, _q85_sql(), "§2.11"),
-    QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
     QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
     # New this round — never certified, so they take window slots from
     # r3-green queries untouched by the round-4 edits (q91/q92:
@@ -3428,7 +3456,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
     QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
     QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
+    QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
     # --- tail: r3-green and unchanged this round ---
+    QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
     QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
     QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),
     QueryDef("q92_distribution_drift", _q92_distribution_drift, _q92_sql, "§2.11"),

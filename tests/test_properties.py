@@ -1484,3 +1484,51 @@ def test_duplicate_span_stats_matches_reference(spark, docs, n):
         flag = (len(shared) / len(g) >= 0.5) if g else False
         assert got[i] == (len(g), len(shared), frac, flag), i
     assert len(got) == len(docs)
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                   max_size=5),
+)
+@settings(max_examples=10, deadline=None)
+def test_temperature_mix_matches_reference(spark, sizes):
+    """alpha=0.5 temperature mixing: survivors are exactly the rows
+    whose 32-bit md5 prefix falls under the isqrt-weight threshold
+    computed by the same integer arithmetic in pure Python."""
+    import hashlib
+    import math
+
+    from ontology_graph_etl_spark.operators.relational import temperature_mix
+
+    rows = []
+    rid = 0
+    for d, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((rid, f"dom{d}"))
+            rid += 1
+    if not rows:
+        rows = [(0, "dom0")]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string")
+    got = sorted(
+        (r.doc_id, r.lang)
+        for r in temperature_mix(df, "doc_id", "lang").collect()
+    )
+
+    counts = {}
+    for _, d in rows:
+        counts[d] = counts.get(d, 0) + 1
+    weights = {d: math.isqrt(n) for d, n in counts.items()}
+    scale = max(1, sum(weights.values()))
+    active = {d: w for d, w in weights.items() if w > 0}
+    want = []
+    if active:
+        total = min(counts[d] * scale // w for d, w in active.items())
+        cuts = {
+            d: (w * total // scale) * (1 << 32) // counts[d]
+            for d, w in active.items()
+        }
+        for i, d in rows:
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            if d in cuts and h < cuts[d]:
+                want.append((i, d))
+    assert got == sorted(want)
