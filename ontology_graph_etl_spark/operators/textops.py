@@ -594,7 +594,8 @@ def boilerplate_removal(
     if paragraphs is None:
         paragraphs = F.split(F.col(text_col), r"\n{2,}")
     paras = (
-        df.select(F.col(id_col), F.posexplode(paragraphs).alias("idx", "para"))
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.posexplode(paragraphs).alias("idx", "para"))
         .where(F.trim(F.col("para")) != "")
     )
     n_docs = df.count()  # O(1) driver scalar, sets the threshold
@@ -654,7 +655,7 @@ def duplicate_span_stats(
     never pairwise. Texts shorter than ``n`` tokens yield zero grams
     and ``dup_frac`` 0.0.
     """
-    grams = df.select(
+    grams = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
     ).distinct()
     gram_docs = grams.groupBy("gram").agg(
