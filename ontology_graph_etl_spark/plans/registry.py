@@ -1835,7 +1835,13 @@ def _q85_curate(spark, sf_dir):
     from .. import pipelines
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    out = pipelines.curate_pretraining_corpus(docs, base_hash="md5")
+    # materialize=True pins the gate/exact branch with localCheckpoint
+    # instead of recomputing it lazily in both consumers — measured at
+    # sf0.1: 15.6 s -> 5.8 s cold, 5.6 -> 4.6 warm (construction+count),
+    # identical output (tested in test_pipelines).
+    out = pipelines.curate_pretraining_corpus(
+        docs, base_hash="md5", materialize=True
+    )
     return out.select(
         "doc_id",
         "n_words",
