@@ -12,7 +12,7 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .util import epoch_double, epoch_units
@@ -618,4 +618,45 @@ def distribution_drift(
             F.round(cb, 6).alias("share_b"),
             F.round((ca - cb) * F.log(ca / cb), 6).alias("psi_contrib"),
         )
+    )
+
+
+def rolling_time_aggregate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Per-row trailing time-window aggregate: for every event, the
+    count and sum of ``value_col`` over the same key's events in
+    ``[ts - window_seconds, ts]`` — the RANGE-frame window (peers by
+    time distance, not row position) behind moving averages, rate
+    limits, and rolling health metrics.
+
+    The sum is emitted in integer cents (``sum_cents``): the timestamp
+    goes through the ANSI-safe epoch conversion (micros for timestamps,
+    seconds for dates/numerics — util.epoch_units) for the frame bound,
+    and the value becomes a half-up-rounded integer before aggregation, so the result is exact
+    and engine-portable — a float sum accumulates in shuffle order and
+    flips last-ulp digits across engines, which a rounded projection
+    can still leak at bucket boundaries.
+
+    Scale shape: ONE shuffle on the key (the window sort is per key);
+    a hot key serializes its partition exactly like asof_join — the
+    same segmented pre-split posture applies (SCALING.md: "As-of join
+    skew").
+    """
+    ts_units, per_s = epoch_units(F.col(ts_col), df.schema[ts_col].dataType)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_units)
+        .rangeBetween(-window_seconds * per_s, 0)
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return (
+        df.withColumn("__cents", cents)
+        .withColumn("n_in_window", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("sum_cents", F.sum("__cents").over(w))
+        .drop("__cents")
     )

@@ -742,11 +742,12 @@ def topk_recall(
     e = exact.select(
         F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
     )
+    # distinct guards against a malformed approx side with repeated
+    # (query, neighbor) rows, which would fan out the left join and
+    # inflate recall past 1.0
     a = approx.select(
-        F.col(query_col).alias("__q"),
-        F.col(neighbor_col).alias("__n"),
-        F.lit(1).alias("__hit"),
-    )
+        F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
+    ).distinct().withColumn("__hit", F.lit(1))
     joined = e.join(a, ["__q", "__n"], "left")
     return joined.groupBy("__q").agg(
         (

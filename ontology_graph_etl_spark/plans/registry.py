@@ -3387,6 +3387,27 @@ WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
 """
 
 
+def _q97_rolling_agg(spark, sf_dir):
+    # trailing 10-minute RANGE-frame window per user: count + exact
+    # integer-cents sum (float sums accumulate in shuffle order and are
+    # not engine-portable; integer cents are).
+    ev = _t(spark, sf_dir, "events")
+    return relational.rolling_time_aggregate(
+        ev, "user_id", "ts", "value", 600
+    ).select("event_id", "user_id", "ts", "n_in_window", "sum_cents")
+
+
+_q97_sql = r"""
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS sum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3463,7 +3484,11 @@ QUERIES: list[QueryDef] = [
     QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
     QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
     QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
-    # --- tail: r3-green and unchanged this round ---
+    # --- tail: r3-green and unchanged this round, plus q97 (new but
+    # past the window cutoff: stale-query re-certification outranks it;
+    # the in-repo parity suite checks it this round, the r5 rotation
+    # gives it a driver row) ---
+    QueryDef("q97_rolling_agg", _q97_rolling_agg, _q97_sql, "§2.7"),
     QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
     QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
     QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),

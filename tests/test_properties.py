@@ -1532,3 +1532,54 @@ def test_temperature_mix_matches_reference(spark, sizes):
             if d in cuts and h < cuts[d]:
                 want.append((i, d))
     assert got == sorted(want)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # user
+            st.integers(min_value=0, max_value=3600),  # offset seconds
+            st.floats(min_value=-50, max_value=50,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1, max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_rolling_time_aggregate_matches_python(spark, events):
+    """Trailing RANGE-frame window: per event, count and integer-cents
+    sum over the same user's events in [ts - 600s, ts], peers included."""
+    import datetime
+
+    from ontology_graph_etl_spark.operators.relational import (
+        rolling_time_aggregate,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + datetime.timedelta(seconds=off), round(v, 2))
+        for i, (u, off, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: long, user_id: long, ts: timestamp, value: double"
+    )
+    got = {
+        r.event_id: (r.n_in_window, r.sum_cents)
+        for r in rolling_time_aggregate(
+            df, "user_id", "ts", "value", 600
+        ).collect()
+    }
+
+    def cents(v):
+        # Spark/DuckDB round() is half away from zero
+        import decimal
+        return int((decimal.Decimal(str(v)) * 100).quantize(
+            decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP))
+
+    for i, u, ts, v in rows:
+        in_w = [
+            (j, vv) for j, uu, tt, vv in rows
+            if uu == u and ts - datetime.timedelta(seconds=600) <= tt <= ts
+        ]
+        assert got[i] == (len(in_w), sum(cents(vv) for _, vv in in_w)), i
+    assert len(got) == len(rows)
