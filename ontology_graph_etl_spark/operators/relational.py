@@ -654,9 +654,14 @@ def rolling_time_aggregate(
         .rangeBetween(-window_seconds * per_s, 0)
     )
     cents = F.round(F.col(value_col) * 100).cast("long")
+    # both aggregates in ONE projection so Catalyst plans a single
+    # Window node (chained withColumn yields two Window/Sort pairs)
     return (
         df.withColumn("__cents", cents)
-        .withColumn("n_in_window", F.count(F.lit(1)).over(w).cast("long"))
-        .withColumn("sum_cents", F.sum("__cents").over(w))
+        .select(
+            "*",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_in_window"),
+            F.sum("__cents").over(w).alias("sum_cents"),
+        )
         .drop("__cents")
     )

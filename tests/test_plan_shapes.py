@@ -164,3 +164,42 @@ def test_ivf_det_probe_is_hash_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q86_ivf_det_topk")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_boilerplate_removal_join_is_broadcast(spark, sf_dir):
+    """q93's removal join must be a broadcast anti-join against the
+    (size-bounded by construction) boilerplate set — never a shuffle
+    join keyed on paragraph text, and never a nested loop."""
+    plan = _plan(spark, sf_dir, "q93_boilerplate")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_mix_is_scan_plus_filter(spark, sf_dir):
+    """q96's data pass is a pure md5-threshold filter: the thresholds
+    were fixed by the tiny count aggregate at build time, so the
+    surviving plan must have no Exchange and no Join."""
+    plan = _plan(spark, sf_dir, "q96_temperature_mix")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_rolling_aggregate_single_keyed_shuffle(spark, sf_dir):
+    """q97 is one window over the key partition: exactly one shuffle
+    Exchange (hashpartitioning on the key), a RANGE-frame Window above
+    it, and no joins."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q97_rolling_agg")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_frame_sample_no_shuffle(spark, sf_dir):
+    """q95's frame fan-out happens inside mapInPandas — the plan must
+    contain the Python evaluator and no Exchange."""
+    plan = _plan(spark, sf_dir, "q95_frame_sample")
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
