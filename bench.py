@@ -71,6 +71,8 @@ HEADLINE = [
     "q93_boilerplate",
     "q94_dup_spans",
     "q95_frame_sample",
+    "q96_temperature_mix",
+    "q97_rolling_agg",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids
