@@ -73,6 +73,7 @@ HEADLINE = [
     "q95_frame_sample",
     "q96_temperature_mix",
     "q97_rolling_agg",
+    "q98_numeric_drift",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

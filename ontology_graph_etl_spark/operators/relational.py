@@ -665,3 +665,55 @@ def rolling_time_aggregate(
         )
         .drop("__cents")
     )
+
+
+def numeric_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    min_share: float = 1e-6,
+) -> DataFrame:
+    """Numeric distribution drift between two snapshots — the companion
+    to :func:`distribution_drift` for continuous columns: side A (the
+    reference snapshot) fixes ``n_bins`` equal-frequency bins via its
+    exact interior quantiles, both sides are histogrammed into those
+    bins, and each bin gets the PSI contribution. Output:
+    ``(bin, share_a, share_b, psi_contrib)`` with ``bin`` = number of
+    bin edges strictly below the value.
+
+    Exact percentiles (not approx) on purpose: the edges are the
+    contract between the two histograms and across engines —
+    ``percentile`` uses the same linear interpolation as DuckDB's
+    ``quantile_cont`` (the q44 precedent), so an external auditor
+    re-derives identical bins. Equal edges (near-constant columns)
+    collapse via dedup, so degenerate inputs yield fewer, valid bins.
+    NULL values are excluded from both sides (they are a
+    missing-rate metric, not a position in a numeric distribution).
+
+    Scale shape: one exact-percentile aggregate over side A (a single
+    sort-based agg, k-1 scalars to the driver), then each side is a
+    scan + literal-comparison binning + tiny per-bin count — nothing
+    data-sized shuffles except the percentile sort, which at 100 TB
+    would swap to ``percentile_approx`` with a documented tolerance.
+    """
+    qs = [i / n_bins for i in range(1, n_bins)]
+    av = a.where(F.col(value_col).isNotNull())
+    bv = b.where(F.col(value_col).isNotNull())
+    edges_row = av.agg(
+        F.percentile(F.col(value_col), F.array(*[F.lit(q) for q in qs]))
+    ).first()[0]
+    edges = sorted(set(float(e) for e in (edges_row or [])))
+
+    def binned(side: DataFrame) -> DataFrame:
+        bin_expr = F.lit(0).cast("long")
+        for e in edges:
+            bin_expr = bin_expr + (
+                F.col(value_col) > F.lit(e)
+            ).cast("long")
+        return side.select(bin_expr.alias("bin"))
+
+    out = distribution_drift(binned(av), binned(bv), "bin", min_share)
+    return out.select(
+        F.col("category").alias("bin"), "share_a", "share_b", "psi_contrib"
+    )

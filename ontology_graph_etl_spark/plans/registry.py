@@ -3408,6 +3408,56 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def _q98_numeric_drift(spark, sf_dir):
+    # numeric drift: even-partkey lineitems fix 10 equal-frequency
+    # price bins via exact quantiles; odd-partkey lineitems histogram
+    # into the same bins; PSI per bin.
+    li = _t(spark, sf_dir, "lineitem")
+    return relational.numeric_drift(
+        li.where(F.col("l_partkey") % 2 == 0),
+        li.where(F.col("l_partkey") % 2 == 1),
+        "l_extendedprice",
+        n_bins=10,
+    )
+
+
+_q98_sql = r"""
+WITH av AS (SELECT l_extendedprice AS v FROM lineitem
+            WHERE l_partkey % 2 = 0 AND l_extendedprice IS NOT NULL),
+bv AS (SELECT l_extendedprice AS v FROM lineitem
+       WHERE l_partkey % 2 = 1 AND l_extendedprice IS NOT NULL),
+edges AS (
+  SELECT DISTINCT e FROM (
+    SELECT unnest(quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                    0.6, 0.7, 0.8, 0.9])) AS e
+    FROM av)
+),
+abin AS (
+  SELECT (SELECT CAST(COALESCE(SUM(CASE WHEN av.v > e THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) FROM edges) AS bin
+  FROM av
+),
+bbin AS (
+  SELECT (SELECT CAST(COALESCE(SUM(CASE WHEN bv.v > e THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) FROM edges) AS bin
+  FROM bv
+),
+sa AS (SELECT bin, count(*) / CAST((SELECT count(*) FROM abin) AS DOUBLE)
+              AS share_a FROM abin GROUP BY bin),
+sb AS (SELECT bin, count(*) / CAST((SELECT count(*) FROM bbin) AS DOUBLE)
+              AS share_b FROM bbin GROUP BY bin)
+SELECT COALESCE(sa.bin, sb.bin) AS bin,
+       round(greatest(COALESCE(share_a, 0.0), 1e-6), 6) AS share_a,
+       round(greatest(COALESCE(share_b, 0.0), 1e-6), 6) AS share_b,
+       round((greatest(COALESCE(share_a, 0.0), 1e-6)
+              - greatest(COALESCE(share_b, 0.0), 1e-6))
+             * ln(greatest(COALESCE(share_a, 0.0), 1e-6)
+                  / greatest(COALESCE(share_b, 0.0), 1e-6)), 6)
+         AS psi_contrib
+FROM sa FULL OUTER JOIN sb USING (bin)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3489,6 +3539,7 @@ QUERIES: list[QueryDef] = [
     # the in-repo parity suite checks it this round, the r5 rotation
     # gives it a driver row) ---
     QueryDef("q97_rolling_agg", _q97_rolling_agg, _q97_sql, "§2.7"),
+    QueryDef("q98_numeric_drift", _q98_numeric_drift, _q98_sql, "§2.11"),
     QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
     QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
     QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),

@@ -1583,3 +1583,29 @@ def test_rolling_time_aggregate_matches_python(spark, events):
         ]
         assert got[i] == (len(in_w), sum(cents(vv) for _, vv in in_w)), i
     assert len(got) == len(rows)
+
+
+@given(
+    a_vals=st.lists(st.integers(min_value=0, max_value=100), min_size=5,
+                    max_size=40),
+    b_vals=st.lists(st.integers(min_value=0, max_value=100), min_size=5,
+                    max_size=40),
+)
+@settings(max_examples=10, deadline=None)
+def test_numeric_drift_shares_sum_to_one(spark, a_vals, b_vals):
+    """Quantile-binned PSI: each side's (unclamped) shares sum to 1,
+    every row's bin id is within [0, n_edges], and PSI contributions
+    are zero when both sides are identical."""
+    from ontology_graph_etl_spark.operators.relational import numeric_drift
+
+    a = spark.createDataFrame([(float(v),) for v in a_vals], "v: double")
+    b = spark.createDataFrame([(float(v),) for v in b_vals], "v: double")
+    rows = numeric_drift(a, b, "v", n_bins=4).collect()
+    # shares are clamped at 1e-6 and rounded to 6, so the sums land
+    # within rounding noise of 1
+    assert abs(sum(r.share_a for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.share_b for r in rows) - 1.0) < 1e-3
+    assert all(0 <= r.bin <= 3 for r in rows)
+
+    same = numeric_drift(a, a, "v", n_bins=4).collect()
+    assert all(abs(r.psi_contrib) < 1e-9 for r in same)
