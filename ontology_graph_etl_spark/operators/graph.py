@@ -10,7 +10,7 @@ GraphFrames dependency (SURVEY.md §7: avoided entirely).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .upsert import first_wins
