@@ -726,11 +726,15 @@ def label_propagation_communities(
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
+    # checkpoint the undirected list FIRST so nodes/count read the
+    # materialized copy instead of recomputing the union+distinct; the
+    # large path pays one extra materialization to repartition, exactly
+    # where that cost is worth amortizing across rounds
+    und = und.localCheckpoint()
     nodes = und.select(F.col("a").alias("node")).distinct().localCheckpoint()
     small = nodes.count() <= _PAGERANK_BROADCAST_NODES
     if not small:
-        und = und.repartition("b")
-    und = und.localCheckpoint()
+        und = und.repartition("b").localCheckpoint()
     labels = nodes.withColumn("label", F.col("node"))
     for rnd in range(rounds):
         votes = (
