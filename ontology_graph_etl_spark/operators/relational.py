@@ -627,6 +627,7 @@ def rolling_time_aggregate(
     ts_col: str,
     value_col: str,
     window_seconds: int,
+    out_prefix: str = "",
 ) -> DataFrame:
     """Per-row trailing time-window aggregate: for every event, the
     count and sum of ``value_col`` over the same key's events in
@@ -642,6 +643,11 @@ def rolling_time_aggregate(
     flips last-ulp digits across engines, which a rounded projection
     can still leak at bucket boundaries.
 
+    ``out_prefix`` names the output columns ``<prefix>n_in_window`` /
+    ``<prefix>sum_cents`` so several window widths can stack on one
+    frame; a collision with existing columns raises instead of
+    silently producing ambiguous references.
+
     Scale shape: ONE shuffle on the key (the window sort is per key);
     a hot key serializes its partition exactly like asof_join — the
     same segmented pre-split posture applies (SCALING.md: "As-of join
@@ -654,16 +660,25 @@ def rolling_time_aggregate(
         .rangeBetween(-window_seconds * per_s, 0)
     )
     cents = F.round(F.col(value_col) * 100).cast("long")
+    n_col = f"{out_prefix}n_in_window"
+    s_col = f"{out_prefix}sum_cents"
+    clash = {n_col, s_col, "__rolling_cents"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"rolling_time_aggregate output columns {sorted(clash)} already "
+            "exist on the input; pass out_prefix= to disambiguate (e.g. "
+            "stacking several window widths)"
+        )
     # both aggregates in ONE projection so Catalyst plans a single
     # Window node (chained withColumn yields two Window/Sort pairs)
     return (
-        df.withColumn("__cents", cents)
+        df.withColumn("__rolling_cents", cents)
         .select(
             "*",
-            F.count(F.lit(1)).over(w).cast("long").alias("n_in_window"),
-            F.sum("__cents").over(w).alias("sum_cents"),
+            F.count(F.lit(1)).over(w).cast("long").alias(n_col),
+            F.sum("__rolling_cents").over(w).alias(s_col),
         )
-        .drop("__cents")
+        .drop("__rolling_cents")
     )
 
 

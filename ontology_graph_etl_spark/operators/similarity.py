@@ -743,8 +743,9 @@ def topk_recall(
         F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
     )
     # distinct guards against a malformed approx side with repeated
-    # (query, neighbor) rows, which would fan out the left join and
-    # inflate recall past 1.0
+    # (query, neighbor) rows, which would fan out the left join —
+    # biasing recall toward the duplicated hits and corrupting exact_k
+    # (recall itself stays <= 1 since it is sum(hit)/count per row)
     a = approx.select(
         F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
     ).distinct().withColumn("__hit", F.lit(1))

@@ -582,23 +582,28 @@ def boilerplate_removal(
     blank-line split; pass :func:`token_chunks` for unstructured
     corpora).
 
-    Scale shape: one explode + one groupBy(paragraph) distinct-doc
-    count — the frequency table is then filtered to ONLY the
-    above-threshold paragraphs, which is tiny by construction (a
-    paragraph must recur across >=min_docs docs to enter it), so the
-    removal join is a broadcast LEFT ANTI against the boilerplate set;
-    the corpus never shuffles a second time. The distinct-doc count
-    itself shuffles on paragraph text; AQE splits the boilerplate-key
-    skew exactly as in paragraph_dedup.
+    Scale shape: the exploded paragraph set moves through two keyed
+    shuffles — the groupBy(paragraph) distinct-doc count and the
+    groupBy(doc) reassembly — plus tiny per-doc totals. The frequency
+    table is filtered to ONLY the above-threshold paragraphs, which is
+    size-bounded by construction (at most total_paras/threshold
+    entries), so the removal join is a broadcast LEFT ANTI, never a
+    third corpus-sized shuffle. AQE splits the boilerplate-key skew in
+    the count exactly as in paragraph_dedup.
     """
     if paragraphs is None:
         paragraphs = F.split(F.col(text_col), r"\n{2,}")
+    # materialized ONCE: three consumers (boilerplate count, removal
+    # join, per-doc totals) would otherwise re-run the scan + explode
+    # per action — the same shared-branch recompute the curation
+    # pipeline's materialize= option exists to avoid
     paras = (
         ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), F.posexplode(paragraphs).alias("idx", "para"))
         .where(F.trim(F.col("para")) != "")
+        .localCheckpoint()
     )
-    n_docs = df.count()  # O(1) driver scalar, sets the threshold
+    n_docs = df.count()  # full scan, single scalar back; sets the threshold
     thresh = max(int(min_docs), int(max_doc_frac * n_docs))
     boiler = (
         paras.groupBy("para")
@@ -658,8 +663,10 @@ def duplicate_span_stats(
     grams = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
     ).distinct()
+    # grams is distinct on (id, gram), so count(*) == countDistinct(id)
+    # without the extra distinct-aggregate step (tfidf precedent)
     gram_docs = grams.groupBy("gram").agg(
-        F.countDistinct(id_col).alias("__nd")
+        F.count(F.lit(1)).alias("__nd")
     )
     per_doc = (
         grams.join(gram_docs, "gram")
@@ -669,6 +676,10 @@ def duplicate_span_stats(
             F.sum((F.col("__nd") >= 2).cast("long")).alias("n_dup"),
         )
     )
+    frac = F.when(
+        F.coalesce("n_ngrams", F.lit(0)) > 0,
+        F.coalesce("n_dup", F.lit(0)) / F.col("n_ngrams"),
+    ).otherwise(F.lit(0.0))
     return (
         df.select(id_col)
         .join(per_doc, id_col, "left")
@@ -676,19 +687,7 @@ def duplicate_span_stats(
             F.col(id_col),
             F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
             F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
-            F.round(
-                F.when(
-                    F.coalesce("n_ngrams", F.lit(0)) > 0,
-                    F.coalesce("n_dup", F.lit(0)) / F.col("n_ngrams"),
-                ).otherwise(F.lit(0.0)),
-                6,
-            ).alias("dup_frac"),
-            (
-                F.when(
-                    F.coalesce("n_ngrams", F.lit(0)) > 0,
-                    F.coalesce("n_dup", F.lit(0)) / F.col("n_ngrams"),
-                ).otherwise(F.lit(0.0))
-                >= flag_frac
-            ).alias("dup_flag"),
+            F.round(frac, 6).alias("dup_frac"),
+            (frac >= flag_frac).alias("dup_flag"),
         )
     )

@@ -356,3 +356,30 @@ def test_sample_frames_contract(spark):
     assert [r.n_frames for r in frames] == [3, 3, 3]
     assert [bytes(r.frame_payload) for r in frames] == [b"012", b"345", b"678"]
     assert [r.t_offset_ms for r in frames] == [0, 416, 833]
+
+
+def test_rolling_aggregate_prefix_and_collision(spark):
+    """Stacking two window widths works via out_prefix; an unprefixed
+    second application raises instead of producing ambiguous columns."""
+    import datetime
+
+    import pytest as _pytest
+
+    from ontology_graph_etl_spark.operators.relational import (
+        rolling_time_aggregate,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, 1, base + datetime.timedelta(seconds=i * 60), 1.0)
+         for i in range(5)],
+        "event_id: long, user_id: long, ts: timestamp, value: double",
+    )
+    once = rolling_time_aggregate(df, "user_id", "ts", "value", 120)
+    twice = rolling_time_aggregate(
+        once, "user_id", "ts", "value", 240, out_prefix="w4_"
+    )
+    row = {r.event_id: r for r in twice.collect()}
+    assert row[4].n_in_window == 3 and row[4].w4_n_in_window == 5
+    with _pytest.raises(ValueError, match="out_prefix"):
+        rolling_time_aggregate(once, "user_id", "ts", "value", 240)
