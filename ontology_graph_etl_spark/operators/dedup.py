@@ -749,3 +749,55 @@ def cluster_representatives(
         .withColumn("keep", F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def pair_set_quality(
+    approx: DataFrame,
+    exact: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Candidate-quality evaluation for any approximate pair generator
+    (LSH bands, sign buckets, SimHash radius) against its exact twin:
+    one row with ``n_approx``, ``n_exact``, ``n_common``, ``precision``
+    (|∩|/|approx|) and ``recall`` (|∩|/|exact|), both 0.0 on empty
+    denominators and rounded to 6.
+
+    The dedup-side companion of :func:`similarity.topk_recall` — "we
+    built the fast path; here is the measured fidelity" as a first-class
+    distributed query rather than a notebook one-off. Both inputs are
+    reduced to distinct unordered pairs first, so double-reported
+    candidates can't inflate precision.
+
+    Scale shape: two distincts + one pair-keyed equi join + three
+    single-row aggregates cross-joined broadcast — work scales with the
+    pair sets (which for a bucketed generator are collision-sized, not
+    corpus²).
+    """
+    a = approx.select(id_a, id_b).distinct()
+    e = exact.select(id_a, id_b).distinct()
+    inter = a.join(e, [id_a, id_b])
+    stats = (
+        a.agg(F.count(F.lit(1)).alias("n_approx"))
+        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_exact"))))
+        .crossJoin(
+            F.broadcast(inter.agg(F.count(F.lit(1)).alias("n_common")))
+        )
+    )
+    return stats.select(
+        "n_approx",
+        "n_exact",
+        "n_common",
+        F.round(
+            F.when(
+                F.col("n_approx") > 0, F.col("n_common") / F.col("n_approx")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.when(
+                F.col("n_exact") > 0, F.col("n_common") / F.col("n_exact")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("recall"),
+    )

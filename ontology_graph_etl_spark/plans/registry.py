@@ -3458,6 +3458,57 @@ FROM sa FULL OUTER JOIN sb USING (bin)
 """
 
 
+def _q99_lsh_quality(spark, sf_dir):
+    # measured fidelity of the sign-bucket LSH pair generator (q82's
+    # production path) against the brute-force exact twin (q62), as a
+    # first-class distributed query: precision/recall of the verified
+    # pair set. Precision is 1.0 by construction (LSH pairs are
+    # cosine-verified); recall is the band-collision coverage.
+    emb = _t(spark, sf_dir, "embeddings")
+    approx = similarity.embedding_near_duplicates_lsh(
+        emb, "vec_id", "embedding", threshold=0.3, n_bands=8, band_bits=8
+    )
+    exact = similarity.embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.3
+    )
+    return dedup.pair_set_quality(approx, exact)
+
+
+def _q99_sql() -> str:
+    cos_ab = _cos_fold_sql("va.e", "vb.e")
+    return (
+        "WITH "
+        + _sign_band_ctes
+        + ",\n"
+        + _verified_pair_ctes(
+            """  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.id < b.id""",
+            0.3,
+        )
+        + f""",
+exact AS (
+  SELECT va.id AS id_a, vb.id AS id_b
+  FROM v va JOIN v vb ON va.id < vb.id
+  WHERE {cos_ab} >= 0.3
+),
+approx AS (SELECT DISTINCT id_a, id_b FROM pairs),
+inter AS (SELECT id_a, id_b FROM approx INTERSECT SELECT id_a, id_b FROM exact)
+SELECT CAST((SELECT count(*) FROM approx) AS BIGINT) AS n_approx,
+       CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM inter) AS BIGINT) AS n_common,
+       round(CASE WHEN (SELECT count(*) FROM approx) > 0
+                  THEN CAST((SELECT count(*) FROM inter) AS DOUBLE)
+                       / (SELECT count(*) FROM approx)
+                  ELSE 0.0 END, 6) AS precision,
+       round(CASE WHEN (SELECT count(*) FROM exact) > 0
+                  THEN CAST((SELECT count(*) FROM inter) AS DOUBLE)
+                       / (SELECT count(*) FROM exact)
+                  ELSE 0.0 END, 6) AS recall
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3540,6 +3591,7 @@ QUERIES: list[QueryDef] = [
     # gives it a driver row) ---
     QueryDef("q97_rolling_agg", _q97_rolling_agg, _q97_sql, "§2.7"),
     QueryDef("q98_numeric_drift", _q98_numeric_drift, _q98_sql, "§2.11"),
+    QueryDef("q99_lsh_quality", _q99_lsh_quality, _q99_sql(), "§2.11"),
     QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
     QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
     QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),
