@@ -3520,6 +3520,12 @@ SELECT CAST((SELECT count(*) FROM approx) AS BIGINT) AS n_approx,
 # then everything whose implementation changed this round; the tail
 # holds queries green in the immediately preceding CORRECTNESS file and
 # untouched since.
+#
+# ROUND-5 ROTATION NOTE: the r4 window covers the 35 r1/r2-only names
+# plus this round's changed/new queries through q96. Still WITHOUT any
+# driver row (in-repo parity-suite coverage only): q97_rolling_agg,
+# q98_numeric_drift, q99_lsh_quality — lead the r5 window with them,
+# then backfill whichever r4-window names the r4 file did not sample.
 QUERIES: list[QueryDef] = [
     # --- round-4 window (driver consumes the first 50 entries) ---
     # Lead: the 35 queries whose last green row is r1/r2 (the r3 window
