@@ -1609,3 +1609,24 @@ def test_numeric_drift_shares_sum_to_one(spark, a_vals, b_vals):
 
     same = numeric_drift(a, a, "v", n_bins=4).collect()
     assert all(abs(r.psi_contrib) < 1e-9 for r in same)
+
+
+def test_pair_set_quality_semantics(spark):
+    """precision = |∩|/|approx|, recall = |∩|/|exact|; duplicate input
+    pairs are reduced before counting; empty denominators yield 0.0."""
+    from ontology_graph_etl_spark.operators.dedup import pair_set_quality
+
+    approx = spark.createDataFrame(
+        [(1, 2), (1, 2), (3, 4), (5, 6)], ["id_a", "id_b"]
+    )
+    exact = spark.createDataFrame(
+        [(1, 2), (3, 4), (7, 8)], ["id_a", "id_b"]
+    )
+    row = pair_set_quality(approx, exact).collect()[0]
+    assert (row.n_approx, row.n_exact, row.n_common) == (3, 3, 2)
+    assert abs(row.precision - 2 / 3) < 1e-6
+    assert abs(row.recall - 2 / 3) < 1e-6
+
+    empty = spark.createDataFrame([], "id_a: long, id_b: long")
+    row0 = pair_set_quality(empty, exact).collect()[0]
+    assert (row0.n_approx, row0.precision, row0.recall) == (0, 0.0, 0.0)
