@@ -1,7 +1,12 @@
 """Benchmark runner — times the engine's headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS] and prints TWO JSON lines: first the full
+record (cold+warm per-query timings, plan fingerprints, loadavg), then
+a SHORT summary line
+{"metric": ..., "value": total_sec, "unit": "sec", "value_warm": ...,
+ "sf": ..., "queries": {...}, "plans_sha": ..., "plans_unstable_n": N}
+printed LAST so the driver's bounded tail capture always ends with a
+complete parseable line (BENCH_r04 was lost to a single oversized line).
 
 Headline set: one query per engine subsystem — scans/joins/aggs
 (q20/q21), window + top-k (q22/q23), first-wins upsert (q14), graph
@@ -74,6 +79,9 @@ HEADLINE = [
     "q96_temperature_mix",
     "q97_rolling_agg",
     "q98_numeric_drift",
+    # round-5 addition: LSH pair-generator fidelity (approx + exact twin
+    # + quality join) — cheap at sf0.1 (2k embeddings -> ~2M exact pairs)
+    "q99_lsh_quality",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids
@@ -163,23 +171,49 @@ def main() -> None:
         _release_checkpoints()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "value_warm": round(sum(warm.values()), 3),
-                "queries_warm": warm,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "plans": plans,
-                "plans_unstable": plans_unstable,
-                "loadavg_before": [round(x, 2) for x in load_before],
-                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "value_warm": round(sum(warm.values()), 3),
+        "queries_warm": warm,
+        "sf": sf_val,
+        "plans": plans,
+        "plans_unstable": plans_unstable,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+    }
+    # The driver records only the LAST ~2000 chars of stdout and parses
+    # the final complete JSON line it finds. Round 4's single full-record
+    # line outgrew that capture once `plans` was embedded, truncating the
+    # headline `value` off the FRONT and leaving BENCH_r04 `parsed: null`.
+    # Contract since round 5: the full record (fingerprints, warm dict,
+    # loadavg — the human/judge view) prints FIRST, and a short summary
+    # line prints LAST — headline numbers + the cold per-query dict +
+    # one sha256 over the canonical plans dict (plan identity is still
+    # checkable round-over-round: same plans => same sha). The summary
+    # stays well under the capture window (~1.3k chars at 33 queries).
+    print(json.dumps(full, separators=(",", ":")))
+    plans_sha = hashlib.sha256(
+        json.dumps(plans, sort_keys=True, separators=(",", ":")).encode()
+    ).hexdigest()[:16]
+    summary = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "value_warm": round(sum(warm.values()), 3),
+        "sf": sf_val,
+        "queries": timings,
+        "plans_sha": plans_sha,
+        "plans_unstable_n": len(plans_unstable),
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1800:  # belt-and-braces: never outgrow the capture
+        summary.pop("queries")
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
