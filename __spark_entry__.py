@@ -49,10 +49,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL for every SQL-expressible query. ONE entry
-    remains rows-only — q63, whose ml-lib-trained IVF quantizer cannot
-    be re-derived outside the JVM (its deterministic twin q86 is fully
-    hash-checked). Everything else, including the approximate aggregates
-    (q53: exact values + within-tolerance booleans) and hyperplane-LSH
-    ANN (q61: md5 plane hash), is hash-checked end-to-end."""
+    """DuckDB oracle SQL for EVERY registered query — zero rows-only
+    entries since round 4. The three formerly weak spots all carry full
+    hash-checked oracles: q53 approximate aggregates (exact values +
+    within-tolerance booleans), q61 hyperplane-LSH ANN (md5-derived
+    plane hash re-derived in SQL), and q63 ml-lib IVF (a recall-contract
+    row — measured recall@k against the exact twin, thresholded — whose
+    green CORRECTNESS_r04 hash row pins the contract; its fully
+    deterministic twin q86 is additionally value-hash-checked)."""
     return registry.oracle_sql()

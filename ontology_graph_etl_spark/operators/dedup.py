@@ -767,15 +767,28 @@ def pair_set_quality(
     built the fast path; here is the measured fidelity" as a first-class
     distributed query rather than a notebook one-off. Both inputs are
     reduced to distinct unordered pairs first, so double-reported
-    candidates can't inflate precision.
+    candidates can't inflate precision — and "unordered" is enforced by
+    CANONICALIZING each pair to (least, greatest) before the distinct:
+    a foreign generator emitting (b, a) orientation (or both
+    orientations of the same pair) still lands on the same canonical row,
+    so the intersection join can't silently under-count ``n_common``.
+    The in-repo generators all emit id_a < id_b by construction, for
+    which the normalization is a no-op.
 
     Scale shape: two distincts + one pair-keyed equi join + three
     single-row aggregates cross-joined broadcast — work scales with the
     pair sets (which for a bucketed generator are collision-sized, not
     corpus²).
     """
-    a = approx.select(id_a, id_b).distinct()
-    e = exact.select(id_a, id_b).distinct()
+
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias(id_a),
+            F.greatest(F.col(id_a), F.col(id_b)).alias(id_b),
+        ).distinct()
+
+    a = canon(approx)
+    e = canon(exact)
     inter = a.join(e, [id_a, id_b])
     stats = (
         a.agg(F.count(F.lit(1)).alias("n_approx"))

@@ -762,8 +762,12 @@ def label_propagation_communities(
             )
             .select(F.col("a").alias("node"), F.col("m.l").alias("label"))
         )
-        if rnd + 1 < rounds:
-            labels = labels.localCheckpoint()
+        # EVERY round including the last: the docstring's multi-action
+        # argument applies most to the final table (a count-then-collect
+        # consumer re-executes the whole round chain twice otherwise);
+        # the pin is node-sized and the last round's compute happens
+        # exactly once either way.
+        labels = labels.localCheckpoint()
     return labels.select(
         F.col("node").alias("id"), F.col("label").alias("community")
     )

@@ -628,6 +628,7 @@ def rolling_time_aggregate(
     value_col: str,
     window_seconds: int,
     out_prefix: str = "",
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Per-row trailing time-window aggregate: for every event, the
     count and sum of ``value_col`` over the same key's events in
@@ -649,36 +650,93 @@ def rolling_time_aggregate(
     silently producing ambiguous references.
 
     Scale shape: ONE shuffle on the key (the window sort is per key);
-    a hot key serializes its partition exactly like asof_join — the
-    same segmented pre-split posture applies (SCALING.md: "As-of join
-    skew").
+    a hot key serializes its partition exactly like asof_join.
+
+    SKEW POSTURE: ``bucket_width`` (seconds, must be >= window_seconds)
+    activates the segmented plan, the rolling-window sibling of
+    ``asof_join``'s: rows hash-shuffle on ``(key, floor(ts/width))`` so
+    a hot key's timeline splits into many parallel window partitions.
+    Because the trailing frame reaches back at most ``window_seconds``
+    and a segment is at least that wide, a row's frame spans its own
+    segment plus AT MOST the previous one — so each segment borrows
+    exactly the previous segment's final ``window_seconds`` of rows as
+    read-only CONTEXT copies (<= 2x replication worst case, in practice
+    ~window/bucket fraction), computes the ordinary RANGE frame locally,
+    and emits only its own rows. Output is identical to the default plan
+    (property-tested, including a 50%-hot-key spread check); cost is the
+    bounded row replication plus the same single shuffle, now on a
+    well-spread composite key. Requires non-null ``ts_col`` (the default
+    plan sorts nulls into the frame head; the segmented plan has no
+    segment for them).
     """
     ts_units, per_s = epoch_units(F.col(ts_col), df.schema[ts_col].dataType)
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(ts_units)
-        .rangeBetween(-window_seconds * per_s, 0)
-    )
     cents = F.round(F.col(value_col) * 100).cast("long")
     n_col = f"{out_prefix}n_in_window"
     s_col = f"{out_prefix}sum_cents"
-    clash = {n_col, s_col, "__rolling_cents"} & set(df.columns)
+    clash = {
+        n_col, s_col, "__rolling_cents", "__units", "__seg", "__own"
+    } & set(df.columns)
     if clash:
         raise ValueError(
             f"rolling_time_aggregate output columns {sorted(clash)} already "
             "exist on the input; pass out_prefix= to disambiguate (e.g. "
             "stacking several window widths)"
         )
-    # both aggregates in ONE projection so Catalyst plans a single
-    # Window node (chained withColumn yields two Window/Sort pairs)
+    win_units = window_seconds * per_s
+    if bucket_width is None:
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(ts_units)
+            .rangeBetween(-win_units, 0)
+        )
+        # both aggregates in ONE projection so Catalyst plans a single
+        # Window node (chained withColumn yields two Window/Sort pairs)
+        return (
+            df.withColumn("__rolling_cents", cents)
+            .select(
+                "*",
+                F.count(F.lit(1)).over(w).cast("long").alias(n_col),
+                F.sum("__rolling_cents").over(w).alias(s_col),
+            )
+            .drop("__rolling_cents")
+        )
+    if bucket_width < window_seconds:
+        raise ValueError(
+            "bucket_width must be >= window_seconds so a trailing frame "
+            f"spans at most two segments (got bucket_width={bucket_width} "
+            f"< window_seconds={window_seconds})"
+        )
+    seg_units = int(bucket_width) * per_s
+    u = df.withColumn("__rolling_cents", cents).withColumn(
+        "__units", ts_units
+    )
+    # floor division via pmod keeps everything exact integer arithmetic
+    # (long `div` truncates toward zero, wrong for negative epochs; a
+    # plain double divide can't round-trip microsecond magnitudes)
+    pm = F.pmod(F.col("__units"), F.lit(seg_units))
+    u = u.withColumn(
+        "__seg", ((F.col("__units") - pm) / F.lit(seg_units)).cast("long")
+    )
+    own = u.withColumn("__own", F.lit(True))
+    ctx = (
+        u.where(pm >= F.lit(seg_units - win_units))
+        .withColumn("__seg", F.col("__seg") + 1)
+        .withColumn("__own", F.lit(False))
+    )
+    w = (
+        Window.partitionBy(key_col, "__seg")
+        .orderBy(F.col("__units"))
+        .rangeBetween(-win_units, 0)
+    )
     return (
-        df.withColumn("__rolling_cents", cents)
+        own.unionByName(ctx)
         .select(
             "*",
             F.count(F.lit(1)).over(w).cast("long").alias(n_col),
             F.sum("__rolling_cents").over(w).alias(s_col),
         )
-        .drop("__rolling_cents")
+        .where(F.col("__own"))
+        .drop("__rolling_cents", "__units", "__seg", "__own")
     )
 
 
@@ -688,6 +746,8 @@ def numeric_drift(
     value_col: str,
     n_bins: int = 10,
     min_share: float = 1e-6,
+    approx: bool = False,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """Numeric distribution drift between two snapshots — the companion
     to :func:`distribution_drift` for continuous columns: side A (the
@@ -709,15 +769,30 @@ def numeric_drift(
     Scale shape: one exact-percentile aggregate over side A (a single
     sort-based agg, k-1 scalars to the driver), then each side is a
     scan + literal-comparison binning + tiny per-bin count — nothing
-    data-sized shuffles except the percentile sort, which at 100 TB
-    would swap to ``percentile_approx`` with a documented tolerance.
+    data-sized shuffles except the percentile sort. ``approx=True`` is
+    the 100 TB path: the edges come from ``percentile_approx`` (a
+    mergeable KLL-style sketch — map-side partials, no global sort;
+    rank error <= 1/approx_accuracy), and ONLY the edge values change —
+    the binning, PSI arithmetic, and output schema are identical, so on
+    well-separated data the approximate edges land in the same gaps and
+    the result matches the exact plan bin-for-bin (pytest-pinned). The
+    exact default stays the oracle contract (q98): DuckDB re-derives
+    ``percentile``'s interpolated edges, not the sketch's.
     """
     qs = [i / n_bins for i in range(1, n_bins)]
     av = a.where(F.col(value_col).isNotNull())
     bv = b.where(F.col(value_col).isNotNull())
-    edges_row = av.agg(
-        F.percentile(F.col(value_col), F.array(*[F.lit(q) for q in qs]))
-    ).first()[0]
+    if approx:
+        edge_agg = F.percentile_approx(
+            F.col(value_col),
+            F.array(*[F.lit(q) for q in qs]),
+            F.lit(approx_accuracy),
+        )
+    else:
+        edge_agg = F.percentile(
+            F.col(value_col), F.array(*[F.lit(q) for q in qs])
+        )
+    edges_row = av.agg(edge_agg).first()[0]
     edges = sorted(set(float(e) for e in (edges_row or [])))
 
     def binned(side: DataFrame) -> DataFrame:

@@ -739,13 +739,16 @@ def topk_recall(
     ``(query, neighbor)`` — everything shuffles on the query key, k rows
     per query; no pairwise blow-up.
     """
+    # distinct on BOTH sides guards against malformed inputs with
+    # repeated (query, neighbor) rows: duplicates on the approx side
+    # would fan out the left join (biasing recall toward duplicated
+    # hits), duplicates on the exact side would inflate exact_k and
+    # double-weight those neighbors in the per-query recall ratio.
+    # Current in-repo generators emit distinct rows; this is the
+    # contract-safety guard for foreign result sets.
     e = exact.select(
         F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
-    )
-    # distinct guards against a malformed approx side with repeated
-    # (query, neighbor) rows, which would fan out the left join —
-    # biasing recall toward the duplicated hits and corrupting exact_k
-    # (recall itself stays <= 1 since it is sum(hit)/count per row)
+    ).distinct()
     a = approx.select(
         F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
     ).distinct().withColumn("__hit", F.lit(1))

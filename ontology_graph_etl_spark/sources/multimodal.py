@@ -195,7 +195,7 @@ def fake_frame_sampler(payload: bytes, media_type: str) -> list:
     """Deterministic frame-sampling fake with an ARITHMETIC spec (every
     field derives from byte length and position, so an external engine
     can re-derive it): duration is ``n_bytes / 8`` seconds, frame
-    count is ``1 + n_bytes mod 4`` (capped at 8), frame ``i`` is the
+    count is ``1 + n_bytes mod 4`` (so 1-4 frames), frame ``i`` is the
     byte slice ``[i*stride, (i+1)*stride)`` with ``stride = n_bytes div
     n_frames`` at integer offset ``(i * n_bytes * 1000) div (8 *
     n_frames)`` milliseconds — all-integer arithmetic, so no
@@ -204,7 +204,7 @@ def fake_frame_sampler(payload: bytes, media_type: str) -> list:
     n = len(payload or b"")
     if n == 0:
         return []
-    n_frames = min(8, 1 + n % 4)
+    n_frames = 1 + n % 4
     stride = n // n_frames
     frames = []
     for i in range(n_frames):

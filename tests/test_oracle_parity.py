@@ -148,3 +148,29 @@ def test_tolerance_contract_queries_deterministic(qname, spark, sf_dir):
     a = _frame_key(*(lambda d: (d.columns, d.collect()))(qdef.spark(spark, sf_dir)))
     b = _frame_key(*(lambda d: (d.columns, d.collect()))(qdef.spark(spark, sf_dir)))
     assert a == b
+
+
+def test_documents_fixture_is_ascii():
+    """The q95 oracle slices VARCHAR by characters while the Spark side
+    slices the UTF-8 payload by bytes; the two agree only while every
+    document is pure ASCII (1 byte per char). Guard that assumption for
+    every scale factor a comparison runs at, so a future non-ASCII
+    fixture fails HERE with an explanation instead of as an opaque q95
+    hash mismatch. (The byte-exact alternative — slicing hex pairs — is
+    documented at the q95 oracle; switch to it if this ever trips.)"""
+    import os
+
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):  # driver environments vary
+            continue
+        n_bad = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{path}') "
+            "WHERE octet_length(encode(text)) <> length(text)"
+        ).fetchone()[0]
+        assert n_bad == 0, (
+            f"{sf}/documents.parquet has {n_bad} non-ASCII texts; "
+            "q95's VARCHAR-slice oracle is no longer byte-exact"
+        )

@@ -1630,3 +1630,131 @@ def test_pair_set_quality_semantics(spark):
     empty = spark.createDataFrame([], "id_a: long, id_b: long")
     row0 = pair_set_quality(empty, exact).collect()[0]
     assert (row0.n_approx, row0.precision, row0.recall) == (0, 0.0, 0.0)
+
+
+def test_pair_set_quality_canonicalizes_orientation(spark):
+    """Round-5 contract fix: a foreign pair list emitting (b, a)
+    orientation — or BOTH orientations of one pair — must land on the
+    same canonical (least, greatest) row, so the intersection and the
+    denominators are orientation-independent."""
+    from ontology_graph_etl_spark.operators.dedup import pair_set_quality
+
+    approx = spark.createDataFrame(
+        [(2, 1), (1, 2), (4, 3), (6, 5)], ["id_a", "id_b"]
+    )
+    exact = spark.createDataFrame(
+        [(1, 2), (3, 4), (7, 8)], ["id_a", "id_b"]
+    )
+    row = pair_set_quality(approx, exact).collect()[0]
+    # (2,1)/(1,2) collapse to one pair; (4,3) and (6,5) normalize
+    assert (row.n_approx, row.n_exact, row.n_common) == (3, 3, 2)
+    assert abs(row.precision - 2 / 3) < 1e-6
+    assert abs(row.recall - 2 / 3) < 1e-6
+    # reversed exact side too: fully orientation-symmetric
+    row2 = pair_set_quality(
+        approx, exact.selectExpr("id_b AS id_a", "id_a AS id_b")
+    ).collect()[0]
+    assert (row2.n_approx, row2.n_exact, row2.n_common) == (3, 3, 2)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),      # key
+            st.integers(0, 300),    # ts (seconds, numeric column)
+            st.integers(-50, 50),   # value
+        ),
+        min_size=1, max_size=20,
+    ),
+    window=st.sampled_from([7, 60]),
+    bucket=st.sampled_from([60, 100, 1000]),
+)
+@SETTINGS
+def test_rolling_segmented_equals_default(spark, rows, window, bucket):
+    """bucket_width activates the segmented (skew-resistant) rolling
+    plan; output must be IDENTICAL to the single-window default for any
+    window/bucket combination with bucket >= window — including buckets
+    smaller than the data span (context-copy carry exercised) and larger
+    (one segment, pure local path). Mirrors
+    test_asof_segmented_equals_default."""
+    from ontology_graph_etl_spark.operators.relational import (
+        rolling_time_aggregate,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, t, float(v)) for i, (k, t, v) in enumerate(rows)],
+        "event_id: long, k: int, t: long, value: double",
+    )
+    base = {
+        r.event_id: (r.n_in_window, r.sum_cents)
+        for r in rolling_time_aggregate(df, "k", "t", "value", window).collect()
+    }
+    seg = {
+        r.event_id: (r.n_in_window, r.sum_cents)
+        for r in rolling_time_aggregate(
+            df, "k", "t", "value", window, bucket_width=bucket
+        ).collect()
+    }
+    assert seg == base
+
+
+def test_rolling_hot_key_spreads_over_segments(spark):
+    """Skew posture: one key holding 50% of all rows. The segmented plan
+    must (a) produce the same answer as the default plan and (b) key its
+    window partitions on (key, segment) so the hot key parallelizes.
+    Mirrors test_asof_hot_key_spreads_over_segments."""
+    import pytest as _pytest
+
+    from ontology_graph_etl_spark.operators.relational import (
+        rolling_time_aggregate,
+    )
+
+    n = 20_000
+    rows = [
+        (i, 0 if i % 2 == 0 else 1 + (i % 99), i, float(i % 13))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: long, k: int, t: long, value: double"
+    )
+    seg_df = rolling_time_aggregate(
+        df, "k", "t", "value", 50, bucket_width=100
+    )
+    base = rolling_time_aggregate(df, "k", "t", "value", 50)
+    got = {r.event_id: (r.n_in_window, r.sum_cents) for r in seg_df.collect()}
+    want = {r.event_id: (r.n_in_window, r.sum_cents) for r in base.collect()}
+    assert got == want
+    # hot key 0's 10k rows now live in t/100 = 200 window partitions
+    plan = seg_df._jdf.queryExecution().executedPlan().toString()
+    assert "__seg" in plan
+    with _pytest.raises(ValueError, match="bucket_width"):
+        rolling_time_aggregate(df, "k", "t", "value", 50, bucket_width=10)
+
+
+def test_numeric_drift_approx_matches_exact_on_separated_data(spark):
+    """approx=True swaps ONLY the edge derivation to percentile_approx
+    (the mergeable-sketch 100 TB path, no global sort); on data whose
+    quantile boundaries fall in wide gaps the sketch's edges land in the
+    same gaps as the exact interpolated edges, so the binned result is
+    identical row-for-row."""
+    from ontology_graph_etl_spark.operators.relational import numeric_drift
+
+    # 10 groups of exactly-repeated values 0, 100, ..., 900: every
+    # decile boundary sits in a 100-wide gap, so exact-interpolated and
+    # sketch-returned edges produce the same strictly-below counts
+    a = spark.createDataFrame(
+        [(float(g * 100),) for g in range(10) for _ in range(100)], ["v"]
+    )
+    b = spark.createDataFrame(
+        [(float(g * 100),) for g in range(10) for _ in range(70 + g * 3)],
+        ["v"],
+    )
+    exact = sorted(
+        tuple(r) for r in numeric_drift(a, b, "v", n_bins=10).collect()
+    )
+    approx = sorted(
+        tuple(r)
+        for r in numeric_drift(a, b, "v", n_bins=10, approx=True).collect()
+    )
+    assert approx == exact
+    assert len(exact) == 10
