@@ -807,3 +807,174 @@ def numeric_drift(
     return out.select(
         F.col("category").alias("bin"), "share_a", "share_b", "psi_contrib"
     )
+
+
+def apportion_budget(
+    df: DataFrame,
+    domain_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Largest-remainder apportionment of an integer ``budget`` (token
+    count, document quota, sampling allowance) across domains,
+    proportional to each domain's summed ``weight_col`` — the exact-sum
+    counterpart of :func:`domain_mix`/:func:`temperature_mix`'s
+    share-based filters: allocations are integers and add up to EXACTLY
+    ``budget`` (floor quotas first, then the domains with the largest
+    remainders — ties to the smaller domain name — each get +1).
+
+    All-integer arithmetic end to end (products routed through
+    DECIMAL(38,0) so a 10^15 budget times a 10^15 weight cannot
+    overflow a long): no float shares, so the result is bit-identical
+    in any engine and hash-comparable against a SQL oracle (q100).
+    Domains with zero/negative total weight get allocation 0 and do not
+    compete for remainders.
+
+    Scale shape: one partial-aggregated shuffle to the per-domain
+    weight table (domain-count-sized, i.e. tiny), then windows over
+    that TINY table to rank remainders — the data-sized input is
+    touched exactly once, and nothing domain-quadratic exists. Output:
+    ``(domain, weight, allocation)``, one row per domain.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    dec = "decimal(38,0)"
+    w = (
+        df.groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.sum(F.col(weight_col)).cast("long").alias("weight"))
+    )
+    pos = F.greatest(F.col("weight"), F.lit(0)).cast(dec)
+    total = Window.partitionBy()  # domain table is tiny by contract
+    w = w.withColumn("__total", F.sum(pos).over(total))
+    prod = F.lit(budget).cast(dec) * pos
+    # mod first, then divide the EXACT multiple: decimal division in
+    # Spark rounds half-up at a derived scale, so floor(prod/total)
+    # could round a .9999995 quotient across an integer boundary;
+    # (prod - prod % total) / total is exact by construction
+    rem_raw = prod % F.col("__total")
+    base = F.when(
+        F.col("__total") > 0,
+        ((prod - rem_raw) / F.col("__total")).cast("long"),
+    ).otherwise(F.lit(0))
+    rem = F.when(
+        F.col("__total") > 0, rem_raw.cast(dec)
+    ).otherwise(F.lit(None).cast(dec))
+    w = w.withColumn("__base", base).withColumn("__rem", rem)
+    w = w.withColumn("__leftover", F.lit(budget) - F.sum("__base").over(total))
+    rank_w = Window.partitionBy().orderBy(
+        F.col("__rem").desc_nulls_last(), F.col("domain").asc()
+    )
+    w = w.withColumn("__rk", F.row_number().over(rank_w))
+    extra = (
+        (F.col("__rk") <= F.col("__leftover"))
+        & F.col("__rem").isNotNull()
+        & (F.col("weight") > 0)
+    ).cast("long")
+    return w.select(
+        "domain",
+        "weight",
+        (F.col("__base") + extra).alias("allocation"),
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    approx: bool = False,
+    approx_accuracy: int = 10_000,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorization — clip ``value_col`` to its [``lower_q``,
+    ``upper_q``] quantile range, the standard tail-taming step before a
+    quality score feeds a sampling weight or a training-mix ratio (one
+    runaway outlier would otherwise own the distribution). Appends
+    ``<col>_w`` (clipped value) plus ``clipped_low``/``clipped_high``
+    flags so downstream can count or audit the affected rows; NULL
+    values pass through NULL with both flags false.
+
+    Exact ``percentile`` edges by default — same linear interpolation
+    as DuckDB's ``quantile_cont`` (the q44 precedent), so the clip
+    bounds are engine-portable and q101 hash-checks end to end.
+    ``approx=True`` is the 100 TB path (same contract as
+    :func:`numeric_drift`): a mergeable ``percentile_approx`` sketch
+    replaces the global sort, only the two bound scalars change.
+
+    Scale shape: one two-scalar aggregate over the column, then a
+    zero-shuffle per-row projection.
+    """
+    if not (0.0 <= lower_q < upper_q <= 1.0):
+        raise ValueError(
+            f"need 0 <= lower_q < upper_q <= 1, got ({lower_q}, {upper_q})"
+        )
+    out = out_col or f"{value_col}_w"
+    clash = {out, "clipped_low", "clipped_high"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"winsorize output columns {sorted(clash)} already exist; "
+            "pass out_col= to disambiguate"
+        )
+    v = df.where(F.col(value_col).isNotNull())
+    qarr = F.array(F.lit(lower_q), F.lit(upper_q))
+    if approx:
+        agg = F.percentile_approx(
+            F.col(value_col), qarr, F.lit(approx_accuracy)
+        )
+    else:
+        agg = F.percentile(F.col(value_col), qarr)
+    bounds = v.agg(agg.alias("__b")).select(
+        F.col("__b")[0].alias("__lo"), F.col("__b")[1].alias("__hi")
+    )
+    c = F.col(value_col)
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            "*",
+            F.when(c.isNull(), F.lit(None))
+            .otherwise(F.least(F.greatest(c, F.col("__lo")), F.col("__hi")))
+            .alias(out),
+            # coalesce: if the column is entirely NULL the bounds are
+            # NULL and the comparisons 3-value-logic to NULL — the flag
+            # contract is a non-null boolean either way
+            F.coalesce(c.isNotNull() & (c < F.col("__lo")), F.lit(False))
+            .alias("clipped_low"),
+            F.coalesce(c.isNotNull() & (c > F.col("__hi")), F.lit(False))
+            .alias("clipped_high"),
+        )
+        .drop("__lo", "__hi")
+    )
+
+
+def stratified_sample_exact_k(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    k: int,
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, selected by md5
+    order of the key — the exact-count sibling of
+    :func:`stratified_sample` (whose Bernoulli thresholds give a
+    *binomial* per-stratum count). "Give me 1 000 documents per source
+    for the eval set, the same 1 000 every run on every engine": the
+    md5 rank is a pure function of the key, so the picked set is stable
+    across runs, partitionings, and appends, and any engine with md5
+    re-derives it (the q102 oracle does).
+
+    Scale shape: ONE hash shuffle on the stratum; the ``row_number <=
+    k`` filter is recognized by Spark's InferWindowGroupLimit rule, so
+    each map task keeps only its local top-k per stratum before the
+    exchange — the shuffle carries O(k * strata * tasks), not the
+    corpus. Ties (md5 collisions) break on the raw key, keeping the
+    rank total.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(key_col).cast("string")).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -3511,6 +3511,113 @@ SELECT CAST((SELECT count(*) FROM approx) AS BIGINT) AS n_approx,
     )
 
 
+def _q100_apportion_budget(spark, sf_dir):
+    # largest-remainder apportionment of a 1M-token budget across
+    # sources weighted by character mass: integer allocations that sum
+    # EXACTLY to the budget (share-based mixes can't promise that).
+    # All-integer arithmetic -> bit-identical in any engine.
+    return relational.apportion_budget(
+        _t(spark, sf_dir, "documents").select("source", "n_chars"),
+        "source",
+        "n_chars",
+        1_000_000,
+    )
+
+
+_q100_sql = r"""
+WITH w AS (
+  SELECT source AS domain, CAST(SUM(n_chars) AS BIGINT) AS weight
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT SUM(CASE WHEN weight > 0 THEN weight ELSE 0 END) AS total FROM w
+),
+calc AS (
+  SELECT domain, weight,
+         CASE WHEN total > 0
+              THEN CAST((CAST(1000000 AS HUGEINT) * greatest(weight, 0))
+                        // total AS BIGINT)
+              ELSE 0 END AS base,
+         CASE WHEN total > 0
+              THEN (CAST(1000000 AS HUGEINT) * greatest(weight, 0)) % total
+              ELSE NULL END AS rem
+  FROM w CROSS JOIN t
+),
+lo AS (SELECT 1000000 - SUM(base) AS leftover FROM calc),
+rk AS (
+  SELECT domain, weight, base, rem,
+         row_number() OVER (ORDER BY rem DESC NULLS LAST, domain ASC) AS rk
+  FROM calc
+)
+SELECT domain, weight,
+       CAST(base + CASE WHEN rk <= leftover AND rem IS NOT NULL
+                             AND weight > 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS allocation
+FROM rk CROSS JOIN lo
+"""
+
+
+def _q101_winsorize(spark, sf_dir):
+    # winsorize the price column at [p01, p99]: exact interpolated
+    # percentile bounds (q44 precedent: F.percentile == quantile_cont),
+    # then a zero-shuffle clip projection. approx=True is the 100 TB
+    # variant (sketch bounds); the oracle pins the exact default.
+    out = relational.winsorize(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice"
+        ),
+        "l_extendedprice",
+        0.01,
+        0.99,
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice_w"), 6).alias("price_w"),
+        "clipped_low",
+        "clipped_high",
+    )
+
+
+_q101_sql = r"""
+WITH b AS (
+  SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+         quantile_cont(l_extendedprice, 0.99) AS hi
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+)
+SELECT l_orderkey, l_linenumber,
+       round(least(greatest(l_extendedprice, lo), hi), 6) AS price_w,
+       l_extendedprice < lo AS clipped_low,
+       l_extendedprice > hi AS clipped_high
+FROM lineitem CROSS JOIN b
+"""
+
+
+def _q102_exact_k_sample(spark, sf_dir):
+    # exactly min(k, |stratum|) docs per source, picked by md5 order of
+    # the key: the same eval set every run on every engine (md5 rank is
+    # a pure row function, unlike sampleBy's partitioning-dependent
+    # RNG). Window-group-limit prunes to per-task top-k pre-shuffle.
+    return relational.stratified_sample_exact_k(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "lang"),
+        "doc_id",
+        "source",
+        20,
+    )
+
+
+_q102_sql = r"""
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3531,10 +3638,12 @@ SELECT CAST((SELECT count(*) FROM approx) AS BIGINT) AS n_approx,
 # q97/q98/q99, then the 38 names whose last green row is r1-r3, then
 # spend the 8 spare slots re-pinning what round 5 touches
 # (fake_frame_sampler cleanup -> q95; topk_recall exact-side dedup ->
-# q63; relational.py rolling/numeric-drift edits -> the asof pair
-# q26/q89 as same-file insurance; similarity.py edit -> q62/q82/q86;
-# pipeline composition -> q85). Done = every registered query has a
-# green row dated r4 or r5.
+# q63; relational.py edits -> the asof pair q26/q89 as same-file
+# insurance; similarity.py edit -> q62) and on the three NEW round-5
+# queries q100/q101/q102 — in-window so they are certified immediately
+# instead of repeating the q97-q99 past-the-cutoff debt. q82/q86/q85
+# (r4-green, untouched) yielded their insurance slots and moved to the
+# tail. Done = every registered query has a green row dated r4 or r5.
 QUERIES: list[QueryDef] = [
     # --- round-5 window (driver consumes the first 50 entries) ---
     # 1-4: stale/never-certified head (rewritten LPA + the three
@@ -3582,16 +3691,21 @@ QUERIES: list[QueryDef] = [
     QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
     QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
     QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
-    # 43-50: re-pins for round-5-touched code paths
+    # 43-47: re-pins for round-5-touched code paths
     QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
     QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
     QueryDef("q26_asof_join", _q26_asof_join, _q26_sql, "§2.7"),
     QueryDef("q89_asof_forward", _q89_asof_forward, _q89_sql, "§2.7"),
     QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),
+    # 48-50: new this round, placed IN-window so they get a driver row
+    # immediately instead of repeating the q97-q99 past-the-cutoff debt
+    QueryDef("q100_apportion_budget", _q100_apportion_budget, _q100_sql, "§2.11"),
+    QueryDef("q101_winsorize", _q101_winsorize, _q101_sql, "§2.11"),
+    QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),
+    # --- tail: green in CORRECTNESS_r04 and untouched this round ---
     QueryDef("q82_lsh_neardup", _q82_lsh_neardup, _q82_sql, "§2.11"),
     QueryDef("q86_ivf_det_topk", _q86_ivf_det_topk, _q86_sql(), "§2.11"),
     QueryDef("q85_curate", _q85_curate, _q85_sql(), "§2.11"),
-    # --- tail: green in CORRECTNESS_r04 and untouched this round ---
     QueryDef("q80_binary_meta", _q80_binary_meta, _q80_sql, "multimodal"),
     QueryDef("q30_one_hop", _q30_one_hop, _q30_sql, "G3"),
     QueryDef("q31_two_hop_motif", _q31_two_hop_motif, _q31_sql, "G4"),

@@ -203,3 +203,32 @@ def test_frame_sample_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q95_frame_sample")
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
+
+
+def test_exact_k_sample_prunes_below_shuffle(spark, sf_dir):
+    """q102's row_number <= k filter must be recognized by
+    InferWindowGroupLimit: a Partial WindowGroupLimit below the
+    exchange (each map task ships only its local top-k per stratum)
+    and a Final one above. The wide `text` column must not be read."""
+    df = queries()["q102_exact_k_sample"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "Partial" in plan and "Final" in plan
+    scan = next(s for s in plan.split("\n") if "FileScan" in s)
+    assert "text" not in scan
+
+
+def test_apportion_budget_aggregates_before_single_partition(spark, sf_dir):
+    """q100 must reduce the corpus to the domain table with a partial
+    (map-side combined) aggregate BEFORE anything lands on the single
+    partition that ranks remainders — the data-sized side never
+    serializes."""
+    df = queries()["q100_apportion_budget"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan
+    # the SinglePartition exchange exists (tiny domain table only) and
+    # sits ABOVE the per-domain hash aggregate in the tree (i.e. the
+    # aggregate is a descendant, meaning it runs first)
+    single = plan.index("Exchange SinglePartition")
+    agg = plan.index("partial_sum")
+    assert agg > single, "partial agg must be below the single-partition exchange"

@@ -1758,3 +1758,86 @@ def test_numeric_drift_approx_matches_exact_on_separated_data(spark):
     )
     assert approx == exact
     assert len(exact) == 10
+
+
+@given(
+    weights=st.lists(st.integers(0, 500), min_size=1, max_size=8),
+    budget=st.integers(0, 10_000),
+)
+@SETTINGS
+def test_apportion_budget_sums_exactly(spark, weights, budget):
+    """Largest-remainder invariants: allocations are non-negative
+    integers, sum EXACTLY to the budget whenever any positive weight
+    exists, respect proportionality within 1 unit of the real quota,
+    and zero-weight domains get zero."""
+    from ontology_graph_etl_spark.operators.relational import apportion_budget
+
+    rows = [(f"d{i}", w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, ["domain", "w"])
+    out = {r.domain: r.allocation for r in
+           apportion_budget(df, "domain", "w", budget).collect()}
+    total_w = sum(w for w in weights if w > 0)
+    if total_w == 0:
+        assert all(a == 0 for a in out.values())
+        return
+    assert sum(out.values()) == budget
+    for i, w in enumerate(weights):
+        a = out[f"d{i}"]
+        assert a >= 0
+        if w <= 0:
+            assert a == 0
+        else:
+            exact = budget * w / total_w
+            # largest-remainder stays within 1 of the exact quota
+            assert exact - 1 < a < exact + 1 or abs(a - exact) < 1 + 1e-9
+
+
+def test_apportion_budget_determinism_and_ties(spark):
+    """Equal remainders break by domain name, so reruns and engines
+    agree on WHICH domains receive the +1 units."""
+    from ontology_graph_etl_spark.operators.relational import apportion_budget
+
+    df = spark.createDataFrame(
+        [("b", 1), ("a", 1), ("c", 1)], ["domain", "w"]
+    )
+    out = {r.domain: r.allocation for r in
+           apportion_budget(df, "domain", "w", 4).collect()}
+    # quotas 4/3 -> base 1 each, leftover 1, equal remainders -> 'a' wins
+    assert out == {"a": 2, "b": 1, "c": 1}
+
+
+def test_winsorize_approx_matches_exact_on_separated_data(spark):
+    """approx=True swaps only the two bound scalars to the sketch path;
+    on well-separated data the clip result is identical (the same
+    contract numeric_drift's approx flag pins)."""
+    from ontology_graph_etl_spark.operators.relational import winsorize
+
+    df = spark.createDataFrame(
+        [(i, float((i % 10) * 100)) for i in range(1000)], "id: long, v: double"
+    )
+    exact = sorted(tuple(r) for r in winsorize(df, "v", 0.15, 0.85).collect())
+    approx = sorted(
+        tuple(r) for r in winsorize(df, "v", 0.15, 0.85, approx=True).collect()
+    )
+    assert approx == exact
+
+
+def test_stratified_sample_exact_k_counts_and_stability(spark):
+    """Exactly min(k, |stratum|) per stratum; the PICKED SET is a pure
+    function of the keys (append/partitioning invariance: computing on
+    a differently-partitioned superset picks the same survivors for
+    unchanged strata)."""
+    from ontology_graph_etl_spark.operators.relational import (
+        stratified_sample_exact_k,
+    )
+
+    rows = [(i, "s" + str(i % 4)) for i in range(50)]  # s0..s3: 13/13/12/12
+    small = spark.createDataFrame(rows[:40], ["k", "s"]).repartition(7)
+    big = spark.createDataFrame(rows, ["k", "s"]).repartition(3)
+    out_small = stratified_sample_exact_k(small, "k", "s", 3)
+    got = {r.s: r.n for r in
+           out_small.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert got == {"s0": 3, "s1": 3, "s2": 3, "s3": 3}
+    # k larger than a stratum: the whole stratum survives
+    tiny = spark.createDataFrame(rows[:5], ["k", "s"])
+    assert stratified_sample_exact_k(tiny, "k", "s", 99).count() == 5
