@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import ensure_parallelism
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Dot product of two array<double> columns — JVM-side fold, no UDF."""
@@ -236,9 +238,15 @@ def embedding_near_duplicates(
     Brute-force all-pairs — exact baseline with a DuckDB oracle; the
     LSH-bucketed variant (join on ``lsh_bucket`` first) is the 100-TB
     path since near-dups nearly always share a bucket. Raw-vector
-    scoring for the same project-collapse reason as ``cosine_topk``."""
+    scoring for the same project-collapse reason as ``cosine_topk``.
+
+    The STREAM side is spread to the session's parallelism first: an
+    embeddings table small enough to brute-force arrives as one parquet
+    split, and without the guard the whole O(n²) cosine loop runs on a
+    single task no matter how many cores are idle (measured 76 s → 3 s
+    at 2k × 2k on local[32] — the r5 q99 finding)."""
     n = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    l, r = n.alias("l"), n.alias("r")
+    l, r = ensure_parallelism(n).alias("l"), n.alias("r")
     return (
         l.join(r, F.col("l.id") < F.col("r.id"))
         .select(
