@@ -978,3 +978,89 @@ def stratified_sample_exact_k(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def quality_percentile_gate(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    score_col: str,
+    keep_pct: int,
+) -> DataFrame:
+    """Per-domain quality gate: flag the top ``keep_pct`` percent of
+    rows in every stratum, ranked by ``score_col`` — the
+    FineWeb/DataComp-style "keep the best X% per dump/domain" pass,
+    which a global cutoff cannot express (a weak domain's best docs
+    lose to a strong domain's average ones).
+
+    ``keep_pct`` is an INTEGER percent on purpose: the keep set is
+    ``rank <= ceil(n_stratum * keep_pct / 100)``, evaluated as
+    ``(rank-1)*100 < n*keep_pct`` in pure integer arithmetic — no float
+    fraction whose binary representation could flip a boundary row
+    between engines. Ranking is total (score desc, key asc), so the
+    flagged set is deterministic under any partitioning. Emits every
+    row with ``quality_rank`` and a ``keep`` flag (audit-friendly, like
+    :func:`dedup.cluster_representatives`); filter on ``keep`` for the
+    gated corpus.
+
+    Scale shape: ONE hash shuffle on the stratum; rank and stratum
+    count come from the same window partition (two functions, one
+    Window node). Unlike a top-k gate there is no WindowGroupLimit
+    pruning (the limit is a per-stratum fraction, unknown map-side) —
+    the stratum is the partition, which is exactly the as-of/rolling
+    skew posture if one domain dominates; gate per finer substrata and
+    union if that ever binds.
+    """
+    if not (0 < keep_pct <= 100):
+        raise ValueError(f"keep_pct must be in (0, 100], got {keep_pct}")
+    clash = {"quality_rank", "keep", "__n"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"quality_percentile_gate output columns {sorted(clash)} "
+            "already exist on the input"
+        )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col(score_col).desc(), F.col(key_col).asc()
+    )
+    wc = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("quality_rank", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "keep",
+            (F.col("quality_rank") - 1) * 100
+            < F.col("__n") * F.lit(keep_pct),
+        )
+        .drop("__n")
+    )
+
+
+def group_profile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group numeric profile — the corpus-report aggregate behind a
+    dataset card: count, sum, min, max, and exact p50/p90 of
+    ``value_col`` for every group. One partial-aggregated shuffle; the
+    exact percentiles use the same interpolation as DuckDB's
+    ``quantile_cont`` (q44 precedent) so the whole report row
+    hash-matches an external auditor's SQL. NULL values are excluded
+    from the percentile/min/max by aggregate semantics but counted in
+    ``n_rows`` (missing-rate is visible as n_rows vs n_values).
+
+    At 100 TB swap the two percentiles for ``percentile_approx``
+    (mergeable sketch) exactly as :func:`numeric_drift` /
+    :func:`winsorize` document — the report contract (columns, binning
+    of nothing) is unchanged.
+    """
+    c = F.col(value_col)
+    return df.groupBy(*[F.col(g) for g in group_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count(c).cast("long").alias("n_values"),
+        F.sum(c).cast("long").alias("total"),
+        F.min(c).alias("min_v"),
+        F.max(c).alias("max_v"),
+        F.round(F.percentile(c, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(c, F.lit(0.9)), 6).alias("p90"),
+    )

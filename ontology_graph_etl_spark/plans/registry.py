@@ -3618,6 +3618,58 @@ SELECT doc_id, source, lang FROM (
 """
 
 
+def _q103_quality_gate(spark, sf_dir):
+    # FineWeb/DataComp-style per-domain quality gate: flag the top 30%
+    # of docs per source by length score. Integer-percent keep rule
+    # ((rank-1)*100 < n*pct) so no float fraction can flip a boundary
+    # row between engines; total (score desc, key asc) rank order.
+    return relational.quality_percentile_gate(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id",
+        "source",
+        "n_chars",
+        30,
+    )
+
+
+_q103_sql = r"""
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+         ) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       CAST(rk AS INTEGER) AS quality_rank,
+       (rk - 1) * 100 < n * 30 AS keep
+FROM r
+"""
+
+
+def _q104_corpus_profile(spark, sf_dir):
+    # dataset-card aggregate: per (lang, source) numeric profile of doc
+    # length — count, sum, min/max, exact p50/p90 (quantile_cont
+    # interpolation, q44 precedent). One partial-agg shuffle.
+    return relational.group_profile(
+        _t(spark, sf_dir, "documents"), ["lang", "source"], "n_chars"
+    )
+
+
+_q104_sql = r"""
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(n_chars) AS BIGINT) AS n_values,
+       CAST(SUM(n_chars) AS BIGINT) AS total,
+       MIN(n_chars) AS min_v,
+       MAX(n_chars) AS max_v,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90
+FROM documents GROUP BY lang, source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3691,18 +3743,23 @@ QUERIES: list[QueryDef] = [
     QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
     QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
     QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
-    # 43-47: re-pins for round-5-touched code paths
+    # 43-45: re-pins for round-5-touched code paths (q95 sampler
+    # cleanup, q63 topk_recall dedup, q62 ensure_parallelism edit)
     QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
     QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
-    QueryDef("q26_asof_join", _q26_asof_join, _q26_sql, "§2.7"),
-    QueryDef("q89_asof_forward", _q89_asof_forward, _q89_sql, "§2.7"),
     QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),
-    # 48-50: new this round, placed IN-window so they get a driver row
+    # 46-50: new this round, placed IN-window so they get a driver row
     # immediately instead of repeating the q97-q99 past-the-cutoff debt
     QueryDef("q100_apportion_budget", _q100_apportion_budget, _q100_sql, "§2.11"),
     QueryDef("q101_winsorize", _q101_winsorize, _q101_sql, "§2.11"),
     QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),
-    # --- tail: green in CORRECTNESS_r04 and untouched this round ---
+    QueryDef("q103_quality_gate", _q103_quality_gate, _q103_sql, "§2.11"),
+    QueryDef("q104_corpus_profile", _q104_corpus_profile, _q104_sql, "§2.11"),
+    # --- tail: green in CORRECTNESS_r04 and untouched this round (the
+    # asof pair q26/q89 stayed r4-green and semantically untouched, so
+    # their insurance slots went to q103/q104) ---
+    QueryDef("q26_asof_join", _q26_asof_join, _q26_sql, "§2.7"),
+    QueryDef("q89_asof_forward", _q89_asof_forward, _q89_sql, "§2.7"),
     QueryDef("q82_lsh_neardup", _q82_lsh_neardup, _q82_sql, "§2.11"),
     QueryDef("q86_ivf_det_topk", _q86_ivf_det_topk, _q86_sql(), "§2.11"),
     QueryDef("q85_curate", _q85_curate, _q85_sql(), "§2.11"),

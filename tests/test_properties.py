@@ -1841,3 +1841,45 @@ def test_stratified_sample_exact_k_counts_and_stability(spark):
     # k larger than a stratum: the whole stratum survives
     tiny = spark.createDataFrame(rows[:5], ["k", "s"])
     assert stratified_sample_exact_k(tiny, "k", "s", 99).count() == 5
+
+
+def test_quality_percentile_gate_ceil_semantics(spark):
+    """keep set is rank <= ceil(n * pct / 100) per stratum, evaluated in
+    pure integer arithmetic; all rows are emitted with rank + flag."""
+    import pytest as _pytest
+
+    from ontology_graph_etl_spark.operators.relational import (
+        quality_percentile_gate,
+    )
+
+    # stratum a: 7 rows -> ceil(7*30/100)=3 kept; b: 10 rows -> 3 kept
+    rows = [(i, "a", float(i)) for i in range(7)] + [
+        (100 + i, "b", float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k: long, s: string, score: double")
+    out = quality_percentile_gate(df, "k", "s", "score", 30)
+    kept = {r.s: sorted(r2.k for r2 in out.collect() if r2.keep and r2.s == r.s)
+            for r in out.collect()}
+    assert len([k for k in kept["a"]]) == 3
+    assert len([k for k in kept["b"]]) == 3
+    # top scores win: stratum a keeps 6,5,4; b keeps 109,108,107
+    assert kept["a"] == [4, 5, 6] and kept["b"] == [107, 108, 109]
+    assert out.count() == 17  # audit shape: every row emitted
+    with _pytest.raises(ValueError, match="keep_pct"):
+        quality_percentile_gate(df, "k", "s", "score", 0)
+
+
+def test_group_profile_null_handling(spark):
+    """n_rows counts all rows, n_values only non-null; percentiles and
+    min/max ignore nulls; totals stay integral."""
+    from ontology_graph_etl_spark.operators.relational import group_profile
+
+    df = spark.createDataFrame(
+        [("g", 10), ("g", 20), ("g", None), ("h", 5)],
+        "grp: string, v: int",
+    )
+    out = {r.grp: r for r in group_profile(df, ["grp"], "v").collect()}
+    g = out["g"]
+    assert (g.n_rows, g.n_values, g.total, g.min_v, g.max_v) == (3, 2, 30, 10, 20)
+    assert abs(g.p50 - 15.0) < 1e-9
+    assert (out["h"].n_rows, out["h"].total) == (1, 5)
