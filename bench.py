@@ -79,9 +79,16 @@ HEADLINE = [
     "q96_temperature_mix",
     "q97_rolling_agg",
     "q98_numeric_drift",
-    # round-5 addition: LSH pair-generator fidelity (approx + exact twin
-    # + quality join) — cheap at sf0.1 (2k embeddings -> ~2M exact pairs)
+    # round-5 additions: LSH pair-generator fidelity (approx + exact
+    # twin + quality join; cheap at sf0.1 once the brute side spreads
+    # across cores), then the five new curation operators — new names
+    # append so per-query history stays position-comparable
     "q99_lsh_quality",
+    "q100_apportion_budget",
+    "q101_winsorize",
+    "q102_exact_k_sample",
+    "q103_quality_gate",
+    "q104_corpus_profile",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

@@ -3690,12 +3690,12 @@ FROM documents GROUP BY lang, source
 # q97/q98/q99, then the 38 names whose last green row is r1-r3, then
 # spend the 8 spare slots re-pinning what round 5 touches
 # (fake_frame_sampler cleanup -> q95; topk_recall exact-side dedup ->
-# q63; relational.py edits -> the asof pair q26/q89 as same-file
-# insurance; similarity.py edit -> q62) and on the three NEW round-5
-# queries q100/q101/q102 — in-window so they are certified immediately
-# instead of repeating the q97-q99 past-the-cutoff debt. q82/q86/q85
-# (r4-green, untouched) yielded their insurance slots and moved to the
-# tail. Done = every registered query has a green row dated r4 or r5.
+# q63; ensure_parallelism on the brute pair join -> q62) and on the
+# FIVE new round-5 queries q100-q104 — in-window so they are certified
+# immediately instead of repeating the q97-q99 past-the-cutoff debt.
+# q82/q86/q85 and the asof pair q26/q89 (all r4-green, semantically
+# untouched) yielded their insurance slots and moved to the tail.
+# Done = every registered query has a green row dated r4 or r5.
 QUERIES: list[QueryDef] = [
     # --- round-5 window (driver consumes the first 50 entries) ---
     # 1-4: stale/never-certified head (rewritten LPA + the three
