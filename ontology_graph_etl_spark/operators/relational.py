@@ -1064,3 +1064,68 @@ def group_profile(
         F.round(F.percentile(c, F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile(c, F.lit(0.9)), 6).alias("p90"),
     )
+
+
+def fill_budget(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    weight_col: str,
+    allocations: DataFrame,
+) -> DataFrame:
+    """Greedy budget fill — the selection step that turns
+    :func:`apportion_budget`'s per-domain allocations into an actual
+    document set: within each domain, take rows in md5(key) order
+    (deterministic corpus shuffle, same device as
+    :func:`stratified_sample_exact_k`) while the running ``weight_col``
+    sum stays within the domain's allocation. Together the pair is the
+    whole "make me an exactly-N-token mix" move: apportion decides how
+    much each domain gets, fill decides which rows deliver it.
+
+    ``allocations`` carries ``(domain, allocation)`` — the
+    :func:`apportion_budget` output contract. Emits every input row
+    with ``cum_weight`` (inclusive running sum) and ``keep``
+    (``cum_weight <= allocation``; domains absent from ``allocations``
+    keep nothing), so the audit questions — how full did each budget
+    get, which doc was the cutoff — are one filter away. Greedy-prefix
+    semantics mean a budget may underfill by less than one row's weight
+    (no partial documents; exact-to-the-token packing is
+    ``textops.pack_sequences``' job downstream).
+
+    Scale shape: ONE hash shuffle of ``df`` on the domain for the
+    running-sum window + a broadcast join of the (tiny) allocation
+    table. All-integer comparisons; the kept set is a pure function of
+    keys and weights, stable across engines and partitionings (q105).
+    """
+    clash = {"cum_weight", "keep", "__alloc", "__fb_domain"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"fill_budget output columns {sorted(clash)} already exist "
+            "on the input"
+        )
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(
+            F.md5(F.col(key_col).cast("string")).asc(), F.col(key_col).asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # alias the allocation side so a df column literally named "domain"
+    # (the usual case) can't collide with the join key
+    alloc = F.broadcast(
+        allocations.select(
+            F.col("domain").alias("__fb_domain"),
+            F.col("allocation").alias("__alloc"),
+        )
+    )
+    return (
+        df.withColumn(
+            "cum_weight", F.sum(F.col(weight_col)).over(w).cast("long")
+        )
+        .join(alloc, F.col(domain_col) == F.col("__fb_domain"), "left")
+        .withColumn(
+            "keep",
+            F.coalesce(F.col("cum_weight") <= F.col("__alloc"), F.lit(False)),
+        )
+        .drop("__fb_domain", "__alloc")
+    )

@@ -3670,6 +3670,40 @@ FROM documents GROUP BY lang, source
 """
 
 
+def _q105_fill_budget(spark, sf_dir):
+    # end-to-end "make me a 1M-char mix": apportion the budget across
+    # sources (q100), then greedily fill each domain's allocation with
+    # docs in md5(doc_id) order. Audit-shape output: every doc with its
+    # inclusive running char sum and the keep verdict.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    alloc = relational.apportion_budget(docs, "source", "n_chars", 1_000_000)
+    return relational.fill_budget(docs, "doc_id", "source", "n_chars", alloc)
+
+
+# DuckDB allows a WITH inside a CTE body, so the q100 apportionment
+# query embeds whole as the `alloc` CTE.
+def _q105_sql() -> str:
+    return (
+        "WITH alloc AS (\n"
+        + _q100_sql
+        + """),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum_chars
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.n_chars,
+       CAST(r.cum_chars AS BIGINT) AS cum_weight,
+       COALESCE(r.cum_chars <= a.allocation, FALSE) AS keep
+FROM ranked r LEFT JOIN alloc a ON r.source = a.domain
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3755,9 +3789,15 @@ QUERIES: list[QueryDef] = [
     QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),
     QueryDef("q103_quality_gate", _q103_quality_gate, _q103_sql, "§2.11"),
     QueryDef("q104_corpus_profile", _q104_corpus_profile, _q104_sql, "§2.11"),
-    # --- tail: green in CORRECTNESS_r04 and untouched this round (the
-    # asof pair q26/q89 stayed r4-green and semantically untouched, so
-    # their insurance slots went to q103/q104) ---
+    # --- tail ---
+    # q105 is new-this-round but past the 50-slot cutoff (the window is
+    # exactly filled by the 42-name debt + 3 re-pins + q100-q104):
+    # in-repo parity-suite green, no driver row yet — LEAD THE R6
+    # WINDOW WITH IT, exactly as q97-q99 led r5's.
+    QueryDef("q105_fill_budget", _q105_fill_budget, _q105_sql(), "§2.11"),
+    # r4-green and untouched this round (the asof pair q26/q89 stayed
+    # r4-green and semantically untouched, so their insurance slots
+    # went to q103/q104) ---
     QueryDef("q26_asof_join", _q26_asof_join, _q26_sql, "§2.7"),
     QueryDef("q89_asof_forward", _q89_asof_forward, _q89_sql, "§2.7"),
     QueryDef("q82_lsh_neardup", _q82_lsh_neardup, _q82_sql, "§2.11"),

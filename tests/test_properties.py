@@ -1883,3 +1883,33 @@ def test_group_profile_null_handling(spark):
     assert (g.n_rows, g.n_values, g.total, g.min_v, g.max_v) == (3, 2, 30, 10, 20)
     assert abs(g.p50 - 15.0) < 1e-9
     assert (out["h"].n_rows, out["h"].total) == (1, 5)
+
+
+def test_fill_budget_greedy_semantics(spark):
+    """Greedy prefix in md5(key) order: cum_weight is inclusive, the
+    first row exceeding the allocation and everything after it is
+    dropped, domains absent from the allocation table keep nothing,
+    and a budget larger than the domain keeps the whole domain."""
+    from ontology_graph_etl_spark.operators.relational import fill_budget
+
+    rows = [(i, "a", 10) for i in range(5)] + [(100, "b", 10), (101, "z", 1)]
+    df = spark.createDataFrame(rows, "k: long, domain: string, w: int")
+    alloc = spark.createDataFrame(
+        [("a", 25), ("b", 1000)], ["domain", "allocation"]
+    )
+    out = {r.k: r for r in fill_budget(df, "k", "domain", "w", alloc).collect()}
+    assert len(out) == 7  # audit shape: every row emitted
+    kept_a = sorted(k for k, r in out.items() if r.domain == "a" and r.keep)
+    # allocation 25 over 10-weight rows -> exactly 2 kept (cum 10, 20)
+    assert len(kept_a) == 2
+    assert all(out[k].cum_weight <= 25 for k in kept_a)
+    assert out[100].keep  # huge budget keeps the whole domain
+    assert not out[101].keep  # absent domain keeps nothing
+    # deterministic: same picked set on a different partitioning
+    out2 = {
+        r.k: r.keep
+        for r in fill_budget(
+            df.repartition(7), "k", "domain", "w", alloc
+        ).collect()
+    }
+    assert out2 == {k: r.keep for k, r in out.items()}
