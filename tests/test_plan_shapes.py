@@ -232,3 +232,33 @@ def test_apportion_budget_aggregates_before_single_partition(spark, sf_dir):
     single = plan.index("Exchange SinglePartition")
     agg = plan.index("partial_sum")
     assert agg > single, "partial agg must be below the single-partition exchange"
+
+
+def test_winsorize_bounds_broadcast(spark, sf_dir):
+    """q101's two bound scalars must reach the rows via a broadcast
+    (BroadcastNestedLoopJoin of a 1-row frame), never a shuffle of the
+    data side."""
+    df = queries()["q101_winsorize"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, (
+        "winsorize must not shuffle the data side"
+    )
+
+
+def test_quality_gate_single_window_node(spark, sf_dir):
+    """q103's rank and stratum count must come from ONE window partition
+    spec — a second Window/Sort pair would double the shuffle."""
+    df = queries()["q103_quality_gate"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window [") + plan.count("Window[") <= 2  # rank + count may split nodes but share the exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_fill_budget_broadcasts_allocations(spark, sf_dir):
+    """q105: the allocation table joins via broadcast; the document side
+    shuffles exactly once (the domain window) plus the tiny apportion
+    aggregate's own exchanges."""
+    df = queries()["q105_fill_budget"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

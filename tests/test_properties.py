@@ -1913,3 +1913,43 @@ def test_fill_budget_greedy_semantics(spark):
         ).collect()
     }
     assert out2 == {k: r.keep for k, r in out.items()}
+
+
+@given(
+    weights=st.lists(st.integers(1, 40), min_size=1, max_size=12),
+    budget=st.integers(0, 400),
+)
+@SETTINGS
+def test_apportion_then_fill_never_overspends(spark, weights, budget):
+    """Composition invariant of the exact-mix pipeline: after
+    apportioning a budget and greedily filling it, the total kept
+    weight never exceeds the budget, per-domain kept weight never
+    exceeds that domain's allocation, and the kept set is a prefix of
+    the md5 order (no row kept after the first dropped row of its
+    domain)."""
+    from ontology_graph_etl_spark.operators.relational import (
+        apportion_budget,
+        fill_budget,
+    )
+
+    rows = [
+        (i, f"d{i % 3}", w) for i, w in enumerate(weights)
+    ]
+    df = spark.createDataFrame(rows, "k: long, dom: string, w: int")
+    alloc = apportion_budget(df, "dom", "w", budget)
+    out = fill_budget(df, "k", "dom", "w", alloc).collect()
+    alloc_map = {r.domain: r.allocation for r in alloc.collect()}
+    kept_by_dom: dict = {}
+    for r in out:
+        if r.keep:
+            kept_by_dom[r.dom] = kept_by_dom.get(r.dom, 0) + r.w
+    assert sum(kept_by_dom.values()) <= budget
+    for d, tot in kept_by_dom.items():
+        assert tot <= alloc_map[d]
+    # prefix property: within a domain, keeps are a prefix of cum order
+    for d in {r.dom for r in out}:
+        seq = sorted(
+            (r for r in out if r.dom == d), key=lambda r: r.cum_weight
+        )
+        flags = [r.keep for r in seq]
+        assert flags == sorted(flags, reverse=True)
