@@ -778,14 +778,24 @@ def pair_set_quality(
     Scale shape: two distincts + one pair-keyed equi join + three
     single-row aggregates cross-joined broadcast — work scales with the
     pair sets (which for a bucketed generator are collision-sized, not
-    corpus²).
+    corpus²). Each canonical pair set is ``localCheckpoint``-ed (eager):
+    both sets feed TWO consumers (their own count and the intersection
+    join), and Spark plans no exchange reuse across those subtrees — so
+    without the pin each pair GENERATOR executes twice per action, which
+    for the deliberately-quadratic exact twin doubles the whole query
+    (measured ~2x on q99 at sf0.1). The pinned frame is just the pair
+    list, the cheapest thing in sight.
     """
 
     def canon(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.least(F.col(id_a), F.col(id_b)).alias(id_a),
-            F.greatest(F.col(id_a), F.col(id_b)).alias(id_b),
-        ).distinct()
+        return (
+            df.select(
+                F.least(F.col(id_a), F.col(id_b)).alias(id_a),
+                F.greatest(F.col(id_a), F.col(id_b)).alias(id_b),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
 
     a = canon(approx)
     e = canon(exact)
