@@ -2757,43 +2757,81 @@ SELECT source, doc_id, n_chars, CAST(rn AS INTEGER) AS rn FROM (
 
 def _q46_funnel(spark, sf_dir):
     # Ordered-event funnel: users who viewed, then clicked strictly
-    # after their first view, then purchased strictly after their first
-    # qualifying click. Chained min-aggregates — each stage is one
-    # shuffle on user_id; no window over the full event stream.
+    # after their first view (within 24h), then purchased strictly
+    # after their first qualifying click (within 24h).
+    #
+    # Single-pass plan (round-5 rewrite): per user, collect the sorted
+    # per-stage timestamp arrays in ONE aggregation, then resolve the
+    # funnel with array expressions — first view = head of the sorted
+    # view array, first qualifying click = head of the clicks filtered
+    # to (v_ts, v_ts+24h], etc. The earlier chained min-agg form was
+    # semantically identical but its stage N subtree embedded stages
+    # 1..N-1 with no exchange reuse, so the events table was scanned
+    # SIX times per action (1+2+3); this is one scan + one user-keyed
+    # shuffle + a single-row count agg. Per-user arrays are bounded by
+    # one user's event count — the same per-key-cardinality posture as
+    # session windows; a pathological megauser would segment by day
+    # first.
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("v_ts"))
-    )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(
-            (F.col("ts") > F.col("v_ts"))
-            & (F.col("ts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS"))
+
+    def stage_arr(t):
+        return F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == t, F.col("ts")))
         )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("c_ts"))
-    )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(
-            (F.col("ts") > F.col("c_ts"))
-            & (F.col("ts") <= F.col("c_ts") + F.expr("INTERVAL 24 HOURS"))
+
+    day = F.expr("INTERVAL 24 HOURS")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            stage_arr("view").alias("va"),
+            stage_arr("click").alias("ca"),
+            stage_arr("purchase").alias("pa"),
         )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
-    stage = lambda df, name: df.agg(  # noqa: E731
-        F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n_users")
-    )
-    return (
-        stage(v, "view").unionByName(stage(c, "click")).unionByName(
-            stage(p, "purchase")
+        .withColumn("v_ts", F.try_element_at("va", F.lit(1)))
+        .withColumn(
+            "c_ts",
+            F.try_element_at(
+                F.filter(
+                    "ca",
+                    lambda x: (x > F.col("v_ts"))
+                    & (x <= F.col("v_ts") + day),
+                ),
+                F.lit(1),
+            ),
+        )
+        .withColumn(
+            "p_ts",
+            F.try_element_at(
+                F.filter(
+                    "pa",
+                    lambda x: (x > F.col("c_ts"))
+                    & (x <= F.col("c_ts") + day),
+                ),
+                F.lit(1),
+            ),
         )
     )
+    counts = per_user.agg(
+        F.count("v_ts").alias("nv"),
+        F.count("c_ts").alias("nc"),
+        F.count("p_ts").alias("np"),
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("view").alias("stage"), F.col("nv").alias("n_users")
+                ),
+                F.struct(
+                    F.lit("click").alias("stage"), F.col("nc").alias("n_users")
+                ),
+                F.struct(
+                    F.lit("purchase").alias("stage"),
+                    F.col("np").alias("n_users"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.n_users")
 
 
 _q46_sql = """
