@@ -640,6 +640,12 @@ def triangle_count(
       arboricity bound) — the difference between hours and minutes on
       power-law graphs at cluster scale.
     """
+    # localCheckpoint: und feeds THREE join branches (e1/e2/e3) — and
+    # five on the degree path — with no exchange reuse across them, so
+    # an expensive edge builder upstream (q38 derives edges from a
+    # lineitem self-join) would execute once per branch. Pin the
+    # edge-sized table once; every branch then reads the materialized
+    # copy (closure/LPA precedent).
     und = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -648,6 +654,7 @@ def triangle_count(
         .where(F.col("a") != F.col("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
+        .localCheckpoint()
     )
     if orient == "degree":
         deg = (
@@ -780,12 +787,35 @@ def edge_histogram(edges: DataFrame) -> DataFrame:
 
 
 def degrees(edges: DataFrame) -> DataFrame:
-    """Node degree table: out/in degree per node id via a single
-    explode-free union + aggregate."""
-    out_deg = edges.select(F.col("src").alias("id"), F.lit(1).alias("out"), F.lit(0).alias("in"))
-    in_deg = edges.select(F.col("dst").alias("id"), F.lit(0).alias("out"), F.lit(1).alias("in"))
-    return (
-        out_deg.unionByName(in_deg)
-        .groupBy("id")
-        .agg(F.sum("out").alias("out_degree"), F.sum("in").alias("in_degree"))
+    """Node degree table: out/in degree per node id.
+
+    Single scan via a 2-element endpoint explode instead of a union of
+    two projections: the union form re-executes the whole edge-builder
+    subtree once per branch (no exchange reuse), doubling the scans of
+    whatever ``edges`` is derived from; the explode reads it once and
+    still map-side-combines into the same (id)-keyed partial aggregate.
+    Measured trade at sf0.1: the generator costs ~0.3 s over the union
+    when edges is a RAW cheap scan, and wins whenever the edge builder
+    is derived (join/union/concat upstream — every composed graph
+    here); at 100 TB halving upstream execution is the only number
+    that matters.
+    """
+    pairs = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("id"),
+                    F.lit(1).alias("out"),
+                    F.lit(0).alias("in"),
+                ),
+                F.struct(
+                    F.col("dst").alias("id"),
+                    F.lit(0).alias("out"),
+                    F.lit(1).alias("in"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    return pairs.groupBy("id").agg(
+        F.sum("out").alias("out_degree"), F.sum("in").alias("in_degree")
     )
