@@ -525,6 +525,14 @@ def unigram_logprob(
     scoring — ln(freq/total) averaged over the doc's tokens. No
     smoothing needed: every scored token is in the corpus by
     construction. Empty docs score NULL.
+
+    The corpus total rides ON the frequency table as an unpartitioned
+    window (vocabulary-sized input, tiny) instead of a separate
+    aggregate + crossJoin: the agg form forked the freq subtree into
+    two consumers with no exchange reuse, re-running the whole
+    tokenize+count pass a second time per action (the
+    distribution_drift round-5 finding). Tokenization now runs exactly
+    the two passes the algorithm needs.
     """
     toks = (
         ensure_parallelism(df.select(id_col, text_col))
@@ -533,11 +541,16 @@ def unigram_logprob(
             F.explode(whitespace_tokens(F.col(text_col))).alias("token"),
         )
     )
-    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_n"))
-    total = freq.agg(F.sum("tok_n").alias("__total"))
+    freq = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tok_n"))
+        .withColumn(
+            "__total",
+            F.sum("tok_n").over(Window.partitionBy()),
+        )
+    )
     scored = (
         toks.join(F.broadcast(freq), "token")
-        .crossJoin(F.broadcast(total))
         .select(
             "__doc",
             F.log(F.col("tok_n") / F.col("__total")).alias("__lp"),
