@@ -262,3 +262,27 @@ def test_fill_budget_broadcasts_allocations(spark, sf_dir):
     df = queries()["q105_fill_budget"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+@pytest.mark.parametrize(
+    "name,max_scans",
+    [
+        ("q46_funnel", 1),           # single-pass array funnel
+        ("q92_distribution_drift", 2),  # one scan per snapshot side
+        ("q98_numeric_drift", 2),    # binning layered on the same plan
+        ("q88_unigram_logprob", 3),  # two tokenize passes + id join
+        ("q34_degrees", 2),          # endpoint explode, one edge pass
+        ("q102_exact_k_sample", 1),
+    ],
+)
+def test_no_fork_without_reuse_regression(spark, sf_dir, name, max_scans):
+    """Round-5 sweep regression guard: these queries were rewritten so
+    sibling consumers stop re-executing their shared upstream (SCALING
+    'fork-without-reuse'); a refactor that reintroduces the fork shows
+    up as extra FileScans in the executed plan."""
+    df = queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") <= max_scans, (
+        f"{name}: expected <= {max_scans} scans, plan has "
+        f"{plan.count('FileScan')} — a shared subtree is re-executing"
+    )
