@@ -352,14 +352,10 @@ def connected_components(
     """
     from pyspark.sql.types import StructField, StructType
 
-    und = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .unionByName(
-            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
-        )
-        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    und = _undirect(edges, src_col, dst_col).where(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
     )
-    # unionByName has already coerced both endpoints to a common type;
+    # _undirect has already coerced both endpoints to a common type;
     # Python-side min (union-find) and any Spark-side min agree on it
     # for ints and for strings (UTF-8 byte order = code-point order).
     id_type = und.schema["a"].dataType
@@ -615,6 +611,35 @@ def pagerank(
     return ranks
 
 
+
+def _undirect(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Both edge directions in ONE pass over ``edges``: a 2-element
+    endpoint-swap explode instead of a union of two projections — the
+    union form re-executes the whole edge-builder subtree per branch
+    (no exchange reuse; the round-5 fork-without-reuse finding), which
+    for a derived edge list (q90: a lineitem self-join) doubles the
+    most expensive stage. Falls back to the union when the endpoint
+    types differ (array() needs homogeneous structs; unionByName
+    handles the coercion in that rare case)."""
+    if edges.schema[src_col].dataType == edges.schema[dst_col].dataType:
+        return edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.*")
+    return edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    )
+
 def triangle_count(
     edges: DataFrame,
     src_col: str = "src",
@@ -729,10 +754,7 @@ def label_propagation_communities(
     dropped; isolated nodes never appear (edge-defined).
     """
     und = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .unionByName(
-            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
-        )
+        _undirect(edges, src_col, dst_col)
         .where(F.col("a") != F.col("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
