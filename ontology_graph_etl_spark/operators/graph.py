@@ -753,12 +753,21 @@ def label_propagation_communities(
     no-checkpoint and every-4th variants at sf0.1). Self-loops are
     dropped; isolated nodes never appear (edge-defined).
     """
-    und = (
-        _undirect(edges, src_col, dst_col)
+    # dedup on the CANONICAL (least, greatest) form first, then explode
+    # both directions: distinct shuffles N unique undirected edges
+    # instead of 2N directed rows (the doubled rows are unique by
+    # construction afterwards, no second dedup). One pass over the
+    # caller's edge builder, half the dedup shuffle.
+    canonical = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
         .where(F.col("a") != F.col("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
+    und = _undirect(canonical, "a", "b")
     # checkpoint the undirected list FIRST so nodes/count read the
     # materialized copy instead of recomputing the union+distinct; the
     # large path pays one extra materialization to repartition, exactly
