@@ -89,6 +89,7 @@ HEADLINE = [
     "q102_exact_k_sample",
     "q103_quality_gate",
     "q104_corpus_profile",
+    "q105_fill_budget",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids
