@@ -142,6 +142,37 @@ def stream_session_counts(
     )
 
 
+def stream_tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    watermark: str = "1 hour",
+    extra_keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling counts for APPEND-mode streaming — the
+    late-data-policy twin of :func:`tumbling_counts` (whose date_trunc
+    form serves the batch oracle): ``F.window`` + ``withWatermark``
+    means a window is emitted exactly once, when the watermark passes
+    its end, and events arriving later than ``watermark`` behind the
+    stream's max event time are DROPPED rather than mutating an
+    already-emitted row — the deliberate bounded-state trade every
+    100 TB/day aggregation makes. The drop semantics are pinned
+    end-to-end by tests/test_streaming.py::test_late_events_dropped
+    (two micro-batches, a straggler in the second)."""
+    events = _event_time_ready(events, ts_col)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), width).alias("w"),
+            *[F.col(k) for k in extra_keys],
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("bucket"), *extra_keys, "n_events"
+        )
+    )
+
+
 def dedup_events(
     events: DataFrame,
     keys: tuple[str, ...] = ("event_id",),

@@ -268,3 +268,79 @@ def test_streaming_ingest_dedup_foreachbatch(spark, sf_dir, tmp_path):
     finally:
         corpus.unpersist()
         incoming.unpersist()
+
+
+def test_late_events_dropped_by_watermark(spark, tmp_path):
+    """End-to-end late-data POLICY check (the one watermark semantics a
+    single bounded batch can't exercise): two availableNow runs share
+    one checkpoint, so run 1's max event time persists as the watermark
+    for run 2 — whose straggler into the already-finalized 10:00 window
+    is DROPPED. The emitted count holds only the on-time events and the
+    window never appears twice (append-mode emit-once)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_graph_etl_spark.streaming.windows import (
+        stream_tumbling_counts,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ck = str(tmp_path / "ck")
+
+    def write(name, rows):
+        ts, et = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(list(ts), pa.timestamp("us")),
+                    "event_type": pa.array(list(et)),
+                }
+            ),
+            str(in_dir / name),
+        )
+
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        # parquet sink (not memory): the file sink supports resuming
+        # from the checkpoint, which is what carries run 1's watermark
+        # into run 2
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string"
+        ).parquet(str(in_dir))
+        agg = stream_tumbling_counts(stream, "ts", "1 hour", "1 hour")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t = lambda h, m: datetime.datetime(2024, 1, 1, h, m)  # noqa: E731
+    # run 1: three on-time clicks in [10:00, 11:00) plus a 12:30 event
+    # that advances the persisted watermark to 11:30 > the window end
+    write("a.parquet", [(t(10, 5), "click"), (t(10, 20), "click"),
+                        (t(10, 40), "click"), (t(12, 30), "click")])
+    run_once()
+    # run 2: a straggler for the finalized 10:00 window (2h behind the
+    # 12:30 max, far beyond the 1h allowance) + a 15:00 event so the
+    # 12:00 window also finalizes
+    write("b.parquet", [(t(10, 30), "click"), (t(15, 0), "click")])
+    run_once()
+
+    rows = {}
+    for r in spark.read.parquet(out_dir).collect():
+        rows.setdefault((r.bucket, r.event_type), []).append(r.n_events)
+    ten = (datetime.datetime(2024, 1, 1, 10, 0), "click")
+    assert rows.get(ten) == [3], (
+        f"10:00 window must emit ONCE with only the 3 on-time events "
+        f"(straggler dropped by the watermark); got {rows}"
+    )
+    twelve = (datetime.datetime(2024, 1, 1, 12, 0), "click")
+    assert rows.get(twelve) == [1]
