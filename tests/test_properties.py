@@ -1953,3 +1953,38 @@ def test_apportion_then_fill_never_overspends(spark, weights, budget):
         )
         flags = [r.keep for r in seq]
         assert flags == sorted(flags, reverse=True)
+
+
+def test_rolling_segmented_equals_default_on_timestamps(spark):
+    """The segmented plan's integer pmod/floor arithmetic must hold on
+    REAL timestamp columns too (micros units, per_s=1e6 — magnitudes
+    ~1.7e15 where a careless double divide would lose exactness); the
+    numeric-column property test can't catch a micros-specific bug."""
+    import datetime
+
+    from ontology_graph_etl_spark.operators.relational import (
+        rolling_time_aggregate,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (i, i % 3, base + datetime.timedelta(seconds=(i * 37) % 7200,
+                                             microseconds=(i * 131) % 1000000),
+         float((i % 7) - 3))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: long, k: int, ts: timestamp, value: double"
+    )
+    want = {
+        r.event_id: (r.n_in_window, r.sum_cents)
+        for r in rolling_time_aggregate(df, "k", "ts", "value", 600).collect()
+    }
+    for bucket in (600, 900, 7200):
+        got = {
+            r.event_id: (r.n_in_window, r.sum_cents)
+            for r in rolling_time_aggregate(
+                df, "k", "ts", "value", 600, bucket_width=bucket
+            ).collect()
+        }
+        assert got == want, f"bucket_width={bucket}"
