@@ -525,6 +525,7 @@ def pagerank(
     damping_pct: int = 85,
     src_col: str = "src",
     dst_col: str = "dst",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic fixed-point PageRank → ``(id, pr)`` with ``pr`` in
     integer units of 1/PAGERANK_SCALE (sum ≈ PAGERANK_SCALE minus
@@ -553,6 +554,16 @@ def pagerank(
 
     Ranks/degrees are narrow (id, long); ``localCheckpoint`` bounds
     lineage.
+
+    ``seeds`` (a one-column DataFrame of node ids) switches to
+    PERSONALIZED PageRank: the teleport mass restarts only at the seed
+    set (``SCALE div n_seeds`` per seed; non-seeds teleport 0), giving
+    relevance-to-the-seeds scores — the standard seeded-relevance /
+    recommendation variant. Same integer arithmetic, same loop, same
+    join strategy; the uniform path's plan is byte-identical to before
+    (the seed branch only adds a per-node teleport column). Seed ids
+    absent from the graph contribute nothing (they hold teleport mass
+    but have no edges); an empty seed set raises.
     """
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -569,6 +580,16 @@ def pagerank(
     n = nodes.count()
     base = PAGERANK_SCALE // n
     small = n <= _PAGERANK_BROADCAST_NODES
+    if seeds is not None:
+        seed_ids = (
+            seeds.select(F.col(seeds.columns[0]).alias("id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_seeds = seed_ids.count()
+        if n_seeds == 0:
+            raise ValueError("personalized pagerank needs a non-empty seed set")
+        base = PAGERANK_SCALE // n_seeds
     out_deg = e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_degree")
     )
@@ -581,8 +602,35 @@ def pagerank(
     if not small:
         e_deg = e_deg.repartition("src")
     e_deg = e_deg.localCheckpoint()
-    ranks = nodes.withColumn("pr", F.lit(base).cast("long")).localCheckpoint()
     teleport = (100 - damping_pct) * base // 100
+    if seeds is None:
+        nodes_t = nodes
+        tp_expr = F.lit(teleport)
+        ranks = nodes.withColumn(
+            "pr", F.lit(base).cast("long")
+        ).localCheckpoint()
+    else:
+        nodes_t = (
+            nodes.join(
+                seed_ids.withColumn("__is_seed", F.lit(True)), "id", "left"
+            )
+            .withColumn(
+                "__tp",
+                F.when(F.col("__is_seed"), F.lit(teleport))
+                .otherwise(F.lit(0))
+                .cast("long"),
+            )
+            .select("id", "__tp")
+            .localCheckpoint()
+        )
+        tp_expr = F.col("__tp")
+        ranks = nodes_t.select(
+            "id",
+            F.when(F.col("__tp") > 0, F.lit(base))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("pr"),
+        ).localCheckpoint()
     for it in range(iterations):
         contribs = (
             (F.broadcast(ranks) if small else ranks)
@@ -594,12 +642,12 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("share").alias("inbound"))
         )
-        ranks = nodes.join(
+        ranks = nodes_t.join(
             F.broadcast(contribs) if small else contribs, "id", "left"
         ).select(
             "id",
             (
-                F.lit(teleport)
+                tp_expr
                 + F.expr(f"({damping_pct} * coalesce(inbound, 0L)) div 100")
             ).cast("long").alias("pr"),
         )

@@ -2370,6 +2370,87 @@ def _pagerank_oracle_sql(iterations: int = 3) -> str:
 _q37_sql = _pagerank_oracle_sql(3)
 
 
+def _q106_personalized_pagerank(spark, sf_dir):
+    # personalized PageRank: teleport mass restarts only at the seed
+    # customers (custkey % 50 == 0) — relevance-to-the-seed-set scores
+    # over the same customer-order-part graph as q37. Same integer
+    # fixed-point arithmetic, bit-identical in any engine.
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = orders.select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("dst"),
+    ).unionByName(
+        lineitem.select(
+            F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+    )
+    seeds = (
+        orders.where(F.col("o_custkey") % 50 == 0)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("id")
+        )
+        .distinct()
+    )
+    return graph.pagerank(edges, iterations=3, seeds=seeds).where(
+        F.col("pr") > 0
+    )
+
+
+def _ppr_oracle_sql(iterations: int = 3) -> str:
+    """Chained-CTE DuckDB twin of the SEEDED pagerank path: teleport
+    restarts only at the seed set (SCALE div n_seeds per seed, 0
+    elsewhere); same integer arithmetic and round count."""
+    scale = graph.PAGERANK_SCALE
+    cte = [
+        """e AS (
+  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+         'O' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+  UNION
+  SELECT DISTINCT 'O' || CAST(l_orderkey AS VARCHAR),
+         'P' || CAST(l_partkey AS VARCHAR) FROM lineitem
+)""",
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        """seeds AS (
+  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS id
+  FROM orders WHERE o_custkey % 50 = 0
+)""",
+        f"params AS (SELECT CAST({scale} AS BIGINT) // COUNT(*) AS base FROM seeds)",
+        "outdeg AS (SELECT src AS id, COUNT(*) AS od FROM e GROUP BY 1)",
+        """r0 AS (
+  SELECT n.id,
+         CASE WHEN s.id IS NOT NULL THEN (SELECT base FROM params)
+              ELSE 0 END AS pr
+  FROM nodes n LEFT JOIN seeds s ON s.id = n.id
+)""",
+    ]
+    for k in range(iterations):
+        cte.append(
+            f"""c{k + 1} AS (
+  SELECT e.dst AS id, SUM(r{k}.pr // o.od) AS inbound
+  FROM r{k} JOIN outdeg o ON o.id = r{k}.id JOIN e ON e.src = r{k}.id
+  GROUP BY 1
+)"""
+        )
+        cte.append(
+            f"""r{k + 1} AS (
+  SELECT n.id,
+         CASE WHEN s.id IS NOT NULL
+              THEN (SELECT (15 * base) // 100 FROM params) ELSE 0 END
+           + (85 * COALESCE(c{k + 1}.inbound, 0)) // 100 AS pr
+  FROM nodes n LEFT JOIN seeds s ON s.id = n.id
+  LEFT JOIN c{k + 1} ON c{k + 1}.id = n.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"\nSELECT id, CAST(pr AS BIGINT) AS pr FROM r{iterations}"
+        + " WHERE pr > 0"
+    )
+
+
 def _q44_percentile(spark, sf_dir):
     # Exact interpolated percentiles per group (Spark `percentile` ==
     # DuckDB `quantile_cont`); quartile fractions are exact binary
@@ -3828,11 +3909,19 @@ QUERIES: list[QueryDef] = [
     QueryDef("q103_quality_gate", _q103_quality_gate, _q103_sql, "§2.11"),
     QueryDef("q104_corpus_profile", _q104_corpus_profile, _q104_sql, "§2.11"),
     # --- tail ---
-    # q105 is new-this-round but past the 50-slot cutoff (the window is
-    # exactly filled by the 42-name debt + 3 re-pins + q100-q104):
-    # in-repo parity-suite green, no driver row yet — LEAD THE R6
-    # WINDOW WITH IT, exactly as q97-q99 led r5's.
+    # q105/q106 are new-this-round but past the 50-slot cutoff (the
+    # window is exactly filled by the 42-name debt + 3 re-pins +
+    # q100-q104): in-repo parity-suite green (checked at sf0.001/0.01/
+    # 0.1), no driver row yet — LEAD THE R6 WINDOW WITH THEM, exactly
+    # as q97-q99 led r5's. q37 should re-pin too (pagerank gained the
+    # seeds= branch; its uniform plan is unchanged but same-function).
     QueryDef("q105_fill_budget", _q105_fill_budget, _q105_sql(), "§2.11"),
+    QueryDef(
+        "q106_personalized_pagerank",
+        _q106_personalized_pagerank,
+        _ppr_oracle_sql(3),
+        "§2.8",
+    ),
     # r4-green and untouched this round (the asof pair q26/q89 stayed
     # r4-green and semantically untouched, so their insurance slots
     # went to q103/q104) ---

@@ -216,3 +216,29 @@ def test_triangle_count_k4_plus_tail(spark):
 def test_triangle_count_triangle_free(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
     assert graph.triangle_count(edges).collect()[0].n_triangles == 0
+
+
+def test_personalized_pagerank_semantics(spark):
+    """Seeded restart: teleport mass exists only at seeds, so (a) a
+    node unreachable from the seed set scores 0, (b) seeds dominate a
+    symmetric graph, (c) an empty seed set raises, and (d) the uniform
+    path is unaffected by the new parameter's default."""
+    import pytest as _pytest
+
+    from ontology_graph_etl_spark.operators.graph import pagerank
+
+    # two disjoint chains: 1->2->3 and 10->11; seed only node 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["id"])
+    pr = {r.id: r.pr for r in pagerank(edges, seeds=seeds).collect()}
+    assert pr[1] > 0 and pr[2] > 0 and pr[3] > 0
+    assert pr[10] == 0 and pr[11] == 0, (
+        "nodes unreachable from the seed set must hold zero mass"
+    )
+    assert pr[1] > pr[3]  # mass decays along the chain from the seed
+    uniform = {r.id: r.pr for r in pagerank(edges).collect()}
+    assert all(v > 0 for v in uniform.values())  # uniform path intact
+    with _pytest.raises(ValueError, match="seed"):
+        pagerank(edges, seeds=seeds.where("id < 0")).collect()
