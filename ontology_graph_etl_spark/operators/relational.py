@@ -1066,12 +1066,22 @@ def group_profile(
     (mergeable sketch) exactly as :func:`numeric_drift` /
     :func:`winsorize` document — the report contract (columns, binning
     of nothing) is unchanged.
+
+    ``total`` stays exact for integral columns (long; a SUM over 2^63
+    of anything is out of contract) and rounds to 6 for fractional
+    ones — a blanket long cast would silently truncate a double sum.
     """
     c = F.col(value_col)
+    integral = df.schema[value_col].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint"
+    )
+    total = (
+        F.sum(c).cast("long") if integral else F.round(F.sum(c), 6)
+    )
     return df.groupBy(*[F.col(g) for g in group_cols]).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.count(c).cast("long").alias("n_values"),
-        F.sum(c).cast("long").alias("total"),
+        total.alias("total"),
         F.min(c).alias("min_v"),
         F.max(c).alias("max_v"),
         F.round(F.percentile(c, F.lit(0.5)), 6).alias("p50"),

@@ -1988,3 +1988,16 @@ def test_rolling_segmented_equals_default_on_timestamps(spark):
             ).collect()
         }
         assert got == want, f"bucket_width={bucket}"
+
+
+def test_group_profile_double_total_not_truncated(spark):
+    """A fractional value column's total must round, not silently
+    truncate through a long cast (the integral fast path is only for
+    integral input types)."""
+    from ontology_graph_etl_spark.operators.relational import group_profile
+
+    df = spark.createDataFrame(
+        [("g", 0.25), ("g", 0.5)], "grp: string, v: double"
+    )
+    row = group_profile(df, ["grp"], "v").collect()[0]
+    assert abs(row.total - 0.75) < 1e-9
