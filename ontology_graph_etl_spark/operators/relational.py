@@ -822,6 +822,22 @@ def numeric_drift(
     )
 
 
+def _require_integral_weights(
+    df: DataFrame, weight_col: str, op: str
+) -> None:
+    """The budget operators are exact-integer contracts (largest-
+    remainder quotas, running-sum cutoffs): a fractional weight column
+    would be silently truncated by their long arithmetic, so reject it
+    loudly — pre-quantize (e.g. token counts, char counts, integer
+    cents) before apportioning."""
+    dt = df.schema[weight_col].dataType.simpleString()
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"{op} requires an integral weight column (token/char/cent "
+            f"counts); got {weight_col}: {dt} — quantize it first"
+        )
+
+
 def apportion_budget(
     df: DataFrame,
     domain_col: str,
@@ -851,6 +867,7 @@ def apportion_budget(
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
+    _require_integral_weights(df, weight_col, "apportion_budget")
     dec = "decimal(38,0)"
     w = (
         df.groupBy(F.col(domain_col).alias("domain"))
@@ -1120,6 +1137,7 @@ def fill_budget(
     table. All-integer comparisons; the kept set is a pure function of
     keys and weights, stable across engines and partitionings (q105).
     """
+    _require_integral_weights(df, weight_col, "fill_budget")
     clash = {"cum_weight", "keep", "__alloc", "__fb_domain"} & set(df.columns)
     if clash:
         raise ValueError(

@@ -2001,3 +2001,22 @@ def test_group_profile_double_total_not_truncated(spark):
     )
     row = group_profile(df, ["grp"], "v").collect()[0]
     assert abs(row.total - 0.75) < 1e-9
+
+
+def test_budget_operators_reject_fractional_weights(spark):
+    """apportion_budget/fill_budget are exact-integer contracts; a
+    double weight column would be silently truncated by their long
+    arithmetic, so both reject it loudly."""
+    import pytest as _pytest
+
+    from ontology_graph_etl_spark.operators.relational import (
+        apportion_budget,
+        fill_budget,
+    )
+
+    df = spark.createDataFrame([(1, "a", 1.5)], "k: long, d: string, w: double")
+    alloc = spark.createDataFrame([("a", 10)], ["domain", "allocation"])
+    with _pytest.raises(ValueError, match="integral weight"):
+        apportion_budget(df, "d", "w", 10)
+    with _pytest.raises(ValueError, match="integral weight"):
+        fill_budget(df, "k", "d", "w", alloc)
