@@ -90,6 +90,7 @@ HEADLINE = [
     "q103_quality_gate",
     "q104_corpus_profile",
     "q105_fill_budget",
+    "q106_personalized_pagerank",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

@@ -996,7 +996,10 @@ def stratified_sample_exact_k(
     each map task keeps only its local top-k per stratum before the
     exchange — the shuffle carries O(k * strata * tasks), not the
     corpus. Ties (md5 collisions) break on the raw key, keeping the
-    rank total.
+    rank total. Keys are expected non-null (they are identifiers);
+    NULL keys hash to NULL and sort engine-specifically (Spark asc =
+    nulls first, DuckDB default = nulls last), so filter them out
+    before sampling if a cross-engine-reproducible pick matters.
     """
     if k <= 0:
         raise ValueError(f"k must be >= 1, got {k}")
