@@ -624,13 +624,16 @@ def pagerank(
             .localCheckpoint()
         )
         tp_expr = F.col("__tp")
+        # no checkpoint: a narrow projection of the already-pinned
+        # teleport table is cheaper to recompute once (round 1) than
+        # to materialize
         ranks = nodes_t.select(
             "id",
             F.when(F.col("__tp") > 0, F.lit(base))
             .otherwise(F.lit(0))
             .cast("long")
             .alias("pr"),
-        ).localCheckpoint()
+        )
     for it in range(iterations):
         contribs = (
             (F.broadcast(ranks) if small else ranks)
