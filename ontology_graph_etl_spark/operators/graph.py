@@ -614,22 +614,29 @@ def pagerank(
             nodes.join(
                 seed_ids.withColumn("__is_seed", F.lit(True)), "id", "left"
             )
-            .withColumn(
-                "__tp",
+            .select(
+                "id",
+                F.coalesce(F.col("__is_seed"), F.lit(False)).alias(
+                    "__is_seed"
+                ),
                 F.when(F.col("__is_seed"), F.lit(teleport))
                 .otherwise(F.lit(0))
-                .cast("long"),
+                .cast("long")
+                .alias("__tp"),
             )
-            .select("id", "__tp")
             .localCheckpoint()
         )
         tp_expr = F.col("__tp")
         # no checkpoint: a narrow projection of the already-pinned
         # teleport table is cheaper to recompute once (round 1) than
-        # to materialize
+        # to materialize. Initial rank gates on seed MEMBERSHIP, not on
+        # __tp > 0: integer teleport underflows to 0 when
+        # damping_pct=100 or n_seeds > SCALE*(100-d)/100, and the
+        # documented contract (seeds start at `base`, non-seeds at 0)
+        # must hold regardless.
         ranks = nodes_t.select(
             "id",
-            F.when(F.col("__tp") > 0, F.lit(base))
+            F.when(F.col("__is_seed"), F.lit(base))
             .otherwise(F.lit(0))
             .cast("long")
             .alias("pr"),
@@ -880,18 +887,27 @@ def degrees(edges: DataFrame) -> DataFrame:
     when edges is a RAW cheap scan, and wins whenever the edge builder
     is derived (join/union/concat upstream — every composed graph
     here); at 100 TB halving upstream execution is the only number
-    that matters.
+    that matters. Heterogeneous endpoint types (``array()`` needs
+    same-typed structs, and ANSI union coercion would pick a lossy
+    numeric cast) are normalized by casting BOTH endpoints to string —
+    the id column then comes out as string, but the single-scan plan
+    and the aggregate are unchanged.
     """
+    if edges.schema["src"].dataType == edges.schema["dst"].dataType:
+        src, dst = F.col("src"), F.col("dst")
+    else:
+        src = F.col("src").cast("string")
+        dst = F.col("dst").cast("string")
     pairs = edges.select(
         F.explode(
             F.array(
                 F.struct(
-                    F.col("src").alias("id"),
+                    src.alias("id"),
                     F.lit(1).alias("out"),
                     F.lit(0).alias("in"),
                 ),
                 F.struct(
-                    F.col("dst").alias("id"),
+                    dst.alias("id"),
                     F.lit(0).alias("out"),
                     F.lit(1).alias("in"),
                 ),

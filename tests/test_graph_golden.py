@@ -242,3 +242,38 @@ def test_personalized_pagerank_semantics(spark):
     assert all(v > 0 for v in uniform.values())  # uniform path intact
     with _pytest.raises(ValueError, match="seed"):
         pagerank(edges, seeds=seeds.where("id < 0")).collect()
+
+
+def test_personalized_pagerank_teleport_underflow(spark):
+    """Integer teleport can underflow to 0 (damping_pct=100, or a seed
+    set large enough that SCALE*(100-d)/100 div n_seeds == 0). The
+    documented init contract — seeds start at `base`, non-seeds at 0 —
+    must hold on seed MEMBERSHIP, not on a teleport>0 proxy, or every
+    initial rank collapses to zero and so does the whole output."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["id"])
+    pr = {
+        r.id: r.pr
+        for r in graph.pagerank(
+            edges, iterations=2, damping_pct=100, seeds=seeds
+        ).collect()
+    }
+    # zero teleport: with d=100 the seed's base mass moves wholly along
+    # the chain each round — after 2 rounds it sits on node 3. Under the
+    # old __tp>0 init proxy every rank (including this) was 0.
+    assert pr[3] > 0, "seed's initial base mass must propagate"
+    assert pr[1] == 0 and pr[2] == 0  # no teleport replenishment
+
+
+def test_degrees_heterogeneous_endpoint_types(spark):
+    """degrees() must accept an edge list whose src/dst types differ
+    (e.g. int keys pointing at string labels): the endpoint-explode
+    plan needs same-typed structs (and ANSI union coercion would pick a
+    lossy numeric cast), so this shape string-casts both endpoints —
+    same single-scan plan, ids come out as strings."""
+    edges = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a")], ["src", "dst"]
+    )
+    d = {r.id: (r.out_degree, r.in_degree) for r in graph.degrees(edges).collect()}
+    assert d["1"] == (2, 0) and d["2"] == (1, 0)
+    assert d["a"] == (0, 2) and d["b"] == (0, 1)

@@ -286,3 +286,30 @@ def test_no_fork_without_reuse_regression(spark, sf_dir, name, max_scans):
         f"{name}: expected <= {max_scans} scans, plan has "
         f"{plan.count('FileScan')} — a shared subtree is re-executing"
     )
+
+
+def test_uniform_pagerank_plan_identity(spark, sf_dir):
+    """pagerank()'s docstring claims the uniform path's plan is
+    byte-identical whether or not the seeds= branch exists in the
+    function — make that mechanical: (a) no seed machinery (the __tp /
+    __is_seed columns) appears anywhere in the uniform plan, and (b)
+    the normalized plan fingerprint equals the hash pinned when the
+    seeds branch landed (round 5) and re-pinned after the round-6
+    seed-init fix — any drift of the UNIFORM plan fails here."""
+    import hashlib
+    import os
+    import re
+
+    df = queries()["q37_pagerank"](spark, sf_dir)
+    s = df._jdf.queryExecution().simpleString()
+    assert "__tp" not in s and "__is_seed" not in s, (
+        "seed machinery leaked into the uniform pagerank plan"
+    )
+    if os.path.basename(sf_dir.rstrip("/")) != "sf0.001":
+        return  # fingerprint embeds scan paths; pinned for the default
+    norm = re.sub(
+        r"#\d+|plan_id=\d+|\[id=#?\d+\]|, id=#?\d+|(?<=lambda )\w+_\d+",
+        "",
+        s,
+    )
+    assert hashlib.sha256(norm.encode()).hexdigest()[:16] == "3bbdba0c55226d41"
