@@ -662,22 +662,26 @@ def _q92_distribution_drift(spark, sf_dir):
     )
 
 
+# GROUP BY over a tagged union, NOT a full-outer join of per-side
+# aggregates: the operator's union-pivot plan groups both sides'
+# counts under one category key, so a NULL category is ONE row with
+# both shares — a FULL OUTER JOIN form would emit two unmatched NULL
+# rows (NULL never equi-joins NULL) and diverge on any snapshot that
+# contains NULL categories.
 _q92_sql = r"""
-WITH ca AS (SELECT event_type AS category, count(*) AS n
-            FROM events WHERE event_id % 2 = 0 GROUP BY event_type),
-ta AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM ca),
-sa AS (SELECT category, CAST(n AS DOUBLE) / t AS share_a
-       FROM ca CROSS JOIN ta),
-cb AS (SELECT event_type AS category, count(*) AS n
-       FROM events WHERE event_id % 2 = 1 GROUP BY event_type),
-tb AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cb),
-sb AS (SELECT category, CAST(n AS DOUBLE) / t AS share_b
-       FROM cb CROSS JOIN tb),
+WITH c AS (
+  SELECT category,
+         CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM (SELECT event_type AS category, event_id % 2 AS s FROM events)
+  GROUP BY category
+),
+t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM c),
 j AS (
-  SELECT coalesce(sa.category, sb.category) AS category,
-         greatest(coalesce(share_a, 0.0), 1e-6) AS ga,
-         greatest(coalesce(share_b, 0.0), 1e-6) AS gb
-  FROM sa FULL OUTER JOIN sb ON sa.category = sb.category
+  SELECT category,
+         greatest(CAST(na AS DOUBLE) / ta, 1e-6) AS ga,
+         greatest(CAST(nb AS DOUBLE) / tb, 1e-6) AS gb
+  FROM c CROSS JOIN t
 )
 SELECT category,
        round(ga, 6) AS share_a,
@@ -3706,8 +3710,8 @@ WITH b AS (
 )
 SELECT l_orderkey, l_linenumber,
        round(least(greatest(l_extendedprice, lo), hi), 6) AS price_w,
-       l_extendedprice < lo AS clipped_low,
-       l_extendedprice > hi AS clipped_high
+       COALESCE(l_extendedprice < lo, FALSE) AS clipped_low,
+       COALESCE(l_extendedprice > hi, FALSE) AS clipped_high
 FROM lineitem CROSS JOIN b
 """
 

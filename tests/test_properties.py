@@ -2020,3 +2020,25 @@ def test_budget_operators_reject_fractional_weights(spark):
         apportion_budget(df, "d", "w", 10)
     with _pytest.raises(ValueError, match="integral weight"):
         fill_budget(df, "k", "d", "w", alloc)
+
+
+def test_distribution_drift_null_category_single_row(spark):
+    """NULL categories group to ONE row with both sides' shares (the
+    operator's GROUP-BY-over-tagged-union semantics; the q92 oracle was
+    aligned to the same form in round 6 — a FULL OUTER JOIN oracle
+    would emit two unmatched NULL rows and hash-diverge)."""
+    from ontology_graph_etl_spark.operators.relational import (
+        distribution_drift,
+    )
+
+    a = spark.createDataFrame([("x",), ("x",), (None,)], "c: string")
+    b = spark.createDataFrame(
+        [("x",), (None,), (None,), ("y",)], "c: string"
+    )
+    rows = distribution_drift(a, b, "c").collect()
+    nulls = [r for r in rows if r.category is None]
+    assert len(nulls) == 1, "NULL category must be a single merged row"
+    assert nulls[0].share_a == round(1 / 3, 6)
+    assert nulls[0].share_b == 0.5
+    got = {r.category: r for r in rows}
+    assert got["y"].share_a == 1e-6 and got["y"].share_b == 0.25
