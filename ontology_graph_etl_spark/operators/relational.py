@@ -1115,6 +1115,7 @@ def fill_budget(
     domain_col: str,
     weight_col: str,
     allocations: DataFrame,
+    buckets: int = 256,
 ) -> DataFrame:
     """Greedy budget fill — the selection step that turns
     :func:`apportion_budget`'s per-domain allocations into an actual
@@ -1135,25 +1136,50 @@ def fill_budget(
     (no partial documents; exact-to-the-token packing is
     ``textops.pack_sequences``' job downstream).
 
-    Scale shape: ONE hash shuffle of ``df`` on the domain for the
-    running-sum window + a broadcast join of the (tiny) allocation
+    Scale shape (the round-6 hierarchical plan): mix DOMAINS ARE FEW by
+    construction, so a plain ``Window.partitionBy(domain)`` running sum
+    would sort the entire corpus through a handful of window tasks —
+    the same hot-key shape :func:`textops.sequence_pack` and the as-of
+    ``bucket_width=`` plans already solve. Instead the md5 order key is
+    split on its first hex chars into ``buckets`` ordered, contiguous
+    slices per domain:
+
+    1. a per-``(domain, bucket)`` window computes within-bucket running
+       sums — ``buckets``-way parallel per domain, one corpus shuffle;
+    2. per-bucket totals come from a SECOND column-pruned pass with a
+       map-side-combined aggregate (the shuffle carries only the
+       ``domains x buckets`` partials — the same second-pass trade as
+       :func:`textops.sequence_pack`; an exchange shared with the
+       window doesn't materialize because column pruning and inferred
+       join-null filters make the subtrees differ, and pinning the
+       corpus-sized frame to share it would cost more than the pruned
+       re-scan);
+    3. the tiny totals frame is prefix-summed bucket-major per domain
+       and broadcast back as offsets; ``cum_weight = offset + local``.
+
+    The bucket prefix is a PREFIX of the md5 order key, so bucket-major
+    order equals the single-window order and the output is bit-identical
+    to ``buckets=1`` (property-tested). ``buckets=1`` keeps the plain
+    single-window plan. Plus a broadcast join of the (tiny) allocation
     table. All-integer comparisons; the kept set is a pure function of
     keys and weights, stable across engines and partitionings (q105).
     """
     _require_integral_weights(df, weight_col, "fill_budget")
-    clash = {"cum_weight", "keep", "__alloc", "__fb_domain"} & set(df.columns)
+    clash = {
+        "cum_weight", "keep", "__alloc", "__fb_domain", "__okey", "__bkt",
+        "__local", "__off",
+    } & set(df.columns)
     if clash:
         raise ValueError(
             f"fill_budget output columns {sorted(clash)} already exist "
             "on the input"
         )
-    w = (
-        Window.partitionBy(domain_col)
-        .orderBy(
-            F.md5(F.col(key_col).cast("string")).asc(), F.col(key_col).asc()
+    chars = {1: 0, 16: 1, 256: 2, 4096: 3}.get(buckets)
+    if chars is None:
+        raise ValueError(
+            f"buckets must be one of 1, 16, 256, 4096, got {buckets}"
         )
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    okey = F.md5(F.col(key_col).cast("string"))
     # alias the allocation side so a df column literally named "domain"
     # (the usual case) can't collide with the join key
     alloc = F.broadcast(
@@ -1162,11 +1188,53 @@ def fill_budget(
             F.col("allocation").alias("__alloc"),
         )
     )
-    return (
-        df.withColumn(
+    if chars == 0:
+        w = (
+            Window.partitionBy(domain_col)
+            .orderBy(okey.asc(), F.col(key_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        summed = df.withColumn(
             "cum_weight", F.sum(F.col(weight_col)).over(w).cast("long")
         )
-        .join(alloc, F.col(domain_col) == F.col("__fb_domain"), "left")
+    else:
+        part = df.withColumn("__okey", okey).withColumn(
+            "__bkt", F.substring(F.col("__okey"), 1, chars)
+        )
+        wl = (
+            Window.partitionBy(domain_col, "__bkt")
+            .orderBy(F.col("__okey").asc(), F.col(key_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = part.withColumn(
+            "__local", F.sum(F.col(weight_col)).over(wl).cast("long")
+        )
+        totals = part.groupBy(domain_col, "__bkt").agg(
+            F.sum(F.col(weight_col)).cast("long").alias("__t")
+        )
+        wo = (
+            Window.partitionBy(domain_col)
+            .orderBy(F.col("__bkt").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = totals.select(
+            F.col(domain_col),
+            "__bkt",
+            F.coalesce(F.sum("__t").over(wo), F.lit(0))
+            .cast("long")
+            .alias("__off"),
+        )
+        summed = (
+            local.join(F.broadcast(offsets), [domain_col, "__bkt"])
+            .withColumn(
+                "cum_weight", (F.col("__off") + F.col("__local")).cast("long")
+            )
+            # the list-form join moves its keys to the front; restore
+            # the input column order (the q105 schema contract)
+            .select(*df.columns, "cum_weight")
+        )
+    return (
+        summed.join(alloc, F.col(domain_col) == F.col("__fb_domain"), "left")
         .withColumn(
             "keep",
             F.coalesce(F.col("cum_weight") <= F.col("__alloc"), F.lit(False)),

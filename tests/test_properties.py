@@ -2042,3 +2042,72 @@ def test_distribution_drift_null_category_single_row(spark):
     assert nulls[0].share_b == 0.5
     got = {r.category: r for r in rows}
     assert got["y"].share_a == 1e-6 and got["y"].share_b == 0.25
+
+
+@given(
+    weights=st.lists(st.integers(1, 50), min_size=1, max_size=40),
+    budget=st.integers(0, 600),
+)
+@SETTINGS
+def test_fill_budget_hierarchical_equals_single_window(spark, weights, budget):
+    """The md5-bucketed hierarchical running sum (round-6 plan) is
+    bit-identical to the plain per-domain window: the bucket prefix is
+    a prefix of the order key, so bucket-major order IS the global md5
+    order and offsets+local sums reproduce the exact cumulative."""
+    from ontology_graph_etl_spark.operators.relational import (
+        apportion_budget,
+        fill_budget,
+    )
+
+    rows = [(i, f"d{i % 4}", w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "k: long, dom: string, w: int")
+    alloc = apportion_budget(df, "dom", "w", budget)
+    flat = fill_budget(df, "k", "dom", "w", alloc, buckets=1)
+    for b in (16, 256):
+        hier = fill_budget(df, "k", "dom", "w", alloc, buckets=b)
+        assert sorted(map(tuple, hier.collect())) == sorted(
+            map(tuple, flat.collect())
+        )
+
+
+def test_fill_budget_hot_domain_spreads_over_buckets(spark):
+    """Skew posture (mirrors the as-of test): one domain holding 50% of
+    all rows. Mix domains are FEW by construction, so the flat plan
+    serializes the corpus into a handful of window tasks; the
+    hierarchical plan must (a) give the same answer and (b) window on
+    (domain, md5-prefix bucket), spreading the hot domain 256 ways."""
+    from ontology_graph_etl_spark.operators.relational import fill_budget
+
+    n = 20_000
+    rows = [(i, "hot" if i % 2 == 0 else f"d{i % 5}", 1 + i % 7)
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "k: long, dom: string, w: int")
+    alloc = df.sparkSession.createDataFrame(
+        [("hot", 9_000), ("d1", 2_000), ("d3", 1)],
+        ["domain", "allocation"],
+    )
+    hier = fill_budget(df, "k", "dom", "w", alloc)  # default 256
+    flat = fill_budget(df, "k", "dom", "w", alloc, buckets=1)
+    got = {r.k: (r.cum_weight, r.keep) for r in hier.collect()}
+    want = {r.k: (r.cum_weight, r.keep) for r in flat.collect()}
+    assert got == want
+    plan = hier._jdf.queryExecution().executedPlan().toString()
+    assert "__bkt" in plan  # corpus window keyed by (domain, bucket)
+    # the corpus-side window spec must include the bucket key — no
+    # window over the raw corpus partitioned by the domain alone
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    corpus_specs = [s for s in specs if "__okey" in s]
+    assert corpus_specs and all("__bkt" in s for s in corpus_specs)
+
+
+def test_fill_budget_rejects_bad_bucket_count(spark):
+    import pytest
+
+    from ontology_graph_etl_spark.operators.relational import fill_budget
+
+    df = spark.createDataFrame([(1, "a", 1)], "k: long, dom: string, w: int")
+    alloc = spark.createDataFrame([("a", 5)], ["domain", "allocation"])
+    with pytest.raises(ValueError, match="buckets"):
+        fill_budget(df, "k", "dom", "w", alloc, buckets=100)
