@@ -1019,6 +1019,7 @@ def quality_percentile_gate(
     strata_col: str,
     score_col: str,
     keep_pct: int,
+    buckets: int = 256,
 ) -> DataFrame:
     """Per-domain quality gate: flag the top ``keep_pct`` percent of
     rows in every stratum, ranked by ``score_col`` — the
@@ -1036,35 +1037,137 @@ def quality_percentile_gate(
     :func:`dedup.cluster_representatives`); filter on ``keep`` for the
     gated corpus.
 
-    Scale shape: ONE hash shuffle on the stratum; rank and stratum
-    count come from the same window partition (two functions, one
-    Window node). Unlike a top-k gate there is no WindowGroupLimit
-    pruning (the limit is a per-stratum fraction, unknown map-side) —
-    the stratum is the partition, which is exactly the as-of/rolling
-    skew posture if one domain dominates; gate per finer substrata and
-    union if that ever binds.
+    Scale shape (the round-6 cutoff-rank plan): a plain
+    ``Window.partitionBy(stratum)`` puts a full stratum in ONE window
+    task with no WindowGroupLimit pruning possible (the limit is a
+    per-stratum fraction, unknown map-side) — at 100 TB a dominant
+    stratum sorts through a single task. Instead the score range is cut
+    into ``buckets`` equi-width slices per stratum (score is monotone
+    in the slice index, so slices are contiguous runs of the rank
+    order; equal scores always share a slice, so tie-breaks never
+    straddle one):
+
+    1. per-stratum ``min``/``max`` of the score — one map-side-combined
+       aggregate, stratum-sized result, pinned (``localCheckpoint``) so
+       its scan runs once, not once per consumer;
+    2. a per-``(stratum, slice)`` window ranks locally —
+       ``buckets``-way parallel per stratum, one corpus shuffle;
+    3. per-slice counts from a second column-pruned map-side-combined
+       pass (the :func:`fill_budget` / ``sequence_pack`` second-pass
+       trade) are prefix-summed on the tiny ``strata x buckets`` frame;
+       ``quality_rank = offset + local_rank``, and the stratum total
+       ``n`` rides the same tiny frame.
+
+    Output is bit-identical to the ``buckets=1`` flat plan
+    (property-tested, including a 50 %-hot-stratum case). NULL scores
+    land in a trailing slice (Spark's ``DESC`` = nulls last). The tiny
+    count frame joins back by ``(stratum, slice)``; with pathologically
+    many strata lower ``buckets`` to keep it small. ``buckets=1`` keeps
+    the flat two-window plan.
     """
     if not (0 < keep_pct <= 100):
         raise ValueError(f"keep_pct must be in (0, 100], got {keep_pct}")
-    clash = {"quality_rank", "keep", "__n"} & set(df.columns)
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    clash = {
+        "quality_rank", "keep", "__n", "__bkt", "__lo", "__hi", "__qs",
+        "__cnt", "__off", "__rnl",
+    } & set(df.columns)
     if clash:
         raise ValueError(
             f"quality_percentile_gate output columns {sorted(clash)} "
             "already exist on the input"
         )
-    w = Window.partitionBy(strata_col).orderBy(
+    if buckets == 1:
+        w = Window.partitionBy(strata_col).orderBy(
+            F.col(score_col).desc(), F.col(key_col).asc()
+        )
+        wc = Window.partitionBy(strata_col)
+        return (
+            df.withColumn("quality_rank", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(wc))
+            .withColumn(
+                "keep",
+                (F.col("quality_rank") - 1) * 100
+                < F.col("__n") * F.lit(keep_pct),
+            )
+            .drop("__n")
+        )
+    s = F.col(score_col)
+    mm = (
+        df.groupBy(F.col(strata_col).alias("__qs"))
+        .agg(
+            F.min(s).cast("double").alias("__lo"),
+            F.max(s).cast("double").alias("__hi"),
+        )
+        .localCheckpoint()
+    )
+    # slice index ascending in RANK order (score desc): max -> 0,
+    # min -> buckets-1, NULLs -> buckets (desc = nulls last). Equal
+    # scores share a slice by construction; the double arithmetic is a
+    # monotone map so slice runs are contiguous in the rank order.
+    bkt = (
+        F.when(s.isNull(), F.lit(buckets))
+        .when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("__hi") - s.cast("double"))
+                    / (F.col("__hi") - F.col("__lo"))
+                    * buckets
+                ),
+                F.lit(buckets - 1),
+            )
+        )
+        .cast("int")
+    )
+    b = (
+        df.join(
+            F.broadcast(mm), F.col(strata_col).eqNullSafe(F.col("__qs"))
+        )
+        .withColumn("__bkt", bkt)
+        .drop("__qs", "__lo", "__hi")
+    )
+    wl = Window.partitionBy(strata_col, "__bkt").orderBy(
         F.col(score_col).desc(), F.col(key_col).asc()
     )
-    wc = Window.partitionBy(strata_col)
+    local = b.withColumn("__rnl", F.row_number().over(wl))
+    counts = b.groupBy(
+        F.col(strata_col).alias("__qs"), F.col("__bkt")
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+    wo = (
+        Window.partitionBy("__qs")
+        .orderBy(F.col("__bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = Window.partitionBy("__qs")
+    offsets = counts.select(
+        "__qs",
+        "__bkt",
+        F.coalesce(F.sum("__cnt").over(wo), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(wn).alias("__n"),
+    )
     return (
-        df.withColumn("quality_rank", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        local.join(
+            F.broadcast(offsets),
+            F.col(strata_col).eqNullSafe(F.col("__qs"))
+            & (local["__bkt"] == offsets["__bkt"]),
+        )
+        .withColumn(
+            "quality_rank", (F.col("__off") + F.col("__rnl")).cast("int")
+        )
         .withColumn(
             "keep",
-            (F.col("quality_rank") - 1) * 100
-            < F.col("__n") * F.lit(keep_pct),
+            # coalesce only to pin non-null schema parity with the flat
+            # plan (__n is a window sum, nullable by type though never
+            # null in fact — the inner join always matches)
+            F.coalesce(
+                (F.col("quality_rank") - 1) * 100
+                < F.col("__n") * F.lit(keep_pct),
+                F.lit(False),
+            ),
         )
-        .drop("__n")
+        .select(*df.columns, "quality_rank", "keep")
     )
 
 

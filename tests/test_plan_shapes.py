@@ -246,13 +246,22 @@ def test_winsorize_bounds_broadcast(spark, sf_dir):
     )
 
 
-def test_quality_gate_single_window_node(spark, sf_dir):
-    """q103's rank and stratum count must come from ONE window partition
-    spec — a second Window/Sort pair would double the shuffle."""
+def test_quality_gate_no_single_partition_stratum_window(spark, sf_dir):
+    """q103 (round-6 cutoff-rank plan): the corpus-side window must be
+    keyed by (stratum, score-slice bucket) — a window over the raw
+    corpus partitioned by the stratum alone is the single-task-per-
+    stratum shape the rewrite removed. The tiny count frame's windows
+    (keyed by __qs) are exempt: they run over strata x buckets rows."""
+    import re
+
     df = queries()["q103_quality_gate"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Window [") + plan.count("Window[") <= 2  # rank + count may split nodes but share the exchange
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    corpus = [s for s in specs if "__qs" not in s]
+    assert corpus, "expected a corpus-side ranking window"
+    assert all("__bkt" in s for s in corpus), (
+        "corpus window lost its bucket key — full stratum in one task"
+    )
 
 
 def test_fill_budget_broadcasts_allocations(spark, sf_dir):

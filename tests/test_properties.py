@@ -2111,3 +2111,52 @@ def test_fill_budget_rejects_bad_bucket_count(spark):
     alloc = spark.createDataFrame([("a", 5)], ["domain", "allocation"])
     with pytest.raises(ValueError, match="buckets"):
         fill_budget(df, "k", "dom", "w", alloc, buckets=100)
+
+
+@given(
+    scores=st.lists(
+        st.one_of(st.none(), st.integers(-50, 50)), min_size=1, max_size=60
+    ),
+)
+@SETTINGS
+def test_quality_gate_hierarchical_equals_flat(spark, scores):
+    """The cutoff-rank plan (score-slice buckets + prefixed counts) is
+    bit-identical to the flat two-window plan: slices are contiguous
+    runs of the (score desc, key asc) rank order, equal scores share a
+    slice, NULL scores land in the trailing slice."""
+    from ontology_graph_etl_spark.operators.relational import (
+        quality_percentile_gate,
+    )
+
+    rows = [
+        (i, f"s{i % 3}" if i % 7 else None, float(sc) if sc is not None else None)
+        for i, sc in enumerate(scores)
+    ]
+    df = spark.createDataFrame(rows, "k: long, strat: string, sc: double")
+    flat = quality_percentile_gate(df, "k", "strat", "sc", 30, buckets=1)
+    for b in (4, 256):
+        hier = quality_percentile_gate(df, "k", "strat", "sc", 30, buckets=b)
+        assert sorted(map(tuple, hier.collect())) == sorted(
+            map(tuple, flat.collect())
+        )
+
+
+def test_quality_gate_hot_stratum_spreads_over_buckets(spark):
+    """Skew posture: one stratum holding 50% of rows must spread over
+    (stratum, slice) window partitions, with the same answer as the
+    flat plan."""
+    from ontology_graph_etl_spark.operators.relational import (
+        quality_percentile_gate,
+    )
+
+    n = 20_000
+    rows = [
+        (i, "hot" if i % 2 == 0 else f"s{i % 5}", float((i * 37) % 1000))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k: long, strat: string, sc: double")
+    hier = quality_percentile_gate(df, "k", "strat", "sc", 25)
+    flat = quality_percentile_gate(df, "k", "strat", "sc", 25, buckets=1)
+    got = {r.k: (r.quality_rank, r.keep) for r in hier.collect()}
+    want = {r.k: (r.quality_rank, r.keep) for r in flat.collect()}
+    assert got == want
