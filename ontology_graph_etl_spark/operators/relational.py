@@ -1175,6 +1175,8 @@ def group_profile(
     df: DataFrame,
     group_cols: Sequence[str],
     value_col: str,
+    approx: bool = False,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """Per-group numeric profile — the corpus-report aggregate behind a
     dataset card: count, sum, min, max, and exact p50/p90 of
@@ -1185,10 +1187,13 @@ def group_profile(
     from the percentile/min/max by aggregate semantics but counted in
     ``n_rows`` (missing-rate is visible as n_rows vs n_values).
 
-    At 100 TB swap the two percentiles for ``percentile_approx``
-    (mergeable sketch) exactly as :func:`numeric_drift` /
-    :func:`winsorize` document — the report contract (columns, binning
-    of nothing) is unchanged.
+    ``approx=True`` is the 100 TB path, same contract as
+    :func:`numeric_drift` / :func:`winsorize`: ``percentile_approx``'s
+    mergeable sketch (map-side partials, rank error <=
+    1/approx_accuracy) replaces the exact per-group percentile buffers;
+    only the two percentile values can move, the report columns and
+    types are identical (pytest-pinned on well-separated data). The
+    exact default stays the q104 oracle contract.
 
     ``total`` stays exact for integral columns (long; a SUM over 2^63
     of anything is out of contract) and rounds to 6 for fractional
@@ -1201,14 +1206,24 @@ def group_profile(
     total = (
         F.sum(c).cast("long") if integral else F.round(F.sum(c), 6)
     )
+    if approx:
+        # percentile_approx returns the input type; cast to double so
+        # the report schema is identical to the exact plan's
+        def pctl(q: float) -> Column:
+            return F.percentile_approx(
+                c, F.lit(q), F.lit(approx_accuracy)
+            ).cast("double")
+    else:
+        def pctl(q: float) -> Column:
+            return F.percentile(c, F.lit(q))
     return df.groupBy(*[F.col(g) for g in group_cols]).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.count(c).cast("long").alias("n_values"),
         total.alias("total"),
         F.min(c).alias("min_v"),
         F.max(c).alias("max_v"),
-        F.round(F.percentile(c, F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile(c, F.lit(0.9)), 6).alias("p90"),
+        F.round(pctl(0.5), 6).alias("p50"),
+        F.round(pctl(0.9), 6).alias("p90"),
     )
 
 

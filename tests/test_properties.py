@@ -2160,3 +2160,23 @@ def test_quality_gate_hot_stratum_spreads_over_buckets(spark):
     got = {r.k: (r.quality_rank, r.keep) for r in hier.collect()}
     want = {r.k: (r.quality_rank, r.keep) for r in flat.collect()}
     assert got == want
+
+
+def test_group_profile_approx_matches_exact_on_separated_data(spark):
+    """approx=True (mergeable percentile sketch, the 100 TB path) must
+    reproduce the exact report when the target ranks land exactly on
+    data values: 11 well-separated values per group put p50 on index 5
+    and p90 on index 9 with no interpolation, so sketch and exact agree
+    to the digit and the schema is byte-identical."""
+    from ontology_graph_etl_spark.operators.relational import group_profile
+
+    rows = [
+        (g, float(i * 10 + g)) for g in range(3) for i in range(11)
+    ]
+    df = spark.createDataFrame(rows, "g: int, v: double")
+    exact = group_profile(df, ["g"], "v")
+    approx = group_profile(df, ["g"], "v", approx=True)
+    assert exact.schema == approx.schema
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, approx.collect())
+    )
