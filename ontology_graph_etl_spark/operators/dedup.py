@@ -18,7 +18,7 @@ import re
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import whitespace_tokens
@@ -751,11 +751,32 @@ def cluster_representatives(
     )
 
 
+def sample_universe_predicate(col: Column, sample_pct: int) -> Column:
+    """Deterministic md5 membership test for a ``sample_pct``-percent
+    id-universe sample — the :func:`relational.stratified_sample`
+    threshold device: an id is in-sample iff its first 4 md5 hex digits
+    fall below ``floor(pct/100 * 2^16)``. A pure per-row function of
+    the id (no RNG state), so the SAME universe is selected whether the
+    predicate is applied to the corpus before a pair generator runs
+    (the cost-saving place) or to a pair list after — which is what
+    makes sampled pair-set evaluation coherent end to end.
+    """
+    if not (0 < sample_pct <= 100):
+        raise ValueError(
+            f"sample_pct must be in (0, 100], got {sample_pct}"
+        )
+    if sample_pct == 100:
+        return F.lit(True)
+    threshold = format(max(int(sample_pct / 100 * 65536), 0), "04x")
+    return F.substring(F.md5(col.cast("string")), 1, 4) < F.lit(threshold)
+
+
 def pair_set_quality(
     approx: DataFrame,
     exact: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    sample_pct: int | None = None,
 ) -> DataFrame:
     """Candidate-quality evaluation for any approximate pair generator
     (LSH bands, sign buckets, SimHash radius) against its exact twin:
@@ -785,9 +806,26 @@ def pair_set_quality(
     for the deliberately-quadratic exact twin doubles the whole query
     (measured ~2x on q99 at sf0.1). The pinned frame is just the pair
     list, the cheapest thing in sight.
+
+    ``sample_pct`` is the evaluator's own 100 TB story: the exact twin
+    is quadratic BY DESIGN (it is the measuring stick), so at sf1+ you
+    evaluate on a deterministic md5 sample of the id universe
+    (:func:`sample_universe_predicate`). Here both pair sets are
+    restricted to pairs whose BOTH endpoints are in-sample — an
+    unbiased estimate of precision/recall over id-pairs, and
+    consistent with pre-filtering the CORPUS by the same predicate
+    before the generators run, which is where the quadratic cost
+    actually drops (pair-level filtering only cheapens the
+    distinct/join). Same predicate both places = same pair universe,
+    so the two usages compose.
     """
 
     def canon(df: DataFrame) -> DataFrame:
+        if sample_pct is not None:
+            df = df.where(
+                sample_universe_predicate(F.col(id_a), sample_pct)
+                & sample_universe_predicate(F.col(id_b), sample_pct)
+            )
         return (
             df.select(
                 F.least(F.col(id_a), F.col(id_b)).alias(id_a),

@@ -2180,3 +2180,36 @@ def test_group_profile_approx_matches_exact_on_separated_data(spark):
     assert sorted(map(tuple, exact.collect())) == sorted(
         map(tuple, approx.collect())
     )
+
+
+def test_pair_set_quality_sampled_evaluation(spark):
+    """sample_pct restricts both pair sets to the same deterministic
+    md5 id-universe sample: on uniformly duplicated data the metrics
+    are invariant in expectation — precision stays exactly 1.0 when
+    approx ⊆ exact, recall stays near the true rate — and the sampled
+    run must equal evaluating the full generators on the pre-filtered
+    universe (same predicate, same pairs)."""
+    from ontology_graph_etl_spark.operators.dedup import (
+        pair_set_quality,
+        sample_universe_predicate,
+    )
+    from pyspark.sql import functions as F
+
+    # 600 duplicate groups (i, i+10_000); approx finds the even groups
+    exact = spark.createDataFrame(
+        [(i, i + 10_000) for i in range(600)], "id_a: long, id_b: long"
+    )
+    approx = spark.createDataFrame(
+        [(i, i + 10_000) for i in range(0, 600, 2)], "id_a: long, id_b: long"
+    )
+    full = pair_set_quality(approx, exact).collect()[0]
+    assert full.precision == 1.0 and full.recall == 0.5
+    samp = pair_set_quality(approx, exact, sample_pct=50).collect()[0]
+    assert samp.n_exact < full.n_exact  # the sample actually bites
+    assert samp.precision == 1.0  # subset property survives sampling
+    assert 0.3 < samp.recall < 0.7  # unbiased estimate of 0.5
+    # coherence: pair-level filtering == corpus-level pre-filtering
+    keep = sample_universe_predicate(F.col("id_a"), 50) & \
+        sample_universe_predicate(F.col("id_b"), 50)
+    pre = pair_set_quality(approx.where(keep), exact.where(keep)).collect()[0]
+    assert tuple(pre) == tuple(samp)
