@@ -869,6 +869,36 @@ def label_propagation_communities(
     )
 
 
+def depth_histogram(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Hierarchy depth histogram — the ancestor-count distribution over
+    the ``PARENT_OF`` closure (generator main.py:81-93): for each
+    ancestor count, how many nodes have exactly that many ancestors.
+    The ontology-shaped health question the closure exists to answer —
+    "how deep is this hierarchy, and where does the mass sit" — as one
+    table: ``(n_ancestors, n_nodes)``.
+
+    Composition of :func:`closure` (semi-naive, frontier-sized
+    shuffles) with two map-side-combined aggregates: per-node ancestor
+    counts collapse the closure (its biggest table) immediately, and
+    the histogram aggregate is depth-sized. Root nodes (no ancestors)
+    do not appear in the closure and so not in the histogram — count
+    them as ``nodes - sum(n_nodes)`` if needed; emitting them would
+    require a second scan of the node universe for one derivable row.
+    """
+    clo = closure(edges, src_col, dst_col, max_iterations)
+    return (
+        clo.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_ancestors"))
+        .groupBy("n_ancestors")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+
+
 def edge_histogram(edges: DataFrame) -> DataFrame:
     """G6 — relationship histogram (the corpus shape itself, SURVEY.md
     §1.1): one partial-aggregated shuffle."""
