@@ -91,6 +91,9 @@ HEADLINE = [
     "q104_corpus_profile",
     "q105_fill_budget",
     "q106_personalized_pagerank",
+    # round-6 addition: hierarchy depth histogram (closure + two
+    # map-side aggregates)
+    "q107_depth_histogram",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids
