@@ -543,6 +543,72 @@ def temperature_mix(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    max_weight: int | None = None,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep each row with
+    probability ``weight / max_weight`` — the soft quality-sampling
+    move (CCNet/RefinedWeb-style "sample proportional to the quality
+    score" instead of a hard gate), as a pure per-row function of the
+    key. The uniform draw is the first 8 md5 hex digits of the key (a
+    32-bit uniform); the per-row threshold is
+    ``hex8(weight * 2^32 div max_weight)`` — integral weights
+    (enforced) and integer division make the kept set bit-identical
+    across engines, runs, partitionings, and appends, exactly like
+    :func:`stratified_sample`'s fixed thresholds but with the
+    threshold varying per row.
+
+    ``max_weight=None`` computes the exact column max (one two-scalar
+    aggregate, broadcast back — the :func:`winsorize` shape); pass a
+    constant to pin the normalization across snapshots (so a new
+    heavier document can't silently re-scale everyone's keep
+    probability). Rows with ``weight >= max_weight`` always keep
+    (probability capped at 1); ``weight <= 0`` never keeps.
+
+    Scale shape: zero-shuffle scan-speed filter (plus the tiny max
+    aggregate when ``max_weight`` is computed). The threshold is pure
+    BIGINT arithmetic (``least(w, max_w) * 2^32 div max_w`` — never a
+    float or rounding decimal, so the floor matches DuckDB's exact
+    ``//`` to the bit); weights must stay below 2^31 (any realistic
+    char/token/byte count does — ANSI overflow errors out rather than
+    silently wrapping if not).
+    """
+    _require_integral_weights(df, weight_col, "weighted_sample")
+    w = F.col(weight_col)
+    if max_weight is None:
+        if "__mw" in df.columns:
+            raise ValueError("weighted_sample internal column __mw exists")
+        d = df.crossJoin(
+            F.broadcast(df.agg(F.max(w).cast("long").alias("__mw")))
+        )
+        mw: Column = F.col("__mw")
+        num = f"(least(CAST(`{weight_col}` AS BIGINT), __mw) * 4294967296)"
+        thr_expr = F.expr(f"{num} div __mw")
+    else:
+        if not (0 < max_weight < 2**31):
+            raise ValueError(
+                f"max_weight must be in (0, 2^31), got {max_weight}"
+            )
+        d = df
+        mw = F.lit(int(max_weight)).cast("long")
+        num = (
+            f"(least(CAST(`{weight_col}` AS BIGINT), "
+            f"{int(max_weight)}) * 4294967296)"
+        )
+        thr_expr = F.expr(f"{num} div {int(max_weight)}")
+    h8 = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    thr = F.format_string("%08x", thr_expr)
+    keep = (
+        F.when(w.isNull() | (w <= 0), F.lit(False))
+        .when(w >= mw, F.lit(True))
+        .otherwise(h8 < thr)
+    )
+    return d.where(keep).select(*df.columns)
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -3888,6 +3888,33 @@ FROM pa GROUP BY n_ancestors
 """
 
 
+def _q108_weighted_sample(spark, sf_dir):
+    # deterministic weighted Bernoulli sample: keep probability
+    # proportional to document length (the soft quality-sampling move —
+    # CCNet/RefinedWeb-style score-proportional sampling instead of a
+    # hard gate). Pure per-row md5 draw vs an integer per-row
+    # threshold: bit-identical in any engine with md5 + printf.
+    return relational.weighted_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id",
+        "n_chars",
+    )
+
+
+_q108_sql = r"""
+WITH m AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS mw FROM documents)
+SELECT doc_id, source, n_chars
+FROM documents CROSS JOIN m
+WHERE CASE
+  WHEN n_chars IS NULL OR n_chars <= 0 THEN FALSE
+  WHEN n_chars >= mw THEN TRUE
+  ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+       < printf('%08x',
+                (least(CAST(n_chars AS BIGINT), mw) * 4294967296) // mw)
+END
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3907,12 +3934,13 @@ FROM pa GROUP BY n_ancestors
 # seeds= function; uniform plan additionally pinned by fingerprint
 # test) and the new q107 depth histogram; then the five r5-green
 # queries round 6 touched (q103 cutoff-rank rewrite, q101/q92 oracle
-# alignment, q104 approx flag, q99 sample_pct), then q34 (degrees
-# gained the mixed-type fallback) and 40 of the 46 remaining names
-# whose last green row is r4. Six r4-green trivial-filter queries
-# (q05-q07, q11, q12, q16 — untouched since r1) did not fit: they sit
-# immediately after the window and LEAD THE R7 ROTATION. Done = every
-# query except those six has a row dated r5 or r6; zero failures.
+# alignment, q104 approx flag, q99 sample_pct), the new q108 weighted
+# sample, then q34 (degrees gained the mixed-type fallback) and 39 of
+# the 46 remaining names whose last green row is r4. Seven r4-green
+# trivial queries (q05-q07, q11, q12, q16, q17 — untouched since r1)
+# did not fit: they sit immediately after the window and LEAD THE R7
+# ROTATION. Done = every query except those seven has a row dated r5
+# or r6; zero failures.
 QUERIES: list[QueryDef] = [
     # --- round-6 window (driver consumes the first 50 entries) ---
     # 1-4: never-certified head + same-function re-pin + new query
@@ -3925,6 +3953,7 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef("q37_pagerank", _q37_pagerank, _q37_sql, "G8"),
     QueryDef("q107_depth_histogram", _q107_depth_histogram, _q107_sql, "G5"),
+    QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
     # 5-9: r5-green, implementation or oracle touched this round
     QueryDef("q103_quality_gate", _q103_quality_gate, _q103_sql, "§2.11"),
     QueryDef("q101_winsorize", _q101_winsorize, _q101_sql, "§2.11"),
@@ -3973,10 +4002,10 @@ QUERIES: list[QueryDef] = [
     QueryDef("q13_group_count", _q13_group_count, _q13_sql, "A2"),
     QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
     QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
-    QueryDef("q17_format_string", _q17_format_string, _q17_sql, "F2,F4,K1"),
     # --- tail ---
-    # r4-green, untouched since r1, bumped by the six round-6
-    # re-pins + q107: LEAD THE R7 WINDOW with these
+    # r4-green, untouched since r1, bumped by the round-6 re-pins
+    # + q107/q108: LEAD THE R7 WINDOW with these
+    QueryDef("q17_format_string", _q17_format_string, _q17_sql, "F2,F4,K1"),
     QueryDef("q05_conditional_props", _q05_conditional_props, _q05_sql, "P2"),
     QueryDef("q06_filter_notnull", _q06_filter_notnull, _q06_sql, "P3"),
     QueryDef("q07_filter_neq", _q07_filter_neq, _q07_sql, "P4"),

@@ -2213,3 +2213,32 @@ def test_pair_set_quality_sampled_evaluation(spark):
         sample_universe_predicate(F.col("id_b"), 50)
     pre = pair_set_quality(approx.where(keep), exact.where(keep)).collect()[0]
     assert tuple(pre) == tuple(samp)
+
+
+def test_weighted_sample_semantics(spark):
+    """Deterministic weighted Bernoulli: w>=max always keeps, w<=0 and
+    NULL never keep, the kept set is a pure function of (key, weight)
+    — invariant under repartitioning — and over many keys the keep
+    rate tracks w/max (binomial check at 3 sigma). Explicit max_weight
+    pins normalization; weights above it cap at probability 1."""
+    import pytest
+
+    from ontology_graph_etl_spark.operators.relational import weighted_sample
+
+    n = 4000
+    rows = [(i, 250) for i in range(n)] + [(10_000, 1000), (10_001, 0),
+                                           (10_002, None)]
+    df = spark.createDataFrame(rows, "k: long, w: int")
+    kept = {r.k for r in weighted_sample(df, "k", "w").collect()}
+    assert 10_000 in kept        # w == max -> probability 1
+    assert 10_001 not in kept    # w <= 0 -> never
+    assert 10_002 not in kept    # NULL -> never
+    rate = (len(kept) - 1) / n   # the w=250 block, p = 0.25
+    assert abs(rate - 0.25) < 3 * (0.25 * 0.75 / n) ** 0.5 + 0.01
+    # stability under partitioning + explicit max_weight cap
+    kept2 = {r.k for r in weighted_sample(df.repartition(13), "k", "w").collect()}
+    assert kept == kept2
+    kept3 = {r.k for r in weighted_sample(df, "k", "w", max_weight=500).collect()}
+    assert 10_000 in kept3       # 1000 > 500 caps at always-keep
+    with pytest.raises(ValueError, match="max_weight"):
+        weighted_sample(df, "k", "w", max_weight=0)
