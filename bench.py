@@ -91,9 +91,11 @@ HEADLINE = [
     "q104_corpus_profile",
     "q105_fill_budget",
     "q106_personalized_pagerank",
-    # round-6 addition: hierarchy depth histogram (closure + two
-    # map-side aggregates)
+    # round-6 additions: hierarchy depth histogram (closure + two
+    # map-side aggregates) and weighted Bernoulli sampling (zero
+    # shuffle)
     "q107_depth_histogram",
+    "q108_weighted_sample",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids
