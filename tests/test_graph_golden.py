@@ -277,3 +277,17 @@ def test_degrees_heterogeneous_endpoint_types(spark):
     d = {r.id: (r.out_degree, r.in_degree) for r in graph.degrees(edges).collect()}
     assert d["1"] == (2, 0) and d["2"] == (1, 0)
     assert d["a"] == (0, 2) and d["b"] == (0, 1)
+
+
+def test_depth_histogram_chain_and_star(spark):
+    """Chain 4->3->2->1 plus leaves 10,11->1: ancestor counts are
+    2:{1}, 3:{1,2}, 4:{1,2,3}, 10:{1}, 11:{1} — histogram (1 ancestor:
+    3 nodes, 2:1, 3:1). Roots (node 1) carry no row by contract."""
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (10, 1), (11, 1)], ["child", "parent"]
+    )
+    hist = {
+        r.n_ancestors: r.n_nodes
+        for r in graph.depth_histogram(edges, "child", "parent").collect()
+    }
+    assert hist == {1: 3, 2: 1, 3: 1}
