@@ -2242,3 +2242,44 @@ def test_weighted_sample_semantics(spark):
     assert 10_000 in kept3       # 1000 > 500 caps at always-keep
     with pytest.raises(ValueError, match="max_weight"):
         weighted_sample(df, "k", "w", max_weight=0)
+
+
+@given(
+    weights=st.lists(
+        st.one_of(st.none(), st.integers(-5, 2000)), min_size=1, max_size=50
+    ),
+)
+@SETTINGS
+def test_weighted_sample_matches_duckdb(spark, weights):
+    """Cross-engine pin for the q108 device on arbitrary integral
+    weights (negatives, zeros, NULLs, ties at max): Spark's md5-prefix
+    draw vs per-row BIGINT hex threshold selects exactly the rows
+    DuckDB's printf/// arithmetic selects."""
+    import duckdb
+
+    from ontology_graph_etl_spark.operators.relational import weighted_sample
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "k: long, w: int")
+    got = {r.k for r in weighted_sample(df, "k", "w").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k BIGINT, w INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        r[0]
+        for r in con.execute(
+            """
+            WITH m AS (SELECT CAST(MAX(w) AS BIGINT) AS mw FROM t)
+            SELECT k FROM t CROSS JOIN m
+            WHERE CASE
+              WHEN w IS NULL OR w <= 0 THEN FALSE
+              WHEN w >= mw THEN TRUE
+              ELSE substring(md5(CAST(k AS VARCHAR)), 1, 8)
+                   < printf('%08x',
+                            (least(CAST(w AS BIGINT), mw) * 4294967296) // mw)
+            END
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
