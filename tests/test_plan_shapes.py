@@ -322,3 +322,19 @@ def test_uniform_pagerank_plan_identity(spark, sf_dir):
         s,
     )
     assert hashlib.sha256(norm.encode()).hexdigest()[:16] == "3bbdba0c55226d41"
+
+
+def test_fill_budget_no_single_partition_domain_window(spark, sf_dir):
+    """q105 (round-6 hierarchical plan): the corpus-side running-sum
+    window must be keyed by (domain, md5-prefix bucket) — partitioning
+    by the domain alone serializes each mix domain into one task."""
+    import re
+
+    df = queries()["q105_fill_budget"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    corpus = [s for s in specs if "__okey" in s]
+    assert corpus, "expected the bucketed running-sum window"
+    assert all("__bkt" in s for s in corpus), (
+        "running-sum window lost its bucket key"
+    )
