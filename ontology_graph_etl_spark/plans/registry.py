@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import format_merge_statement, sanitize_value
+from ..functions.json_fields import extract_json_fields
 from ..io import load_table
 from ..operators import dedup, graph, relational, similarity, textops, upsert
 from ..streaming import windows
@@ -3915,6 +3916,35 @@ END
 """
 
 
+def _q109_json_extract(spark, sf_dir):
+    # typed extraction from the embedded JSON props column (the
+    # event-pipeline shape the reference's JSONL discipline implies but
+    # never needed): ONE pinned-schema from_json parse per row — not
+    # per-field get_json_object re-parses — then an ordinary
+    # map-side-combined aggregate over the extracted field.
+    ev = _t(spark, sf_dir, "events")
+    ex = extract_json_fields(ev, "props", {"k": "int"})
+    return ex.groupBy("event_type").agg(
+        F.count("k").cast("long").alias("n_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+    )
+
+
+_q109_sql = r"""
+SELECT event_type,
+       CAST(count(k) AS BIGINT) AS n_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 6) AS avg_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3935,12 +3965,12 @@ END
 # test) and the new q107 depth histogram; then the five r5-green
 # queries round 6 touched (q103 cutoff-rank rewrite, q101/q92 oracle
 # alignment, q104 approx flag, q99 sample_pct), the new q108 weighted
-# sample, then q34 (degrees gained the mixed-type fallback) and 39 of
-# the 46 remaining names whose last green row is r4. Seven r4-green
-# trivial queries (q05-q07, q11, q12, q16, q17 — untouched since r1)
-# did not fit: they sit immediately after the window and LEAD THE R7
-# ROTATION. Done = every query except those seven has a row dated r5
-# or r6; zero failures.
+# sample and q109 JSON extraction, then q34 (degrees gained the
+# mixed-type fallback) and 38 of the 46 remaining names whose last
+# green row is r4. Eight r4-green trivial queries (q05-q07, q11, q12,
+# q15-q17 — untouched since r1) did not fit: they sit immediately
+# after the window and LEAD THE R7 ROTATION. Done = every query except
+# those eight has a row dated r5 or r6; zero failures.
 QUERIES: list[QueryDef] = [
     # --- round-6 window (driver consumes the first 50 entries) ---
     # 1-4: never-certified head + same-function re-pin + new query
@@ -3954,6 +3984,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("q37_pagerank", _q37_pagerank, _q37_sql, "G8"),
     QueryDef("q107_depth_histogram", _q107_depth_histogram, _q107_sql, "G5"),
     QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
+    QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
     # 5-9: r5-green, implementation or oracle touched this round
     QueryDef("q103_quality_gate", _q103_quality_gate, _q103_sql, "§2.11"),
     QueryDef("q101_winsorize", _q101_winsorize, _q101_sql, "§2.11"),
@@ -4001,10 +4032,10 @@ QUERIES: list[QueryDef] = [
     QueryDef("q10_edge_join", _q10_edge_join, _q10_sql, "J3,G2"),
     QueryDef("q13_group_count", _q13_group_count, _q13_sql, "A2"),
     QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
-    QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
     # --- tail ---
     # r4-green, untouched since r1, bumped by the round-6 re-pins
-    # + q107/q108: LEAD THE R7 WINDOW with these
+    # + q107/q108/q109: LEAD THE R7 WINDOW with these
+    QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
     QueryDef("q17_format_string", _q17_format_string, _q17_sql, "F2,F4,K1"),
     QueryDef("q05_conditional_props", _q05_conditional_props, _q05_sql, "P2"),
     QueryDef("q06_filter_notnull", _q06_filter_notnull, _q06_sql, "P3"),
