@@ -96,6 +96,7 @@ HEADLINE = [
     # shuffle)
     "q107_depth_histogram",
     "q108_weighted_sample",
+    "q109_json_extract",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

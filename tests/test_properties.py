@@ -2283,3 +2283,34 @@ def test_weighted_sample_matches_duckdb(spark, weights):
     }
     con.close()
     assert got == want
+
+
+def test_extract_json_fields_semantics(spark):
+    """One-parse typed extraction: valid fields come out typed, missing
+    fields and malformed documents yield NULL (PERMISSIVE parity with
+    json_extract), name clashes and empty field maps raise."""
+    import pytest
+
+    from ontology_graph_etl_spark.functions.json_fields import (
+        extract_json_fields,
+    )
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 5, "s": "x"}'), (2, '{"s": "y"}'), (3, "not json"),
+         (4, None)],
+        "id: long, props: string",
+    )
+    out = {
+        r.id: (r.k, r.s)
+        for r in extract_json_fields(
+            df, "props", {"k": "int", "s": "string"}
+        ).collect()
+    }
+    assert out[1] == (5, "x")
+    assert out[2] == (None, "y")
+    assert out[3] == (None, None)
+    assert out[4] == (None, None)
+    with pytest.raises(ValueError, match="already exist"):
+        extract_json_fields(df, "props", {"id": "int"})
+    with pytest.raises(ValueError, match="at least one"):
+        extract_json_fields(df, "props", {})
