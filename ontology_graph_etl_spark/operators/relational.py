@@ -1351,7 +1351,7 @@ def fill_budget(
     _require_integral_weights(df, weight_col, "fill_budget")
     clash = {
         "cum_weight", "keep", "__alloc", "__fb_domain", "__okey", "__bkt",
-        "__local", "__off",
+        "__local", "__off", "__fb_dom", "__fb_bkt",
     } & set(df.columns)
     if clash:
         raise ValueError(
@@ -1393,28 +1393,34 @@ def fill_budget(
         local = part.withColumn(
             "__local", F.sum(F.col(weight_col)).over(wl).cast("long")
         )
-        totals = part.groupBy(domain_col, "__bkt").agg(
-            F.sum(F.col(weight_col)).cast("long").alias("__t")
-        )
+        totals = part.groupBy(
+            F.col(domain_col).alias("__fb_dom"), F.col("__bkt")
+        ).agg(F.sum(F.col(weight_col)).cast("long").alias("__t"))
         wo = (
-            Window.partitionBy(domain_col)
+            Window.partitionBy("__fb_dom")
             .orderBy(F.col("__bkt").asc())
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         offsets = totals.select(
-            F.col(domain_col),
-            "__bkt",
+            "__fb_dom",
+            F.col("__bkt").alias("__fb_bkt"),
             F.coalesce(F.sum("__t").over(wo), F.lit(0))
             .cast("long")
             .alias("__off"),
         )
+        # NULL-SAFE join keys: a NULL domain (or a NULL key, whose md5
+        # bucket is NULL) is a window group like any other in the flat
+        # plan — an equi join would silently drop those rows instead of
+        # emitting them with keep=false
         summed = (
-            local.join(F.broadcast(offsets), [domain_col, "__bkt"])
+            local.join(
+                F.broadcast(offsets),
+                F.col(domain_col).eqNullSafe(F.col("__fb_dom"))
+                & F.col("__bkt").eqNullSafe(F.col("__fb_bkt")),
+            )
             .withColumn(
                 "cum_weight", (F.col("__off") + F.col("__local")).cast("long")
             )
-            # the list-form join moves its keys to the front; restore
-            # the input column order (the q105 schema contract)
             .select(*df.columns, "cum_weight")
         )
     return (

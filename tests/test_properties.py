@@ -2314,3 +2314,24 @@ def test_extract_json_fields_semantics(spark):
         extract_json_fields(df, "props", {"id": "int"})
     with pytest.raises(ValueError, match="at least one"):
         extract_json_fields(df, "props", {})
+
+
+def test_fill_budget_null_domain_and_key_rows_survive(spark):
+    """NULL domains and NULL keys are window groups like any other: the
+    hierarchical plan's offset join must be null-safe, or those rows
+    silently vanish instead of coming out with keep=false (they can
+    also legitimately keep, if a NULL domain appears in allocations —
+    not the usual contract, but row retention is)."""
+    from ontology_graph_etl_spark.operators.relational import fill_budget
+
+    rows = [(1, "a", 5), (2, None, 5), (3, None, 5), (None, "a", 5)]
+    df = spark.createDataFrame(rows, "k: long, dom: string, w: int")
+    alloc = spark.createDataFrame([("a", 100)], ["domain", "allocation"])
+    for b in (1, 256):
+        out = fill_budget(df, "k", "dom", "w", alloc, buckets=b)
+        rows_out = out.collect()
+        assert len(rows_out) == 4, f"buckets={b}: rows dropped"
+        null_dom = [r for r in rows_out if r.dom is None]
+        assert len(null_dom) == 2
+        assert all(r.keep is False for r in null_dom)
+        assert {r.cum_weight for r in null_dom} == {5, 10}
