@@ -3931,6 +3931,11 @@ def _q109_json_extract(spark, sf_dir):
     )
 
 
+# json_valid + TRY_CAST so the oracle NULLs malformed documents and
+# type-mismatched fields exactly like from_json's PERMISSIVE mode does
+# (a bare json_extract ERRORS on invalid JSON — a latent divergence the
+# moment a snapshot carries a bad row, even though current data is
+# clean)
 _q109_sql = r"""
 SELECT event_type,
        CAST(count(k) AS BIGINT) AS n_k,
@@ -3938,7 +3943,9 @@ SELECT event_type,
        round(avg(k), 6) AS avg_k
 FROM (
   SELECT event_type,
-         CAST(json_extract(props, '$.k') AS INTEGER) AS k
+         CASE WHEN json_valid(props)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+         END AS k
   FROM events
 )
 GROUP BY event_type
