@@ -1154,7 +1154,7 @@ def quality_percentile_gate(
             .withColumn("__n", F.count(F.lit(1)).over(wc))
             .withColumn(
                 "keep",
-                (F.col("quality_rank") - 1) * 100
+                (F.col("quality_rank").cast("long") - 1) * 100
                 < F.col("__n") * F.lit(keep_pct),
             )
             .drop("__n")
@@ -1228,7 +1228,7 @@ def quality_percentile_gate(
             # plan (__n is a window sum, nullable by type though never
             # null in fact — the inner join always matches)
             F.coalesce(
-                (F.col("quality_rank") - 1) * 100
+                (F.col("quality_rank").cast("long") - 1) * 100
                 < F.col("__n") * F.lit(keep_pct),
                 F.lit(False),
             ),
