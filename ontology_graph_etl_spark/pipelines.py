@@ -266,3 +266,40 @@ def curate_pretraining_corpus(
             & F.coalesce(F.col("near_keep"), F.lit(False)),
         )
     )
+
+
+def build_token_budget_mix(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """One-call exact-budget mix — the composition the budget operators
+    exist for: :func:`operators.relational.apportion_budget` decides
+    how much of ``budget`` each domain gets (largest-remainder, sums
+    EXACTLY to the budget), :func:`operators.relational.fill_budget`
+    greedily picks the rows that deliver it (md5-ordered, bucketed
+    running sums). Returns EVERY input row annotated with the decision
+    trail — ``allocation`` (its domain's budget), ``cum_weight``, and
+    ``keep`` — so the mix is one ``keep`` filter and every exclusion is
+    auditable, exactly like :func:`curate_pretraining_corpus`'s shape.
+
+    The allocation aggregate scans ``docs`` once on (domain, weight);
+    both frames are lazy — at 100 TB the costs are that pruned scan
+    plus fill_budget's two passes (SCALING.md round 6).
+    """
+    from .operators.relational import apportion_budget, fill_budget
+
+    alloc = apportion_budget(docs, domain_col, weight_col, budget)
+    filled = fill_budget(docs, id_col, domain_col, weight_col, alloc)
+    return filled.join(
+        F.broadcast(
+            alloc.select(
+                F.col("domain").alias("__mx_dom"),
+                F.col("allocation"),
+            )
+        ),
+        F.col(domain_col).eqNullSafe(F.col("__mx_dom")),
+        "left",
+    ).drop("__mx_dom")

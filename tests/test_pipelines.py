@@ -247,3 +247,42 @@ def test_curate_materialize_identical_output_one_scan(spark, sf_dir):
     )
     # ...and the parquet source is scanned strictly fewer times
     assert mat_plan.count("Scan parquet") < lazy_plan.count("Scan parquet")
+
+
+def test_build_token_budget_mix_end_to_end(spark, sf_dir):
+    """Composition invariants on real documents: every input row comes
+    out annotated, total kept weight never exceeds the budget, kept
+    weight per domain never exceeds its allocation, and the allocation
+    column matches the apportionment."""
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators.relational import (
+        apportion_budget,
+    )
+    from ontology_graph_etl_spark.pipelines import build_token_budget_mix
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    budget = 50_000
+    out = build_token_budget_mix(docs, budget)
+    assert out.count() == docs.count()
+    kept = out.where("keep")
+    per_dom = {
+        r.source: (r.w, r.a)
+        for r in kept.groupBy("source")
+        .agg(
+            F.sum("n_chars").alias("w"), F.first("allocation").alias("a")
+        )
+        .collect()
+    }
+    assert sum(w for w, _ in per_dom.values()) <= budget
+    for dom, (w, a) in per_dom.items():
+        assert w <= a, dom
+    alloc = {
+        r.domain: r.allocation
+        for r in apportion_budget(docs, "source", "n_chars", budget).collect()
+    }
+    for dom, (_, a) in per_dom.items():
+        assert alloc[dom] == a
