@@ -3,6 +3,7 @@ re-expressed as JVM-side Column expressions (whole-stage-codegen'd, never
 row-at-a-time Python). SURVEY.md §2.6.
 """
 
+from .json_fields import extract_json_fields
 from .text import (
     first_prefix,
     format_merge_statement,
@@ -12,6 +13,7 @@ from .text import (
 )
 
 __all__ = [
+    "extract_json_fields",
     "first_prefix",
     "format_merge_statement",
     "sanitize_value",
