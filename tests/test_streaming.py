@@ -344,3 +344,30 @@ def test_late_events_dropped_by_watermark(spark, tmp_path):
     )
     twelve = (datetime.datetime(2024, 1, 1, 12, 0), "click")
     assert rows.get(twelve) == [1]
+
+
+def test_stream_static_enrichment_join(spark, events_batch, events_stream):
+    """Stream-static join — the standard streaming-enrichment shape: a
+    live event stream joined against a static dimension (broadcast;
+    the static side is re-read per micro-batch but never watermarked
+    or stated). End-of-stream result must equal the batch twin."""
+    dim = (
+        events_batch.select("user_id")
+        .distinct()
+        .withColumn("user_bucket", F.pmod(F.col("user_id"), F.lit(10)))
+        .cache()
+    )
+
+    def enrich(df):
+        return (
+            df.join(F.broadcast(dim), "user_id")
+            .groupBy("user_bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    batch = {(r.user_bucket, r.n) for r in enrich(events_batch).collect()}
+    streamed = _run_stream_to_memory(
+        spark, enrich(events_stream), "stream_static_enrich"
+    )
+    got = {(r.user_bucket, r.n) for r in streamed.collect()}
+    assert got == batch and len(got) > 0
