@@ -2335,3 +2335,51 @@ def test_fill_budget_null_domain_and_key_rows_survive(spark):
         assert len(null_dom) == 2
         assert all(r.keep is False for r in null_dom)
         assert {r.cum_weight for r in null_dom} == {5, 10}
+
+
+def test_fill_budget_4096_buckets_and_max_weight_bounds(spark):
+    """The 3-hex-char prefix path (buckets=4096) is the same contract as
+    16/256; weighted_sample accepts max_weight up to 2^31-1 and rejects
+    2^31 (the BIGINT threshold product bound)."""
+    import pytest
+
+    from ontology_graph_etl_spark.operators.relational import (
+        fill_budget,
+        weighted_sample,
+    )
+
+    rows = [(i, f"d{i % 3}", 1 + i % 9) for i in range(300)]
+    df = spark.createDataFrame(rows, "k: long, dom: string, w: int")
+    alloc = spark.createDataFrame(
+        [("d0", 150), ("d1", 60)], ["domain", "allocation"]
+    )
+    flat = sorted(
+        map(tuple, fill_budget(df, "k", "dom", "w", alloc, buckets=1).collect())
+    )
+    deep = sorted(
+        map(
+            tuple,
+            fill_budget(df, "k", "dom", "w", alloc, buckets=4096).collect(),
+        )
+    )
+    assert flat == deep
+    ws = spark.createDataFrame([(1, 10)], "k: long, w: int")
+    assert weighted_sample(ws, "k", "w", max_weight=2**31 - 1).count() in (0, 1)
+    with pytest.raises(ValueError, match="max_weight"):
+        weighted_sample(ws, "k", "w", max_weight=2**31)
+
+
+def test_extract_json_fields_nested_struct_type(spark):
+    """Nested extraction works through Spark type strings: a
+    struct-typed field comes out as a real struct column (one parse,
+    dotted access downstream)."""
+    from ontology_graph_etl_spark.functions import extract_json_fields
+
+    df = spark.createDataFrame(
+        [(1, '{"meta": {"a": 3, "b": "x"}, "k": 7}')],
+        "id: long, props: string",
+    )
+    out = extract_json_fields(
+        df, "props", {"k": "int", "meta": "struct<a:int,b:string>"}
+    ).select("id", "k", "meta.a", "meta.b").collect()[0]
+    assert tuple(out) == (1, 7, 3, "x")
