@@ -291,3 +291,41 @@ def test_depth_histogram_chain_and_star(spark):
         for r in graph.depth_histogram(edges, "child", "parent").collect()
     }
     assert hist == {1: 3, 2: 1, 3: 1}
+
+
+def test_depth_histogram_matches_duckdb_on_random_dag(spark):
+    """q107's aggregate semantics on an arbitrary DAG (not just the
+    part-division hierarchy): histogram == DuckDB recursive closure +
+    double GROUP BY, duplicate edges and diamond joins included."""
+    import random
+
+    rng = random.Random(11)
+    edges = []
+    for child in range(2, 120):
+        for _ in range(rng.randint(0, 3)):
+            edges.append((child, rng.randint(1, child - 1)))
+    edges += edges[:10]  # duplicates must not inflate ancestor sets
+    df = spark.createDataFrame(edges, ["child", "parent"])
+    got = {
+        (r.n_ancestors, r.n_nodes)
+        for r in graph.depth_histogram(df, "child", "parent").collect()
+    }
+    con = duckdb.connect()
+    con.register("e", __import__("pandas").DataFrame(edges, columns=["child", "parent"]))
+    want = {
+        (int(a), int(b))
+        for a, b in con.execute(
+            """
+            WITH RECURSIVE c(node, anc) AS (
+              SELECT DISTINCT child, parent FROM e
+              UNION
+              SELECT c.node, e.parent FROM c JOIN e ON e.child = c.anc
+            )
+            SELECT n_ancestors, count(*) AS n_nodes FROM (
+              SELECT node, count(*) AS n_ancestors FROM c GROUP BY node
+            ) GROUP BY n_ancestors
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == want and len(got) > 2
