@@ -338,3 +338,13 @@ def test_fill_budget_no_single_partition_domain_window(spark, sf_dir):
     assert all("__bkt" in s for s in corpus), (
         "running-sum window lost its bucket key"
     )
+
+
+def test_weighted_sample_no_data_shuffle(spark, sf_dir):
+    """q108 is a scan-speed filter: the max aggregate broadcasts back
+    via a nested-loop cross of one row; the data side must never hash-
+    shuffle."""
+    df = queries()["q108_weighted_sample"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
