@@ -572,18 +572,47 @@ def weighted_sample(
     aggregate when ``max_weight`` is computed). The threshold is pure
     BIGINT arithmetic (``least(w, max_w) * 2^32 div max_w`` — never a
     float or rounding decimal, so the floor matches DuckDB's exact
-    ``//`` to the bit); weights must stay below 2^31 (any realistic
-    char/token/byte count does — ANSI overflow errors out rather than
-    silently wrapping if not).
+    ``//`` to the bit); the normalizer must stay below 2^31 (any
+    realistic char/token/byte count does) and BOTH paths enforce it —
+    an explicit ``max_weight`` raises ``ValueError`` up front, the
+    computed max carries an in-plan ``raise_error`` guard so an
+    over-bound weight column fails loudly instead of overflowing the
+    2^32 product.
     """
     _require_integral_weights(df, weight_col, "weighted_sample")
     w = F.col(weight_col)
     if max_weight is None:
         if "__mw" in df.columns:
             raise ValueError("weighted_sample internal column __mw exists")
-        d = df.crossJoin(
-            F.broadcast(df.agg(F.max(w).cast("long").alias("__mw")))
+        # Same < 2^31 bound the explicit-constant path validates: a
+        # computed max at or above it would overflow the
+        # least(w, mw) * 2^32 BIGINT product (ANSI errors opaquely,
+        # non-ANSI silently wraps and diverges from any oracle). The
+        # guard lives inside the one-row aggregate so the plan stays
+        # lazy — no extra driver-side collect.
+        guarded = df.agg(F.max(w).cast("long").alias("__mw_raw")).select(
+            F.when(
+                F.col("__mw_raw").isNull() | (F.col("__mw_raw") < 2**31),
+                F.col("__mw_raw"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"weighted_sample: computed max of {weight_col}"
+                            " is "
+                        ),
+                        F.col("__mw_raw").cast("string"),
+                        F.lit(
+                            " >= 2^31; pass an explicit max_weight or"
+                            " rescale the weight column"
+                        ),
+                    )
+                )
+            )
+            .alias("__mw")
         )
+        d = df.crossJoin(F.broadcast(guarded))
         mw: Column = F.col("__mw")
         num = f"(least(CAST(`{weight_col}` AS BIGINT), __mw) * 4294967296)"
         thr_expr = F.expr(f"{num} div __mw")

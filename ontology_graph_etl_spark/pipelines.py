@@ -291,6 +291,15 @@ def build_token_budget_mix(
     """
     from .operators.relational import apportion_budget, fill_budget
 
+    # the operators guard their own internals; this pipeline adds
+    # 'allocation' (and a transient '__mx_dom') on top, so the same
+    # clash check applies at this layer
+    clash = {"allocation", "__mx_dom"} & set(docs.columns)
+    if clash:
+        raise ValueError(
+            "build_token_budget_mix: docs already has column(s) "
+            f"{sorted(clash)} this pipeline would add"
+        )
     alloc = apportion_budget(docs, domain_col, weight_col, budget)
     filled = fill_budget(docs, id_col, domain_col, weight_col, alloc)
     return filled.join(

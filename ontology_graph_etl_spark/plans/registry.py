@@ -3932,10 +3932,15 @@ def _q109_json_extract(spark, sf_dir):
 
 
 # json_valid + TRY_CAST so the oracle NULLs malformed documents and
-# type-mismatched fields exactly like from_json's PERMISSIVE mode does
-# (a bare json_extract ERRORS on invalid JSON — a latent divergence the
-# moment a snapshot carries a bad row, even though current data is
-# clean)
+# json_valid + a json_type gate + TRY_CAST so the oracle NULLs
+# malformed documents and type-mismatched fields exactly like
+# from_json's PERMISSIVE mode does (a bare json_extract ERRORS on
+# invalid JSON, and json_extract_string would coerce string-encoded
+# numbers '"5"' and floats 5.0 that from_json's strict int typing
+# NULLs — all three verified divergent in a side-by-side run; the
+# json_type IN (BIGINT, UBIGINT) gate admits only JSON integer tokens,
+# and TRY_CAST still NULLs the ones outside int32 range, matching
+# from_json bit for bit)
 _q109_sql = r"""
 SELECT event_type,
        CAST(count(k) AS BIGINT) AS n_k,
@@ -3944,6 +3949,7 @@ SELECT event_type,
 FROM (
   SELECT event_type,
          CASE WHEN json_valid(props)
+                   AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
               THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
          END AS k
   FROM events

@@ -286,3 +286,19 @@ def test_build_token_budget_mix_end_to_end(spark, sf_dir):
     }
     for dom, (_, a) in per_dom.items():
         assert alloc[dom] == a
+
+
+def test_build_token_budget_mix_clash_guard(spark):
+    """ADVICE r6: the pipeline adds 'allocation' on top of the
+    operators' own columns — a docs frame already carrying it must
+    raise instead of emitting a duplicate output column name."""
+    import pytest
+
+    from ontology_graph_etl_spark.pipelines import build_token_budget_mix
+
+    docs = spark.createDataFrame(
+        [(1, "a", 10, 99)], "doc_id: long, source: string, "
+        "n_chars: int, allocation: int"
+    )
+    with pytest.raises(ValueError, match="allocation"):
+        build_token_budget_mix(docs, 100)

@@ -2383,3 +2383,70 @@ def test_extract_json_fields_nested_struct_type(spark):
         df, "props", {"k": "int", "meta": "struct<a:int,b:string>"}
     ).select("id", "k", "meta.a", "meta.b").collect()[0]
     assert tuple(out) == (1, 7, 3, "x")
+
+
+def test_weighted_sample_computed_max_overflow_guard(spark):
+    """ADVICE r6: the computed-max path enforces the same < 2^31 bound
+    as the explicit-constant path — a bigint weight column whose max
+    would overflow the 2^32 threshold product fails loudly via the
+    in-plan raise_error guard instead of wrapping/erroring opaquely."""
+    import pytest
+
+    from ontology_graph_etl_spark.operators.relational import weighted_sample
+
+    ok = spark.createDataFrame(
+        [(1, 2**31 - 1), (2, 100)], "k: long, w: long"
+    )
+    # just-under-bound max works on the computed path
+    assert weighted_sample(ok, "k", "w").count() >= 1
+    bad = spark.createDataFrame(
+        [(1, 2**31), (2, 100)], "k: long, w: long"
+    )
+    with pytest.raises(Exception, match="weighted_sample"):
+        weighted_sample(bad, "k", "w").count()
+
+
+def test_json_extract_oracle_strict_typing_parity(spark):
+    """ADVICE r6: from_json with an int field NULLs string-encoded
+    numbers ('"5"'), float tokens (5.0/5.7), booleans, and out-of-range
+    integers; the q109 oracle's json_type IN (BIGINT, UBIGINT) gate +
+    TRY_CAST must make DuckDB agree on every one of those shapes."""
+    import duckdb
+
+    from ontology_graph_etl_spark.functions.json_fields import (
+        extract_json_fields,
+    )
+
+    docs = [
+        '{"k": 5}', '{"k": "5"}', '{"k": 5.0}', '{"k": 5.7}',
+        '{"k": null}', '{}', 'not json', '{"k": true}', '{"k": "abc"}',
+        '{"k": -3}', '{"k": 2147483648}', '{"k": -2147483649}',
+        '{"k": 2147483647}', '{"k": 5e2}', None,
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "id: long, props: string"
+    )
+    got = {
+        r.id: r.k
+        for r in extract_json_fields(df, "props", {"k": "int"}).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, props VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", list(enumerate(docs))
+    )
+    want = dict(
+        con.execute(
+            """
+            SELECT id,
+                   CASE WHEN json_valid(props)
+                             AND json_type(props, '$.k')
+                                 IN ('BIGINT', 'UBIGINT')
+                        THEN TRY_CAST(
+                            json_extract_string(props, '$.k') AS INTEGER)
+                   END
+            FROM t
+            """
+        ).fetchall()
+    )
+    assert got == want
