@@ -663,8 +663,9 @@ def duplicate_span_stats(
     ``n_ngrams`` (distinct grams in the doc), ``n_dup`` (of those, how
     many are shared), ``dup_frac``, and ``dup_flag`` (``dup_frac >=
     flag_frac``) — the standard pre-filter before expensive
-    suffix-array exact-substring dedup, and a tagging pass that lets
-    downstream REMOVE spans rather than whole docs.
+    suffix-array exact-substring dedup; the removal pass itself is
+    :func:`duplicate_span_removal` (cut flagged spans, keep the global
+    first occurrence, reassemble the doc).
 
     Scale shape: explode distinct grams per doc (one narrow pass),
     count distinct docs per gram (one shuffle on gram), mark grams with
@@ -703,4 +704,172 @@ def duplicate_span_stats(
             F.round(frac, 6).alias("dup_frac"),
             (frac >= flag_frac).alias("dup_flag"),
         )
+    )
+
+
+def duplicate_span_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    paragraphs=None,
+    fragment_joiner: str = "\n\n",
+) -> DataFrame:
+    """Exact duplicated-span REMOVAL (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better", at word-``k``-gram
+    granularity) — the removal operator :func:`duplicate_span_stats`
+    tags candidates for: every occurrence of a ``>= k``-token span
+    that appeared earlier in the corpus is cut out of its document,
+    keeping the globally FIRST occurrence (ordered by
+    ``(doc, paragraph, position)``), and each document is reassembled
+    from its surviving token runs. This generalizes
+    :func:`paragraph_dedup` from paragraph granularity (whole-unit
+    keep/drop) to span granularity (partial removal inside a unit).
+
+    Mechanics: spans are the ``k``-token sliding windows WITHIN a
+    paragraph (``paragraphs`` defaults to a blank-line split; windows
+    never cross paragraph boundaries). A window occurrence with
+    first-occurrence rank > 1 marks all ``k`` covered tokens for
+    removal — overlapping duplicated windows therefore erase maximal
+    duplicated regions, which is exactly "drop duplicated spans of
+    >= k tokens". Surviving tokens are rejoined with single spaces
+    inside a contiguous run and ``fragment_joiner`` (a paragraph
+    break) between runs.
+
+    Idempotence (property-tested): removing twice ≡ removing once.
+    Every k-window of a surviving run equals an original window whose
+    covered tokens were all kept, hence a rank-1 (globally unique)
+    occurrence of its gram; and because runs are rejoined with a
+    PARAGRAPH break, no new window can form across a removal seam on a
+    re-run. (This is why the seam marker is a paragraph break and not
+    a space — a custom ``paragraphs`` chunker that does not re-split
+    on ``fragment_joiner`` voids the guarantee.)
+
+    Tokenization preserves case (the output is reconstructed text, not
+    a normalized signature), splitting on whitespace runs — the DuckDB
+    oracle mirrors it with ``regexp_split_to_array`` + ``list_filter``.
+
+    Output per input row: ``(id, n_tokens, n_removed, text_clean)`` —
+    docs that were entirely duplicated elsewhere come back empty,
+    ready for a length gate.
+
+    Scale shape (the q94 / paragraph_dedup pattern): posexplode to one
+    (doc, para, start, gram) occurrence stream, ONE shuffle
+    partitioned by gram for the first-occurrence rank (AQE splits
+    hot-gram skew; the rank never materializes pairs), one
+    groupBy(doc) to collect each doc's duplicated starts, and a final
+    doc-keyed join back; reassembly is pure array expressions inside
+    the row. Per-token kept checks scan the doc's own duplicated-start
+    list (array ``exists``) — quadratic only within a single
+    pathological document, never across the corpus.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if paragraphs is None:
+        paragraphs = F.split(F.col(text_col), r"\n{2,}")
+
+    def _toks(c):
+        # case-preserving whitespace_tokens (functions/text.py policy,
+        # minus the lowercasing: removal must reconstruct the input)
+        return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+    paras = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.posexplode(paragraphs).alias("pidx0", "para"),
+        )
+        .where(F.trim(F.col("para")) != "")
+        .select(
+            id_col,
+            (F.col("pidx0") + 1).alias("pidx"),
+            _toks(F.col("para")).alias("tk"),
+        )
+    )
+    grams = F.when(
+        F.size("tk") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = paras.select(
+        id_col, "pidx", F.posexplode(grams).alias("i0", "gram")
+    ).select(id_col, "pidx", (F.col("i0") + 1).alias("i"), "gram")
+    w = Window.partitionBy("gram").orderBy(
+        F.col(id_col).asc(), F.col("pidx").asc(), F.col("i").asc()
+    )
+    dups = (
+        occ.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("pidx", "i")).alias("__dups"))
+    )
+    base = df.select(id_col, text_col).join(dups, id_col, "left")
+
+    empty_dups = F.array().cast("array<struct<pidx:int,i:int>>")
+    dup_list = F.coalesce(F.col("__dups"), empty_dups)
+
+    def _para_result(p, idx0):
+        tkc = _toks(p)
+        starts = F.transform(
+            F.filter(dup_list, lambda s: s["pidx"] == idx0 + 1),
+            lambda s: s["i"],
+        )
+        indexed = F.transform(
+            tkc,
+            lambda x, j0: F.struct(
+                (j0 + 1).alias("j"), x.alias("tok")
+            ),
+        )
+        kept = F.filter(
+            indexed,
+            lambda t: ~F.exists(
+                starts,
+                lambda s: (s <= t["j"]) & (t["j"] < s + F.lit(k)),
+            ),
+        )
+        frag = F.aggregate(
+            kept,
+            F.struct(
+                F.lit(-2).cast("int").alias("last"),
+                F.lit("").alias("acc"),
+            ),
+            lambda st, x: F.struct(
+                x["j"].alias("last"),
+                F.concat(
+                    st["acc"],
+                    F.when(st["acc"] == "", F.lit(""))
+                    .when(x["j"] == st["last"] + 1, F.lit(" "))
+                    .otherwise(F.lit(fragment_joiner)),
+                    x["tok"],
+                ).alias("acc"),
+            ),
+            lambda st: st["acc"],
+        )
+        return F.struct(
+            F.size(tkc).cast("long").alias("nt"),
+            F.size(kept).cast("long").alias("nk"),
+            frag.alias("frag"),
+        )
+
+    per_para = F.transform(paragraphs, _para_result)
+    n_tokens = F.aggregate(
+        per_para, F.lit(0).cast("long"), lambda acc, x: acc + x["nt"]
+    )
+    n_kept = F.aggregate(
+        per_para, F.lit(0).cast("long"), lambda acc, x: acc + x["nk"]
+    )
+    text_clean = F.array_join(
+        F.filter(
+            F.transform(per_para, lambda x: x["frag"]),
+            lambda s: s != "",
+        ),
+        fragment_joiner,
+    )
+    return base.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        (n_tokens - n_kept).alias("n_removed"),
+        text_clean.alias("text_clean"),
     )

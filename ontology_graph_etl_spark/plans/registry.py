@@ -3958,6 +3958,105 @@ GROUP BY event_type
 """
 
 
+_Q110_K = 8
+
+
+def _q110_span_removal(spark, sf_dir):
+    # exact duplicated-span removal (Lee et al. 2022) — the removal
+    # operator q94's tagging pass pre-filters for: every >= k-token
+    # span seen earlier in the corpus is cut, first occurrence kept,
+    # docs reassembled from surviving runs. Span granularity
+    # generalizes q83's whole-paragraph keep/drop.
+    return textops.duplicate_span_removal(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=_Q110_K
+    )
+
+
+# Mirrors the operator stage by stage: paragraph split -> per-paragraph
+# case-preserving whitespace tokens -> k-token sliding windows ->
+# global first-occurrence rank per gram (window over (doc, para, pos))
+# -> covered-token removal via a range join -> run/fragment reassembly
+# (lag-based run break + two ordered string_aggs reproduce the
+# operator's in-row aggregate fold exactly, '\n\n' between runs).
+_q110_sql = rf"""
+WITH paras0 AS (
+  SELECT doc_id,
+         unnest(range(1, len(arr) + 1)) AS pidx,
+         unnest(arr) AS para
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\n{{2,}}') AS arr
+        FROM documents)
+),
+ptoks AS (
+  SELECT doc_id, pidx,
+         list_filter(regexp_split_to_array(para, '\s+'), x -> x <> '') AS tk
+  FROM paras0 WHERE trim(para) <> ''
+),
+occ AS (
+  SELECT doc_id, pidx,
+         unnest(range(1, greatest(len(tk) - {_Q110_K} + 1, 0) + 1)) AS i,
+         unnest(list_transform(
+           range(1, greatest(len(tk) - {_Q110_K} + 1, 0) + 1),
+           i -> array_to_string(tk[i : i + {_Q110_K} - 1], ' '))) AS gram
+  FROM ptoks
+),
+dups AS (
+  SELECT doc_id, pidx, i FROM (
+    SELECT doc_id, pidx, i,
+           row_number() OVER (PARTITION BY gram
+                              ORDER BY doc_id, pidx, i) AS rn
+    FROM occ) t WHERE rn > 1
+),
+tokpos AS (
+  SELECT doc_id, pidx,
+         unnest(range(1, len(tk) + 1)) AS j,
+         unnest(tk) AS tok
+  FROM ptoks
+),
+removed AS (
+  SELECT DISTINCT t.doc_id, t.pidx, t.j
+  FROM tokpos t JOIN dups d
+    ON t.doc_id = d.doc_id AND t.pidx = d.pidx
+   AND t.j >= d.i AND t.j < d.i + {_Q110_K}
+),
+kept AS (
+  SELECT t.doc_id, t.pidx, t.j, t.tok
+  FROM tokpos t LEFT JOIN removed r
+    ON t.doc_id = r.doc_id AND t.pidx = r.pidx AND t.j = r.j
+  WHERE r.j IS NULL
+),
+runs AS (
+  SELECT doc_id, pidx, j, tok,
+         CASE WHEN lag(pidx) OVER w = pidx AND lag(j) OVER w = j - 1
+              THEN 0 ELSE 1 END AS brk
+  FROM kept WINDOW w AS (PARTITION BY doc_id ORDER BY pidx, j)
+),
+grp AS (
+  SELECT doc_id, pidx, j, tok,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pidx, j) AS run_id
+  FROM runs
+),
+frags AS (
+  SELECT doc_id, run_id, string_agg(tok, ' ' ORDER BY pidx, j) AS frag
+  FROM grp GROUP BY doc_id, run_id
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(frag, chr(10) || chr(10) ORDER BY run_id) AS text_clean
+  FROM frags GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_tokens FROM tokpos GROUP BY doc_id),
+rem AS (SELECT doc_id, count(*) AS n_removed FROM removed GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+       coalesce(a.text_clean, '') AS text_clean
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN rem r USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3998,6 +4097,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("q107_depth_histogram", _q107_depth_histogram, _q107_sql, "G5"),
     QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
     QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
+    QueryDef("q110_span_removal", _q110_span_removal, _q110_sql, "§2.11"),
     # 5-9: r5-green, implementation or oracle touched this round
     QueryDef("q103_quality_gate", _q103_quality_gate, _q103_sql, "§2.11"),
     QueryDef("q101_winsorize", _q101_winsorize, _q101_sql, "§2.11"),

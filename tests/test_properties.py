@@ -2450,3 +2450,72 @@ def test_json_extract_oracle_strict_typing_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_duplicate_span_removal_golden(spark):
+    """Hand-checkable span-removal semantics: the global first
+    occurrence of a duplicated k-gram run survives; later occurrences
+    lose every covered token; paragraph boundaries scope the windows;
+    docs shorter than k and empty docs pass through untouched."""
+    from ontology_graph_etl_spark.operators.textops import (
+        duplicate_span_removal,
+    )
+
+    rows = [
+        (1, "a b c d e f"),      # first occurrence -> intact
+        (2, "x a b c d e f y"),  # interior dup run -> cut to fragments
+        (3, "p q r\n\np q r s"),  # windows never cross the blank line
+        (4, ""),
+        (5, "a b c"),            # < k tokens -> no grams
+    ]
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in duplicate_span_removal(
+            spark.createDataFrame(rows, "doc_id: long, text: string"), k=4
+        ).collect()
+    }
+    assert out[1] == (6, 0, "a b c d e f")
+    assert out[2] == (8, 6, "x\n\ny")
+    assert out[3] == (7, 0, "p q r\n\np q r s")
+    assert out[4] == (0, 0, "")
+    assert out[5] == (3, 0, "a b c")
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=24
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@SETTINGS
+def test_duplicate_span_removal_idempotent(spark, docs):
+    """Removing twice ≡ removing once (the fixpoint property the
+    fragment_joiner-as-paragraph-break design guarantees): a 4-symbol
+    vocabulary forces heavy k-gram collisions, the adversarial case
+    where removal seams could otherwise mint new duplicated windows."""
+    from ontology_graph_etl_spark.operators.textops import (
+        duplicate_span_removal,
+    )
+
+    k = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id: long, text: string",
+    )
+    once = duplicate_span_removal(df, k=k)
+    first = {r.doc_id: r for r in once.collect()}
+    again = duplicate_span_removal(
+        once.select("doc_id", F.col("text_clean").alias("text")), k=k
+    )
+    second = {r.doc_id: r for r in again.collect()}
+    assert set(first) == set(second)
+    for i in first:
+        assert second[i].n_removed == 0, (i, first[i], second[i])
+        assert second[i].text_clean == first[i].text_clean
+        # pass 2 sees exactly the tokens pass 1 kept
+        assert second[i].n_tokens == (
+            first[i].n_tokens - first[i].n_removed
+        )
