@@ -369,8 +369,52 @@ def minhash_near_duplicates(
     return jaccard_verify(candidates, prepared, id_col, "shingles", threshold)
 
 
+def prepare_dedup_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Build the persisted screening index for
+    :func:`incremental_near_duplicates`: one row per (document, band)
+    with columns ``(band, band_sig, doc, shingles)`` — everything a
+    batch screen needs, so the corpus's shingle/minhash work is paid
+    ONCE at ingest instead of on every arriving batch.
+
+    The 100 TB contract: write this frame bucketed/partitioned by
+    ``(band, band_sig)`` (e.g. ``.write.bucketBy(n, "band",
+    "band_sig")``); a batch screen then joins only the buckets the
+    batch's own band keys land in and the corpus side never
+    re-shuffles. The shingle array is carried on every band row (a
+    ``bands``-fold duplication) precisely so verification reads the
+    SAME colliding rows the candidate join touched — no second
+    corpus-sized join back to a shingle table. Pass the same
+    ``num_hashes/bands/shingle_n/base_hash`` to the screen call; the
+    index does not self-describe its parameters.
+    """
+    prep = (
+        shingle_text(
+            ensure_parallelism(df.select(id_col, text_col)),
+            text_col,
+            shingle_n,
+        )
+        .select(id_col, "shingles")
+        .localCheckpoint()
+    )
+    signed = minhash_signature(
+        prep, "shingles", num_hashes, base_hash=base_hash
+    )
+    keys = _band_keys(signed, id_col, "minhash", bands, num_hashes)
+    return keys.join(
+        prep.select(F.col(id_col).alias("doc"), "shingles"), "doc"
+    ).select("band", "band_sig", "doc", "shingles")
+
+
 def incremental_near_duplicates(
-    existing: DataFrame,
+    existing: DataFrame | None,
     incoming: DataFrame,
     id_col: str,
     text_col: str,
@@ -379,6 +423,7 @@ def incremental_near_duplicates(
     shingle_n: int = 3,
     threshold: float = 0.7,
     base_hash: str = "xxhash64",
+    existing_index: DataFrame | None = None,
 ) -> DataFrame:
     """Continuous-ingest dedup: screen an ``incoming`` batch against an
     ``existing`` corpus, returning ``(incoming_id, existing_id, jaccard)``
@@ -387,13 +432,22 @@ def incremental_near_duplicates(
     incoming×existing instead of a self-join — candidate work scales
     with |incoming| (the small side), not |corpus|².
 
-    The 100 TB shape: in a real pipeline the existing side's band keys
-    and shingle sets are computed once at ingest and stored (partitioned
-    by ``(band, band_sig)`` bucket), so screening a new batch touches
-    only the buckets the batch's own keys land in — this function
-    recomputes them so correctness is checkable end-to-end from raw
-    text. Exact duplicates always collide (identical signatures share
-    every band), so recall misses only genuinely-partial overlaps.
+    Two existing-side modes (pytest-pinned equivalent):
+
+    - ``existing`` raw text: band keys and shingles are recomputed from
+      scratch — correctness checkable end-to-end, but every batch pays
+      the full corpus pass (the q78 oracle path).
+    - ``existing_index`` from :func:`prepare_dedup_index` (then
+      ``existing`` may be ``None``): the candidate join runs straight
+      against the stored ``(band, band_sig, doc, shingles)`` rows and
+      verification reads shingles off the colliding rows themselves —
+      per batch the corpus contributes only the index join (partition-
+      pruned when the index is stored bucketed by ``(band,
+      band_sig)``), never a recompute. The index MUST have been built
+      with the same ``num_hashes/bands/shingle_n/base_hash``.
+
+    Exact duplicates always collide (identical signatures share every
+    band), so recall misses only genuinely-partial overlaps.
     """
 
     def _prep(d: DataFrame) -> DataFrame:
@@ -407,13 +461,70 @@ def incremental_near_duplicates(
             .localCheckpoint()
         )
 
-    ex, inc = _prep(existing), _prep(incoming)
-    ex_bands = _band_keys(
-        minhash_signature(ex, "shingles", num_hashes, base_hash=base_hash),
-        id_col, "minhash", bands, num_hashes,
-    )
+    inc = _prep(incoming)
     inc_bands = _band_keys(
         minhash_signature(inc, "shingles", num_hashes, base_hash=base_hash),
+        id_col, "minhash", bands, num_hashes,
+    )
+    if existing_index is not None:
+        # candidates AND their existing-side shingles in one join; the
+        # per-pair first() collapses multi-band collisions (the shingle
+        # array is identical on every band row of a doc) at
+        # candidate-pair scale, never corpus scale
+        collided = (
+            inc_bands.alias("l")
+            .join(
+                existing_index.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.band_sig") == F.col("r.band_sig")),
+            )
+            .select(
+                F.col("l.doc").alias("id_a"),
+                F.col("r.doc").alias("id_b"),
+                F.col("r.shingles").alias("__sh_b"),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.first("__sh_b").alias("__sh_b"))
+        )
+        out = (
+            collided.join(
+                inc.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col("shingles").alias("__sh_a"),
+                ),
+                "id_a",
+            )
+            .withColumn(
+                "intersection",
+                F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b"))),
+            )
+            .withColumn(
+                "union_size",
+                F.size(F.col("__sh_a")) + F.size(F.col("__sh_b"))
+                - F.col("intersection"),
+            )
+            .withColumn(
+                "jaccard",
+                F.when(
+                    F.col("union_size") > 0,
+                    F.col("intersection") / F.col("union_size"),
+                ).otherwise(F.lit(0.0)),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+        return out.select(
+            F.col("id_a").alias("incoming_id"),
+            F.col("id_b").alias("existing_id"),
+            "jaccard",
+        )
+    if existing is None:
+        raise ValueError(
+            "incremental_near_duplicates: pass existing text or "
+            "existing_index"
+        )
+    ex = _prep(existing)
+    ex_bands = _band_keys(
+        minhash_signature(ex, "shingles", num_hashes, base_hash=base_hash),
         id_col, "minhash", bands, num_hashes,
     )
     candidates = (

@@ -874,6 +874,7 @@ def depth_histogram(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iterations: int = 30,
+    include_roots: bool = False,
 ) -> DataFrame:
     """Hierarchy depth histogram — the ancestor-count distribution over
     the ``PARENT_OF`` closure (generator main.py:81-93): for each
@@ -886,17 +887,42 @@ def depth_histogram(
     shuffles) with two map-side-combined aggregates: per-node ancestor
     counts collapse the closure (its biggest table) immediately, and
     the histogram aggregate is depth-sized. Root nodes (no ancestors)
-    do not appear in the closure and so not in the histogram — count
-    them as ``nodes - sum(n_nodes)`` if needed; emitting them would
-    require a second scan of the node universe for one derivable row.
+    do not appear in the closure; ``include_roots=True`` adds the
+    ``n_ancestors = 0`` row by counting edge-universe endpoints that
+    never appear on the child side — one extra single-scan endpoint
+    pass over the raw edge list (the degrees() explode device), never
+    a second closure. The default keeps the historical
+    ancestors-only shape (q107 contract).
     """
     clo = closure(edges, src_col, dst_col, max_iterations)
-    return (
+    hist = (
         clo.groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_ancestors"))
         .groupBy("n_ancestors")
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     )
+    if not include_roots:
+        return hist
+    endpoints = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src_col).alias("n"), F.lit(1).alias("c")),
+                F.struct(F.col(dst_col).alias("n"), F.lit(0).alias("c")),
+            )
+        ).alias("e")
+    ).select("e.*").where(F.col("n").isNotNull())
+    roots_row = (
+        endpoints.groupBy("n")
+        .agg(F.max("c").alias("__has_parent"))
+        .where(F.col("__has_parent") == 0)
+        .agg(
+            F.lit(0).cast(hist.schema["n_ancestors"].dataType)
+            .alias("n_ancestors"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        )
+        .where(F.col("n_nodes") > 0)
+    )
+    return hist.unionByName(roots_row)
 
 
 def edge_histogram(edges: DataFrame) -> DataFrame:
@@ -946,4 +972,97 @@ def degrees(edges: DataFrame) -> DataFrame:
     ).select("e.*")
     return pairs.groupBy("id").agg(
         F.sum("out").alias("out_degree"), F.sum("in").alias("in_degree")
+    )
+
+
+def topo_depth(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Topological depth — the longest-path LEVEL of each node in a
+    DAG hierarchy: roots (nodes with no parent) are level 0, and every
+    other node sits at ``max(parent level) + 1``. This is the
+    hierarchy-*level* twin of :func:`depth_histogram`'s ancestor
+    *count* — the two differ exactly on DAGs (a node with 6 ancestors
+    reachable in 2 hops is level 2, not level 6), and together they
+    answer the ontology-shape questions the ``PARENT_OF`` generator
+    (main.py:81-93) exists for.
+
+    Orientation matches :func:`closure`: ``src_col`` is the child,
+    ``dst_col`` the parent/ancestor side. Output ``(node, depth)``
+    covers every node REACHABLE FROM A ROOT — nodes trapped on cycles
+    have no root path, no well-defined level, and no output row (and a
+    cyclic input that keeps producing frontiers warns + truncates at
+    ``max_iterations``, never caps silently).
+
+    Semi-naive frontier iteration, the :func:`closure` pattern:
+    ``frontier_t`` = nodes with SOME root path of length ``t`` (one
+    broadcast-base join + one frontier-sized distinct per round), and a
+    node's level is the largest ``t`` that ever reaches it — one final
+    max-aggregate over the accumulated (node, t) stream, whose total
+    size is bounded by Σ|frontier_t| (= |nodes| exactly on trees).
+    Nothing closure-sized ever materializes: this runs on the raw edge
+    list, not on the transitive closure.
+    """
+    base = (
+        edges.select(
+            F.col(src_col).alias("node"), F.col(dst_col).alias("parent")
+        )
+        .where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    small_base = base.count() <= _CLOSURE_BROADCAST_EDGES
+    # single-scan endpoint explode (the degrees() device) + has-parent
+    # flag: roots are endpoints that never appear on the child side
+    endpoints = base.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("node").alias("n"), F.lit(1).alias("c")),
+                F.struct(F.col("parent").alias("n"), F.lit(0).alias("c")),
+            )
+        ).alias("e")
+    ).select("e.*")
+    roots = (
+        endpoints.groupBy("n")
+        .agg(F.max("c").alias("__has_parent"))
+        .where(F.col("__has_parent") == 0)
+        .select(F.col("n").alias("node"))
+        .localCheckpoint()
+    )
+    down = base.select(
+        F.col("parent").alias("node"), F.col("node").alias("child")
+    )
+    if small_base:
+        down = F.broadcast(down)
+    levels = [roots.select("node", F.lit(0).alias("d"))]
+    frontier = roots
+    converged = False
+    for t in range(1, max_iterations + 1):
+        frontier = (
+            frontier.join(down, "node")
+            .select(F.col("child").alias("node"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            converged = True
+            break
+        levels.append(frontier.select("node", F.lit(t).alias("d")))
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"topo_depth did not drain its frontier within "
+            f"{max_iterations} iterations (cyclic input?); levels are "
+            "truncated at that depth",
+            stacklevel=2,
+        )
+    acc = levels[0]
+    for piece in levels[1:]:
+        acc = acc.union(piece)
+    return acc.groupBy("node").agg(
+        F.max("d").cast("long").alias("depth")
     )

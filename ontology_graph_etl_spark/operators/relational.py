@@ -1269,7 +1269,7 @@ def quality_percentile_gate(
 def group_profile(
     df: DataFrame,
     group_cols: Sequence[str],
-    value_col: str,
+    value_col: str | Sequence[str],
     approx: bool = False,
     approx_accuracy: int = 10_000,
 ) -> DataFrame:
@@ -1281,6 +1281,16 @@ def group_profile(
     hash-matches an external auditor's SQL. NULL values are excluded
     from the percentile/min/max by aggregate semantics but counted in
     ``n_rows`` (missing-rate is visible as n_rows vs n_values).
+
+    ``value_col`` may be a SEQUENCE of columns: a dataset card
+    profiles many numerics, and k separate calls would pay k full
+    scans + k shuffles. The multi-column form computes every profile
+    in the SAME single aggregate pass — shared ``n_rows`` plus one
+    struct column per value column (fields ``n_values, total, min_v,
+    max_v, p50, p90``, the single-column report minus the shared
+    count; pytest-pinned equal to k single-column calls). A length-1
+    sequence still gets the struct shape; the plain-string form keeps
+    the historical flat schema (the q104 oracle contract, untouched).
 
     ``approx=True`` is the 100 TB path, same contract as
     :func:`numeric_drift` / :func:`winsorize`: ``percentile_approx``'s
@@ -1294,31 +1304,49 @@ def group_profile(
     of anything is out of contract) and rounds to 6 for fractional
     ones — a blanket long cast would silently truncate a double sum.
     """
-    c = F.col(value_col)
-    integral = df.schema[value_col].dataType.simpleString() in (
-        "tinyint", "smallint", "int", "bigint"
-    )
-    total = (
-        F.sum(c).cast("long") if integral else F.round(F.sum(c), 6)
-    )
-    if approx:
-        # percentile_approx returns the input type; cast to double so
-        # the report schema is identical to the exact plan's
-        def pctl(q: float) -> Column:
-            return F.percentile_approx(
-                c, F.lit(q), F.lit(approx_accuracy)
-            ).cast("double")
-    else:
-        def pctl(q: float) -> Column:
-            return F.percentile(c, F.lit(q))
-    return df.groupBy(*[F.col(g) for g in group_cols]).agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.count(c).cast("long").alias("n_values"),
-        total.alias("total"),
-        F.min(c).alias("min_v"),
-        F.max(c).alias("max_v"),
-        F.round(pctl(0.5), 6).alias("p50"),
-        F.round(pctl(0.9), 6).alias("p90"),
+
+    def _aggs(col_name: str) -> list[Column]:
+        c = F.col(col_name)
+        integral = df.schema[col_name].dataType.simpleString() in (
+            "tinyint", "smallint", "int", "bigint"
+        )
+        total = (
+            F.sum(c).cast("long") if integral else F.round(F.sum(c), 6)
+        )
+        if approx:
+            # percentile_approx returns the input type; cast to double
+            # so the report schema is identical to the exact plan's
+            def pctl(q: float) -> Column:
+                return F.percentile_approx(
+                    c, F.lit(q), F.lit(approx_accuracy)
+                ).cast("double")
+        else:
+            def pctl(q: float) -> Column:
+                return F.percentile(c, F.lit(q))
+        return [
+            F.count(c).cast("long").alias("n_values"),
+            total.alias("total"),
+            F.min(c).alias("min_v"),
+            F.max(c).alias("max_v"),
+            F.round(pctl(0.5), 6).alias("p50"),
+            F.round(pctl(0.9), 6).alias("p90"),
+        ]
+
+    n_rows = F.count(F.lit(1)).cast("long").alias("n_rows")
+    grouped = df.groupBy(*[F.col(g) for g in group_cols])
+    if isinstance(value_col, str):
+        return grouped.agg(n_rows, *_aggs(value_col))
+    if not value_col:
+        raise ValueError("group_profile: value_col sequence is empty")
+    clash = set(value_col) & ({"n_rows"} | set(group_cols))
+    if clash:
+        raise ValueError(
+            f"group_profile: value columns {sorted(clash)} clash with "
+            "the group/report columns"
+        )
+    return grouped.agg(
+        n_rows,
+        *[F.struct(*_aggs(c)).alias(c) for c in value_col],
     )
 
 

@@ -3844,15 +3844,13 @@ FROM ranked r LEFT JOIN alloc a ON r.source = a.domain
     )
 
 
-def _q107_depth_histogram(spark, sf_dir):
-    # hierarchy depth histogram over the q32 part hierarchy (PARENT_OF*,
-    # main.py:81-93): for each ancestor count, how many nodes carry it —
-    # the "how deep is this ontology, where does the mass sit" health
-    # query the closure exists to answer. Composes the semi-naive
-    # closure with two map-side-combined aggregates.
+def _part_hierarchy_edges(spark, sf_dir):
+    # the shared PARENT_OF-shaped fixture (main.py:81-93 analogue) the
+    # ontology-shape queries run on: child -> child div 10, endpoint-
+    # validated against existing partkeys (q107/q111/q112)
     part = _t(spark, sf_dir, "part")
     keys = part.select("p_partkey")
-    edges = (
+    return (
         part.select(
             F.col("p_partkey").alias("child"),
             F.expr("p_partkey div 10").alias("parent"),
@@ -3863,7 +3861,17 @@ def _q107_depth_histogram(spark, sf_dir):
             "parent",
         )
     )
-    return graph.depth_histogram(edges, "child", "parent")
+
+
+def _q107_depth_histogram(spark, sf_dir):
+    # hierarchy depth histogram over the q32 part hierarchy (PARENT_OF*,
+    # main.py:81-93): for each ancestor count, how many nodes carry it —
+    # the "how deep is this ontology, where does the mass sit" health
+    # query the closure exists to answer. Composes the semi-naive
+    # closure with two map-side-combined aggregates.
+    return graph.depth_histogram(
+        _part_hierarchy_edges(spark, sf_dir), "child", "parent"
+    )
 
 
 _q107_sql = r"""
@@ -3955,6 +3963,81 @@ FROM (
   FROM events
 )
 GROUP BY event_type
+"""
+
+
+def _q111_topo_depth(spark, sf_dir):
+    # topological depth (longest-path level) over the same part
+    # hierarchy: roots are level 0, every other node max(parent)+1 —
+    # the hierarchy-LEVEL twin of q107's ancestor COUNT (the two
+    # differ exactly on DAGs). Semi-naive frontier iteration over the
+    # raw edge list; nothing closure-sized materializes.
+    return graph.topo_depth(
+        _part_hierarchy_edges(spark, sf_dir), "child", "parent"
+    )
+
+
+# recursive enumeration from the roots with a max-per-node collapse —
+# UNION (not UNION ALL) dedups (node, d) pairs per level exactly like
+# the operator's per-round distinct
+_q111_sql = r"""
+WITH e AS (
+  SELECT p.p_partkey AS child, p.p_partkey // 10 AS parent
+  FROM part p
+  JOIN part pp ON pp.p_partkey = p.p_partkey // 10
+  WHERE p.p_partkey >= 10
+)
+SELECT node, CAST(max(d) AS BIGINT) AS depth FROM (
+  WITH RECURSIVE step(node, d) AS (
+    SELECT DISTINCT parent, 0 FROM e
+    WHERE parent NOT IN (SELECT child FROM e)
+    UNION
+    SELECT e.child, s.d + 1 FROM step s JOIN e ON e.parent = s.node
+  )
+  SELECT node, d FROM step
+) t GROUP BY node
+"""
+
+
+def _q112_depth_histogram_roots(spark, sf_dir):
+    # q107 with the include_roots= flag: the n_ancestors = 0 row is
+    # emitted from the edge universe (endpoints never appearing on the
+    # child side) via one single-scan endpoint pass — closing the
+    # documented omission without a second closure.
+    return graph.depth_histogram(
+        _part_hierarchy_edges(spark, sf_dir),
+        "child",
+        "parent",
+        include_roots=True,
+    )
+
+
+_q112_sql = r"""
+WITH e AS (
+  SELECT p.p_partkey AS child, p.p_partkey // 10 AS parent
+  FROM part p
+  JOIN part pp ON pp.p_partkey = p.p_partkey // 10
+  WHERE p.p_partkey >= 10
+),
+pa AS (
+  SELECT node, count(*) AS n_ancestors FROM (
+    WITH RECURSIVE closure(node, anc) AS (
+      SELECT child, parent FROM e
+      UNION
+      SELECT c.node, e.parent FROM closure c JOIN e ON e.child = c.anc
+    )
+    SELECT node, anc FROM closure
+  ) GROUP BY node
+)
+SELECT CAST(n_ancestors AS BIGINT) AS n_ancestors,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM pa GROUP BY n_ancestors
+UNION ALL
+SELECT CAST(0 AS BIGINT) AS n_ancestors,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM (SELECT child AS n FROM e UNION SELECT parent FROM e) u
+WHERE n NOT IN (SELECT child FROM e)
+HAVING count(*) > 0
 """
 
 
@@ -4098,6 +4181,13 @@ QUERIES: list[QueryDef] = [
     QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
     QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
     QueryDef("q110_span_removal", _q110_span_removal, _q110_sql, "§2.11"),
+    QueryDef("q111_topo_depth", _q111_topo_depth, _q111_sql, "G12"),
+    QueryDef(
+        "q112_depth_histogram_roots",
+        _q112_depth_histogram_roots,
+        _q112_sql,
+        "G12",
+    ),
     # 5-9: r5-green, implementation or oracle touched this round
     QueryDef("q103_quality_gate", _q103_quality_gate, _q103_sql, "§2.11"),
     QueryDef("q101_winsorize", _q101_winsorize, _q101_sql, "§2.11"),

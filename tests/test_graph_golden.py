@@ -329,3 +329,112 @@ def test_depth_histogram_matches_duckdb_on_random_dag(spark):
     }
     con.close()
     assert got == want and len(got) > 2
+
+
+def test_topo_depth_diamond_and_levels(spark):
+    """Longest-path levels on a diamond DAG: level != ancestor count
+    exactly where the two operators must differ — node 5 has 4
+    ancestors AND level 4 here, but node 3 has 2 ancestors via a
+    2-hop longest path (1->2->3 beats the 1->3 shortcut)."""
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (3, 1), (4, 3), (5, 1), (5, 4)],
+        ["child", "parent"],
+    )
+    got = dict(
+        map(tuple, graph.topo_depth(edges, "child", "parent").collect())
+    )
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_topo_depth_cycle_warns_and_keeps_root_reachable(spark):
+    """A cycle has no root path: its nodes emit no row, the reachable
+    component still levels correctly, and truncation warns instead of
+    capping silently."""
+    import warnings
+
+    # 1 -> 2 -> 3 (reachable); 8 <-> 9 cycle (unreachable, no roots)
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (8, 9), (9, 8)], ["child", "parent"]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = dict(
+            map(
+                tuple,
+                graph.topo_depth(
+                    edges, "child", "parent", max_iterations=5
+                ).collect(),
+            )
+        )
+    assert got == {1: 0, 2: 1, 3: 2}
+    # the 8/9 cycle never drains the frontier? it has no root feeding
+    # it, so the frontier DOES drain — no warning expected here
+    assert not any("topo_depth" in str(x.message) for x in w)
+    # a root-fed cycle keeps producing frontiers -> warning fires
+    cyc = spark.createDataFrame(
+        [(2, 1), (3, 2), (2, 3)], ["child", "parent"]
+    )
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        graph.topo_depth(cyc, "child", "parent", max_iterations=3).collect()
+    assert any("topo_depth" in str(x.message) for x in w2)
+
+
+def test_topo_depth_matches_duckdb_on_random_dag(spark):
+    """q111's semantics on an arbitrary DAG: levels == DuckDB recursive
+    root enumeration + max-per-node, diamonds and duplicate edges
+    included."""
+    import random
+
+    rng = random.Random(23)
+    edges = []
+    for child in range(2, 120):
+        for _ in range(rng.randint(0, 3)):
+            edges.append((child, rng.randint(1, child - 1)))
+    edges += edges[:10]
+    df = spark.createDataFrame(edges, ["child", "parent"])
+    got = dict(
+        map(tuple, graph.topo_depth(df, "child", "parent").collect())
+    )
+    con = duckdb.connect()
+    con.register(
+        "e", __import__("pandas").DataFrame(edges, columns=["child", "parent"])
+    )
+    want = {
+        int(n): int(d)
+        for n, d in con.execute(
+            """
+            WITH RECURSIVE step(node, d) AS (
+              SELECT DISTINCT parent, 0 FROM e
+              WHERE parent NOT IN (SELECT child FROM e)
+              UNION
+              SELECT e.child, s.d + 1 FROM step s JOIN e ON e.parent = s.node
+            )
+            SELECT node, max(d) FROM step GROUP BY node
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == want and len(got) > 50
+
+
+def test_depth_histogram_include_roots(spark):
+    """include_roots=True adds exactly one n_ancestors=0 row counting
+    parent-only endpoints; the ancestor rows are unchanged from the
+    default shape."""
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (5, 4), (6, 4)], ["child", "parent"]
+    )
+    base = {
+        (r.n_ancestors, r.n_nodes)
+        for r in graph.depth_histogram(edges, "child", "parent").collect()
+    }
+    with_roots = {
+        (r.n_ancestors, r.n_nodes)
+        for r in graph.depth_histogram(
+            edges, "child", "parent", include_roots=True
+        ).collect()
+    }
+    # roots: 1 and 4 (never children) -> one (0, 2) row on top
+    assert with_roots == base | {(0, 2)}
+    assert (0, 2) not in base

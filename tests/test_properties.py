@@ -2519,3 +2519,87 @@ def test_duplicate_span_removal_idempotent(spark, docs):
         assert second[i].n_tokens == (
             first[i].n_tokens - first[i].n_removed
         )
+
+
+def test_group_profile_multi_column_one_pass(spark, sf_dir):
+    """value_col as a sequence: one aggregate pass produces a profile
+    struct per column whose fields equal the corresponding
+    single-column calls; the plan contains exactly ONE parquet scan (k
+    single-column calls would pay k); the plain-string form keeps the
+    flat q104 schema."""
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators.relational import group_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    multi = group_profile(docs, ["source"], ["n_chars", "doc_id"])
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    got = {r.source: r for r in multi.collect()}
+    for col in ("n_chars", "doc_id"):
+        single = {
+            r.source: r
+            for r in group_profile(docs, ["source"], col).collect()
+        }
+        for src, row in single.items():
+            assert got[src].n_rows == row.n_rows
+            s = got[src][col]
+            assert (
+                s.n_values, s.total, s.min_v, s.max_v, s.p50, s.p90
+            ) == (
+                row.n_values, row.total, row.min_v, row.max_v,
+                row.p50, row.p90,
+            ), (col, src)
+    # flat single-column schema unchanged (q104 oracle contract)
+    flat = group_profile(docs, ["source"], "n_chars")
+    assert flat.columns == [
+        "source", "n_rows", "n_values", "total", "min_v", "max_v",
+        "p50", "p90",
+    ]
+    import pytest
+
+    with pytest.raises(ValueError, match="empty"):
+        group_profile(docs, ["source"], [])
+    with pytest.raises(ValueError, match="clash"):
+        group_profile(docs, ["source"], ["n_rows"])
+
+
+def test_incremental_dedup_index_path_equivalent(spark, sf_dir):
+    """prepare_dedup_index + existing_index= returns EXACTLY the pairs
+    the recompute path returns (ids and jaccard values) on real
+    documents, and errors when neither existing source is given."""
+    import pytest
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators.dedup import (
+        incremental_near_duplicates,
+        prepare_dedup_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = docs.where("doc_id % 5 != 0")
+    incoming = docs.where("doc_id % 5 = 0")
+    recompute = {
+        (r.incoming_id, r.existing_id): r.jaccard
+        for r in incremental_near_duplicates(
+            existing, incoming, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    index = prepare_dedup_index(existing, "doc_id", "text")
+    assert index.columns == ["band", "band_sig", "doc", "shingles"]
+    via_index = {
+        (r.incoming_id, r.existing_id): r.jaccard
+        for r in incremental_near_duplicates(
+            None,
+            incoming,
+            "doc_id",
+            "text",
+            threshold=0.5,
+            existing_index=index,
+        ).collect()
+    }
+    assert via_index == recompute
+    assert len(recompute) > 0  # non-vacuous at the test scale
+    with pytest.raises(ValueError, match="existing"):
+        incremental_near_duplicates(
+            None, incoming, "doc_id", "text"
+        ).collect()
