@@ -97,6 +97,11 @@ HEADLINE = [
     "q107_depth_histogram",
     "q108_weighted_sample",
     "q109_json_extract",
+    # round-7 additions: exact duplicated-span removal (gram-keyed
+    # first-occurrence rank + in-row reassembly) and topological depth
+    # (frontier iteration over the raw edge list)
+    "q110_span_removal",
+    "q111_topo_depth",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

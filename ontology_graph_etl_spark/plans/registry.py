@@ -4152,23 +4152,101 @@ LEFT JOIN agg a USING (doc_id)
 # holds queries green in the immediately preceding CORRECTNESS file and
 # untouched since.
 #
-# ROUND-6 ROTATION: CORRECTNESS_r05 sampled the first 50 names of the
-# r5 ordering, all green. The window leads with the two past-the-r5-
-# cutoff queries (q105 — now on the hierarchical fill plan — and q106,
-# whose seed init was fixed this round), q37 (pagerank shares the
-# seeds= function; uniform plan additionally pinned by fingerprint
-# test) and the new q107 depth histogram; then the five r5-green
-# queries round 6 touched (q103 cutoff-rank rewrite, q101/q92 oracle
-# alignment, q104 approx flag, q99 sample_pct), the new q108 weighted
-# sample and q109 JSON extraction, then q34 (degrees gained the
-# mixed-type fallback) and 38 of the 46 remaining names whose last
-# green row is r4. Eight r4-green trivial queries (q05-q07, q11, q12,
-# q15-q17 — untouched since r1) did not fit: they sit immediately
-# after the window and LEAD THE R7 ROTATION. Done = every query except
-# those eight has a row dated r5 or r6; zero failures.
+# ROUND-7 ROTATION (tests/test_properties.py::
+# test_certification_window_freshness enforces this policy
+# mechanically from the CORRECTNESS_r*.json history + RECERTIFY):
+#   1-3   never certified: the new q110/q111/q112.
+#   4-5   RECERTIFY (r6-green rows certified on a contract this round
+#         changed): q109 (oracle gained the json_type strict-typing
+#         gate) and q108 (computed-max path gained the in-plan
+#         overflow guard — a plan change).
+#   6-13  last green row r4, three rounds stale by now: q15, q17,
+#         q05, q06, q07, q11, q12, q16.
+#   14-50 37 of the 44 r5-green names, in their r6 tail order.
+# Seven r5-green scan-speed expression queries did not fit (55
+# stale/new names into 50 slots): q57, q58, q59, q60, q65, q68, q72 —
+# they sit FIRST in the tail and LEAD THE R8 WINDOW. Done = after the
+# r7 driver run every query's latest green row is r6 or r7 except
+# those seven (r5), and the freshness test keeps the window honest.
+
+#: Queries whose LAST green driver row predates a contract change this
+#: round made (oracle text or Spark plan) — the freshness guard treats
+#: them like never-certified names (must sit in the window). Clear the
+#: set each round once the driver has re-certified them.
+RECERTIFY: set[str] = {
+    "q108_weighted_sample",
+    "q109_json_extract",
+}
+
 QUERIES: list[QueryDef] = [
-    # --- round-6 window (driver consumes the first 50 entries) ---
-    # 1-4: never-certified head + same-function re-pin + new query
+    # --- round-7 window (driver consumes the first 50 entries;
+    # ordering rationale + leftover list in the ROTATION comment
+    # above, policy enforced by the freshness test) ---
+    QueryDef("q110_span_removal", _q110_span_removal, _q110_sql, "§2.11"),
+    QueryDef("q111_topo_depth", _q111_topo_depth, _q111_sql, "G12"),
+    QueryDef(
+        "q112_depth_histogram_roots",
+        _q112_depth_histogram_roots,
+        _q112_sql,
+        "G12",
+    ),
+    QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
+    QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
+    QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
+    QueryDef("q17_format_string", _q17_format_string, _q17_sql, "F2,F4,K1"),
+    QueryDef("q05_conditional_props", _q05_conditional_props, _q05_sql, "P2"),
+    QueryDef("q06_filter_notnull", _q06_filter_notnull, _q06_sql, "P3"),
+    QueryDef("q07_filter_neq", _q07_filter_neq, _q07_sql, "P4"),
+    QueryDef("q11_semi_contains", _q11_semi_contains, _q11_sql, "J4"),
+    QueryDef("q12_array_distinct", _q12_array_distinct, _q12_sql, "A1,F3"),
+    QueryDef("q16_regex_sanitize", _q16_regex_sanitize, _q16_sql, "F1"),
+    QueryDef("q90_lpa_communities", _q90_lpa_communities, _q90_sql(), "§2.8"),
+    QueryDef("q97_rolling_agg", _q97_rolling_agg, _q97_sql, "§2.7"),
+    QueryDef("q98_numeric_drift", _q98_numeric_drift, _q98_sql, "§2.11"),
+    QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
+    QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
+    QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),
+    QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
+    QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),
+    QueryDef("q35_connected_components", _q35_connected_components, _q35_sql, "G9"),
+    QueryDef("q36_shortest_path", _q36_shortest_path, _q36_sql, "G7"),
+    QueryDef("q38_triangle_count", _q38_triangle_count, _q38_sql, "G10"),
+    QueryDef("q44_percentile", _q44_percentile, _q44_sql, "§2.7"),
+    QueryDef("q45_topk_per_group", _q45_topk_per_group, _q45_sql, "§2.7"),
+    QueryDef("q46_funnel", _q46_funnel, _q46_sql, "§2.10"),
+    QueryDef("q50_minhash_simjoin", _q50_minhash_simjoin, _q50_oracle_sql(), "§2.11"),
+    QueryDef("q52_tfidf_topterms", _q52_tfidf_topterms, _q52_sql, "§2.11"),
+    QueryDef("q54_exact_dedup", _q54_exact_dedup, _q54_sql, "§2.11"),
+    QueryDef("q55_simhash", _q55_simhash, _q55_sql, "§2.11"),
+    QueryDef("q56_jaccard_pairs", _q56_jaccard_pairs, _q56_sql, "§2.11"),
+    QueryDef("q66_dedup_clusters", _q66_dedup_clusters, _q66_sql, "§2.11"),
+    QueryDef("q67_lsh_dedup_clusters", _q67_lsh_dedup_clusters, _q67_oracle_sql(), "§2.11"),
+    QueryDef("q69_cluster_representatives", _q69_cluster_representatives, _q69_sql, "§2.11"),
+    QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),
+    QueryDef("q71_repetition", _q71_repetition, _q71_sql, "§2.11"),
+    QueryDef("q73_event_correlation", _q73_event_correlation, _q73_sql, "§2.10"),
+    QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
+    QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
+    QueryDef("q78_incremental_dedup", _q78_incremental_dedup, _q78_oracle_sql(), "§2.11"),
+    QueryDef("q81_media_features", _q81_media_features, _q81_sql, "multimodal"),
+    QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
+    QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
+    QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
+    QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
+    QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
+    QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),
+    QueryDef("q100_apportion_budget", _q100_apportion_budget, _q100_sql, "§2.11"),
+    QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),
+    # --- tail ---
+    # r5-green leftovers that did not fit: LEAD THE R8 WINDOW
+    QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
+    QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
+    QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
+    QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
+    QueryDef("q65_deterministic_split", _q65_deterministic_split, _q65_sql, "§2.11"),
+    QueryDef("q68_stratified_sample", _q68_stratified_sample, _q68_sql, "§2.11"),
+    QueryDef("q72_pii_redact", _q72_pii_redact, _q72_sql, "§2.11"),
+    # r6-green and recertified-this-window names, untouched
     QueryDef("q105_fill_budget", _q105_fill_budget, _q105_sql(), "§2.11"),
     QueryDef(
         "q106_personalized_pagerank",
@@ -4178,24 +4256,11 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef("q37_pagerank", _q37_pagerank, _q37_sql, "G8"),
     QueryDef("q107_depth_histogram", _q107_depth_histogram, _q107_sql, "G5"),
-    QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
-    QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
-    QueryDef("q110_span_removal", _q110_span_removal, _q110_sql, "§2.11"),
-    QueryDef("q111_topo_depth", _q111_topo_depth, _q111_sql, "G12"),
-    QueryDef(
-        "q112_depth_histogram_roots",
-        _q112_depth_histogram_roots,
-        _q112_sql,
-        "G12",
-    ),
-    # 5-9: r5-green, implementation or oracle touched this round
     QueryDef("q103_quality_gate", _q103_quality_gate, _q103_sql, "§2.11"),
     QueryDef("q101_winsorize", _q101_winsorize, _q101_sql, "§2.11"),
     QueryDef("q92_distribution_drift", _q92_distribution_drift, _q92_sql, "§2.11"),
     QueryDef("q104_corpus_profile", _q104_corpus_profile, _q104_sql, "§2.11"),
     QueryDef("q99_lsh_quality", _q99_lsh_quality, _q99_sql(), "§2.11"),
-    # 10-50: last green row r4 (q34 also gained the mixed-type
-    # endpoint fallback this round)
     QueryDef("q34_degrees", _q34_degrees, _q34_sql, "G6"),
     QueryDef("q26_asof_join", _q26_asof_join, _q26_sql, "§2.7"),
     QueryDef("q89_asof_forward", _q89_asof_forward, _q89_sql, "§2.7"),
@@ -4235,63 +4300,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("q10_edge_join", _q10_edge_join, _q10_sql, "J3,G2"),
     QueryDef("q13_group_count", _q13_group_count, _q13_sql, "A2"),
     QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
-    # --- tail ---
-    # r4-green, untouched since r1, bumped by the round-6 re-pins
-    # + q107/q108/q109: LEAD THE R7 WINDOW with these
-    QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
-    QueryDef("q17_format_string", _q17_format_string, _q17_sql, "F2,F4,K1"),
-    QueryDef("q05_conditional_props", _q05_conditional_props, _q05_sql, "P2"),
-    QueryDef("q06_filter_notnull", _q06_filter_notnull, _q06_sql, "P3"),
-    QueryDef("q07_filter_neq", _q07_filter_neq, _q07_sql, "P4"),
-    QueryDef("q11_semi_contains", _q11_semi_contains, _q11_sql, "J4"),
-    QueryDef("q12_array_distinct", _q12_array_distinct, _q12_sql, "A1,F3"),
-    QueryDef("q16_regex_sanitize", _q16_regex_sanitize, _q16_sql, "F1"),
-    # r5-green and untouched this round
-    QueryDef("q90_lpa_communities", _q90_lpa_communities, _q90_sql(), "§2.8"),
-    QueryDef("q97_rolling_agg", _q97_rolling_agg, _q97_sql, "§2.7"),
-    QueryDef("q98_numeric_drift", _q98_numeric_drift, _q98_sql, "§2.11"),
-    QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
-    QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
-    QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),
-    QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
-    QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),
-    QueryDef("q35_connected_components", _q35_connected_components, _q35_sql, "G9"),
-    QueryDef("q36_shortest_path", _q36_shortest_path, _q36_sql, "G7"),
-    QueryDef("q38_triangle_count", _q38_triangle_count, _q38_sql, "G10"),
-    QueryDef("q44_percentile", _q44_percentile, _q44_sql, "§2.7"),
-    QueryDef("q45_topk_per_group", _q45_topk_per_group, _q45_sql, "§2.7"),
-    QueryDef("q46_funnel", _q46_funnel, _q46_sql, "§2.10"),
-    QueryDef("q50_minhash_simjoin", _q50_minhash_simjoin, _q50_oracle_sql(), "§2.11"),
-    QueryDef("q52_tfidf_topterms", _q52_tfidf_topterms, _q52_sql, "§2.11"),
-    QueryDef("q54_exact_dedup", _q54_exact_dedup, _q54_sql, "§2.11"),
-    QueryDef("q55_simhash", _q55_simhash, _q55_sql, "§2.11"),
-    QueryDef("q56_jaccard_pairs", _q56_jaccard_pairs, _q56_sql, "§2.11"),
-    QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
-    QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
-    QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
-    QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
-    QueryDef("q65_deterministic_split", _q65_deterministic_split, _q65_sql, "§2.11"),
-    QueryDef("q66_dedup_clusters", _q66_dedup_clusters, _q66_sql, "§2.11"),
-    QueryDef("q67_lsh_dedup_clusters", _q67_lsh_dedup_clusters, _q67_oracle_sql(), "§2.11"),
-    QueryDef("q68_stratified_sample", _q68_stratified_sample, _q68_sql, "§2.11"),
-    QueryDef("q69_cluster_representatives", _q69_cluster_representatives, _q69_sql, "§2.11"),
-    QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),
-    QueryDef("q71_repetition", _q71_repetition, _q71_sql, "§2.11"),
-    QueryDef("q72_pii_redact", _q72_pii_redact, _q72_sql, "§2.11"),
-    QueryDef("q73_event_correlation", _q73_event_correlation, _q73_sql, "§2.10"),
-    QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
-    QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
-    QueryDef("q78_incremental_dedup", _q78_incremental_dedup, _q78_oracle_sql(), "§2.11"),
-    QueryDef("q81_media_features", _q81_media_features, _q81_sql, "multimodal"),
-    QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
-    QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
-    QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
-    QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
-    QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
-    QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),
-    QueryDef("q100_apportion_budget", _q100_apportion_budget, _q100_sql, "§2.11"),
-    QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),
 ]
+
 
 
 def queries() -> dict[str, SparkQuery]:

@@ -2603,3 +2603,64 @@ def test_incremental_dedup_index_path_equivalent(spark, sf_dir):
         incremental_near_duplicates(
             None, incoming, "doc_id", "text"
         ).collect()
+
+
+def test_certification_window_freshness():
+    """The driver certifies exactly the first 50 registry entries per
+    round, so the list order IS the freshness policy. Enforce it
+    mechanically from the CORRECTNESS_r*.json history instead of
+    trusting the hand-written rotation comment:
+
+    (a) never-certified queries and RECERTIFY members (green row
+        predates a contract change) sit in the window;
+    (b) nothing >= 2 rounds stale is left outside the window;
+    (c) no wasted slot — while any stale/new/recertify name is outside
+        the window, no already-fresh name may occupy a slot.
+    """
+    import json
+    import pathlib
+    import re
+
+    from ontology_graph_etl_spark.plans.registry import QUERIES, RECERTIFY
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    rounds = {}
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnum = int(re.search(r"r(\d+)", f.name).group(1))
+        data = json.loads(f.read_text())
+        for name, rec in data.items():
+            if rec.get("err") is None and rec.get("rows_match"):
+                rounds[name] = max(rounds.get(name, 0), rnum)
+    assert rounds, "no CORRECTNESS history found"
+    max_round = max(rounds.values())
+
+    names = [q.name for q in QUERIES]
+    assert len(names) == len(set(names)), "duplicate registry names"
+    window = set(names[:50])
+    unknown = RECERTIFY - set(names)
+    assert not unknown, f"RECERTIFY names not in registry: {unknown}"
+
+    def staleness(name):
+        if name not in rounds or name in RECERTIFY:
+            return None  # 'infinitely stale': must certify
+        return max_round - rounds[name]
+
+    must_certify = {
+        n for n in names if staleness(n) is None or staleness(n) >= 2
+    }
+    missing = must_certify - window
+    assert not missing, (
+        f"stale/new/recertify queries outside the 50-slot window: "
+        f"{sorted(missing)}"
+    )
+    needs_row = {n for n in names if staleness(n) is None or staleness(n) >= 1}
+    left_out = needs_row - window
+    if left_out:
+        fresh_in_window = {
+            n for n in window if n not in needs_row
+        }
+        assert not fresh_in_window, (
+            f"window wastes {len(fresh_in_window)} slot(s) on fresh "
+            f"queries {sorted(fresh_in_window)[:5]}... while "
+            f"{sorted(left_out)[:5]}... wait outside"
+        )
