@@ -757,11 +757,17 @@ def duplicate_span_removal(
     (doc, para, start, gram) occurrence stream, ONE shuffle
     partitioned by gram for the first-occurrence rank (AQE splits
     hot-gram skew; the rank never materializes pairs), one
-    groupBy(doc) to collect each doc's duplicated starts, and a final
-    doc-keyed join back; reassembly is pure array expressions inside
-    the row. Per-token kept checks scan the doc's own duplicated-start
-    list (array ``exists``) — quadratic only within a single
-    pathological document, never across the corpus.
+    (doc, para)-keyed groupBy collecting each paragraph's SORTED
+    duplicated-start list, a co-keyed join back to the paragraph
+    frame, then one groupBy(doc) reassembly and a final doc-keyed
+    join. Per-paragraph reassembly is a single O(tokens) expression
+    fold: the sorted start list arrives as a plain column attribute,
+    so the fold's pointer does one O(1) ``try_element_at`` per token —
+    the earlier in-row ``exists`` over an EXPRESSION-valued start list
+    was re-evaluated per lambda element by Catalyst (HOF bodies get no
+    CSE) and went 30x superlinear on a 90%-duplicate corpus
+    (SCALING.md round 7). Everything that moves is linear in corpus
+    token count.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -773,6 +779,9 @@ def duplicate_span_removal(
         # minus the lowercasing: removal must reconstruct the input)
         return F.filter(F.split(c, r"\s+"), lambda t: t != "")
 
+    # materialized ONCE (boilerplate_removal precedent): the paragraph
+    # token frame feeds both the gram stream and the reassembly join —
+    # without the pin each consumer re-runs the scan + split + tokenize
     paras = (
         ensure_parallelism(df.select(id_col, text_col))
         .select(
@@ -785,6 +794,7 @@ def duplicate_span_removal(
             (F.col("pidx0") + 1).alias("pidx"),
             _toks(F.col("para")).alias("tk"),
         )
+        .localCheckpoint()
     )
     grams = F.when(
         F.size("tk") >= k,
@@ -802,74 +812,87 @@ def duplicate_span_removal(
     dups = (
         occ.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") > 1)
-        .groupBy(id_col)
-        .agg(F.collect_list(F.struct("pidx", "i")).alias("__dups"))
+        .groupBy(id_col, "pidx")
+        .agg(F.sort_array(F.collect_list("i")).alias("__starts"))
     )
-    base = df.select(id_col, text_col).join(dups, id_col, "left")
+    pstate = paras.join(dups, [id_col, "pidx"], "left").select(
+        id_col,
+        "pidx",
+        "tk",
+        F.coalesce(
+            F.col("__starts"), F.array().cast("array<int>")
+        ).alias("__starts"),
+    )
+    indexed = F.transform(
+        F.col("tk"),
+        lambda x, j0: F.struct((j0 + 1).alias("j"), x.alias("tok")),
+    )
 
-    empty_dups = F.array().cast("array<struct<pidx:int,i:int>>")
-    dup_list = F.coalesce(F.col("__dups"), empty_dups)
-
-    def _para_result(p, idx0):
-        tkc = _toks(p)
-        starts = F.transform(
-            F.filter(dup_list, lambda s: s["pidx"] == idx0 + 1),
-            lambda s: s["i"],
-        )
-        indexed = F.transform(
-            tkc,
-            lambda x, j0: F.struct(
-                (j0 + 1).alias("j"), x.alias("tok")
-            ),
-        )
-        kept = F.filter(
-            indexed,
-            lambda t: ~F.exists(
-                starts,
-                lambda s: (s <= t["j"]) & (t["j"] < s + F.lit(k)),
-            ),
-        )
-        frag = F.aggregate(
-            kept,
-            F.struct(
-                F.lit(-2).cast("int").alias("last"),
-                F.lit("").alias("acc"),
-            ),
-            lambda st, x: F.struct(
-                x["j"].alias("last"),
-                F.concat(
-                    st["acc"],
-                    F.when(st["acc"] == "", F.lit(""))
-                    .when(x["j"] == st["last"] + 1, F.lit(" "))
-                    .otherwise(F.lit(fragment_joiner)),
-                    x["tok"],
-                ).alias("acc"),
-            ),
-            lambda st: st["acc"],
+    def _step(st, t):
+        s = F.try_element_at(F.col("__starts"), st["si"])
+        active = s.isNotNull() & (s == t["j"])
+        cov = F.when(
+            active, F.greatest(st["cov"], s + F.lit(k - 1))
+        ).otherwise(st["cov"])
+        keep = t["j"] > cov
+        sep = (
+            F.when(st["acc"] == "", F.lit(""))
+            .when(t["j"] == st["last"] + 1, F.lit(" "))
+            .otherwise(F.lit(fragment_joiner))
         )
         return F.struct(
-            F.size(tkc).cast("long").alias("nt"),
-            F.size(kept).cast("long").alias("nk"),
-            frag.alias("frag"),
+            (st["si"] + active.cast("int")).alias("si"),
+            cov.alias("cov"),
+            F.when(keep, t["j"]).otherwise(st["last"]).alias("last"),
+            (st["nk"] + keep.cast("long")).alias("nk"),
+            F.when(keep, F.concat(st["acc"], sep, t["tok"]))
+            .otherwise(st["acc"])
+            .alias("acc"),
         )
 
-    per_para = F.transform(paragraphs, _para_result)
-    n_tokens = F.aggregate(
-        per_para, F.lit(0).cast("long"), lambda acc, x: acc + x["nt"]
+    folded = pstate.select(
+        id_col,
+        "pidx",
+        F.size("tk").cast("long").alias("nt"),
+        F.aggregate(
+            indexed,
+            F.struct(
+                F.lit(1).cast("int").alias("si"),
+                F.lit(0).cast("int").alias("cov"),
+                F.lit(-2).cast("int").alias("last"),
+                F.lit(0).cast("long").alias("nk"),
+                F.lit("").alias("acc"),
+            ),
+            _step,
+        ).alias("__f"),
+    ).select(
+        id_col, "pidx", "nt", F.col("__f.nk").alias("nk"),
+        F.col("__f.acc").alias("frag"),
     )
-    n_kept = F.aggregate(
-        per_para, F.lit(0).cast("long"), lambda acc, x: acc + x["nk"]
+    per_doc = folded.groupBy(id_col).agg(
+        F.sum("nt").alias("n_tokens"),
+        F.sum("nk").alias("n_kept"),
+        F.array_join(
+            F.filter(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pidx", "frag"))),
+                    lambda x: x["frag"],
+                ),
+                lambda s: s != "",
+            ),
+            fragment_joiner,
+        ).alias("text_clean"),
     )
-    text_clean = F.array_join(
-        F.filter(
-            F.transform(per_para, lambda x: x["frag"]),
-            lambda s: s != "",
-        ),
-        fragment_joiner,
-    )
-    return base.select(
-        F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        (n_tokens - n_kept).alias("n_removed"),
-        text_clean.alias("text_clean"),
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            (
+                F.coalesce("n_tokens", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
     )

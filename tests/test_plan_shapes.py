@@ -348,3 +348,21 @@ def test_weighted_sample_no_data_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_span_removal_single_rank_window_no_pair_join(spark, sf_dir):
+    """q110's duplicated-occurrence detection must be ONE window over
+    the gram partition (the q83 device) — never a gram self-join
+    (squares hot grams) — and reassembly happens in-row: exactly two
+    scans of the documents parquet (gram branch + output base), one
+    Window, no nested-loop/cartesian anywhere."""
+    from ontology_graph_etl_spark.plans.registry import queries as qs
+
+    df = qs()["q110_span_removal"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan") <= 2, (
+        f"{plan.count('FileScan')} scans — a shared subtree re-executes"
+    )

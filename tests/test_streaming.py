@@ -371,3 +371,74 @@ def test_stream_static_enrichment_join(spark, events_batch, events_stream):
     )
     got = {(r.user_bucket, r.n) for r in streamed.collect()}
     assert got == batch and len(got) > 0
+
+
+def test_streaming_ingest_dedup_with_persisted_index(spark, sf_dir, tmp_path):
+    """The 100 TB continuous-ingest shape end-to-end: the corpus's
+    dedup index is built ONCE with prepare_dedup_index and written to
+    parquet; each arriving micro-batch screens against the STORED
+    index (existing_index=) — no corpus recompute per batch. Verdicts
+    equal the recompute path's."""
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators.dedup import (
+        incremental_near_duplicates,
+        prepare_dedup_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    incoming = docs.where(F.col("doc_id") % 3 == 0).cache()
+    try:
+        want = {
+            (r.incoming_id, r.existing_id)
+            for r in incremental_near_duplicates(
+                corpus, incoming, "doc_id", "text", threshold=0.5
+            ).collect()
+        }
+        # ingest-time artifact: the index persisted like a real corpus
+        # snapshot would be (bucketBy at scale; plain parquet here)
+        idx_path = str(tmp_path / "dedup_index")
+        prepare_dedup_index(corpus, "doc_id", "text").write.parquet(idx_path)
+        stored = spark.read.parquet(idx_path)
+
+        in_dir = tmp_path / "incoming"
+        in_dir.mkdir()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for i in range(2):
+            pdf = incoming.where(F.col("doc_id") % 2 == i).toPandas()
+            pq.write_table(
+                pa.Table.from_pandas(pdf), str(in_dir / f"b{i}.parquet")
+            )
+        got: set = set()
+
+        def screen(batch_df, batch_id):
+            got.update(
+                (r.incoming_id, r.existing_id)
+                for r in incremental_near_duplicates(
+                    None,
+                    batch_df,
+                    "doc_id",
+                    "text",
+                    threshold=0.5,
+                    existing_index=stored,
+                ).collect()
+            )
+
+        stream = (
+            spark.readStream.schema(incoming.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        q = (
+            stream.writeStream.foreachBatch(screen)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert got == want
+        assert len(want) > 0
+    finally:
+        incoming.unpersist()
