@@ -4060,8 +4060,10 @@ def _q110_span_removal(spark, sf_dir):
 # global first-occurrence rank per gram (window over (doc, para, pos))
 # -> covered-token removal via a range join -> run/fragment reassembly
 # (lag-based run break + two ordered string_aggs reproduce the
-# operator's in-row aggregate fold exactly, '\n\n' between runs).
-_q110_sql = rf"""
+# operator's fold exactly, '\n\n' between runs). A function of k so
+# the hypothesis cross-engine test can instantiate small spans.
+def _q110_sql_for(k: int) -> str:
+    return rf"""
 WITH paras0 AS (
   SELECT doc_id,
          unnest(range(1, len(arr) + 1)) AS pidx,
@@ -4076,10 +4078,10 @@ ptoks AS (
 ),
 occ AS (
   SELECT doc_id, pidx,
-         unnest(range(1, greatest(len(tk) - {_Q110_K} + 1, 0) + 1)) AS i,
+         unnest(range(1, greatest(len(tk) - {k} + 1, 0) + 1)) AS i,
          unnest(list_transform(
-           range(1, greatest(len(tk) - {_Q110_K} + 1, 0) + 1),
-           i -> array_to_string(tk[i : i + {_Q110_K} - 1], ' '))) AS gram
+           range(1, greatest(len(tk) - {k} + 1, 0) + 1),
+           i -> array_to_string(tk[i : i + {k} - 1], ' '))) AS gram
   FROM ptoks
 ),
 dups AS (
@@ -4099,7 +4101,7 @@ removed AS (
   SELECT DISTINCT t.doc_id, t.pidx, t.j
   FROM tokpos t JOIN dups d
     ON t.doc_id = d.doc_id AND t.pidx = d.pidx
-   AND t.j >= d.i AND t.j < d.i + {_Q110_K}
+   AND t.j >= d.i AND t.j < d.i + {k}
 ),
 kept AS (
   SELECT t.doc_id, t.pidx, t.j, t.tok
@@ -4138,6 +4140,9 @@ LEFT JOIN tot t USING (doc_id)
 LEFT JOIN rem r USING (doc_id)
 LEFT JOIN agg a USING (doc_id)
 """
+
+
+_q110_sql = _q110_sql_for(_Q110_K)
 
 
 # ---------------------------------------------------------------------------

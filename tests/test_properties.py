@@ -2664,3 +2664,44 @@ def test_certification_window_freshness():
             f"queries {sorted(fresh_in_window)[:5]}... while "
             f"{sorted(left_out)[:5]}... wait outside"
         )
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "\n\n"]), min_size=0, max_size=20
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@SETTINGS
+def test_duplicate_span_removal_matches_duckdb(spark, docs):
+    """Cross-engine pin for the q110 device on arbitrary tiny corpora:
+    multi-paragraph docs (the generator emits literal blank-line
+    breaks), empty docs, all-duplicate docs — Spark's fold reassembly
+    must equal the DuckDB window/run formulation row for row."""
+    import duckdb
+
+    from ontology_graph_etl_spark.operators.textops import (
+        duplicate_span_removal,
+    )
+
+    k = 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in duplicate_span_removal(
+            spark.createDataFrame(rows, "doc_id: long, text: string"), k=k
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    from ontology_graph_etl_spark.plans.registry import _q110_sql_for
+
+    sql = _q110_sql_for(k)
+    want = {
+        r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()
+    }
+    assert got == want
