@@ -98,10 +98,12 @@ HEADLINE = [
     "q108_weighted_sample",
     "q109_json_extract",
     # round-7 additions: exact duplicated-span removal (gram-keyed
-    # first-occurrence rank + in-row reassembly) and topological depth
-    # (frontier iteration over the raw edge list)
+    # first-occurrence rank + in-row reassembly), topological depth
+    # (frontier iteration over the raw edge list), and BM25 retrieval
+    # (query-term-pruned tf + broadcast query side)
     "q110_span_removal",
     "q111_topo_depth",
+    "q113_bm25_topk",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

@@ -896,3 +896,119 @@ def duplicate_span_removal(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 lexical retrieval: top-``k`` documents per query under the
+    Okapi BM25 ranking function (Robertson/Spärck Jones) — the lexical
+    complement to the embedding-space ANN operators (q51/q61/q63), and
+    the standard first-stage retriever in RAG / dedup-audit tooling.
+
+    ``score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·len/avg))``
+    with the +1-smoothed idf ``ln((N - df + 0.5)/(df + 0.5) + 1)`` (the
+    Lucene form — strictly positive, so one-doc corpora still rank).
+    Scores round to 6 places BEFORE ranking and ties break on doc id,
+    making the top-k list engine-portable (float sums associate
+    differently across engines only below the rounding threshold).
+
+    Tokenization is the corpus policy (``whitespace_tokens``,
+    lowercased) on both sides; duplicate query terms count once (set
+    semantics — the standard short-query form).
+
+    Scale shape: the query side is BROADCAST everywhere (a query set is
+    always tiny next to the corpus). Doc term frequencies prune to
+    query terms BEFORE the (doc, term) groupBy, so the only
+    corpus-sized shuffles are that pruned tf aggregate and the final
+    (query, doc) score aggregate; document frequencies aggregate the
+    pruned tf table (query-term-sized); N and average length ride as a
+    broadcast 1-row aggregate (no separate count() scan); the top-k
+    window is per query with ``row_number <= k`` — WindowGroupLimit
+    prunes map-side.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = whitespace_tokens(F.col(text_col))
+    base = ensure_parallelism(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc"), toks.alias("__toks")
+    ).localCheckpoint()
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg(F.size("__toks")).alias("__avg_len"),
+    )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query"),
+            F.explode(
+                F.array_distinct(whitespace_tokens(F.col(query_text_col)))
+            ).alias("token"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    term_set = qterms.select("token").distinct()
+    tf = (
+        base.select("doc", F.size("__toks").alias("doc_len"),
+                    F.explode("__toks").alias("token"))
+        .join(F.broadcast(term_set), "token")
+        .groupBy("doc", "token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            # constant per doc; min (not first) for engine-portable
+            # determinism in the oracle mirror
+            F.min("doc_len").alias("doc_len"),
+        )
+    )
+    # tf is unique per (doc, token): count(*) == countDistinct(doc)
+    doc_freq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(doc_freq), "token")
+        .join(F.broadcast(qterms), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query",
+            "doc",
+            (
+                F.log(
+                    (F.col("__n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        1.0
+                        - b
+                        + b * F.col("doc_len") / F.col("__avg_len")
+                    )
+                )
+            ).alias("__c"),
+        )
+    )
+    scored = contrib.groupBy("query", "doc").agg(
+        F.round(F.sum("__c"), 6).alias("score")
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("score").desc(), F.col("doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query").alias(query_id_col),
+            F.col("doc").alias(id_col),
+            "score",
+            "rank",
+        )
+    )

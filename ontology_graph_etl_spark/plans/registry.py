@@ -4041,6 +4041,74 @@ HAVING count(*) > 0
 """
 
 
+def _q113_bm25_topk(spark, sf_dir):
+    # BM25 lexical retrieval — the lexical complement of the embedding
+    # ANN queries (q51/q61/q63): every 101st document's first 4 tokens
+    # form a query; top-5 docs per query under Okapi BM25 with the
+    # Lucene +1-smoothed idf. Query side broadcast everywhere; the only
+    # corpus-sized shuffles are the query-term-pruned tf aggregate and
+    # the (query, doc) score aggregate.
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    qs = docs.where(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 4)).alias("query_text"),
+    )
+    return textops.bm25_topk(docs, qs, "doc_id", "text", k=5)
+
+
+_q113_sql = r"""
+WITH base AS (
+  SELECT doc_id AS doc,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len(toks)) AS avg_len FROM base
+),
+qt AS (
+  SELECT doc AS query, unnest(list_distinct(toks[1:4])) AS token
+  FROM base WHERE doc % 101 = 0
+),
+term_set AS (SELECT DISTINCT token FROM qt),
+tf AS (
+  SELECT doc, token, count(*) AS tf, min(doc_len) AS doc_len FROM (
+    SELECT b.doc, len(b.toks) AS doc_len, unnest(b.toks) AS token
+    FROM base b
+  ) t
+  JOIN term_set USING (token)
+  GROUP BY doc, token
+),
+df_t AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+contrib AS (
+  SELECT q.query, tf.doc,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (tf.tf * (1.2 + 1))
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.doc_len / s.avg_len))
+         AS c
+  FROM tf
+  JOIN df_t d USING (token)
+  JOIN qt q USING (token)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query, doc, round(sum(c), 6) AS score
+  FROM contrib GROUP BY query, doc
+),
+ranked AS (
+  SELECT query, doc, score,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score DESC, doc ASC) AS rank
+  FROM scored
+)
+SELECT query AS query_id, doc AS doc_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 _Q110_K = 8
 
 
@@ -4160,19 +4228,19 @@ _q110_sql = _q110_sql_for(_Q110_K)
 # ROUND-7 ROTATION (tests/test_properties.py::
 # test_certification_window_freshness enforces this policy
 # mechanically from the CORRECTNESS_r*.json history + RECERTIFY):
-#   1-3   never certified: the new q110/q111/q112.
-#   4-5   RECERTIFY (r6-green rows certified on a contract this round
+#   1-4   never certified: the new q110/q111/q112/q113.
+#   5-6   RECERTIFY (r6-green rows certified on a contract this round
 #         changed): q109 (oracle gained the json_type strict-typing
 #         gate) and q108 (computed-max path gained the in-plan
 #         overflow guard — a plan change).
-#   6-13  last green row r4, three rounds stale by now: q15, q17,
+#   7-14  last green row r4, three rounds stale by now: q15, q17,
 #         q05, q06, q07, q11, q12, q16.
-#   14-50 37 of the 44 r5-green names, in their r6 tail order.
-# Seven r5-green scan-speed expression queries did not fit (55
-# stale/new names into 50 slots): q57, q58, q59, q60, q65, q68, q72 —
+#   15-50 36 of the 44 r5-green names, in their r6 tail order.
+# Eight r5-green queries did not fit (56 stale/new names into 50
+# slots): q102 and the scan-speed q57, q58, q59, q60, q65, q68, q72 —
 # they sit FIRST in the tail and LEAD THE R8 WINDOW. Done = after the
 # r7 driver run every query's latest green row is r6 or r7 except
-# those seven (r5), and the freshness test keeps the window honest.
+# those eight (r5), and the freshness test keeps the window honest.
 
 #: Queries whose LAST green driver row predates a contract change this
 #: round made (oracle text or Spark plan) — the freshness guard treats
@@ -4195,6 +4263,7 @@ QUERIES: list[QueryDef] = [
         _q112_sql,
         "G12",
     ),
+    QueryDef("q113_bm25_topk", _q113_bm25_topk, _q113_sql, "§2.11"),
     QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
     QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
     QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
@@ -4241,9 +4310,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
     QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),
     QueryDef("q100_apportion_budget", _q100_apportion_budget, _q100_sql, "§2.11"),
-    QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),
     # --- tail ---
     # r5-green leftovers that did not fit: LEAD THE R8 WINDOW
+    QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),
     QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
     QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
     QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),

@@ -79,3 +79,57 @@ def jsonl_to_json_array(
         ).alias("value")
     )
     out.coalesce(1).write.mode("overwrite").text(out_path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str,
+) -> None:
+    """Deterministic shuffled shard export — the LAST step of a
+    training-data pipeline: the curated mix lands as exactly
+    ``n_shards`` parquet files whose assignment AND within-shard order
+    are a pure function of ``key_col`` (md5 order — the same
+    deterministic-corpus-shuffle device as the mix/split operators), so
+    a re-run, a different cluster, or a different input partitioning
+    produces byte-identical shard membership. Consumers stream shard
+    ``i`` of ``n`` with no coordination, and the md5 ordering IS the
+    training shuffle (no separate shuffle pass needed downstream).
+
+    Shard assignment is the first 8 md5 hex digits bucketed by integer
+    range (``hex32 * n div 2^32``) rather than hash-mod-partition:
+    range buckets keep the global md5 order sorted ACROSS shards
+    (shard 0 holds the smallest hashes), so concatenating shards in
+    index order replays the exact global order when needed.
+
+    Scale shape: one range-shuffle on the md5 prefix (repartitionByRange
+    would sample — the explicit bucket id avoids sampling
+    nondeterminism), sort within partitions, one file per shard via
+    partitioned write. Balance is binomial around rows/n_shards
+    (md5 uniformity), no sampling pass, no driver collect.
+    """
+    from pyspark.sql import functions as F
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if "shard" in df.columns or "__h8" in df.columns:
+        raise ValueError(
+            "write_training_shards output column shard (or internal __h8)"
+            " already exists on the input"
+        )
+    h8 = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    shard = F.expr(
+        f"CAST(conv(substring(md5(CAST(`{key_col}` AS STRING)), 1, 8),"
+        f" 16, 10) AS BIGINT) * {int(n_shards)} div 4294967296"
+    )
+    (
+        df.withColumn("__h8", h8)
+        .withColumn("shard", shard.cast("int"))
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "__h8")
+        .drop("__h8")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

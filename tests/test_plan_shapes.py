@@ -366,3 +366,21 @@ def test_span_removal_single_rank_window_no_pair_join(spark, sf_dir):
     assert plan.count("FileScan") <= 2, (
         f"{plan.count('FileScan')} scans — a shared subtree re-executes"
     )
+
+
+def test_bm25_query_side_broadcasts_and_topk_prunes(spark, sf_dir):
+    """q113's corpus-sized work must be exactly the pruned tf aggregate
+    and the (query, doc) score aggregate: every query-side join is a
+    broadcast, the top-k window carries WindowGroupLimit pruning, and
+    no nested-loop/cartesian appears (the stats cross join is a
+    broadcast of a 1-row aggregate)."""
+    plan = _plan(spark, sf_dir, "q113_bm25_topk")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    # all equi-joins resolve to broadcast (term_set, doc_freq, qterms):
+    # a shuffled corpus-vs-query join would surface as SortMergeJoin
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the only nested-loop nodes allowed are the broadcast 1-ROW stats
+    # cross join (the winsorize scalar device); assert none beyond it
+    assert plan.count("BroadcastNestedLoopJoin") <= 2

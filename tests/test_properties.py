@@ -2705,3 +2705,51 @@ def test_duplicate_span_removal_matches_duckdb(spark, docs):
         r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()
     }
     assert got == want
+
+
+def test_bm25_topk_semantics(spark):
+    """BM25 golden checks: a doc containing the rare query term
+    outranks one that only shares stopword-ish terms; only docs with
+    >= 1 query term appear; rank is 1-based contiguous per query; the
+    formula matches a hand-computed single-term score."""
+    import math
+
+    import pytest
+
+    from ontology_graph_etl_spark.operators.textops import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the log"),
+            (3, "cats and dogs living together"),
+            (4, "completely unrelated text about spark"),
+        ],
+        "doc_id: long, text: string",
+    )
+    qs = spark.createDataFrame(
+        [(10, "cat mat"), (11, "spark text"), (12, "nomatch")],
+        "query_id: long, query_text: string",
+    )
+    rows = bm25_topk(docs, qs, k=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    # only matching docs appear; query 12 matches nothing
+    assert 12 not in by_q
+    assert [r.doc_id for r in sorted(by_q[10], key=lambda r: r.rank)] == [1]
+    assert [r.doc_id for r in sorted(by_q[11], key=lambda r: r.rank)] == [4]
+    # hand-check: doc 4, term "spark": N=4, df=1, tf=1, len=5, avg=5.5
+    idf = math.log((4 - 1 + 0.5) / (1 + 0.5) + 1)
+    tf_term = (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * 5 / 5.5))
+    # score for query 11 = spark-term + text-term contributions; check
+    # the spark term alone via a single-term query
+    solo = bm25_topk(
+        docs,
+        spark.createDataFrame([(1, "spark")], "query_id: long, query_text: string"),
+        k=1,
+    ).collect()
+    assert solo[0].doc_id == 4
+    assert solo[0].score == pytest.approx(round(idf * tf_term, 6), abs=1e-6)
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_topk(docs, qs, k=0)

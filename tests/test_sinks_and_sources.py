@@ -383,3 +383,56 @@ def test_rolling_aggregate_prefix_and_collision(spark):
     assert row[4].n_in_window == 3 and row[4].w4_n_in_window == 5
     with _pytest.raises(ValueError, match="out_prefix"):
         rolling_time_aggregate(once, "user_id", "ts", "value", 240)
+
+
+def test_write_training_shards_deterministic_and_balanced(
+    spark, sf_dir, tmp_path
+):
+    """Shard export invariants: exactly n shard directories, every
+    input row lands in exactly one, shard membership is a pure
+    function of the key (invariant under input repartitioning), and
+    shard ids cover the md5 range in sorted order (concatenation
+    replays the global md5 order)."""
+    import pytest
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.sinks.writers import write_training_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    n = docs.count()
+    p1 = str(tmp_path / "s1")
+    write_training_shards(docs, p1, 8, "doc_id")
+    back = spark.read.parquet(p1)
+    assert back.count() == n
+    shards = sorted(
+        r.shard for r in back.select("shard").distinct().collect()
+    )
+    assert shards == list(range(8))
+    # pure function of the key: repartitioned input -> same membership
+    p2 = str(tmp_path / "s2")
+    write_training_shards(docs.repartition(13), p2, 8, "doc_id")
+    a = {(r.doc_id, r.shard) for r in back.select("doc_id", "shard").collect()}
+    b = {
+        (r.doc_id, r.shard)
+        for r in spark.read.parquet(p2).select("doc_id", "shard").collect()
+    }
+    assert a == b
+    # range-bucketed: max md5-prefix of shard i < min of shard i+1
+    from pyspark.sql import functions as F
+
+    bounds = (
+        back.withColumn(
+            "h8", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+        )
+        .groupBy("shard")
+        .agg(F.min("h8").alias("lo"), F.max("h8").alias("hi"))
+        .collect()
+    )
+    bd = {r.shard: (r.lo, r.hi) for r in bounds}
+    for i in range(7):
+        if i in bd and i + 1 in bd:
+            assert bd[i][1] < bd[i + 1][0]
+    with pytest.raises(ValueError, match="n_shards"):
+        write_training_shards(docs, str(tmp_path / "s3"), 0, "doc_id")
