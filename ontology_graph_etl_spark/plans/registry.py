@@ -4041,6 +4041,43 @@ HAVING count(*) > 0
 """
 
 
+def _q114_multi_profile(spark, sf_dir):
+    # the multi-column dataset card certified end-to-end: BOTH n_chars
+    # and doc_id profiled per source in ONE aggregate pass (the
+    # value_cols sequence path), struct fields flattened to atomic
+    # columns for the driver compare. k single-column calls would pay
+    # k scans — the plan-shape test pins the single scan.
+    prof = relational.group_profile(
+        _t(spark, sf_dir, "documents"),
+        ["source"],
+        ["n_chars", "doc_id"],
+    )
+    flat = [F.col("source"), F.col("n_rows")]
+    for c, pfx in (("n_chars", "nc"), ("doc_id", "id")):
+        for f in ("n_values", "total", "min_v", "max_v", "p50", "p90"):
+            flat.append(F.col(f"{c}.{f}").alias(f"{pfx}_{f}"))
+    return prof.select(*flat)
+
+
+_q114_sql = r"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(n_chars) AS BIGINT) AS nc_n_values,
+       CAST(SUM(n_chars) AS BIGINT) AS nc_total,
+       MIN(n_chars) AS nc_min_v,
+       MAX(n_chars) AS nc_max_v,
+       round(quantile_cont(n_chars, 0.5), 6) AS nc_p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS nc_p90,
+       CAST(count(doc_id) AS BIGINT) AS id_n_values,
+       CAST(SUM(doc_id) AS BIGINT) AS id_total,
+       MIN(doc_id) AS id_min_v,
+       MAX(doc_id) AS id_max_v,
+       round(quantile_cont(doc_id, 0.5), 6) AS id_p50,
+       round(quantile_cont(doc_id, 0.9), 6) AS id_p90
+FROM documents GROUP BY source
+"""
+
+
 def _q113_bm25_topk(spark, sf_dir):
     # BM25 lexical retrieval — the lexical complement of the embedding
     # ANN queries (q51/q61/q63): every 101st document's first 4 tokens
@@ -4228,19 +4265,20 @@ _q110_sql = _q110_sql_for(_Q110_K)
 # ROUND-7 ROTATION (tests/test_properties.py::
 # test_certification_window_freshness enforces this policy
 # mechanically from the CORRECTNESS_r*.json history + RECERTIFY):
-#   1-4   never certified: the new q110/q111/q112/q113.
-#   5-6   RECERTIFY (r6-green rows certified on a contract this round
+#   1-5   never certified: the new q110/q111/q112/q113/q114.
+#   6-7   RECERTIFY (r6-green rows certified on a contract this round
 #         changed): q109 (oracle gained the json_type strict-typing
 #         gate) and q108 (computed-max path gained the in-plan
 #         overflow guard — a plan change).
-#   7-14  last green row r4, three rounds stale by now: q15, q17,
+#   8-15  last green row r4, three rounds stale by now: q15, q17,
 #         q05, q06, q07, q11, q12, q16.
-#   15-50 36 of the 44 r5-green names, in their r6 tail order.
-# Eight r5-green queries did not fit (56 stale/new names into 50
-# slots): q102 and the scan-speed q57, q58, q59, q60, q65, q68, q72 —
-# they sit FIRST in the tail and LEAD THE R8 WINDOW. Done = after the
-# r7 driver run every query's latest green row is r6 or r7 except
-# those eight (r5), and the freshness test keeps the window honest.
+#   16-50 35 of the 44 r5-green names, in their r6 tail order.
+# Nine r5-green queries did not fit (57 stale/new names into 50
+# slots): q100, q102 and the scan-speed q57, q58, q59, q60, q65, q68,
+# q72 — they sit FIRST in the tail and LEAD THE R8 WINDOW. Done =
+# after the r7 driver run every query's latest green row is r6 or r7
+# except those nine (r5), and the freshness test keeps the window
+# honest.
 
 #: Queries whose LAST green driver row predates a contract change this
 #: round made (oracle text or Spark plan) — the freshness guard treats
@@ -4264,6 +4302,7 @@ QUERIES: list[QueryDef] = [
         "G12",
     ),
     QueryDef("q113_bm25_topk", _q113_bm25_topk, _q113_sql, "§2.11"),
+    QueryDef("q114_multi_profile", _q114_multi_profile, _q114_sql, "§2.11"),
     QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
     QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
     QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
@@ -4309,9 +4348,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
     QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
     QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),
-    QueryDef("q100_apportion_budget", _q100_apportion_budget, _q100_sql, "§2.11"),
     # --- tail ---
     # r5-green leftovers that did not fit: LEAD THE R8 WINDOW
+    QueryDef("q100_apportion_budget", _q100_apportion_budget, _q100_sql, "§2.11"),
     QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),
     QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
     QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),

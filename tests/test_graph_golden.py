@@ -11,7 +11,11 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
+
+SETTINGS = settings(max_examples=6, deadline=None)
 
 from ontology_graph_etl_spark import fixtures
 from ontology_graph_etl_spark.operators import graph
@@ -438,3 +442,37 @@ def test_depth_histogram_include_roots(spark):
     # roots: 1 and 4 (never children) -> one (0, 2) row on top
     assert with_roots == base | {(0, 2)}
     assert (0, 2) not in base
+
+
+@given(
+    parents=st.lists(st.integers(1, 40), min_size=1, max_size=60),
+)
+@SETTINGS
+def test_topo_depth_equals_ancestor_count_on_trees(spark, parents):
+    """Cross-operator invariant: on a TREE (one parent per child, parent
+    id < child id) the longest path from the root equals the ancestor
+    count, so topo_depth must agree with the closure-derived per-node
+    ancestor counts node for node. (They diverge only on DAGs — the
+    diamond golden test pins that side.)"""
+    edges = [
+        (child, min(p, child - 1))
+        for child, p in enumerate(parents, start=2)
+    ]
+    df = spark.createDataFrame(edges, ["child", "parent"])
+    depth = dict(
+        map(tuple, graph.topo_depth(df, "child", "parent").collect())
+    )
+    anc = {
+        r.node: r.n_anc
+        for r in graph.closure(df, "child", "parent")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_anc"))
+        .collect()
+    }
+    for node, n in anc.items():
+        assert depth[node] == n, (node, n, depth.get(node))
+    # roots (never children) sit at depth 0
+    children = {c for c, _ in edges}
+    for node, d in depth.items():
+        if node not in children:
+            assert d == 0

@@ -384,3 +384,14 @@ def test_bm25_query_side_broadcasts_and_topk_prunes(spark, sf_dir):
     # the only nested-loop nodes allowed are the broadcast 1-ROW stats
     # cross join (the winsorize scalar device); assert none beyond it
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_multi_profile_single_scan(spark, sf_dir):
+    """q114 profiles two value columns in ONE aggregate pass: exactly
+    one parquet scan and one exchange (the group shuffle) — the
+    single-column-per-call form would pay a scan per column."""
+    from ontology_graph_etl_spark.plans.registry import queries as qs
+
+    df = qs()["q114_multi_profile"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
