@@ -4085,10 +4085,10 @@ def _q113_bm25_topk(spark, sf_dir):
     # Lucene +1-smoothed idf. Query side broadcast everywhere; the only
     # corpus-sized shuffles are the query-term-pruned tf aggregate and
     # the (query, doc) score aggregate.
+    from ..functions import whitespace_tokens
+
     docs = _t(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
-    )
+    toks = whitespace_tokens(F.col("text"))
     qs = docs.where(F.col("doc_id") % 101 == 0).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", F.slice(toks, 1, 4)).alias("query_text"),
