@@ -104,6 +104,7 @@ HEADLINE = [
     "q110_span_removal",
     "q111_topo_depth",
     "q113_bm25_topk",
+    "q115_hybrid_retrieval",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

@@ -768,3 +768,66 @@ def topk_recall(
         ).alias("recall"),
         F.count(F.lit(1)).cast("long").alias("exact_k"),
     ).select(F.col("__q").alias(query_col), "recall", "exact_k")
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int = 5,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Büttcher 2009) — the
+    standard hybrid-retrieval combiner: given per-query rankings from
+    several retrievers (lexical BM25, vector cosine, ...), fuse them by
+    ``score(d) = Σ_r 1/(k + rank_r(d))`` over the rankings that
+    retrieved ``d``, and return the top ``topk`` per query by fused
+    score. Rank-based fusion needs no score calibration across
+    retrievers — exactly why it is the default in hybrid search
+    stacks.
+
+    Determinism: each contribution ``1.0/(k + rank)`` is an exact
+    double both engines compute identically; fused scores round to 6
+    before ranking and ties break on the document id, so the fused
+    list is engine-portable (the q113/q51 device).
+
+    Scale shape: the inputs are already top-k-sized (queries × k
+    rows — tiny next to any corpus), so fusion is one union, one
+    (query, doc) partial-agg shuffle of rank rows, and a per-query
+    ``row_number <= topk`` window (WindowGroupLimit-pruned). Nothing
+    corpus-sized moves.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking frame")
+    if k < 1 or topk < 1:
+        raise ValueError(f"rrf_fuse: k and topk must be >= 1, got {k}, {topk}")
+    parts = [
+        r.select(
+            F.col(query_col).alias("query"),
+            F.col(id_col).alias("doc"),
+            F.col(rank_col).alias("__r"),
+        )
+        for r in rankings
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    fused = unioned.groupBy("query", "doc").agg(
+        F.round(F.sum(F.lit(1.0) / (F.lit(k) + F.col("__r"))), 6).alias(
+            "rrf_score"
+        )
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("rrf_score").desc(), F.col("doc").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            F.col("query").alias(query_col),
+            F.col("doc").alias(id_col),
+            "rrf_score",
+            "rank",
+        )
+    )

@@ -4041,6 +4041,112 @@ HAVING count(*) > 0
 """
 
 
+def _q115_hybrid_retrieval(spark, sf_dir):
+    # hybrid retrieval end-to-end: the SAME query docs (doc_id % 101
+    # == 0; vec ids align 1:1 with doc ids in the testdata) retrieve
+    # top-10 lexically (BM25, q113 machinery) AND top-10 by embedding
+    # cosine (q51 machinery), fused by Reciprocal Rank Fusion — the
+    # calibration-free combiner hybrid search stacks default to. Both
+    # input rankings are top-k-sized, so fusion moves nothing
+    # corpus-sized.
+    from ..functions import whitespace_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    toks = whitespace_tokens(F.col("text"))
+    qs = docs.where(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 4)).alias("query_text"),
+    )
+    lex = textops.bm25_topk(docs, qs, "doc_id", "text", k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    vec = similarity.cosine_topk(
+        emb, emb.where(F.col("vec_id") % 101 == 0), "vec_id", "embedding",
+        k=10,
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return similarity.rrf_fuse([lex, vec], topk=5)
+
+
+_q115_sql = r"""
+WITH base AS (
+  SELECT doc_id AS doc,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len(toks)) AS avg_len FROM base
+),
+qt AS (
+  SELECT doc AS query, unnest(list_distinct(toks[1:4])) AS token
+  FROM base WHERE doc % 101 = 0
+),
+term_set AS (SELECT DISTINCT token FROM qt),
+tf AS (
+  SELECT doc, token, count(*) AS tf, min(doc_len) AS doc_len FROM (
+    SELECT b.doc, len(b.toks) AS doc_len, unnest(b.toks) AS token
+    FROM base b
+  ) t
+  JOIN term_set USING (token)
+  GROUP BY doc, token
+),
+df_t AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+contrib AS (
+  SELECT q.query, tf.doc,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (tf.tf * (1.2 + 1))
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.doc_len / s.avg_len))
+         AS c
+  FROM tf
+  JOIN df_t d USING (token)
+  JOIN qt q USING (token)
+  CROSS JOIN stats s
+),
+bm AS (
+  SELECT query, doc, round(sum(c), 6) AS score
+  FROM contrib GROUP BY query, doc
+),
+lex AS (
+  SELECT query, doc,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score DESC, doc ASC) AS rank
+  FROM bm QUALIFY rank <= 10
+),
+qv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       FROM embeddings WHERE vec_id % 101 = 0),
+cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vs AS (
+  SELECT qv.vec_id AS query, cv.vec_id AS doc,
+         ROUND(list_cosine_similarity(qv.e, cv.e), 6) AS cs
+  FROM qv CROSS JOIN cv WHERE qv.vec_id <> cv.vec_id
+),
+vec AS (
+  SELECT query, doc,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY cs DESC, doc ASC) AS rank
+  FROM vs QUALIFY rank <= 10
+),
+unioned AS (
+  SELECT query, doc, rank FROM lex
+  UNION ALL
+  SELECT query, doc, rank FROM vec
+),
+fused AS (
+  SELECT query, doc,
+         round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+  FROM unioned GROUP BY query, doc
+)
+SELECT query AS query_id, doc AS doc_id, rrf_score,
+       CAST(row_number() OVER (PARTITION BY query
+                               ORDER BY rrf_score DESC, doc ASC)
+            AS INTEGER) AS rank
+FROM fused QUALIFY rank <= 5
+"""
+
+
 def _q114_multi_profile(spark, sf_dir):
     # the multi-column dataset card certified end-to-end: BOTH n_chars
     # and doc_id profiled per source in ONE aggregate pass (the
@@ -4265,19 +4371,19 @@ _q110_sql = _q110_sql_for(_Q110_K)
 # ROUND-7 ROTATION (tests/test_properties.py::
 # test_certification_window_freshness enforces this policy
 # mechanically from the CORRECTNESS_r*.json history + RECERTIFY):
-#   1-5   never certified: the new q110/q111/q112/q113/q114.
-#   6-7   RECERTIFY (r6-green rows certified on a contract this round
+#   1-6   never certified: the new q110-q115.
+#   7-8   RECERTIFY (r6-green rows certified on a contract this round
 #         changed): q109 (oracle gained the json_type strict-typing
 #         gate) and q108 (computed-max path gained the in-plan
 #         overflow guard — a plan change).
-#   8-15  last green row r4, three rounds stale by now: q15, q17,
+#   9-16  last green row r4, three rounds stale by now: q15, q17,
 #         q05, q06, q07, q11, q12, q16.
-#   16-50 35 of the 44 r5-green names, in their r6 tail order.
-# Nine r5-green queries did not fit (57 stale/new names into 50
-# slots): q100, q102 and the scan-speed q57, q58, q59, q60, q65, q68,
-# q72 — they sit FIRST in the tail and LEAD THE R8 WINDOW. Done =
+#   17-50 34 of the 44 r5-green names, in their r6 tail order.
+# Ten r5-green queries did not fit (58 stale/new names into 50
+# slots): q62, q100, q102 and the scan-speed q57, q58, q59, q60, q65,
+# q68, q72 — they sit FIRST in the tail and LEAD THE R8 WINDOW. Done =
 # after the r7 driver run every query's latest green row is r6 or r7
-# except those nine (r5), and the freshness test keeps the window
+# except those ten (r5), and the freshness test keeps the window
 # honest.
 
 #: Queries whose LAST green driver row predates a contract change this
@@ -4303,6 +4409,9 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef("q113_bm25_topk", _q113_bm25_topk, _q113_sql, "§2.11"),
     QueryDef("q114_multi_profile", _q114_multi_profile, _q114_sql, "§2.11"),
+    QueryDef(
+        "q115_hybrid_retrieval", _q115_hybrid_retrieval, _q115_sql, "§2.11"
+    ),
     QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
     QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
     QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
@@ -4347,9 +4456,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
     QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
     QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
-    QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),
     # --- tail ---
     # r5-green leftovers that did not fit: LEAD THE R8 WINDOW
+    QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),
     QueryDef("q100_apportion_budget", _q100_apportion_budget, _q100_sql, "§2.11"),
     QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),
     QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),

@@ -2753,3 +2753,34 @@ def test_bm25_topk_semantics(spark):
     assert solo[0].score == pytest.approx(round(idf * tf_term, 6), abs=1e-6)
     with pytest.raises(ValueError, match="k must be"):
         bm25_topk(docs, qs, k=0)
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF golden: a doc retrieved by BOTH rankings outranks docs
+    retrieved by one; exact fused scores match 1/(60+r) sums; ties
+    break on doc id; empty input and bad params raise."""
+    import pytest
+
+    from ontology_graph_etl_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 100, 1), (1, 101, 2), (1, 102, 3)],
+        "query_id: long, doc_id: long, rank: int",
+    )
+    vec = spark.createDataFrame(
+        [(1, 101, 1), (1, 103, 2)],
+        "query_id: long, doc_id: long, rank: int",
+    )
+    out = sorted(
+        map(tuple, rrf_fuse([lex, vec], topk=4).collect()),
+        key=lambda t: t[3],
+    )
+    # doc 101: 1/62 + 1/61 = highest; then 100 (1/61), 103 (1/62),
+    # 102 (1/63); 100 beats 103 on score, not id
+    assert [t[1] for t in out] == [101, 100, 103, 102]
+    assert out[0][2] == round(1 / 62 + 1 / 61, 6)
+    assert out[1][2] == round(1 / 61, 6)
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="must be >= 1"):
+        rrf_fuse([lex], topk=0)
