@@ -4041,6 +4041,77 @@ HAVING count(*) > 0
 """
 
 
+#: Pinned pivot domain — an EXPLICIT values list is both the
+#: determinism contract (a dynamic pivot's column set depends on the
+#: data) and the scale-correct form (no extra distinct scan to
+#: discover values before the real aggregate).
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q116_pivot(spark, sf_dir):
+    # long -> wide: per-user event counts, one column per event type.
+    # groupBy().pivot(values).count() compiles to ONE partial-agg
+    # shuffle with conditional aggregates — same plan as the oracle's
+    # SUM(CASE WHEN ...) form, no per-type scans.
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy((F.col("user_id") % 100).alias("user_bucket"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return wide.select(
+        "user_bucket",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+_q116_sql = r"""
+SELECT user_id % 100 AS user_bucket,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+           AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id % 100
+"""
+
+
+def _q117_unpivot(spark, sf_dir):
+    # wide -> long (melt): part's numeric metrics as (id, metric,
+    # value) rows — the inverse surface of q116. Spark's native
+    # unpivot is a narrow zero-shuffle expression (each input row
+    # fans out in place); values cast to double up front so the melted
+    # column has one type.
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            F.col("p_retailprice").alias("p_retailprice"),
+        )
+        .unpivot(
+            ["p_partkey"],
+            ["p_size", "p_retailprice"],
+            "metric",
+            "metric_value",
+        )
+    )
+
+
+_q117_sql = r"""
+SELECT p_partkey, 'p_size' AS metric,
+       CAST(p_size AS DOUBLE) AS metric_value
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS metric_value
+FROM part
+"""
+
+
 def _q115_hybrid_retrieval(spark, sf_dir):
     # hybrid retrieval end-to-end: the SAME query docs (doc_id % 101
     # == 0; vec ids align 1:1 with doc ids in the testdata) retrieve
@@ -4371,20 +4442,20 @@ _q110_sql = _q110_sql_for(_Q110_K)
 # ROUND-7 ROTATION (tests/test_properties.py::
 # test_certification_window_freshness enforces this policy
 # mechanically from the CORRECTNESS_r*.json history + RECERTIFY):
-#   1-6   never certified: the new q110-q115.
-#   7-8   RECERTIFY (r6-green rows certified on a contract this round
+#   1-8   never certified: the new q110-q117.
+#   9-10  RECERTIFY (r6-green rows certified on a contract this round
 #         changed): q109 (oracle gained the json_type strict-typing
 #         gate) and q108 (computed-max path gained the in-plan
 #         overflow guard — a plan change).
-#   9-16  last green row r4, three rounds stale by now: q15, q17,
+#   11-18 last green row r4, three rounds stale by now: q15, q17,
 #         q05, q06, q07, q11, q12, q16.
-#   17-50 34 of the 44 r5-green names, in their r6 tail order.
-# Ten r5-green queries did not fit (58 stale/new names into 50
-# slots): q62, q100, q102 and the scan-speed q57, q58, q59, q60, q65,
-# q68, q72 — they sit FIRST in the tail and LEAD THE R8 WINDOW. Done =
-# after the r7 driver run every query's latest green row is r6 or r7
-# except those ten (r5), and the freshness test keeps the window
-# honest.
+#   19-50 32 of the 44 r5-green names, in their r6 tail order.
+# Twelve r5-green queries did not fit (60 stale/new names into 50
+# slots): q62, q63, q95, q100, q102 and the scan-speed q57, q58, q59,
+# q60, q65, q68, q72 — they sit FIRST in the tail and LEAD THE R8
+# WINDOW. Done = after the r7 driver run every query's latest green
+# row is r6 or r7 except those twelve (r5), and the freshness test
+# keeps the window honest.
 
 #: Queries whose LAST green driver row predates a contract change this
 #: round made (oracle text or Spark plan) — the freshness guard treats
@@ -4412,6 +4483,8 @@ QUERIES: list[QueryDef] = [
     QueryDef(
         "q115_hybrid_retrieval", _q115_hybrid_retrieval, _q115_sql, "§2.11"
     ),
+    QueryDef("q116_pivot", _q116_pivot, _q116_sql, "§2.7"),
+    QueryDef("q117_unpivot", _q117_unpivot, _q117_sql, "§2.7"),
     QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
     QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
     QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
@@ -4454,10 +4527,10 @@ QUERIES: list[QueryDef] = [
     QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
     QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
     QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
-    QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
-    QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
     # --- tail ---
     # r5-green leftovers that did not fit: LEAD THE R8 WINDOW
+    QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
+    QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
     QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),
     QueryDef("q100_apportion_budget", _q100_apportion_budget, _q100_sql, "§2.11"),
     QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),

@@ -395,3 +395,21 @@ def test_multi_profile_single_scan(spark, sf_dir):
     df = qs()["q114_multi_profile"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1
+
+
+def test_pivot_is_one_partial_agg_pass(spark, sf_dir):
+    """q116's pinned-values pivot must compile to ONE scan + one
+    partial-aggregated shuffle of conditional aggregates — never a
+    per-type scan or a values-discovery job."""
+    from ontology_graph_etl_spark.plans.registry import queries as qs
+
+    df = qs()["q116_pivot"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_unpivot_no_exchange(spark, sf_dir):
+    """q117's melt is an in-place row fan-out: no shuffle anywhere."""
+    plan = _plan(spark, sf_dir, "q117_unpivot")
+    assert "Exchange" not in plan
