@@ -931,16 +931,22 @@ def bm25_topk(
     corpus-sized shuffles are that pruned tf aggregate and the final
     (query, doc) score aggregate; document frequencies aggregate the
     pruned tf table (query-term-sized); N and average length ride as a
-    broadcast 1-row aggregate (no separate count() scan); the top-k
-    window is per query with ``row_number <= k`` — WindowGroupLimit
-    prunes map-side.
+    broadcast 1-row aggregate; the top-k window is per query with
+    ``row_number <= k`` — WindowGroupLimit prunes map-side. The corpus
+    is deliberately scanned TWICE (the stats aggregate and the tf
+    pass) rather than checkpointing the tokenized frame once: a
+    localCheckpoint here would materialize every token array — a
+    corpus-sized write+read — while the second scan is a column-pruned
+    read that collapses to a count/avg immediately. The exception to
+    the fork-without-reuse rule, documented because it IS the rule's
+    stated trade-off.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     toks = whitespace_tokens(F.col(text_col))
     base = ensure_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"), toks.alias("__toks")
-    ).localCheckpoint()
+    )
     stats = base.agg(
         F.count(F.lit(1)).alias("__n_docs"),
         F.avg(F.size("__toks")).alias("__avg_len"),
