@@ -4041,6 +4041,46 @@ HAVING count(*) > 0
 """
 
 
+def _q118_star_rollup(spark, sf_dir):
+    # the full star-join shape over the dimension hierarchy the
+    # testdata ships (lineitem -> orders -> customer -> nation ->
+    # region) with regional/national subtotals: every dimension
+    # broadcasts, so the fact table crosses exactly ONE shuffle (the
+    # rollup aggregate) — the canonical 100 TB reporting plan.
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+_q118_sql = r"""
+SELECT r_name, n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 #: Pinned pivot domain — an EXPLICIT values list is both the
 #: determinism contract (a dynamic pivot's column set depends on the
 #: data) and the scale-correct form (no extra distinct scan to
@@ -4442,20 +4482,20 @@ _q110_sql = _q110_sql_for(_Q110_K)
 # ROUND-7 ROTATION (tests/test_properties.py::
 # test_certification_window_freshness enforces this policy
 # mechanically from the CORRECTNESS_r*.json history + RECERTIFY):
-#   1-8   never certified: the new q110-q117.
-#   9-10  RECERTIFY (r6-green rows certified on a contract this round
+#   1-9   never certified: the new q110-q118.
+#   10-11 RECERTIFY (r6-green rows certified on a contract this round
 #         changed): q109 (oracle gained the json_type strict-typing
 #         gate) and q108 (computed-max path gained the in-plan
 #         overflow guard — a plan change).
-#   11-18 last green row r4, three rounds stale by now: q15, q17,
+#   12-19 last green row r4, three rounds stale by now: q15, q17,
 #         q05, q06, q07, q11, q12, q16.
-#   19-50 32 of the 44 r5-green names, in their r6 tail order.
-# Twelve r5-green queries did not fit (60 stale/new names into 50
-# slots): q62, q63, q95, q100, q102 and the scan-speed q57, q58, q59,
-# q60, q65, q68, q72 — they sit FIRST in the tail and LEAD THE R8
-# WINDOW. Done = after the r7 driver run every query's latest green
-# row is r6 or r7 except those twelve (r5), and the freshness test
-# keeps the window honest.
+#   20-50 31 of the 44 r5-green names, in their r6 tail order.
+# Thirteen r5-green queries did not fit (61 stale/new names into 50
+# slots): q62, q63, q88, q95, q100, q102 and the scan-speed q57, q58,
+# q59, q60, q65, q68, q72 — they sit FIRST in the tail and LEAD THE
+# R8 WINDOW. Done = after the r7 driver run every query's latest
+# green row is r6 or r7 except those thirteen (r5), and the freshness
+# test keeps the window honest.
 
 #: Queries whose LAST green driver row predates a contract change this
 #: round made (oracle text or Spark plan) — the freshness guard treats
@@ -4485,6 +4525,7 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef("q116_pivot", _q116_pivot, _q116_sql, "§2.7"),
     QueryDef("q117_unpivot", _q117_unpivot, _q117_sql, "§2.7"),
+    QueryDef("q118_star_rollup", _q118_star_rollup, _q118_sql, "§2.7"),
     QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
     QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
     QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
@@ -4526,9 +4567,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("q81_media_features", _q81_media_features, _q81_sql, "multimodal"),
     QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
     QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
-    QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
     # --- tail ---
     # r5-green leftovers that did not fit: LEAD THE R8 WINDOW
+    QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
     QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
     QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
     QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),

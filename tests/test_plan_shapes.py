@@ -413,3 +413,14 @@ def test_unpivot_no_exchange(spark, sf_dir):
     """q117's melt is an in-place row fan-out: no shuffle anywhere."""
     plan = _plan(spark, sf_dir, "q117_unpivot")
     assert "Exchange" not in plan
+
+
+def test_star_rollup_fact_crosses_one_shuffle(spark, sf_dir):
+    """q118's star join must broadcast every dimension: the lineitem
+    fact side's only exchange is the rollup aggregate — no
+    SortMergeJoin anywhere (a shuffled dim join would add fact-sized
+    exchanges)."""
+    plan = _plan(spark, sf_dir, "q118_star_rollup")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "Expand" in plan  # the rollup grouping-sets node
