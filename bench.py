@@ -105,6 +105,7 @@ HEADLINE = [
     "q111_topo_depth",
     "q113_bm25_topk",
     "q115_hybrid_retrieval",
+    "q118_star_rollup",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids
