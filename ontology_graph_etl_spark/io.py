@@ -86,6 +86,59 @@ def read_jsonl(
     return df
 
 
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL scan that SPLITS malformed rows out instead of silently
+    NULLing them (the ingest-time companion of
+    ``functions.json_fields``'s PERMISSIVE NULL semantics): returns
+    ``(good, bad)`` where ``good`` carries the pinned schema and
+    ``bad`` carries ``(raw)`` — the original line of every record the
+    parser rejected, ready for a quarantine sink and a re-ingest after
+    the producer is fixed. At 100 TB a silent NULL is a data-loss bug
+    report three stages later; the split makes bad-record volume an
+    observable metric.
+
+    Mechanics: a TEXT scan + ``from_json`` with a corrupt-record field
+    (PERMISSIVE mode stores the raw line there on parse failure) —
+    NOT the raw JSON reader, whose corrupt column cannot be queried on
+    its own (Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction;
+    the documented workaround is caching, which a 100 TB ingest cannot
+    afford). Both outputs filter the same lazy text scan — two
+    column-pruned passes, no checkpoint (the ``bm25_topk`` trade).
+    Blank lines are dropped (the native JSONL reader's behavior). The
+    corrupt field must not collide with a schema field (guarded).
+    """
+    corrupt = "_corrupt_record"
+    if corrupt in schema.fieldNames():
+        raise ValueError(
+            f"schema already has a {corrupt!r} field; rename it"
+        )
+    from pyspark.sql.types import StringType, StructField
+
+    wide = StructType(
+        list(schema.fields) + [StructField(corrupt, StringType())]
+    )
+    lines = spark.read.text(path).where(F.trim(F.col("value")) != "")
+    parsed = lines.select(
+        F.col("value"),
+        F.from_json(
+            F.col("value"),
+            wide,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+        ).alias("__j"),
+    )
+    good = parsed.where(F.col(f"__j.{corrupt}").isNull()).select(
+        *[F.col(f"__j.{name}").alias(name) for name in schema.fieldNames()]
+    )
+    bad = parsed.where(F.col(f"__j.{corrupt}").isNotNull()).select(
+        F.col("value").alias("raw")
+    )
+    return good, bad
+
+
 def read_json_doc(spark: SparkSession, path: str) -> DataFrame:
     """Whole-document JSON scan (reference S3/S4, main.py:335-336,387-389).
 

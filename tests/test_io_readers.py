@@ -139,3 +139,38 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql(f"DROP TABLE IF EXISTS {li}")
         spark.sql(f"DROP TABLE IF EXISTS {od}")
+
+
+def test_read_jsonl_quarantine_splits_bad_rows(spark, tmp_path):
+    """PERMISSIVE quarantine ingest: well-formed rows come out typed,
+    malformed lines land in the bad frame VERBATIM (re-ingestable),
+    nothing is silently NULLed away, and a schema clash raises."""
+    import pytest
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ontology_graph_etl_spark.io import read_jsonl_quarantine
+
+    p = tmp_path / "in.jsonl"
+    lines = [
+        '{"id": 1, "name": "a"}',
+        "not json at all",
+        '{"id": 2, "name": "b"}',
+        '{"id": "oops"}',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    good, bad = read_jsonl_quarantine(spark, str(p), schema)
+    assert sorted(map(tuple, good.collect())) == [(1, "a"), (2, "b")]
+    assert good.columns == ["id", "name"]
+    raws = sorted(r.raw for r in bad.collect())
+    assert raws == sorted(["not json at all", '{"id": "oops"}'])
+    clash = StructType([StructField("_corrupt_record", StringType())])
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_jsonl_quarantine(spark, str(p), clash)
