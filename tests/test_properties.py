@@ -2802,3 +2802,48 @@ def test_survey_registry_name_sync():
     survey = set(re.findall(r"q\d+_[a-z0-9_]+", survey_text))
     assert reg - survey == set(), f"registered but undocumented: {sorted(reg - survey)}"
     assert survey - reg == set(), f"documented but unregistered: {sorted(survey - reg)}"
+
+
+def test_pivot_unpivot_golden(spark):
+    """q116/q117 semantics on a hand-checkable frame: pivot emits a
+    zero (not NULL) for absent (group, value) combos; unpivot melts
+    each row into one (metric, value) row per value column with the
+    cast applied."""
+    from ontology_graph_etl_spark.plans.registry import _EVENT_TYPES
+
+    ev = spark.createDataFrame(
+        [(1, "click"), (1, "click"), (1, "view"), (2, "error")],
+        "user_id: long, event_type: string",
+    )
+    from pyspark.sql import functions as F
+
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+                for t in _EVENT_TYPES
+            ],
+        )
+    )
+    got = {r.user_id: (r.n_click, r.n_error, r.n_view) for r in wide.collect()}
+    assert got == {1: (2, 0, 1), 2: (0, 1, 0)}
+    part = spark.createDataFrame(
+        [(10, 3.0, 99.5)], "p_partkey: long, p_size: double, p_retailprice: double"
+    )
+    melted = sorted(
+        map(
+            tuple,
+            part.unpivot(
+                ["p_partkey"], ["p_size", "p_retailprice"], "metric",
+                "metric_value",
+            ).collect(),
+        )
+    )
+    assert melted == [
+        (10, "p_retailprice", 99.5),
+        (10, "p_size", 3.0),
+    ]

@@ -436,3 +436,15 @@ def test_write_training_shards_deterministic_and_balanced(
             assert bd[i][1] < bd[i + 1][0]
     with pytest.raises(ValueError, match="n_shards"):
         write_training_shards(docs, str(tmp_path / "s3"), 0, "doc_id")
+
+
+def test_write_training_shards_clash_guard(spark, tmp_path):
+    """An input frame already carrying 'shard' (or the internal __h8)
+    must raise instead of silently colliding with the output layout."""
+    import pytest
+
+    from ontology_graph_etl_spark.sinks.writers import write_training_shards
+
+    df = spark.createDataFrame([(1, 2)], "doc_id: long, shard: int")
+    with pytest.raises(ValueError, match="shard"):
+        write_training_shards(df, str(tmp_path / "x"), 4, "doc_id")
