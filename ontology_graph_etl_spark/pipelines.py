@@ -181,10 +181,19 @@ def curate_pretraining_corpus(
     valid_frac: float = 0.1,
     base_hash: str = "xxhash64",
     materialize: bool = False,
+    span_removal_k: int | None = None,
 ) -> DataFrame:
     """One-call training-data curation — the composition the individual
     §2.11 operators exist for:
 
+    0. (opt-in) Exact duplicated-span removal
+       (``duplicate_span_removal``, ``span_removal_k=`` tokens) —
+       every later stage then sees the CLEANED text, the Lee-et-al
+       ordering (cut duplicated spans before doc-level decisions);
+       the output gains ``span_tokens_removed`` and ``text_clean``.
+       The cleaned frame is ALWAYS localCheckpoint-pinned when this
+       stage is on: five downstream consumers would otherwise re-run
+       its two shuffles each.
     1. Gopher quality gate (``gopher_quality_filters``) — drop reasons
        ride along as columns.
     2. Exact dedup, first-wins by min id over identical text.
@@ -215,13 +224,26 @@ def curate_pretraining_corpus(
     from .operators.dedup import cluster_representatives, lsh_dedup_clusters
     from .operators.textops import gopher_quality_filters, quality_score
 
-    gq = gopher_quality_filters(docs, id_col, text_col)
-    quality = quality_score(docs.select(id_col, text_col), text_col).select(
+    spans = None
+    work = docs.select(id_col, text_col)
+    if span_removal_k is not None:
+        from .operators.textops import duplicate_span_removal
+
+        spans = duplicate_span_removal(
+            work, id_col, text_col, k=span_removal_k
+        ).select(
+            id_col,
+            F.col("n_removed").alias("span_tokens_removed"),
+            "text_clean",
+        ).localCheckpoint()
+        work = spans.select(id_col, F.col("text_clean").alias(text_col))
+    gq = gopher_quality_filters(work, id_col, text_col)
+    quality = quality_score(work.select(id_col, text_col), text_col).select(
         id_col, "quality_score"
     )
     w_text = Window.partitionBy(text_col).orderBy(F.col(id_col).asc())
     exact = (
-        docs.select(id_col, text_col)
+        work.select(id_col, text_col)
         .withColumn("__rn", F.row_number().over(w_text))
         .select(id_col, (F.col("__rn") == 1).alias("exact_keep"))
     )
@@ -230,7 +252,7 @@ def curate_pretraining_corpus(
         exact = exact.localCheckpoint()
         quality = quality.localCheckpoint()
     survivors = (
-        docs.join(gq.select(id_col, "passes_gopher"), id_col)
+        work.join(gq.select(id_col, "passes_gopher"), id_col)
         .join(exact, id_col)
         .where(F.col("passes_gopher") & F.col("exact_keep"))
         .select(id_col, text_col)
@@ -253,12 +275,16 @@ def curate_pretraining_corpus(
         .when(h < train_frac + valid_frac, "valid")
         .otherwise("test")
     )
-    return (
+    out = (
         docs.join(gq, id_col)
         .join(exact, id_col)
         .join(quality, id_col)
         .join(reps, id_col, "left")
-        .withColumn("split", split)
+    )
+    if spans is not None:
+        out = out.join(spans, id_col)
+    return (
+        out.withColumn("split", split)
         .withColumn(
             "keep",
             F.col("passes_gopher")

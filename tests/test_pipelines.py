@@ -302,3 +302,47 @@ def test_build_token_budget_mix_clash_guard(spark):
     )
     with pytest.raises(ValueError, match="allocation"):
         build_token_budget_mix(docs, 100)
+
+
+def test_curation_span_removal_stage(spark):
+    """span_removal_k= runs the Lee-et-al span cut FIRST and every
+    later stage sees the cleaned text: the output equals manually
+    composing duplicate_span_removal with the span-free pipeline
+    (column for column on the shared trail), every input row comes
+    back annotated, and the new columns carry the stage's evidence."""
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark.operators.textops import (
+        duplicate_span_removal,
+    )
+    from ontology_graph_etl_spark.pipelines import curate_pretraining_corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base + " one extra tail piece here now ok fine"),
+        (2, "start pad " + base + " different ending words go here"),
+        (3, "completely different document with its own words only"),
+        (4, "completely different document with its own words only"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = curate_pretraining_corpus(
+        docs, near_dup_threshold=0.3, span_removal_k=4
+    )
+    assert out.count() == len(rows)
+    cols = set(out.columns)
+    assert {"span_tokens_removed", "text_clean", "keep", "split"} <= cols
+    got = {r.doc_id: r for r in out.collect()}
+    # doc 2 contained doc 1's 8-token run -> spans removed there only
+    assert got[2].span_tokens_removed > 0
+    assert got[1].span_tokens_removed == 0
+    # manual composition: span removal, then the span-free pipeline on
+    # the cleaned text — shared trail columns must match exactly
+    cleaned = duplicate_span_removal(docs, k=4).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    manual = curate_pretraining_corpus(cleaned, near_dup_threshold=0.3)
+    shared = ["doc_id", "passes_gopher", "exact_keep", "near_keep",
+              "split", "keep"]
+    a = sorted(map(tuple, out.select(*shared).collect()))
+    b = sorted(map(tuple, manual.select(*shared).collect()))
+    assert a == b
