@@ -4497,10 +4497,14 @@ _q110_sql = _q110_sql_for(_Q110_K)
 # green row is r6 or r7 except those thirteen (r5), and the freshness
 # test keeps the window honest.
 
-#: Queries whose LAST green driver row predates a contract change this
-#: round made (oracle text or Spark plan) — the freshness guard treats
-#: them like never-certified names (must sit in the window). Clear the
-#: set each round once the driver has re-certified them.
+#: Queries whose LAST green driver row predates a contract change
+#: (oracle text or Spark plan) — the freshness guard treats them like
+#: never-certified names (must sit in the window). RECERTIFY_ROUND is
+#: the round whose window re-certifies them: once a CORRECTNESS file
+#: of that round (or later) carries their green row, the guard FAILS
+#: until the names are removed — the set cannot silently pin window
+#: slots forever.
+RECERTIFY_ROUND = 7
 RECERTIFY: set[str] = {
     "q108_weighted_sample",
     "q109_json_extract",

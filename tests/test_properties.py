@@ -2621,7 +2621,11 @@ def test_certification_window_freshness():
     import pathlib
     import re
 
-    from ontology_graph_etl_spark.plans.registry import QUERIES, RECERTIFY
+    from ontology_graph_etl_spark.plans.registry import (
+        QUERIES,
+        RECERTIFY,
+        RECERTIFY_ROUND,
+    )
 
     root = pathlib.Path(__file__).resolve().parent.parent
     rounds = {}
@@ -2639,6 +2643,17 @@ def test_certification_window_freshness():
     window = set(names[:50])
     unknown = RECERTIFY - set(names)
     assert not unknown, f"RECERTIFY names not in registry: {unknown}"
+    # self-clearing: once the driver has re-certified a RECERTIFY name
+    # (a green row dated RECERTIFY_ROUND or later), keeping it in the
+    # set would pin a window slot forever — fail until it is removed
+    recertified = {
+        n for n in RECERTIFY if rounds.get(n, 0) >= RECERTIFY_ROUND
+    }
+    assert not recertified, (
+        f"RECERTIFY members already re-certified in round "
+        f">= {RECERTIFY_ROUND}: {sorted(recertified)} — remove them "
+        "from the set (plans/registry.py)"
+    )
 
     def staleness(name):
         if name not in rounds or name in RECERTIFY:
