@@ -133,3 +133,24 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def read_training_shards(
+    spark: SparkSession,
+    path: str,
+    shard: int | None = None,
+) -> DataFrame:
+    """Read back a :func:`write_training_shards` layout. ``shard=``
+    restricts to one shard and the filter is partition PRUNING, not a
+    scan-and-filter: the layout is ``partitionBy("shard")`` parquet, so
+    Spark lists only that shard's directory — the coordination-free
+    "worker i streams shard i of n" consume pattern the writer's
+    deterministic assignment exists for. Within a shard, file order is
+    the md5 order the writer sorted (parquet preserves row order per
+    file)."""
+    df = spark.read.parquet(path)
+    if shard is not None:
+        from pyspark.sql import functions as F
+
+        df = df.where(F.col("shard") == int(shard))
+    return df

@@ -448,3 +448,28 @@ def test_write_training_shards_clash_guard(spark, tmp_path):
     df = spark.createDataFrame([(1, 2)], "doc_id: long, shard: int")
     with pytest.raises(ValueError, match="shard"):
         write_training_shards(df, str(tmp_path / "x"), 4, "doc_id")
+
+
+def test_read_training_shards_prunes_partitions(spark, sf_dir, tmp_path):
+    """shard= must resolve to partition pruning — the scan touches one
+    shard directory, visible as a partition filter in the plan and as
+    the shard's exact row subset in the result."""
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.sinks.writers import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    p = str(tmp_path / "shards")
+    write_training_shards(docs, p, 4, "doc_id")
+    whole = read_training_shards(spark, p)
+    one = read_training_shards(spark, p, shard=2)
+    want = {r.doc_id for r in whole.where("shard = 2").collect()}
+    assert {r.doc_id for r in one.collect()} == want
+    assert 0 < len(want) < docs.count()
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # the shard predicate lands in PartitionFilters, not PushedFilters
+    assert "PartitionFilters: [" in plan
+    scan = plan[plan.index("PartitionFilters") :]
+    assert "shard" in scan[: scan.index("]")]
