@@ -4479,23 +4479,30 @@ _q110_sql = _q110_sql_for(_Q110_K)
 # holds queries green in the immediately preceding CORRECTNESS file and
 # untouched since.
 #
-# ROUND-7 ROTATION (tests/test_properties.py::
+# ROUND-9 ROTATION (tests/test_properties.py::
 # test_certification_window_freshness enforces this policy
-# mechanically from the CORRECTNESS_r*.json history + RECERTIFY):
-#   1-9   never certified: the new q110-q118.
-#   10-11 RECERTIFY (r6-green rows certified on a contract this round
-#         changed): q109 (oracle gained the json_type strict-typing
-#         gate) and q108 (computed-max path gained the in-plan
-#         overflow guard — a plan change).
-#   12-19 last green row r4, three rounds stale by now: q15, q17,
-#         q05, q06, q07, q11, q12, q16.
-#   20-50 31 of the 44 r5-green names, in their r6 tail order.
-# Thirteen r5-green queries did not fit (61 stale/new names into 50
-# slots): q62, q63, q88, q95, q100, q102 and the scan-speed q57, q58,
-# q59, q60, q65, q68, q72 — they sit FIRST in the tail and LEAD THE
-# R8 WINDOW. Done = after the r7 driver run every query's latest
-# green row is r6 or r7 except those thirteen (r5), and the freshness
-# test keeps the window honest.
+# mechanically from the CORRECTNESS_r*.json history + RECERTIFY).
+# Round 8 shipped no rotation commit, so the r8 driver re-certified
+# the r7 window verbatim and the backlog became UNSATISFIABLE under
+# the old hard rule: 61 names are now >= 2 rounds stale (48 last
+# green r6, 13 last green r5) but only 50 slots exist. The guard was
+# therefore generalized to the strongest satisfiable invariant — the
+# window must be a top-50-by-staleness set (no inversion: nothing
+# outside the window may be staler than anything inside), plus a hard
+# cap of ceil(N/50) rounds on the staleness of anything left outside.
+# This window:
+#   1-13  the 13 r5-green names (3 rounds stale — at the cap), in
+#         their promised lead-the-next-window tail order.
+#   14-50 37 of the 48 r6-green names (2 rounds stale), former tail
+#         order.
+# Eleven r6-green names did not fit; they sit FIRST in the tail and
+# LEAD THE R10 WINDOW: q25, q27, q01, q02, q03, q04, q08, q09, q10,
+# q13, q14. Done = after the r9 driver run no query's latest green
+# row predates r6, and r10's rotation retires the staleness backlog
+# entirely (11 + 39 of the 50 r8 names fit in one window).
+# New queries registered this round are inserted at the window head
+# (never-certified names must sit in the window); each insertion
+# pushes the window's last entry to the tail head.
 
 #: Queries whose LAST green driver row predates a contract change
 #: (oracle text or Spark plan) — the freshness guard treats them like
@@ -4503,17 +4510,85 @@ _q110_sql = _q110_sql_for(_Q110_K)
 #: the round whose window re-certifies them: once a CORRECTNESS file
 #: of that round (or later) carries their green row, the guard FAILS
 #: until the names are removed — the set cannot silently pin window
-#: slots forever.
-RECERTIFY_ROUND = 7
-RECERTIFY: set[str] = {
-    "q108_weighted_sample",
-    "q109_json_extract",
-}
+#: slots forever. Empty this round: q108/q109 were re-certified by
+#: the r8 driver run (green rows in CORRECTNESS_r08.json).
+RECERTIFY_ROUND = 9
+RECERTIFY: set[str] = set()
 
 QUERIES: list[QueryDef] = [
-    # --- round-7 window (driver consumes the first 50 entries;
-    # ordering rationale + leftover list in the ROTATION comment
-    # above, policy enforced by the freshness test) ---
+    # --- ROUND-9 WINDOW (first 50; rationale in the ROTATION comment) ---
+    # 13 names whose last green row is r5 (3 rounds stale):
+    QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
+    QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
+    QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
+    QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),
+    QueryDef("q100_apportion_budget", _q100_apportion_budget, _q100_sql, "§2.11"),
+    QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),
+    QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
+    QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
+    QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
+    QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
+    QueryDef("q65_deterministic_split", _q65_deterministic_split, _q65_sql, "§2.11"),
+    QueryDef("q68_stratified_sample", _q68_stratified_sample, _q68_sql, "§2.11"),
+    QueryDef("q72_pii_redact", _q72_pii_redact, _q72_sql, "§2.11"),
+    # 37 of the 48 r6-green names (2 rounds stale), former tail order:
+    QueryDef("q105_fill_budget", _q105_fill_budget, _q105_sql(), "§2.11"),
+    QueryDef(
+        "q106_personalized_pagerank",
+        _q106_personalized_pagerank,
+        _ppr_oracle_sql(3),
+        "§2.8",
+    ),
+    QueryDef("q37_pagerank", _q37_pagerank, _q37_sql, "G8"),
+    QueryDef("q107_depth_histogram", _q107_depth_histogram, _q107_sql, "G5"),
+    QueryDef("q103_quality_gate", _q103_quality_gate, _q103_sql, "§2.11"),
+    QueryDef("q101_winsorize", _q101_winsorize, _q101_sql, "§2.11"),
+    QueryDef("q92_distribution_drift", _q92_distribution_drift, _q92_sql, "§2.11"),
+    QueryDef("q104_corpus_profile", _q104_corpus_profile, _q104_sql, "§2.11"),
+    QueryDef("q99_lsh_quality", _q99_lsh_quality, _q99_sql(), "§2.11"),
+    QueryDef("q34_degrees", _q34_degrees, _q34_sql, "G6"),
+    QueryDef("q26_asof_join", _q26_asof_join, _q26_sql, "§2.7"),
+    QueryDef("q89_asof_forward", _q89_asof_forward, _q89_sql, "§2.7"),
+    QueryDef("q82_lsh_neardup", _q82_lsh_neardup, _q82_sql, "§2.11"),
+    QueryDef("q86_ivf_det_topk", _q86_ivf_det_topk, _q86_sql(), "§2.11"),
+    QueryDef("q85_curate", _q85_curate, _q85_sql(), "§2.11"),
+    QueryDef("q80_binary_meta", _q80_binary_meta, _q80_sql, "multimodal"),
+    QueryDef("q30_one_hop", _q30_one_hop, _q30_sql, "G3"),
+    QueryDef("q31_two_hop_motif", _q31_two_hop_motif, _q31_sql, "G4"),
+    QueryDef("q32_closure", _q32_closure, _q32_sql, "G5"),
+    QueryDef("q33_edge_histogram", _q33_edge_histogram, _q33_sql, "G6"),
+    QueryDef("q43_gap_stats", _q43_gap_stats, _q43_sql, "§2.9"),
+    QueryDef("q40_tumbling_agg", _q40_tumbling_agg, _q40_sql, "§2.10"),
+    QueryDef("q41_session_window", _q41_session_window, _q41_sql, "§2.10"),
+    QueryDef("q42_sliding_window", _q42_sliding_window, _q42_sql, "§2.10"),
+    QueryDef("q53_approx_agg", _q53_approx_agg, _q53_sql, "§2.11"),
+    QueryDef("q61_lsh_topk", _q61_lsh_topk, _q61_sql(), "§2.11"),
+    QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
+    QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
+    QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
+    QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
+    QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
+    QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
+    QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
+    QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
+    QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
+    QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
+    QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
+    # --- tail ---
+    # 11 r6-green leftovers that did not fit (61 stale names into 50
+    # slots after the r8 no-op): LEAD THE R10 WINDOW
+    QueryDef("q25_rollup", _q25_rollup, _q25_sql, "§2.7"),
+    QueryDef("q27_cube", _q27_cube, _q27_sql, "§2.7"),
+    QueryDef("q01_scan_jsonl", _q01_scan_jsonl, _q01_sql, "S1,P1"),
+    QueryDef("q02_scan_map", _q02_scan_map, _q02_sql, "S3"),
+    QueryDef("q03_prefix_scan", _q03_prefix_scan, _q03_sql, "S5,P6"),
+    QueryDef("q04_meta_project", _q04_meta_project, _q04_sql, "S6"),
+    QueryDef("q08_lookup_join", _q08_lookup_join, _q08_sql, "J1,P5"),
+    QueryDef("q09_anti_join", _q09_anti_join, _q09_sql, "J2"),
+    QueryDef("q10_edge_join", _q10_edge_join, _q10_sql, "J3,G2"),
+    QueryDef("q13_group_count", _q13_group_count, _q13_sql, "A2"),
+    QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
+    # r8-certified names (the former window), untouched since
     QueryDef("q110_span_removal", _q110_span_removal, _q110_sql, "§2.11"),
     QueryDef("q111_topo_depth", _q111_topo_depth, _q111_sql, "G12"),
     QueryDef(
@@ -4571,75 +4646,6 @@ QUERIES: list[QueryDef] = [
     QueryDef("q81_media_features", _q81_media_features, _q81_sql, "multimodal"),
     QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
     QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
-    # --- tail ---
-    # r5-green leftovers that did not fit: LEAD THE R8 WINDOW
-    QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
-    QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
-    QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
-    QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),
-    QueryDef("q100_apportion_budget", _q100_apportion_budget, _q100_sql, "§2.11"),
-    QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),
-    QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
-    QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
-    QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
-    QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
-    QueryDef("q65_deterministic_split", _q65_deterministic_split, _q65_sql, "§2.11"),
-    QueryDef("q68_stratified_sample", _q68_stratified_sample, _q68_sql, "§2.11"),
-    QueryDef("q72_pii_redact", _q72_pii_redact, _q72_sql, "§2.11"),
-    # r6-green and recertified-this-window names, untouched
-    QueryDef("q105_fill_budget", _q105_fill_budget, _q105_sql(), "§2.11"),
-    QueryDef(
-        "q106_personalized_pagerank",
-        _q106_personalized_pagerank,
-        _ppr_oracle_sql(3),
-        "§2.8",
-    ),
-    QueryDef("q37_pagerank", _q37_pagerank, _q37_sql, "G8"),
-    QueryDef("q107_depth_histogram", _q107_depth_histogram, _q107_sql, "G5"),
-    QueryDef("q103_quality_gate", _q103_quality_gate, _q103_sql, "§2.11"),
-    QueryDef("q101_winsorize", _q101_winsorize, _q101_sql, "§2.11"),
-    QueryDef("q92_distribution_drift", _q92_distribution_drift, _q92_sql, "§2.11"),
-    QueryDef("q104_corpus_profile", _q104_corpus_profile, _q104_sql, "§2.11"),
-    QueryDef("q99_lsh_quality", _q99_lsh_quality, _q99_sql(), "§2.11"),
-    QueryDef("q34_degrees", _q34_degrees, _q34_sql, "G6"),
-    QueryDef("q26_asof_join", _q26_asof_join, _q26_sql, "§2.7"),
-    QueryDef("q89_asof_forward", _q89_asof_forward, _q89_sql, "§2.7"),
-    QueryDef("q82_lsh_neardup", _q82_lsh_neardup, _q82_sql, "§2.11"),
-    QueryDef("q86_ivf_det_topk", _q86_ivf_det_topk, _q86_sql(), "§2.11"),
-    QueryDef("q85_curate", _q85_curate, _q85_sql(), "§2.11"),
-    QueryDef("q80_binary_meta", _q80_binary_meta, _q80_sql, "multimodal"),
-    QueryDef("q30_one_hop", _q30_one_hop, _q30_sql, "G3"),
-    QueryDef("q31_two_hop_motif", _q31_two_hop_motif, _q31_sql, "G4"),
-    QueryDef("q32_closure", _q32_closure, _q32_sql, "G5"),
-    QueryDef("q33_edge_histogram", _q33_edge_histogram, _q33_sql, "G6"),
-    QueryDef("q43_gap_stats", _q43_gap_stats, _q43_sql, "§2.9"),
-    QueryDef("q40_tumbling_agg", _q40_tumbling_agg, _q40_sql, "§2.10"),
-    QueryDef("q41_session_window", _q41_session_window, _q41_sql, "§2.10"),
-    QueryDef("q42_sliding_window", _q42_sliding_window, _q42_sql, "§2.10"),
-    QueryDef("q53_approx_agg", _q53_approx_agg, _q53_sql, "§2.11"),
-    QueryDef("q61_lsh_topk", _q61_lsh_topk, _q61_sql(), "§2.11"),
-    QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
-    QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
-    QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
-    QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
-    QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
-    QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
-    QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
-    QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
-    QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
-    QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
-    QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
-    QueryDef("q25_rollup", _q25_rollup, _q25_sql, "§2.7"),
-    QueryDef("q27_cube", _q27_cube, _q27_sql, "§2.7"),
-    QueryDef("q01_scan_jsonl", _q01_scan_jsonl, _q01_sql, "S1,P1"),
-    QueryDef("q02_scan_map", _q02_scan_map, _q02_sql, "S3"),
-    QueryDef("q03_prefix_scan", _q03_prefix_scan, _q03_sql, "S5,P6"),
-    QueryDef("q04_meta_project", _q04_meta_project, _q04_sql, "S6"),
-    QueryDef("q08_lookup_join", _q08_lookup_join, _q08_sql, "J1,P5"),
-    QueryDef("q09_anti_join", _q09_anti_join, _q09_sql, "J2"),
-    QueryDef("q10_edge_join", _q10_edge_join, _q10_sql, "J3,G2"),
-    QueryDef("q13_group_count", _q13_group_count, _q13_sql, "A2"),
-    QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
 ]
 
 

@@ -2609,15 +2609,29 @@ def test_certification_window_freshness():
     """The driver certifies exactly the first 50 registry entries per
     round, so the list order IS the freshness policy. Enforce it
     mechanically from the CORRECTNESS_r*.json history instead of
-    trusting the hand-written rotation comment:
+    trusting the hand-written rotation comment.
+
+    The original rule ("nothing >= 2 rounds stale may sit outside the
+    window") is unsatisfiable once a round ships no rotation: after
+    the r8 no-op, 61 of 111 names were >= 2 rounds stale — more than
+    the 50 slots. The guard therefore enforces the strongest invariant
+    that any backlog state CAN satisfy, which reduces to the original
+    rule whenever the backlog fits:
 
     (a) never-certified queries and RECERTIFY members (green row
         predates a contract change) sit in the window;
-    (b) nothing >= 2 rounds stale is left outside the window;
-    (c) no wasted slot — while any stale/new/recertify name is outside
-        the window, no already-fresh name may occupy a slot.
+    (b) no inversion — the window is a top-50-by-staleness set: no
+        name outside the window may be strictly staler than any name
+        inside it (this subsumes the old "no wasted slot" clause);
+    (c) bounded backlog — nothing staler than ceil(N/50) rounds (the
+        steady-state recertification period) may sit OUTSIDE the
+        window; beyond-cap names must be first in line. A skipped
+        round pushes names toward the cap, and a second consecutive
+        skip trips this clause — the tripwire the r8 no-op dodged for
+        one round under the old phrasing.
     """
     import json
+    import math
     import pathlib
     import re
 
@@ -2655,30 +2669,46 @@ def test_certification_window_freshness():
         "from the set (plans/registry.py)"
     )
 
-    def staleness(name):
+    INF = float("inf")
+
+    def priority(name):
+        # higher = needs certification sooner
         if name not in rounds or name in RECERTIFY:
-            return None  # 'infinitely stale': must certify
+            return INF  # never certified / contract changed
         return max_round - rounds[name]
 
-    must_certify = {
-        n for n in names if staleness(n) is None or staleness(n) >= 2
-    }
+    # (a) must-certify names sit in the window
+    must_certify = {n for n in names if priority(n) == INF}
     missing = must_certify - window
     assert not missing, (
-        f"stale/new/recertify queries outside the 50-slot window: "
-        f"{sorted(missing)}"
+        f"never-certified/RECERTIFY queries outside the 50-slot "
+        f"window: {sorted(missing)}"
     )
-    needs_row = {n for n in names if staleness(n) is None or staleness(n) >= 1}
-    left_out = needs_row - window
-    if left_out:
-        fresh_in_window = {
-            n for n in window if n not in needs_row
-        }
-        assert not fresh_in_window, (
-            f"window wastes {len(fresh_in_window)} slot(s) on fresh "
-            f"queries {sorted(fresh_in_window)[:5]}... while "
-            f"{sorted(left_out)[:5]}... wait outside"
-        )
+
+    # (b) no inversion: window = top-50 by staleness (ties free)
+    worst_outside = max(
+        (priority(n) for n in names[50:]), default=0
+    )
+    best_inside = min(priority(n) for n in names[:50])
+    assert worst_outside <= best_inside, (
+        f"staleness inversion: a name outside the window is "
+        f"{worst_outside} rounds stale while a window slot holds a "
+        f"{best_inside}-rounds-stale name — rotate "
+        f"(outside worst: "
+        f"{sorted((n for n in names[50:] if priority(n) == worst_outside))[:5]}, "
+        f"inside best: "
+        f"{sorted((n for n in names[:50] if priority(n) == best_inside))[:5]})"
+    )
+
+    # (c) bounded backlog outside the window
+    cap = math.ceil(len(names) / 50)
+    over_cap = {
+        n for n in names[50:] if priority(n) != INF and priority(n) > cap
+    }
+    assert not over_cap, (
+        f"names more than {cap} rounds stale left outside the window: "
+        f"{sorted(over_cap)} — the backlog is growing; rotate now"
+    )
 
 
 @given(
