@@ -159,10 +159,15 @@ def closure(
     Ontology hierarchies are exactly this shape: edges ≈ #concepts,
     closure ≫ edges.
     """
+    # a half-NULL edge is not an edge: drop it whole, matching
+    # topo_depth/depth_histogram (a NULL endpoint would otherwise
+    # surface as a literal NULL "ancestor" row in the closure, while
+    # never extending through the joins — join keys skip NULLs)
     base = (
         edges.select(
             F.col(src_col).alias("node"), F.col(dst_col).alias("anc")
         )
+        .where(F.col("node").isNotNull() & F.col("anc").isNotNull())
         .distinct()
         .localCheckpoint()
     )
@@ -903,14 +908,21 @@ def depth_histogram(
     )
     if not include_roots:
         return hist
-    endpoints = edges.select(
+    # edge-level NULL filter BEFORE the explode: a half-NULL edge is
+    # not an edge (closure and topo_depth drop it whole), so it must
+    # not promote its non-NULL endpoint to root candidacy either —
+    # the per-endpoint isNotNull() this replaces disagreed with
+    # topo_depth's root set on such edges
+    endpoints = edges.where(
+        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+    ).select(
         F.explode(
             F.array(
                 F.struct(F.col(src_col).alias("n"), F.lit(1).alias("c")),
                 F.struct(F.col(dst_col).alias("n"), F.lit(0).alias("c")),
             )
         ).alias("e")
-    ).select("e.*").where(F.col("n").isNotNull())
+    ).select("e.*")
     roots_row = (
         endpoints.groupBy("n")
         .agg(F.max("c").alias("__has_parent"))

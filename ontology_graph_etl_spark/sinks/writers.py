@@ -118,9 +118,21 @@ def write_training_shards(
             "write_training_shards output column shard (or internal __h8)"
             " already exists on the input"
         )
-    h8 = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    # NULL keys would yield md5(NULL) = NULL shard ids, landing rows in
+    # __HIVE_DEFAULT_PARTITION__ — outside the promised 0..n_shards-1
+    # range, where read_training_shards(shard=i) silently never returns
+    # them. Fail the write instead of breaking the every-row-in-
+    # exactly-one-shard contract: coalesce routes NULL keys (and ONLY
+    # those rows — non-NULL rows never evaluate the branch) through
+    # raise_error.
+    checked_key = (
+        f"coalesce(CAST(`{key_col}` AS STRING), "
+        f"raise_error('write_training_shards: NULL {key_col} has no "
+        f"deterministic shard; filter or fill NULL keys first'))"
+    )
+    h8 = F.expr(f"substring(md5({checked_key}), 1, 8)")
     shard = F.expr(
-        f"CAST(conv(substring(md5(CAST(`{key_col}` AS STRING)), 1, 8),"
+        f"CAST(conv(substring(md5({checked_key}), 1, 8),"
         f" 16, 10) AS BIGINT) * {int(n_shards)} div 4294967296"
     )
     (

@@ -444,6 +444,46 @@ def test_depth_histogram_include_roots(spark):
     assert (0, 2) not in base
 
 
+def test_half_null_edges_agree_across_graph_operators(spark):
+    """A half-NULL edge is not an edge — all three hierarchy operators
+    must drop it WHOLE. Regression for the former disagreement: the
+    include_roots endpoint pass filtered NULLs per-endpoint after the
+    explode, so (5, NULL) still suppressed 5's root candidacy and
+    (NULL, 4) still promoted 4, while topo_depth dropped both edges —
+    the two operators disagreed on the root set, and closure leaked
+    literal NULL-ancestor rows."""
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (5, None), (None, 4), (6, 4)],
+        "child int, parent int",
+    )
+    # valid edges: (2,1), (3,2), (6,4). Universe {1,2,3,4,6};
+    # roots {1, 4} — NOT 5 (its only parent edge is half-NULL) and
+    # NOT 4-via-(NULL,4) double counting.
+    clo = graph.closure(edges, "child", "parent").collect()
+    assert all(
+        r.node is not None and r.anc is not None for r in clo
+    ), f"closure leaked NULL endpoints: {clo}"
+    assert {(r.node, r.anc) for r in clo} == {
+        (2, 1), (3, 2), (3, 1), (6, 4)
+    }
+
+    depths = {
+        r.node: r.depth
+        for r in graph.topo_depth(edges, "child", "parent").collect()
+    }
+    topo_roots = {n for n, d in depths.items() if d == 0}
+    assert depths == {1: 0, 4: 0, 2: 1, 6: 1, 3: 2}
+
+    hist = {
+        (r.n_ancestors, r.n_nodes)
+        for r in graph.depth_histogram(
+            edges, "child", "parent", include_roots=True
+        ).collect()
+    }
+    # the n_ancestors=0 row must count exactly topo_depth's root set
+    assert hist == {(0, len(topo_roots)), (1, 2), (2, 1)}
+
+
 @given(
     parents=st.lists(st.integers(1, 40), min_size=1, max_size=60),
 )

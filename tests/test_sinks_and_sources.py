@@ -450,6 +450,34 @@ def test_write_training_shards_clash_guard(spark, tmp_path):
         write_training_shards(df, str(tmp_path / "x"), 4, "doc_id")
 
 
+def test_write_training_shards_null_key_raises(spark, tmp_path):
+    """md5(NULL) = NULL would route the row to
+    __HIVE_DEFAULT_PARTITION__, outside the promised 0..n_shards-1
+    range, where read_training_shards(shard=i) silently drops it. The
+    writer must fail loudly instead; NULL-free inputs are unaffected."""
+    import pytest
+
+    from ontology_graph_etl_spark.sinks.writers import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, "c")], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="NULL doc_id"):
+        write_training_shards(bad, str(tmp_path / "bad"), 4, "doc_id")
+
+    good = bad.where("doc_id IS NOT NULL")
+    p = str(tmp_path / "good")
+    write_training_shards(good, p, 4, "doc_id")
+    back = read_training_shards(spark, p)
+    assert {r.doc_id for r in back.collect()} == {1, 3}
+    assert all(
+        0 <= r.shard < 4 for r in back.select("shard").collect()
+    )
+
+
 def test_read_training_shards_prunes_partitions(spark, sf_dir, tmp_path):
     """shard= must resolve to partition pruning — the scan touches one
     shard directory, visible as a partition filter in the plan and as
