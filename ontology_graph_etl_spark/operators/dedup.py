@@ -546,6 +546,176 @@ def incremental_near_duplicates(
     )
 
 
+# ---------------------------------------------------------------------------
+# Persisted dedup-index lifecycle: write / read / merge / screen
+# ---------------------------------------------------------------------------
+
+#: Underscore-prefixed so Spark's parquet file listing ignores it
+#: (the _SUCCESS convention); lives INSIDE the index directory so the
+#: parameters travel with the data through copies/renames.
+_DEDUP_INDEX_SIDECAR = "_dedup_index_params.json"
+
+#: The LSH parameters that define index compatibility: screening with
+#: any of these mismatched against the stored rows returns silent
+#: garbage (different permutation constants -> different band keys ->
+#: near-zero collision recall), which is why the sidecar is mandatory.
+DEDUP_INDEX_PARAM_KEYS = ("num_hashes", "bands", "shingle_n", "base_hash")
+
+
+def _hadoop_path_and_fs(spark, path: str):
+    """Resolve ``path`` through the Hadoop FileSystem API so the
+    sidecar read/write works on any Spark-supported filesystem (local,
+    HDFS, s3a, abfs) — not just local paths."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return hpath, fs
+
+
+def _read_sidecar(spark, path: str) -> dict:
+    import json
+
+    hpath, fs = _hadoop_path_and_fs(
+        spark, f"{path.rstrip('/')}/{_DEDUP_INDEX_SIDECAR}"
+    )
+    if not fs.exists(hpath):
+        raise ValueError(
+            f"dedup index at {path} has no {_DEDUP_INDEX_SIDECAR} "
+            "sidecar — unparameterized indexes cannot be screened "
+            "against safely; rebuild via write_dedup_index"
+        )
+    stream = fs.open(hpath)
+    try:
+        raw = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    params = json.loads(raw.decode("utf-8"))
+    missing = set(DEDUP_INDEX_PARAM_KEYS) - set(params)
+    if missing:
+        raise ValueError(
+            f"dedup index sidecar at {path} is missing keys: "
+            f"{sorted(missing)}"
+        )
+    return {k: params[k] for k in DEDUP_INDEX_PARAM_KEYS}
+
+
+def _write_sidecar(spark, path: str, params: dict) -> None:
+    import json
+
+    hpath, fs = _hadoop_path_and_fs(
+        spark, f"{path.rstrip('/')}/{_DEDUP_INDEX_SIDECAR}"
+    )
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(params, sort_keys=True).encode()))
+    finally:
+        out.close()
+
+
+def write_dedup_index(
+    index: DataFrame,
+    path: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    base_hash: str = "xxhash64",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a :func:`prepare_dedup_index` frame with its parameter
+    sidecar. ``mode="append"`` is the continuous-ingest maintenance
+    path: it validates the stored sidecar's LSH parameters against the
+    caller's FIRST and refuses a mismatch — appending rows built under
+    different num_hashes/bands/shingle_n/base_hash would poison the
+    index silently (band keys from different permutation constants
+    never collide correctly).
+
+    Scale shape: an append writes only the new batch's files into the
+    existing parquet directory — the corpus-sized existing files are
+    never read or rewritten, so maintenance cost is O(batch), not
+    O(corpus). Readers list one directory either way.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    params = {
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "shingle_n": int(shingle_n),
+        "base_hash": str(base_hash),
+    }
+    spark = index.sparkSession
+    if mode == "append":
+        stored = _read_sidecar(spark, path)
+        if stored != params:
+            raise ValueError(
+                f"dedup index parameter mismatch: stored {stored} vs "
+                f"append batch {params} — rebuild the index or match "
+                "its parameters"
+            )
+    index.write.mode(mode).parquet(path)
+    # (re)write the sidecar AFTER the data lands so a failed data write
+    # never leaves a sidecar pointing at a missing/partial index
+    _write_sidecar(spark, path, params)
+
+
+def read_dedup_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """Load a stored dedup index AND its parameter sidecar. Returns
+    ``(index_df, params)`` so screen callers use the index's own
+    parameters instead of re-guessing them."""
+    params = _read_sidecar(spark, path)
+    return spark.read.parquet(path), params
+
+
+def merge_dedup_index(
+    spark,
+    path: str,
+    accepted: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> dict:
+    """Fold an accepted (screened-novel) batch into a stored index —
+    the maintenance step :func:`screen_against_index` needs so batch
+    N+1 sees batch N's documents. Reads the sidecar, builds the
+    batch's band rows under the STORED parameters, and appends.
+
+    The caller passes only accepted documents (ids that passed the
+    screen); merging rejected near-dups would make every later batch
+    re-collide against rows the corpus already represents. Cost per
+    batch: shingle+minhash over the batch (narrow), one O(batch)-sized
+    parquet append, zero reads of the existing index data.
+    """
+    params = _read_sidecar(spark, path)
+    batch_index = prepare_dedup_index(accepted, id_col, text_col, **params)
+    write_dedup_index(batch_index, path, mode="append", **params)
+    return params
+
+
+def screen_against_index(
+    spark,
+    path: str,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Screen an incoming batch against a stored index using the
+    index's OWN sidecar parameters — the parameter-mismatch class of
+    silent failure is impossible by construction. Returns the
+    ``(incoming_id, existing_id, jaccard)`` pairs of
+    :func:`incremental_near_duplicates`."""
+    index, params = read_dedup_index(spark, path)
+    return incremental_near_duplicates(
+        None,
+        incoming,
+        id_col,
+        text_col,
+        threshold=threshold,
+        existing_index=index,
+        **params,
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str,

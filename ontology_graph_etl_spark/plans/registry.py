@@ -3246,11 +3246,13 @@ def _q78_incremental_dedup(spark, sf_dir):
     )
 
 
-def _q78_oracle_sql() -> str:
+def _q78_oracle_sql(mod: int = 10) -> str:
     """DuckDB twin of the incremental LSH screen (md5 base hash): the
     per-doc pipeline is identical to q50's, so sig/band keys are built
     over all documents once and the candidate join filters sides by the
-    same % 10 split."""
+    same ``% mod`` split. ``mod=10`` is q78 (in-memory recompute);
+    ``mod=7`` is q120 (stored-index + sidecar path) — distinct splits
+    so the two certifications never share a cached result."""
     p = 2147483647
     perms = ",\n    ".join(
         f"({k}, {a}::BIGINT, {b}::BIGINT)"
@@ -3295,7 +3297,7 @@ cand AS (
   SELECT DISTINCT l.doc_id AS incoming_id, r.doc_id AS existing_id
   FROM band_keys l JOIN band_keys r
     ON l.band = r.band AND l.band_key = r.band_key
-  WHERE l.doc_id % 10 = 0 AND r.doc_id % 10 <> 0
+  WHERE l.doc_id % {mod} = 0 AND r.doc_id % {mod} <> 0
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
 inter AS (
@@ -3321,8 +3323,45 @@ agg AS (
 SELECT d.doc_id, CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups,
        a.max_jaccard, a.max_jaccard IS NOT NULL AS is_dup
 FROM documents d LEFT JOIN agg a ON a.incoming_id = d.doc_id
-WHERE d.doc_id % 10 = 0
+WHERE d.doc_id % {mod} = 0
 """
+
+
+def _q120_index_screen(spark, sf_dir):
+    # Stored-artifact twin of q78: the corpus's band rows AND the LSH
+    # parameter sidecar are PERSISTED (write_dedup_index), read back
+    # cold, and the arriving batch is screened via screen_against_index
+    # — so the certification hash covers the index bytes + sidecar
+    # round-trip, not just the in-memory plan. Split is % 7 (q78 uses
+    # % 10) so the two certifications never alias.
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.where(F.col("doc_id") % 7 != 0)
+    incoming = docs.where(F.col("doc_id") % 7 == 0)
+    path = tempfile.mkdtemp(prefix="q120_dedup_index_") + "/idx"
+    dedup.write_dedup_index(
+        dedup.prepare_dedup_index(existing, "doc_id", "text", base_hash="md5"),
+        path,
+        base_hash="md5",
+    )
+    pairs = dedup.screen_against_index(
+        spark, path, incoming, "doc_id", "text", threshold=0.5
+    )
+    agg = pairs.groupBy("incoming_id").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
+    return (
+        incoming.select("doc_id")
+        .join(agg, incoming["doc_id"] == agg["incoming_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_dups"), F.lit(0).cast("long")).alias("n_dups"),
+            "max_jaccard",
+            F.col("max_jaccard").isNotNull().alias("is_dup"),
+        )
+    )
 
 
 _Q93_CHUNK = 3
@@ -4517,6 +4556,8 @@ RECERTIFY: set[str] = set()
 
 QUERIES: list[QueryDef] = [
     # --- ROUND-9 WINDOW (first 50; rationale in the ROTATION comment) ---
+    # new this round (never certified — must sit in the window):
+    QueryDef("q120_index_screen", _q120_index_screen, _q78_oracle_sql(7), "§2.11"),
     # 13 names whose last green row is r5 (3 rounds stale):
     QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
     QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
@@ -4573,10 +4614,11 @@ QUERIES: list[QueryDef] = [
     QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
     QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
     QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
-    QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
     # --- tail ---
-    # 11 r6-green leftovers that did not fit (61 stale names into 50
-    # slots after the r8 no-op): LEAD THE R10 WINDOW
+    # r6-green leftovers that did not fit (61 stale names into 50
+    # slots after the r8 no-op, minus window slots taken by this
+    # round's new queries): LEAD THE R10 WINDOW
+    QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
     QueryDef("q25_rollup", _q25_rollup, _q25_sql, "§2.7"),
     QueryDef("q27_cube", _q27_cube, _q27_sql, "§2.7"),
     QueryDef("q01_scan_jsonl", _q01_scan_jsonl, _q01_sql, "S1,P1"),

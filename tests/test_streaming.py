@@ -442,3 +442,80 @@ def test_streaming_ingest_dedup_with_persisted_index(spark, sf_dir, tmp_path):
         assert len(want) > 0
     finally:
         incoming.unpersist()
+
+
+def test_streaming_ingest_dedup_index_maintained_across_batches(
+    spark, sf_dir, tmp_path
+):
+    """Continuous-ingest dedup with a MAINTAINED index: each
+    micro-batch screens against the stored index, then merges its
+    accepted (novel) docs back in via merge_dedup_index — so a
+    duplicate arriving in a LATER batch than its original is caught.
+    A static index (the previous test's shape) structurally misses
+    this case: batch N+1 never sees batch N's documents."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators.dedup import (
+        merge_dedup_index,
+        prepare_dedup_index,
+        screen_against_index,
+        write_dedup_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    idx_path = str(tmp_path / "idx")
+    write_dedup_index(
+        prepare_dedup_index(corpus, "doc_id", "text"), idx_path
+    )
+
+    # batch 0 carries a novel doc; batch 1 carries its exact copy
+    # under a different id (exact dups always collide in every band)
+    novel = "zq wv tn pq ab cd ef gh ij kl mn op qr st uv wx yz"
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    for i, (doc_id, text) in enumerate(
+        [(900001, novel), (900002, novel)]
+    ):
+        f = str(in_dir / f"b{i}.parquet")
+        pq.write_table(
+            pa.table({"doc_id": [doc_id], "text": [text]}), f
+        )
+        # distinct mtimes pin micro-batch order (FileStreamSource
+        # orders by modification time)
+        os.utime(f, (1700000000 + i, 1700000000 + i))
+
+    pairs: set = set()
+
+    def screen_and_merge(batch_df, batch_id):
+        hits = screen_against_index(
+            spark, idx_path, batch_df, "doc_id", "text", threshold=0.5
+        ).collect()
+        pairs.update((r.incoming_id, r.existing_id) for r in hits)
+        dup_ids = {r.incoming_id for r in hits}
+        accepted = batch_df.where(
+            ~F.col("doc_id").isin(list(dup_ids) or [-1])
+        )
+        if not accepted.isEmpty():
+            merge_dedup_index(spark, idx_path, accepted, "doc_id", "text")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(screen_and_merge)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # the cross-batch duplicate: 900002 (batch 1) vs 900001 (batch 0)
+    assert (900002, 900001) in pairs, f"cross-batch dup missed: {pairs}"
+    # 900001 was novel vs the corpus — nothing should have matched it
+    assert not any(a == 900001 for a, _ in pairs)
