@@ -438,6 +438,7 @@ def kmeans_assign(
     k: int = 8,
     method: str = "auto",
     max_literal_entries: int = 4096,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Deterministic k-means assignment step (the E-step of Lloyd's, and
     the cluster-based-curation primitive: semantic sharding, per-cluster
@@ -468,14 +469,22 @@ def kmeans_assign(
       Requires unique ids (the E-step key). Plan size is O(1) in k.
 
     ``auto`` picks ``literal`` while ``k·dim <= max_literal_entries``.
+
+    ``centroids=`` skips the seed pick and assigns against the given
+    k×dim list (centroid id = list position) — the E-step under
+    :func:`kmeans_train`'s trained centroids, same rounded-argmax
+    contract.
     """
-    seeds = (
-        df.select(id_col, vec_col)
-        .withColumn("__o", F.md5(F.col(id_col).cast("string")))
-        .orderBy("__o", id_col)
-        .limit(k)
-        .collect()
-    )
+    if centroids is not None:
+        seeds = [{vec_col: [float(x) for x in c]} for c in centroids]
+    else:
+        seeds = (
+            df.select(id_col, vec_col)
+            .withColumn("__o", F.md5(F.col(id_col).cast("string")))
+            .orderBy("__o", id_col)
+            .limit(k)
+            .collect()
+        )
     if method == "auto":
         dim = len(seeds[0][vec_col]) if seeds else 0
         method = "literal" if k * dim <= max_literal_entries else "broadcast"
@@ -545,6 +554,108 @@ def kmeans_assign(
     )
 
 
+#: fixed-point scale for :func:`kmeans_train`'s M-step — components
+#: are quantized to integer units of 1e-6 so the per-cluster sums are
+#: BIGINT (exact, shuffle-order-independent; double sums are not) and
+#: the resulting centroids re-derive bit-for-bit in any engine.
+KMEANS_SCALE = 10**6
+
+
+def kmeans_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    rounds: int = 2,
+    method: str = "auto",
+) -> list[list[float]]:
+    """Deterministic Lloyd training: ``rounds`` full E/M iterations from
+    the md5-seeded start, returning the k trained centroids (feed them
+    to :func:`kmeans_assign`'s ``centroids=`` or
+    :func:`ivf_topk_deterministic`'s ``train_rounds=``).
+
+    Under cosine scoring this is spherical k-means: cosine is
+    scale-invariant in the centroid, so the raw component-wise mean
+    scores identically to the normalized mean, and the per-round
+    objective (sum of assigned cosines) is non-decreasing — property-
+    tested. Everything re-derives bit-for-bit across engines (the q37
+    PageRank fixed-point device, adapted for double inputs):
+
+    - E-step: :func:`kmeans_assign`'s rounded-argmax (round(cos, 6),
+      ties to the lowest centroid id);
+    - M-step quantization: ``floor(component * 1e6)`` per element —
+      floor, not round, because round's tie mode differs across
+      engines while floor doesn't — summed as BIGINT (exact integer
+      addition commutes; the double sums Spark would otherwise emit
+      differ in final ulps with shuffle order);
+    - division: ``floor(S / n)`` evaluated in IEEE double (both S and
+      n are < 2^53, so S/n is the correctly-rounded quotient in every
+      engine) and the new component is the exact double ``fp / 1e6``;
+    - empty clusters keep their previous centroid (deterministic, no
+      re-seeding RNG).
+
+    Scale shape per round: one assignment join (broadcast/literal
+    centroids — the input never shuffles for it) + one
+    ``posexplode``→``groupBy(cid, pos)`` aggregate whose map-side
+    combine collapses n·dim rows to k·dim per partition before the
+    shuffle; only k·dim aggregated rows reach the driver (the same
+    O(k) scalar-fetch class as the seed pick). No corpus-sized state
+    on the driver, no per-row Python.
+    """
+    import math
+
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    seed_rows = (
+        df.select(id_col, vec_col)
+        .withColumn("__o", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__o", id_col)
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    if not cents:
+        return []
+    for _ in range(rounds):
+        assign = kmeans_assign(
+            df, id_col, vec_col, k=k, method=method, centroids=cents
+        ).select(id_col, "centroid_id")
+        stats = (
+            df.join(assign, id_col)
+            .select(
+                "centroid_id",
+                F.posexplode(F.col(vec_col)).alias("pos", "comp"),
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("comp") * F.lit(float(KMEANS_SCALE))).cast(
+                        "long"
+                    )
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cid.setdefault(r.centroid_id, {})[r.pos] = (r.s, r.n)
+        nxt = []
+        for cid, old in enumerate(cents):
+            comps = by_cid.get(cid)
+            if not comps:
+                nxt.append(old)  # empty cluster: keep previous centroid
+                continue
+            nxt.append(
+                [
+                    math.floor(comps[p][0] / comps[p][1]) / KMEANS_SCALE
+                    for p in range(len(old))
+                ]
+            )
+        cents = nxt
+    return cents
+
+
 def ivf_topk_deterministic(
     corpus: DataFrame,
     queries: DataFrame,
@@ -553,43 +664,49 @@ def ivf_topk_deterministic(
     k: int = 5,
     num_lists: int = 16,
     nprobe: int = 4,
+    train_rounds: int = 0,
 ) -> DataFrame:
     """IVF approximate cosine top-k with a fully deterministic index —
     the hash-checkable twin of :func:`ivf_topk` (whose ml-lib k-means
     training is seed- and partitioning-dependent → rows-only check).
 
-    The coarse quantizer is :func:`kmeans_assign`'s md5-seeded E-step:
-    centroids are the ``num_lists`` corpus vectors with smallest
-    ``(md5(id), id)``, lists are the rounded-argmax assignment. No Lloyd
-    iterations — seed centroids partition the space just as validly for
-    an inverted-file index (recall is tested against brute force), and
-    every stage re-derives bit-for-bit in any engine. Search: rank
-    centroids per query by the same rounded cosine, take ``nprobe``,
-    rescore exactly inside those lists, top-k by (sim desc, id asc) —
-    self-matches excluded.
+    The coarse quantizer is :func:`kmeans_assign`'s md5-seeded E-step;
+    ``train_rounds > 0`` upgrades it to :func:`kmeans_train`'s
+    deterministic Lloyd centroids — tighter lists (higher recall at
+    the same nprobe, property-tested) at the cost of ``train_rounds``
+    extra passes at index-build time, still bit-for-bit reproducible.
+    With the default ``train_rounds=0`` the centroids are the
+    ``num_lists`` corpus vectors with smallest ``(md5(id), id)`` and
+    the operator is unchanged (the q63/q86 certified plans). Search:
+    rank centroids per query by the same rounded cosine, take
+    ``nprobe``, rescore exactly inside those lists, top-k by (sim
+    desc, id asc) — self-matches excluded.
 
     Scale shape identical to :func:`ivf_topk`: per-query candidate work
     ~|corpus|·nprobe/num_lists, probe is an equi-join on ``list_id``.
     """
     spark = corpus.sparkSession
-    seeds = (
-        corpus.select(id_col, vec_col)
-        .withColumn("__o", F.md5(F.col(id_col).cast("string")))
-        .orderBy("__o", id_col)
-        .limit(num_lists)
-        .collect()
-    )
+    if train_rounds > 0:
+        cents = kmeans_train(
+            corpus, id_col, vec_col, k=num_lists, rounds=train_rounds
+        )
+    else:
+        seeds = (
+            corpus.select(id_col, vec_col)
+            .withColumn("__o", F.md5(F.col(id_col).cast("string")))
+            .orderBy("__o", id_col)
+            .limit(num_lists)
+            .collect()
+        )
+        cents = [[float(x) for x in r[vec_col]] for r in seeds]
     ctr = F.broadcast(
         spark.createDataFrame(
-            [
-                (i, [float(x) for x in r[vec_col]])
-                for i, r in enumerate(seeds)
-            ],
+            [(i, c) for i, c in enumerate(cents)],
             "list_id int, centroid array<double>",
         )
     )
     assigned = (
-        kmeans_assign(corpus, id_col, vec_col, k=num_lists)
+        kmeans_assign(corpus, id_col, vec_col, k=num_lists, centroids=cents)
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col("centroid_id").alias("list_id"),

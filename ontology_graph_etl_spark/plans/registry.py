@@ -3189,6 +3189,107 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1
 """
 
 
+_Q119_K = 4
+_Q119_ROUNDS = 2
+
+
+def _q119_kmeans_train(spark, sf_dir):
+    # Deterministic Lloyd training (spherical k-means): 2 full E/M
+    # rounds from the md5 seeds with the fixed-point M-step
+    # (floor(comp*1e6) BIGINT sums, floor-divided means), then the
+    # final assignment under the trained centroids. The oracle replays
+    # the SAME two rounds as chained CTEs, so the entire training
+    # chain — seeds, both assignments, both M-steps — is hash-checked
+    # cross-engine, not just the last assignment.
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = similarity.kmeans_train(
+        emb, k=_Q119_K, rounds=_Q119_ROUNDS
+    )
+    return similarity.kmeans_assign(
+        emb, k=_Q119_K, centroids=cents
+    ).select("vec_id", "centroid_id", "sim")
+
+
+def _q119_sql(k: int = _Q119_K, rounds: int = _Q119_ROUNDS) -> str:
+    """Chained-CTE DuckDB twin of kmeans_train + final assign: c0 is
+    the md5 seed pick (q76's device); each round r unrolls into an
+    assignment CTE (a{r}: rounded-argmax vs c{r-1}) and an M-step CTE
+    (m{r}: BIGINT fixed-point component sums; c{r}: floor-divided
+    means, empty clusters keeping c{r-1}); the final SELECT is the
+    assignment against c{rounds}."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(list_zip({a}, {b}),"
+            f" x -> x[1] * x[2]))"
+            f" / (greatest(sqrt(list_sum(list_transform({a},"
+            f" x -> x * x))), 1e-12)"
+            f" * greatest(sqrt(list_sum(list_transform({b},"
+            f" x -> x * x))), 1e-12)), 6)"
+        )
+
+    parts = [
+        "WITH emb AS (",
+        "  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings",
+        "),",
+        "c0 AS (",
+        "  SELECT CAST(row_number() OVER (",
+        "    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id",
+        "  ) AS INTEGER) - 1 AS cid, e",
+        "  FROM emb",
+        "  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id",
+        f"  LIMIT {k}",
+        "),",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"c{r - 1}"
+        parts += [
+            f"a{r} AS (",
+            f"  SELECT vec_id, cid FROM (",
+            f"    SELECT v.vec_id, c.cid,",
+            f"           row_number() OVER (PARTITION BY v.vec_id",
+            f"             ORDER BY {cos('v.e', 'c.e')} DESC, c.cid ASC",
+            f"           ) AS rn",
+            f"    FROM emb v CROSS JOIN {prev} c)",
+            f"  WHERE rn = 1",
+            f"),",
+            f"m{r} AS (",
+            f"  SELECT cid, pos,",
+            f"         CAST(SUM(CAST(floor(e[pos] * 1000000.0)"
+            f" AS BIGINT)) AS BIGINT) AS s,",
+            f"         CAST(COUNT(*) AS BIGINT) AS n",
+            f"  FROM (SELECT a.cid, v.e,",
+            f"               unnest(generate_series(1, len(v.e))) AS pos",
+            f"        FROM a{r} a JOIN emb v USING (vec_id))",
+            f"  GROUP BY cid, pos",
+            f"),",
+            f"c{r} AS (",
+            f"  SELECT p.cid,",
+            f"         CASE WHEN m.cid IS NULL THEN p.e",
+            f"              ELSE m.newe END AS e",
+            f"  FROM {prev} p LEFT JOIN (",
+            f"    SELECT cid,",
+            f"           list(floor(CAST(s AS DOUBLE) / n) / 1000000.0",
+            f"                ORDER BY pos) AS newe",
+            f"    FROM m{r} GROUP BY cid) m USING (cid)",
+            f"),",
+        ]
+    final = f"c{rounds}"
+    # strip the trailing comma of the last CTE
+    parts[-1] = parts[-1].rstrip(",")
+    parts += [
+        "SELECT vec_id, centroid_id, sim FROM (",
+        "  SELECT v.vec_id, c.cid AS centroid_id,",
+        f"         {cos('v.e', 'c.e')} AS sim,",
+        "         row_number() OVER (PARTITION BY v.vec_id",
+        f"           ORDER BY {cos('v.e', 'c.e')} DESC, c.cid ASC",
+        "         ) AS rn",
+        f"  FROM emb v CROSS JOIN {final} c)",
+        "WHERE rn = 1",
+    ]
+    return "\n".join(parts)
+
+
 _Q77_K = 20
 
 
@@ -4557,6 +4658,7 @@ RECERTIFY: set[str] = set()
 QUERIES: list[QueryDef] = [
     # --- ROUND-9 WINDOW (first 50; rationale in the ROTATION comment) ---
     # new this round (never certified — must sit in the window):
+    QueryDef("q119_kmeans_train", _q119_kmeans_train, _q119_sql(), "§2.11"),
     QueryDef("q120_index_screen", _q120_index_screen, _q78_oracle_sql(7), "§2.11"),
     # 13 names whose last green row is r5 (3 rounds stale):
     QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
@@ -4613,11 +4715,11 @@ QUERIES: list[QueryDef] = [
     QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
     QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
     QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
-    QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
     # --- tail ---
     # r6-green leftovers that did not fit (61 stale names into 50
     # slots after the r8 no-op, minus window slots taken by this
     # round's new queries): LEAD THE R10 WINDOW
+    QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
     QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
     QueryDef("q25_rollup", _q25_rollup, _q25_sql, "§2.7"),
     QueryDef("q27_cube", _q27_cube, _q27_sql, "§2.7"),
