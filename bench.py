@@ -106,16 +106,30 @@ HEADLINE = [
     "q113_bm25_topk",
     "q115_hybrid_retrieval",
     "q118_star_rollup",
+    # round-9 additions: the four certified-but-untimed round-7 names
+    # (requested in the r7 verdict) plus this round's two new
+    # operators — deterministic Lloyd training and the stored
+    # dedup-index screen — so every certified operator carries
+    # per-round timing + fingerprint history
+    "q112_depth_histogram_roots",
+    "q114_multi_profile",
+    "q116_pivot",
+    "q117_unpivot",
+    "q119_kmeans_train",
+    "q120_index_screen",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids
-# (#123), codegen/plan ids, exchange reuse ids, and higher-order-
-# function lambda variable numbering (x_1 vs x_11 across invocations).
-# Everything else (operator tree, join strategies, pushed filters,
-# partitioning) is the plan identity we want to pin across runs and
-# rounds.
+# (#123), codegen/plan ids, exchange reuse ids, higher-order-function
+# lambda variable numbering (x_1 vs x_11 across invocations), and
+# temp-directory scan paths (q120 writes its index artifact to a fresh
+# mkdtemp per invocation — the path is run-varying by construction,
+# the plan over it is not). Everything else (operator tree, join
+# strategies, pushed filters, partitioning) is the plan identity we
+# want to pin across runs and rounds.
 _PLAN_ID_RE = re.compile(
     r"#\d+|plan_id=\d+|\[id=#?\d+\]|, id=#?\d+|(?<=lambda )\w+_\d+"
+    r"|/tmp/[^\s,\]\)]*"
 )
 
 
