@@ -117,6 +117,7 @@ HEADLINE = [
     "q117_unpivot",
     "q119_kmeans_train",
     "q120_index_screen",
+    "q121_retrieval_eval",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

@@ -948,3 +948,66 @@ def rrf_fuse(
             "rank",
         )
     )
+
+
+def retrieval_eval(
+    results: DataFrame,
+    truth: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query ranking-quality evaluation — the q99 quality-join
+    pattern applied to retrieval: compare a retriever's ranked
+    ``results`` against a reference ``truth`` ranking (brute-force
+    cosine, an unpruned BM25, a human judgment table — anything with
+    ``(query, doc, rank)`` rows) and emit per query:
+
+    - ``n_truth`` / ``n_hits``: reference docs in the truth's top-k,
+      and how many of them the results' top-k retrieved;
+    - ``recall`` = n_hits / n_truth (recall@k);
+    - ``mrr`` = 1 / (best results-rank holding any truth-top-k doc),
+      0.0 when none hit — the standard reciprocal-rank credit for
+      *where* the first relevant doc landed, not just whether.
+
+    Every query in the truth frame gets a row (a retriever that
+    returns nothing for a query scores 0.0, not absent) — eval
+    operators that silently drop empty queries overstate quality.
+
+    Determinism: counts are exact, recall/mrr round to 6 (the fused-
+    score device), so the table hash-checks cross-engine. Scale
+    shape: both inputs are top-k-sized (queries × k rows); the hit
+    join and both aggregates are tiny next to the retrieval that
+    produced them — evaluation never touches the corpus.
+    """
+    if k < 1:
+        raise ValueError(f"retrieval_eval: k must be >= 1, got {k}")
+    t = truth.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("query"), F.col(id_col).alias("doc")
+    )
+    r = results.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("query"),
+        F.col(id_col).alias("doc"),
+        F.col(rank_col).alias("__rrank"),
+    )
+    joined = t.join(r, ["query", "doc"], "left")
+    return (
+        joined.groupBy("query")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("__rrank").alias("n_hits"),
+            F.max(F.lit(1.0) / F.col("__rrank")).alias("__best"),
+        )
+        .select(
+            F.col("query").alias(query_col),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_truth"), 6
+            ).alias("recall"),
+            F.round(F.coalesce(F.col("__best"), F.lit(0.0)), 6).alias(
+                "mrr"
+            ),
+        )
+    )

@@ -4398,6 +4398,77 @@ FROM fused QUALIFY rank <= 5
 """
 
 
+def _q121_retrieval_eval(spark, sf_dir):
+    # Retrieval evaluation — the q99 quality-join pattern applied to
+    # ranking: build the q115 lexical (BM25) and vector (cosine)
+    # top-10 rankings, fuse them with RRF at topk=10, then score the
+    # FUSION against each source ranking as truth: recall@10 + MRR
+    # per (source, query). Certifies retrieval_eval itself, and the
+    # numbers answer the hybrid-search tuning question (how much of
+    # each source's ranking survives fusion).
+    from ..functions import whitespace_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    toks = whitespace_tokens(F.col("text"))
+    qs = docs.where(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 4)).alias("query_text"),
+    )
+    lex = textops.bm25_topk(docs, qs, "doc_id", "text", k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    vec = similarity.cosine_topk(
+        emb, emb.where(F.col("vec_id") % 101 == 0), "vec_id", "embedding",
+        k=10,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    rrf = similarity.rrf_fuse([lex, vec], topk=10)
+    parts = [
+        similarity.retrieval_eval(rrf, truth, k=10).withColumn(
+            "source", F.lit(src)
+        )
+        for src, truth in (("bm25", lex), ("cosine", vec))
+    ]
+    return parts[0].unionByName(parts[1]).select(
+        "source", "query_id", "n_truth", "n_hits", "recall", "mrr"
+    )
+
+
+def _q121_sql() -> str:
+    """Extends the q115 oracle's CTE chain (both source rankings +
+    the fused scores) with a topk=10 fused ranking and the per-source
+    eval joins mirroring operators/similarity.py::retrieval_eval."""
+    prefix = _q115_sql[: _q115_sql.rindex("SELECT query AS query_id")]
+    return prefix.rstrip().rstrip(")").rstrip() + """
+),
+rrf AS (
+  SELECT query, doc,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY rrf_score DESC, doc ASC) AS rank
+  FROM fused QUALIFY rank <= 10
+),
+ev AS (
+  SELECT 'bm25' AS source, t.query,
+         count(*) AS n_truth, count(r.doc) AS n_hits,
+         max(1.0 / r.rank) AS best
+  FROM lex t LEFT JOIN rrf r ON r.query = t.query AND r.doc = t.doc
+  GROUP BY t.query
+  UNION ALL
+  SELECT 'cosine' AS source, t.query,
+         count(*) AS n_truth, count(r.doc) AS n_hits,
+         max(1.0 / r.rank) AS best
+  FROM vec t LEFT JOIN rrf r ON r.query = t.query AND r.doc = t.doc
+  GROUP BY t.query
+)
+SELECT source, query AS query_id,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall,
+       round(coalesce(best, 0.0), 6) AS mrr
+FROM ev
+"""
+
+
 def _q114_multi_profile(spark, sf_dir):
     # the multi-column dataset card certified end-to-end: BOTH n_chars
     # and doc_id profiled per source in ONE aggregate pass (the
@@ -4659,6 +4730,7 @@ QUERIES: list[QueryDef] = [
     # --- ROUND-9 WINDOW (first 50; rationale in the ROTATION comment) ---
     # new this round (never certified — must sit in the window):
     QueryDef("q119_kmeans_train", _q119_kmeans_train, _q119_sql(), "§2.11"),
+    QueryDef("q121_retrieval_eval", _q121_retrieval_eval, _q121_sql(), "§2.11"),
     QueryDef("q120_index_screen", _q120_index_screen, _q78_oracle_sql(7), "§2.11"),
     # 13 names whose last green row is r5 (3 rounds stale):
     QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
@@ -4714,11 +4786,11 @@ QUERIES: list[QueryDef] = [
     QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
     QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
     QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
-    QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
     # --- tail ---
     # r6-green leftovers that did not fit (61 stale names into 50
     # slots after the r8 no-op, minus window slots taken by this
     # round's new queries): LEAD THE R10 WINDOW
+    QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
     QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
     QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
     QueryDef("q25_rollup", _q25_rollup, _q25_sql, "§2.7"),

@@ -197,3 +197,40 @@ def test_ivf_trained_quantizer_recall_not_worse(emb, spark):
         return sum(r.recall for r in rows) / len(rows)
 
     assert mean_recall(2) >= mean_recall(0)
+
+
+def test_retrieval_eval_semantics(spark):
+    """Golden check on a tiny hand-computed case: recall@k counts
+    truth-top-k docs retrieved in the results' top-k; MRR credits the
+    best results-rank holding any truth doc; a query the retriever
+    returned nothing for scores 0.0, not absent."""
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2),
+         (3, 30, 1)],
+        "query_id int, doc_id int, rank int",
+    )
+    results = spark.createDataFrame(
+        [(1, 99, 1), (1, 11, 2), (1, 12, 3),   # 2 of 3, best rank 2
+         (2, 98, 1), (2, 97, 2)],               # 0 of 2; q3 absent
+        "query_id int, doc_id int, rank int",
+    )
+    rows = {
+        r.query_id: (r.n_truth, r.n_hits, r.recall, r.mrr)
+        for r in similarity.retrieval_eval(results, truth, k=3).collect()
+    }
+    assert rows == {
+        1: (3, 2, round(2 / 3, 6), 0.5),
+        2: (2, 0, 0.0, 0.0),
+        3: (1, 0, 0.0, 0.0),
+    }
+    # k clips both sides: with k=1 only the rank-1 rows count
+    rows1 = {
+        r.query_id: (r.n_truth, r.n_hits)
+        for r in similarity.retrieval_eval(results, truth, k=1).collect()
+    }
+    assert rows1 == {1: (1, 0), 2: (1, 0), 3: (1, 0)}
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        similarity.retrieval_eval(results, truth, k=0)
