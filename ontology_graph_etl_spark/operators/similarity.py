@@ -969,7 +969,12 @@ def retrieval_eval(
     - ``recall`` = n_hits / n_truth (recall@k);
     - ``mrr`` = 1 / (best results-rank holding any truth-top-k doc),
       0.0 when none hit — the standard reciprocal-rank credit for
-      *where* the first relevant doc landed, not just whether.
+      *where* the first relevant doc landed, not just whether;
+    - ``ndcg`` = binary-relevance nDCG@k: DCG = Σ 1/log2(rank+1) over
+      hit results-ranks, normalized by the ideal DCG of placing all
+      ``n_truth`` docs first. log2 = ln/ln2 — the q113 BM25 oracle
+      already certifies ``ln`` cross-engine, and the 6-decimal round
+      absorbs last-ulp libm differences.
 
     Every query in the truth frame gets a row (a retriever that
     returns nothing for a query scores 0.0, not absent) — eval
@@ -992,12 +997,28 @@ def retrieval_eval(
         F.col(rank_col).alias("__rrank"),
     )
     joined = t.join(r, ["query", "doc"], "left")
+    ln2 = F.log(F.lit(2.0))
     return (
         joined.groupBy("query")
         .agg(
             F.count(F.lit(1)).alias("n_truth"),
             F.count("__rrank").alias("n_hits"),
             F.max(F.lit(1.0) / F.col("__rrank")).alias("__best"),
+            F.sum(
+                F.lit(1.0)
+                / (F.log(F.col("__rrank").cast("double") + 1.0) / ln2)
+            ).alias("__dcg"),
+        )
+        .withColumn(
+            # ideal DCG: all n_truth docs at ranks 1..n_truth — a
+            # per-row sequence fold, no second aggregate pass
+            "__idcg",
+            F.aggregate(
+                F.sequence(F.lit(1), F.col("n_truth").cast("int")),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.lit(1.0) / (F.log(i.cast("double") + 1.0) / ln2),
+            ),
         )
         .select(
             F.col("query").alias(query_col),
@@ -1009,5 +1030,9 @@ def retrieval_eval(
             F.round(F.coalesce(F.col("__best"), F.lit(0.0)), 6).alias(
                 "mrr"
             ),
+            F.round(
+                F.coalesce(F.col("__dcg"), F.lit(0.0)) / F.col("__idcg"),
+                6,
+            ).alias("ndcg"),
         )
     )

@@ -4430,7 +4430,7 @@ def _q121_retrieval_eval(spark, sf_dir):
         for src, truth in (("bm25", lex), ("cosine", vec))
     ]
     return parts[0].unionByName(parts[1]).select(
-        "source", "query_id", "n_truth", "n_hits", "recall", "mrr"
+        "source", "query_id", "n_truth", "n_hits", "recall", "mrr", "ndcg"
     )
 
 
@@ -4450,22 +4450,33 @@ rrf AS (
 ev AS (
   SELECT 'bm25' AS source, t.query,
          count(*) AS n_truth, count(r.doc) AS n_hits,
-         max(1.0 / r.rank) AS best
+         max(1.0 / r.rank) AS best,
+         sum(1.0 / (ln(CAST(r.rank AS DOUBLE) + 1.0) / ln(2.0))) AS dcg
   FROM lex t LEFT JOIN rrf r ON r.query = t.query AND r.doc = t.doc
   GROUP BY t.query
   UNION ALL
   SELECT 'cosine' AS source, t.query,
          count(*) AS n_truth, count(r.doc) AS n_hits,
-         max(1.0 / r.rank) AS best
+         max(1.0 / r.rank) AS best,
+         sum(1.0 / (ln(CAST(r.rank AS DOUBLE) + 1.0) / ln(2.0))) AS dcg
   FROM vec t LEFT JOIN rrf r ON r.query = t.query AND r.doc = t.doc
   GROUP BY t.query
+),
+idcg AS (
+  SELECT e.source, e.query,
+         sum(1.0 / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0))) AS v
+  FROM (SELECT source, query, n_truth,
+               unnest(generate_series(1, n_truth)) AS i
+        FROM ev) e
+  GROUP BY e.source, e.query
 )
-SELECT source, query AS query_id,
-       CAST(n_truth AS BIGINT) AS n_truth,
-       CAST(n_hits AS BIGINT) AS n_hits,
-       round(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall,
-       round(coalesce(best, 0.0), 6) AS mrr
-FROM ev
+SELECT e.source, e.query AS query_id,
+       CAST(e.n_truth AS BIGINT) AS n_truth,
+       CAST(e.n_hits AS BIGINT) AS n_hits,
+       round(CAST(e.n_hits AS DOUBLE) / e.n_truth, 6) AS recall,
+       round(coalesce(e.best, 0.0), 6) AS mrr,
+       round(coalesce(e.dcg, 0.0) / i.v, 6) AS ndcg
+FROM ev e JOIN idcg i ON i.source = e.source AND i.query = e.query
 """
 
 

@@ -216,13 +216,21 @@ def test_retrieval_eval_semantics(spark):
         "query_id int, doc_id int, rank int",
     )
     rows = {
-        r.query_id: (r.n_truth, r.n_hits, r.recall, r.mrr)
+        r.query_id: (r.n_truth, r.n_hits, r.recall, r.mrr, r.ndcg)
         for r in similarity.retrieval_eval(results, truth, k=3).collect()
     }
+    import math
+
+    def log2(x):
+        return math.log(x) / math.log(2.0)
+
+    # query 1: hits at results-ranks 2 and 3; ideal = 3 docs at 1,2,3
+    dcg1 = 1 / log2(3.0) + 1 / log2(4.0)
+    idcg1 = 1 / log2(2.0) + 1 / log2(3.0) + 1 / log2(4.0)
     assert rows == {
-        1: (3, 2, round(2 / 3, 6), 0.5),
-        2: (2, 0, 0.0, 0.0),
-        3: (1, 0, 0.0, 0.0),
+        1: (3, 2, round(2 / 3, 6), 0.5, round(dcg1 / idcg1, 6)),
+        2: (2, 0, 0.0, 0.0, 0.0),
+        3: (1, 0, 0.0, 0.0, 0.0),
     }
     # k clips both sides: with k=1 only the rank-1 rows count
     rows1 = {
