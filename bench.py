@@ -118,6 +118,7 @@ HEADLINE = [
     "q119_kmeans_train",
     "q120_index_screen",
     "q121_retrieval_eval",
+    "q122_ivf_trained_topk",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

@@ -1535,6 +1535,64 @@ def _cos_fold_sql(a: str, b: str) -> str:
 
 
 _Q86 = {"num_lists": 8, "nprobe": 3, "k": 5}
+_Q122 = {"num_lists": 8, "nprobe": 3, "k": 5, "rounds": 2}
+
+
+def _q122_ivf_trained_topk(spark, sf_dir):
+    # q86's deterministic IVF with the round-9 TRAINED quantizer:
+    # kmeans_train's Lloyd centroids (the q119 chain) replace the raw
+    # md5 seeds; lists, probe, and rescoring are unchanged. Query set
+    # is % 37 (q86 uses < 10) so the two certifications never alias.
+    # This certifies the train_rounds= integration end-to-end: the
+    # oracle chains the q119 training CTEs into the q86 search CTEs.
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_deterministic(
+        emb, emb.where(F.col("vec_id") % 37 == 0), "vec_id", "embedding",
+        k=_Q122["k"], num_lists=_Q122["num_lists"],
+        nprobe=_Q122["nprobe"], train_rounds=_Q122["rounds"],
+    )
+
+
+def _q122_sql() -> str:
+    cos_vs = _cos_fold_sql("v.e", "s.e")
+    cos_qs = _cos_fold_sql("q.qe", "s.e")
+    cos_qc = _cos_fold_sql("qe", "ce")
+    return f"""
+WITH {_q119_ctes(_Q122["num_lists"], _Q122["rounds"])},
+seeds AS (SELECT cid, e FROM c{_Q122["rounds"]}),
+v AS (SELECT vec_id, e FROM emb),
+assign AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT v.vec_id, s.cid, {cos_vs} AS sim
+    FROM v CROSS JOIN seeds s) t
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid ASC) = 1
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 37 = 0),
+probe AS (
+  SELECT query_id, qe, cid AS list_id FROM (
+    SELECT q.query_id, q.qe, s.cid, {cos_qs} AS csim
+    FROM q CROSS JOIN seeds s) t
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY csim DESC, cid ASC)
+          <= {_Q122["nprobe"]}
+),
+cand AS (
+  SELECT p.query_id, p.qe, a.vec_id AS neighbor_id, v.e AS ce
+  FROM probe p
+  JOIN assign a ON a.list_id = p.list_id
+  JOIN v ON v.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine_sim
+FROM (
+  SELECT query_id, neighbor_id, {cos_qc} AS cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {cos_qc} DESC,
+                                     neighbor_id ASC) AS rank
+  FROM cand) t
+WHERE rank <= {_Q122["k"]}
+"""
 
 
 def _q86_ivf_det_topk(spark, sf_dir):
@@ -3210,26 +3268,30 @@ def _q119_kmeans_train(spark, sf_dir):
     ).select("vec_id", "centroid_id", "sim")
 
 
-def _q119_sql(k: int = _Q119_K, rounds: int = _Q119_ROUNDS) -> str:
-    """Chained-CTE DuckDB twin of kmeans_train + final assign: c0 is
-    the md5 seed pick (q76's device); each round r unrolls into an
-    assignment CTE (a{r}: rounded-argmax vs c{r-1}) and an M-step CTE
-    (m{r}: BIGINT fixed-point component sums; c{r}: floor-divided
-    means, empty clusters keeping c{r-1}); the final SELECT is the
-    assignment against c{rounds}."""
+def _km_cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine matching operators/similarity.py::cosine (zip-fold
+    dot, 1e-12-guarded norms, round 6) — the q76 device, shared by the
+    q119 training CTEs and the q122 trained-IVF oracle."""
+    return (
+        f"round(list_sum(list_transform(list_zip({a}, {b}),"
+        f" x -> x[1] * x[2]))"
+        f" / (greatest(sqrt(list_sum(list_transform({a},"
+        f" x -> x * x))), 1e-12)"
+        f" * greatest(sqrt(list_sum(list_transform({b},"
+        f" x -> x * x))), 1e-12)), 6)"
+    )
 
-    def cos(a: str, b: str) -> str:
-        return (
-            f"round(list_sum(list_transform(list_zip({a}, {b}),"
-            f" x -> x[1] * x[2]))"
-            f" / (greatest(sqrt(list_sum(list_transform({a},"
-            f" x -> x * x))), 1e-12)"
-            f" * greatest(sqrt(list_sum(list_transform({b},"
-            f" x -> x * x))), 1e-12)), 6)"
-        )
 
+def _q119_ctes(k: int, rounds: int) -> str:
+    """The kmeans_train CTE chain (no WITH keyword, no trailing
+    comma): emb, c0 (md5 seed pick), then per round r an assignment
+    CTE a{r} (rounded-argmax vs c{r-1}) and M-step CTEs m{r}/c{r}
+    (BIGINT fixed-point component sums; floor-divided means; empty
+    clusters keep c{r-1}). Ends at c{rounds} — composable: q119
+    appends its final assignment, q122 appends the IVF search."""
+    cos = _km_cos_sql
     parts = [
-        "WITH emb AS (",
+        "emb AS (",
         "  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings",
         "),",
         "c0 AS (",
@@ -3274,10 +3336,17 @@ def _q119_sql(k: int = _Q119_K, rounds: int = _Q119_ROUNDS) -> str:
             f"    FROM m{r} GROUP BY cid) m USING (cid)",
             f"),",
         ]
-    final = f"c{rounds}"
-    # strip the trailing comma of the last CTE
     parts[-1] = parts[-1].rstrip(",")
-    parts += [
+    return "\n".join(parts)
+
+
+def _q119_sql(k: int = _Q119_K, rounds: int = _Q119_ROUNDS) -> str:
+    """Chained-CTE DuckDB twin of kmeans_train + final assign: the
+    :func:`_q119_ctes` training chain, then the assignment against
+    c{rounds}."""
+    cos = _km_cos_sql
+    final = f"c{rounds}"
+    tail = [
         "SELECT vec_id, centroid_id, sim FROM (",
         "  SELECT v.vec_id, c.cid AS centroid_id,",
         f"         {cos('v.e', 'c.e')} AS sim,",
@@ -3287,7 +3356,7 @@ def _q119_sql(k: int = _Q119_K, rounds: int = _Q119_ROUNDS) -> str:
         f"  FROM emb v CROSS JOIN {final} c)",
         "WHERE rn = 1",
     ]
-    return "\n".join(parts)
+    return "WITH " + _q119_ctes(k, rounds) + "\n" + "\n".join(tail)
 
 
 _Q77_K = 20
@@ -4742,6 +4811,7 @@ QUERIES: list[QueryDef] = [
     # new this round (never certified — must sit in the window):
     QueryDef("q119_kmeans_train", _q119_kmeans_train, _q119_sql(), "§2.11"),
     QueryDef("q121_retrieval_eval", _q121_retrieval_eval, _q121_sql(), "§2.11"),
+    QueryDef("q122_ivf_trained_topk", _q122_ivf_trained_topk, _q122_sql(), "§2.11"),
     QueryDef("q120_index_screen", _q120_index_screen, _q78_oracle_sql(7), "§2.11"),
     # 13 names whose last green row is r5 (3 rounds stale):
     QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
@@ -4796,11 +4866,11 @@ QUERIES: list[QueryDef] = [
     QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
     QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
     QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
-    QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
     # --- tail ---
     # r6-green leftovers that did not fit (61 stale names into 50
     # slots after the r8 no-op, minus window slots taken by this
     # round's new queries): LEAD THE R10 WINDOW
+    QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
     QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
     QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
     QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
