@@ -2563,6 +2563,49 @@ def test_group_profile_multi_column_one_pass(spark, sf_dir):
         group_profile(docs, ["source"], ["n_rows"])
 
 
+def test_merged_index_equals_batch_built_index(spark, sf_dir, tmp_path):
+    """Fold-equivalence of index maintenance: writing a corpus's index
+    in one shot and building it by merge_dedup_index over three
+    disjoint batches must produce the SAME (band, band_sig, doc) row
+    set — appends add exactly the batch's band rows under the stored
+    parameters, nothing more, nothing rescaled. (Shingles are per-doc
+    pure functions, so row-set equality implies full equality.)"""
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators.dedup import (
+        merge_dedup_index,
+        prepare_dedup_index,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    oneshot = prepare_dedup_index(docs, "doc_id", "text", bands=8)
+    want = {
+        (r.band, r.band_sig, r.doc)
+        for r in oneshot.select("band", "band_sig", "doc").collect()
+    }
+
+    p = str(tmp_path / "idx")
+    write_dedup_index(
+        prepare_dedup_index(
+            docs.where("doc_id % 3 = 0"), "doc_id", "text", bands=8
+        ),
+        p,
+        bands=8,
+    )
+    for i in (1, 2):
+        merge_dedup_index(
+            spark, p, docs.where(f"doc_id % 3 = {i}"), "doc_id", "text"
+        )
+    merged, params = read_dedup_index(spark, p)
+    assert params["bands"] == 8  # merges ran under the stored params
+    got = {
+        (r.band, r.band_sig, r.doc)
+        for r in merged.select("band", "band_sig", "doc").collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_incremental_dedup_index_path_equivalent(spark, sf_dir):
     """prepare_dedup_index + existing_index= returns EXACTLY the pairs
     the recompute path returns (ids and jaccard values) on real
