@@ -4484,13 +4484,22 @@ def _q121_retrieval_eval(spark, sf_dir):
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", F.slice(toks, 1, 4)).alias("query_text"),
     )
+    # lex/vec each feed the fusion AND serve as an eval truth side, and
+    # the fused frame is evaluated twice — without a pin the two eval
+    # branches re-execute the corpus-sized BM25 and cosine subtrees 3×
+    # each (fork-without-reuse, SCALING.md round-5 sweep). Both results
+    # are top-k-sized, so the localCheckpoint is ~100 rows; rrf itself
+    # is a cheap window over the pinned inputs and is NOT pinned (a
+    # checkpoint on a cheap subtree is a net loss).
     lex = textops.bm25_topk(docs, qs, "doc_id", "text", k=10).select(
         "query_id", "doc_id", "rank"
-    )
+    ).localCheckpoint()
     vec = similarity.cosine_topk(
         emb, emb.where(F.col("vec_id") % 101 == 0), "vec_id", "embedding",
         k=10,
-    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    ).localCheckpoint()
     rrf = similarity.rrf_fuse([lex, vec], topk=10)
     parts = [
         similarity.retrieval_eval(rrf, truth, k=10).withColumn(
