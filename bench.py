@@ -119,6 +119,7 @@ HEADLINE = [
     "q120_index_screen",
     "q121_retrieval_eval",
     "q122_ivf_trained_topk",
+    "q123_quantize_recon",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

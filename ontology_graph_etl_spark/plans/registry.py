@@ -1595,6 +1595,71 @@ WHERE rank <= {_Q122["k"]}
 """
 
 
+def _q123_quantize_recon(spark, sf_dir):
+    # Embedding quantization round-trip: int8-style per-vector scalar
+    # codes (quantize_embeddings), dequantize, and score reconstruction
+    # fidelity as the rounded cosine between original and
+    # reconstructed vectors. qsum/qwsum digest the code array itself
+    # (value + position) so the certification hashes the exact codes,
+    # not just the reconstruction.
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = similarity.quantize_embeddings(emb, "vec_id", "embedding")
+    er = similarity.dequantize_embeddings(q, "vec_id", out_col="__er")
+    joined = (
+        emb.join(q.select("vec_id", "qvec"), "vec_id")
+        .join(er, "vec_id")
+    )
+    pos = F.sequence(F.lit(1), F.size("qvec").cast("int"))
+    return joined.select(
+        "vec_id",
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("qsum"),
+        F.aggregate(
+            F.zip_with("qvec", pos, lambda qq, i: qq * i.cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("qwsum"),
+        F.round(
+            similarity.cosine(F.col("embedding"), F.col("__er")), 6
+        ).alias("recon_sim"),
+    )
+
+
+def _q123_sql() -> str:
+    cos = _cos_fold_sql("e", "er")
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (
+  SELECT vec_id, e, list_min(e) AS vmin, list_max(e) AS vmax,
+         list_max(e) - list_min(e) AS scale
+  FROM v
+),
+d AS (
+  SELECT vec_id, e, vmin, scale,
+         CASE WHEN scale > 0
+           THEN list_transform(e, x ->
+                CAST(floor((x - vmin) * 255.0 / scale + 0.5) AS BIGINT))
+           ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS q
+  FROM b
+),
+r AS (
+  SELECT vec_id, e, q,
+         CASE WHEN scale > 0
+           THEN list_transform(q, qq -> vmin + qq * scale / 255.0)
+           ELSE list_transform(q, qq -> vmin) END AS er
+  FROM d
+)
+SELECT vec_id,
+       CAST(list_sum(q) AS BIGINT) AS qsum,
+       CAST(list_sum(list_transform(
+              list_zip(q, generate_series(1, len(q))),
+              z -> z[1] * z[2])) AS BIGINT) AS qwsum,
+       round({cos}, 6) AS recon_sim
+FROM r
+"""
+
+
 def _q86_ivf_det_topk(spark, sf_dir):
     # deterministic IVF ANN: md5-seeded coarse quantizer + rounded
     # argmax lists + nprobe probe — the hash-checked twin of q63's
@@ -4821,6 +4886,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("q119_kmeans_train", _q119_kmeans_train, _q119_sql(), "§2.11"),
     QueryDef("q121_retrieval_eval", _q121_retrieval_eval, _q121_sql(), "§2.11"),
     QueryDef("q122_ivf_trained_topk", _q122_ivf_trained_topk, _q122_sql(), "§2.11"),
+    QueryDef("q123_quantize_recon", _q123_quantize_recon, _q123_sql(), "§2.11"),
     QueryDef("q120_index_screen", _q120_index_screen, _q78_oracle_sql(7), "§2.11"),
     # 13 names whose last green row is r5 (3 rounds stale):
     QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
@@ -4874,11 +4940,11 @@ QUERIES: list[QueryDef] = [
     QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
     QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
     QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
-    QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
     # --- tail ---
     # r6-green leftovers that did not fit (61 stale names into 50
     # slots after the r8 no-op, minus window slots taken by this
     # round's new queries): LEAD THE R10 WINDOW
+    QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
     QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
     QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
     QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),

@@ -242,3 +242,44 @@ def test_retrieval_eval_semantics(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         similarity.retrieval_eval(results, truth, k=0)
+
+
+def test_quantize_roundtrip_error_bound(emb):
+    """Reconstruction error of the int8-style codes is bounded by
+    scale/(2*levels) per component (half-up rounding lands within half
+    a code step), codes stay in 0..levels, and a constant vector
+    round-trips exactly (scale=0 path)."""
+    src = emb.select("vec_id", "embedding")
+    q = similarity.quantize_embeddings(src, "vec_id", "embedding")
+    er = similarity.dequantize_embeddings(q, "vec_id", out_col="recon")
+    rows = (
+        src.join(er, "vec_id")
+        .join(q.select("vec_id", "qvec", "vmin", "vmax"), "vec_id")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        scale = r.vmax - r.vmin
+        bound = scale / (2 * 255) + 1e-12
+        assert all(0 <= c <= 255 for c in r.qvec)
+        for x, xr in zip(r.embedding, r.recon):
+            assert abs(x - xr) <= bound, (x, xr, bound)
+
+
+def test_quantize_constant_vector(spark):
+    from pyspark.sql import functions as F
+
+    const = spark.createDataFrame(
+        [(1, [2.5, 2.5, 2.5]), (2, [0.0, 0.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    q = similarity.quantize_embeddings(const, "vec_id", "embedding")
+    er = similarity.dequantize_embeddings(q, "vec_id", out_col="recon")
+    got = {r.vec_id: r.recon for r in er.collect()}
+    assert got == {1: [2.5, 2.5, 2.5], 2: [0.0, 0.0, 0.0]}
+    codes = {r.vec_id: r.qvec for r in q.collect()}
+    assert codes == {1: [0, 0, 0], 2: [0, 0, 0]}
+    import pytest
+
+    with pytest.raises(ValueError, match="levels"):
+        similarity.quantize_embeddings(const, levels=0)
