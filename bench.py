@@ -120,6 +120,7 @@ HEADLINE = [
     "q121_retrieval_eval",
     "q122_ivf_trained_topk",
     "q123_quantize_recon",
+    "q124_bpe_pair_stats",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

@@ -327,6 +327,48 @@ def vocab_topk(
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def bpe_pair_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 20
+) -> DataFrame:
+    """Adjacent-pair frequency head — the statistic a BPE/WordPiece
+    merge round ranks on, lifted to corpus scale: the ``k`` most
+    frequent ADJACENT token pairs with total occurrence count (``pf``)
+    and document frequency (``df``), ranked ``(pf desc, pair asc)``.
+    Feeding merge decisions from a distributed pair count is how
+    vocabulary induction actually runs on a 100 TB corpus — the
+    tokenizer trainer consumes this table, it never sees raw text.
+
+    Pairs are built in-row with zero extra scans: ``arrays_zip`` of the
+    token array against itself shifted by one (two ``slice`` calls on
+    the same attribute — no join, no posexplode self-join), then the
+    :func:`vocab_topk` aggregate shape: explode → one map-side-combined
+    groupBy(pair) → global top-k (per-partition limits + k-row final
+    sort) → rank window over k rows.
+    """
+    toks = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("__doc"),
+        whitespace_tokens(F.col(text_col)).alias("__t"),
+    )
+    pair_arr = F.when(
+        F.size("__t") >= 2,
+        F.zip_with(
+            F.slice(F.col("__t"), 1, F.size("__t") - 1),
+            F.slice(F.col("__t"), 2, F.size("__t") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = toks.select(
+        "__doc", F.explode(pair_arr).alias("pair")
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("pf"),
+        F.count_distinct(F.col("__doc")).alias("df"),
+    )
+    top = agg.orderBy(F.col("pf").desc(), F.col("pair").asc()).limit(k)
+    w = Window.orderBy(F.col("pf").desc(), F.col("pair").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 #: PII patterns chosen to parse identically under Java regex (Spark) and
 #: RE2 (DuckDB oracle): no lookarounds, no backrefs. Phone coverage:
 #: NANP 10/11-digit forms first (dashed, dotted, spaced, parenthesized,

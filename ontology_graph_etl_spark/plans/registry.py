@@ -3435,6 +3435,47 @@ def _q77_vocab_topk(spark, sf_dir):
     )
 
 
+_Q124_K = 20
+
+
+def _q124_bpe_pair_stats(spark, sf_dir):
+    # Vocabulary-induction feed: top-k adjacent token pairs by corpus
+    # frequency + doc frequency — the statistic a BPE merge round
+    # ranks on, as a distributed table (in-row zip_with pairs, q77's
+    # aggregate/top-k shape).
+    return textops.bpe_pair_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=_Q124_K
+    )
+
+
+_q124_sql = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(arr) >= 2
+                THEN list_transform(
+                       list_zip(arr[1:len(arr)-1], arr[2:len(arr)]),
+                       z -> z[1] || ' ' || z[2])
+                ELSE [] END) AS pair
+  FROM toks
+),
+agg AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS pf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM p GROUP BY pair
+),
+top AS (SELECT * FROM agg ORDER BY pf DESC, pair LIMIT {_Q124_K})
+SELECT pair, pf, df,
+       CAST(row_number() OVER (ORDER BY pf DESC, pair) AS INTEGER) AS rank
+FROM top
+"""
+
+
 _q77_sql = rf"""
 WITH toks AS (
   SELECT doc_id,
@@ -4887,6 +4928,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("q121_retrieval_eval", _q121_retrieval_eval, _q121_sql(), "§2.11"),
     QueryDef("q122_ivf_trained_topk", _q122_ivf_trained_topk, _q122_sql(), "§2.11"),
     QueryDef("q123_quantize_recon", _q123_quantize_recon, _q123_sql(), "§2.11"),
+    QueryDef("q124_bpe_pair_stats", _q124_bpe_pair_stats, _q124_sql, "§2.11"),
     QueryDef("q120_index_screen", _q120_index_screen, _q78_oracle_sql(7), "§2.11"),
     # 13 names whose last green row is r5 (3 rounds stale):
     QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
@@ -4939,11 +4981,11 @@ QUERIES: list[QueryDef] = [
     QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
     QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
     QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
-    QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
     # --- tail ---
     # r6-green leftovers that did not fit (61 stale names into 50
     # slots after the r8 no-op, minus window slots taken by this
     # round's new queries): LEAD THE R10 WINDOW
+    QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
     QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
     QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
     QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),

@@ -501,3 +501,25 @@ def test_read_training_shards_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan
     scan = plan[plan.index("PartitionFilters") :]
     assert "shard" in scan[: scan.index("]")]
+
+
+def test_bpe_pair_stats_golden_and_short_docs(spark):
+    """Hand-checkable pair counts; docs with < 2 tokens contribute no
+    pairs (the zip guard) instead of erroring; ranking ties break on
+    the pair string."""
+    from ontology_graph_etl_spark.operators.textops import bpe_pair_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),     # pairs: "a b" x2, "b a" x1
+            (2, "a b"),          # "a b" x1
+            (3, "x"),            # no pairs
+            (4, ""),             # no pairs
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.pair: (r.pf, r.df, r.rank)
+        for r in bpe_pair_stats(docs, "doc_id", "text", k=10).collect()
+    }
+    assert rows == {"a b": (3, 2, 1), "b a": (1, 1, 2)}
