@@ -121,6 +121,7 @@ HEADLINE = [
     "q122_ivf_trained_topk",
     "q123_quantize_recon",
     "q124_bpe_pair_stats",
+    "q125_leakage_free_split",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

@@ -716,6 +716,63 @@ def screen_against_index(
     )
 
 
+def leakage_free_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    train_pct: int = 80,
+    valid_pct: int = 10,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 1,
+    verify_threshold: float | None = 0.5,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Contamination-proof train/valid/test split: every near-dup
+    CLUSTER lands wholly in one split, so a test document can never
+    have a near-duplicate in train — the leakage that row-level
+    splitting (q65) structurally permits and eval then silently
+    rewards. The split decision is the q65 md5-threshold device lifted
+    from row to cluster granularity: hash the cluster id (the
+    cluster's minimum doc id, from :func:`lsh_dedup_clusters`), not
+    the row id, so every member inherits the same draw and
+    adding/removing members never moves a cluster between splits.
+
+    ``train_pct``/``valid_pct`` are integer percents (rest = test);
+    thresholds are exact 16-bit hex cutoffs (``65536·pct div 100``),
+    so the expected fractions are off by < 2^-16 and the assignment
+    is a pure function of the cluster id — stable across engines,
+    partitionings, and corpus appends (an append can only grow a
+    cluster or add new clusters, never re-draw existing ones, except
+    when an append MERGES two clusters — the merged cluster follows
+    its new minimum id, the one unavoidable re-draw).
+
+    Output ``(doc_id, cluster, split)``. Scale shape = the q67
+    clustering (star edges, linear in bucket size) + one zero-shuffle
+    per-row hash compare.
+    """
+    if not (0 <= train_pct and 0 <= valid_pct
+            and train_pct + valid_pct <= 100):
+        raise ValueError(
+            f"invalid split percents: train={train_pct} valid={valid_pct}"
+        )
+    clusters = lsh_dedup_clusters(
+        df, id_col, text_col, num_hashes, bands, shingle_n,
+        verify_threshold, base_hash=base_hash,
+    )
+    t_train = f"{(65536 * train_pct) // 100:04x}"
+    t_valid = f"{(65536 * (train_pct + valid_pct)) // 100:04x}"
+    h = F.substring(F.md5(F.col("cluster").cast("string")), 1, 4)
+    split = (
+        F.when(h < t_train, "train")
+        .when(h < t_valid, "valid")
+        .otherwise("test")
+    )
+    return clusters.select(
+        F.col(id_col), F.col("cluster"), split.alias("split")
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str,

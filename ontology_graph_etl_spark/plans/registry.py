@@ -2826,12 +2826,14 @@ def _q67_lsh_dedup_clusters(spark, sf_dir):
     )
 
 
-def _lsh_cluster_ctes(source: str = "documents") -> str:
+def _lsh_cluster_ctes(source: str = "documents", verify: float = 0.5) -> str:
     """The q67 LSH dedup-clustering pipeline as a reusable CTE chain
     ending in ``clusters(doc_id, cluster)`` — parameterized on the doc
     source so compositions (q85 curation) can run it over a filtered
-    CTE. Must be spliced after a ``WITH RECURSIVE`` (``reach`` is
-    recursive)."""
+    CTE, and on the star-verify threshold (q125 uses 0.9 — at 0.5 the
+    synthetic corpus collapses into one mega-cluster and a
+    cluster-keyed split degenerates). Must be spliced after a ``WITH
+    RECURSIVE`` (``reach`` is recursive)."""
     p = 2147483647
     perms = ",\n    ".join(
         f"({k}, {a}::BIGINT, {b}::BIGINT)"
@@ -2884,7 +2886,7 @@ star AS (
   FROM inter i
   JOIN sizes sa ON sa.doc_id = i.id_a
   JOIN sizes sb ON sb.doc_id = i.id_b
-  WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+  WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {verify}
 ),
 und AS (
   SELECT id_a AS a, id_b AS b FROM star
@@ -2912,6 +2914,40 @@ def _q67_oracle_sql() -> str:
         "WITH RECURSIVE "
         + _lsh_cluster_ctes("documents")
         + "\nSELECT doc_id, cluster FROM clusters"
+    )
+
+
+def _q125_leakage_free_split(spark, sf_dir):
+    # Contamination-proof split: the q65 md5-threshold split lifted to
+    # CLUSTER granularity over the q67 LSH clustering (md5 base), so a
+    # test doc can never have a near-duplicate in train. 80/10/10,
+    # star-verify 0.9 (at 0.5 the synthetic corpus is one mega
+    # cluster and the cluster-keyed split degenerates).
+    return dedup.leakage_free_split(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        train_pct=80, valid_pct=10, shingle_n=1,
+        verify_threshold=0.9, base_hash="md5",
+    )
+
+
+def _q125_sql() -> str:
+    """q67's cluster CTE chain + the cluster-keyed md5 split
+    thresholds (exact 16-bit cutoffs: 80% -> 0xcccc, 90% -> 0xe666 —
+    note cccc, not q65's row-level cccd: 65536*80 div 100 = 52428)."""
+    t_train = f"{(65536 * 80) // 100:04x}"
+    t_valid = f"{(65536 * 90) // 100:04x}"
+    return (
+        "WITH RECURSIVE "
+        + _lsh_cluster_ctes("documents", verify=0.9)
+        + f"""
+SELECT doc_id, cluster,
+       CASE WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 4)
+                 < '{t_train}' THEN 'train'
+            WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 4)
+                 < '{t_valid}' THEN 'valid'
+            ELSE 'test' END AS split
+FROM clusters
+"""
     )
 
 
@@ -4929,6 +4965,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("q122_ivf_trained_topk", _q122_ivf_trained_topk, _q122_sql(), "§2.11"),
     QueryDef("q123_quantize_recon", _q123_quantize_recon, _q123_sql(), "§2.11"),
     QueryDef("q124_bpe_pair_stats", _q124_bpe_pair_stats, _q124_sql, "§2.11"),
+    QueryDef("q125_leakage_free_split", _q125_leakage_free_split, _q125_sql(), "§2.11"),
     QueryDef("q120_index_screen", _q120_index_screen, _q78_oracle_sql(7), "§2.11"),
     # 13 names whose last green row is r5 (3 rounds stale):
     QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
@@ -4980,11 +5017,11 @@ QUERIES: list[QueryDef] = [
     QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
     QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
     QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
-    QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
     # --- tail ---
     # r6-green leftovers that did not fit (61 stale names into 50
     # slots after the r8 no-op, minus window slots taken by this
     # round's new queries): LEAD THE R10 WINDOW
+    QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
     QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
     QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
     QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),

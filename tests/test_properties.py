@@ -2935,3 +2935,44 @@ def test_pivot_unpivot_golden(spark):
         (10, "p_retailprice", 99.5),
         (10, "p_size", 3.0),
     ]
+
+
+def test_leakage_free_split_invariants(spark, sf_dir):
+    """The contamination guarantee, tested directly: plant an exact
+    duplicate pair and a near-duplicate pair across the corpus — both
+    members of each pair MUST land in the same split; no cluster may
+    span splits; every doc gets exactly one row."""
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators.dedup import leakage_free_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted_text = (
+        "zq wv tn pq ab cd ef gh ij kl mn op qr st uv wx yz planted"
+    )
+    near_text = planted_text + " extra"
+    planted = spark.createDataFrame(
+        [(900001, planted_text), (900002, planted_text),
+         (900003, near_text)],
+        "doc_id long, text string",
+    )
+    out = leakage_free_split(
+        docs.unionByName(planted), "doc_id", "text",
+        verify_threshold=0.5,
+    ).collect()
+    rows = {r.doc_id: r for r in out}
+    assert len(out) == len(rows) == docs.count() + 3
+    # exact + near duplicates share a cluster, hence a split
+    assert rows[900001].cluster == rows[900002].cluster == rows[900003].cluster
+    assert rows[900001].split == rows[900002].split == rows[900003].split
+    # global invariant: no cluster spans two splits
+    spans = {}
+    for r in out:
+        spans.setdefault(r.cluster, set()).add(r.split)
+    assert all(len(v) == 1 for v in spans.values())
+    import pytest
+
+    with pytest.raises(ValueError, match="percents"):
+        leakage_free_split(docs, "doc_id", "text", train_pct=90,
+                           valid_pct=20)
