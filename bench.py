@@ -135,6 +135,13 @@ HEADLINE = [
 _PLAN_ID_RE = re.compile(
     r"#\d+|plan_id=\d+|\[id=#?\d+\]|, id=#?\d+|(?<=lambda )\w+_\d+"
     r"|/tmp/[^\s,\]\)]*"
+    # Spark truncates long expression dumps (DataFilters etc.) at a
+    # fixed char budget ending in "..." — run-varying id WIDTHS
+    # upstream shift the cut point, so the word touching the ellipsis
+    # differs by a character between invocations (q122's argmax
+    # filter). Drop the truncated fragment; the untruncated prefix
+    # still fingerprints the plan.
+    r"|\S*\.\.\."
 )
 
 
