@@ -980,8 +980,16 @@ def quantize_embeddings(
     if levels < 1:
         raise ValueError(f"levels must be >= 1, got {levels}")
     lv = float(levels)
+    # promote float32 inputs to double BEFORE any arithmetic: a
+    # float-typed (x - vmin) rounds to float precision mid-expression
+    # and lands a borderline component in the adjacent code, while
+    # every other engine (and the oracle) computes in double end to
+    # end — caught as a single off-by-one code at sf0.001
     prepared = (
-        df.select(F.col(id_col), F.col(vec_col).alias("__e"))
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__e"),
+        )
         .withColumn("__vmin", F.array_min("__e"))
         .withColumn("__vmax", F.array_max("__e"))
         .withColumn("__scale", F.col("__vmax") - F.col("__vmin"))

@@ -1621,7 +1621,13 @@ def _q123_quantize_recon(spark, sf_dir):
             lambda a, x: a + x,
         ).alias("qwsum"),
         F.round(
-            similarity.cosine(F.col("embedding"), F.col("__er")), 6
+            similarity.cosine(
+                # double end-to-end: the oracle's CAST(e AS DOUBLE[])
+                # twin — a float32-typed norm fold rounds differently
+                F.col("embedding").cast("array<double>"),
+                F.col("__er"),
+            ),
+            6,
         ).alias("recon_sim"),
     )
 
