@@ -2714,11 +2714,32 @@ def test_certification_window_freshness():
 
     INF = float("inf")
 
+    # Optimality is judged on the PRE-LATEST-ROUND view: the latest
+    # CORRECTNESS file certifies exactly the current window, so right
+    # after the driver runs the window is all-fresh by construction —
+    # judging it on post-certification staleness would flag every
+    # successful round as an inversion. The question the guard must
+    # answer is "was this window the right 50 to certify?", i.e.
+    # top-50 by staleness as of BEFORE the newest round's rows.
+    # A skipped-rotation round still trips: its unrotated window was
+    # fresh even on the pre-view while staler names sat outside.
+    pre_rounds = {}
+    root2 = pathlib.Path(__file__).resolve().parent.parent
+    for f in sorted(root2.glob("CORRECTNESS_r*.json")):
+        rnum = int(re.search(r"r(\d+)", f.name).group(1))
+        if rnum >= max_round:
+            continue
+        data = json.loads(f.read_text())
+        for name, rec in data.items():
+            if rec.get("err") is None and rec.get("rows_match"):
+                pre_rounds[name] = max(pre_rounds.get(name, 0), rnum)
+    pre_max = max(pre_rounds.values(), default=0)
+
     def priority(name):
-        # higher = needs certification sooner
-        if name not in rounds or name in RECERTIFY:
+        # higher = needed certification sooner (pre-latest-round view)
+        if name not in pre_rounds or name in RECERTIFY:
             return INF  # never certified / contract changed
-        return max_round - rounds[name]
+        return pre_max - pre_rounds[name]
 
     # (a) must-certify names sit in the window
     must_certify = {n for n in names if priority(n) == INF}
@@ -2728,25 +2749,30 @@ def test_certification_window_freshness():
         f"window: {sorted(missing)}"
     )
 
-    # (b) no inversion: window = top-50 by staleness (ties free)
+    # (b) no inversion: window = top-50 by pre-view staleness
     worst_outside = max(
         (priority(n) for n in names[50:]), default=0
     )
     best_inside = min(priority(n) for n in names[:50])
     assert worst_outside <= best_inside, (
-        f"staleness inversion: a name outside the window is "
-        f"{worst_outside} rounds stale while a window slot holds a "
-        f"{best_inside}-rounds-stale name — rotate "
+        f"staleness inversion: a name outside the window was "
+        f"{worst_outside} rounds stale (pre-view) while a window slot "
+        f"holds a {best_inside}-rounds-stale name — rotate "
         f"(outside worst: "
         f"{sorted((n for n in names[50:] if priority(n) == worst_outside))[:5]}, "
         f"inside best: "
         f"{sorted((n for n in names[:50] if priority(n) == best_inside))[:5]})"
     )
 
-    # (c) bounded backlog outside the window
+    # (c) bounded backlog outside the window, on the CURRENT view: a
+    # name left outside may be at most ceil(N/50) rounds behind the
+    # newest certification round (the steady-state recert period);
+    # beyond-cap names must be first in line inside the window.
     cap = math.ceil(len(names) / 50)
     over_cap = {
-        n for n in names[50:] if priority(n) != INF and priority(n) > cap
+        n
+        for n in names[50:]
+        if n in rounds and max_round - rounds[n] > cap
     }
     assert not over_cap, (
         f"names more than {cap} rounds stale left outside the window: "
