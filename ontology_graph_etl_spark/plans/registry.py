@@ -4938,17 +4938,24 @@ _q110_sql = _q110_sql_for(_Q110_K)
 # window must be a top-50-by-staleness set (no inversion: nothing
 # outside the window may be staler than anything inside), plus a hard
 # cap of ceil(N/50) rounds on the staleness of anything left outside.
-# This window:
-#   1-13  the 13 r5-green names (3 rounds stale — at the cap), in
+# Final r9 window (after this round's seven new-query insertions,
+# each of which pushed the window's then-last r6 entry to the tail
+# head):
+#   1-7   new this round, never certified: q119 (Lloyd training),
+#         q121 (retrieval eval), q122 (trained IVF), q120 (stored
+#         index screen), q123 (quantization), q124 (BPE pairs),
+#         q125 (leakage-free split).
+#   8-20  the 13 r5-green names (3 rounds stale — at the cap), in
 #         their promised lead-the-next-window tail order.
-#   14-50 37 of the 48 r6-green names (2 rounds stale), former tail
+#   21-50 30 of the 48 r6-green names (2 rounds stale), former tail
 #         order.
-# Eleven r6-green names did not fit; they sit FIRST in the tail and
-# LEAD THE R10 WINDOW: q25, q27, q01, q02, q03, q04, q08, q09, q10,
-# q13, q14. Done = after the r9 driver run no query's latest green
-# row predates r6, and r10's rotation retires the staleness backlog
-# entirely (11 + 39 of the 50 r8 names fit in one window).
-# New queries registered this round are inserted at the window head
+# Eighteen r6-green names did not fit; they sit FIRST in the tail
+# and LEAD THE R10 WINDOW: q94, q96, q20, q21, q22, q23, q24, q25,
+# q27, q01, q02, q03, q04, q08, q09, q10, q13, q14. Done = after the
+# r9 driver run no query's latest green row predates r6, and r10's
+# rotation retires the staleness backlog (18 + 32 of the 50 r8 names
+# fit in one window).
+# New queries registered mid-round are inserted at the window head
 # (never-certified names must sit in the window); each insertion
 # pushes the window's last entry to the tail head.
 
