@@ -86,6 +86,8 @@ def write_training_shards(
     path: str,
     n_shards: int,
     key_col: str,
+    order_col: str | None = None,
+    ascending: bool = True,
 ) -> None:
     """Deterministic shuffled shard export — the LAST step of a
     training-data pipeline: the curated mix lands as exactly
@@ -135,11 +137,28 @@ def write_training_shards(
         f"CAST(conv(substring(md5({checked_key}), 1, 8),"
         f" 16, 10) AS BIGINT) * {int(n_shards)} div 4294967296"
     )
+    # order_col= turns the export into a CURRICULUM layout: shard
+    # MEMBERSHIP stays the pure md5 function of the key (so every
+    # shard is an unbiased corpus sample and re-runs are byte-stable),
+    # but WITHIN each shard rows sort by (order_col, md5) — e.g. a
+    # quality score ascending = easy-to-hard curriculum per shard,
+    # consumed by streaming the file in order. The md5 tiebreak keeps
+    # equal-score runs deterministic. Default (None) keeps the
+    # historical pure-md5 shuffle order.
+    sort_cols = [F.col("shard")]
+    if order_col is not None:
+        if order_col not in df.columns:
+            raise ValueError(
+                f"order_col {order_col!r} not in input columns"
+            )
+        oc = F.col(order_col)
+        sort_cols.append(oc.asc() if ascending else oc.desc())
+    sort_cols.append(F.col("__h8"))
     (
         df.withColumn("__h8", h8)
         .withColumn("shard", shard.cast("int"))
         .repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("shard", "__h8")
+        .sortWithinPartitions(*sort_cols)
         .drop("__h8")
         .write.mode("overwrite")
         .partitionBy("shard")

@@ -523,3 +523,49 @@ def test_bpe_pair_stats_golden_and_short_docs(spark):
         for r in bpe_pair_stats(docs, "doc_id", "text", k=10).collect()
     }
     assert rows == {"a b": (3, 2, 1), "b a": (1, 1, 2)}
+
+
+def test_write_training_shards_curriculum_order(spark, sf_dir, tmp_path):
+    """order_col= reorders WITHIN shards only: membership is identical
+    to the default export (pure md5 of the key), each shard's file is
+    monotone in the order column (desc here), and an unknown order
+    column raises."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.sinks.writers import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    p_plain = str(tmp_path / "plain")
+    p_curr = str(tmp_path / "curriculum")
+    write_training_shards(docs, p_plain, 4, "doc_id")
+    write_training_shards(
+        docs, p_curr, 4, "doc_id", order_col="n_chars", ascending=False
+    )
+    for shard in range(4):
+        want = {
+            r.doc_id
+            for r in read_training_shards(spark, p_plain, shard).collect()
+        }
+        got = {
+            r.doc_id
+            for r in read_training_shards(spark, p_curr, shard).collect()
+        }
+        assert got == want  # membership unchanged
+        # file order is the curriculum: n_chars monotone non-increasing
+        [f] = glob.glob(f"{p_curr}/shard={shard}/*.parquet")
+        seq = pq.read_table(f).column("n_chars").to_pylist()
+        assert all(a >= b for a, b in zip(seq, seq[1:]))
+        assert len(seq) > 1
+    with pytest.raises(ValueError, match="order_col"):
+        write_training_shards(
+            docs, str(tmp_path / "x"), 4, "doc_id", order_col="nope"
+        )
