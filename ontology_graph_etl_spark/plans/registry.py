@@ -4968,7 +4968,14 @@ _q110_sql = _q110_sql_for(_Q110_K)
 #: slots forever. Empty this round: q108/q109 were re-certified by
 #: the r8 driver run (green rows in CORRECTNESS_r08.json).
 RECERTIFY_ROUND = 9
-RECERTIFY: set[str] = set()
+RECERTIFY: set[str] = {
+    # round-9 plan change: the half-NULL-edge fix filters the edge
+    # frame inside closure and the include_roots endpoint pass — the
+    # executed plans of the depth-histogram family changed. q32/q107
+    # already sit in the r9 window; q112's last green row is r8, so
+    # it must re-certify under the new plan.
+    "q112_depth_histogram_roots",
+}
 
 QUERIES: list[QueryDef] = [
     # --- ROUND-9 WINDOW (first 50; rationale in the ROTATION comment) ---
@@ -4979,6 +4986,13 @@ QUERIES: list[QueryDef] = [
     QueryDef("q123_quantize_recon", _q123_quantize_recon, _q123_sql(), "§2.11"),
     QueryDef("q124_bpe_pair_stats", _q124_bpe_pair_stats, _q124_sql, "§2.11"),
     QueryDef("q125_leakage_free_split", _q125_leakage_free_split, _q125_sql(), "§2.11"),
+    # RECERTIFY (plan changed this round — see the set above):
+    QueryDef(
+        "q112_depth_histogram_roots",
+        _q112_depth_histogram_roots,
+        _q112_sql,
+        "G12",
+    ),
     QueryDef("q120_index_screen", _q120_index_screen, _q78_oracle_sql(7), "§2.11"),
     # 13 names whose last green row is r5 (3 rounds stale):
     QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
@@ -5029,11 +5043,11 @@ QUERIES: list[QueryDef] = [
     QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
     QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
     QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
-    QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
     # --- tail ---
     # r6-green leftovers that did not fit (61 stale names into 50
     # slots after the r8 no-op, minus window slots taken by this
     # round's new queries): LEAD THE R10 WINDOW
+    QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
     QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
     QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
     QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
@@ -5055,12 +5069,6 @@ QUERIES: list[QueryDef] = [
     # r8-certified names (the former window), untouched since
     QueryDef("q110_span_removal", _q110_span_removal, _q110_sql, "§2.11"),
     QueryDef("q111_topo_depth", _q111_topo_depth, _q111_sql, "G12"),
-    QueryDef(
-        "q112_depth_histogram_roots",
-        _q112_depth_histogram_roots,
-        _q112_sql,
-        "G12",
-    ),
     QueryDef("q113_bm25_topk", _q113_bm25_topk, _q113_sql, "§2.11"),
     QueryDef("q114_multi_profile", _q114_multi_profile, _q114_sql, "§2.11"),
     QueryDef(

@@ -2700,17 +2700,6 @@ def test_certification_window_freshness():
     window = set(names[:50])
     unknown = RECERTIFY - set(names)
     assert not unknown, f"RECERTIFY names not in registry: {unknown}"
-    # self-clearing: once the driver has re-certified a RECERTIFY name
-    # (a green row dated RECERTIFY_ROUND or later), keeping it in the
-    # set would pin a window slot forever — fail until it is removed
-    recertified = {
-        n for n in RECERTIFY if rounds.get(n, 0) >= RECERTIFY_ROUND
-    }
-    assert not recertified, (
-        f"RECERTIFY members already re-certified in round "
-        f">= {RECERTIFY_ROUND}: {sorted(recertified)} — remove them "
-        "from the set (plans/registry.py)"
-    )
 
     INF = float("inf")
 
@@ -2734,6 +2723,24 @@ def test_certification_window_freshness():
             if rec.get("err") is None and rec.get("rows_match"):
                 pre_rounds[name] = max(pre_rounds.get(name, 0), rnum)
     pre_max = max(pre_rounds.values(), default=0)
+
+    # self-clearing RECERTIFY, on the pre-view: once a member's
+    # re-certification is a full round old (a green row dated >=
+    # RECERTIFY_ROUND exists BEFORE the latest round), keeping it in
+    # the set would pin a window slot forever — fail until the next
+    # rotation commit removes it. Evaluating on the CURRENT view
+    # would fire the moment the certifying round's artifact lands,
+    # when no commit can respond (the round-8 trap); the pre-view
+    # gives exactly one round to react, to the builder who can.
+    recertified = {
+        n for n in RECERTIFY if pre_rounds.get(n, 0) >= RECERTIFY_ROUND
+    }
+    assert not recertified, (
+        f"RECERTIFY members whose re-certification (round "
+        f">= {RECERTIFY_ROUND}) is now a round old: "
+        f"{sorted(recertified)} — remove them from the set "
+        "(plans/registry.py)"
+    )
 
     def priority(name):
         # higher = needed certification sooner (pre-latest-round view)
