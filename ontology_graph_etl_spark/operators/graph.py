@@ -1078,3 +1078,83 @@ def topo_depth(
     return acc.groupBy("node").agg(
         F.max("d").cast("long").alias("depth")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """G14 — k-core peeling over the undirected simple graph of
+    ``edges``: repeatedly delete nodes of degree < ``k`` (degree =
+    COUNT OF DISTINCT NEIGHBORS; parallel edges collapse, self-loops
+    and half-NULL edges are dropped whole, the :func:`closure`
+    convention). Returns ``(node, degree)`` for the surviving
+    subgraph — with ``rounds=None`` (default) that is the exact
+    k-core (peel to fixpoint, ``max_iterations`` guarding); with a
+    fixed ``rounds`` it is the r-round peel state, which is what the
+    driver-checked query uses so the DuckDB oracle can replay the
+    same finite round chain as chained CTEs (the q37/q119 device —
+    fixed-round iteration is the price of cross-engine hash checks).
+
+    The graph-cleaning step of a training-data pipeline: 2-cores
+    drop the pendant tails of a link graph, higher k isolates the
+    densely-cross-referenced spine. Per round the work is one
+    node-keyed partial-aggregated count over the surviving edges plus
+    two semi joins of those edges against the (much smaller) survivor
+    node set — the edge frame is hash-partitioned by endpoint and
+    only SHRINKS round over round, so at 100 TB the cost is bounded
+    by O(rounds) scans of a monotonically shrinking edge list; the
+    survivor set is node-sized and broadcast-eligible under AQE.
+    ``localCheckpoint`` truncates lineage each round (the edge frame
+    feeds BOTH the degree aggregate and the next round's semi joins —
+    an unchecked fork would re-execute the whole peel chain per
+    consumer, the round-5 fork-without-reuse class; on a real
+    cluster swap in ``checkpoint()`` against the job's checkpoint
+    dir so the truncation survives executor loss).
+    """
+    sym = (
+        _undirect(
+            edges.where(
+                F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+            ),
+            src_col,
+            dst_col,
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    fixed = rounds is not None
+    n_rounds = rounds if fixed else max_iterations
+    converged = False
+    for _ in range(n_rounds):
+        keep = (
+            sym.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .where(F.col("__deg") >= k)
+            .select("a")
+        )
+        nxt = (
+            sym.join(keep, "a", "semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "semi")
+            .localCheckpoint()
+        )
+        if not fixed and nxt.count() == sym.count():
+            converged = True
+            break
+        sym = nxt
+    if not fixed and not converged:
+        import warnings
+
+        warnings.warn(
+            f"kcore did not reach fixpoint within {max_iterations} "
+            "iterations; result is the truncated peel state",
+            stacklevel=2,
+        )
+    return sym.groupBy("a").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    ).select(F.col("a").alias("node"), "degree")

@@ -1488,3 +1488,68 @@ def fill_budget(
         )
         .drop("__fb_domain", "__alloc")
     )
+
+
+def historize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """SCD type-2 historization — compress a per-key change stream into
+    validity intervals: consecutive rows (ordered by ``ts_col``, ties by
+    ``tie_col``) whose ``attr_cols`` tuple is unchanged collapse into one
+    row carrying ``valid_from`` (first ``ts_col`` of the run),
+    ``valid_to`` (the NEXT run's ``valid_from``; NULL on the key's
+    current run) and ``n_rows`` (rows collapsed). The classic
+    dimension-historization / gaps-and-islands operator every
+    large-scale ETL re-derives; the reference's MERGE surface (A4,
+    main.py upsert paths) keeps only the latest state — this keeps the
+    full interval history, which is what a reproducible
+    training-snapshot story needs ("which priority was active when
+    this example was sampled?").
+
+    Plan shape: everything is windows over ONE hash partitioning by
+    ``key_cols`` — the change flag (null-safe ``lag`` compare per
+    attribute: NULL→NULL is NOT a change, NULL→value is — the round-6
+    window→join NULL lesson baked in), the running run-id sum, the
+    per-run group-by, and the ``lead`` that closes each interval all
+    reuse the same (key)-keyed exchange, so the operator costs a
+    single shuffle of the input regardless of attribute count. Skew =
+    one mega-key's history lands on one task: histories are bounded by
+    time (a key's rows per snapshot cadence), not by corpus size, so
+    the partition stays memory-sized at 100 TB; a pathological key
+    would segment by coarse time bucket first (the q41 device).
+    """
+    keys = [F.col(c) for c in key_cols]
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tie_col).asc()] if tie_col else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = F.lit(False)
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(F.col(a)).over(w))
+    # lag() is NULL on the key's first row, where eqNullSafe against a
+    # non-NULL attr already yields False -> flagged as a change; an
+    # all-NULL first attr tuple would compare equal to the lag NULLs,
+    # so force the first row explicitly
+    first_row = F.lag(F.lit(1)).over(w).isNull()
+    runs = df.withColumn(
+        "__chg", (changed | first_row).cast("int")
+    ).withColumn(
+        "__run",
+        F.sum("__chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    grouped = runs.groupBy(*key_cols, "__run", *attr_cols).agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    wk = Window.partitionBy(*keys).orderBy(F.col("__run").asc())
+    return grouped.withColumn(
+        "valid_to", F.lead("valid_from").over(wk)
+    ).select(
+        *key_cols, *attr_cols, "valid_from", "valid_to", "n_rows"
+    )

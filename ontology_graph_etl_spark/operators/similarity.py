@@ -1127,3 +1127,65 @@ def retrieval_eval(
             ).alias("ndcg"),
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: for each
+    query vector, the ``k`` most-similar corpus vectors whose label is
+    KNOWN to differ (both labels non-NULL and unequal — a NULL label
+    cannot be confirmed negative, so those candidates are excluded, the
+    conservative contract). The standard upgrade from in-batch random
+    negatives: near-duplicates of the anchor that the label says are
+    wrong, which is where the contrastive gradient actually is.
+
+    Plan shape is :func:`cosine_topk`'s (broadcast(queries) × corpus
+    nested loop, codegen'd double-math dot, per-query ``row_number``)
+    plus a label inequality pushed INTO the join filter — candidates of
+    the anchor's own class never reach the window. The query side is a
+    training batch (hundreds), the corpus side streams: linear in
+    corpus, zero shuffle of it beyond the k-sized window input after
+    AQE. At 100 TB corpus scale, compose with the IVF router instead
+    (:func:`ivf_topk_deterministic` restricted to ``!=`` labels) — this
+    operator is the exact-scoring core both paths share.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_raw"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_raw"),
+        F.col(label_col).alias("c_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & F.col("q_label").isNotNull()
+            & F.col("c_label").isNotNull()
+            & (F.col("q_label") != F.col("c_label"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_raw"), F.col("c_raw")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -8,6 +8,8 @@ shuffle for document frequencies, broadcast back).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1060,3 +1062,131 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+def _bpe_wrap(col):
+    """Wrap every character of an alpha word in ``<...>`` markers:
+    ``cat`` → ``<c><a><t>``. The markers cannot occur in ``[a-z]+``
+    words, so a plain substring replace of ``<l><r>`` → ``<lr>`` is
+    exactly one BPE merge application — both Spark's ``replace`` and
+    DuckDB's scan left-to-right non-overlapping, which IS the BPE
+    greedy order (``aaa`` + merge(a,a) → ``aa a``, never ``a aa``)."""
+    return F.regexp_replace(col, "(.)", "<$1>")
+
+
+def _bpe_pairs(s_col):
+    """Adjacent (lhs, rhs) token-pair structs of a wrapped word string —
+    in-row, zero joins (the :func:`bpe_pair_stats` slice-zip device)."""
+    arr = F.split(F.expr(f"substring({s_col}, 2, length({s_col}) - 2)"), "><")
+    return F.when(
+        F.size(arr) >= 2,
+        F.zip_with(
+            F.slice(arr, 1, F.size(arr) - 1),
+            F.slice(arr, 2, F.size(arr) - 1),
+            lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+        ),
+    ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, n_merges: int
+) -> DataFrame:
+    """Byte-pair-encoding vocabulary induction (Sennrich et al. 2016),
+    the real iterative trainer that :func:`bpe_pair_stats` is one round
+    of: starting from characters, repeatedly count adjacent token pairs
+    across the corpus and merge the most frequent one. Returns the
+    learned merge table ``(merge_round, lhs, rhs, pair_count)`` —
+    ``pair_count`` is the corpus-wide occurrence count that won the
+    round, ties broken ``(count desc, lhs asc, rhs asc)`` so the
+    trained vocabulary is deterministic cross-engine (the oracle
+    replays the identical rounds as chained CTEs).
+
+    Corpus-scale shape: ONE pass over the text (lowercase → whitespace
+    words, ``[a-z]+`` only → word-frequency table) and from then on
+    every merge round runs on the VOCABULARY — distinct words with
+    counts, corpus-size-independent — exactly how production BPE
+    trainers scale (Sennrich's in-memory dict, here a distributed
+    frame). Per round: one in-row pair explode + one map-side-combined
+    groupBy(pair) + a 1-row argmax fetch to the driver (O(1), the q119
+    seed-fetch class) + one vocabulary-sized string replace,
+    lineage-truncated per round. At 100 TB the word-count pass
+    dominates and is a single shuffle; 50k merge rounds over a
+    vocab-sized frame are cheap and embarrassingly parallel.
+    """
+    words = (
+        ensure_parallelism(df.select(text_col))
+        .select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("s", _bpe_wrap(F.col("w")))
+        .localCheckpoint()
+    )
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        best = (
+            words.select(F.explode(_bpe_pairs("s")).alias("p"), "cnt")
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.col("pc").desc(), F.col("lhs").asc(), F.col("rhs").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, pc = best[0]["lhs"], best[0]["rhs"], best[0]["pc"]
+        merges.append((r, lhs, rhs, int(pc)))
+        words = words.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f"<{lhs}><{rhs}>"),
+                F.lit(f"<{lhs}{rhs}>"),
+            ),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "merge_round INT, lhs STRING, rhs STRING, pair_count BIGINT",
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: Sequence[tuple[str, str]],
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Apply a learned BPE merge list (from :func:`bpe_train`, in
+    training order) to tokenize text: ``(id, tokens array<string>)``
+    over the same ``[a-z]+`` word domain the trainer saw. Pure
+    expression chain — wrap every word's characters, fold the merge
+    replaces over the whole wrapped line (word boundaries are safe: a
+    ``<l><r>`` pattern cannot span the space between words), split
+    back to tokens. Zero shuffles, zero UDFs: tokenization at 100 TB
+    is scan-speed string work and must stay inside codegen.
+    """
+    wrapped = F.array_join(
+        F.transform(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda w: w.rlike("^[a-z]+$"),
+            ),
+            _bpe_wrap,
+        ),
+        " ",
+    )
+    for lhs, rhs in merges:
+        wrapped = F.replace(
+            wrapped, F.lit(f"<{lhs}><{rhs}>"), F.lit(f"<{lhs}{rhs}>")
+        )
+    toks = F.filter(
+        F.split(
+            F.regexp_replace(wrapped, "[<>]+", " "), " "
+        ),
+        lambda t: t != "",
+    )
+    return df.select(F.col(id_col), toks.alias(out_col))

@@ -4915,6 +4915,223 @@ LEFT JOIN agg a USING (doc_id)
 _q110_sql = _q110_sql_for(_Q110_K)
 
 
+_Q126_K = 6
+_Q126_ROUNDS = 3
+
+
+def _q126_kcore(spark, sf_dir):
+    # G14 — fixed-round k-core peel of the q33 heterogeneous 5-edge
+    # union graph (C-O-P-S-N-R): regions (degree 5) peel in round 1,
+    # orders with <=2 lineitems follow, and the cascade thins customer
+    # degrees round over round. rounds=3 pins a finite chain so the
+    # oracle replays the identical peel as chained CTEs (the q119
+    # fixed-round device); graph.kcore(rounds=None) is the production
+    # run-to-fixpoint path, pytest-converged against this one.
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+
+    def e(df, src, dst, sp, dp):
+        return df.select(
+            F.concat(F.lit(sp), F.col(src).cast("string")).alias("src"),
+            F.concat(F.lit(dp), F.col(dst).cast("string")).alias("dst"),
+        )
+
+    edges = (
+        e(orders, "o_custkey", "o_orderkey", "C", "O")
+        .unionByName(e(lineitem, "l_orderkey", "l_partkey", "O", "P"))
+        .unionByName(e(lineitem, "l_orderkey", "l_suppkey", "O", "S"))
+        .unionByName(e(customer, "c_custkey", "c_nationkey", "C", "N"))
+        .unionByName(e(nation, "n_nationkey", "n_regionkey", "N", "R"))
+    )
+    return graph.kcore(edges, k=_Q126_K, rounds=_Q126_ROUNDS)
+
+
+def _q126_sql(k: int = _Q126_K, rounds: int = _Q126_ROUNDS) -> str:
+    """Chained-CTE DuckDB twin of the fixed-round k-core peel: e0 is
+    the distinct symmetric simple-graph edge set, then per round r a
+    degree CTE d{r}, survivor CTE k{r} (degree >= k) and filtered edge
+    CTE e{r}; output = degrees on e{rounds}."""
+    parts = [
+        "WITH base AS (",
+        "  SELECT 'C' || o_custkey AS x, 'O' || o_orderkey AS y FROM orders",
+        "  UNION ALL SELECT 'O' || l_orderkey, 'P' || l_partkey FROM lineitem",
+        "  UNION ALL SELECT 'O' || l_orderkey, 'S' || l_suppkey FROM lineitem",
+        "  UNION ALL SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer",
+        "  UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation",
+        "),",
+        "e0 AS (",
+        "  SELECT DISTINCT a, b FROM (",
+        "    SELECT x AS a, y AS b FROM base",
+        "    UNION ALL SELECT y AS a, x AS b FROM base)",
+        "  WHERE a IS NOT NULL AND b IS NOT NULL AND a <> b",
+        "),",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts += [
+            f"d{r} AS (SELECT a, COUNT(*) AS deg FROM e{p} GROUP BY a),",
+            f"k{r} AS (SELECT a FROM d{r} WHERE deg >= {k}),",
+            f"e{r} AS (",
+            f"  SELECT e.a, e.b FROM e{p} e",
+            f"  JOIN k{r} x ON e.a = x.a",
+            f"  JOIN k{r} y ON e.b = y.a",
+            f"),",
+        ]
+    parts += [
+        f"fin AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree",
+        f"        FROM e{rounds} GROUP BY a)",
+        "SELECT node, degree FROM fin",
+    ]
+    return "\n".join(parts)
+
+
+def _q127_scd2_historize(spark, sf_dir):
+    # SCD type-2 historization of order priority per customer: runs of
+    # unchanged o_orderpriority (ordered by o_orderdate, ties by
+    # o_orderkey) collapse to validity intervals — the
+    # dimension-history operator, one shuffle on the key.
+    return relational.historize(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        ["o_orderpriority"],
+        "o_orderdate",
+        "o_orderkey",
+    )
+
+
+_q127_sql = r"""
+WITH flagged AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+         CASE WHEN lag(o_orderpriority) OVER w
+                   IS DISTINCT FROM o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+runs AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority,
+         SUM(chg) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS run
+  FROM flagged
+),
+g AS (
+  SELECT o_custkey, run, o_orderpriority,
+         MIN(o_orderdate) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM runs GROUP BY o_custkey, run, o_orderpriority
+)
+SELECT o_custkey, o_orderpriority, valid_from,
+       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run)
+         AS valid_to,
+       n_rows
+FROM g
+"""
+
+
+_Q128_K = 5
+
+
+def _q128_hard_negatives(spark, sf_dir):
+    # Hard-negative mining: per query vector, the top-k most-similar
+    # corpus vectors with a KNOWN-different label (q51's broadcast
+    # nested loop + the label inequality pushed into the join filter).
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(
+        emb, emb.where(F.col("vec_id") < 12), k=_Q128_K
+    )
+
+
+_q128_sql = rf"""
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+           FROM embeddings WHERE vec_id < 12),
+     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+           FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.e, c.e), 6) AS cosine_sim
+  FROM q CROSS JOIN c
+  WHERE q.vec_id <> c.vec_id
+    AND q.label IS NOT NULL AND c.label IS NOT NULL
+    AND q.label <> c.label
+)
+SELECT query_id, neighbor_id, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {_Q128_K}
+"""
+
+
+_Q129_MERGES = 4
+
+
+def _q129_bpe_train(spark, sf_dir):
+    # Iterative BPE vocabulary induction (Sennrich 2016): 4 merge
+    # rounds over the word-frequency table; the oracle replays the
+    # identical rounds as chained CTEs — pair counts, argmax tiebreak
+    # and the merge rewrites are all hash-checked cross-engine.
+    return textops.bpe_train(
+        _t(spark, sf_dir, "documents"), "text", n_merges=_Q129_MERGES
+    )
+
+
+def _q129_sql(rounds: int = _Q129_MERGES) -> str:
+    """Chained-CTE DuckDB twin of bpe_train: s0 is the wrapped
+    word-frequency table; per round r a pair-count CTE p{r}, a 1-row
+    argmax CTE b{r} ((count desc, lhs, rhs) — the Spark fetch), and the
+    rewritten vocabulary s{r} via the same left-to-right substring
+    replace; output = the merge table b1..b{rounds}."""
+    parts = [
+        "WITH w0 AS (",
+        "  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (",
+        r"    SELECT unnest(list_filter(",
+        r"      regexp_split_to_array(lower(text), '\s+'),",
+        r"      x -> regexp_matches(x, '^[a-z]+$'))) AS w",
+        "    FROM documents)",
+        "  GROUP BY w",
+        "),",
+        "s0 AS (",
+        r"  SELECT w, cnt, regexp_replace(w, '(.)', '<\1>', 'g') AS s",
+        "  FROM w0",
+        "),",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts += [
+            f"p{r} AS (",
+            f"  SELECT l, r, SUM(cnt) AS pc FROM (",
+            f"    SELECT arr[pos] AS l, arr[pos + 1] AS r, cnt FROM (",
+            f"      SELECT arr, cnt,",
+            f"             unnest(generate_series(1, len(arr) - 1)) AS pos",
+            f"      FROM (SELECT string_split(s[2:len(s) - 1], '><') AS arr,",
+            f"                   cnt",
+            f"            FROM s{p})))",
+            f"  GROUP BY l, r",
+            f"),",
+            f"b{r} AS (SELECT l, r, pc FROM p{r}",
+            f"         ORDER BY pc DESC, l, r LIMIT 1),",
+            f"s{r} AS (",
+            f"  SELECT w, cnt,",
+            f"         replace(s,",
+            f"           '<' || (SELECT l FROM b{r}) || '><'",
+            f"               || (SELECT r FROM b{r}) || '>',",
+            f"           '<' || (SELECT l FROM b{r})",
+            f"               || (SELECT r FROM b{r}) || '>') AS s",
+            f"  FROM s{p}",
+            f"),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    selects = [
+        f"SELECT {r} AS merge_round, l AS lhs, r AS rhs,"
+        f" CAST(pc AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4938,23 +5155,28 @@ _q110_sql = _q110_sql_for(_Q110_K)
 # window must be a top-50-by-staleness set (no inversion: nothing
 # outside the window may be staler than anything inside), plus a hard
 # cap of ceil(N/50) rounds on the staleness of anything left outside.
-# Final r9 window (after this round's seven new-query insertions,
+# Final r9 window (after this round's eleven new-query insertions,
 # each of which pushed the window's then-last r6 entry to the tail
 # head):
-#   1-7   new this round, never certified: q119 (Lloyd training),
-#         q121 (retrieval eval), q122 (trained IVF), q120 (stored
-#         index screen), q123 (quantization), q124 (BPE pairs),
-#         q125 (leakage-free split).
-#   8-20  the 13 r5-green names (3 rounds stale — at the cap), in
+#   1-4   inserted at the head mid-round, never certified: q126
+#         (k-core), q127 (SCD2 historize), q128 (hard negatives),
+#         q129 (BPE training).
+#   5-12  new this round, never certified: q119 (Lloyd training),
+#         q121 (retrieval eval), q122 (trained IVF), q123
+#         (quantization), q124 (BPE pairs), q125 (leakage-free
+#         split), plus q112 (RECERTIFY — plan changed) and q120
+#         (stored index screen).
+#   13-25 the 13 r5-green names (3 rounds stale — at the cap), in
 #         their promised lead-the-next-window tail order.
-#   21-50 30 of the 48 r6-green names (2 rounds stale), former tail
+#   26-50 25 of the r6-green names (2 rounds stale), former tail
 #         order.
-# Eighteen r6-green names did not fit; they sit FIRST in the tail
-# and LEAD THE R10 WINDOW: q94, q96, q20, q21, q22, q23, q24, q25,
-# q27, q01, q02, q03, q04, q08, q09, q10, q13, q14. Done = after the
-# r9 driver run no query's latest green row predates r6, and r10's
-# rotation retires the staleness backlog (18 + 32 of the 50 r8 names
-# fit in one window).
+# Twenty-two r6-green names did not fit; they sit FIRST in the tail
+# and LEAD THE R10 WINDOW: q61, q75, q76, q87 (pushed out by this
+# round's last four insertions, in cascade order), then q93, q94,
+# q96, q20, q21, q22, q23, q24, q25, q27, q01, q02, q03, q04, q08,
+# q09, q10, q13, q14. Done = after the r9 driver run no query's
+# latest green row predates r6, and r10's rotation retires the
+# staleness backlog (22 + 28 of the 50 r8 names fit in one window).
 # New queries registered mid-round are inserted at the window head
 # (never-certified names must sit in the window); each insertion
 # pushes the window's last entry to the tail head.
@@ -4979,6 +5201,11 @@ RECERTIFY: set[str] = {
 
 QUERIES: list[QueryDef] = [
     # --- ROUND-9 WINDOW (first 50; rationale in the ROTATION comment) ---
+    # inserted at the head mid-round (never certified):
+    QueryDef("q126_kcore", _q126_kcore, _q126_sql(), "G14"),
+    QueryDef("q127_scd2_historize", _q127_scd2_historize, _q127_sql, "§2.7"),
+    QueryDef("q128_hard_negatives", _q128_hard_negatives, _q128_sql, "§2.11"),
+    QueryDef("q129_bpe_train", _q129_bpe_train, _q129_sql(), "§2.11"),
     # new this round (never certified — must sit in the window):
     QueryDef("q119_kmeans_train", _q119_kmeans_train, _q119_sql(), "§2.11"),
     QueryDef("q121_retrieval_eval", _q121_retrieval_eval, _q121_sql(), "§2.11"),
@@ -5039,14 +5266,16 @@ QUERIES: list[QueryDef] = [
     QueryDef("q41_session_window", _q41_session_window, _q41_sql, "§2.10"),
     QueryDef("q42_sliding_window", _q42_sliding_window, _q42_sql, "§2.10"),
     QueryDef("q53_approx_agg", _q53_approx_agg, _q53_sql, "§2.11"),
+    # --- tail ---
+    # r6-green leftovers that did not fit (61 stale names into 50
+    # slots after the r8 no-op, minus window slots taken by this
+    # round's new queries): LEAD THE R10 WINDOW. q61/q75/q76/q87
+    # are the four names the mid-round q126-q129 head insertions
+    # cascaded out of the window.
     QueryDef("q61_lsh_topk", _q61_lsh_topk, _q61_sql(), "§2.11"),
     QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
     QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
     QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
-    # --- tail ---
-    # r6-green leftovers that did not fit (61 stale names into 50
-    # slots after the r8 no-op, minus window slots taken by this
-    # round's new queries): LEAD THE R10 WINDOW
     QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
     QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
     QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
