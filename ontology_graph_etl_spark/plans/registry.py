@@ -5170,7 +5170,7 @@ def _q129_sql(rounds: int = _Q129_MERGES) -> str:
 #         their promised lead-the-next-window tail order.
 #   26-50 25 of the r6-green names (2 rounds stale), former tail
 #         order.
-# Twenty-two r6-green names did not fit; they sit FIRST in the tail
+# Twenty-three r6-green names did not fit; they sit FIRST in the tail
 # and LEAD THE R10 WINDOW: q61, q75, q76, q87 (pushed out by this
 # round's last four insertions, in cascade order), then q93, q94,
 # q96, q20, q21, q22, q23, q24, q25, q27, q01, q02, q03, q04, q08,
