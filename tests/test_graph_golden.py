@@ -516,3 +516,89 @@ def test_topo_depth_equals_ancestor_count_on_trees(spark, parents):
     for node, d in depth.items():
         if node not in children:
             assert d == 0
+
+
+def test_kcore_golden_cascade_and_edge_hygiene(spark):
+    """G14 golden on K4 + pendant chain 4-5-6-7 (k=2): the chain peels
+    one node per round from the far end (7 has degree 1, then 6, then
+    5), so fixed rounds expose the intermediate peel states and the
+    fixpoint is exactly the K4. Self-loops, parallel edges, reversed
+    duplicates and half-NULL edges must not count toward degrees
+    (distinct-neighbor degree, the closure edge convention)."""
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    noise = [
+        (1, 1),          # self-loop
+        (2, 1),          # reversed duplicate of (1, 2)
+        (3, 4),          # parallel duplicate
+        (7, None),       # half-NULL
+        (None, 5),       # half-NULL
+    ]
+    edges = spark.createDataFrame(
+        k4 + chain + noise, "src: int, dst: int"
+    )
+
+    # fixpoint: only the K4 survives, every node at degree 3
+    fix = {
+        (r.node, r.degree)
+        for r in graph.kcore(edges, k=2).collect()
+    }
+    assert fix == {(1, 3), (2, 3), (3, 3), (4, 3)}, fix
+
+    # fixed-round semantics: round 1 peels 7 only; 5 and 6 still sit
+    # in the 1-round state at their post-peel degrees
+    r1 = {
+        (r.node, r.degree)
+        for r in graph.kcore(edges, k=2, rounds=1).collect()
+    }
+    assert r1 == {(1, 3), (2, 3), (3, 3), (4, 4), (5, 2), (6, 1)}
+
+    # convergence: a generously large fixed-round peel equals the
+    # rounds=None fixpoint exactly
+    big = {
+        (r.node, r.degree)
+        for r in graph.kcore(edges, k=2, rounds=10).collect()
+    }
+    assert big == fix
+
+
+def test_kcore_fixpoint_converges_on_q126_graph(spark, sf_dir):
+    """The claim in graph.kcore's docstring, pinned: on the q126
+    heterogeneous 5-edge union graph the rounds=None production path
+    converges, within the default iteration guard, to the same node
+    set + degrees as a generously large fixed-round peel (the driver
+    query's rounds=3 is a prefix state of this chain)."""
+    import warnings
+
+    from ontology_graph_etl_spark.plans.registry import _Q126_K
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    def e(df, src, dst, sp, dp):
+        return df.select(
+            F.concat(F.lit(sp), F.col(src).cast("string")).alias("src"),
+            F.concat(F.lit(dp), F.col(dst).cast("string")).alias("dst"),
+        )
+
+    edges = (
+        e(orders, "o_custkey", "o_orderkey", "C", "O")
+        .unionByName(e(lineitem, "l_orderkey", "l_partkey", "O", "P"))
+        .unionByName(e(lineitem, "l_orderkey", "l_suppkey", "O", "S"))
+        .unionByName(e(customer, "c_custkey", "c_nationkey", "C", "N"))
+        .unionByName(e(nation, "n_nationkey", "n_regionkey", "N", "R"))
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # non-convergence warns -> fail
+        fix = {
+            (r.node, r.degree)
+            for r in graph.kcore(edges, k=_Q126_K).collect()
+        }
+    fixed = {
+        (r.node, r.degree)
+        for r in graph.kcore(edges, k=_Q126_K, rounds=25).collect()
+    }
+    assert fix == fixed
+    assert fix, "k-core emptied the sf0.001 graph; pick a smaller k"

@@ -1241,6 +1241,45 @@ def test_snapshot_diff_classifications(spark):
     }
 
 
+def test_historize_golden_null_attrs_and_ties(spark):
+    """q127 semantics on a hand-checkable change stream: NULL->NULL is
+    NOT a change (one run), NULL->value and value->NULL ARE; same-ts
+    ties order by the tie column; a key whose FIRST attr tuple is
+    all-NULL still opens a run (the forced-first-row flag — an
+    eqNullSafe against the lag NULLs would otherwise swallow it);
+    valid_to chains to the next run's valid_from and is NULL on the
+    current run."""
+    from ontology_graph_etl_spark.operators.relational import historize
+
+    rows = [
+        # key k1: A,A | B (ts-tie, tie_col orders it after the 2nd A)
+        # | NULL,NULL | A
+        ("k1", 1, 1, "A"),
+        ("k1", 2, 1, "A"),
+        ("k1", 2, 2, "B"),
+        ("k1", 3, 1, None),
+        ("k1", 4, 1, None),
+        ("k1", 5, 1, "A"),
+        # key k2: starts (and stays) all-NULL -> exactly one run
+        ("k2", 1, 1, None),
+        ("k2", 2, 1, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "k: string, ts: int, tie: int, attr: string"
+    )
+    got = {
+        (r.k, r.attr, r.valid_from, r.valid_to, r.n_rows)
+        for r in historize(df, ["k"], ["attr"], "ts", "tie").collect()
+    }
+    assert got == {
+        ("k1", "A", 1, 2, 2),
+        ("k1", "B", 2, 3, 1),
+        ("k1", None, 3, 5, 2),
+        ("k1", "A", 5, None, 1),
+        ("k2", None, 1, None, 2),
+    }
+
+
 def test_distribution_drift_psi_properties(spark):
     """PSI contributions are 0 for identical shares, positive for any
     share change, and clamp keeps one-sided categories finite."""

@@ -283,3 +283,35 @@ def test_quantize_constant_vector(spark):
 
     with pytest.raises(ValueError, match="levels"):
         similarity.quantize_embeddings(const, levels=0)
+
+
+def test_hard_negatives_label_semantics(spark):
+    """q128 golden: per anchor, top-k most-similar corpus vectors whose
+    label is KNOWN to differ — NULL-label candidates are excluded (not
+    confirmable negatives), same-label candidates are excluded, the
+    anchor never matches itself, and an anchor with a NULL label
+    yields NO rows at all."""
+    corpus = spark.createDataFrame(
+        [
+            (2, [1.0, 0.1], "b"),   # high cosine, confirmed negative
+            (3, [1.0, 0.0], None),  # perfect cosine but unconfirmable
+            (4, [1.0, 0.0], "a"),   # perfect cosine but same class
+            (5, [0.5, 0.5], "c"),   # lower cosine, confirmed negative
+        ],
+        "vec_id: long, embedding: array<double>, label: string",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (6, [1.0, 0.0], None)],
+        "vec_id: long, embedding: array<double>, label: string",
+    )
+    out = similarity.hard_negatives(corpus, queries, k=2).collect()
+    got = [(r.query_id, r.neighbor_id, r.rank) for r in out]
+    assert sorted(got) == [(1, 2, 1), (1, 5, 2)]
+    # the NULL-label anchor produced nothing
+    assert all(r.query_id != 6 for r in out)
+    # scores are the exact rounded cosines
+    scores = {r.neighbor_id: r.cosine_sim for r in out}
+    import math
+
+    assert scores[2] == round(1.0 / math.sqrt(1.01), 6)
+    assert scores[5] == round(0.5 / (math.sqrt(0.5)), 6)

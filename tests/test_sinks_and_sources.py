@@ -569,3 +569,64 @@ def test_write_training_shards_curriculum_order(spark, sf_dir, tmp_path):
         write_training_shards(
             docs, str(tmp_path / "x"), 4, "doc_id", order_col="nope"
         )
+
+
+def test_bpe_train_golden_merge_table(spark):
+    """q129 semantics against a hand-computed Sennrich run. Corpus
+    word counts: low:4, lower:1, newest:2. Round 1 ties (l,o) and
+    (o,w) at 5 -> lhs asc picks (l,o); round 3 ties at 2 between
+    lhs 'e' (rhs 's','w') and (n,e),(s,t) -> (e,s) wins on
+    (lhs asc, rhs asc); round 4 then takes (e,w). Non-[a-z]+ words
+    (numbers, punctuation-bearing) never enter the vocabulary, and
+    n_merges beyond pair exhaustion stops early instead of padding."""
+    from ontology_graph_etl_spark.operators.textops import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low LOW lower"), (2, "low newest 42 newest ok!?")],
+        "doc_id: long, text: string",
+    )
+    got = [tuple(r) for r in bpe_train(docs, "text", 4).collect()]
+    assert got == [
+        (1, "l", "o", 5),
+        (2, "lo", "w", 5),
+        (3, "e", "s", 2),
+        (4, "e", "w", 2),
+    ]
+
+    # pair exhaustion: a single 2-char word supports exactly one merge
+    tiny = spark.createDataFrame([(1, "ab ab")], "doc_id: long, text: string")
+    assert [tuple(r) for r in bpe_train(tiny, "text", 5).collect()] == [
+        (1, "a", "b", 2)
+    ]
+
+
+def test_bpe_encode_roundtrip_under_learned_merges(spark):
+    """bpe_encode applies bpe_train's merge table in training order:
+    'low' collapses to one token, 'lower' to low+e+r, 'newest' to
+    n+ew+es+t under the 4-merge table above; non-[a-z]+ words are
+    dropped (the trainer's domain), and a doc with no eligible words
+    tokenizes to an empty array, not a NULL."""
+    from ontology_graph_etl_spark.operators.textops import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "low newest newest")],
+        "doc_id: long, text: string",
+    )
+    merges = [
+        (r.lhs, r.rhs) for r in bpe_train(train, "text", 4).collect()
+    ]
+    docs = spark.createDataFrame(
+        [(1, "Low lower NEWEST"), (2, "42 !!")],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r.doc_id: r.tokens
+        for r in bpe_encode(docs, "doc_id", "text", merges).collect()
+    }
+    assert got == {
+        1: ["low", "low", "e", "r", "n", "ew", "es", "t"],
+        2: [],
+    }
