@@ -760,12 +760,21 @@ def leakage_free_split(
         df, id_col, text_col, num_hashes, bands, shingle_n,
         verify_threshold, base_hash=base_hash,
     )
-    t_train = f"{(65536 * train_pct) // 100:04x}"
-    t_valid = f"{(65536 * (train_pct + valid_pct)) // 100:04x}"
     h = F.substring(F.md5(F.col("cluster").cast("string")), 1, 4)
+
+    def below(pct_cum: int):
+        # 100% -> 65536 formats as the 5-char '10000' and the 4-char
+        # hex prefix string-compare silently inverts (~94% of clusters
+        # would fall through to 'test'); a full bucket is simply True —
+        # the stratified-sampling frac>=1.0 device (relational.py).
+        cutoff = (65536 * pct_cum) // 100
+        if cutoff >= 65536:
+            return F.lit(True)
+        return h < f"{cutoff:04x}"
+
     split = (
-        F.when(h < t_train, "train")
-        .when(h < t_valid, "valid")
+        F.when(below(train_pct), "train")
+        .when(below(train_pct + valid_pct), "valid")
         .otherwise("test")
     )
     return clusters.select(

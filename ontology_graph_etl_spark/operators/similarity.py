@@ -476,6 +476,10 @@ def kmeans_assign(
     contract.
     """
     if centroids is not None:
+        # the k parameter is meaningless under explicit centroids (it
+        # would misestimate the literal/broadcast plan-size decision
+        # and mislead callers) — the centroid list IS the k
+        k = len(centroids)
         seeds = [{vec_col: [float(x) for x in c]} for c in centroids]
     else:
         seeds = (

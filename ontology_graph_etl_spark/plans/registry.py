@@ -1610,24 +1610,38 @@ def _q123_quantize_recon(spark, sf_dir):
         .join(er, "vec_id")
     )
     pos = F.sequence(F.lit(1), F.size("qvec").cast("int"))
+    # zero-length embeddings: F.sequence(1, 0) is [1, 0] (negative
+    # step), not empty like DuckDB's generate_series(1, 0), and
+    # aggregate's 0-init would emit 0 where list_sum([]) is NULL —
+    # guard both digests to NULL on empty vectors
+    nonempty = F.size("qvec") > 0
     return joined.select(
         "vec_id",
-        F.aggregate(
-            "qvec", F.lit(0).cast("long"), lambda a, x: a + x
-        ).alias("qsum"),
-        F.aggregate(
-            F.zip_with("qvec", pos, lambda qq, i: qq * i.cast("long")),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        ).alias("qwsum"),
-        F.round(
-            similarity.cosine(
-                # double end-to-end: the oracle's CAST(e AS DOUBLE[])
-                # twin — a float32-typed norm fold rounds differently
-                F.col("embedding").cast("array<double>"),
-                F.col("__er"),
+        F.when(
+            nonempty,
+            F.aggregate(
+                "qvec", F.lit(0).cast("long"), lambda a, x: a + x
             ),
-            6,
+        ).alias("qsum"),
+        F.when(
+            nonempty,
+            F.aggregate(
+                F.zip_with("qvec", pos, lambda qq, i: qq * i.cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+        ).alias("qwsum"),
+        F.when(
+            nonempty,
+            F.round(
+                similarity.cosine(
+                    # double end-to-end: the oracle's CAST(e AS DOUBLE[])
+                    # twin — a float32-typed norm fold rounds differently
+                    F.col("embedding").cast("array<double>"),
+                    F.col("__er"),
+                ),
+                6,
+            ),
         ).alias("recon_sim"),
     )
 
@@ -3652,12 +3666,26 @@ def _q120_index_screen(spark, sf_dir):
     # — so the certification hash covers the index bytes + sidecar
     # round-trip, not just the in-memory plan. Split is % 7 (q78 uses
     # % 10) so the two certifications never alias.
+    import atexit
+    import os
+    import shutil
     import tempfile
 
     docs = _t(spark, sf_dir, "documents")
     existing = docs.where(F.col("doc_id") % 7 != 0)
     incoming = docs.where(F.col("doc_id") % 7 == 0)
-    path = tempfile.mkdtemp(prefix="q120_dedup_index_") + "/idx"
+    # one per-process scratch dir, overwritten on every invocation and
+    # removed at interpreter exit — a fresh mkdtemp per build leaked a
+    # directory per bench/correctness run (the pid suffix keeps a
+    # concurrent driver + pytest pair from clobbering each other)
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"q120_dedup_index_{os.getpid()}"
+    )
+    if os.path.exists(scratch):
+        shutil.rmtree(scratch, ignore_errors=True)
+    else:
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = scratch + "/idx"
     dedup.write_dedup_index(
         dedup.prepare_dedup_index(existing, "doc_id", "text", base_hash="md5"),
         path,

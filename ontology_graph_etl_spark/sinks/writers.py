@@ -127,9 +127,15 @@ def write_training_shards(
     # exactly-one-shard contract: coalesce routes NULL keys (and ONLY
     # those rows — non-NULL rows never evaluate the branch) through
     # raise_error.
+    # key_col is spliced into SQL text twice: escape backticks in the
+    # identifier and quotes/backslashes in the message literal — a
+    # quote-bearing column name must produce the guard, not a parse
+    # error
+    ident = key_col.replace("`", "``")
+    msg_key = key_col.replace("\\", "\\\\").replace("'", "\\'")
     checked_key = (
-        f"coalesce(CAST(`{key_col}` AS STRING), "
-        f"raise_error('write_training_shards: NULL {key_col} has no "
+        f"coalesce(CAST(`{ident}` AS STRING), "
+        f"raise_error('write_training_shards: NULL {msg_key} has no "
         f"deterministic shard; filter or fill NULL keys first'))"
     )
     h8 = F.expr(f"substring(md5({checked_key}), 1, 8)")

@@ -3048,3 +3048,108 @@ def test_leakage_free_split_invariants(spark, sf_dir):
     with pytest.raises(ValueError, match="percents"):
         leakage_free_split(docs, "doc_id", "text", train_pct=90,
                            valid_pct=20)
+
+
+def test_leakage_free_split_full_bucket_boundary(spark):
+    """ADVICE r9 regression: a 100% cumulative bucket formats as the
+    5-char hex '10000' and the 4-char md5-prefix string-compare
+    silently inverts (train_pct=100 sent ~94% of clusters to 'test').
+    Full buckets must be unconditionally true: 100/0 -> everything
+    train; 80/20 -> nothing test; 0/100 -> nothing train, everything
+    valid."""
+    from ontology_graph_etl_spark.operators.dedup import leakage_free_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} unique words w{i} x{i} y{i}") for i in range(40)],
+        "doc_id: long, text: string",
+    )
+
+    def splits(train, valid):
+        return {
+            r.split
+            for r in leakage_free_split(
+                docs, "doc_id", "text", train_pct=train, valid_pct=valid
+            ).collect()
+        }
+
+    assert splits(100, 0) == {"train"}
+    assert "test" not in splits(80, 20)
+    assert splits(0, 100) == {"valid"}
+
+
+def test_kmeans_assign_centroids_override_k(spark):
+    """ADVICE r9 regression: under explicit centroids= the k parameter
+    is dead — it must not drive the auto literal/broadcast plan-size
+    decision. A tiny 2-centroid list with an absurd k stays on the
+    literal path (no broadcast join in the plan) and assigns
+    correctly."""
+    from ontology_graph_etl_spark.operators.similarity import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id: long, embedding: array<double>",
+    )
+    out = kmeans_assign(
+        df, "vec_id", "embedding", k=10**9,
+        centroids=[[1.0, 0.0], [0.0, 1.0]],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert {(r.vec_id, r.centroid_id) for r in out.collect()} == {
+        (1, 0), (2, 1)
+    }
+
+
+def test_q123_empty_vector_matches_oracle(spark, tmp_path):
+    """ADVICE r9 regression: a zero-length embedding must digest to
+    NULL in BOTH engines — Spark's F.sequence(1, 0) is [1, 0] (step
+    -1), not empty like DuckDB's generate_series(1, 0), and an
+    unguarded aggregate emitted 0 where list_sum([]) is NULL."""
+    import duckdb
+
+    from ontology_graph_etl_spark.plans.registry import (
+        _q123_quantize_recon,
+        _q123_sql,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, 1.5, 2.5]), (2, []), (3, [4.0])],
+        "vec_id: long, embedding: array<float>",
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    emb.coalesce(1).write.parquet(path)
+    got = {
+        r.vec_id: (r.qsum, r.qwsum, r.recon_sim)
+        for r in _q123_quantize_recon(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(_q123_sql()).fetchall()}
+    con.close()
+    assert got == want
+    assert got[2][0] is None and got[2][1] is None
+
+
+def test_q120_scratch_dir_does_not_accumulate(spark, sf_dir):
+    """ADVICE r9 regression: repeated q120 builds must reuse one
+    per-process scratch directory instead of leaking a fresh mkdtemp
+    per bench/correctness run."""
+    import glob
+    import os
+    import tempfile
+
+    from ontology_graph_etl_spark.plans.registry import _q120_index_screen
+
+    pattern = os.path.join(tempfile.gettempdir(), "q120_dedup_index_*")
+    _q120_index_screen(spark, sf_dir).count()
+    first = set(glob.glob(pattern))
+    _q120_index_screen(spark, sf_dir).count()
+    second = set(glob.glob(pattern))
+    assert first == second
+    mine = {
+        p for p in second
+        if p.endswith(f"_{os.getpid()}")
+    }
+    assert len(mine) == 1

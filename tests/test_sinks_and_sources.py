@@ -630,3 +630,22 @@ def test_bpe_encode_roundtrip_under_learned_merges(spark):
         1: ["low", "low", "e", "r", "n", "ew", "es", "t"],
         2: [],
     }
+
+
+def test_write_training_shards_quoted_key_col(spark, tmp_path):
+    """ADVICE r9 regression: the NULL-key guard splices key_col into
+    SQL text — a quote-bearing column name must produce the guard
+    error (on NULL keys) or a clean write (without), never a parse
+    error."""
+    import pytest
+
+    from ontology_graph_etl_spark.sinks.writers import write_training_shards
+
+    ok = spark.createDataFrame([(1, "a"), (2, "b")], ["k'col", "text"])
+    p = str(tmp_path / "q")
+    write_training_shards(ok, p, 2, "k'col")
+    assert spark.read.parquet(p).count() == 2
+
+    bad = spark.createDataFrame([(1, "a"), (None, "b")], ["k'col", "text"])
+    with pytest.raises(Exception, match=r"NULL k'col has no"):
+        write_training_shards(bad, str(tmp_path / "q2"), 2, "k'col")
