@@ -122,6 +122,15 @@ HEADLINE = [
     "q123_quantize_recon",
     "q124_bpe_pair_stats",
     "q125_leakage_free_split",
+    # round-10 additions: the four round-9 snapshot-tail operators
+    # (k-core peel, SCD2 historization, hard-negative mining, BPE
+    # training) plus this round's BPE tokenization — every certified
+    # operator accumulates per-round timing + fingerprint history
+    "q126_kcore",
+    "q127_scd2_historize",
+    "q128_hard_negatives",
+    "q129_bpe_train",
+    "q130_bpe_encode",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

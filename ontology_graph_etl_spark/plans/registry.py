@@ -5160,6 +5160,75 @@ def _q129_sql(rounds: int = _Q129_MERGES) -> str:
     return "\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
 
 
+def _q130_bpe_encode(spark, sf_dir):
+    # Tokenize the corpus under q129's learned merge table: train the
+    # 4-merge vocabulary (the O(rounds)-row collect is the q119
+    # seed-fetch class — training at certification time is the price
+    # of hash-checking the trained path end-to-end, the q122
+    # precedent), then bpe_encode's pure expression chain applies the
+    # merges corpus-wide. Projection is q59-style: token count + the
+    # concat_ws-joined token string, so the hash pins every token of
+    # every document.
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in textops.bpe_train(docs, "text", n_merges=_Q129_MERGES)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    enc = textops.bpe_encode(docs, "doc_id", "text", merges)
+    return enc.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "tokens").alias("tokens_str"),
+    )
+
+
+def _q130_sql(rounds: int = _Q129_MERGES) -> str:
+    """q129's training CTE chain (w0/s0, p{r}/b{r}/s{r}) extended with
+    the ENCODE side: d0 wraps every doc's eligible words, d{r} applies
+    round r's merge via the same scalar-subquery replace, and the
+    final select unwraps to tokens — training AND tokenization
+    hash-check together."""
+    train = _q129_sql(rounds)
+    # keep everything up to (and including) the last s{rounds} CTE;
+    # drop the merge-table SELECT tail
+    head = train[: train.index(f"\nSELECT {1} AS merge_round")]
+    parts = [
+        head + ",",
+        "d0 AS (",
+        "  SELECT doc_id, array_to_string(list_transform(",
+        r"    list_filter(regexp_split_to_array(lower(text), '\s+'),",
+        r"                x -> regexp_matches(x, '^[a-z]+$')),",
+        r"    x -> regexp_replace(x, '(.)', '<\1>', 'g')), ' ') AS s",
+        "  FROM documents",
+        "),",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"d{r} AS (",
+            f"  SELECT doc_id, replace(s,",
+            f"    '<' || (SELECT l FROM b{r}) || '><'",
+            f"        || (SELECT r FROM b{r}) || '>',",
+            f"    '<' || (SELECT l FROM b{r})",
+            f"        || (SELECT r FROM b{r}) || '>') AS s",
+            f"  FROM d{r - 1}",
+            f"),",
+        ]
+    parts += [
+        f"toks AS (",
+        f"  SELECT doc_id, list_filter(",
+        f"    string_split(regexp_replace(s, '[<>]+', ' ', 'g'), ' '),",
+        f"    t -> t <> '') AS tok",
+        f"  FROM d{rounds}",
+        f")",
+        "SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,",
+        "       array_to_string(tok, ' ') AS tokens_str",
+        "FROM toks",
+    ]
+    return "\n".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5172,39 +5241,39 @@ def _q129_sql(rounds: int = _Q129_MERGES) -> str:
 # holds queries green in the immediately preceding CORRECTNESS file and
 # untouched since.
 #
-# ROUND-9 ROTATION (tests/test_properties.py::
+# ROUND-10 ROTATION (tests/test_properties.py::
 # test_certification_window_freshness enforces this policy
-# mechanically from the CORRECTNESS_r*.json history + RECERTIFY).
-# Round 8 shipped no rotation commit, so the r8 driver re-certified
-# the r7 window verbatim and the backlog became UNSATISFIABLE under
-# the old hard rule: 61 names are now >= 2 rounds stale (48 last
-# green r6, 13 last green r5) but only 50 slots exist. The guard was
-# therefore generalized to the strongest satisfiable invariant — the
-# window must be a top-50-by-staleness set (no inversion: nothing
-# outside the window may be staler than anything inside), plus a hard
-# cap of ceil(N/50) rounds on the staleness of anything left outside.
-# Final r9 window (after this round's eleven new-query insertions,
-# each of which pushed the window's then-last r6 entry to the tail
-# head):
-#   1-4   inserted at the head mid-round, never certified: q126
-#         (k-core), q127 (SCD2 historize), q128 (hard negatives),
-#         q129 (BPE training).
-#   5-12  new this round, never certified: q119 (Lloyd training),
-#         q121 (retrieval eval), q122 (trained IVF), q123
-#         (quantization), q124 (BPE pairs), q125 (leakage-free
-#         split), plus q112 (RECERTIFY — plan changed) and q120
-#         (stored index screen).
-#   13-25 the 13 r5-green names (3 rounds stale — at the cap), in
-#         their promised lead-the-next-window tail order.
-#   26-50 25 of the r6-green names (2 rounds stale), former tail
-#         order.
-# Twenty-three r6-green names did not fit; they sit FIRST in the tail
-# and LEAD THE R10 WINDOW: q61, q75, q76, q87 (pushed out by this
-# round's last four insertions, in cascade order), then q93, q94,
-# q96, q20, q21, q22, q23, q24, q25, q27, q01, q02, q03, q04, q08,
-# q09, q10, q13, q14. Done = after the r9 driver run no query's
-# latest green row predates r6, and r10's rotation retires the
-# staleness backlog (22 + 28 of the 50 r8 names fit in one window).
+# mechanically from the CORRECTNESS_r*.json history + RECERTIFY; the
+# window must be a top-50-by-staleness set — no inversion — with a
+# hard ceil(N/50)-round staleness cap on anything left outside).
+# The guard became dual-mode this round: an UNROTATED window (first
+# 50 == the latest artifact's keys) is judged retrospectively on the
+# pre-view, a ROTATED one prospectively on the full history — round
+# 10 proved no single view supports both moments once 11 new queries
+# (r9, pre-view-INF) and a 23-name r6 backlog compete for the same
+# slots.
+# This window retires the r6 staleness backlog the r9 rotation
+# promised it would:
+#   1     q130 (BPE encode), new this round, never certified.
+#   2     q123 (RECERTIFY — its projection gained the empty-vector
+#         NULL guards this round, so the r9 green row predates the
+#         executed plan).
+#   3-25  the 23 names whose last green row is r6 — exactly 3 rounds
+#         stale on the pre-r10 view, AT the ceil(123/50)=3 cap: q61,
+#         q75, q76, q87, q93, q94, q96, q20-q25, q27, q01-q04,
+#         q08-q10, q13, q14.
+#   26-50 25 of the 49 r8-green names (1 round stale), former tail
+#         order: q110, q111, q113-q118, q109, q108, q15, q17,
+#         q05-q07, q11, q12, q16, q90, q97, q98, q28, q51, q91, q18.
+# The remaining 24 r8-green names sit FIRST in the tail and LEAD THE
+# R11 WINDOW (they reach the cap at r11): q19, q35, q36, q38, q44,
+# q45, q46, q50, q52, q54-q56, q66, q67, q69-q71, q73, q74, q77,
+# q78, q81, q83, q84. After them: the 49 r9-certified names, fresh.
+# (q120's scratch path moved to a per-process reused dir this round —
+# a side-effect location only; the screen plan shape and its hashed
+# values are unchanged, so no recertification. The pct=100
+# leakage_free_split fix does not alter q125's executed plan at its
+# 80/10 defaults — the generated cutoff expressions are identical.)
 # New queries registered mid-round are inserted at the window head
 # (never-certified names must sit in the window); each insertion
 # pushes the window's last entry to the tail head.
@@ -5215,91 +5284,27 @@ def _q129_sql(rounds: int = _Q129_MERGES) -> str:
 #: the round whose window re-certifies them: once a CORRECTNESS file
 #: of that round (or later) carries their green row, the guard FAILS
 #: until the names are removed — the set cannot silently pin window
-#: slots forever. Empty this round: q108/q109 were re-certified by
-#: the r8 driver run (green rows in CORRECTNESS_r08.json).
-RECERTIFY_ROUND = 9
+#: slots forever. q112 (the r9 member) left the set this round: its
+#: green r9 row exists, and keeping it past the certifying round
+#: would trip the pre-view self-clear on the r10 artifact.
+RECERTIFY_ROUND = 10
 RECERTIFY: set[str] = {
-    # round-9 plan change: the half-NULL-edge fix filters the edge
-    # frame inside closure and the include_roots endpoint pass — the
-    # executed plans of the depth-histogram family changed. q32/q107
-    # already sit in the r9 window; q112's last green row is r8, so
-    # it must re-certify under the new plan.
-    "q112_depth_histogram_roots",
+    # round-10 plan change: q123's digest/recon projections gained
+    # the empty-vector NULL guards (ADVICE r9) — the executed plan
+    # changed, and its only green row (r9) predates the change.
+    "q123_quantize_recon",
 }
 
 QUERIES: list[QueryDef] = [
-    # --- ROUND-9 WINDOW (first 50; rationale in the ROTATION comment) ---
-    # inserted at the head mid-round (never certified):
-    QueryDef("q126_kcore", _q126_kcore, _q126_sql(), "G14"),
-    QueryDef("q127_scd2_historize", _q127_scd2_historize, _q127_sql, "§2.7"),
-    QueryDef("q128_hard_negatives", _q128_hard_negatives, _q128_sql, "§2.11"),
-    QueryDef("q129_bpe_train", _q129_bpe_train, _q129_sql(), "§2.11"),
-    # new this round (never certified — must sit in the window):
-    QueryDef("q119_kmeans_train", _q119_kmeans_train, _q119_sql(), "§2.11"),
-    QueryDef("q121_retrieval_eval", _q121_retrieval_eval, _q121_sql(), "§2.11"),
-    QueryDef("q122_ivf_trained_topk", _q122_ivf_trained_topk, _q122_sql(), "§2.11"),
+    # --- ROUND-10 WINDOW (first 50) ---
+    # new this round, never certified:
+    QueryDef("q130_bpe_encode", _q130_bpe_encode, _q130_sql(), "§2.11"),
+    # RECERTIFY (q123's projection gained the empty-vector NULL
+    # guards this round — plan changed, r9 green row predates it):
     QueryDef("q123_quantize_recon", _q123_quantize_recon, _q123_sql(), "§2.11"),
-    QueryDef("q124_bpe_pair_stats", _q124_bpe_pair_stats, _q124_sql, "§2.11"),
-    QueryDef("q125_leakage_free_split", _q125_leakage_free_split, _q125_sql(), "§2.11"),
-    # RECERTIFY (plan changed this round — see the set above):
-    QueryDef(
-        "q112_depth_histogram_roots",
-        _q112_depth_histogram_roots,
-        _q112_sql,
-        "G12",
-    ),
-    QueryDef("q120_index_screen", _q120_index_screen, _q78_oracle_sql(7), "§2.11"),
-    # 13 names whose last green row is r5 (3 rounds stale):
-    QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
-    QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
-    QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
-    QueryDef("q62_embedding_neardup", _q62_embedding_neardup, _q62_sql, "§2.11"),
-    QueryDef("q100_apportion_budget", _q100_apportion_budget, _q100_sql, "§2.11"),
-    QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),
-    QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
-    QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
-    QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
-    QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
-    QueryDef("q65_deterministic_split", _q65_deterministic_split, _q65_sql, "§2.11"),
-    QueryDef("q68_stratified_sample", _q68_stratified_sample, _q68_sql, "§2.11"),
-    QueryDef("q72_pii_redact", _q72_pii_redact, _q72_sql, "§2.11"),
-    # 37 of the 48 r6-green names (2 rounds stale), former tail order:
-    QueryDef("q105_fill_budget", _q105_fill_budget, _q105_sql(), "§2.11"),
-    QueryDef(
-        "q106_personalized_pagerank",
-        _q106_personalized_pagerank,
-        _ppr_oracle_sql(3),
-        "§2.8",
-    ),
-    QueryDef("q37_pagerank", _q37_pagerank, _q37_sql, "G8"),
-    QueryDef("q107_depth_histogram", _q107_depth_histogram, _q107_sql, "G5"),
-    QueryDef("q103_quality_gate", _q103_quality_gate, _q103_sql, "§2.11"),
-    QueryDef("q101_winsorize", _q101_winsorize, _q101_sql, "§2.11"),
-    QueryDef("q92_distribution_drift", _q92_distribution_drift, _q92_sql, "§2.11"),
-    QueryDef("q104_corpus_profile", _q104_corpus_profile, _q104_sql, "§2.11"),
-    QueryDef("q99_lsh_quality", _q99_lsh_quality, _q99_sql(), "§2.11"),
-    QueryDef("q34_degrees", _q34_degrees, _q34_sql, "G6"),
-    QueryDef("q26_asof_join", _q26_asof_join, _q26_sql, "§2.7"),
-    QueryDef("q89_asof_forward", _q89_asof_forward, _q89_sql, "§2.7"),
-    QueryDef("q82_lsh_neardup", _q82_lsh_neardup, _q82_sql, "§2.11"),
-    QueryDef("q86_ivf_det_topk", _q86_ivf_det_topk, _q86_sql(), "§2.11"),
-    QueryDef("q85_curate", _q85_curate, _q85_sql(), "§2.11"),
-    QueryDef("q80_binary_meta", _q80_binary_meta, _q80_sql, "multimodal"),
-    QueryDef("q30_one_hop", _q30_one_hop, _q30_sql, "G3"),
-    QueryDef("q31_two_hop_motif", _q31_two_hop_motif, _q31_sql, "G4"),
-    QueryDef("q32_closure", _q32_closure, _q32_sql, "G5"),
-    QueryDef("q33_edge_histogram", _q33_edge_histogram, _q33_sql, "G6"),
-    QueryDef("q43_gap_stats", _q43_gap_stats, _q43_sql, "§2.9"),
-    QueryDef("q40_tumbling_agg", _q40_tumbling_agg, _q40_sql, "§2.10"),
-    QueryDef("q41_session_window", _q41_session_window, _q41_sql, "§2.10"),
-    QueryDef("q42_sliding_window", _q42_sliding_window, _q42_sql, "§2.10"),
-    QueryDef("q53_approx_agg", _q53_approx_agg, _q53_sql, "§2.11"),
-    # --- tail ---
-    # r6-green leftovers that did not fit (61 stale names into 50
-    # slots after the r8 no-op, minus window slots taken by this
-    # round's new queries): LEAD THE R10 WINDOW. q61/q75/q76/q87
-    # are the four names the mid-round q126-q129 head insertions
-    # cascaded out of the window.
+    # the 23 names whose last green row is r6 (3 rounds stale at
+    # the pre-r10 view — AT the ceil(123/50)=3 staleness cap, the
+    # backlog the r9 rotation promised this window would retire):
     QueryDef("q61_lsh_topk", _q61_lsh_topk, _q61_sql(), "§2.11"),
     QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
     QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
@@ -5323,13 +5328,17 @@ QUERIES: list[QueryDef] = [
     QueryDef("q10_edge_join", _q10_edge_join, _q10_sql, "J3,G2"),
     QueryDef("q13_group_count", _q13_group_count, _q13_sql, "A2"),
     QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
-    # r8-certified names (the former window), untouched since
+    # 25 of the 49 r8-green names (1 round stale), former tail
+    # order:
     QueryDef("q110_span_removal", _q110_span_removal, _q110_sql, "§2.11"),
     QueryDef("q111_topo_depth", _q111_topo_depth, _q111_sql, "G12"),
     QueryDef("q113_bm25_topk", _q113_bm25_topk, _q113_sql, "§2.11"),
     QueryDef("q114_multi_profile", _q114_multi_profile, _q114_sql, "§2.11"),
     QueryDef(
-        "q115_hybrid_retrieval", _q115_hybrid_retrieval, _q115_sql, "§2.11"
+        "q115_hybrid_retrieval",
+        _q115_hybrid_retrieval,
+        _q115_sql,
+        "§2.11",
     ),
     QueryDef("q116_pivot", _q116_pivot, _q116_sql, "§2.7"),
     QueryDef("q117_unpivot", _q117_unpivot, _q117_sql, "§2.7"),
@@ -5351,30 +5360,163 @@ QUERIES: list[QueryDef] = [
     QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
     QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),
     QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
+    # --- tail ---
+    # the remaining 24 r8-green names: LEAD THE R11 WINDOW (they
+    # hit the staleness cap at r11):
     QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),
-    QueryDef("q35_connected_components", _q35_connected_components, _q35_sql, "G9"),
+    QueryDef(
+        "q35_connected_components",
+        _q35_connected_components,
+        _q35_sql,
+        "G9",
+    ),
     QueryDef("q36_shortest_path", _q36_shortest_path, _q36_sql, "G7"),
     QueryDef("q38_triangle_count", _q38_triangle_count, _q38_sql, "G10"),
     QueryDef("q44_percentile", _q44_percentile, _q44_sql, "§2.7"),
     QueryDef("q45_topk_per_group", _q45_topk_per_group, _q45_sql, "§2.7"),
     QueryDef("q46_funnel", _q46_funnel, _q46_sql, "§2.10"),
-    QueryDef("q50_minhash_simjoin", _q50_minhash_simjoin, _q50_oracle_sql(), "§2.11"),
+    QueryDef(
+        "q50_minhash_simjoin",
+        _q50_minhash_simjoin,
+        _q50_oracle_sql(),
+        "§2.11",
+    ),
     QueryDef("q52_tfidf_topterms", _q52_tfidf_topterms, _q52_sql, "§2.11"),
     QueryDef("q54_exact_dedup", _q54_exact_dedup, _q54_sql, "§2.11"),
     QueryDef("q55_simhash", _q55_simhash, _q55_sql, "§2.11"),
     QueryDef("q56_jaccard_pairs", _q56_jaccard_pairs, _q56_sql, "§2.11"),
     QueryDef("q66_dedup_clusters", _q66_dedup_clusters, _q66_sql, "§2.11"),
-    QueryDef("q67_lsh_dedup_clusters", _q67_lsh_dedup_clusters, _q67_oracle_sql(), "§2.11"),
-    QueryDef("q69_cluster_representatives", _q69_cluster_representatives, _q69_sql, "§2.11"),
+    QueryDef(
+        "q67_lsh_dedup_clusters",
+        _q67_lsh_dedup_clusters,
+        _q67_oracle_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q69_cluster_representatives",
+        _q69_cluster_representatives,
+        _q69_sql,
+        "§2.11",
+    ),
     QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),
     QueryDef("q71_repetition", _q71_repetition, _q71_sql, "§2.11"),
-    QueryDef("q73_event_correlation", _q73_event_correlation, _q73_sql, "§2.10"),
+    QueryDef(
+        "q73_event_correlation",
+        _q73_event_correlation,
+        _q73_sql,
+        "§2.10",
+    ),
     QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
     QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
-    QueryDef("q78_incremental_dedup", _q78_incremental_dedup, _q78_oracle_sql(), "§2.11"),
+    QueryDef(
+        "q78_incremental_dedup",
+        _q78_incremental_dedup,
+        _q78_oracle_sql(),
+        "§2.11",
+    ),
     QueryDef("q81_media_features", _q81_media_features, _q81_sql, "multimodal"),
     QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
     QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
+    # r9-certified names (the former window minus q123), fresh:
+    QueryDef("q126_kcore", _q126_kcore, _q126_sql(), "G14"),
+    QueryDef("q127_scd2_historize", _q127_scd2_historize, _q127_sql, "§2.7"),
+    QueryDef("q128_hard_negatives", _q128_hard_negatives, _q128_sql, "§2.11"),
+    QueryDef("q129_bpe_train", _q129_bpe_train, _q129_sql(), "§2.11"),
+    QueryDef("q119_kmeans_train", _q119_kmeans_train, _q119_sql(), "§2.11"),
+    QueryDef("q121_retrieval_eval", _q121_retrieval_eval, _q121_sql(), "§2.11"),
+    QueryDef(
+        "q122_ivf_trained_topk",
+        _q122_ivf_trained_topk,
+        _q122_sql(),
+        "§2.11",
+    ),
+    QueryDef("q124_bpe_pair_stats", _q124_bpe_pair_stats, _q124_sql, "§2.11"),
+    QueryDef(
+        "q125_leakage_free_split",
+        _q125_leakage_free_split,
+        _q125_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q112_depth_histogram_roots",
+        _q112_depth_histogram_roots,
+        _q112_sql,
+        "G12",
+    ),
+    QueryDef(
+        "q120_index_screen",
+        _q120_index_screen,
+        _q78_oracle_sql(7),
+        "§2.11",
+    ),
+    QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
+    QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
+    QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
+    QueryDef(
+        "q62_embedding_neardup",
+        _q62_embedding_neardup,
+        _q62_sql,
+        "§2.11",
+    ),
+    QueryDef(
+        "q100_apportion_budget",
+        _q100_apportion_budget,
+        _q100_sql,
+        "§2.11",
+    ),
+    QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),
+    QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
+    QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
+    QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
+    QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
+    QueryDef(
+        "q65_deterministic_split",
+        _q65_deterministic_split,
+        _q65_sql,
+        "§2.11",
+    ),
+    QueryDef(
+        "q68_stratified_sample",
+        _q68_stratified_sample,
+        _q68_sql,
+        "§2.11",
+    ),
+    QueryDef("q72_pii_redact", _q72_pii_redact, _q72_sql, "§2.11"),
+    QueryDef("q105_fill_budget", _q105_fill_budget, _q105_sql(), "§2.11"),
+    QueryDef(
+        "q106_personalized_pagerank",
+        _q106_personalized_pagerank,
+        _ppr_oracle_sql(3),
+        "§2.8",
+    ),
+    QueryDef("q37_pagerank", _q37_pagerank, _q37_sql, "G8"),
+    QueryDef("q107_depth_histogram", _q107_depth_histogram, _q107_sql, "G5"),
+    QueryDef("q103_quality_gate", _q103_quality_gate, _q103_sql, "§2.11"),
+    QueryDef("q101_winsorize", _q101_winsorize, _q101_sql, "§2.11"),
+    QueryDef(
+        "q92_distribution_drift",
+        _q92_distribution_drift,
+        _q92_sql,
+        "§2.11",
+    ),
+    QueryDef("q104_corpus_profile", _q104_corpus_profile, _q104_sql, "§2.11"),
+    QueryDef("q99_lsh_quality", _q99_lsh_quality, _q99_sql(), "§2.11"),
+    QueryDef("q34_degrees", _q34_degrees, _q34_sql, "G6"),
+    QueryDef("q26_asof_join", _q26_asof_join, _q26_sql, "§2.7"),
+    QueryDef("q89_asof_forward", _q89_asof_forward, _q89_sql, "§2.7"),
+    QueryDef("q82_lsh_neardup", _q82_lsh_neardup, _q82_sql, "§2.11"),
+    QueryDef("q86_ivf_det_topk", _q86_ivf_det_topk, _q86_sql(), "§2.11"),
+    QueryDef("q85_curate", _q85_curate, _q85_sql(), "§2.11"),
+    QueryDef("q80_binary_meta", _q80_binary_meta, _q80_sql, "multimodal"),
+    QueryDef("q30_one_hop", _q30_one_hop, _q30_sql, "G3"),
+    QueryDef("q31_two_hop_motif", _q31_two_hop_motif, _q31_sql, "G4"),
+    QueryDef("q32_closure", _q32_closure, _q32_sql, "G5"),
+    QueryDef("q33_edge_histogram", _q33_edge_histogram, _q33_sql, "G6"),
+    QueryDef("q43_gap_stats", _q43_gap_stats, _q43_sql, "§2.9"),
+    QueryDef("q40_tumbling_agg", _q40_tumbling_agg, _q40_sql, "§2.10"),
+    QueryDef("q41_session_window", _q41_session_window, _q41_sql, "§2.10"),
+    QueryDef("q42_sliding_window", _q42_sliding_window, _q42_sql, "§2.10"),
+    QueryDef("q53_approx_agg", _q53_approx_agg, _q53_sql, "§2.11"),
 ]
 
 

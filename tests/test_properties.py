@@ -2693,24 +2693,35 @@ def test_certification_window_freshness():
     mechanically from the CORRECTNESS_r*.json history instead of
     trusting the hand-written rotation comment.
 
-    The original rule ("nothing >= 2 rounds stale may sit outside the
-    window") is unsatisfiable once a round ships no rotation: after
-    the r8 no-op, 61 of 111 names were >= 2 rounds stale — more than
-    the 50 slots. The guard therefore enforces the strongest invariant
-    that any backlog state CAN satisfy, which reduces to the original
-    rule whenever the backlog fits:
+    The window is two different things at two different moments, and
+    the guard must judge each fairly (round 10 proved no single view
+    can do both: the r9-new queries were INF on the pre-view — forced
+    INTO the window — while the post-r10 inversion clause forced them
+    OUT of any window that retires the r6 staleness backlog):
 
+    * UNROTATED (the registry's first 50 == the latest artifact's
+      keys — judge time, or a skipped round): the window is the
+      just-certified set; judge it RETROSPECTIVELY on the pre-view
+      (history excluding the newest round), i.e. "was this the right
+      50 to certify?". Post-certification staleness would flag every
+      successful round; the pre-view flags exactly the skipped ones.
+    * ROTATED (the first 50 differ from the latest artifact — the
+      builder has committed next round's schedule): judge it
+      PROSPECTIVELY on the full current history, i.e. "is this the
+      right 50 to certify next?". Here a name green in the newest
+      artifact is maximally fresh and belongs outside; on the
+      pre-view it would (wrongly) read never-certified.
+
+    In both modes:
     (a) never-certified queries and RECERTIFY members (green row
         predates a contract change) sit in the window;
     (b) no inversion — the window is a top-50-by-staleness set: no
         name outside the window may be strictly staler than any name
-        inside it (this subsumes the old "no wasted slot" clause);
-    (c) bounded backlog — nothing staler than ceil(N/50) rounds (the
-        steady-state recertification period) may sit OUTSIDE the
-        window; beyond-cap names must be first in line. A skipped
-        round pushes names toward the cap, and a second consecutive
-        skip trips this clause — the tripwire the r8 no-op dodged for
-        one round under the old phrasing.
+        inside it;
+    (c) bounded backlog on the current view — nothing staler than
+        ceil(N/50) rounds (the steady-state recertification period)
+        may sit OUTSIDE the window; a skipped round pushes names
+        toward the cap, and a second consecutive skip trips this.
     """
     import json
     import math
@@ -2724,14 +2735,17 @@ def test_certification_window_freshness():
     )
 
     root = pathlib.Path(__file__).resolve().parent.parent
-    rounds = {}
+    greens = {}  # name -> every round with a green row
+    by_round = {}
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         rnum = int(re.search(r"r(\d+)", f.name).group(1))
         data = json.loads(f.read_text())
+        by_round[rnum] = set(data)
         for name, rec in data.items():
             if rec.get("err") is None and rec.get("rows_match"):
-                rounds[name] = max(rounds.get(name, 0), rnum)
-    assert rounds, "no CORRECTNESS history found"
+                greens.setdefault(name, set()).add(rnum)
+    assert greens, "no CORRECTNESS history found"
+    rounds = {n: max(rs) for n, rs in greens.items()}
     max_round = max(rounds.values())
 
     names = [q.name for q in QUERIES]
@@ -2742,25 +2756,11 @@ def test_certification_window_freshness():
 
     INF = float("inf")
 
-    # Optimality is judged on the PRE-LATEST-ROUND view: the latest
-    # CORRECTNESS file certifies exactly the current window, so right
-    # after the driver runs the window is all-fresh by construction —
-    # judging it on post-certification staleness would flag every
-    # successful round as an inversion. The question the guard must
-    # answer is "was this window the right 50 to certify?", i.e.
-    # top-50 by staleness as of BEFORE the newest round's rows.
-    # A skipped-rotation round still trips: its unrotated window was
-    # fresh even on the pre-view while staler names sat outside.
-    pre_rounds = {}
-    root2 = pathlib.Path(__file__).resolve().parent.parent
-    for f in sorted(root2.glob("CORRECTNESS_r*.json")):
-        rnum = int(re.search(r"r(\d+)", f.name).group(1))
-        if rnum >= max_round:
-            continue
-        data = json.loads(f.read_text())
-        for name, rec in data.items():
-            if rec.get("err") is None and rec.get("rows_match"):
-                pre_rounds[name] = max(pre_rounds.get(name, 0), rnum)
+    pre_rounds = {
+        n: max(pre)
+        for n, rs in greens.items()
+        if (pre := {r for r in rs if r < max_round})
+    }
     pre_max = max(pre_rounds.values(), default=0)
 
     # self-clearing RECERTIFY, on the pre-view: once a member's
@@ -2781,30 +2781,37 @@ def test_certification_window_freshness():
         "(plans/registry.py)"
     )
 
+    rotated = by_round[max(by_round)] != window
+    if rotated:
+        ref, last = max_round, rounds       # prospective
+    else:
+        ref, last = pre_max, pre_rounds     # retrospective
+
     def priority(name):
-        # higher = needed certification sooner (pre-latest-round view)
-        if name not in pre_rounds or name in RECERTIFY:
+        # higher = needs certification sooner under the active view
+        if name not in last or name in RECERTIFY:
             return INF  # never certified / contract changed
-        return pre_max - pre_rounds[name]
+        return ref - last[name]
 
     # (a) must-certify names sit in the window
     must_certify = {n for n in names if priority(n) == INF}
     missing = must_certify - window
     assert not missing, (
         f"never-certified/RECERTIFY queries outside the 50-slot "
-        f"window: {sorted(missing)}"
+        f"window ({'rotated' if rotated else 'unrotated'} view): "
+        f"{sorted(missing)}"
     )
 
-    # (b) no inversion: window = top-50 by pre-view staleness
+    # (b) no inversion: window = top-50 by staleness under the view
     worst_outside = max(
         (priority(n) for n in names[50:]), default=0
     )
     best_inside = min(priority(n) for n in names[:50])
     assert worst_outside <= best_inside, (
-        f"staleness inversion: a name outside the window was "
-        f"{worst_outside} rounds stale (pre-view) while a window slot "
-        f"holds a {best_inside}-rounds-stale name — rotate "
-        f"(outside worst: "
+        f"staleness inversion ({'rotated' if rotated else 'unrotated'}"
+        f" view): a name outside the window is {worst_outside} rounds "
+        f"stale while a window slot holds a {best_inside}-rounds-stale "
+        f"name — rotate (outside worst: "
         f"{sorted((n for n in names[50:] if priority(n) == worst_outside))[:5]}, "
         f"inside best: "
         f"{sorted((n for n in names[:50] if priority(n) == best_inside))[:5]})"
