@@ -131,6 +131,7 @@ HEADLINE = [
     "q128_hard_negatives",
     "q129_bpe_train",
     "q130_bpe_encode",
+    "q131_exact_substring_spans",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

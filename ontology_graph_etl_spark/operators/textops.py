@@ -1190,3 +1190,124 @@ def bpe_encode(
         lambda t: t != "",
     )
     return df.select(F.col(id_col), toks.alias(out_col))
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 30,
+) -> DataFrame:
+    """Character-granular exact-substring duplicate detection — the
+    suffix-array pass of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better", ExactSubstr: any substring of
+    >= ``min_len`` characters appearing more than once in the corpus
+    is duplicated, ALL copies counted) expressed as a distributed
+    fixed-window fingerprint join: a substring of length >= L repeats
+    iff some length-L window of it repeats, so the duplicated
+    character positions are exactly the union of ``[i, i+L)`` over
+    repeated L-windows. This is the character-granular completion of
+    the dedup family — :func:`duplicate_span_stats` / q110 work at
+    WORD k-gram granularity, which a copy that re-wraps whitespace or
+    crosses token boundaries differently can evade.
+
+    Per input doc: ``(id, n_chars, dup_chars, n_dup_spans)`` —
+    ``dup_chars`` counts positions covered by the merged maximal
+    duplicated intervals, ``n_dup_spans`` the interval count; clean
+    docs come back ``(len, 0, 0)``, ready for a Dolma-style
+    ``dup_chars / n_chars`` quality gate.
+
+    Scale shape: one explode to the (doc, i, md5(window)) seed stream
+    — O(total corpus chars) rows, the same order as tokenizing, each
+    row carrying a 32-char digest rather than the text — then ONE
+    key-partitioned window count keeps repeated seeds; the interval
+    merge is a window + groupBy over ONLY the duplicated seeds, keyed
+    by doc — bounded by each doc's own length, never corpus-sized. No
+    suffix array materializes; the fixed-L window family is how the
+    production implementations of this pass (Dolma's dedupe tooling,
+    RedPajama-v2 annotations) shard it.
+
+    The repeated-seed filter is deliberately a WINDOW count, not the
+    groupBy+join-back a SQL head would write: the seed stream feeds
+    the count AND the survivor filter, and as sibling consumers the
+    join form re-executes the corpus scan + md5 per consumer (the
+    round-5 fork-without-reuse class — measured 113 s vs 63 s at
+    100× inflation, 3.8× vs 2.3× at 10×), while checkpointing the
+    seed stream materializes ~15× the corpus (GC death at 100×
+    locally; unshippable at 100 TB). The window's partition-key sort
+    is the price; a pathologically hot window key (megacorpus
+    boilerplate) is the one case to fall back to the
+    groupBy+join-back form, whose partial aggregation absorbs the
+    skew map-side.
+    """
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    L = min_len
+    base = ensure_parallelism(df.select(id_col, text_col))
+    # guard the too-short case explicitly: F.sequence(1, 0) is [1, 0]
+    # (negative step — the q123 pitfall), not an empty range
+    starts = F.when(
+        F.length(text_col) >= L,
+        F.sequence(F.lit(1), F.length(text_col) - (L - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    occ = base.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(starts).alias("i"),
+    ).select(
+        id_col,
+        "i",
+        F.md5(F.substring(F.col(text_col), F.col("i"), F.lit(L))).alias(
+            "__k"
+        ),
+    )
+    dup = (
+        occ.withColumn(
+            "__c", F.count(F.lit(1)).over(Window.partitionBy("__k"))
+        )
+        .where(F.col("__c") >= 2)
+        .select(id_col, "i")
+    )
+    # merge overlapping [i, i+L-1] seed intervals per doc: a seed
+    # opens a new span iff it starts past everything covered so far
+    wdoc = Window.partitionBy(id_col).orderBy(F.col("i").asc())
+    prev_cov = F.max(F.col("i") + (L - 1)).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        dup.withColumn(
+            "__new",
+            (F.col("i") > F.coalesce(prev_cov, F.lit(0))).cast("int"),
+        )
+        .withColumn(
+            "__span",
+            F.sum("__new").over(
+                wdoc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "__span")
+        .agg(
+            F.min("i").alias("__s"),
+            (F.max("i") + (L - 1)).alias("__e"),
+        )
+    )
+    agg = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum(F.col("__e") - F.col("__s") + 1)
+        .cast("long")
+        .alias("dup_chars"),
+    )
+    return (
+        df.select(id_col, F.length(text_col).cast("long").alias("n_chars"))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "n_chars",
+            F.coalesce("dup_chars", F.lit(0).cast("long")).alias(
+                "dup_chars"
+            ),
+            F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias(
+                "n_dup_spans"
+            ),
+        )
+    )

@@ -5229,6 +5229,67 @@ def _q130_sql(rounds: int = _Q129_MERGES) -> str:
     return "\n".join(parts)
 
 
+_Q131_L = 30
+
+
+def _q131_exact_substring_spans(spark, sf_dir):
+    # Character-granular exact-substring duplicate spans (Lee et al.
+    # ExactSubstr): every length-30 character window repeated anywhere
+    # in the corpus marks its positions duplicated; per doc the merged
+    # maximal intervals are counted. The character-granular completion
+    # of the q94/q110 word-k-gram family (q94's docstring names this
+    # as the pass duplicate_span_stats pre-filters for). At sf0.01,
+    # 67 of 500 docs carry >= one duplicated 30-char span.
+    return textops.exact_substring_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_len=_Q131_L
+    )
+
+
+def _q131_sql(L: int = _Q131_L) -> str:
+    return f"""
+WITH pos AS (
+  SELECT doc_id,
+         unnest(generate_series(1, length(text) - {L} + 1)) AS i,
+         text
+  FROM documents WHERE length(text) >= {L}
+),
+keyed AS (
+  SELECT doc_id, i, md5(substr(text, i, {L})) AS k FROM pos
+),
+dup AS (
+  SELECT doc_id, i FROM (
+    SELECT doc_id, i, COUNT(*) OVER (PARTITION BY k) AS c FROM keyed)
+  WHERE c >= 2
+),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i > COALESCE(MAX(i + {L} - 1) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              THEN 1 ELSE 0 END AS new_span
+  FROM dup
+),
+num AS (
+  SELECT doc_id, i,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, span_id, MIN(i) AS s, MAX(i + {L} - 1) AS e
+  FROM num GROUP BY doc_id, span_id
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(e - s + 1) AS dup_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(COALESCE(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+       CAST(COALESCE(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5254,21 +5315,24 @@ def _q130_sql(rounds: int = _Q129_MERGES) -> str:
 # slots.
 # This window retires the r6 staleness backlog the r9 rotation
 # promised it would:
-#   1     q130 (BPE encode), new this round, never certified.
-#   2     q123 (RECERTIFY — its projection gained the empty-vector
+#   1-2   q131 (exact-substring spans) and q130 (BPE encode), new
+#         this round, never certified. q131's later head insertion
+#         pushed q18 (the window's then-last entry) to the tail head.
+#   3     q123 (RECERTIFY — its projection gained the empty-vector
 #         NULL guards this round, so the r9 green row predates the
 #         executed plan).
-#   3-25  the 23 names whose last green row is r6 — exactly 3 rounds
-#         stale on the pre-r10 view, AT the ceil(123/50)=3 cap: q61,
+#   4-26  the 23 names whose last green row is r6 — exactly 3 rounds
+#         stale on the pre-r10 view, AT the ceil(124/50)=3 cap: q61,
 #         q75, q76, q87, q93, q94, q96, q20-q25, q27, q01-q04,
 #         q08-q10, q13, q14.
-#   26-50 25 of the 49 r8-green names (1 round stale), former tail
+#   27-50 24 of the 49 r8-green names (1 round stale), former tail
 #         order: q110, q111, q113-q118, q109, q108, q15, q17,
-#         q05-q07, q11, q12, q16, q90, q97, q98, q28, q51, q91, q18.
-# The remaining 24 r8-green names sit FIRST in the tail and LEAD THE
-# R11 WINDOW (they reach the cap at r11): q19, q35, q36, q38, q44,
-# q45, q46, q50, q52, q54-q56, q66, q67, q69-q71, q73, q74, q77,
-# q78, q81, q83, q84. After them: the 49 r9-certified names, fresh.
+#         q05-q07, q11, q12, q16, q90, q97, q98, q28, q51, q91.
+# The remaining 25 r8-green names sit FIRST in the tail and LEAD THE
+# R11 WINDOW (they reach the cap at r11): q18, q19, q35, q36, q38,
+# q44, q45, q46, q50, q52, q54-q56, q66, q67, q69-q71, q73, q74,
+# q77, q78, q81, q83, q84. After them: the 49 r9-certified names,
+# fresh.
 # (q120's scratch path moved to a per-process reused dir this round —
 # a side-effect location only; the screen plan shape and its hashed
 # values are unchanged, so no recertification. The pct=100
@@ -5297,7 +5361,14 @@ RECERTIFY: set[str] = {
 
 QUERIES: list[QueryDef] = [
     # --- ROUND-10 WINDOW (first 50) ---
-    # new this round, never certified:
+    # new this round, never certified (q131's head insertion pushed
+    # q18_enrichment, the window's then-last entry, to the tail head):
+    QueryDef(
+        "q131_exact_substring_spans",
+        _q131_exact_substring_spans,
+        _q131_sql(),
+        "§2.11",
+    ),
     QueryDef("q130_bpe_encode", _q130_bpe_encode, _q130_sql(), "§2.11"),
     # RECERTIFY (q123's projection gained the empty-vector NULL
     # guards this round — plan changed, r9 green row predates it):
@@ -5359,10 +5430,11 @@ QUERIES: list[QueryDef] = [
     QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
     QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
     QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),
-    QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
     # --- tail ---
-    # the remaining 24 r8-green names: LEAD THE R11 WINDOW (they
-    # hit the staleness cap at r11):
+    # the remaining 25 r8-green names (q18 cascaded out by q131's
+    # head insertion): LEAD THE R11 WINDOW (they hit the staleness
+    # cap at r11):
+    QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
     QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),
     QueryDef(
         "q35_connected_components",

@@ -282,6 +282,10 @@ def test_fill_budget_broadcasts_allocations(spark, sf_dir):
         ("q88_unigram_logprob", 3),  # two tokenize passes + id join
         ("q34_degrees", 2),          # endpoint explode, one edge pass
         ("q102_exact_k_sample", 1),
+        # seed stream scanned once (window count, not groupBy+join-back
+        # — the join form re-scans per sibling consumer: 113 s vs 63 s
+        # at 100x) + the broadcast n_chars side
+        ("q131_exact_substring_spans", 2),
     ],
 )
 def test_no_fork_without_reuse_regression(spark, sf_dir, name, max_scans):

@@ -3160,3 +3160,79 @@ def test_q120_scratch_dir_does_not_accumulate(spark, sf_dir):
         if p.endswith(f"_{os.getpid()}")
     }
     assert len(mine) == 1
+
+
+def test_exact_substring_spans_golden(spark):
+    """q131 semantics on hand-checkable docs (L=4): a 10-char string
+    shared by two docs marks all its positions in BOTH (remove-all
+    Lee et al. semantics); within-doc repetition ('abababab') counts;
+    a unique doc and an empty doc come back (len, 0, 0) — the empty
+    doc pins the F.sequence(1, 0) == [1, 0] guard."""
+    from ontology_graph_etl_spark.operators.textops import (
+        exact_substring_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "abcdefghij"),
+            (2, "XXabcdefghijYY"),
+            (3, "zzzz"),
+            (4, "abababab"),
+            (5, ""),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r.doc_id: (r.n_chars, r.dup_chars, r.n_dup_spans)
+        for r in exact_substring_spans(df, min_len=4).collect()
+    }
+    assert got == {
+        1: (10, 10, 1),
+        2: (14, 10, 1),
+        3: (4, 0, 0),
+        4: (8, 8, 1),
+        5: (0, 0, 0),
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="min_len"):
+        exact_substring_spans(df, min_len=0)
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=25),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@SETTINGS
+def test_exact_substring_spans_matches_duckdb(spark, docs):
+    """Cross-engine pin for the q131 device on arbitrary tiny corpora
+    over a 4-letter alphabet (dense repeats): Spark's explode + count
+    + island merge must equal the DuckDB window/island formulation row
+    for row at L=3."""
+    import duckdb
+
+    from ontology_graph_etl_spark.operators.textops import (
+        exact_substring_spans,
+    )
+    from ontology_graph_etl_spark.plans.registry import _q131_sql
+
+    rows = list(enumerate(docs))
+    got = {
+        r.doc_id: (r.n_chars, r.dup_chars, r.n_dup_spans)
+        for r in exact_substring_spans(
+            spark.createDataFrame(rows, "doc_id: long, text: string"),
+            min_len=3,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(_q131_sql(3)).fetchall()
+    }
+    con.close()
+    assert got == want
