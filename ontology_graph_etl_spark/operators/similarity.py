@@ -1193,3 +1193,216 @@ def hard_negatives(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+#: sidecar filename for stored IVF indexes — carries the FROZEN
+#: quantizer (the trained centroids) plus its provenance, so merges
+#: assign under the index's own centroids and a mismatched-quantizer
+#: append is unconstructible (the dedup-index sidecar contract,
+#: dedup.py:617, applied to ANN).
+IVF_INDEX_SIDECAR = "_ivf_index_params.json"
+
+
+def _ivf_sidecar_io(spark, path: str):
+    from .dedup import _hadoop_path_and_fs
+
+    return _hadoop_path_and_fs(
+        spark, f"{path.rstrip('/')}/{IVF_INDEX_SIDECAR}"
+    )
+
+
+def _write_ivf_sidecar(spark, path: str, params: dict) -> None:
+    import json
+
+    hpath, fs = _ivf_sidecar_io(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(params, sort_keys=True).encode()))
+    finally:
+        out.close()
+
+
+def _read_ivf_sidecar(spark, path: str) -> dict:
+    import json
+
+    hpath, fs = _ivf_sidecar_io(spark, path)
+    if not fs.exists(hpath):
+        raise ValueError(
+            f"IVF index at {path} has no {IVF_INDEX_SIDECAR} sidecar — "
+            "an index without its frozen quantizer cannot be merged "
+            "into or searched safely; rebuild via write_ivf_index"
+        )
+    stream = fs.open(hpath)
+    try:
+        raw = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    params = json.loads(raw.decode("utf-8"))
+    missing = {"num_lists", "train_rounds", "centroids"} - set(params)
+    if missing:
+        raise ValueError(
+            f"IVF index sidecar at {path} is missing keys: "
+            f"{sorted(missing)}"
+        )
+    return params
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_lists: int = 16,
+    train_rounds: int = 2,
+) -> list[list[float]]:
+    """Build and persist an IVF index: train the deterministic
+    quantizer ONCE (:func:`kmeans_train`; ``train_rounds=0`` falls
+    back to the md5-seeded pick, the q63/q86 contract), assign every
+    corpus vector to its list, and write ``(vec_id, list_id,
+    embedding)`` rows with the centroids FROZEN into the sidecar.
+    Freezing is the point: list membership is only meaningful relative
+    to the quantizer that produced it, so maintenance
+    (:func:`merge_ivf_index`) must assign new batches under the STORED
+    centroids — retraining per batch would silently orphan every
+    previously-assigned row (the ANN twin of the dedup index's
+    permutation-constant poisoning). Returns the trained centroids.
+
+    At 100 TB: one training pass (k·dim driver state), one assignment
+    pass (zero shuffle on the literal path), one partitioned write —
+    and the stored layout is the probe-side equi-join input, so reads
+    prune to the probed lists.
+    """
+    if train_rounds > 0:
+        cents = kmeans_train(
+            corpus, id_col, vec_col, k=num_lists, rounds=train_rounds
+        )
+    else:
+        seeds = (
+            corpus.select(id_col, vec_col)
+            .withColumn("__o", F.md5(F.col(id_col).cast("string")))
+            .orderBy("__o", id_col)
+            .limit(num_lists)
+            .collect()
+        )
+        cents = [[float(x) for x in r[vec_col]] for r in seeds]
+    spark = corpus.sparkSession
+    rows = (
+        kmeans_assign(corpus, id_col, vec_col, centroids=cents)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col("centroid_id").alias("list_id"),
+        )
+        .join(
+            corpus.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("embedding"),
+            ),
+            "vec_id",
+        )
+    )
+    rows.write.mode("overwrite").parquet(path)
+    # sidecar AFTER the data lands (write_dedup_index ordering): a
+    # failed data write never leaves a sidecar pointing at nothing
+    _write_ivf_sidecar(
+        spark,
+        path,
+        {
+            "num_lists": int(num_lists),
+            "train_rounds": int(train_rounds),
+            "centroids": [[float(x) for x in c] for c in cents],
+        },
+    )
+    return cents
+
+
+def merge_ivf_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Fold a new batch of vectors into a stored IVF index — the
+    streaming-ingest maintenance step: read the sidecar, assign the
+    batch under the index's OWN frozen centroids, append. Cost per
+    batch: one assignment pass over the batch + an O(batch) parquet
+    append; the corpus-sized existing rows are never read (the
+    merge_dedup_index shape). Returns the sidecar params."""
+    params = _read_ivf_sidecar(spark, path)
+    rows = (
+        kmeans_assign(batch, id_col, vec_col, centroids=params["centroids"])
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col("centroid_id").alias("list_id"),
+        )
+        .join(
+            batch.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("embedding"),
+            ),
+            "vec_id",
+        )
+    )
+    rows.write.mode("append").parquet(path)
+    return params
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k against a STORED IVF index, under the
+    index's own sidecar centroids — the search half of
+    :func:`ivf_topk_deterministic` (same probe/rescore/rank plan,
+    duplicated rather than shared so the certified q63/q86/q122 plans
+    stay byte-stable) pointed at the persisted lists. Per-query
+    candidate work is ~|index|·nprobe/num_lists; the probe is an
+    equi-join on ``list_id`` against the stored layout."""
+    params = _read_ivf_sidecar(spark, path)
+    ctr = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(params["centroids"])],
+            "list_id int, centroid array<double>",
+        )
+    )
+    assigned = spark.read.parquet(path).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "list_id",
+        F.col("embedding").alias("c_raw"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_raw"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), F.col("list_id").asc()
+    )
+    probed = (
+        q.crossJoin(ctr)
+        .withColumn(
+            "__csim", F.round(cosine(F.col("q_raw"), F.col("centroid")), 6)
+        )
+        .withColumn("__r", F.row_number().over(w_probe))
+        .where(F.col("__r") <= nprobe)
+        .select("query_id", "q_raw", "list_id")
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        probed.join(assigned, "list_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("q_raw"), F.col("c_raw")), 6)
+        )
+        .withColumn("rank", F.row_number().over(w_k))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )

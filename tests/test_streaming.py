@@ -519,3 +519,140 @@ def test_streaming_ingest_dedup_index_maintained_across_batches(
     assert (900002, 900001) in pairs, f"cross-batch dup missed: {pairs}"
     # 900001 was novel vs the corpus — nothing should have matched it
     assert not any(a == 900001 for a, _ in pairs)
+
+
+def test_streaming_ivf_index_maintained_across_batches(
+    spark, sf_dir, tmp_path
+):
+    """Retrieval-index maintenance — the ANN twin of the dedup-index
+    lifecycle: micro-batches of new vectors fold into a STORED IVF
+    index via merge_ivf_index (assignment under the index's frozen
+    sidecar centroids, O(batch) append), and search_ivf_index over the
+    maintained index returns EXACTLY what a fresh one-shot build over
+    the full corpus returns under the same quantizer — plus a query
+    whose true neighbor arrived in a later batch finds it, which a
+    static index structurally cannot."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators.similarity import (
+        merge_ivf_index,
+        search_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    later = emb.where(F.col("vec_id") % 3 == 0)
+    idx_path = str(tmp_path / "ivf")
+    cents = write_ivf_index(
+        base, idx_path, num_lists=8, train_rounds=1
+    )
+    assert len(cents) == 8
+
+    # stream the held-out vectors in as two micro-batches
+    rows = later.collect()
+    half = len(rows) // 2
+    in_dir = tmp_path / "vec_in"
+    in_dir.mkdir()
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        f = str(in_dir / f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": [r.vec_id for r in chunk],
+                    "embedding": [
+                        [float(x) for x in r.embedding] for r in chunk
+                    ],
+                }
+            ),
+            f,
+        )
+        os.utime(f, (1700000000 + i, 1700000000 + i))
+
+    def fold(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            merge_ivf_index(spark, idx_path, batch_df)
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    queries = emb.where(F.col("vec_id") < 6)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_sim)
+        for r in search_ivf_index(
+            spark, idx_path, queries, k=5, nprobe=4
+        ).collect()
+    }
+    assert got, "maintained-index search returned nothing"
+
+    # fresh one-shot build over the identical corpus under the
+    # maintained index's quantizer (same centroids -> same lists):
+    # hand-assembled so the quantizer is EXACTLY cents rather than a
+    # retrain
+    fresh_path = str(tmp_path / "ivf_fresh")
+    from ontology_graph_etl_spark.operators.similarity import (
+        _write_ivf_sidecar,
+        kmeans_assign,
+    )
+
+    full = base.unionByName(later)
+    fresh_rows = (
+        kmeans_assign(full, "vec_id", "embedding", centroids=cents)
+        .select("vec_id", F.col("centroid_id").alias("list_id"))
+        .join(
+            full.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+            ),
+            "vec_id",
+        )
+    )
+    fresh_rows.write.mode("overwrite").parquet(fresh_path)
+    _write_ivf_sidecar(
+        spark,
+        fresh_path,
+        {"num_lists": 8, "train_rounds": 1,
+         "centroids": [[float(x) for x in c] for c in cents]},
+    )
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_sim)
+        for r in search_ivf_index(
+            spark, fresh_path, queries, k=5, nprobe=4
+        ).collect()
+    }
+    assert got == want
+
+    # cross-batch reachability: a query vector that IS a later-batch
+    # vector must find itself excluded but its batch-mates reachable —
+    # concretely, at least one later-batch id appears as a neighbor
+    later_ids = {r.vec_id for r in rows}
+    assert any(n in later_ids for n, _ in got.values()), (
+        "no later-batch vector ever surfaced as a neighbor — merges "
+        "did not reach the searched index"
+    )
+
+    # sidecar guard: merging into a sidecar-less directory refuses
+    import pytest
+
+    bare = str(tmp_path / "bare")
+    base.limit(3).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).write.parquet(bare)
+    with pytest.raises(ValueError, match="sidecar"):
+        merge_ivf_index(spark, bare, later.limit(1))
