@@ -132,6 +132,7 @@ HEADLINE = [
     "q129_bpe_train",
     "q130_bpe_encode",
     "q131_exact_substring_spans",
+    "q132_exact_substring_removal",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

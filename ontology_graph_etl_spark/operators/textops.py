@@ -1192,6 +1192,64 @@ def bpe_encode(
     return df.select(F.col(id_col), toks.alias(out_col))
 
 
+def _exact_substring_intervals(
+    df: DataFrame, id_col: str, text_col: str, L: int
+) -> DataFrame:
+    """Shared core of :func:`exact_substring_spans` (stats) and
+    :func:`exact_substring_removal` (cut): the merged maximal
+    duplicated character intervals ``(id, __s, __e)`` per doc, 1-based
+    inclusive. See exact_substring_spans for the plan-shape rationale
+    (window count over the seed stream, not groupBy+join-back)."""
+    base = ensure_parallelism(df.select(id_col, text_col))
+    # guard the too-short case explicitly: F.sequence(1, 0) is [1, 0]
+    # (negative step — the q123 pitfall), not an empty range
+    starts = F.when(
+        F.length(text_col) >= L,
+        F.sequence(F.lit(1), F.length(text_col) - (L - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    occ = base.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(starts).alias("i"),
+    ).select(
+        id_col,
+        "i",
+        F.md5(F.substring(F.col(text_col), F.col("i"), F.lit(L))).alias(
+            "__k"
+        ),
+    )
+    dup = (
+        occ.withColumn(
+            "__c", F.count(F.lit(1)).over(Window.partitionBy("__k"))
+        )
+        .where(F.col("__c") >= 2)
+        .select(id_col, "i")
+    )
+    # merge overlapping [i, i+L-1] seed intervals per doc: a seed
+    # opens a new span iff it starts past everything covered so far
+    wdoc = Window.partitionBy(id_col).orderBy(F.col("i").asc())
+    prev_cov = F.max(F.col("i") + (L - 1)).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        dup.withColumn(
+            "__new",
+            (F.col("i") > F.coalesce(prev_cov, F.lit(0))).cast("int"),
+        )
+        .withColumn(
+            "__span",
+            F.sum("__new").over(
+                wdoc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "__span")
+        .agg(
+            F.min("i").alias("__s"),
+            (F.max("i") + (L - 1)).alias("__e"),
+        )
+    )
+
+
 def exact_substring_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1242,55 +1300,7 @@ def exact_substring_spans(
     """
     if min_len < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
-    L = min_len
-    base = ensure_parallelism(df.select(id_col, text_col))
-    # guard the too-short case explicitly: F.sequence(1, 0) is [1, 0]
-    # (negative step — the q123 pitfall), not an empty range
-    starts = F.when(
-        F.length(text_col) >= L,
-        F.sequence(F.lit(1), F.length(text_col) - (L - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    occ = base.select(
-        F.col(id_col),
-        F.col(text_col),
-        F.explode(starts).alias("i"),
-    ).select(
-        id_col,
-        "i",
-        F.md5(F.substring(F.col(text_col), F.col("i"), F.lit(L))).alias(
-            "__k"
-        ),
-    )
-    dup = (
-        occ.withColumn(
-            "__c", F.count(F.lit(1)).over(Window.partitionBy("__k"))
-        )
-        .where(F.col("__c") >= 2)
-        .select(id_col, "i")
-    )
-    # merge overlapping [i, i+L-1] seed intervals per doc: a seed
-    # opens a new span iff it starts past everything covered so far
-    wdoc = Window.partitionBy(id_col).orderBy(F.col("i").asc())
-    prev_cov = F.max(F.col("i") + (L - 1)).over(
-        wdoc.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    spans = (
-        dup.withColumn(
-            "__new",
-            (F.col("i") > F.coalesce(prev_cov, F.lit(0))).cast("int"),
-        )
-        .withColumn(
-            "__span",
-            F.sum("__new").over(
-                wdoc.rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-        .groupBy(id_col, "__span")
-        .agg(
-            F.min("i").alias("__s"),
-            (F.max("i") + (L - 1)).alias("__e"),
-        )
-    )
+    spans = _exact_substring_intervals(df, id_col, text_col, min_len)
     agg = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
         F.sum(F.col("__e") - F.col("__s") + 1)
@@ -1310,4 +1320,89 @@ def exact_substring_spans(
                 "n_dup_spans"
             ),
         )
+    )
+
+
+def exact_substring_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 30,
+) -> DataFrame:
+    """Character-granular exact-substring duplicate REMOVAL — the cut
+    step Lee et al. 2022 run on the spans :func:`exact_substring_spans`
+    tags: every character position covered by a corpus-repeated
+    ``>= min_len`` substring is deleted from its document (ALL copies,
+    the paper's remove-all policy — they show training is insensitive
+    to keeping one copy vs none, and remove-all needs no global
+    occurrence ordering), and the document is reassembled from the
+    surviving gaps. The character-granular counterpart of
+    :func:`duplicate_span_removal` (word k-grams, keep-first).
+
+    Per input doc: ``(id, n_chars, dup_chars, text_clean)`` with
+    ``length(text_clean) == n_chars - dup_chars`` by construction;
+    fully-duplicated docs come back empty, ready for a length gate.
+    NOT idempotent by design: cutting can butt two previously-distant
+    fragments together and form a NEW repeated window across the seam
+    (Lee et al. accept this; a fixpoint loop over the operator
+    converges in practice in 1-2 passes).
+
+    Scale shape: the shared interval core (one seed-stream window
+    count + doc-keyed merge, see exact_substring_spans), then the
+    per-doc reassembly is ONE aggregate fold over the doc's own sorted
+    interval list — the interval array arrives as a plain column
+    attribute (the q110 lesson: an expression-valued array inside a
+    HOF lambda is re-evaluated per element), and each fold step does
+    one O(gap) substring, so reassembly is O(doc length) per doc.
+    """
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    spans = _exact_substring_intervals(df, id_col, text_col, min_len)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("__s").alias("s"), F.col("__e").alias("e"))
+            )
+        ).alias("__iv"),
+        F.sum(F.col("__e") - F.col("__s") + 1)
+        .cast("long")
+        .alias("dup_chars"),
+    )
+    joined = df.select(id_col, text_col).join(per_doc, id_col, "left")
+    iv = F.coalesce(
+        F.col("__iv"),
+        F.array().cast("array<struct<s:int,e:int>>"),
+    )
+    # fold: acc carries (clean-so-far, last covered end); each interval
+    # appends the gap before it; finish appends the tail after the last
+    clean = F.aggregate(
+        iv,
+        F.struct(
+            F.lit("").alias("acc"), F.lit(0).cast("int").alias("pos")
+        ),
+        lambda st, s: F.struct(
+            F.concat(
+                st["acc"],
+                F.substring(
+                    F.col(text_col),
+                    st["pos"] + 1,
+                    s["s"] - st["pos"] - 1,
+                ),
+            ).alias("acc"),
+            s["e"].alias("pos"),
+        ),
+        lambda st: F.concat(
+            st["acc"],
+            F.substring(
+                F.col(text_col),
+                st["pos"] + 1,
+                F.length(text_col) - st["pos"],
+            ),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.coalesce("dup_chars", F.lit(0).cast("long")).alias("dup_chars"),
+        clean.alias("text_clean"),
     )

@@ -5245,7 +5245,10 @@ def _q131_exact_substring_spans(spark, sf_dir):
     )
 
 
-def _q131_sql(L: int = _Q131_L) -> str:
+def _q131_span_ctes(L: int) -> str:
+    """The shared duplicated-interval CTE chain (through ``spans``)
+    of the q131 stats and q132 removal oracles — the SQL twin of
+    textops._exact_substring_intervals."""
     return f"""
 WITH pos AS (
   SELECT doc_id,
@@ -5277,7 +5280,11 @@ num AS (
 spans AS (
   SELECT doc_id, span_id, MIN(i) AS s, MAX(i + {L} - 1) AS e
   FROM num GROUP BY doc_id, span_id
-),
+)"""
+
+
+def _q131_sql(L: int = _Q131_L) -> str:
+    return _q131_span_ctes(L) + """,
 agg AS (
   SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(e - s + 1) AS dup_chars
   FROM spans GROUP BY doc_id
@@ -5288,6 +5295,58 @@ SELECT d.doc_id,
        CAST(COALESCE(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+
+
+def _q132_exact_substring_removal(spark, sf_dir):
+    # The cut step over q131's intervals (Lee et al. remove-all): every
+    # corpus-repeated >=30-char substring is deleted from every doc,
+    # docs reassembled from the surviving gaps; hash covers the full
+    # cleaned text of every document.
+    return textops.exact_substring_removal(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_len=_Q131_L
+    )
+
+
+def _q132_sql(L: int = _Q131_L) -> str:
+    return _q131_span_ctes(L) + """,
+segs AS (
+  SELECT doc_id, s, e,
+         COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS prev_e
+  FROM spans
+),
+frags AS (
+  SELECT g.doc_id,
+         substr(d.text, g.prev_e + 1, g.s - g.prev_e - 1) AS frag,
+         g.s AS ord
+  FROM segs g JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT m.doc_id, substr(d.text, m.last_e + 1) AS frag,
+         2147483647 AS ord
+  FROM (SELECT doc_id, MAX(e) AS last_e FROM spans GROUP BY doc_id) m
+  JOIN documents d USING (doc_id)
+),
+asm AS (
+  SELECT doc_id, string_agg(frag, '' ORDER BY ord) AS text_clean
+  FROM frags GROUP BY doc_id
+),
+agg AS (
+  SELECT doc_id, SUM(e - s + 1) AS dup_chars FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(COALESCE(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+       COALESCE(m.text_clean, d.text) AS text_clean
+FROM documents d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN asm m USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
 
 
 # ---------------------------------------------------------------------------
@@ -5361,8 +5420,15 @@ RECERTIFY: set[str] = {
 
 QUERIES: list[QueryDef] = [
     # --- ROUND-10 WINDOW (first 50) ---
-    # new this round, never certified (q131's head insertion pushed
-    # q18_enrichment, the window's then-last entry, to the tail head):
+    # new this round, never certified (the q131/q132 head insertions
+    # pushed q18_enrichment and q91_snapshot_diff, the window's
+    # then-last entries, to the tail head):
+    QueryDef(
+        "q132_exact_substring_removal",
+        _q132_exact_substring_removal,
+        _q132_sql(),
+        "§2.11",
+    ),
     QueryDef(
         "q131_exact_substring_spans",
         _q131_exact_substring_spans,
@@ -5429,11 +5495,11 @@ QUERIES: list[QueryDef] = [
     QueryDef("q98_numeric_drift", _q98_numeric_drift, _q98_sql, "§2.11"),
     QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
     QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
-    QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),
     # --- tail ---
-    # the remaining 25 r8-green names (q18 cascaded out by q131's
-    # head insertion): LEAD THE R11 WINDOW (they hit the staleness
-    # cap at r11):
+    # the remaining 26 r8-green names (q91 and q18 cascaded out by
+    # the q132/q131 head insertions): LEAD THE R11 WINDOW (they hit
+    # the staleness cap at r11):
+    QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),
     QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
     QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),
     QueryDef(

@@ -3236,3 +3236,75 @@ def test_exact_substring_spans_matches_duckdb(spark, docs):
     }
     con.close()
     assert got == want
+
+
+def test_exact_substring_removal_golden_and_length_invariant(spark):
+    """q132 semantics on the q131 golden docs (L=4): all copies cut
+    (both the source doc and the copy lose the shared 10 chars),
+    surviving margins reassemble in order, clean docs pass through
+    untouched, and length(text_clean) == n_chars - dup_chars on every
+    row by construction."""
+    from ontology_graph_etl_spark.operators.textops import (
+        exact_substring_removal,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "abcdefghij"),
+            (2, "XXabcdefghijYY"),
+            (3, "zzzz"),
+            (4, "abababab"),
+            (5, ""),
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = exact_substring_removal(df, min_len=4).collect()
+    got = {r.doc_id: (r.n_chars, r.dup_chars, r.text_clean) for r in rows}
+    assert got == {
+        1: (10, 10, ""),
+        2: (14, 10, "XXYY"),
+        3: (4, 0, "zzzz"),
+        4: (8, 8, ""),
+        5: (0, 0, ""),
+    }
+    for r in rows:
+        assert len(r.text_clean) == r.n_chars - r.dup_chars
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=25),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@SETTINGS
+def test_exact_substring_removal_matches_duckdb(spark, docs):
+    """Cross-engine pin for the q132 reassembly fold on arbitrary tiny
+    corpora (L=3): Spark's per-doc aggregate fold over the sorted
+    interval attribute must equal DuckDB's gap-fragment string_agg
+    formulation row for row, full cleaned text included."""
+    import duckdb
+
+    from ontology_graph_etl_spark.operators.textops import (
+        exact_substring_removal,
+    )
+    from ontology_graph_etl_spark.plans.registry import _q132_sql
+
+    rows = list(enumerate(docs))
+    got = {
+        r.doc_id: (r.n_chars, r.dup_chars, r.text_clean)
+        for r in exact_substring_removal(
+            spark.createDataFrame(rows, "doc_id: long, text: string"),
+            min_len=3,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(_q132_sql(3)).fetchall()
+    }
+    con.close()
+    assert got == want
