@@ -286,6 +286,7 @@ def test_fill_budget_broadcasts_allocations(spark, sf_dir):
         # — the join form re-scans per sibling consumer: 113 s vs 63 s
         # at 100x) + the broadcast n_chars side
         ("q131_exact_substring_spans", 2),
+        ("q132_exact_substring_removal", 2),
     ],
 )
 def test_no_fork_without_reuse_regression(spark, sf_dir, name, max_scans):
