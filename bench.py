@@ -133,6 +133,8 @@ HEADLINE = [
     "q130_bpe_encode",
     "q131_exact_substring_spans",
     "q132_exact_substring_removal",
+    "q133_doc_chunks",
+    "q134_containment_pairs",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

@@ -1209,3 +1209,81 @@ def pair_set_quality(
             6,
         ).alias("recall"),
     )
+
+
+def containment_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set CONTAINMENT over all colliding pairs —
+    ``containment(A in B) = |S(A) ∩ S(B)| / |S(A)|`` over word
+    ``shingle_n``-gram sets, the asymmetric companion of
+    :func:`jaccard_pairs_exact` (Broder's second resemblance measure).
+    Jaccard misses the quotation case a containment screen exists for:
+    a short document wholly quoted inside a much longer one scores
+    near-zero Jaccard (the union is dominated by the long doc) but
+    containment 1.0. Output is DIRECTIONAL: ``(contained_id,
+    container_id, containment)`` rows where the contained side's
+    coverage meets ``threshold`` — one unordered pair can emit both
+    directions when both coverages clear it (e.g. exact duplicates).
+    Shingles, not unigrams, on purpose: over a small shared vocabulary
+    unigram containment between ANY two documents runs high (measured
+    144k/250k directional pairs >= 0.8 on the 500-doc test corpus);
+    n-gram order-sensitivity is what makes the measure about COPIED
+    TEXT rather than shared vocabulary (50 pairs at n=3, all real).
+
+    Same inverted-index plan as the Jaccard twin (explode distinct
+    shingles, self-join so only docs sharing a shingle ever meet, one
+    pair-keyed count) — the intersection is computed ONCE per
+    unordered pair and both directional ratios derive from it, so the
+    asymmetry costs nothing extra. Scale posture identical to q56:
+    exact baseline, hot-shingle skew is the risk, the banded LSH
+    variants are the production path.
+    """
+    toks = (
+        shingles(
+            tokenize(
+                ensure_parallelism(df.select(id_col, text_col)), text_col
+            ),
+            "tokens",
+            n=shingle_n,
+        )
+        .select(F.col(id_col).alias("doc"), F.explode("shingles").alias("token"))
+        .distinct()
+        # materialized once; the inverted-index self-join reads it twice
+        .localCheckpoint()
+    )
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tokens"))
+    l, r = toks.alias("l"), toks.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.token") == F.col("r.token"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .groupBy(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    scored = inter.join(
+        sizes.select(F.col("doc").alias("id_a"), F.col("n_tokens").alias("n_a")),
+        "id_a",
+    ).join(
+        sizes.select(F.col("doc").alias("id_b"), F.col("n_tokens").alias("n_b")),
+        "id_b",
+    )
+    a_in_b = scored.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        F.round(F.col("intersection") / F.col("n_a"), 6).alias("containment"),
+    )
+    b_in_a = scored.select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        F.round(F.col("intersection") / F.col("n_b"), 6).alias("containment"),
+    )
+    return a_in_b.unionByName(b_in_a).where(
+        F.col("containment") >= threshold
+    )

@@ -1406,3 +1406,71 @@ def exact_substring_removal(
         F.coalesce("dup_chars", F.lit(0).cast("long")).alias("dup_chars"),
         clean.alias("text_clean"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Overlapping character chunking — the retrieval-corpus
+    preparation step (RAG indexing, long-document embedding): chunk
+    ``c`` covers ``[1 + c·stride, 1 + c·stride + chunk_chars)``;
+    ``stride < chunk_chars`` gives the standard overlap so no span is
+    split across a boundary without also appearing whole in a
+    neighbor. Chunk count is pure integer arithmetic —
+    ``0`` for empty docs, ``1`` when the doc fits, else
+    ``(len - chunk_chars + stride - 1) div stride + 1`` — so the
+    layout is engine-portable (no float ceil). The final chunk may run
+    short (substring truncates at the end of the doc); every character
+    of the doc is covered by at least one chunk.
+
+    Output: ``(id, chunk_id, chunk_start, chunk_text, n_chunks)``,
+    one row per chunk. Pure per-row explode — zero shuffles, scan
+    speed at 100 TB, and the natural upstream of the embedding /
+    ANN-index queries (q51/q63/q86) whose unit is the chunk, not the
+    document.
+    """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    if chunk_chars < stride:
+        raise ValueError(
+            f"chunk_chars ({chunk_chars}) must be >= stride ({stride}) — "
+            "a stride past the chunk end would leave uncovered gaps"
+        )
+    n = F.length(F.col(text_col))
+    n_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= chunk_chars, F.lit(1))
+        .otherwise(
+            # exact integer ceil((len - C) / stride) + 1 via `div` —
+            # float ceil would be the one engine-divergent spot in the
+            # layout
+            F.expr(
+                f"(length(`{text_col}`) - {int(chunk_chars)} "
+                f"+ {int(stride) - 1}) div {int(stride)}"
+            ).cast("int")
+            + 1
+        )
+    )
+    ids = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    out = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        n_chunks.alias("n_chunks"),
+        F.explode(ids).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride + 1
+    return out.select(
+        id_col,
+        "chunk_id",
+        start.alias("chunk_start"),
+        F.substring(F.col(text_col), start, F.lit(chunk_chars)).alias(
+            "chunk_text"
+        ),
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+    )

@@ -5344,9 +5344,102 @@ LEFT JOIN asm m USING (doc_id)
 """
 
 
-# ---------------------------------------------------------------------------
-# Registry
-# ---------------------------------------------------------------------------
+_Q133_CHUNK = 200
+_Q133_STRIDE = 150
+
+
+def _q133_doc_chunks(spark, sf_dir):
+    # RAG-style overlapping character chunking (200-char chunks,
+    # 150-char stride): the retrieval-corpus preparation step upstream
+    # of the embedding/ANN queries; the hash covers every chunk's full
+    # text + layout, so any boundary drift fails certification.
+    return textops.chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        chunk_chars=_Q133_CHUNK,
+        stride=_Q133_STRIDE,
+    )
+
+
+def _q133_sql(C: int = _Q133_CHUNK, s: int = _Q133_STRIDE) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) <= 0 THEN 0
+              WHEN length(text) <= {C} THEN 1
+              ELSE (length(text) - {C} + {s - 1}) // {s} + 1
+         END AS n_chunks
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, text, n_chunks,
+         unnest(generate_series(0, n_chunks - 1)) AS i
+  FROM d WHERE n_chunks > 0
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       CAST(i * {s} + 1 AS INT) AS chunk_start,
+       substr(text, i * {s} + 1, {C}) AS chunk_text,
+       CAST(n_chunks AS BIGINT) AS n_chunks
+FROM ex
+"""
+
+
+_Q134_T = 0.8
+
+
+def _q134_containment_pairs(spark, sf_dir):
+    # Asymmetric containment screen (Broder's second measure): a short
+    # doc quoted whole inside a long one scores near-zero Jaccard but
+    # containment 1.0 — the quotation/subset duplication case q56's
+    # symmetric screen structurally misses. Directional output.
+    return dedup.containment_pairs_exact(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        threshold=_Q134_T,
+    )
+
+
+_q134_sql = rf"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS arr
+  FROM documents
+),
+-- trigram shingles with the shingles() short-doc fallback (q50 SQL):
+-- positions 1..greatest(len-2, 1), slice capped at the array end
+idx AS (
+  SELECT doc_id, arr,
+         unnest(generate_series(1, greatest(len(arr) - 2, 1))) AS i
+  FROM tk
+),
+toks AS (
+  SELECT DISTINCT doc_id AS doc,
+         array_to_string(arr[i:least(i + 2, len(arr))], ' ') AS token
+  FROM idx
+),
+sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc),
+inter AS (
+  SELECT l.doc AS id_a, r.doc AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM toks l JOIN toks r ON l.token = r.token AND l.doc < r.doc
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b, i, sa.n AS na, sb.n AS nb
+  FROM inter
+  JOIN sizes sa ON sa.doc = id_a
+  JOIN sizes sb ON sb.doc = id_b
+),
+dirs AS (
+  SELECT id_a AS contained_id, id_b AS container_id,
+         ROUND(i / na, 6) AS containment
+  FROM scored
+  UNION ALL
+  SELECT id_b, id_a, ROUND(i / nb, 6) FROM scored
+)
+SELECT contained_id, container_id, containment
+FROM dirs WHERE containment >= {_Q134_T}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -5374,24 +5467,26 @@ LEFT JOIN asm m USING (doc_id)
 # slots.
 # This window retires the r6 staleness backlog the r9 rotation
 # promised it would:
-#   1-2   q131 (exact-substring spans) and q130 (BPE encode), new
-#         this round, never certified. q131's later head insertion
-#         pushed q18 (the window's then-last entry) to the tail head.
-#   3     q123 (RECERTIFY — its projection gained the empty-vector
+#   1-5   q134 (containment pairs), q133 (doc chunks), q132
+#         (exact-substring removal), q131 (exact-substring spans),
+#         q130 (BPE encode) — new this round, never certified. Each
+#         head insertion pushed the window's then-last entry to the
+#         tail head (cascade order: q18, q91, q51, q28).
+#   6     q123 (RECERTIFY — its projection gained the empty-vector
 #         NULL guards this round, so the r9 green row predates the
 #         executed plan).
-#   4-26  the 23 names whose last green row is r6 — exactly 3 rounds
-#         stale on the pre-r10 view, AT the ceil(124/50)=3 cap: q61,
+#   7-29  the 23 names whose last green row is r6 — exactly 3 rounds
+#         stale on the pre-r10 view, AT the ceil(127/50)=3 cap: q61,
 #         q75, q76, q87, q93, q94, q96, q20-q25, q27, q01-q04,
 #         q08-q10, q13, q14.
-#   27-50 24 of the 49 r8-green names (1 round stale), former tail
+#   30-50 21 of the 49 r8-green names (1 round stale), former tail
 #         order: q110, q111, q113-q118, q109, q108, q15, q17,
-#         q05-q07, q11, q12, q16, q90, q97, q98, q28, q51, q91.
-# The remaining 25 r8-green names sit FIRST in the tail and LEAD THE
-# R11 WINDOW (they reach the cap at r11): q18, q19, q35, q36, q38,
-# q44, q45, q46, q50, q52, q54-q56, q66, q67, q69-q71, q73, q74,
-# q77, q78, q81, q83, q84. After them: the 49 r9-certified names,
-# fresh.
+#         q05-q07, q11, q12, q16, q90, q97, q98.
+# The remaining 28 r8-green names sit FIRST in the tail and LEAD THE
+# R11 WINDOW (they reach the cap at r11): q28, q51, q91, q18, q19,
+# q35, q36, q38, q44, q45, q46, q50, q52, q54-q56, q66, q67,
+# q69-q71, q73, q74, q77, q78, q81, q83, q84. After them: the 49
+# r9-certified names, fresh.
 # (q120's scratch path moved to a per-process reused dir this round —
 # a side-effect location only; the screen plan shape and its hashed
 # values are unchanged, so no recertification. The pct=100
@@ -5420,9 +5515,16 @@ RECERTIFY: set[str] = {
 
 QUERIES: list[QueryDef] = [
     # --- ROUND-10 WINDOW (first 50) ---
-    # new this round, never certified (the q131/q132 head insertions
-    # pushed q18_enrichment and q91_snapshot_diff, the window's
-    # then-last entries, to the tail head):
+    # new this round, never certified (each head insertion pushed the
+    # window's then-last entry to the tail head — in cascade order
+    # q18, q91, q51, q28):
+    QueryDef(
+        "q134_containment_pairs",
+        _q134_containment_pairs,
+        _q134_sql,
+        "§2.11",
+    ),
+    QueryDef("q133_doc_chunks", _q133_doc_chunks, _q133_sql(), "§2.11"),
     QueryDef(
         "q132_exact_substring_removal",
         _q132_exact_substring_removal,
@@ -5493,12 +5595,12 @@ QUERIES: list[QueryDef] = [
     QueryDef("q90_lpa_communities", _q90_lpa_communities, _q90_sql(), "§2.8"),
     QueryDef("q97_rolling_agg", _q97_rolling_agg, _q97_sql, "§2.7"),
     QueryDef("q98_numeric_drift", _q98_numeric_drift, _q98_sql, "§2.11"),
+    # --- tail ---
+    # the remaining 28 r8-green names (q18, q91, q51, q28 cascaded
+    # out by the q131-q134 head insertions): LEAD THE R11 WINDOW
+    # (they hit the staleness cap at r11):
     QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
     QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
-    # --- tail ---
-    # the remaining 26 r8-green names (q91 and q18 cascaded out by
-    # the q132/q131 head insertions): LEAD THE R11 WINDOW (they hit
-    # the staleness cap at r11):
     QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),
     QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
     QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),

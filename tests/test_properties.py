@@ -3308,3 +3308,70 @@ def test_exact_substring_removal_matches_duckdb(spark, docs):
     }
     con.close()
     assert got == want
+
+
+def test_chunk_documents_golden_and_coverage(spark):
+    """q133 semantics: len 10 / chunk 4 / stride 3 -> starts 1,4,7
+    with the final chunk truncating at the end; a doc shorter than one
+    chunk yields exactly one chunk; an empty doc yields none. Coverage
+    invariant: concatenating chunk [start, start+stride) prefixes plus
+    the final chunk reproduces the document."""
+    import pytest
+
+    from ontology_graph_etl_spark.operators.textops import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "ab"), (3, "")],
+        "doc_id: long, text: string",
+    )
+    rows = chunk_documents(df, chunk_chars=4, stride=3).collect()
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_start, r.chunk_text, r.n_chunks)
+        for r in rows
+    )
+    assert got == [
+        (1, 0, 1, "abcd", 3),
+        (1, 1, 4, "defg", 3),
+        (1, 2, 7, "ghij", 3),
+        (2, 0, 1, "ab", 1),
+    ]
+    # reassembly: stride-prefixes of all but the last chunk + last chunk
+    chunks1 = [t for d, _, _, t, _ in got if d == 1]
+    assert "".join(c[:3] for c in chunks1[:-1]) + chunks1[-1] == "abcdefghij"
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk_chars=4, stride=0)
+    with pytest.raises(ValueError, match="chunk_chars"):
+        chunk_documents(df, chunk_chars=2, stride=3)
+
+
+def test_containment_pairs_semantics(spark):
+    """q134 semantics at trigram granularity: a doc whose text appears
+    verbatim inside a longer doc has containment 1.0 in it (and the
+    container scores low in reverse); exact duplicates emit BOTH
+    directions; unrelated docs emit nothing."""
+    from ontology_graph_etl_spark.operators.dedup import (
+        containment_pairs_exact,
+    )
+
+    quoted = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, quoted),
+            (2, "intro words first " + quoted + " and then a very long tail "
+                "of unrelated filler content keeps going on and on"),
+            (3, "completely different text with no overlap at all here"),
+            (4, quoted),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        (r.contained_id, r.container_id): r.containment
+        for r in containment_pairs_exact(
+            docs, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    assert got[(1, 2)] == 1.0      # quoted whole inside 2
+    assert got[(1, 4)] == 1.0 and got[(4, 1)] == 1.0  # exact dup, both ways
+    assert got[(4, 2)] == 1.0
+    assert (2, 1) not in got       # container not contained
+    assert all(3 not in p for p in got)
