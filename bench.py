@@ -135,6 +135,7 @@ HEADLINE = [
     "q132_exact_substring_removal",
     "q133_doc_chunks",
     "q134_containment_pairs",
+    "q135_interval_overlap",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

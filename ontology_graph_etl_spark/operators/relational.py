@@ -1553,3 +1553,87 @@ def historize(
     ).select(
         *key_cols, *attr_cols, "valid_from", "valid_to", "n_rows"
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start_col: str,
+    end_col: str,
+    on: Sequence[str] = (),
+    bucket_width: int = 86400,
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Interval-OVERLAP join — both sides are intervals, matched when
+    ``[l.start, l.end]`` and ``[r.start, r.end]`` intersect (CLOSED
+    bounds: touching endpoints overlap), optionally within equal
+    ``on`` keys. The two-sided sibling of :func:`interval_join`
+    (point-in-interval) — the concurrency/collision primitive
+    (sessions active at the same time, orders in flight together,
+    leases that conflict) that Spark would otherwise plan as a
+    broadcast-nested-loop inequality join, O(n·m) and a driver-memory
+    bomb at scale.
+
+    Scalable composition: each side replicates to every
+    ``bucket_width``-sized bucket its interval covers (``sequence`` +
+    ``explode``, JVM-side), the match becomes an EQUI join on
+    ``(on..., bucket)`` plus the residual overlap filter, and the
+    duplicate matches a pair would produce in every shared bucket are
+    eliminated WITHOUT a distinct: a pair is emitted only in the
+    bucket of ``greatest(l.start, r.start)`` — the overlap's first
+    instant, which both intervals cover exactly when they overlap, so
+    each qualifying pair survives in exactly one bucket. Shuffle cost
+    O(n·avg_spans + m·avg_spans); pick ``bucket_width`` near the
+    typical interval length so spans stay ~2. NULL or inverted
+    intervals are dropped pre-join (no-match, the interval_join
+    convention). Output columns: ``on`` keys once, then both sides'
+    remaining columns suffixed with ``suffixes``.
+    """
+    on = list(on)
+
+    def prep(df: DataFrame, suffix: str):
+        s_units, per_s = epoch_units(
+            F.col(start_col), df.schema[start_col].dataType
+        )
+        e_units, _ = epoch_units(
+            F.col(end_col), df.schema[end_col].dataType
+        )
+        width = bucket_width * per_s
+        out = df.where(
+            F.col(start_col).isNotNull()
+            & F.col(end_col).isNotNull()
+            & (F.col(start_col) <= F.col(end_col))
+        ).select(
+            *on,
+            F.floor(s_units / width).alias(f"__sb{suffix}"),
+            F.explode(
+                F.sequence(
+                    F.floor(s_units / width), F.floor(e_units / width)
+                )
+            ).alias("__bucket"),
+            *[
+                F.col(c).alias(c + suffix)
+                for c in df.columns
+                if c not in on
+            ],
+        )
+        return out
+
+    ls, rs = suffixes
+    l = prep(left, ls)
+    r = prep(right, rs)
+    pair_start_bucket = F.greatest(
+        F.col(f"__sb{ls}"), F.col(f"__sb{rs}")
+    )
+    joined = (
+        l.join(r, on + ["__bucket"])
+        .where(
+            (F.col(start_col + ls) <= F.col(end_col + rs))
+            & (F.col(start_col + rs) <= F.col(end_col + ls))
+            # one-bucket emission: only the bucket holding the
+            # overlap's first instant (= the later start) survives
+            & (F.col("__bucket") == pair_start_bucket)
+        )
+        .drop("__bucket", f"__sb{ls}", f"__sb{rs}")
+    )
+    return joined

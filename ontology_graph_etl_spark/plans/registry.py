@@ -5442,6 +5442,60 @@ FROM dirs WHERE containment >= {_Q134_T}
 """
 
 
+_Q135_DAYS = 14
+
+
+def _q135_interval_overlap(spark, sf_dir):
+    # Interval-OVERLAP join (both sides intervals): per customer, the
+    # pairs of orders whose 14-day fulfillment windows intersected —
+    # the "in flight together" concurrency question. Self-join shape:
+    # l < r on orderkey kills self-pairs and symmetric duplicates;
+    # overlap_days is exact integer day arithmetic (midnight-aligned
+    # TPC-H dates) so the hash is engine-portable.
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").alias("start_ts"),
+        (
+            F.col("o_orderdate") + F.expr(f"INTERVAL {_Q135_DAYS} DAYS")
+        ).alias("end_ts"),
+    )
+    out = relational.interval_overlap_join(
+        o, o, "start_ts", "end_ts", on=["o_custkey"],
+        bucket_width=86400 * _Q135_DAYS,
+    )
+    return out.where(
+        F.col("o_orderkey_l") < F.col("o_orderkey_r")
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey_l").alias("order_a"),
+        F.col("o_orderkey_r").alias("order_b"),
+        F.datediff(
+            F.least("end_ts_l", "end_ts_r"),
+            F.greatest("start_ts_l", "start_ts_r"),
+        ).cast("long").alias("overlap_days"),
+    )
+
+
+_q135_sql = rf"""
+WITH iv AS (
+  SELECT o_orderkey, o_custkey, o_orderdate AS s,
+         o_orderdate + INTERVAL {_Q135_DAYS} DAY AS e
+  FROM orders
+)
+SELECT a.o_custkey AS custkey,
+       a.o_orderkey AS order_a,
+       b.o_orderkey AS order_b,
+       CAST(date_diff('day', GREATEST(a.s, b.s), LEAST(a.e, b.e))
+            AS BIGINT) AS overlap_days
+FROM iv a
+JOIN iv b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND a.s <= b.e AND b.s <= a.e
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5467,24 +5521,25 @@ FROM dirs WHERE containment >= {_Q134_T}
 # slots.
 # This window retires the r6 staleness backlog the r9 rotation
 # promised it would:
-#   1-5   q134 (containment pairs), q133 (doc chunks), q132
-#         (exact-substring removal), q131 (exact-substring spans),
-#         q130 (BPE encode) — new this round, never certified. Each
-#         head insertion pushed the window's then-last entry to the
-#         tail head (cascade order: q18, q91, q51, q28).
-#   6     q123 (RECERTIFY — its projection gained the empty-vector
+#   1-6   q135 (interval-overlap join), q134 (containment pairs),
+#         q133 (doc chunks), q132 (exact-substring removal), q131
+#         (exact-substring spans), q130 (BPE encode) — new this
+#         round, never certified. Each head insertion pushed the
+#         window's then-last entry to the tail head (cascade order:
+#         q18, q91, q51, q28, q98).
+#   7     q123 (RECERTIFY — its projection gained the empty-vector
 #         NULL guards this round, so the r9 green row predates the
 #         executed plan).
-#   7-29  the 23 names whose last green row is r6 — exactly 3 rounds
-#         stale on the pre-r10 view, AT the ceil(127/50)=3 cap: q61,
+#   8-30  the 23 names whose last green row is r6 — exactly 3 rounds
+#         stale on the pre-r10 view, AT the ceil(128/50)=3 cap: q61,
 #         q75, q76, q87, q93, q94, q96, q20-q25, q27, q01-q04,
 #         q08-q10, q13, q14.
-#   30-50 21 of the 49 r8-green names (1 round stale), former tail
+#   31-50 20 of the 49 r8-green names (1 round stale), former tail
 #         order: q110, q111, q113-q118, q109, q108, q15, q17,
-#         q05-q07, q11, q12, q16, q90, q97, q98.
-# The remaining 28 r8-green names sit FIRST in the tail and LEAD THE
-# R11 WINDOW (they reach the cap at r11): q28, q51, q91, q18, q19,
-# q35, q36, q38, q44, q45, q46, q50, q52, q54-q56, q66, q67,
+#         q05-q07, q11, q12, q16, q90, q97.
+# The remaining 29 r8-green names sit FIRST in the tail and LEAD THE
+# R11 WINDOW (they reach the cap at r11): q98, q28, q51, q91, q18,
+# q19, q35, q36, q38, q44, q45, q46, q50, q52, q54-q56, q66, q67,
 # q69-q71, q73, q74, q77, q78, q81, q83, q84. After them: the 49
 # r9-certified names, fresh.
 # (q120's scratch path moved to a per-process reused dir this round —
@@ -5518,6 +5573,12 @@ QUERIES: list[QueryDef] = [
     # new this round, never certified (each head insertion pushed the
     # window's then-last entry to the tail head — in cascade order
     # q18, q91, q51, q28):
+    QueryDef(
+        "q135_interval_overlap",
+        _q135_interval_overlap,
+        _q135_sql,
+        "§2.7",
+    ),
     QueryDef(
         "q134_containment_pairs",
         _q134_containment_pairs,
@@ -5594,11 +5655,11 @@ QUERIES: list[QueryDef] = [
     QueryDef("q16_regex_sanitize", _q16_regex_sanitize, _q16_sql, "F1"),
     QueryDef("q90_lpa_communities", _q90_lpa_communities, _q90_sql(), "§2.8"),
     QueryDef("q97_rolling_agg", _q97_rolling_agg, _q97_sql, "§2.7"),
-    QueryDef("q98_numeric_drift", _q98_numeric_drift, _q98_sql, "§2.11"),
     # --- tail ---
-    # the remaining 28 r8-green names (q18, q91, q51, q28 cascaded
-    # out by the q131-q134 head insertions): LEAD THE R11 WINDOW
-    # (they hit the staleness cap at r11):
+    # the remaining 29 r8-green names (q18, q91, q51, q28, q98
+    # cascaded out by the q131-q135 head insertions): LEAD THE R11
+    # WINDOW (they hit the staleness cap at r11):
+    QueryDef("q98_numeric_drift", _q98_numeric_drift, _q98_sql, "§2.11"),
     QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
     QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
     QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),

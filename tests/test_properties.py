@@ -3375,3 +3375,70 @@ def test_containment_pairs_semantics(spark):
     assert got[(4, 2)] == 1.0
     assert (2, 1) not in got       # container not contained
     assert all(3 not in p for p in got)
+
+
+def test_interval_overlap_join_golden(spark):
+    """q135 semantics: closed bounds (touching endpoints overlap),
+    keys never cross, NULL/inverted intervals drop, and the one-bucket
+    emission device yields each qualifying pair exactly once even when
+    the pair shares many buckets."""
+    from ontology_graph_etl_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    iv = spark.createDataFrame(
+        [
+            (1, "A", 0, 10),
+            (1, "B", 5, 15),     # overlaps A on [5, 10]
+            (1, "C", 20, 30),
+            (1, "D", 30, 35),    # touches C at 30 (closed bounds)
+            (2, "E", 0, 100),    # other key: never pairs with key 1
+            (1, "N", None, 5),   # NULL bound: dropped
+            (1, "I", 9, 3),      # inverted: dropped
+        ],
+        "k: int, name: string, s: long, e: long",
+    )
+    # bucket_width=2 makes A/B share 3 buckets: the emission device
+    # must still yield the pair once
+    out = interval_overlap_join(iv, iv, "s", "e", on=["k"], bucket_width=2)
+    rows = [(r.k, r.name_l, r.name_r) for r in out.collect()]
+    assert len(rows) == len(set(rows)), "duplicate pair emissions"
+    pairs = sorted(t for t in rows if t[1] < t[2])
+    assert pairs == [(1, "A", "B"), (1, "C", "D")]
+    # self-pairs exist in the raw output (an interval overlaps itself)
+    assert (1, "A", "A") in rows
+
+
+@given(
+    intervals=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 30), st.integers(0, 12)),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@SETTINGS
+def test_interval_overlap_join_matches_inequality_join(spark, intervals):
+    """Cross-check on random keyed intervals: the bucketed one-emission
+    plan equals the naive O(n^2) inequality-join semantics pair for
+    pair, at a bucket width unaligned with the data."""
+    from ontology_graph_etl_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    rows = [
+        (k, i, s, s + d) for i, (k, s, d) in enumerate(intervals)
+    ]
+    df = spark.createDataFrame(rows, "k: int, iid: int, s: long, e: long")
+    got = sorted(
+        (r.k, r.iid_l, r.iid_r)
+        for r in interval_overlap_join(
+            df, df, "s", "e", on=["k"], bucket_width=5
+        ).collect()
+    )
+    want = sorted(
+        (ka, ia, ib)
+        for (ka, ia, sa, ea) in rows
+        for (kb, ib, sb, eb) in rows
+        if ka == kb and sa <= eb and sb <= ea
+    )
+    assert got == want
