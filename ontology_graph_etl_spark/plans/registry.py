@@ -5508,45 +5508,23 @@ JOIN iv b
 # holds queries green in the immediately preceding CORRECTNESS file and
 # untouched since.
 #
-# ROUND-10 ROTATION (tests/test_properties.py::
+# ROUND-11 ROTATION (tests/test_properties.py::
 # test_certification_window_freshness enforces this policy
 # mechanically from the CORRECTNESS_r*.json history + RECERTIFY; the
 # window must be a top-50-by-staleness set — no inversion — with a
-# hard ceil(N/50)-round staleness cap on anything left outside).
-# The guard became dual-mode this round: an UNROTATED window (first
-# 50 == the latest artifact's keys) is judged retrospectively on the
-# pre-view, a ROTATED one prospectively on the full history — round
-# 10 proved no single view supports both moments once 11 new queries
-# (r9, pre-view-INF) and a 23-name r6 backlog compete for the same
-# slots.
-# This window retires the r6 staleness backlog the r9 rotation
-# promised it would:
-#   1-6   q135 (interval-overlap join), q134 (containment pairs),
-#         q133 (doc chunks), q132 (exact-substring removal), q131
-#         (exact-substring spans), q130 (BPE encode) — new this
-#         round, never certified. Each head insertion pushed the
-#         window's then-last entry to the tail head (cascade order:
-#         q18, q91, q51, q28, q98).
-#   7     q123 (RECERTIFY — its projection gained the empty-vector
-#         NULL guards this round, so the r9 green row predates the
-#         executed plan).
-#   8-30  the 23 names whose last green row is r6 — exactly 3 rounds
-#         stale on the pre-r10 view, AT the ceil(128/50)=3 cap: q61,
-#         q75, q76, q87, q93, q94, q96, q20-q25, q27, q01-q04,
-#         q08-q10, q13, q14.
-#   31-50 20 of the 49 r8-green names (1 round stale), former tail
-#         order: q110, q111, q113-q118, q109, q108, q15, q17,
-#         q05-q07, q11, q12, q16, q90, q97.
-# The remaining 29 r8-green names sit FIRST in the tail and LEAD THE
-# R11 WINDOW (they reach the cap at r11): q98, q28, q51, q91, q18,
+# hard ceil(N/50)-round staleness cap on anything left outside; an
+# UNROTATED window is judged retrospectively on the pre-view, a
+# ROTATED one prospectively on the full history).
+# This window certifies the 29 names whose last green row is r8 —
+# exactly the set the r10 rotation staged at tail positions 51-79
+# (they hit the ceil(128/50)=3 cap at r11): q98, q28, q51, q91, q18,
 # q19, q35, q36, q38, q44, q45, q46, q50, q52, q54-q56, q66, q67,
-# q69-q71, q73, q74, q77, q78, q81, q83, q84. After them: the 49
-# r9-certified names, fresh.
-# (q120's scratch path moved to a per-process reused dir this round —
-# a side-effect location only; the screen plan shape and its hashed
-# values are unchanged, so no recertification. The pct=100
-# leakage_free_split fix does not alter q125's executed plan at its
-# 80/10 defaults — the generated cutoff expressions are identical.)
+# q69-q71, q73, q74, q77, q78, q81, q83, q84 — then fills the
+# remaining 21 slots with r9-green names in prior registry order
+# (q126-q129, q119, q121, q122, q124, q125, q112, q120, q88, q95,
+# q63, q62, q100, q102, q57-q60). The 28 r9 names left over sit
+# FIRST in the tail and lead the r12 window. After them: the 50
+# r10-certified names, fresh.
 # New queries registered mid-round are inserted at the window head
 # (never-certified names must sit in the window); each insertion
 # pushes the window's last entry to the tail head.
@@ -5557,108 +5535,17 @@ JOIN iv b
 #: the round whose window re-certifies them: once a CORRECTNESS file
 #: of that round (or later) carries their green row, the guard FAILS
 #: until the names are removed — the set cannot silently pin window
-#: slots forever. q112 (the r9 member) left the set this round: its
-#: green r9 row exists, and keeping it past the certifying round
-#: would trip the pre-view self-clear on the r10 artifact.
-RECERTIFY_ROUND = 10
-RECERTIFY: set[str] = {
-    # round-10 plan change: q123's digest/recon projections gained
-    # the empty-vector NULL guards (ADVICE r9) — the executed plan
-    # changed, and its only green row (r9) predates the change.
-    "q123_quantize_recon",
-}
+#: slots forever. q123 (the r10 member) left the set this round: its
+#: green r10 row exists, and keeping it past the certifying round
+#: would trip the pre-view self-clear on the r11 artifact (the
+#: round-8 failure mode q112 navigated in r10).
+RECERTIFY_ROUND = 11
+RECERTIFY: set[str] = set()
 
 QUERIES: list[QueryDef] = [
-    # --- ROUND-10 WINDOW (first 50) ---
-    # new this round, never certified (each head insertion pushed the
-    # window's then-last entry to the tail head — in cascade order
-    # q18, q91, q51, q28):
-    QueryDef(
-        "q135_interval_overlap",
-        _q135_interval_overlap,
-        _q135_sql,
-        "§2.7",
-    ),
-    QueryDef(
-        "q134_containment_pairs",
-        _q134_containment_pairs,
-        _q134_sql,
-        "§2.11",
-    ),
-    QueryDef("q133_doc_chunks", _q133_doc_chunks, _q133_sql(), "§2.11"),
-    QueryDef(
-        "q132_exact_substring_removal",
-        _q132_exact_substring_removal,
-        _q132_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q131_exact_substring_spans",
-        _q131_exact_substring_spans,
-        _q131_sql(),
-        "§2.11",
-    ),
-    QueryDef("q130_bpe_encode", _q130_bpe_encode, _q130_sql(), "§2.11"),
-    # RECERTIFY (q123's projection gained the empty-vector NULL
-    # guards this round — plan changed, r9 green row predates it):
-    QueryDef("q123_quantize_recon", _q123_quantize_recon, _q123_sql(), "§2.11"),
-    # the 23 names whose last green row is r6 (3 rounds stale at
-    # the pre-r10 view — AT the ceil(123/50)=3 staleness cap, the
-    # backlog the r9 rotation promised this window would retire):
-    QueryDef("q61_lsh_topk", _q61_lsh_topk, _q61_sql(), "§2.11"),
-    QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
-    QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
-    QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
-    QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
-    QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
-    QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
-    QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
-    QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
-    QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
-    QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
-    QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
-    QueryDef("q25_rollup", _q25_rollup, _q25_sql, "§2.7"),
-    QueryDef("q27_cube", _q27_cube, _q27_sql, "§2.7"),
-    QueryDef("q01_scan_jsonl", _q01_scan_jsonl, _q01_sql, "S1,P1"),
-    QueryDef("q02_scan_map", _q02_scan_map, _q02_sql, "S3"),
-    QueryDef("q03_prefix_scan", _q03_prefix_scan, _q03_sql, "S5,P6"),
-    QueryDef("q04_meta_project", _q04_meta_project, _q04_sql, "S6"),
-    QueryDef("q08_lookup_join", _q08_lookup_join, _q08_sql, "J1,P5"),
-    QueryDef("q09_anti_join", _q09_anti_join, _q09_sql, "J2"),
-    QueryDef("q10_edge_join", _q10_edge_join, _q10_sql, "J3,G2"),
-    QueryDef("q13_group_count", _q13_group_count, _q13_sql, "A2"),
-    QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
-    # 25 of the 49 r8-green names (1 round stale), former tail
-    # order:
-    QueryDef("q110_span_removal", _q110_span_removal, _q110_sql, "§2.11"),
-    QueryDef("q111_topo_depth", _q111_topo_depth, _q111_sql, "G12"),
-    QueryDef("q113_bm25_topk", _q113_bm25_topk, _q113_sql, "§2.11"),
-    QueryDef("q114_multi_profile", _q114_multi_profile, _q114_sql, "§2.11"),
-    QueryDef(
-        "q115_hybrid_retrieval",
-        _q115_hybrid_retrieval,
-        _q115_sql,
-        "§2.11",
-    ),
-    QueryDef("q116_pivot", _q116_pivot, _q116_sql, "§2.7"),
-    QueryDef("q117_unpivot", _q117_unpivot, _q117_sql, "§2.7"),
-    QueryDef("q118_star_rollup", _q118_star_rollup, _q118_sql, "§2.7"),
-    QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
-    QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
-    QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
-    QueryDef("q17_format_string", _q17_format_string, _q17_sql, "F2,F4,K1"),
-    QueryDef("q05_conditional_props", _q05_conditional_props, _q05_sql, "P2"),
-    QueryDef("q06_filter_notnull", _q06_filter_notnull, _q06_sql, "P3"),
-    QueryDef("q07_filter_neq", _q07_filter_neq, _q07_sql, "P4"),
-    QueryDef("q11_semi_contains", _q11_semi_contains, _q11_sql, "J4"),
-    QueryDef("q12_array_distinct", _q12_array_distinct, _q12_sql, "A1,F3"),
-    QueryDef("q16_regex_sanitize", _q16_regex_sanitize, _q16_sql, "F1"),
-    QueryDef("q90_lpa_communities", _q90_lpa_communities, _q90_sql(), "§2.8"),
-    QueryDef("q97_rolling_agg", _q97_rolling_agg, _q97_sql, "§2.7"),
-    # --- tail ---
-    # the remaining 29 r8-green names (q18, q91, q51, q28, q98
-    # cascaded out by the q131-q135 head insertions): LEAD THE R11
-    # WINDOW (they hit the staleness cap at r11):
+    # --- ROUND-11 WINDOW (first 50) ---
+    # The 29 names whose last green row is r8 (2 rounds stale on the
+    # pre-r11 view — first in line per the r10 rotation note):
     QueryDef("q98_numeric_drift", _q98_numeric_drift, _q98_sql, "§2.11"),
     QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
     QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
@@ -5718,7 +5605,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("q81_media_features", _q81_media_features, _q81_sql, "multimodal"),
     QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
     QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
-    # r9-certified names (the former window minus q123), fresh:
+    # r9-green fill (21 of 49, in prior registry order; the
+    # remaining 28 lead the tail as the r12 window's seed):
     QueryDef("q126_kcore", _q126_kcore, _q126_sql(), "G14"),
     QueryDef("q127_scd2_historize", _q127_scd2_historize, _q127_sql, "§2.7"),
     QueryDef("q128_hard_negatives", _q128_hard_negatives, _q128_sql, "§2.11"),
@@ -5770,6 +5658,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
     QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
     QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
+    # --- TAIL (not certified this round) ---
+    # 28 r9-green names, leading so they rotate into the r12 window:
     QueryDef(
         "q65_deterministic_split",
         _q65_deterministic_split,
@@ -5818,6 +5708,82 @@ QUERIES: list[QueryDef] = [
     QueryDef("q41_session_window", _q41_session_window, _q41_sql, "§2.10"),
     QueryDef("q42_sliding_window", _q42_sliding_window, _q42_sql, "§2.10"),
     QueryDef("q53_approx_agg", _q53_approx_agg, _q53_sql, "§2.11"),
+    # 50 r10-green names (maximally fresh):
+    QueryDef(
+        "q135_interval_overlap",
+        _q135_interval_overlap,
+        _q135_sql,
+        "§2.7",
+    ),
+    QueryDef(
+        "q134_containment_pairs",
+        _q134_containment_pairs,
+        _q134_sql,
+        "§2.11",
+    ),
+    QueryDef("q133_doc_chunks", _q133_doc_chunks, _q133_sql(), "§2.11"),
+    QueryDef(
+        "q132_exact_substring_removal",
+        _q132_exact_substring_removal,
+        _q132_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q131_exact_substring_spans",
+        _q131_exact_substring_spans,
+        _q131_sql(),
+        "§2.11",
+    ),
+    QueryDef("q130_bpe_encode", _q130_bpe_encode, _q130_sql(), "§2.11"),
+    QueryDef("q123_quantize_recon", _q123_quantize_recon, _q123_sql(), "§2.11"),
+    QueryDef("q61_lsh_topk", _q61_lsh_topk, _q61_sql(), "§2.11"),
+    QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
+    QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
+    QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
+    QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
+    QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
+    QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
+    QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
+    QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
+    QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
+    QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
+    QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
+    QueryDef("q25_rollup", _q25_rollup, _q25_sql, "§2.7"),
+    QueryDef("q27_cube", _q27_cube, _q27_sql, "§2.7"),
+    QueryDef("q01_scan_jsonl", _q01_scan_jsonl, _q01_sql, "S1,P1"),
+    QueryDef("q02_scan_map", _q02_scan_map, _q02_sql, "S3"),
+    QueryDef("q03_prefix_scan", _q03_prefix_scan, _q03_sql, "S5,P6"),
+    QueryDef("q04_meta_project", _q04_meta_project, _q04_sql, "S6"),
+    QueryDef("q08_lookup_join", _q08_lookup_join, _q08_sql, "J1,P5"),
+    QueryDef("q09_anti_join", _q09_anti_join, _q09_sql, "J2"),
+    QueryDef("q10_edge_join", _q10_edge_join, _q10_sql, "J3,G2"),
+    QueryDef("q13_group_count", _q13_group_count, _q13_sql, "A2"),
+    QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
+    QueryDef("q110_span_removal", _q110_span_removal, _q110_sql, "§2.11"),
+    QueryDef("q111_topo_depth", _q111_topo_depth, _q111_sql, "G12"),
+    QueryDef("q113_bm25_topk", _q113_bm25_topk, _q113_sql, "§2.11"),
+    QueryDef("q114_multi_profile", _q114_multi_profile, _q114_sql, "§2.11"),
+    QueryDef(
+        "q115_hybrid_retrieval",
+        _q115_hybrid_retrieval,
+        _q115_sql,
+        "§2.11",
+    ),
+    QueryDef("q116_pivot", _q116_pivot, _q116_sql, "§2.7"),
+    QueryDef("q117_unpivot", _q117_unpivot, _q117_sql, "§2.7"),
+    QueryDef("q118_star_rollup", _q118_star_rollup, _q118_sql, "§2.7"),
+    QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
+    QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
+    QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
+    QueryDef("q17_format_string", _q17_format_string, _q17_sql, "F2,F4,K1"),
+    QueryDef("q05_conditional_props", _q05_conditional_props, _q05_sql, "P2"),
+    QueryDef("q06_filter_notnull", _q06_filter_notnull, _q06_sql, "P3"),
+    QueryDef("q07_filter_neq", _q07_filter_neq, _q07_sql, "P4"),
+    QueryDef("q11_semi_contains", _q11_semi_contains, _q11_sql, "J4"),
+    QueryDef("q12_array_distinct", _q12_array_distinct, _q12_sql, "A1,F3"),
+    QueryDef("q16_regex_sanitize", _q16_regex_sanitize, _q16_sql, "F1"),
+    QueryDef("q90_lpa_communities", _q90_lpa_communities, _q90_sql(), "§2.8"),
+    QueryDef("q97_rolling_agg", _q97_rolling_agg, _q97_sql, "§2.7"),
 ]
 
 
