@@ -1592,12 +1592,24 @@ def interval_overlap_join(
     on = list(on)
 
     def prep(df: DataFrame, suffix: str):
-        s_units, per_s = epoch_units(
+        # each bound converts through ITS OWN type's scale, then both
+        # normalize to the finer of the two — a timestamp start paired
+        # with a date end (micros vs seconds) would otherwise bucket
+        # the end on the wrong scale and silently drop/duplicate
+        # matches. Cross-side consistency is free: floor(units/width)
+        # with width = bucket_width * per_s is the same bucket
+        # numbering at either scale.
+        s_units, s_per = epoch_units(
             F.col(start_col), df.schema[start_col].dataType
         )
-        e_units, _ = epoch_units(
+        e_units, e_per = epoch_units(
             F.col(end_col), df.schema[end_col].dataType
         )
+        per_s = max(s_per, e_per)
+        if s_per != per_s:
+            s_units = s_units * F.lit(per_s // s_per)
+        if e_per != per_s:
+            e_units = e_units * F.lit(per_s // e_per)
         width = bucket_width * per_s
         out = df.where(
             F.col(start_col).isNotNull()

@@ -1225,8 +1225,13 @@ def _exact_substring_intervals(
         .where(F.col("__c") >= 2)
         .select(id_col, "i")
     )
-    # merge overlapping [i, i+L-1] seed intervals per doc: a seed
-    # opens a new span iff it starts past everything covered so far
+    # merge overlapping AND adjacent [i, i+L-1] seed intervals per
+    # doc: a seed opens a new span iff a genuine uncovered gap exists
+    # before it (i > prev_cov + 1); a seed starting exactly at
+    # prev_cov + 1 touches the running span and extends it — two
+    # touching duplicated regions are one maximal interval (ADVICE
+    # r10: the old `i > prev_cov` kept them separate, overcounting
+    # n_dup_spans vs the docstring's "merged maximal" claim).
     wdoc = Window.partitionBy(id_col).orderBy(F.col("i").asc())
     prev_cov = F.max(F.col("i") + (L - 1)).over(
         wdoc.rowsBetween(Window.unboundedPreceding, -1)
@@ -1234,7 +1239,9 @@ def _exact_substring_intervals(
     return (
         dup.withColumn(
             "__new",
-            (F.col("i") > F.coalesce(prev_cov, F.lit(0))).cast("int"),
+            (F.col("i") > F.coalesce(prev_cov, F.lit(-1)) + 1).cast(
+                "int"
+            ),
         )
         .withColumn(
             "__span",
@@ -1440,17 +1447,26 @@ def chunk_documents(
             f"chunk_chars ({chunk_chars}) must be >= stride ({stride}) — "
             "a stride past the chunk end would leave uncovered gaps"
         )
-    n = F.length(F.col(text_col))
+    # backtick-quote the user-supplied names once (escaped) so a name
+    # containing a backtick resolves as a literal identifier instead
+    # of failing F.col's multi-part parse — the writers.py class
+    icol = F.col("`" + id_col.replace("`", "``") + "`")
+    tcol = F.col("`" + text_col.replace("`", "``") + "`")
+    n = F.length(tcol)
     n_chunks = (
         F.when(n <= 0, F.lit(0))
         .when(n <= chunk_chars, F.lit(1))
         .otherwise(
-            # exact integer ceil((len - C) / stride) + 1 via `div` —
+            # exact integer ceil((len - C) / stride) + 1 — floor
+            # division on a numerator that is positive on this branch
+            # (len > chunk_chars), so F.floor is the integer `div`;
             # float ceil would be the one engine-divergent spot in the
-            # layout
-            F.expr(
-                f"(length(`{text_col}`) - {int(chunk_chars)} "
-                f"+ {int(stride) - 1}) div {int(stride)}"
+            # layout. Built-in column arithmetic, not F.expr: splicing
+            # text_col into an expr string is the identifier-injection
+            # class writers.py fixed (backtick-bearing column names).
+            F.floor(
+                (n - F.lit(int(chunk_chars)) + F.lit(int(stride) - 1))
+                / F.lit(int(stride))
             ).cast("int")
             + 1
         )
@@ -1459,18 +1475,18 @@ def chunk_documents(
         n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
     ).otherwise(F.array().cast("array<int>"))
     out = df.select(
-        F.col(id_col),
-        F.col(text_col),
+        icol,
+        tcol.alias("__chunk_text_src"),
         n_chunks.alias("n_chunks"),
         F.explode(ids).alias("chunk_id"),
     )
     start = F.col("chunk_id") * stride + 1
     return out.select(
-        id_col,
-        "chunk_id",
+        icol,
+        F.col("chunk_id"),
         start.alias("chunk_start"),
-        F.substring(F.col(text_col), start, F.lit(chunk_chars)).alias(
-            "chunk_text"
-        ),
+        F.substring(
+            F.col("__chunk_text_src"), start, F.lit(chunk_chars)
+        ).alias("chunk_text"),
         F.col("n_chunks").cast("long").alias("n_chunks"),
     )

@@ -3683,8 +3683,12 @@ def _q120_index_screen(spark, sf_dir):
     )
     if os.path.exists(scratch):
         shutil.rmtree(scratch, ignore_errors=True)
-    else:
-        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    # register unconditionally: a stale dir left by a crashed earlier
+    # process with a recycled pid would otherwise be rmtree'd above but
+    # never re-registered, leaking the dir THIS run recreates. A
+    # duplicate registration is harmless (second rmtree is a no-op with
+    # ignore_errors).
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     path = scratch + "/idx"
     dedup.write_dedup_index(
         dedup.prepare_dedup_index(existing, "doc_id", "text", base_hash="md5"),
@@ -5265,10 +5269,14 @@ dup AS (
   WHERE c >= 2
 ),
 isl AS (
+  -- new span iff an uncovered gap precedes the seed (i > prev_cov+1);
+  -- a seed touching the running span (i = prev_cov+1) extends it, so
+  -- adjacent duplicated regions merge into one maximal interval
   SELECT doc_id, i,
          CASE WHEN i > COALESCE(MAX(i + {L} - 1) OVER (
                 PARTITION BY doc_id ORDER BY i
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              + 1
               THEN 1 ELSE 0 END AS new_span
   FROM dup
 ),
@@ -5540,10 +5548,36 @@ JOIN iv b
 #: would trip the pre-view self-clear on the r11 artifact (the
 #: round-8 failure mode q112 navigated in r10).
 RECERTIFY_ROUND = 11
-RECERTIFY: set[str] = set()
+RECERTIFY: set[str] = {
+    # round-11 span-merge fix (ADVICE r10): adjacent seed intervals
+    # now merge into one maximal span (i > prev_cov + 1) — q131's
+    # n_dup_spans values and both queries' plans + shared oracle CTE
+    # changed; their green r10 rows predate the change.
+    "q131_exact_substring_spans",
+    "q132_exact_substring_removal",
+    # round-11 identifier-injection fix (ADVICE r10): chunk_documents'
+    # chunk-count arithmetic moved off F.expr — values identical but
+    # the executed plan changed; the green r10 row predates it.
+    "q133_doc_chunks",
+}
 
 QUERIES: list[QueryDef] = [
     # --- ROUND-11 WINDOW (first 50) ---
+    # RECERTIFY (span-merge fix this round — plans + oracle CTE
+    # changed; moved here from the tail, displacing q58-q60):
+    QueryDef("q133_doc_chunks", _q133_doc_chunks, _q133_sql(), "§2.11"),
+    QueryDef(
+        "q131_exact_substring_spans",
+        _q131_exact_substring_spans,
+        _q131_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q132_exact_substring_removal",
+        _q132_exact_substring_removal,
+        _q132_sql(),
+        "§2.11",
+    ),
     # The 29 names whose last green row is r8 (2 rounds stale on the
     # pre-r11 view — first in line per the r10 rotation note):
     QueryDef("q98_numeric_drift", _q98_numeric_drift, _q98_sql, "§2.11"),
@@ -5719,19 +5753,6 @@ QUERIES: list[QueryDef] = [
         "q134_containment_pairs",
         _q134_containment_pairs,
         _q134_sql,
-        "§2.11",
-    ),
-    QueryDef("q133_doc_chunks", _q133_doc_chunks, _q133_sql(), "§2.11"),
-    QueryDef(
-        "q132_exact_substring_removal",
-        _q132_exact_substring_removal,
-        _q132_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q131_exact_substring_spans",
-        _q131_exact_substring_spans,
-        _q131_sql(),
         "§2.11",
     ),
     QueryDef("q130_bpe_encode", _q130_bpe_encode, _q130_sql(), "§2.11"),

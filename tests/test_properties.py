@@ -3442,3 +3442,57 @@ def test_interval_overlap_join_matches_inequality_join(spark, intervals):
         if ka == kb and sa <= eb and sb <= ea
     )
     assert got == want
+
+
+def test_interval_overlap_join_mixed_temporal_types(spark):
+    """ADVICE r10: a timestamp start paired with a DATE end resolves
+    to different unit scales (micros vs seconds); each bound must
+    normalize through its own epoch_units to a common per-side scale
+    or end buckets land on the wrong scale and matches silently
+    drop/duplicate."""
+    import datetime
+
+    from ontology_graph_etl_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    d = datetime.date
+    ts = datetime.datetime
+    left = spark.createDataFrame(
+        [
+            (1, "A", ts(2024, 1, 1, 12), d(2024, 1, 3)),
+            (1, "B", ts(2024, 1, 10, 0), d(2024, 1, 11)),
+        ],
+        "k: int, name: string, s: timestamp, e: date",
+    )
+    right = spark.createDataFrame(
+        [
+            # overlaps A on [Jan 2, Jan 3]; ends before B starts
+            (1, "X", ts(2024, 1, 2, 6), d(2024, 1, 5)),
+        ],
+        "k: int, name: string, s: timestamp, e: date",
+    )
+    out = interval_overlap_join(
+        left, right, "s", "e", on=["k"], bucket_width=86_400
+    )
+    rows = sorted((r.name_l, r.name_r) for r in out.collect())
+    assert rows == [("A", "X")]
+
+
+def test_chunk_documents_backtick_column_name(spark):
+    """The chunk-count arithmetic must not splice the text column name
+    into an expr string (identifier injection, the writers.py class):
+    a backtick-bearing column name chunks identically to a plain one."""
+    from ontology_graph_etl_spark.operators.textops import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij")], ["id", "weird`col"]
+    )
+    rows = chunk_documents(
+        df, id_col="id", text_col="weird`col", chunk_chars=4, stride=3
+    ).collect()
+    assert [(r.chunk_id, r.chunk_text) for r in rows] == [
+        (0, "abcd"),
+        (1, "defg"),
+        (2, "ghij"),
+    ]
