@@ -263,13 +263,25 @@ def main() -> None:
     plans_sha = hashlib.sha256(
         json.dumps(plans, sort_keys=True, separators=(",", ":")).encode()
     ).hexdigest()[:16]
+    # Round-10 regression: the full-name 3-decimal `queries` dict
+    # outgrew 1800 chars at 69 queries, the guard popped it, and
+    # BENCH_r10 lost per-query times entirely — the identical-
+    # fingerprint/divergent-times adjudication then needed
+    # builder-local anchors. Contract since round 11: the summary's
+    # `queries` dict is COMPACT (short qNN keys, 1-decimal seconds —
+    # ~12 chars a query, ≈1.2k at 100 queries) so it stays inside the
+    # driver's ~2000-char tail capture; full-name 3-decimal timings
+    # remain in the first-line full record.
     summary = {
         "metric": "headline_query_wall_time",
         "value": total,
         "unit": "sec",
         "value_warm": round(sum(warm.values()), 3),
         "sf": sf_val,
-        "queries": timings,
+        "n_queries": len(timings),
+        "queries": {
+            n.split("_", 1)[0]: round(t, 1) for n, t in timings.items()
+        },
         "plans_sha": plans_sha,
         "plans_unstable_n": len(plans_unstable),
     }
