@@ -136,6 +136,9 @@ HEADLINE = [
     "q133_doc_chunks",
     "q134_containment_pairs",
     "q135_interval_overlap",
+    # round-11 addition: the containment-at-scale sketch screen (the
+    # production counterpart q134's exact baseline measures)
+    "q136_containment_sketch",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

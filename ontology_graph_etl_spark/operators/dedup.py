@@ -1240,8 +1240,12 @@ def containment_pairs_exact(
     pair-keyed count) — the intersection is computed ONCE per
     unordered pair and both directional ratios derive from it, so the
     asymmetry costs nothing extra. Scale posture identical to q56:
-    exact baseline, hot-shingle skew is the risk, the banded LSH
-    variants are the production path.
+    exact baseline — the inverted-index self-join is sum(df^2) over
+    shingle document frequencies, quadratic in every hot-shingle
+    group. The production path is :func:`containment_pairs_sketch`
+    (q136): a bottom-k sketch probed against the full index, linear
+    in corpus size for fixed k, with this function as its
+    pair_set_quality measuring stick.
     """
     toks = (
         shingles(
@@ -1286,4 +1290,155 @@ def containment_pairs_exact(
     )
     return a_in_b.unionByName(b_in_a).where(
         F.col("containment") >= threshold
+    )
+
+
+def containment_pairs_sketch(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    sketch_k: int = 24,
+    slack: float = 0.3,
+    base_hash: str = "xxhash64",
+    max_index_df: int | None = None,
+) -> DataFrame:
+    """CONTAINMENT screen at scale — the production counterpart of
+    :func:`containment_pairs_exact` (q134's measuring stick), same
+    directional ``(contained_id, container_id, containment)`` contract.
+
+    Why banded MinHash-LSH cannot serve here: a band collides with
+    probability ~Jaccard^r, and the quotation case containment exists
+    for (short doc inside a long one) has near-zero Jaccard — the pair
+    would never band-collide no matter the band shape. Containment is
+    asymmetric; the candidate generator must be too.
+
+    The containment-correct analogue is a bottom-k sketch probed
+    against the FULL inverted index: the ``sketch_k`` smallest-hashed
+    shingles of each document are a uniform without-replacement sample
+    of its shingle set, so the probability that one sampled shingle
+    also appears in doc B IS ``containment(A in B)`` — the match count
+    over the sketch is hypergeometric with mean ``sk_n * containment``
+    (sk_n = min(sketch_k, |S(A)|); when the doc is smaller than the
+    sketch the estimate is exact). Candidates keep every directional
+    pair with estimate >= ``threshold - slack``; at the defaults
+    (k=24, cutoff 0.5) a true-0.8-containment pair is missed with
+    probability ~9e-4 (binomial tail below 12/24). Exact containment
+    is then computed on candidates ONLY, over hashed shingle sets
+    (array_intersect of two per-doc arrays — hash collisions at p=2^31
+    inflate a pair's intersection with probability ~|S|^2/2^31,
+    negligible and quantified by the pair_set_quality eval in tests).
+
+    Scale posture: the exact screen's inverted-index self-join costs
+    sum(df^2) over shingle document frequencies — quadratic in every
+    hot-shingle group. Here the left side of the probe join is
+    ``sketch_k`` rows per document, so the join output is bounded by
+    k * df summed over sampled shingles — LINEAR in corpus size for
+    fixed k. Hot shingles still fan out (a sampled stopword-ish
+    trigram meets every doc containing it); ``max_index_df`` drops
+    shingles seen in more than that many documents from the WHOLE
+    pipeline (sketch, index, and verify, so the measure stays
+    consistent: containment over informative shingles only) — the
+    standard frequency-filter answer, off by default because it
+    changes the measure. One keyed shuffle per stage; the shingle
+    stream is localCheckpointed once and feeds all four consumers
+    (sizes, sketch, index, verify arrays).
+
+    ``base_hash="md5"`` folds the first 15 hex digits mod 2^31-1
+    (the q50/_base_hash_expr convention) so the ENTIRE pipeline —
+    sampling order included — is reproducible in any SQL engine;
+    ``xxhash64`` is the cheaper production default.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if sketch_k < 1:
+        raise ValueError(f"sketch_k must be >= 1, got {sketch_k}")
+    cutoff = threshold - slack
+    toks = (
+        shingles(
+            tokenize(
+                ensure_parallelism(df.select(id_col, text_col)), text_col
+            ),
+            "tokens",
+            n=shingle_n,
+        )
+        .select(
+            F.col(id_col).alias("doc"), F.explode("shingles").alias("token")
+        )
+        .distinct()
+    )
+    if base_hash == "xxhash64":
+        h = F.pmod(F.xxhash64(F.col("token")), F.lit(_MERSENNE_31))
+    elif base_hash == "md5":
+        h = (
+            F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast(
+                "long"
+            )
+            % _MERSENNE_31
+        )
+    else:
+        raise ValueError(f"unknown base_hash {base_hash!r}")
+    toks = toks.select("doc", "token", h.alias("h"))
+    if max_index_df is not None:
+        hot = (
+            toks.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_index_df)
+            .select("h")
+        )
+        toks = toks.join(hot, "h", "left_anti")
+    # materialized once; feeds sizes, the sketch window, the index
+    # side of the probe join, and the verify arrays
+    toks = toks.localCheckpoint()
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    # bottom-k by (h, token): the token tie-break makes the sample
+    # boundary deterministic under mod-p hash ties
+    w = Window.partitionBy("doc").orderBy(
+        F.col("h").asc(), F.col("token").asc()
+    )
+    sk = (
+        toks.select("doc", "h", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= sketch_k)
+        .select(F.col("doc").alias("contained_id"), "h")
+    )
+    idx = toks.select(F.col("doc").alias("container_id"), "h")
+    cand = (
+        sk.join(idx, "h")
+        .where(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count(F.lit(1)).alias("matches"))
+        .join(
+            sizes.select(
+                F.col("doc").alias("contained_id"),
+                F.least(F.lit(sketch_k), F.col("n_sh")).alias("sk_n"),
+            ),
+            "contained_id",
+        )
+        .where(F.col("matches") / F.col("sk_n") >= cutoff)
+        .select("contained_id", "container_id")
+    )
+    arrs = toks.groupBy("doc").agg(F.collect_set("h").alias("hs"))
+    return (
+        cand.join(
+            arrs.select(
+                F.col("doc").alias("contained_id"), F.col("hs").alias("hs_a")
+            ),
+            "contained_id",
+        )
+        .join(
+            arrs.select(
+                F.col("doc").alias("container_id"), F.col("hs").alias("hs_b")
+            ),
+            "container_id",
+        )
+        .select(
+            "contained_id",
+            "container_id",
+            F.round(
+                F.size(F.array_intersect("hs_a", "hs_b")) / F.size("hs_a"),
+                6,
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
     )

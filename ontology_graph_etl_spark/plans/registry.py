@@ -5450,6 +5450,89 @@ FROM dirs WHERE containment >= {_Q134_T}
 """
 
 
+_Q136_K = 24
+_Q136_SLACK = 0.3
+
+
+def _q136_containment_sketch(spark, sf_dir):
+    # The containment-at-scale production path q134's exact baseline
+    # measures: bottom-k shingle sketch of the contained side probed
+    # against the full inverted index (banded MinHash-LSH structurally
+    # cannot generate these candidates — band collision tracks
+    # Jaccard, and the quotation case has near-zero Jaccard), exact
+    # containment verified on candidates only. md5 base hash so the
+    # whole pipeline — sampling order included — replays in DuckDB.
+    return dedup.containment_pairs_sketch(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=_Q134_T,
+        sketch_k=_Q136_K,
+        slack=_Q136_SLACK,
+        base_hash="md5",
+    )
+
+
+def _q136_sql(
+    t: float = _Q134_T, k: int = _Q136_K, slack: float = _Q136_SLACK
+) -> str:
+    p = (1 << 31) - 1
+    return rf"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS arr
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, arr,
+         unnest(generate_series(1, greatest(len(arr) - 2, 1))) AS i
+  FROM tk
+),
+toks AS (
+  SELECT DISTINCT doc_id AS doc,
+         array_to_string(arr[i:least(i + 2, len(arr))], ' ') AS token
+  FROM pos
+),
+hashed AS (
+  SELECT doc, token,
+         CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) % {p} AS h
+  FROM toks
+),
+sizes AS (SELECT doc, COUNT(*) AS n_sh FROM hashed GROUP BY doc),
+sk AS (
+  SELECT doc, h FROM (
+    SELECT doc, h,
+           row_number() OVER (PARTITION BY doc ORDER BY h, token) AS rn
+    FROM hashed)
+  WHERE rn <= {k}
+),
+cand AS (
+  SELECT s.doc AS contained_id, i.doc AS container_id,
+         COUNT(*) AS matches
+  FROM sk s JOIN hashed i ON s.h = i.h AND s.doc <> i.doc
+  GROUP BY 1, 2
+),
+kept AS (
+  SELECT c.contained_id, c.container_id
+  FROM cand c JOIN sizes z ON z.doc = c.contained_id
+  WHERE c.matches / least({k}, z.n_sh) >= {t - slack}
+),
+arrs AS (SELECT doc, list(DISTINCT h) AS hs FROM hashed GROUP BY doc),
+ver AS (
+  -- filter on the ROUNDED value, like the Spark plan (a ratio a hair
+  -- under t that rounds up to t must pass in both engines)
+  SELECT contained_id, container_id,
+         ROUND(len(list_intersect(a.hs, b.hs)) / len(a.hs), 6)
+           AS containment
+  FROM kept
+  JOIN arrs a ON a.doc = contained_id
+  JOIN arrs b ON b.doc = container_id
+)
+SELECT contained_id, container_id, containment
+FROM ver WHERE containment >= {t}
+"""
+
+
 _Q135_DAYS = 14
 
 
@@ -5563,6 +5646,14 @@ RECERTIFY: set[str] = {
 
 QUERIES: list[QueryDef] = [
     # --- ROUND-11 WINDOW (first 50) ---
+    # new this round, never certified (the head insertion pushed the
+    # window's then-last entry q57 to the tail head):
+    QueryDef(
+        "q136_containment_sketch",
+        _q136_containment_sketch,
+        _q136_sql(),
+        "§2.11",
+    ),
     # RECERTIFY (span-merge fix this round — plans + oracle CTE
     # changed; moved here from the tail, displacing q58-q60):
     QueryDef("q133_doc_chunks", _q133_doc_chunks, _q133_sql(), "§2.11"),

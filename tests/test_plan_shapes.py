@@ -429,3 +429,40 @@ def test_star_rollup_fact_crosses_one_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 4
     assert "Expand" in plan  # the rollup grouping-sets node
+
+
+def test_interval_overlap_equi_join_one_bucket_emission(spark, sf_dir):
+    """q135's overlap join must plan as an EQUI join on (keys, bucket)
+    — never the BroadcastNestedLoopJoin/CartesianProduct a raw
+    two-sided inequality join would produce — and the one-bucket
+    emission filter (bucket == greatest(start buckets)) must be
+    present so no distinct is ever needed."""
+    df = queries()["q135_interval_overlap"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan  # AQE broadcasts at tiny SFs
+    ), "overlap join lost its equi-join keys"
+    assert "__bucket" in plan and "greatest" in plan, (
+        "one-bucket emission filter missing — duplicate pair emissions"
+    )
+    assert "Deduplicate" not in plan and "Distinct" not in plan
+
+
+def test_containment_sketch_no_pair_explosion_plan(spark, sf_dir):
+    """q136: the probe join and verify joins are all equi joins (no
+    nested-loop anywhere), the corpus is scanned once (the shingle
+    stream is localCheckpointed and feeds sizes/sketch/index/verify),
+    and the sketch side is rank-limited before the probe join."""
+    df = queries()["q136_containment_sketch"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan") <= 1, (
+        "shingle stream re-derived from the corpus — the localCheckpoint "
+        "fork pin is gone"
+    )
+    assert "row_number" in plan, "bottom-k sketch rank limit missing"

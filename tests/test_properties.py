@@ -3377,6 +3377,96 @@ def test_containment_pairs_semantics(spark):
     assert all(3 not in p for p in got)
 
 
+def test_containment_sketch_quotation_case(spark):
+    """q136: the sketch screen finds the quotation pair banded
+    MinHash-LSH structurally cannot (near-zero Jaccard, containment
+    1.0), with the same directional contract as the exact twin."""
+    from ontology_graph_etl_spark.operators.dedup import (
+        containment_pairs_sketch,
+    )
+
+    quoted = " ".join(f"w{i}" for i in range(40))
+    filler = " ".join(f"f{i}" for i in range(400))
+    docs = spark.createDataFrame(
+        [
+            (1, quoted),
+            (2, filler + " " + quoted),  # Jaccard ~0.09, containment 1.0
+            (3, "completely different text with no overlap at all here"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        (r.contained_id, r.container_id): r.containment
+        for r in containment_pairs_sketch(
+            docs, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}
+
+
+def test_containment_sketch_equals_exact_when_unsampled(spark):
+    """With sketch_k covering every document's full shingle set and
+    slack spanning the whole candidate range, the sketch path's
+    candidates are ALL colliding pairs and its verify is exact — the
+    output must equal containment_pairs_exact pair for pair (hash
+    collisions at p=2^31 are the only daylight; none occur on this
+    corpus)."""
+    from ontology_graph_etl_spark.operators.dedup import (
+        containment_pairs_exact,
+        containment_pairs_sketch,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"t{(i * 7 + j) % 23}" for j in range(5 + i)))
+            for i in range(12)
+        ],
+        "doc_id: long, text: string",
+    )
+    exact = {
+        (r.contained_id, r.container_id): r.containment
+        for r in containment_pairs_exact(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    sketch = {
+        (r.contained_id, r.container_id): r.containment
+        for r in containment_pairs_sketch(
+            docs,
+            "doc_id",
+            "text",
+            threshold=0.5,
+            sketch_k=1000,
+            slack=0.5,
+        ).collect()
+    }
+    assert sketch == exact and exact  # non-vacuous
+
+
+def test_containment_sketch_quality_vs_exact(spark, sf_dir):
+    """The q99 pattern for q136: pair_set_quality of the sketch screen
+    against q134's exact baseline on the real documents table. The
+    defaults' hypergeometric tail bound predicts recall ~1 at
+    threshold 0.8; precision can only drop via mod-2^31 hash
+    collisions in verify."""
+    from ontology_graph_etl_spark.operators import dedup
+    from ontology_graph_etl_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    approx = dedup.containment_pairs_sketch(
+        docs, "doc_id", "text", threshold=0.8
+    ).select("contained_id", "container_id")
+    exact = dedup.containment_pairs_exact(
+        docs, "doc_id", "text", threshold=0.8
+    ).select("contained_id", "container_id")
+    row = dedup.pair_set_quality(
+        approx, exact, "contained_id", "container_id"
+    ).collect()[0]
+    assert row.n_exact > 0
+    assert row.recall >= 0.95
+    assert row.precision >= 0.95
+
+
 def test_interval_overlap_join_golden(spark):
     """q135 semantics: closed bounds (touching endpoints overlap),
     keys never cross, NULL/inverted intervals drop, and the one-bucket
