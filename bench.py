@@ -136,9 +136,11 @@ HEADLINE = [
     "q133_doc_chunks",
     "q134_containment_pairs",
     "q135_interval_overlap",
-    # round-11 addition: the containment-at-scale sketch screen (the
-    # production counterpart q134's exact baseline measures)
+    # round-11 additions: the containment-at-scale sketch screen (the
+    # production counterpart q134's exact baseline measures) and the
+    # certified persisted-IVF build/merge/search lifecycle
     "q136_containment_sketch",
+    "q137_stored_ivf_search",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

@@ -5533,6 +5533,114 @@ FROM ver WHERE containment >= {t}
 """
 
 
+_Q137 = {"num_lists": 8, "nprobe": 3, "k": 5}
+
+
+def _q137_stored_ivf_search(spark, sf_dir):
+    # Certifies the persisted-IVF lifecycle end-to-end (the q120
+    # precedent for stored artifacts): build the index over one split
+    # with the quantizer FROZEN into the sidecar, merge the held-out
+    # split as an ingest batch under the stored centroids (zero corpus
+    # reads), then search the merged index — so the certification hash
+    # covers the parquet layout + sidecar round-trip + frozen-quantizer
+    # assignment, not just an in-memory plan. Split is % 5 (q120 uses
+    # % 7, q78 % 10) so the certifications never alias. md5-seeded
+    # quantizer (train_rounds=0, the q86 contract) keeps the whole
+    # lifecycle re-derivable in DuckDB.
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    existing = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"q137_ivf_index_{os.getpid()}"
+    )
+    if os.path.exists(scratch):
+        shutil.rmtree(scratch, ignore_errors=True)
+    # unconditional registration (the q120 ADVICE lesson: a
+    # recycled-pid stale dir must not skip it); duplicates are no-ops
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = scratch + "/idx"
+    similarity.write_ivf_index(
+        existing,
+        path,
+        "vec_id",
+        "embedding",
+        num_lists=_Q137["num_lists"],
+        train_rounds=0,
+    )
+    similarity.merge_ivf_index(spark, path, batch, "vec_id", "embedding")
+    return similarity.search_ivf_index(
+        spark,
+        path,
+        emb.where(F.col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        k=_Q137["k"],
+        nprobe=_Q137["nprobe"],
+    )
+
+
+def _q137_sql() -> str:
+    """DuckDB twin: the q86 CTE chain with the quantizer seeded from
+    the BUILD split only — merge under frozen centroids makes 'assign
+    the whole corpus under those seeds' exactly equal to
+    build-assign + batch-assign, which is what the stored index
+    holds."""
+    cos_vs = _cos_fold_sql("v.e", "s.e")
+    cos_qs = _cos_fold_sql("q.qe", "s.e")
+    cos_qc = _cos_fold_sql("qe", "ce")
+    return f"""
+WITH ex AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % 5 <> 0
+),
+seeds AS (
+  SELECT e, CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS INTEGER) - 1 AS cid
+  FROM ex
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_Q137["num_lists"]}
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+assign AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT v.vec_id, s.cid, {cos_vs} AS sim
+    FROM v CROSS JOIN seeds s) t
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid ASC) = 1
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+probe AS (
+  SELECT query_id, qe, cid AS list_id FROM (
+    SELECT q.query_id, q.qe, s.cid, {cos_qs} AS csim
+    FROM q CROSS JOIN seeds s) t
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY csim DESC, cid ASC)
+          <= {_Q137["nprobe"]}
+),
+cand AS (
+  SELECT p.query_id, p.qe, a.vec_id AS neighbor_id, v.e AS ce
+  FROM probe p
+  JOIN assign a ON a.list_id = p.list_id
+  JOIN v ON v.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine_sim
+FROM (
+  SELECT query_id, neighbor_id, {cos_qc} AS cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {cos_qc} DESC,
+                                     neighbor_id ASC) AS rank
+  FROM cand) t
+WHERE rank <= {_Q137["k"]}
+"""
+
+
 _Q135_DAYS = 14
 
 
@@ -5646,8 +5754,14 @@ RECERTIFY: set[str] = {
 
 QUERIES: list[QueryDef] = [
     # --- ROUND-11 WINDOW (first 50) ---
-    # new this round, never certified (the head insertion pushed the
-    # window's then-last entry q57 to the tail head):
+    # new this round, never certified (each head insertion pushed the
+    # window's then-last entry to the tail head — cascade q57, q102):
+    QueryDef(
+        "q137_stored_ivf_search",
+        _q137_stored_ivf_search,
+        _q137_sql(),
+        "§2.11",
+    ),
     QueryDef(
         "q136_containment_sketch",
         _q136_containment_sketch,
