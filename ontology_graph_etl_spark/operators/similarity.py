@@ -743,7 +743,15 @@ def ivf_topk_deterministic(
     )
     return (
         probed.join(assigned, "list_id")
-        .where(F.col("neighbor_id") != F.col("query_id"))
+        # string-compared: the stored key and the query id may be
+        # different types (chunk keys like "2:1" vs numeric query ids
+        # -- build_retrieval_index), and ANSI mode raises on a failed
+        # implicit numeric cast; for same-typed ids the comparison is
+        # equivalent
+        .where(
+            F.col("neighbor_id").cast("string")
+            != F.col("query_id").cast("string")
+        )
         .withColumn(
             "cosine_sim", F.round(cosine(F.col("q_raw"), F.col("c_raw")), 6)
         )
@@ -1398,11 +1406,65 @@ def search_ivf_index(
     )
     return (
         probed.join(assigned, "list_id")
-        .where(F.col("neighbor_id") != F.col("query_id"))
+        # string-compared: the stored key and the query id may be
+        # different types (chunk keys like "2:1" vs numeric query ids
+        # -- build_retrieval_index), and ANSI mode raises on a failed
+        # implicit numeric cast; for same-typed ids the comparison is
+        # equivalent
+        .where(
+            F.col("neighbor_id").cast("string")
+            != F.col("query_id").cast("string")
+        )
         .withColumn(
             "cosine_sim", F.round(cosine(F.col("q_raw"), F.col("c_raw")), 6)
         )
         .withColumn("rank", F.row_number().over(w_k))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def hashed_bow_embedding(
+    df: DataFrame,
+    text_col: str,
+    dim: int = 64,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Feature-hashed bag-of-words text embedding (the "hashing trick"):
+    each whitespace token buckets to ``pmod(xxhash64(token), dim)``,
+    the vector is the L2-normalized bucket-count histogram. Entirely
+    JVM-side expressions — no vocabulary state, no training pass, no
+    Python — so it is the zero-dependency default for the
+    ``embed=`` seam of :func:`pipelines.build_retrieval_index`: a real
+    (if simple) embedding whose cosine geometry tracks lexical
+    overlap, deterministic across engines/partitionings. Swap in a
+    model-backed ``mapInPandas`` for production semantics; the seam's
+    contract is just "adds an array<double> column".
+
+    Per-row cost is O(tokens · dim) (one filtered count per
+    component); sized for chunk-granular text (10s-100s of tokens).
+    Empty/blank text embeds as the zero vector (the 1e-12 norm clamp
+    keeps the division defined)."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    buckets = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim)))
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.size(F.filter(buckets, lambda b: b == i.cast("long")))
+        .cast("double"),
+    )
+    nrm = F.greatest(
+        F.sqrt(
+            F.aggregate(
+                counts, F.lit(0.0), lambda acc, v: acc + v * v
+            )
+        ),
+        F.lit(1e-12),
+    )
+    return df.withColumn(
+        out_col, F.transform(counts, lambda v: v / nrm)
     )

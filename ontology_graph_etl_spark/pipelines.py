@@ -338,3 +338,89 @@ def build_token_budget_mix(
         F.col(domain_col).eqNullSafe(F.col("__mx_dom")),
         "left",
     ).drop("__mx_dom")
+
+
+def build_retrieval_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 200,
+    stride: int = 150,
+    embed=None,
+    num_lists: int = 16,
+    train_rounds: int = 2,
+) -> list[list[float]]:
+    """One-call retrieval-corpus indexing — the composition the q133
+    docstring names as the chunking operator's natural downstream:
+
+    1. ``chunk_documents(chunk_chars=, stride=)`` — overlapping
+       character chunks, the retrieval unit (zero-shuffle explode).
+    2. the EMBED SEAM: ``embed(chunks)`` must return the frame with an
+       ``embedding`` array column. Defaults to
+       :func:`operators.similarity.hashed_bow_embedding` (feature-
+       hashed BoW — zero-dependency, deterministic, JVM-side); swap a
+       model-backed ``mapInPandas`` in production (the multimodal
+       codec-seam contract: the Spark plumbing is real either way).
+    3. ``write_ivf_index`` over the chunk embeddings keyed by
+       ``{id}:{chunk_id}``, quantizer frozen into the sidecar —
+       the persisted index :func:`search_retrieval_index` and
+       ``similarity.merge_ivf_index`` then operate on.
+
+    Returns the trained centroids (write_ivf_index's contract). At
+    100 TB the cost profile is the embed pass (scan-speed for the
+    default; model-bound otherwise) + the q137-certified index build.
+    Stage-equivalence vs manual composition is pinned in
+    tests/test_pipelines.py.
+    """
+    from .operators.similarity import hashed_bow_embedding, write_ivf_index
+    from .operators.textops import chunk_documents
+
+    chunks = chunk_documents(
+        docs, id_col, text_col, chunk_chars=chunk_chars, stride=stride
+    ).withColumn(
+        "chunk_key",
+        F.concat_ws(":", F.col(id_col).cast("string"), F.col("chunk_id")),
+    )
+    if embed is None:
+        embedded = hashed_bow_embedding(chunks, "chunk_text")
+    else:
+        embedded = embed(chunks)
+    return write_ivf_index(
+        embedded,
+        path,
+        "chunk_key",
+        "embedding",
+        num_lists=num_lists,
+        train_rounds=train_rounds,
+    )
+
+
+def search_retrieval_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "query_id",
+    text_col: str = "query_text",
+    k: int = 5,
+    nprobe: int = 4,
+    embed=None,
+) -> DataFrame:
+    """Query half of :func:`build_retrieval_index`: embed the query
+    texts through the SAME seam (mismatched embedders are the
+    retrieval twin of the mismatched-quantizer failure class the IVF
+    sidecar exists to prevent — the caller must pass the embedder the
+    index was built with) and search the stored lists under the
+    sidecar's frozen centroids. Output: ``(query_id, rank,
+    neighbor_id, cosine_sim)`` where ``neighbor_id`` is the
+    ``{doc}:{chunk}`` chunk key."""
+    from .operators.similarity import hashed_bow_embedding, search_ivf_index
+
+    q = queries.select(F.col(id_col), F.col(text_col))
+    if embed is None:
+        q = hashed_bow_embedding(q, text_col)
+    else:
+        q = embed(q)
+    return search_ivf_index(
+        spark, path, q, id_col, "embedding", k=k, nprobe=nprobe
+    )

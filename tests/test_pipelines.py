@@ -346,3 +346,115 @@ def test_curation_span_removal_stage(spark):
     a = sorted(map(tuple, out.select(*shared).collect()))
     b = sorted(map(tuple, manual.select(*shared).collect()))
     assert a == b
+
+
+def test_build_retrieval_index_stage_equivalence(spark, tmp_path):
+    """build_retrieval_index == manual chunk -> embed -> write_ivf_index
+    composition, stage for stage: identical stored rows, identical
+    sidecar centroids, identical search results."""
+    from ontology_graph_etl_spark.operators.similarity import (
+        hashed_bow_embedding,
+        search_ivf_index,
+        write_ivf_index,
+    )
+    from ontology_graph_etl_spark.operators.textops import chunk_documents
+    from ontology_graph_etl_spark.pipelines import (
+        build_retrieval_index,
+        search_retrieval_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{(i * 13 + j) % 37}" for j in range(60)))
+            for i in range(8)
+        ],
+        "doc_id: long, text: string",
+    )
+    p_pipe = str(tmp_path / "pipe")
+    p_man = str(tmp_path / "manual")
+    cents = build_retrieval_index(
+        docs, p_pipe, chunk_chars=40, stride=30, num_lists=4,
+        train_rounds=1,
+    )
+    chunks = chunk_documents(
+        docs, "doc_id", "text", chunk_chars=40, stride=30
+    ).withColumn(
+        "chunk_key",
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.col("chunk_id")),
+    )
+    cents_man = write_ivf_index(
+        hashed_bow_embedding(chunks, "chunk_text"),
+        p_man,
+        "chunk_key",
+        "embedding",
+        num_lists=4,
+        train_rounds=1,
+    )
+    assert cents == cents_man
+    stored = lambda p: sorted(
+        map(tuple, spark.read.parquet(p).collect())
+    )
+    assert stored(p_pipe) == stored(p_man)
+    queries = spark.createDataFrame(
+        [(100, " ".join(f"w{(3 * 13 + j) % 37}" for j in range(10)))],
+        "query_id: long, query_text: string",
+    )
+    via_pipe = sorted(
+        map(
+            tuple,
+            search_retrieval_index(
+                spark, p_pipe, queries, k=3, nprobe=2
+            ).collect(),
+        )
+    )
+    via_manual = sorted(
+        map(
+            tuple,
+            search_ivf_index(
+                spark,
+                p_man,
+                hashed_bow_embedding(queries, "query_text"),
+                "query_id",
+                "embedding",
+                k=3,
+                nprobe=2,
+            ).collect(),
+        )
+    )
+    assert via_pipe == via_manual and via_pipe
+
+
+def test_retrieval_index_finds_verbatim_chunk(spark, tmp_path):
+    """End-to-end retrieval sanity: querying with a chunk's exact text
+    returns that chunk at rank 1 with cosine 1.0."""
+    from ontology_graph_etl_spark.operators.textops import chunk_documents
+    from ontology_graph_etl_spark.pipelines import (
+        build_retrieval_index,
+        search_retrieval_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"tok{(i * 17 + j) % 53}" for j in range(50)))
+            for i in range(6)
+        ],
+        "doc_id: long, text: string",
+    )
+    path = str(tmp_path / "idx")
+    build_retrieval_index(
+        docs, path, chunk_chars=60, stride=40, num_lists=2, train_rounds=1
+    )
+    target = (
+        chunk_documents(docs, "doc_id", "text", chunk_chars=60, stride=40)
+        .where((F.col("doc_id") == 2) & (F.col("chunk_id") == 1))
+        .collect()[0]
+    )
+    queries = spark.createDataFrame(
+        [(0, target.chunk_text)], "query_id: long, query_text: string"
+    )
+    top = (
+        search_retrieval_index(spark, path, queries, k=1, nprobe=2)
+        .collect()[0]
+    )
+    assert top.neighbor_id == "2:1"
+    assert top.cosine_sim == 1.0
