@@ -1415,6 +1415,64 @@ def exact_substring_removal(
     )
 
 
+def exact_substring_removal_to_fixpoint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 30,
+    max_passes: int = 4,
+) -> DataFrame:
+    """Iterate :func:`exact_substring_removal` to its fixpoint — the
+    loop that operator's docstring defers to: a single cut can butt
+    two previously-distant fragments together and form a NEW repeated
+    window across the seam, so one pass is not idempotent. Re-run
+    until a pass removes zero characters (the fixpoint — idempotence
+    there is property-tested) or ``max_passes`` is hit.
+
+    Same output contract as the single pass, against the ORIGINAL
+    text: ``(id, n_chars, dup_chars, text_clean)`` with ``dup_chars``
+    the TOTAL characters removed across all passes (= n_chars −
+    length(text_clean) by construction), plus ``n_passes`` (removal
+    passes executed, including the zero-removal pass that confirms
+    the fixpoint) and ``converged`` (False only when ``max_passes``
+    ended the loop with the last pass still removing text).
+
+    The convergence check is one driver-side scalar per pass (the
+    semi-naive-closure pattern); each pass's output is
+    ``localCheckpoint``-pinned — an iterative lineage over the corpus
+    re-executes every earlier pass per action otherwise. In practice
+    convergence takes 1-2 real passes (Lee et al. accept even the
+    single pass)."""
+    if max_passes < 1:
+        raise ValueError(f"max_passes must be >= 1, got {max_passes}")
+    orig = df.select(
+        id_col, F.length(text_col).cast("long").alias("n_chars")
+    )
+    cur = df.select(id_col, text_col)
+    passes = 0
+    converged = False
+    while passes < max_passes:
+        out = exact_substring_removal(
+            cur, id_col, text_col, min_len
+        ).localCheckpoint()
+        passes += 1
+        removed = out.agg(F.sum("dup_chars")).collect()[0][0] or 0
+        cur = out.select(id_col, F.col("text_clean").alias(text_col))
+        if removed == 0:
+            converged = True
+            break
+    return orig.join(cur, id_col).select(
+        id_col,
+        "n_chars",
+        (F.col("n_chars") - F.length(text_col).cast("long")).alias(
+            "dup_chars"
+        ),
+        F.col(text_col).alias("text_clean"),
+        F.lit(passes).alias("n_passes"),
+        F.lit(converged).alias("converged"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

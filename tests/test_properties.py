@@ -3586,3 +3586,90 @@ def test_chunk_documents_backtick_column_name(spark):
         (1, "defg"),
         (2, "ghij"),
     ]
+
+
+def test_exact_substring_removal_fixpoint(spark):
+    """The seam case the single pass documents as non-idempotent:
+    cutting the duplicated middles of 'abc<D>def' twins butts
+    'abcdef' together in BOTH, creating a NEW corpus-repeated 6-gram
+    that only a second pass can remove. The fixpoint wrapper must run
+    it to empty, report converged, and be idempotent at the fixpoint
+    (a further pass removes zero)."""
+    from ontology_graph_etl_spark.operators.textops import (
+        exact_substring_removal,
+        exact_substring_removal_to_fixpoint,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abc111111def"),
+            (2, "abc222222def"),
+            (3, "111111"),
+            (4, "222222"),
+        ],
+        "doc_id: long, text: string",
+    )
+    # single pass: middles cut, the new 'abcdef' twins survive
+    one = {
+        r.doc_id: r.text_clean
+        for r in exact_substring_removal(
+            docs, "doc_id", "text", min_len=6
+        ).collect()
+    }
+    assert one[1] == "abcdef" and one[2] == "abcdef"
+    fixed = exact_substring_removal_to_fixpoint(
+        docs, "doc_id", "text", min_len=6
+    )
+    got = {r.doc_id: r for r in fixed.collect()}
+    assert all(r.text_clean == "" for r in got.values())
+    assert all(r.converged for r in got.values())
+    assert got[1].n_passes == 3  # 2 removal passes + the confirming one
+    assert got[1].dup_chars == got[1].n_chars == 12
+    # idempotence AT the fixpoint: one more removal pass over the
+    # fixpoint text removes nothing
+    again = exact_substring_removal(
+        fixed.select("doc_id", F.col("text_clean").alias("text")),
+        "doc_id",
+        "text",
+        min_len=6,
+    )
+    assert again.agg(F.sum("dup_chars")).collect()[0][0] == 0
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 5),
+            st.text(alphabet="ab ", min_size=0, max_size=30),
+        ),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda t: t[0],
+    ),
+)
+@SETTINGS
+def test_fixpoint_removal_is_idempotent_property(spark, docs):
+    """Property: whenever the wrapper reports converged, running the
+    single-pass operator on its output removes zero characters, and
+    dup_chars always equals n_chars - length(text_clean)."""
+    from ontology_graph_etl_spark.operators.textops import (
+        exact_substring_removal,
+        exact_substring_removal_to_fixpoint,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    out = exact_substring_removal_to_fixpoint(
+        df, "doc_id", "text", min_len=4, max_passes=6
+    ).localCheckpoint()
+    rows = out.collect()
+    assert all(
+        r.dup_chars == r.n_chars - len(r.text_clean) for r in rows
+    )
+    if all(r.converged for r in rows):
+        again = exact_substring_removal(
+            out.select("doc_id", F.col("text_clean").alias("text")),
+            "doc_id",
+            "text",
+            min_len=4,
+        )
+        assert again.agg(F.sum("dup_chars")).collect()[0][0] in (0, None)
