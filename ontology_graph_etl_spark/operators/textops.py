@@ -1192,14 +1192,59 @@ def bpe_encode(
     return df.select(F.col(id_col), toks.alias(out_col))
 
 
+#: sampled-probe threshold for ``skew_mode="auto"``: estimated rows of
+#: the hottest fingerprint above which the window form's one-task sort
+#: is projected to lose to the join form's map-side partial
+#: aggregation. Set CONSERVATIVELY from measurement (SCALING r11): on
+#: local[32] the seed-stream GENERATION cost dominates and the window
+#: form won every tested regime up to a 60M-row hot key (68 s vs
+#: 104 s — the join pays the stream twice), so the crossover only
+#: exists where a single straggler task outweighs a full extra pass,
+#: i.e. wide clusters × extreme keys.
+_SKEW_AUTO_THRESHOLD = 100_000_000
+
+
 def _exact_substring_intervals(
-    df: DataFrame, id_col: str, text_col: str, L: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    L: int,
+    skew_mode: str = "window",
 ) -> DataFrame:
     """Shared core of :func:`exact_substring_spans` (stats) and
     :func:`exact_substring_removal` (cut): the merged maximal
     duplicated character intervals ``(id, __s, __e)`` per doc, 1-based
     inclusive. See exact_substring_spans for the plan-shape rationale
-    (window count over the seed stream, not groupBy+join-back)."""
+    (window count over the seed stream, not groupBy+join-back).
+
+    ``skew_mode`` picks the repeated-seed filter's physical form:
+
+    - ``"window"`` (default, the certified q131/q132 plan): one pass
+      over the seed stream, per-key window count. Wins broadly (63 s
+      vs 113 s at 100× inflation, SCALING r10) because the join form
+      re-derives the seed stream for its second consumer — but a
+      single fingerprint repeated millions of times (megacorpus
+      boilerplate, degenerate runs) sorts on ONE task.
+    - ``"join"`` — groupBy the fingerprint (partial aggregation
+      collapses a hot key map-side to one row per task) and join the
+      ``count >= 2`` survivors back as a SEMI join. The duplicated-
+      fingerprint frame is usually tiny (dup keys only), so AQE
+      broadcasts it — and when it shuffles, AQE's skew-join splitting
+      applies, which no window can use. Price: the seed stream
+      computes twice (it is deliberately NOT checkpointed — measured
+      GC death at 100×, SCALING r10).
+    - ``"auto"`` — a cheap probe (1 % doc sample, top fingerprint
+      count, scaled) picks: hot-key estimate above
+      ``_SKEW_AUTO_THRESHOLD`` rows → ``"join"``, else ``"window"``.
+      The probe is one action over the sampled seed stream; certified
+      plans keep the explicit default instead. Measured (SCALING
+      r11): locally the window form won EVERY regime up to a 60M-row
+      hot key, so the threshold is conservative — the join form's
+      real constituency is a wide cluster where one straggler task
+      costs more than an extra full pass over the stream.
+    """
+    if skew_mode not in ("window", "join", "auto"):
+        raise ValueError(f"unknown skew_mode {skew_mode!r}")
     base = ensure_parallelism(df.select(id_col, text_col))
     # guard the too-short case explicitly: F.sequence(1, 0) is [1, 0]
     # (negative step — the q123 pitfall), not an empty range
@@ -1218,13 +1263,41 @@ def _exact_substring_intervals(
             "__k"
         ),
     )
-    dup = (
-        occ.withColumn(
-            "__c", F.count(F.lit(1)).over(Window.partitionBy("__k"))
+    if skew_mode == "auto":
+        # probe on a 1% doc sample: repeats concentrated inside single
+        # documents are seen whole; cross-document repeats scale ~1/frac
+        frac = 0.01
+        top = (
+            base.sample(fraction=frac, seed=42)
+            .select(F.explode(starts).alias("i"), F.col(text_col))
+            .select(
+                F.md5(
+                    F.substring(F.col(text_col), F.col("i"), F.lit(L))
+                ).alias("__k")
+            )
+            .groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c"))
+            .collect()[0][0]
         )
-        .where(F.col("__c") >= 2)
-        .select(id_col, "i")
-    )
+        est = (top or 0) / frac
+        skew_mode = "join" if est > _SKEW_AUTO_THRESHOLD else "window"
+    if skew_mode == "join":
+        hot = (
+            occ.groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") >= 2)
+            .select("__k")
+        )
+        dup = occ.join(hot, "__k", "left_semi").select(id_col, "i")
+    else:
+        dup = (
+            occ.withColumn(
+                "__c", F.count(F.lit(1)).over(Window.partitionBy("__k"))
+            )
+            .where(F.col("__c") >= 2)
+            .select(id_col, "i")
+        )
     # merge overlapping AND adjacent [i, i+L-1] seed intervals per
     # doc: a seed opens a new span iff a genuine uncovered gap exists
     # before it (i > prev_cov + 1); a seed starting exactly at
@@ -1262,6 +1335,7 @@ def exact_substring_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_len: int = 30,
+    skew_mode: str = "window",
 ) -> DataFrame:
     """Character-granular exact-substring duplicate detection — the
     suffix-array pass of Lee et al. 2022 ("Deduplicating Training Data
@@ -1307,7 +1381,9 @@ def exact_substring_spans(
     """
     if min_len < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
-    spans = _exact_substring_intervals(df, id_col, text_col, min_len)
+    spans = _exact_substring_intervals(
+        df, id_col, text_col, min_len, skew_mode=skew_mode
+    )
     agg = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
         F.sum(F.col("__e") - F.col("__s") + 1)
@@ -1335,6 +1411,7 @@ def exact_substring_removal(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_len: int = 30,
+    skew_mode: str = "window",
 ) -> DataFrame:
     """Character-granular exact-substring duplicate REMOVAL — the cut
     step Lee et al. 2022 run on the spans :func:`exact_substring_spans`
@@ -1364,7 +1441,9 @@ def exact_substring_removal(
     """
     if min_len < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
-    spans = _exact_substring_intervals(df, id_col, text_col, min_len)
+    spans = _exact_substring_intervals(
+        df, id_col, text_col, min_len, skew_mode=skew_mode
+    )
     per_doc = spans.groupBy(id_col).agg(
         F.sort_array(
             F.collect_list(

@@ -3673,3 +3673,35 @@ def test_fixpoint_removal_is_idempotent_property(spark, docs):
             min_len=4,
         )
         assert again.agg(F.sum("dup_chars")).collect()[0][0] in (0, None)
+
+
+def test_substring_spans_skew_modes_agree(spark):
+    """The three skew_mode forms are physical variants of the same
+    repeated-seed filter: identical output on a corpus with both
+    cross-doc and degenerate in-doc repetition."""
+    from ontology_graph_etl_spark.operators.textops import (
+        exact_substring_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over it"),
+            (2, "prefix the quick brown fox jumps over it suffix"),
+            (3, "a" * 40),
+            (4, "unique content here with no repeats at all"),
+        ],
+        "doc_id: long, text: string",
+    )
+    outs = [
+        sorted(
+            map(
+                tuple,
+                exact_substring_spans(
+                    docs, min_len=8, skew_mode=m
+                ).collect(),
+            )
+        )
+        for m in ("window", "join", "auto")
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    assert any(r[2] > 0 for r in outs[0])  # non-vacuous
