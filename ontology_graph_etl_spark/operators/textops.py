@@ -1298,13 +1298,19 @@ def _exact_substring_intervals(
             .where(F.col("__c") >= 2)
             .select(id_col, "i")
         )
-    # merge overlapping AND adjacent [i, i+L-1] seed intervals per
-    # doc: a seed opens a new span iff a genuine uncovered gap exists
-    # before it (i > prev_cov + 1); a seed starting exactly at
-    # prev_cov + 1 touches the running span and extends it — two
-    # touching duplicated regions are one maximal interval (ADVICE
-    # r10: the old `i > prev_cov` kept them separate, overcounting
-    # n_dup_spans vs the docstring's "merged maximal" claim).
+    return _merge_seed_intervals(dup, id_col, L)
+
+
+def _merge_seed_intervals(dup: DataFrame, id_col: str, L: int) -> DataFrame:
+    """Merge overlapping AND adjacent [i, i+L-1] seed intervals per
+    doc into maximal spans ``(id, __span, __s, __e)``: a seed opens a
+    new span iff a genuine uncovered gap exists before it
+    (i > prev_cov + 1); a seed starting exactly at prev_cov + 1
+    touches the running span and extends it — two touching duplicated
+    regions are one maximal interval (ADVICE r10: the old
+    `i > prev_cov` kept them separate, overcounting n_dup_spans vs
+    the "merged maximal" claim). Shared by the corpus-internal filter
+    above and the streaming screen-against-index path."""
     wdoc = Window.partitionBy(id_col).orderBy(F.col("i").asc())
     prev_cov = F.max(F.col("i") + (L - 1)).over(
         wdoc.rowsBetween(Window.unboundedPreceding, -1)
@@ -1626,4 +1632,188 @@ def chunk_documents(
             F.col("__chunk_text_src"), start, F.lit(chunk_chars)
         ).alias("chunk_text"),
         F.col("n_chunks").cast("long").alias("n_chunks"),
+    )
+
+
+_SUBSTR_INDEX_SIDECAR = "_substring_index_params.json"
+
+
+def _window_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, L: int
+) -> DataFrame:
+    """The (id, i, __k) seed stream of every length-``L`` character
+    window, fingerprinted with ``xxhash64`` (8-byte longs — the stored
+    index is ~8 bytes/corpus char instead of md5's 32; collisions at
+    2^64 are birthday-negligible and only ever ADD a screened span)."""
+    base = ensure_parallelism(df.select(id_col, text_col))
+    starts = F.when(
+        F.length(text_col) >= L,
+        F.sequence(F.lit(1), F.length(text_col) - (L - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return base.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(starts).alias("i"),
+    ).select(
+        id_col,
+        "i",
+        F.xxhash64(
+            F.substring(F.col(text_col), F.col("i"), F.lit(L))
+        ).alias("__k"),
+    )
+
+
+def _substr_sidecar_io(spark, path: str, params: dict | None):
+    from .dedup import _hadoop_path_and_fs
+
+    hpath, fs = _hadoop_path_and_fs(
+        spark, f"{path.rstrip('/')}/{_SUBSTR_INDEX_SIDECAR}"
+    )
+    import json
+
+    if params is not None:
+        out = fs.create(hpath, True)
+        try:
+            out.write(
+                bytearray(json.dumps(params, sort_keys=True).encode())
+            )
+        finally:
+            out.close()
+        return params
+    if not fs.exists(hpath):
+        raise ValueError(
+            f"substring index at {path} has no {_SUBSTR_INDEX_SIDECAR} "
+            "sidecar — an index screened under a different min_len "
+            "silently misses spans; rebuild via write_substring_index"
+        )
+    stream = fs.open(hpath)
+    try:
+        raw = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    loaded = json.loads(raw.decode("utf-8"))
+    if "min_len" not in loaded:
+        raise ValueError(
+            f"substring index sidecar at {path} is missing min_len"
+        )
+    return loaded
+
+
+def write_substring_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 30,
+) -> None:
+    """Persist the corpus's substring-fingerprint index: the DISTINCT
+    ``xxhash64`` fingerprints of every length-``min_len`` character
+    window, with ``min_len`` frozen into a sidecar — the q131 seed
+    stream turned into a stored screening artifact (the q120/IVF
+    maintained-index pattern applied to substring-level dedup). A
+    micro-batch can then be screened for character spans already
+    present in the corpus WITHOUT rescanning it
+    (:func:`screen_against_substring_index`) and folded in with an
+    O(batch) append (:func:`merge_substring_index`).
+
+    Size posture: one 8-byte long per distinct corpus window — ~8
+    bytes/char upper bound, typically far less after distinct (shared
+    boilerplate collapses); the screen-side join reads it
+    partition-pruned by the shuffle hash. The sidecar freezes
+    ``min_len`` because fingerprints of different window lengths are
+    incomparable — the mismatched-quantizer failure class again."""
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    fps = (
+        _window_fingerprints(corpus, id_col, text_col, min_len)
+        .select("__k")
+        .distinct()
+    )
+    fps.write.mode("overwrite").parquet(path)
+    # sidecar AFTER the data (write_dedup_index ordering): a failed
+    # data write never leaves a sidecar pointing at nothing
+    _substr_sidecar_io(
+        corpus.sparkSession, path, {"min_len": int(min_len)}
+    )
+
+
+def merge_substring_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Fold a micro-batch's window fingerprints into a stored
+    substring index under the sidecar's own ``min_len``: one
+    fingerprint pass over the BATCH plus an O(batch) parquet append —
+    the existing corpus-sized rows are never read (the
+    merge_dedup_index shape). Batch-internal duplicates collapse via
+    a batch-local distinct; fingerprints already in the index may be
+    appended again — the screen's semi join is set-semantics, so
+    duplicates cost bytes, not correctness (compact by rebuilding
+    when the append fraction warrants it)."""
+    params = _substr_sidecar_io(spark, path, None)
+    fps = (
+        _window_fingerprints(
+            batch, id_col, text_col, int(params["min_len"])
+        )
+        .select("__k")
+        .distinct()
+    )
+    fps.write.mode("append").parquet(path)
+    return params
+
+
+def screen_against_substring_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Screen a micro-batch for character spans already present in a
+    stored substring index: the q131 span computation with the
+    repeated-seed filter replaced by a semi join against the stored
+    fingerprints — per batch doc ``(id, n_chars, dup_chars,
+    n_dup_spans)``, where the spans are the merged maximal intervals
+    covered by windows the INDEX corpus already contains.
+    Batch-internal repetition is deliberately out of scope (screen
+    semantics, the q120 contract): run :func:`exact_substring_spans`
+    on the batch for that.
+
+    Cost: one fingerprint pass over the batch + one semi join keyed
+    on the fingerprint against the stored parquet — batch-sized
+    shuffle, corpus read pruned to the join. The streaming
+    composition (foreachBatch: screen → gate → merge) is pinned in
+    tests/test_streaming.py."""
+    params = _substr_sidecar_io(spark, path, None)
+    L = int(params["min_len"])
+    occ = _window_fingerprints(batch, id_col, text_col, L)
+    idx = spark.read.parquet(path)
+    dup = occ.join(idx, "__k", "left_semi").select(id_col, "i")
+    spans = _merge_seed_intervals(dup, id_col, L)
+    agg = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum(F.col("__e") - F.col("__s") + 1)
+        .cast("long")
+        .alias("dup_chars"),
+    )
+    return (
+        batch.select(
+            id_col, F.length(text_col).cast("long").alias("n_chars")
+        )
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "n_chars",
+            F.coalesce("dup_chars", F.lit(0).cast("long")).alias(
+                "dup_chars"
+            ),
+            F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias(
+                "n_dup_spans"
+            ),
+        )
     )

@@ -656,3 +656,103 @@ def test_streaming_ivf_index_maintained_across_batches(
     ).write.parquet(bare)
     with pytest.raises(ValueError, match="sidecar"):
         merge_ivf_index(spark, bare, later.limit(1))
+
+
+def test_streaming_substring_index_screen_and_merge(spark, tmp_path):
+    """Round-11 stretch: the q131 fingerprint windows composed with
+    the maintained-index pattern (q120/IVF precedent). Pins:
+
+    - screen(batch vs index(corpus)) tags exactly the batch character
+      spans whose >= L windows exist in the corpus — equal to the
+      corpus-internal spans computation on corpus ∪ batch restricted
+      to batch docs, on data with no batch-internal or corpus-only
+      repetition;
+    - merge is O(batch) and cross-batch reachable: a fingerprint
+      introduced by merged batch 1 is caught screening batch 2;
+    - maintained-vs-fresh equality: merge(b1) then screen(b2) equals
+      screening b2 against a fresh index over corpus ∪ b1.
+    """
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark.operators.textops import (
+        exact_substring_spans,
+        merge_substring_index,
+        screen_against_substring_index,
+        write_substring_index,
+    )
+
+    L = 8
+    boiler = "SHARED-BOILERPLATE-RUN"  # 22 chars, >= L
+    b1_only = "BATCH-ONE-NOVELTY-RUN"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"corpus doc alpha {boiler} tail one"),
+            (2, "corpus doc beta with its own words"),
+        ],
+        "doc_id: long, text: string",
+    )
+    path = str(tmp_path / "sidx")
+    write_substring_index(corpus, path, min_len=L)
+
+    batch1 = spark.createDataFrame(
+        [
+            (10, f"fresh start {boiler} and {b1_only} end"),
+            (11, "totally novel text nothing shared"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r.doc_id: r
+        for r in screen_against_substring_index(
+            spark, path, batch1
+        ).collect()
+    }
+    assert got[11].dup_chars == 0 and got[11].n_dup_spans == 0
+    assert got[10].n_dup_spans == 1
+    # the screen's span must equal the corpus-internal computation on
+    # corpus ∪ batch restricted to batch docs (no batch-internal or
+    # corpus-only repeats in this fixture, so the two coincide)
+    want = {
+        r.doc_id: r
+        for r in exact_substring_spans(
+            corpus.unionByName(batch1), min_len=L
+        ).collect()
+        if r.doc_id >= 10
+    }
+    for d in (10, 11):
+        assert got[d].dup_chars == want[d].dup_chars
+        assert got[d].n_dup_spans == want[d].n_dup_spans
+
+    # merge batch1, then a batch-2 doc quoting b1_only is caught
+    merge_substring_index(spark, path, batch1)
+    batch2 = spark.createDataFrame(
+        [(20, f"second wave quoting {b1_only} here")],
+        "doc_id: long, text: string",
+    )
+    got2 = screen_against_substring_index(spark, path, batch2).collect()[0]
+    assert got2.n_dup_spans == 1 and got2.dup_chars >= len(b1_only)
+
+    # maintained index == fresh rebuild over corpus ∪ batch1
+    fresh = str(tmp_path / "fresh")
+    write_substring_index(corpus.unionByName(batch1), fresh, min_len=L)
+    a = sorted(
+        map(
+            tuple,
+            screen_against_substring_index(spark, path, batch2).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            screen_against_substring_index(spark, fresh, batch2).collect(),
+        )
+    )
+    assert a == b
+
+    # sidecar guard: screening without a sidecar raises
+    import pytest as _pytest
+
+    bare = str(tmp_path / "bare")
+    corpus.select("doc_id").write.parquet(bare)
+    with _pytest.raises(ValueError, match="sidecar"):
+        screen_against_substring_index(spark, bare, batch2)
