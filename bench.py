@@ -141,6 +141,7 @@ HEADLINE = [
     # certified persisted-IVF build/merge/search lifecycle
     "q136_containment_sketch",
     "q137_stored_ivf_search",
+    "q138_substring_index_screen",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

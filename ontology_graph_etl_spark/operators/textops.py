@@ -1639,28 +1639,32 @@ _SUBSTR_INDEX_SIDECAR = "_substring_index_params.json"
 
 
 def _window_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, L: int
+    df: DataFrame, id_col: str, text_col: str, L: int, base_hash: str
 ) -> DataFrame:
     """The (id, i, __k) seed stream of every length-``L`` character
-    window, fingerprinted with ``xxhash64`` (8-byte longs — the stored
-    index is ~8 bytes/corpus char instead of md5's 32; collisions at
-    2^64 are birthday-negligible and only ever ADD a screened span)."""
+    window as 8-byte longs (the stored index is ~8 bytes/corpus char
+    instead of md5-hex's 32; collisions at 2^63 are
+    birthday-negligible and only ever ADD a screened span).
+    ``xxhash64`` is the cheap production default; ``md5`` folds the
+    first 15 hex digits to a long (the q50 convention) so the whole
+    stored-screen lifecycle replays in any SQL engine (q138)."""
     base = ensure_parallelism(df.select(id_col, text_col))
     starts = F.when(
         F.length(text_col) >= L,
         F.sequence(F.lit(1), F.length(text_col) - (L - 1)),
     ).otherwise(F.array().cast("array<int>"))
+    sub = F.substring(F.col(text_col), F.col("i"), F.lit(L))
+    if base_hash == "xxhash64":
+        k = F.xxhash64(sub)
+    elif base_hash == "md5":
+        k = F.conv(F.substring(F.md5(sub), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown base_hash {base_hash!r}")
     return base.select(
         F.col(id_col),
         F.col(text_col),
         F.explode(starts).alias("i"),
-    ).select(
-        id_col,
-        "i",
-        F.xxhash64(
-            F.substring(F.col(text_col), F.col("i"), F.lit(L))
-        ).alias("__k"),
-    )
+    ).select(id_col, "i", k.alias("__k"))
 
 
 def _substr_sidecar_io(spark, path: str, params: dict | None):
@@ -1707,6 +1711,7 @@ def write_substring_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_len: int = 30,
+    base_hash: str = "xxhash64",
 ) -> None:
     """Persist the corpus's substring-fingerprint index: the DISTINCT
     ``xxhash64`` fingerprints of every length-``min_len`` character
@@ -1727,15 +1732,19 @@ def write_substring_index(
     if min_len < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
     fps = (
-        _window_fingerprints(corpus, id_col, text_col, min_len)
+        _window_fingerprints(corpus, id_col, text_col, min_len, base_hash)
         .select("__k")
         .distinct()
     )
     fps.write.mode("overwrite").parquet(path)
     # sidecar AFTER the data (write_dedup_index ordering): a failed
-    # data write never leaves a sidecar pointing at nothing
+    # data write never leaves a sidecar pointing at nothing; base_hash
+    # is frozen alongside min_len (fingerprints under different hashes
+    # are incomparable — the same mismatch class)
     _substr_sidecar_io(
-        corpus.sparkSession, path, {"min_len": int(min_len)}
+        corpus.sparkSession,
+        path,
+        {"min_len": int(min_len), "base_hash": base_hash},
     )
 
 
@@ -1758,7 +1767,11 @@ def merge_substring_index(
     params = _substr_sidecar_io(spark, path, None)
     fps = (
         _window_fingerprints(
-            batch, id_col, text_col, int(params["min_len"])
+            batch,
+            id_col,
+            text_col,
+            int(params["min_len"]),
+            params.get("base_hash", "xxhash64"),
         )
         .select("__k")
         .distinct()
@@ -1791,7 +1804,9 @@ def screen_against_substring_index(
     tests/test_streaming.py."""
     params = _substr_sidecar_io(spark, path, None)
     L = int(params["min_len"])
-    occ = _window_fingerprints(batch, id_col, text_col, L)
+    occ = _window_fingerprints(
+        batch, id_col, text_col, L, params.get("base_hash", "xxhash64")
+    )
     idx = spark.read.parquet(path)
     dup = occ.join(idx, "__k", "left_semi").select(id_col, "i")
     spans = _merge_seed_intervals(dup, id_col, L)

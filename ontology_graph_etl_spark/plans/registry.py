@@ -5533,6 +5533,92 @@ FROM ver WHERE containment >= {t}
 """
 
 
+_Q138_L = 30
+
+
+def _q138_substring_index_screen(spark, sf_dir):
+    # The third stored-artifact lifecycle certification (q120 dedup
+    # bands, q137 IVF lists, now substring fingerprints): build the
+    # index over doc_id % 4 in {2,3}, MERGE the % 4 == 1 split as an
+    # ingest batch (O(batch) append under the sidecar's frozen
+    # min_len/base_hash), then screen the held-out % 4 == 0 split —
+    # the hash covers the stored fingerprint set + sidecar round-trip
+    # AND the maintained-vs-fresh equality, because the oracle indexes
+    # "% 4 <> 0" in one shot: build+merge must equal the fresh union.
+    # md5 base hash so the fingerprints re-derive in DuckDB.
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    build = docs.where(F.col("doc_id") % 4 >= 2)
+    ingest = docs.where(F.col("doc_id") % 4 == 1)
+    screened = docs.where(F.col("doc_id") % 4 == 0)
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"q138_substr_index_{os.getpid()}"
+    )
+    if os.path.exists(scratch):
+        shutil.rmtree(scratch, ignore_errors=True)
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = scratch + "/idx"
+    textops.write_substring_index(
+        build, path, "doc_id", "text", min_len=_Q138_L, base_hash="md5"
+    )
+    textops.merge_substring_index(spark, path, ingest, "doc_id", "text")
+    return textops.screen_against_substring_index(
+        spark, path, screened, "doc_id", "text"
+    )
+
+
+def _q138_sql(L: int = _Q138_L) -> str:
+    return f"""
+WITH win AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substring(md5(substr(text, i, {L})), 1, 15))
+              AS BIGINT) AS k
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, length(text) - {L} + 1)) AS i
+    FROM documents WHERE length(text) >= {L})
+),
+idx AS (SELECT DISTINCT k FROM win WHERE (doc_id % 4) <> 0),
+dup AS (
+  SELECT w.doc_id, w.i FROM win w JOIN idx USING (k)
+  WHERE (w.doc_id % 4) = 0
+),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i > COALESCE(MAX(i + {L} - 1) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              + 1
+              THEN 1 ELSE 0 END AS new_span
+  FROM dup
+),
+num AS (
+  SELECT doc_id, i,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, span_id, MIN(i) AS s, MAX(i + {L} - 1) AS e
+  FROM num GROUP BY doc_id, span_id
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(COALESCE(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+       CAST(COALESCE(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+FROM documents d LEFT JOIN agg a USING (doc_id)
+WHERE (d.doc_id % 4) = 0
+"""
+
+
 _Q137 = {"num_lists": 8, "nprobe": 3, "k": 5}
 
 
@@ -5714,16 +5800,20 @@ JOIN iv b
 # hard ceil(N/50)-round staleness cap on anything left outside; an
 # UNROTATED window is judged retrospectively on the pre-view, a
 # ROTATED one prospectively on the full history).
-# This window certifies the 29 names whose last green row is r8 —
-# exactly the set the r10 rotation staged at tail positions 51-79
-# (they hit the ceil(128/50)=3 cap at r11): q98, q28, q51, q91, q18,
-# q19, q35, q36, q38, q44, q45, q46, q50, q52, q54-q56, q66, q67,
-# q69-q71, q73, q74, q77, q78, q81, q83, q84 — then fills the
-# remaining 21 slots with r9-green names in prior registry order
-# (q126-q129, q119, q121, q122, q124, q125, q112, q120, q88, q95,
-# q63, q62, q100, q102, q57-q60). The 28 r9 names left over sit
-# FIRST in the tail and lead the r12 window. After them: the 50
-# r10-certified names, fresh.
+# This window (final round-11 state): 3 never-certified round-11
+# queries (q138 substring-index screen, q137 stored-IVF search, q136
+# containment sketch), 3 RECERTIFY members (q133/q131/q132 — plans +
+# oracle changed by the round's ADVICE fixes), the 29 names whose
+# last green row is r8 — exactly the set the r10 rotation staged at
+# tail positions 51-79 (they hit the ceil/50 cap at r11): q98, q28,
+# q51, q91, q18, q19, q35, q36, q38, q44, q45, q46, q50, q52,
+# q54-q56, q66, q67, q69-q71, q73, q74, q77, q78, q81, q83, q84 —
+# and 15 r9-green fills in prior registry order (q126-q129, q119,
+# q121, q122, q124, q125, q112, q120, q88, q95, q63, q62). Each
+# head insertion displaced the then-last window entry to the tail
+# head (cascade: q58, q59, q60, q57, q102, q100) — those six plus
+# the 22 other r9 names lead the tail as the r12 seed; after them
+# the 50 r10-certified names, fresh.
 # New queries registered mid-round are inserted at the window head
 # (never-certified names must sit in the window); each insertion
 # pushes the window's last entry to the tail head.
@@ -5755,7 +5845,14 @@ RECERTIFY: set[str] = {
 QUERIES: list[QueryDef] = [
     # --- ROUND-11 WINDOW (first 50) ---
     # new this round, never certified (each head insertion pushed the
-    # window's then-last entry to the tail head — cascade q57, q102):
+    # window's then-last entry to the tail head — cascade q57, q102,
+    # q100):
+    QueryDef(
+        "q138_substring_index_screen",
+        _q138_substring_index_screen,
+        _q138_sql(),
+        "§2.11",
+    ),
     QueryDef(
         "q137_stored_ivf_search",
         _q137_stored_ivf_search,

@@ -466,3 +466,14 @@ def test_containment_sketch_no_pair_explosion_plan(spark, sf_dir):
         "fork pin is gone"
     )
     assert "row_number" in plan, "bottom-k sketch rank limit missing"
+
+
+def test_substring_index_screen_semi_join_shape(spark, sf_dir):
+    """q138: the screen is a fingerprint-keyed SEMI join against the
+    stored index (never a nested loop), and the batch text is scanned
+    a bounded number of times (fingerprint pass + the n_chars side)."""
+    df = queries()["q138_substring_index_screen"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan, "screen lost its semi-join shape"

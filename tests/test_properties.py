@@ -3705,3 +3705,46 @@ def test_substring_spans_skew_modes_agree(spark):
     ]
     assert outs[0] == outs[1] == outs[2]
     assert any(r[2] > 0 for r in outs[0])  # non-vacuous
+
+
+def test_containment_sketch_max_index_df_drops_hot_shingles(spark):
+    """q136's hot-shingle knob: with max_index_df set, shingles above
+    the document-frequency cap leave the WHOLE pipeline (sketch,
+    index, verify), so a pair whose overlap is only ubiquitous
+    boilerplate no longer clears the threshold, while a pair sharing
+    informative text still does."""
+    from ontology_graph_etl_spark.operators.dedup import (
+        containment_pairs_sketch,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # in EVERY doc
+    rare = " ".join(f"r{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, boiler),                     # pure boilerplate
+            (2, boiler + " x1 y1 z1"),
+            (3, boiler + " x2 y2 z2"),
+            (4, rare + " " + boiler),        # rare run, shared with 5
+            (5, rare + " tail words here unique a b c d e f g h"),
+        ],
+        "doc_id: long, text: string",
+    )
+    unfiltered = {
+        (r.contained_id, r.container_id)
+        for r in containment_pairs_sketch(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    # doc 1 is wholly contained in 2 and 3 via boilerplate alone
+    assert (1, 2) in unfiltered and (1, 3) in unfiltered
+    filtered = {
+        (r.contained_id, r.container_id)
+        for r in containment_pairs_sketch(
+            docs, "doc_id", "text", threshold=0.8, max_index_df=3
+        ).collect()
+    }
+    # boilerplate trigrams appear in 4+ docs -> dropped end-to-end:
+    # the boilerplate-only containments vanish...
+    assert (1, 2) not in filtered and (1, 3) not in filtered
+    # ...while the rare-run containment (df == 2 shingles) survives
+    assert (4, 5) in filtered or (5, 4) in filtered
