@@ -1832,3 +1832,25 @@ def screen_against_substring_index(
             ),
         )
     )
+
+
+def compact_substring_index(spark, path: str) -> int:
+    """Rewrite a substring index as its distinct fingerprint set — the
+    compaction :func:`merge_substring_index` defers (merges append
+    batch fingerprints blind, so a fingerprint already indexed costs
+    bytes on every re-ingest; screens stay correct because the semi
+    join is set-semantics). One distinct + one rewrite over the INDEX
+    (never the corpus text), the usual log-structured maintenance
+    trade: run it when the appended fraction warrants. The sidecar is
+    untouched — compaction changes layout, not parameters. Returns
+    the compacted fingerprint count."""
+    params = _substr_sidecar_io(spark, path, None)
+    fps = spark.read.parquet(path).select("__k").distinct()
+    # materialize before overwriting the directory being read
+    fps = fps.localCheckpoint()
+    n = fps.count()
+    fps.write.mode("overwrite").parquet(path)
+    # rewriting the dir drops the sidecar file? parquet overwrite
+    # clears the directory — restore the sidecar afterwards
+    _substr_sidecar_io(spark, path, params)
+    return n

@@ -756,3 +756,49 @@ def test_streaming_substring_index_screen_and_merge(spark, tmp_path):
     corpus.select("doc_id").write.parquet(bare)
     with _pytest.raises(ValueError, match="sidecar"):
         screen_against_substring_index(spark, bare, batch2)
+
+
+def test_compact_substring_index_preserves_screen(spark, tmp_path):
+    """Compaction rewrites the index as its distinct fingerprint set:
+    row count shrinks to the distinct set after duplicate-heavy
+    merges, the sidecar survives the directory rewrite, and screen
+    results are identical before and after."""
+    from ontology_graph_etl_spark.operators.textops import (
+        compact_substring_index,
+        merge_substring_index,
+        screen_against_substring_index,
+        write_substring_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta SHARED-RUN-OF-TEXT gamma delta")],
+        "doc_id: long, text: string",
+    )
+    path = str(tmp_path / "cidx")
+    write_substring_index(corpus, path, min_len=8)
+    # merge the SAME corpus twice: pure duplicate fingerprints
+    merge_substring_index(spark, path, corpus)
+    merge_substring_index(spark, path, corpus)
+    raw = spark.read.parquet(path).count()
+    distinct = spark.read.parquet(path).select("__k").distinct().count()
+    assert raw == 3 * distinct
+    batch = spark.createDataFrame(
+        [(9, "quoting SHARED-RUN-OF-TEXT verbatim")],
+        "doc_id: long, text: string",
+    )
+    before = sorted(
+        map(
+            tuple,
+            screen_against_substring_index(spark, path, batch).collect(),
+        )
+    )
+    n = compact_substring_index(spark, path)
+    assert n == distinct
+    assert spark.read.parquet(path).count() == distinct
+    after = sorted(
+        map(
+            tuple,
+            screen_against_substring_index(spark, path, batch).collect(),
+        )
+    )
+    assert before == after and before[0][2] > 0
