@@ -142,6 +142,7 @@ HEADLINE = [
     "q136_containment_sketch",
     "q137_stored_ivf_search",
     "q138_substring_index_screen",
+    "q139_bigram_logprob",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

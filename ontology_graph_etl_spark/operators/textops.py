@@ -1854,3 +1854,114 @@ def compact_substring_index(spark, path: str) -> int:
     # clears the directory — restore the sidecar afterwards
     _substr_sidecar_io(spark, path, params)
     return n
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram LM quality proxy — the order-2 upgrade of
+    :func:`unigram_logprob` (q88's CCNet-style stand-in for a KenLM
+    perplexity filter): each document's mean per-token natural-log
+    probability under the corpus's OWN Jelinek-Mercer-interpolated
+    bigram model,
+
+        p(w_i | w_{i-1}) = lam * c(w_{i-1} w_i) / c(w_{i-1})
+                         + (1 - lam) * c(w_i) / N
+
+    with the first token scored by its unigram probability. Bigram
+    structure is what separates fluent text from bag-of-frequent-words
+    gibberish — a doc of common tokens in nonsense ORDER scores near
+    the corpus mode under q88 and far from it here.
+
+    Plan shape (the 100 TB story): bigram pairs are built per row
+    JVM-side (``arrays_zip`` of the token array against its own
+    shift — no positional self-join, no window), one bigram-frequency
+    aggregate (map-side partial), the unigram table (vocabulary-sized)
+    broadcast ONTO it so the scoring join is a single equi join keyed
+    on the pair — the bigram vocabulary is too big to broadcast, and
+    the join shuffles occurrence-sized rows once. First-token scoring
+    reuses the same broadcast unigram table. No smoothing floor needed:
+    every scored n-gram is in the corpus by construction (the model is
+    trained on the scored corpus itself, q88's contract)."""
+    if not 0 <= lam <= 1:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    base = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("__doc"),
+        whitespace_tokens(F.col(text_col)).alias("__t"),
+    )
+    n = F.size("__t")
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(F.col("__t"), 1, n - 1).alias("w1"),
+            F.slice(F.col("__t"), 2, n - 1).alias("w2"),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    toks = base.select("__doc", F.explode("__t").alias("token"))
+    freq = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .withColumn("__total", F.sum("c1").over(Window.partitionBy()))
+    )
+    occ = base.select("__doc", F.explode(pairs).alias("p")).select(
+        "__doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bi = (
+        occ.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .join(
+            F.broadcast(freq.select(F.col("token").alias("w1"), "c1")),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                freq.select(
+                    F.col("token").alias("w2"),
+                    F.col("c1").alias("c1_w2"),
+                    "__total",
+                )
+            ),
+            "w2",
+        )
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                F.lit(float(lam)) * F.col("c2") / F.col("c1")
+                + F.lit(1.0 - float(lam))
+                * F.col("c1_w2")
+                / F.col("__total")
+            ).alias("__lp"),
+        )
+    )
+    bigram_scores = occ.join(bi, ["w1", "w2"]).select("__doc", "__lp")
+    first = base.where(n >= 1).select(
+        "__doc", F.element_at("__t", 1).alias("token")
+    )
+    first_scores = first.join(F.broadcast(freq), "token").select(
+        "__doc", F.log(F.col("c1") / F.col("__total")).alias("__lp")
+    )
+    per_doc = (
+        bigram_scores.unionByName(first_scores)
+        .groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc.withColumnRenamed("__doc", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias(
+                "n_tokens"
+            ),
+            F.col("mean_logprob"),
+        )
+    )

@@ -5533,6 +5533,70 @@ FROM ver WHERE containment >= {t}
 """
 
 
+_Q139_LAM = 0.7
+
+
+def _q139_bigram_logprob(spark, sf_dir):
+    # Interpolated bigram LM scoring — the order-2 upgrade of q88's
+    # unigram CCNet proxy: token ORDER now matters (bag-of-frequent-
+    # words gibberish separates from fluent text). Jelinek-Mercer
+    # lambda=0.7 with unigram backoff; first token scored unigram.
+    return textops.bigram_logprob(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", lam=_Q139_LAM
+    )
+
+
+def _q139_sql(lam: float = _Q139_LAM) -> str:
+    # the interpolation constants are spliced as EXACT Python double
+    # reprs: Spark computes 1.0 - 0.7 = 0.30000000000000004, and a
+    # hand-written 0.3 in the oracle would be a DIFFERENT double
+    return rf"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(t) AS token FROM tk),
+freq AS (SELECT token, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY token),
+total AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM freq),
+occ AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM tk WHERE len(t) >= 2)
+),
+bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM occ GROUP BY w1, w2),
+bl AS (
+  SELECT b.w1, b.w2,
+         ln({lam!r} * b.c2 / f1.c1 + {1.0 - lam!r} * f2.c1 / total.n)
+           AS lp
+  FROM bi b
+  JOIN freq f1 ON f1.token = b.w1
+  JOIN freq f2 ON f2.token = b.w2
+  CROSS JOIN total
+),
+bs AS (
+  SELECT o.doc_id, bl.lp
+  FROM occ o JOIN bl ON bl.w1 = o.w1 AND bl.w2 = o.w2
+),
+fs AS (
+  SELECT x.doc_id, ln(CAST(f.c1 AS DOUBLE) / total.n) AS lp
+  FROM (SELECT doc_id, t[1] AS token FROM tk WHERE len(t) >= 1) x
+  JOIN freq f USING (token) CROSS JOIN total
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(lp), 6) AS mean_logprob
+  FROM (SELECT * FROM bs UNION ALL SELECT * FROM fs)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       p.mean_logprob
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 _Q138_L = 30
 
 
@@ -5846,7 +5910,13 @@ QUERIES: list[QueryDef] = [
     # --- ROUND-11 WINDOW (first 50) ---
     # new this round, never certified (each head insertion pushed the
     # window's then-last entry to the tail head — cascade q57, q102,
-    # q100):
+    # q100, q62):
+    QueryDef(
+        "q139_bigram_logprob",
+        _q139_bigram_logprob,
+        _q139_sql(),
+        "§2.11",
+    ),
     QueryDef(
         "q138_substring_index_screen",
         _q138_substring_index_screen,

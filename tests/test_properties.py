@@ -3748,3 +3748,32 @@ def test_containment_sketch_max_index_df_drops_hot_shingles(spark):
     assert (1, 2) not in filtered and (1, 3) not in filtered
     # ...while the rare-run containment (df == 2 shingles) survives
     assert (4, 5) in filtered or (5, 4) in filtered
+
+
+def test_bigram_logprob_penalizes_scrambled_order(spark):
+    """The q139 claim q88 cannot make: a doc built from the corpus's
+    most frequent tokens in NONSENSE order scores far below a fluent
+    doc under the bigram model, while the unigram model scores them
+    identically (same bag of tokens)."""
+    from ontology_graph_etl_spark.operators.textops import (
+        bigram_logprob,
+        unigram_logprob,
+    )
+
+    fluent = "the cat sat on the mat"
+    scrambled = "mat the on sat cat the"  # same multiset of tokens
+    rows = [(i, fluent) for i in range(20)]
+    rows += [(100, fluent), (101, scrambled)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    uni = {r.doc_id: r.mean_logprob for r in unigram_logprob(docs).collect()}
+    assert uni[100] == uni[101]  # unigram is order-blind
+    bi = {r.doc_id: r.mean_logprob for r in bigram_logprob(docs).collect()}
+    assert bi[101] < bi[100] - 0.5  # order matters under the bigram LM
+    # empty/NULL docs: 0 tokens, NULL score (the q88 contract)
+    extra = spark.createDataFrame(
+        [(1, "a b a b"), (2, ""), (3, None)], "doc_id: long, text: string"
+    )
+    got = {r.doc_id: r for r in bigram_logprob(extra).collect()}
+    assert got[2].n_tokens == 0 and got[2].mean_logprob is None
+    assert got[3].n_tokens == 0 and got[3].mean_logprob is None
+    assert got[1].n_tokens == 4
