@@ -143,6 +143,7 @@ HEADLINE = [
     "q137_stored_ivf_search",
     "q138_substring_index_screen",
     "q139_bigram_logprob",
+    "q140_cluster_balanced_sample",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

@@ -1468,3 +1468,37 @@ def hashed_bow_embedding(
     return df.withColumn(
         out_col, F.transform(counts, lambda v: v / nrm)
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    per_cluster: int = 100,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Semantic-diversity subset selection — the cluster-based-curation
+    composition :func:`kmeans_assign`'s docstring names: map every
+    vector to its (md5-seeded or provided) centroid, then keep exactly
+    ``min(per_cluster, |cluster|)`` rows PER CLUSTER by md5 order of
+    the id (``relational.stratified_sample_exact_k`` on the cluster
+    id). A uniform sample over-represents dense regions of embedding
+    space; capping per cluster flattens the semantic distribution —
+    the standard diversity pass for eval-set construction and
+    curriculum seeding. Output: ``(id, centroid_id, sim)`` for the
+    kept rows, deterministic across runs/engines/partitionings
+    (md5-everything: seeds, assignment tie-breaks, and the pick).
+
+    Scale shape: the q76 assignment plan (zero-shuffle literal path at
+    small k·dim) plus ONE hash shuffle on the cluster id with
+    InferWindowGroupLimit pruning map-side — the shuffle carries
+    O(per_cluster · k · tasks), not the corpus."""
+    from .relational import stratified_sample_exact_k
+
+    assigned = kmeans_assign(
+        df, id_col, vec_col, k=k, centroids=centroids
+    )
+    return stratified_sample_exact_k(
+        assigned, id_col, "centroid_id", per_cluster
+    )

@@ -5533,6 +5533,65 @@ FROM ver WHERE containment >= {t}
 """
 
 
+_Q140 = {"k": 4, "per_cluster": 50}
+
+
+def _q140_cluster_balanced_sample(spark, sf_dir):
+    # Semantic-diversity subset: q76's md5-seeded assignment + exactly
+    # min(per_cluster, |cluster|) vectors per cluster by md5 order of
+    # the id (the q102 exact-k device keyed on the cluster id) — a
+    # uniform sample over-represents dense embedding regions; the
+    # per-cluster cap flattens the semantic distribution.
+    return similarity.cluster_balanced_sample(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        k=_Q140["k"],
+        per_cluster=_Q140["per_cluster"],
+    )
+
+
+def _q140_sql(k: int = _Q140["k"], pc: int = _Q140["per_cluster"]) -> str:
+    return rf"""
+WITH seeds AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS e,
+         CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS INTEGER) - 1 AS cid
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {k}
+),
+scored AS (
+  SELECT v.vec_id, s.cid,
+         round(
+           list_sum(list_transform(
+             list_zip(CAST(v.embedding AS DOUBLE[]), s.e),
+             x -> x[1] * x[2]))
+           / (greatest(sqrt(list_sum(list_transform(
+                CAST(v.embedding AS DOUBLE[]), x -> x * x))), 1e-12)
+              * greatest(sqrt(list_sum(list_transform(
+                  s.e, x -> x * x))), 1e-12)),
+           6) AS sim
+  FROM embeddings v CROSS JOIN seeds s
+),
+assigned AS (
+  SELECT vec_id, cid AS centroid_id, sim
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid ASC) = 1
+)
+SELECT vec_id, centroid_id, sim FROM (
+  SELECT vec_id, centroid_id, sim,
+         row_number() OVER (
+           PARTITION BY centroid_id
+           ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+         ) AS rn
+  FROM assigned)
+WHERE rn <= {pc}
+"""
+
+
 _Q139_LAM = 0.7
 
 
@@ -5910,7 +5969,13 @@ QUERIES: list[QueryDef] = [
     # --- ROUND-11 WINDOW (first 50) ---
     # new this round, never certified (each head insertion pushed the
     # window's then-last entry to the tail head — cascade q57, q102,
-    # q100, q62):
+    # q100, q62, q63):
+    QueryDef(
+        "q140_cluster_balanced_sample",
+        _q140_cluster_balanced_sample,
+        _q140_sql(),
+        "§2.11",
+    ),
     QueryDef(
         "q139_bigram_logprob",
         _q139_bigram_logprob,

@@ -3777,3 +3777,39 @@ def test_bigram_logprob_penalizes_scrambled_order(spark):
     assert got[2].n_tokens == 0 and got[2].mean_logprob is None
     assert got[3].n_tokens == 0 and got[3].mean_logprob is None
     assert got[1].n_tokens == 4
+
+
+def test_cluster_balanced_sample_caps_dense_regions(spark):
+    """q140 semantics: per-cluster exact-k flattens a skewed semantic
+    distribution — a dense cluster is capped at per_cluster while a
+    sparse one keeps all members; the pick is deterministic across
+    partitionings."""
+    import random
+
+    from ontology_graph_etl_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    # dense region around (1, 0, ...), sparse around (0, 1, ...)
+    for i in range(60):
+        rows.append((i, [1.0 + rng.uniform(-0.01, 0.01), 0.0, 0.0, 0.0]))
+    for i in range(5):
+        rows.append((100 + i, [0.0, 1.0 + rng.uniform(-0.01, 0.01), 0.0, 0.0]))
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    )
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = cluster_balanced_sample(
+        df, k=2, per_cluster=10, centroids=cents
+    ).collect()
+    by_c = {}
+    for r in out:
+        by_c.setdefault(r.centroid_id, set()).add(r.vec_id)
+    assert len(by_c[0]) == 10      # dense cluster capped
+    assert by_c[1] == {100, 101, 102, 103, 104}  # sparse kept whole
+    again = cluster_balanced_sample(
+        df.repartition(7), k=2, per_cluster=10, centroids=cents
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
