@@ -563,55 +563,32 @@ DEDUP_INDEX_PARAM_KEYS = ("num_hashes", "bands", "shingle_n", "base_hash")
 
 
 def _hadoop_path_and_fs(spark, path: str):
-    """Resolve ``path`` through the Hadoop FileSystem API so the
-    sidecar read/write works on any Spark-supported filesystem (local,
-    HDFS, s3a, abfs) — not just local paths."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return hpath, fs
+    """Back-compat alias of :func:`util.hadoop_path_and_fs` (the shared
+    stored-artifact plumbing since round 11)."""
+    from .util import hadoop_path_and_fs
+
+    return hadoop_path_and_fs(spark, path)
 
 
 def _read_sidecar(spark, path: str) -> dict:
-    import json
+    from .util import read_json_sidecar
 
-    hpath, fs = _hadoop_path_and_fs(
-        spark, f"{path.rstrip('/')}/{_DEDUP_INDEX_SIDECAR}"
+    params = read_json_sidecar(
+        spark,
+        path,
+        _DEDUP_INDEX_SIDECAR,
+        DEDUP_INDEX_PARAM_KEYS,
+        "dedup index",
+        "unparameterized indexes cannot be screened against safely; "
+        "rebuild via write_dedup_index",
     )
-    if not fs.exists(hpath):
-        raise ValueError(
-            f"dedup index at {path} has no {_DEDUP_INDEX_SIDECAR} "
-            "sidecar — unparameterized indexes cannot be screened "
-            "against safely; rebuild via write_dedup_index"
-        )
-    stream = fs.open(hpath)
-    try:
-        raw = bytes(
-            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        )
-    finally:
-        stream.close()
-    params = json.loads(raw.decode("utf-8"))
-    missing = set(DEDUP_INDEX_PARAM_KEYS) - set(params)
-    if missing:
-        raise ValueError(
-            f"dedup index sidecar at {path} is missing keys: "
-            f"{sorted(missing)}"
-        )
     return {k: params[k] for k in DEDUP_INDEX_PARAM_KEYS}
 
 
 def _write_sidecar(spark, path: str, params: dict) -> None:
-    import json
+    from .util import write_json_sidecar
 
-    hpath, fs = _hadoop_path_and_fs(
-        spark, f"{path.rstrip('/')}/{_DEDUP_INDEX_SIDECAR}"
-    )
-    out = fs.create(hpath, True)
-    try:
-        out.write(bytearray(json.dumps(params, sort_keys=True).encode()))
-    finally:
-        out.close()
+    write_json_sidecar(spark, path, _DEDUP_INDEX_SIDECAR, params)
 
 
 def write_dedup_index(

@@ -743,15 +743,7 @@ def ivf_topk_deterministic(
     )
     return (
         probed.join(assigned, "list_id")
-        # string-compared: the stored key and the query id may be
-        # different types (chunk keys like "2:1" vs numeric query ids
-        # -- build_retrieval_index), and ANSI mode raises on a failed
-        # implicit numeric cast; for same-typed ids the comparison is
-        # equivalent
-        .where(
-            F.col("neighbor_id").cast("string")
-            != F.col("query_id").cast("string")
-        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim", F.round(cosine(F.col("q_raw"), F.col("c_raw")), 6)
         )
@@ -1211,50 +1203,24 @@ def hard_negatives(
 IVF_INDEX_SIDECAR = "_ivf_index_params.json"
 
 
-def _ivf_sidecar_io(spark, path: str):
-    from .dedup import _hadoop_path_and_fs
-
-    return _hadoop_path_and_fs(
-        spark, f"{path.rstrip('/')}/{IVF_INDEX_SIDECAR}"
-    )
-
-
 def _write_ivf_sidecar(spark, path: str, params: dict) -> None:
-    import json
+    from .util import write_json_sidecar
 
-    hpath, fs = _ivf_sidecar_io(spark, path)
-    out = fs.create(hpath, True)
-    try:
-        out.write(bytearray(json.dumps(params, sort_keys=True).encode()))
-    finally:
-        out.close()
+    write_json_sidecar(spark, path, IVF_INDEX_SIDECAR, params)
 
 
 def _read_ivf_sidecar(spark, path: str) -> dict:
-    import json
+    from .util import read_json_sidecar
 
-    hpath, fs = _ivf_sidecar_io(spark, path)
-    if not fs.exists(hpath):
-        raise ValueError(
-            f"IVF index at {path} has no {IVF_INDEX_SIDECAR} sidecar — "
-            "an index without its frozen quantizer cannot be merged "
-            "into or searched safely; rebuild via write_ivf_index"
-        )
-    stream = fs.open(hpath)
-    try:
-        raw = bytes(
-            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        )
-    finally:
-        stream.close()
-    params = json.loads(raw.decode("utf-8"))
-    missing = {"num_lists", "train_rounds", "centroids"} - set(params)
-    if missing:
-        raise ValueError(
-            f"IVF index sidecar at {path} is missing keys: "
-            f"{sorted(missing)}"
-        )
-    return params
+    return read_json_sidecar(
+        spark,
+        path,
+        IVF_INDEX_SIDECAR,
+        {"num_lists", "train_rounds", "centroids"},
+        "IVF index",
+        "an index without its frozen quantizer cannot be merged "
+        "into or searched safely; rebuild via write_ivf_index",
+    )
 
 
 def write_ivf_index(
@@ -1404,17 +1370,27 @@ def search_ivf_index(
     w_k = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
+    # self-exclusion must be type-aware: a string chunk key (e.g.
+    # "2:1", build_retrieval_index) vs a numeric query id raises under
+    # ANSI on the implicit numeric cast, so string-typed mismatches
+    # compare as strings; same-typed ids (q137) and mixed NUMERIC
+    # widths (long index vs double query id: 5 == 5.0) keep the native
+    # comparison so numeric equality semantics survive
+    from pyspark.sql.types import StringType
+
+    n_t = assigned.schema["neighbor_id"].dataType
+    q_t = q.schema["query_id"].dataType
+    if n_t == q_t or not (
+        isinstance(n_t, StringType) or isinstance(q_t, StringType)
+    ):
+        not_self = F.col("neighbor_id") != F.col("query_id")
+    else:
+        not_self = F.col("neighbor_id").cast("string") != F.col(
+            "query_id"
+        ).cast("string")
     return (
         probed.join(assigned, "list_id")
-        # string-compared: the stored key and the query id may be
-        # different types (chunk keys like "2:1" vs numeric query ids
-        # -- build_retrieval_index), and ANSI mode raises on a failed
-        # implicit numeric cast; for same-typed ids the comparison is
-        # equivalent
-        .where(
-            F.col("neighbor_id").cast("string")
-            != F.col("query_id").cast("string")
-        )
+        .where(not_self)
         .withColumn(
             "cosine_sim", F.round(cosine(F.col("q_raw"), F.col("c_raw")), 6)
         )
@@ -1447,10 +1423,12 @@ def hashed_bow_embedding(
     keeps the division defined)."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
-    toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda t: t != "",
-    )
+    from ..functions.text import whitespace_tokens
+
+    # THE tokenization policy helper, not an inline split — index-side
+    # and query-side embeddings must keep tokenizing identically with
+    # every other text operator (whitespace_tokens' own contract)
+    toks = whitespace_tokens(F.coalesce(F.col(text_col), F.lit("")))
     buckets = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim)))
     counts = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),

@@ -1264,23 +1264,44 @@ def _exact_substring_intervals(
         ),
     )
     if skew_mode == "auto":
-        # probe on a 1% doc sample: repeats concentrated inside single
-        # documents are seen whole; cross-document repeats scale ~1/frac
+        # probe on a 1% doc sample. A sampled DOC arrives whole, so a
+        # key concentrated inside single documents is measured exactly
+        # and must NOT scale by 1/frac (a degenerate repeated-char doc
+        # would read 100x too hot and flip to the measured-worse join
+        # form); only the cross-document remainder extrapolates:
+        #   est(k) = max_single_doc_count(k)
+        #          + (sample_count(k) - max_single_doc_count(k)) / frac
         frac = 0.01
-        top = (
+        sk = (
             base.sample(fraction=frac, seed=42)
-            .select(F.explode(starts).alias("i"), F.col(text_col))
             .select(
+                F.col(id_col),
+                F.explode(starts).alias("i"),
+                F.col(text_col),
+            )
+            .select(
+                F.col(id_col),
                 F.md5(
                     F.substring(F.col(text_col), F.col("i"), F.lit(L))
-                ).alias("__k")
+                ).alias("__k"),
             )
+            .groupBy("__k", id_col)
+            .agg(F.count(F.lit(1)).alias("cd"))
             .groupBy("__k")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .agg(F.max("c"))
+            .agg(
+                F.sum("cd").alias("c"),
+                F.max("cd").alias("m"),
+            )
+            .select(
+                (
+                    F.col("m")
+                    + (F.col("c") - F.col("m")) / F.lit(frac)
+                ).alias("est")
+            )
+            .agg(F.max("est"))
             .collect()[0][0]
         )
-        est = (top or 0) / frac
+        est = sk or 0.0
         skew_mode = "join" if est > _SKEW_AUTO_THRESHOLD else "window"
     if skew_mode == "join":
         hot = (
@@ -1506,6 +1527,7 @@ def exact_substring_removal_to_fixpoint(
     text_col: str = "text",
     min_len: int = 30,
     max_passes: int = 4,
+    skew_mode: str = "window",
 ) -> DataFrame:
     """Iterate :func:`exact_substring_removal` to its fixpoint — the
     loop that operator's docstring defers to: a single cut can butt
@@ -1538,7 +1560,7 @@ def exact_substring_removal_to_fixpoint(
     converged = False
     while passes < max_passes:
         out = exact_substring_removal(
-            cur, id_col, text_col, min_len
+            cur, id_col, text_col, min_len, skew_mode=skew_mode
         ).localCheckpoint()
         passes += 1
         removed = out.agg(F.sum("dup_chars")).collect()[0][0] or 0
@@ -1668,41 +1690,24 @@ def _window_fingerprints(
 
 
 def _substr_sidecar_io(spark, path: str, params: dict | None):
-    from .dedup import _hadoop_path_and_fs
-
-    hpath, fs = _hadoop_path_and_fs(
-        spark, f"{path.rstrip('/')}/{_SUBSTR_INDEX_SIDECAR}"
-    )
-    import json
+    """Write (params given) or read+validate (params None) the
+    substring index's parameter sidecar — delegates to the shared
+    stored-artifact helpers in util.py (one sidecar implementation
+    across the dedup/IVF/substring lifecycles)."""
+    from .util import read_json_sidecar, write_json_sidecar
 
     if params is not None:
-        out = fs.create(hpath, True)
-        try:
-            out.write(
-                bytearray(json.dumps(params, sort_keys=True).encode())
-            )
-        finally:
-            out.close()
+        write_json_sidecar(spark, path, _SUBSTR_INDEX_SIDECAR, params)
         return params
-    if not fs.exists(hpath):
-        raise ValueError(
-            f"substring index at {path} has no {_SUBSTR_INDEX_SIDECAR} "
-            "sidecar — an index screened under a different min_len "
-            "silently misses spans; rebuild via write_substring_index"
-        )
-    stream = fs.open(hpath)
-    try:
-        raw = bytes(
-            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        )
-    finally:
-        stream.close()
-    loaded = json.loads(raw.decode("utf-8"))
-    if "min_len" not in loaded:
-        raise ValueError(
-            f"substring index sidecar at {path} is missing min_len"
-        )
-    return loaded
+    return read_json_sidecar(
+        spark,
+        path,
+        _SUBSTR_INDEX_SIDECAR,
+        {"min_len"},
+        "substring index",
+        "an index screened under a different min_len silently misses "
+        "spans; rebuild via write_substring_index",
+    )
 
 
 def write_substring_index(
@@ -1879,11 +1884,13 @@ def bigram_logprob(
     Plan shape (the 100 TB story): bigram pairs are built per row
     JVM-side (``arrays_zip`` of the token array against its own
     shift — no positional self-join, no window), one bigram-frequency
-    aggregate (map-side partial), the unigram table (vocabulary-sized)
-    broadcast ONTO it so the scoring join is a single equi join keyed
-    on the pair — the bigram vocabulary is too big to broadcast, and
-    the join shuffles occurrence-sized rows once. First-token scoring
-    reuses the same broadcast unigram table. No smoothing floor needed:
+    count as a WINDOW over the occurrence stream (one pair-keyed
+    shuffle computes the count in the same pass — a groupBy+join-back
+    would re-derive the tokenize/zip/explode lineage for its second
+    consumer, the round-10 fork-without-reuse class), then the
+    vocabulary-sized unigram table broadcasts on for the two
+    conditional-probability terms. First-token scoring reuses the
+    same broadcast unigram table. No smoothing floor needed:
     every scored n-gram is in the corpus by construction (the model is
     trained on the scored corpus itself, q88's contract)."""
     if not 0 <= lam <= 1:
@@ -1907,13 +1914,23 @@ def bigram_logprob(
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("c1"))
         .withColumn("__total", F.sum("c1").over(Window.partitionBy()))
+        # vocabulary-sized result of a corpus-sized pass, feeding
+        # THREE consumers (two bigram-term broadcasts + first-token
+        # scoring) — the classic cheap-to-pin/expensive-to-rerun
+        # subtree; without the pin the tokenize+count pass runs 3x
+        .localCheckpoint()
     )
     occ = base.select("__doc", F.explode(pairs).alias("p")).select(
         "__doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
-    bi = (
-        occ.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c2"))
+    # c2 as a window count over occ itself, NOT groupBy + join-back:
+    # the join form re-derives the tokenize+zip+explode lineage for
+    # its second consumer (the round-10 fork-without-reuse class,
+    # measured 113 s vs 63 s at 100x on the q131 seed stream); the
+    # window computes the per-pair count in the SAME pass
+    c2 = F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+    bigram_scores = (
+        occ.withColumn("__c2", c2)
         .join(
             F.broadcast(freq.select(F.col("token").alias("w1"), "c1")),
             "w1",
@@ -1929,17 +1946,15 @@ def bigram_logprob(
             "w2",
         )
         .select(
-            "w1",
-            "w2",
+            "__doc",
             F.log(
-                F.lit(float(lam)) * F.col("c2") / F.col("c1")
+                F.lit(float(lam)) * F.col("__c2") / F.col("c1")
                 + F.lit(1.0 - float(lam))
                 * F.col("c1_w2")
                 / F.col("__total")
             ).alias("__lp"),
         )
     )
-    bigram_scores = occ.join(bi, ["w1", "w2"]).select("__doc", "__lp")
     first = base.where(n >= 1).select(
         "__doc", F.element_at("__t", 1).alias("token")
     )

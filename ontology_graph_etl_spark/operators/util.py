@@ -51,3 +51,63 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
+
+
+def hadoop_path_and_fs(spark, path: str):
+    """Resolve ``path`` through the Hadoop FileSystem API so sidecar
+    read/write works on any Spark-supported filesystem (local, HDFS,
+    s3a, abfs) — not just local paths."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return hpath, fs
+
+
+def write_json_sidecar(spark, path: str, filename: str, params: dict) -> None:
+    """Write a stored-artifact parameter sidecar (one JSON file inside
+    the artifact directory) — THE sidecar implementation shared by the
+    dedup-index, IVF-index, and substring-index lifecycles, so fixes
+    (encoding, atomicity, retries) land once instead of drifting
+    across three copies."""
+    import json
+
+    hpath, fs = hadoop_path_and_fs(spark, f"{path.rstrip('/')}/{filename}")
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(params, sort_keys=True).encode()))
+    finally:
+        out.close()
+
+
+def read_json_sidecar(
+    spark,
+    path: str,
+    filename: str,
+    required_keys,
+    what: str,
+    hint: str,
+) -> dict:
+    """Read + validate a stored-artifact sidecar (see
+    :func:`write_json_sidecar`). Raises ValueError with the artifact's
+    own rebuild hint when the sidecar is absent or missing keys."""
+    import json
+
+    hpath, fs = hadoop_path_and_fs(spark, f"{path.rstrip('/')}/{filename}")
+    if not fs.exists(hpath):
+        raise ValueError(
+            f"{what} at {path} has no {filename} sidecar — {hint}"
+        )
+    stream = fs.open(hpath)
+    try:
+        raw = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    params = json.loads(raw.decode("utf-8"))
+    missing = set(required_keys) - set(params)
+    if missing:
+        raise ValueError(
+            f"{what} sidecar at {path} is missing keys: {sorted(missing)}"
+        )
+    return params

@@ -5923,20 +5923,25 @@ JOIN iv b
 # hard ceil(N/50)-round staleness cap on anything left outside; an
 # UNROTATED window is judged retrospectively on the pre-view, a
 # ROTATED one prospectively on the full history).
-# This window (final round-11 state): 3 never-certified round-11
-# queries (q138 substring-index screen, q137 stored-IVF search, q136
+# This window (final round-11 state, regenerated from the list —
+# the earlier hand-written version drifted): 5 never-certified
+# round-11 queries (q140 cluster-balanced sample, q139 bigram LM,
+# q138 substring-index screen, q137 stored-IVF search, q136
 # containment sketch), 3 RECERTIFY members (q133/q131/q132 — plans +
 # oracle changed by the round's ADVICE fixes), the 29 names whose
 # last green row is r8 — exactly the set the r10 rotation staged at
 # tail positions 51-79 (they hit the ceil/50 cap at r11): q98, q28,
 # q51, q91, q18, q19, q35, q36, q38, q44, q45, q46, q50, q52,
 # q54-q56, q66, q67, q69-q71, q73, q74, q77, q78, q81, q83, q84 —
-# and 15 r9-green fills in prior registry order (q126-q129, q119,
-# q121, q122, q124, q125, q112, q120, q88, q95, q63, q62). Each
-# head insertion displaced the then-last window entry to the tail
-# head (cascade: q58, q59, q60, q57, q102, q100) — those six plus
-# the 22 other r9 names lead the tail as the r12 seed; after them
-# the 50 r10-certified names, fresh.
+# and 13 r9-green fills in prior registry order (q126-q129, q119,
+# q121, q122, q124, q125, q112, q120, q88, q95). Each head
+# insertion displaced the then-last window entry to the tail head
+# (cascade order: q58, q59, q60, q57, q102, q100, q62, q63) — the
+# tail now leads q63, q62, q100, q102, q57-q60 then the 28 other
+# r9-green names (36 r9 names total ahead of the r12 window);
+# after them the 50 r10-certified names, fresh. The freshness
+# guard (test_certification_window_freshness) is the mechanical
+# authority; regenerate this comment from the list when rotating.
 # New queries registered mid-round are inserted at the window head
 # (never-certified names must sit in the window); each insertion
 # pushes the window's last entry to the tail head.

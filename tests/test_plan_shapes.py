@@ -477,3 +477,15 @@ def test_substring_index_screen_semi_join_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan, "screen lost its semi-join shape"
+
+
+def test_bigram_logprob_bounded_scans(spark, sf_dir):
+    """q139: the pair count is a window over the occurrence stream
+    (not groupBy+join-back, which re-derives the explode lineage) and
+    the vocabulary table is localCheckpoint-pinned — the corpus scans
+    at most 3 times (pairs, first tokens, output ids), never per
+    consumer of the frequency table."""
+    df = queries()["q139_bigram_logprob"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") <= 3, plan.count("FileScan")
+    assert "BroadcastNestedLoopJoin" not in plan
