@@ -144,6 +144,7 @@ HEADLINE = [
     "q138_substring_index_screen",
     "q139_bigram_logprob",
     "q140_cluster_balanced_sample",
+    "q141_retrieval_pipeline",
 ]
 
 # Run-varying atoms inside an executed-plan string: expression ids

@@ -21,6 +21,8 @@ threshold filter instead of a top-k rank.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1407,45 +1409,59 @@ def hashed_bow_embedding(
     out_col: str = "embedding",
 ) -> DataFrame:
     """Feature-hashed bag-of-words text embedding (the "hashing trick"):
-    each whitespace token buckets to ``pmod(xxhash64(token), dim)``,
-    the vector is the L2-normalized bucket-count histogram. Entirely
-    JVM-side expressions — no vocabulary state, no training pass, no
-    Python — so it is the zero-dependency default for the
-    ``embed=`` seam of :func:`pipelines.build_retrieval_index`: a real
-    (if simple) embedding whose cosine geometry tracks lexical
-    overlap, deterministic across engines/partitionings. Swap in a
-    model-backed ``mapInPandas`` for production semantics; the seam's
-    contract is just "adds an array<double> column".
+    each whitespace token buckets to ``md5-15-hex-fold % dim`` (the
+    q50 hashing convention, so any SQL engine re-derives the vectors —
+    q141 certifies the full retrieval pipeline on it), the vector is
+    the L2-normalized bucket-count histogram. No vocabulary state, no
+    training pass — the zero-dependency default for the ``embed=``
+    seam of :func:`pipelines.build_retrieval_index`; swap in a
+    model-backed ``mapInPandas`` for production semantics (the seam's
+    contract is just "adds an array<double> column").
 
-    Per-row cost is O(tokens · dim) (one filtered count per
-    component); sized for chunk-granular text (10s-100s of tokens).
-    Empty/blank text embeds as the zero vector (the 1e-12 norm clamp
-    keeps the division defined)."""
+    Implemented as ONE Arrow-batched ``pandas_udf`` — the
+    :func:`minhash_signature` compile-economics precedent: the
+    equivalent expression form is a stack of higher-order-function
+    lambdas that Catalyst interprets per element (no codegen, no CSE),
+    measured 25.7 s vs ~2 s on the 10.9k-chunk sf0.1 corpus. The UDF
+    tokenizes with the same Java-``\s`` class as
+    ``whitespace_tokens`` (so buckets match the SQL oracle's
+    regexp_split_to_array), bincounts in numpy, and L2-normalizes;
+    counts are integers so norms and normalized components are
+    bit-identical across engines. Per-row, narrow, zero shuffle.
+    Empty/blank/NULL text embeds as the zero vector."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
-    from ..functions.text import whitespace_tokens
+    import hashlib
 
-    # THE tokenization policy helper, not an inline split — index-side
-    # and query-side embeddings must keep tokenizing identically with
-    # every other text operator (whitespace_tokens' own contract)
-    toks = whitespace_tokens(F.coalesce(F.col(text_col), F.lit("")))
-    buckets = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim)))
-    counts = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.size(F.filter(buckets, lambda b: b == i.cast("long")))
-        .cast("double"),
-    )
-    nrm = F.greatest(
-        F.sqrt(
-            F.aggregate(
-                counts, F.lit(0.0), lambda acc, v: acc + v * v
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from .dedup import _JAVA_WS
+
+    zero = np.zeros(dim)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _hbow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = [w for w in _JAVA_WS.split(t.lower()) if w] if t else []
+            if not toks:
+                out.append(zero)
+                continue
+            idx = np.fromiter(
+                (
+                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                    % dim
+                    for w in toks
+                ),
+                dtype=np.int64,
+                count=len(toks),
             )
-        ),
-        F.lit(1e-12),
-    )
-    return df.withColumn(
-        out_col, F.transform(counts, lambda v: v / nrm)
-    )
+            counts = np.bincount(idx, minlength=dim).astype(np.float64)
+            nrm = max(np.sqrt(float((counts * counts).sum())), 1e-12)
+            out.append(counts / nrm)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _hbow(F.col(text_col)))
 
 
 def cluster_balanced_sample(

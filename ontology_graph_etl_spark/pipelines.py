@@ -386,6 +386,13 @@ def build_retrieval_index(
         embedded = hashed_bow_embedding(chunks, "chunk_text")
     else:
         embedded = embed(chunks)
+    # materialization boundary: the index build reads the embedded
+    # frame several times (seed pick, assignment, the stored-row
+    # join); left lazy, the embed expression — or a model-backed UDF —
+    # re-executes per consumer (the fork-without-reuse class; measured
+    # 384 s -> seconds on the sf0.01 chunk corpus). The pinned frame
+    # is (chunk_key, embedding) only.
+    embedded = embedded.select("chunk_key", "embedding").localCheckpoint()
     return write_ivf_index(
         embedded,
         path,

@@ -5533,6 +5533,176 @@ FROM ver WHERE containment >= {t}
 """
 
 
+_Q141 = {
+    "chunk_chars": 200,
+    "stride": 150,
+    "dim": 64,
+    "num_lists": 4,
+    "nprobe": 2,
+    "k": 3,
+}
+
+
+def _q141_retrieval_pipeline(spark, sf_dir):
+    # The retrieval pipeline certified END TO END: chunk_documents →
+    # hashed-BoW embedding (md5 buckets, so the vectors re-derive in
+    # SQL) → write_ivf_index (md5-seeded quantizer frozen in the
+    # sidecar) → search_retrieval_index over the stored lists, with
+    # the chunks of doc_id < 3 as queries. One hash covers the chunk
+    # layout, the embedding arithmetic, the index build, the sidecar
+    # round-trip, and the probe/rescore ranking — the composition
+    # q133/q136/q137 certify piecewise.
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .. import pipelines
+
+    docs = _t(spark, sf_dir, "documents")
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"q141_retrieval_idx_{os.getpid()}"
+    )
+    if os.path.exists(scratch):
+        shutil.rmtree(scratch, ignore_errors=True)
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = scratch + "/idx"
+
+    def embed_chunks(df):
+        return similarity.hashed_bow_embedding(
+            df, "chunk_text", dim=_Q141["dim"]
+        )
+
+    def embed_queries(df):
+        return similarity.hashed_bow_embedding(
+            df, "query_text", dim=_Q141["dim"]
+        )
+
+    pipelines.build_retrieval_index(
+        docs,
+        path,
+        chunk_chars=_Q141["chunk_chars"],
+        stride=_Q141["stride"],
+        embed=embed_chunks,
+        num_lists=_Q141["num_lists"],
+        train_rounds=0,
+    )
+    queries = (
+        textops.chunk_documents(
+            docs,
+            "doc_id",
+            "text",
+            chunk_chars=_Q141["chunk_chars"],
+            stride=_Q141["stride"],
+        )
+        .where(F.col("doc_id") < 3)
+        .select(
+            F.concat_ws(
+                ":", F.col("doc_id").cast("string"), F.col("chunk_id")
+            ).alias("query_id"),
+            F.col("chunk_text").alias("query_text"),
+        )
+    )
+    return pipelines.search_retrieval_index(
+        spark,
+        path,
+        queries,
+        k=_Q141["k"],
+        nprobe=_Q141["nprobe"],
+        embed=embed_queries,
+    )
+
+
+def _q141_sql() -> str:
+    p = _Q141
+    C, s, dim = p["chunk_chars"], p["stride"], p["dim"]
+    cos_ve = _cos_fold_sql("v.e", "s.e")
+    cos_qs = _cos_fold_sql("q.qe", "s.e")
+    cos_qc = _cos_fold_sql("qe", "ce")
+    return rf"""
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) <= 0 THEN 0
+              WHEN length(text) <= {C} THEN 1
+              ELSE (length(text) - {C} + {s - 1}) // {s} + 1
+         END AS n_chunks
+  FROM documents
+),
+ch AS (
+  SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) AS key,
+         doc_id,
+         substr(text, i * {s} + 1, {C}) AS ctext
+  FROM (SELECT doc_id, text, n_chunks,
+               unnest(generate_series(0, n_chunks - 1)) AS i
+        FROM d WHERE n_chunks > 0)
+),
+tokc AS (
+  SELECT key,
+         unnest(list_filter(regexp_split_to_array(lower(ctext), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM ch
+),
+bk AS (
+  SELECT key,
+         CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % {dim} AS b
+  FROM tokc
+),
+hist AS (SELECT key, b, CAST(count(*) AS DOUBLE) AS c FROM bk GROUP BY key, b),
+raws AS (
+  SELECT k.key, list(COALESCE(h.c, 0.0) ORDER BY g.b) AS raw
+  FROM (SELECT DISTINCT key FROM ch) k
+  CROSS JOIN (SELECT unnest(range({dim})) AS b) g
+  LEFT JOIN hist h ON h.key = k.key AND h.b = g.b
+  GROUP BY k.key
+),
+emb AS (
+  SELECT key,
+         list_transform(raw, x -> x / greatest(
+           sqrt(list_sum(list_transform(raw, y -> y * y))), 1e-12)) AS e
+  FROM raws
+),
+seeds AS (
+  SELECT e, CAST(row_number() OVER (ORDER BY md5(key), key) AS INTEGER) - 1
+           AS cid
+  FROM emb ORDER BY md5(key), key LIMIT {p["num_lists"]}
+),
+assign AS (
+  SELECT key, cid AS list_id FROM (
+    SELECT v.key, s.cid, {cos_ve} AS sim FROM emb v CROSS JOIN seeds s) t
+  QUALIFY row_number() OVER (PARTITION BY key
+                             ORDER BY sim DESC, cid ASC) = 1
+),
+q AS (
+  SELECT c.key AS query_id, v.e AS qe
+  FROM ch c JOIN emb v ON v.key = c.key
+  WHERE c.doc_id < 3
+),
+probe AS (
+  SELECT query_id, qe, cid AS list_id FROM (
+    SELECT q.query_id, q.qe, s.cid, {cos_qs} AS csim
+    FROM q CROSS JOIN seeds s) t
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY csim DESC, cid ASC)
+          <= {p["nprobe"]}
+),
+cand AS (
+  SELECT p.query_id, p.qe, a.key AS neighbor_id, v.e AS ce
+  FROM probe p
+  JOIN assign a ON a.list_id = p.list_id
+  JOIN emb v ON v.key = a.key
+  WHERE a.key <> p.query_id
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine_sim
+FROM (
+  SELECT query_id, neighbor_id, {cos_qc} AS cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {cos_qc} DESC,
+                                     neighbor_id ASC) AS rank
+  FROM cand) t
+WHERE rank <= {p["k"]}
+"""
+
+
 _Q140 = {"k": 4, "per_cluster": 50}
 
 
@@ -5924,24 +6094,25 @@ JOIN iv b
 # UNROTATED window is judged retrospectively on the pre-view, a
 # ROTATED one prospectively on the full history).
 # This window (final round-11 state, regenerated from the list —
-# the earlier hand-written version drifted): 5 never-certified
-# round-11 queries (q140 cluster-balanced sample, q139 bigram LM,
-# q138 substring-index screen, q137 stored-IVF search, q136
-# containment sketch), 3 RECERTIFY members (q133/q131/q132 — plans +
-# oracle changed by the round's ADVICE fixes), the 29 names whose
-# last green row is r8 — exactly the set the r10 rotation staged at
-# tail positions 51-79 (they hit the ceil/50 cap at r11): q98, q28,
-# q51, q91, q18, q19, q35, q36, q38, q44, q45, q46, q50, q52,
-# q54-q56, q66, q67, q69-q71, q73, q74, q77, q78, q81, q83, q84 —
-# and 13 r9-green fills in prior registry order (q126-q129, q119,
-# q121, q122, q124, q125, q112, q120, q88, q95). Each head
-# insertion displaced the then-last window entry to the tail head
-# (cascade order: q58, q59, q60, q57, q102, q100, q62, q63) — the
-# tail now leads q63, q62, q100, q102, q57-q60 then the 28 other
-# r9-green names (36 r9 names total ahead of the r12 window);
-# after them the 50 r10-certified names, fresh. The freshness
-# guard (test_certification_window_freshness) is the mechanical
-# authority; regenerate this comment from the list when rotating.
+# the earlier hand-written version drifted): 6 never-certified
+# round-11 queries (q141 retrieval pipeline, q140 cluster-balanced
+# sample, q139 bigram LM, q138 substring-index screen, q137
+# stored-IVF search, q136 containment sketch), 3 RECERTIFY members
+# (q133/q131/q132 — plans + oracle changed by the round's ADVICE
+# fixes), the 29 names whose last green row is r8 — exactly the set
+# the r10 rotation staged at tail positions 51-79 (they hit the
+# ceil/50 cap at r11): q98, q28, q51, q91, q18, q19, q35, q36, q38,
+# q44, q45, q46, q50, q52, q54-q56, q66, q67, q69-q71, q73, q74,
+# q77, q78, q81, q83, q84 — and 12 r9-green fills in prior registry
+# order (q126-q129, q119, q121, q122, q124, q125, q112, q120, q88).
+# Each head insertion displaced the then-last window entry to the
+# tail head (cascade order: q58, q59, q60, q57, q102, q100, q62,
+# q63, q95) — the tail now leads q95, q63, q62, q100, q102, q57-q60
+# then the other r9-green names (37 r9 names total ahead of the r12
+# window); after them the 50 r10-certified names, fresh. The
+# freshness guard (test_certification_window_freshness) is the
+# mechanical authority; regenerate this comment from the list when
+# rotating.
 # New queries registered mid-round are inserted at the window head
 # (never-certified names must sit in the window); each insertion
 # pushes the window's last entry to the tail head.
@@ -5974,7 +6145,13 @@ QUERIES: list[QueryDef] = [
     # --- ROUND-11 WINDOW (first 50) ---
     # new this round, never certified (each head insertion pushed the
     # window's then-last entry to the tail head — cascade q57, q102,
-    # q100, q62, q63):
+    # q100, q62, q63, q95):
+    QueryDef(
+        "q141_retrieval_pipeline",
+        _q141_retrieval_pipeline,
+        _q141_sql(),
+        "§2.11",
+    ),
     QueryDef(
         "q140_cluster_balanced_sample",
         _q140_cluster_balanced_sample,
