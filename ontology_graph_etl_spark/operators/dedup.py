@@ -50,6 +50,15 @@ def shingles(
 _JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
 
 
+def _py_tokens(t: str | None) -> list[str]:
+    """Python-side twin of ``whitespace_tokens`` (lowercase, Java-\\s
+    split, empty drop) — THE tokenizer for every UDF that must bucket/
+    shingle identically to the JVM expressions and the SQL oracles.
+    Shared by the shingle UDF here and hashed_bow_embedding; keep it
+    the single copy so the twins cannot desynchronize."""
+    return [w for w in _JAVA_WS.split(t.lower()) if w] if t else []
+
+
 def shingle_text(
     df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles"
 ) -> DataFrame:
@@ -87,7 +96,7 @@ def shingle_text(
     def _shingle(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = [w for w in _JAVA_WS.split(t.lower()) if w] if t else []
+            toks = _py_tokens(t)
             grams = [
                 " ".join(toks[i : i + n])
                 for i in range(max(len(toks) - n, 0) + 1)

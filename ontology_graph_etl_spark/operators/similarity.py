@@ -1423,8 +1423,8 @@ def hashed_bow_embedding(
     equivalent expression form is a stack of higher-order-function
     lambdas that Catalyst interprets per element (no codegen, no CSE),
     measured 25.7 s vs ~2 s on the 10.9k-chunk sf0.1 corpus. The UDF
-    tokenizes with the same Java-``\s`` class as
-    ``whitespace_tokens`` (so buckets match the SQL oracle's
+    tokenizes via ``dedup._py_tokens`` (the single Python-side twin of
+    ``whitespace_tokens``, so buckets match the SQL oracle's
     regexp_split_to_array), bincounts in numpy, and L2-normalizes;
     counts are integers so norms and normalized components are
     bit-identical across engines. Per-row, narrow, zero shuffle.
@@ -1435,26 +1435,35 @@ def hashed_bow_embedding(
 
     from pyspark.sql.types import ArrayType, DoubleType
 
-    from .dedup import _JAVA_WS
+    from .dedup import _py_tokens
 
     zero = np.zeros(dim)
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def _hbow(texts: pd.Series) -> pd.Series:
+        # per-batch memo: tokens are Zipf-distributed, so hot words
+        # repeat thousands of times per batch — hash each distinct
+        # string once
+        bucket_of: dict[str, int] = {}
+
+        def b(w: str) -> int:
+            v = bucket_of.get(w)
+            if v is None:
+                v = (
+                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                    % dim
+                )
+                bucket_of[w] = v
+            return v
+
         out = []
         for t in texts:
-            toks = [w for w in _JAVA_WS.split(t.lower()) if w] if t else []
+            toks = _py_tokens(t)
             if not toks:
                 out.append(zero)
                 continue
             idx = np.fromiter(
-                (
-                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
-                    % dim
-                    for w in toks
-                ),
-                dtype=np.int64,
-                count=len(toks),
+                (b(w) for w in toks), dtype=np.int64, count=len(toks)
             )
             counts = np.bincount(idx, minlength=dim).astype(np.float64)
             nrm = max(np.sqrt(float((counts * counts).sum())), 1e-12)
