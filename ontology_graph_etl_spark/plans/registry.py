@@ -6086,33 +6086,23 @@ JOIN iv b
 # holds queries green in the immediately preceding CORRECTNESS file and
 # untouched since.
 #
-# ROUND-11 ROTATION (tests/test_properties.py::
+# ROUND-12 ROTATION (tests/test_properties.py::
 # test_certification_window_freshness enforces this policy
 # mechanically from the CORRECTNESS_r*.json history + RECERTIFY; the
 # window must be a top-50-by-staleness set — no inversion — with a
 # hard ceil(N/50)-round staleness cap on anything left outside; an
 # UNROTATED window is judged retrospectively on the pre-view, a
 # ROTATED one prospectively on the full history).
-# This window (final round-11 state, regenerated from the list —
-# the earlier hand-written version drifted): 6 never-certified
-# round-11 queries (q141 retrieval pipeline, q140 cluster-balanced
-# sample, q139 bigram LM, q138 substring-index screen, q137
-# stored-IVF search, q136 containment sketch), 3 RECERTIFY members
-# (q133/q131/q132 — plans + oracle changed by the round's ADVICE
-# fixes), the 29 names whose last green row is r8 — exactly the set
-# the r10 rotation staged at tail positions 51-79 (they hit the
-# ceil/50 cap at r11): q98, q28, q51, q91, q18, q19, q35, q36, q38,
-# q44, q45, q46, q50, q52, q54-q56, q66, q67, q69-q71, q73, q74,
-# q77, q78, q81, q83, q84 — and 12 r9-green fills in prior registry
-# order (q126-q129, q119, q121, q122, q124, q125, q112, q120, q88).
-# Each head insertion displaced the then-last window entry to the
-# tail head (cascade order: q58, q59, q60, q57, q102, q100, q62,
-# q63, q95) — the tail now leads q95, q63, q62, q100, q102, q57-q60
-# then the other r9-green names (37 r9 names total ahead of the r12
-# window); after them the 50 r10-certified names, fresh. The
-# freshness guard (test_certification_window_freshness) is the
-# mechanical authority; regenerate this comment from the list when
-# rotating.
+# This window was REGENERATED MECHANICALLY from the CORRECTNESS
+# history (print names bucketed by latest-green round — the r11
+# procedure, now the standing one): the 37 names whose last green
+# row is r9 (they reach the ceil(134/50)=3-round cap when the r12
+# artifact lands, so they must certify now), then 13 r10-green
+# fills in prior registry order (all r10 names tie at priority 1;
+# the remaining 34 lead the tail and seed the r13 window). The 50
+# r11-green names close the tail, maximally fresh. The freshness
+# guard (test_certification_window_freshness) is the mechanical
+# authority; regenerate this comment from the list when rotating.
 # New queries registered mid-round are inserted at the window head
 # (never-certified names must sit in the window); each insertion
 # pushes the window's last entry to the tail head.
@@ -6123,29 +6113,155 @@ JOIN iv b
 #: the round whose window re-certifies them: once a CORRECTNESS file
 #: of that round (or later) carries their green row, the guard FAILS
 #: until the names are removed — the set cannot silently pin window
-#: slots forever. q123 (the r10 member) left the set this round: its
-#: green r10 row exists, and keeping it past the certifying round
-#: would trip the pre-view self-clear on the r11 artifact (the
-#: round-8 failure mode q112 navigated in r10).
-RECERTIFY_ROUND = 11
-RECERTIFY: set[str] = {
-    # round-11 span-merge fix (ADVICE r10): adjacent seed intervals
-    # now merge into one maximal span (i > prev_cov + 1) — q131's
-    # n_dup_spans values and both queries' plans + shared oracle CTE
-    # changed; their green r10 rows predate the change.
-    "q131_exact_substring_spans",
-    "q132_exact_substring_removal",
-    # round-11 identifier-injection fix (ADVICE r10): chunk_documents'
-    # chunk-count arithmetic moved off F.expr — values identical but
-    # the executed plan changed; the green r10 row predates it.
-    "q133_doc_chunks",
-}
+#: slots forever. q131/q132/q133 (the r11 members) left the set this
+#: round: their green r11 rows exist, and keeping them past the
+#: certifying round would trip the pre-view self-clear on the r12
+#: artifact (the round-8 failure mode q112 navigated in r10). Add
+#: any query whose oracle text or executed plan changes this round,
+#: and bump RECERTIFY_ROUND to 12.
+RECERTIFY_ROUND = 12
+RECERTIFY: set[str] = set()
 
 QUERIES: list[QueryDef] = [
-    # --- ROUND-11 WINDOW (first 50) ---
-    # new this round, never certified (each head insertion pushed the
-    # window's then-last entry to the tail head — cascade q57, q102,
-    # q100, q62, q63, q95):
+    # --- ROUND-12 WINDOW (first 50) ---
+    # regenerated mechanically (names[:50] bucketed by latest-green
+    # round): 37 r9-green names (priority 2 on the prospective view,
+    # at the ceil(134/50)=3-round cap once the r12 artifact lands),
+    # then 13 r10-green fills in prior registry order.
+    QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
+    QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
+    QueryDef(
+        "q62_embedding_neardup",
+        _q62_embedding_neardup,
+        _q62_sql,
+        "§2.11",
+    ),
+    QueryDef(
+        "q100_apportion_budget",
+        _q100_apportion_budget,
+        _q100_sql,
+        "§2.11",
+    ),
+    QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),
+    QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
+    QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
+    QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
+    QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
+    QueryDef(
+        "q65_deterministic_split",
+        _q65_deterministic_split,
+        _q65_sql,
+        "§2.11",
+    ),
+    QueryDef(
+        "q68_stratified_sample",
+        _q68_stratified_sample,
+        _q68_sql,
+        "§2.11",
+    ),
+    QueryDef("q72_pii_redact", _q72_pii_redact, _q72_sql, "§2.11"),
+    QueryDef("q105_fill_budget", _q105_fill_budget, _q105_sql(), "§2.11"),
+    QueryDef(
+        "q106_personalized_pagerank",
+        _q106_personalized_pagerank,
+        _ppr_oracle_sql(3),
+        "§2.8",
+    ),
+    QueryDef("q37_pagerank", _q37_pagerank, _q37_sql, "G8"),
+    QueryDef("q107_depth_histogram", _q107_depth_histogram, _q107_sql, "G5"),
+    QueryDef("q103_quality_gate", _q103_quality_gate, _q103_sql, "§2.11"),
+    QueryDef("q101_winsorize", _q101_winsorize, _q101_sql, "§2.11"),
+    QueryDef(
+        "q92_distribution_drift",
+        _q92_distribution_drift,
+        _q92_sql,
+        "§2.11",
+    ),
+    QueryDef("q104_corpus_profile", _q104_corpus_profile, _q104_sql, "§2.11"),
+    QueryDef("q99_lsh_quality", _q99_lsh_quality, _q99_sql(), "§2.11"),
+    QueryDef("q34_degrees", _q34_degrees, _q34_sql, "G6"),
+    QueryDef("q26_asof_join", _q26_asof_join, _q26_sql, "§2.7"),
+    QueryDef("q89_asof_forward", _q89_asof_forward, _q89_sql, "§2.7"),
+    QueryDef("q82_lsh_neardup", _q82_lsh_neardup, _q82_sql, "§2.11"),
+    QueryDef("q86_ivf_det_topk", _q86_ivf_det_topk, _q86_sql(), "§2.11"),
+    QueryDef("q85_curate", _q85_curate, _q85_sql(), "§2.11"),
+    QueryDef("q80_binary_meta", _q80_binary_meta, _q80_sql, "multimodal"),
+    QueryDef("q30_one_hop", _q30_one_hop, _q30_sql, "G3"),
+    QueryDef("q31_two_hop_motif", _q31_two_hop_motif, _q31_sql, "G4"),
+    QueryDef("q32_closure", _q32_closure, _q32_sql, "G5"),
+    QueryDef("q33_edge_histogram", _q33_edge_histogram, _q33_sql, "G6"),
+    QueryDef("q43_gap_stats", _q43_gap_stats, _q43_sql, "§2.9"),
+    QueryDef("q40_tumbling_agg", _q40_tumbling_agg, _q40_sql, "§2.10"),
+    QueryDef("q41_session_window", _q41_session_window, _q41_sql, "§2.10"),
+    QueryDef("q42_sliding_window", _q42_sliding_window, _q42_sql, "§2.10"),
+    QueryDef("q53_approx_agg", _q53_approx_agg, _q53_sql, "§2.11"),
+    # 13 r10-green fills (ties at priority 1; prior registry order):
+    QueryDef(
+        "q135_interval_overlap",
+        _q135_interval_overlap,
+        _q135_sql,
+        "§2.7",
+    ),
+    QueryDef(
+        "q134_containment_pairs",
+        _q134_containment_pairs,
+        _q134_sql,
+        "§2.11",
+    ),
+    QueryDef("q130_bpe_encode", _q130_bpe_encode, _q130_sql(), "§2.11"),
+    QueryDef("q123_quantize_recon", _q123_quantize_recon, _q123_sql(), "§2.11"),
+    QueryDef("q61_lsh_topk", _q61_lsh_topk, _q61_sql(), "§2.11"),
+    QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
+    QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
+    QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
+    QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
+    QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
+    QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
+    QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
+    QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
+    # --- TAIL (not certified this round) ---
+    # 34 r10-green names lead (they seed the r13 window), then the
+    # 50 r11-green names (maximally fresh).
+    QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
+    QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
+    QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
+    QueryDef("q25_rollup", _q25_rollup, _q25_sql, "§2.7"),
+    QueryDef("q27_cube", _q27_cube, _q27_sql, "§2.7"),
+    QueryDef("q01_scan_jsonl", _q01_scan_jsonl, _q01_sql, "S1,P1"),
+    QueryDef("q02_scan_map", _q02_scan_map, _q02_sql, "S3"),
+    QueryDef("q03_prefix_scan", _q03_prefix_scan, _q03_sql, "S5,P6"),
+    QueryDef("q04_meta_project", _q04_meta_project, _q04_sql, "S6"),
+    QueryDef("q08_lookup_join", _q08_lookup_join, _q08_sql, "J1,P5"),
+    QueryDef("q09_anti_join", _q09_anti_join, _q09_sql, "J2"),
+    QueryDef("q10_edge_join", _q10_edge_join, _q10_sql, "J3,G2"),
+    QueryDef("q13_group_count", _q13_group_count, _q13_sql, "A2"),
+    QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
+    QueryDef("q110_span_removal", _q110_span_removal, _q110_sql, "§2.11"),
+    QueryDef("q111_topo_depth", _q111_topo_depth, _q111_sql, "G12"),
+    QueryDef("q113_bm25_topk", _q113_bm25_topk, _q113_sql, "§2.11"),
+    QueryDef("q114_multi_profile", _q114_multi_profile, _q114_sql, "§2.11"),
+    QueryDef(
+        "q115_hybrid_retrieval",
+        _q115_hybrid_retrieval,
+        _q115_sql,
+        "§2.11",
+    ),
+    QueryDef("q116_pivot", _q116_pivot, _q116_sql, "§2.7"),
+    QueryDef("q117_unpivot", _q117_unpivot, _q117_sql, "§2.7"),
+    QueryDef("q118_star_rollup", _q118_star_rollup, _q118_sql, "§2.7"),
+    QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
+    QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
+    QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
+    QueryDef("q17_format_string", _q17_format_string, _q17_sql, "F2,F4,K1"),
+    QueryDef("q05_conditional_props", _q05_conditional_props, _q05_sql, "P2"),
+    QueryDef("q06_filter_notnull", _q06_filter_notnull, _q06_sql, "P3"),
+    QueryDef("q07_filter_neq", _q07_filter_neq, _q07_sql, "P4"),
+    QueryDef("q11_semi_contains", _q11_semi_contains, _q11_sql, "J4"),
+    QueryDef("q12_array_distinct", _q12_array_distinct, _q12_sql, "A1,F3"),
+    QueryDef("q16_regex_sanitize", _q16_regex_sanitize, _q16_sql, "F1"),
+    QueryDef("q90_lpa_communities", _q90_lpa_communities, _q90_sql(), "§2.8"),
+    QueryDef("q97_rolling_agg", _q97_rolling_agg, _q97_sql, "§2.7"),
+    # 50 r11-green names:
     QueryDef(
         "q141_retrieval_pipeline",
         _q141_retrieval_pipeline,
@@ -6182,8 +6298,6 @@ QUERIES: list[QueryDef] = [
         _q136_sql(),
         "§2.11",
     ),
-    # RECERTIFY (span-merge fix this round — plans + oracle CTE
-    # changed; moved here from the tail, displacing q58-q60):
     QueryDef("q133_doc_chunks", _q133_doc_chunks, _q133_sql(), "§2.11"),
     QueryDef(
         "q131_exact_substring_spans",
@@ -6197,8 +6311,6 @@ QUERIES: list[QueryDef] = [
         _q132_sql(),
         "§2.11",
     ),
-    # The 29 names whose last green row is r8 (2 rounds stale on the
-    # pre-r11 view — first in line per the r10 rotation note):
     QueryDef("q98_numeric_drift", _q98_numeric_drift, _q98_sql, "§2.11"),
     QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
     QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
@@ -6258,8 +6370,6 @@ QUERIES: list[QueryDef] = [
     QueryDef("q81_media_features", _q81_media_features, _q81_sql, "multimodal"),
     QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
     QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
-    # r9-green fill (21 of 49, in prior registry order; the
-    # remaining 28 lead the tail as the r12 window's seed):
     QueryDef("q126_kcore", _q126_kcore, _q126_sql(), "G14"),
     QueryDef("q127_scd2_historize", _q127_scd2_historize, _q127_sql, "§2.7"),
     QueryDef("q128_hard_negatives", _q128_hard_negatives, _q128_sql, "§2.11"),
@@ -6292,138 +6402,6 @@ QUERIES: list[QueryDef] = [
         "§2.11",
     ),
     QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
-    QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
-    QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
-    QueryDef(
-        "q62_embedding_neardup",
-        _q62_embedding_neardup,
-        _q62_sql,
-        "§2.11",
-    ),
-    QueryDef(
-        "q100_apportion_budget",
-        _q100_apportion_budget,
-        _q100_sql,
-        "§2.11",
-    ),
-    QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),
-    QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
-    QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
-    QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
-    QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
-    # --- TAIL (not certified this round) ---
-    # 28 r9-green names, leading so they rotate into the r12 window:
-    QueryDef(
-        "q65_deterministic_split",
-        _q65_deterministic_split,
-        _q65_sql,
-        "§2.11",
-    ),
-    QueryDef(
-        "q68_stratified_sample",
-        _q68_stratified_sample,
-        _q68_sql,
-        "§2.11",
-    ),
-    QueryDef("q72_pii_redact", _q72_pii_redact, _q72_sql, "§2.11"),
-    QueryDef("q105_fill_budget", _q105_fill_budget, _q105_sql(), "§2.11"),
-    QueryDef(
-        "q106_personalized_pagerank",
-        _q106_personalized_pagerank,
-        _ppr_oracle_sql(3),
-        "§2.8",
-    ),
-    QueryDef("q37_pagerank", _q37_pagerank, _q37_sql, "G8"),
-    QueryDef("q107_depth_histogram", _q107_depth_histogram, _q107_sql, "G5"),
-    QueryDef("q103_quality_gate", _q103_quality_gate, _q103_sql, "§2.11"),
-    QueryDef("q101_winsorize", _q101_winsorize, _q101_sql, "§2.11"),
-    QueryDef(
-        "q92_distribution_drift",
-        _q92_distribution_drift,
-        _q92_sql,
-        "§2.11",
-    ),
-    QueryDef("q104_corpus_profile", _q104_corpus_profile, _q104_sql, "§2.11"),
-    QueryDef("q99_lsh_quality", _q99_lsh_quality, _q99_sql(), "§2.11"),
-    QueryDef("q34_degrees", _q34_degrees, _q34_sql, "G6"),
-    QueryDef("q26_asof_join", _q26_asof_join, _q26_sql, "§2.7"),
-    QueryDef("q89_asof_forward", _q89_asof_forward, _q89_sql, "§2.7"),
-    QueryDef("q82_lsh_neardup", _q82_lsh_neardup, _q82_sql, "§2.11"),
-    QueryDef("q86_ivf_det_topk", _q86_ivf_det_topk, _q86_sql(), "§2.11"),
-    QueryDef("q85_curate", _q85_curate, _q85_sql(), "§2.11"),
-    QueryDef("q80_binary_meta", _q80_binary_meta, _q80_sql, "multimodal"),
-    QueryDef("q30_one_hop", _q30_one_hop, _q30_sql, "G3"),
-    QueryDef("q31_two_hop_motif", _q31_two_hop_motif, _q31_sql, "G4"),
-    QueryDef("q32_closure", _q32_closure, _q32_sql, "G5"),
-    QueryDef("q33_edge_histogram", _q33_edge_histogram, _q33_sql, "G6"),
-    QueryDef("q43_gap_stats", _q43_gap_stats, _q43_sql, "§2.9"),
-    QueryDef("q40_tumbling_agg", _q40_tumbling_agg, _q40_sql, "§2.10"),
-    QueryDef("q41_session_window", _q41_session_window, _q41_sql, "§2.10"),
-    QueryDef("q42_sliding_window", _q42_sliding_window, _q42_sql, "§2.10"),
-    QueryDef("q53_approx_agg", _q53_approx_agg, _q53_sql, "§2.11"),
-    # 50 r10-green names (maximally fresh):
-    QueryDef(
-        "q135_interval_overlap",
-        _q135_interval_overlap,
-        _q135_sql,
-        "§2.7",
-    ),
-    QueryDef(
-        "q134_containment_pairs",
-        _q134_containment_pairs,
-        _q134_sql,
-        "§2.11",
-    ),
-    QueryDef("q130_bpe_encode", _q130_bpe_encode, _q130_sql(), "§2.11"),
-    QueryDef("q123_quantize_recon", _q123_quantize_recon, _q123_sql(), "§2.11"),
-    QueryDef("q61_lsh_topk", _q61_lsh_topk, _q61_sql(), "§2.11"),
-    QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
-    QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
-    QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
-    QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
-    QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
-    QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
-    QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
-    QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
-    QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
-    QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
-    QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
-    QueryDef("q25_rollup", _q25_rollup, _q25_sql, "§2.7"),
-    QueryDef("q27_cube", _q27_cube, _q27_sql, "§2.7"),
-    QueryDef("q01_scan_jsonl", _q01_scan_jsonl, _q01_sql, "S1,P1"),
-    QueryDef("q02_scan_map", _q02_scan_map, _q02_sql, "S3"),
-    QueryDef("q03_prefix_scan", _q03_prefix_scan, _q03_sql, "S5,P6"),
-    QueryDef("q04_meta_project", _q04_meta_project, _q04_sql, "S6"),
-    QueryDef("q08_lookup_join", _q08_lookup_join, _q08_sql, "J1,P5"),
-    QueryDef("q09_anti_join", _q09_anti_join, _q09_sql, "J2"),
-    QueryDef("q10_edge_join", _q10_edge_join, _q10_sql, "J3,G2"),
-    QueryDef("q13_group_count", _q13_group_count, _q13_sql, "A2"),
-    QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
-    QueryDef("q110_span_removal", _q110_span_removal, _q110_sql, "§2.11"),
-    QueryDef("q111_topo_depth", _q111_topo_depth, _q111_sql, "G12"),
-    QueryDef("q113_bm25_topk", _q113_bm25_topk, _q113_sql, "§2.11"),
-    QueryDef("q114_multi_profile", _q114_multi_profile, _q114_sql, "§2.11"),
-    QueryDef(
-        "q115_hybrid_retrieval",
-        _q115_hybrid_retrieval,
-        _q115_sql,
-        "§2.11",
-    ),
-    QueryDef("q116_pivot", _q116_pivot, _q116_sql, "§2.7"),
-    QueryDef("q117_unpivot", _q117_unpivot, _q117_sql, "§2.7"),
-    QueryDef("q118_star_rollup", _q118_star_rollup, _q118_sql, "§2.7"),
-    QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
-    QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
-    QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
-    QueryDef("q17_format_string", _q17_format_string, _q17_sql, "F2,F4,K1"),
-    QueryDef("q05_conditional_props", _q05_conditional_props, _q05_sql, "P2"),
-    QueryDef("q06_filter_notnull", _q06_filter_notnull, _q06_sql, "P3"),
-    QueryDef("q07_filter_neq", _q07_filter_neq, _q07_sql, "P4"),
-    QueryDef("q11_semi_contains", _q11_semi_contains, _q11_sql, "J4"),
-    QueryDef("q12_array_distinct", _q12_array_distinct, _q12_sql, "A1,F3"),
-    QueryDef("q16_regex_sanitize", _q16_regex_sanitize, _q16_sql, "F1"),
-    QueryDef("q90_lpa_communities", _q90_lpa_communities, _q90_sql(), "§2.8"),
-    QueryDef("q97_rolling_agg", _q97_rolling_agg, _q97_sql, "§2.7"),
 ]
 
 
