@@ -147,6 +147,19 @@ HEADLINE = [
     "q141_retrieval_pipeline",
 ]
 
+# The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is
+# judged on these names). Kept as a named subset so it can run as its
+# OWN bench invocation — a fresh JVM with no 50+ preceding queries of
+# accumulated JVM/GC/codegen state. Round 11's driver artifact had q32
+# at 2.7x and q73 at 3.4x of their round-2 per-query records while
+# their plan fingerprints were unchanged; because BENCH_r02 predates
+# fingerprints, only a position-controlled reading (this subset, first
+# thing in its own process) can adjudicate session-position load vs a
+# real regression. Run: SPARK_GRAFT_BENCH_SUBSET=r2gate python bench.py
+R2_GATE = HEADLINE[:21]
+
+SUBSETS = {"r2gate": R2_GATE, "full": HEADLINE}
+
 # Run-varying atoms inside an executed-plan string: expression ids
 # (#123), codegen/plan ids, exchange reuse ids, higher-order-function
 # lambda variable numbering (x_1 vs x_11 across invocations), and
@@ -176,6 +189,12 @@ def _plan_fingerprint(df) -> str:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    subset = os.environ.get("SPARK_GRAFT_BENCH_SUBSET", "full")
+    headline = SUBSETS.get(subset) or [
+        n for n in subset.split(",") if n in set(HEADLINE)
+    ]
+    if not headline:
+        raise SystemExit(f"unknown bench subset: {subset!r}")
     spark = get_spark(app_name="ontology-graph-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -224,7 +243,7 @@ def main() -> None:
     warm: dict[str, float] = {}
     plans: dict[str, str] = {}
     plans_unstable: list[str] = []
-    for name in HEADLINE:
+    for name in headline:
         # construction stays INSIDE the timed window: iterative queries
         # (pagerank/closure/LPA) run jobs while building their result
         # frame, and rounds 1-3 timed exactly construction + count
