@@ -1742,14 +1742,26 @@ def write_substring_index(
         .distinct()
     )
     fps.write.mode("overwrite").parquet(path)
+    spark = corpus.sparkSession
+    # metadata-only count over the just-written parquet (footer row
+    # counts — no data scan): seeds the compaction bookkeeping below
+    n = spark.read.parquet(path).count()
     # sidecar AFTER the data (write_dedup_index ordering): a failed
     # data write never leaves a sidecar pointing at nothing; base_hash
     # is frozen alongside min_len (fingerprints under different hashes
-    # are incomparable — the same mismatch class)
+    # are incomparable — the same mismatch class). n_rows/appended_rows
+    # are the log-structured maintenance counters merge_ uses to
+    # self-trigger compaction (n_rows = rows at last full rewrite,
+    # appended_rows = blind-append rows since).
     _substr_sidecar_io(
-        corpus.sparkSession,
+        spark,
         path,
-        {"min_len": int(min_len), "base_hash": base_hash},
+        {
+            "min_len": int(min_len),
+            "base_hash": base_hash,
+            "n_rows": int(n),
+            "appended_rows": 0,
+        },
     )
 
 
@@ -1759,6 +1771,7 @@ def merge_substring_index(
     batch: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    auto_compact_ratio: float | None = 0.5,
 ) -> dict:
     """Fold a micro-batch's window fingerprints into a stored
     substring index under the sidecar's own ``min_len``: one
@@ -1767,8 +1780,20 @@ def merge_substring_index(
     merge_dedup_index shape). Batch-internal duplicates collapse via
     a batch-local distinct; fingerprints already in the index may be
     appended again — the screen's semi join is set-semantics, so
-    duplicates cost bytes, not correctness (compact by rebuilding
-    when the append fraction warrants it)."""
+    duplicates cost bytes, not correctness.
+
+    Compaction is SELF-TRIGGERING: the sidecar tracks ``n_rows``
+    (rows at the last full rewrite) and ``appended_rows`` (blind
+    appends since), and once ``appended_rows >
+    auto_compact_ratio * n_rows`` this call runs
+    :func:`compact_substring_index` itself — an unsupervised ingest
+    loop never grows the index unboundedly. Pass
+    ``auto_compact_ratio=None`` to defer compaction to the caller
+    (the manual log-structured trade). A legacy sidecar without the
+    counters compacts on the first merge, which seeds them.
+
+    Returns the sidecar parameters as of AFTER this merge (counters
+    reset when compaction fired)."""
     params = _substr_sidecar_io(spark, path, None)
     fps = (
         _window_fingerprints(
@@ -1781,7 +1806,31 @@ def merge_substring_index(
         .select("__k")
         .distinct()
     )
-    fps.write.mode("append").parquet(path)
+    # one computation, two actions: the count below feeds the
+    # compaction trigger and must equal what the append wrote
+    fps.persist()
+    try:
+        n_batch = fps.count()
+        fps.write.mode("append").parquet(path)
+    finally:
+        fps.unpersist()
+    params = {
+        **params,
+        "n_rows": int(params.get("n_rows", 0)),
+        "appended_rows": int(params.get("appended_rows", 0)) + n_batch,
+    }
+    # counters land in the sidecar BEFORE any compaction: if the
+    # compaction below dies, the on-disk state (appended files +
+    # updated counters) is exactly consistent and the next merge
+    # re-triggers it
+    _substr_sidecar_io(spark, path, params)
+    if (
+        auto_compact_ratio is not None
+        and params["appended_rows"]
+        > auto_compact_ratio * max(params["n_rows"], 1)
+    ):
+        n = compact_substring_index(spark, path)
+        params = {**params, "n_rows": int(n), "appended_rows": 0}
     return params
 
 
@@ -1840,24 +1889,56 @@ def screen_against_substring_index(
 
 
 def compact_substring_index(spark, path: str) -> int:
-    """Rewrite a substring index as its distinct fingerprint set — the
-    compaction :func:`merge_substring_index` defers (merges append
-    batch fingerprints blind, so a fingerprint already indexed costs
-    bytes on every re-ingest; screens stay correct because the semi
-    join is set-semantics). One distinct + one rewrite over the INDEX
-    (never the corpus text), the usual log-structured maintenance
-    trade: run it when the appended fraction warrants. The sidecar is
-    untouched — compaction changes layout, not parameters. Returns
-    the compacted fingerprint count."""
+    """Rewrite a substring index as its distinct fingerprint set —
+    the compaction merges defer or self-trigger (appends are blind,
+    so a fingerprint already indexed costs bytes on every re-ingest;
+    screens stay correct because the semi join is set-semantics).
+    One distinct + one rewrite over the INDEX (never the corpus
+    text). Returns the compacted fingerprint count.
+
+    CRASH-ATOMIC: the distinct set is staged to a sibling
+    ``<path>.compact`` directory — sidecar included, so the staged
+    artifact is complete BEFORE any swap — then swapped in via two
+    filesystem renames (``path`` → ``<path>.old``, staged → ``path``)
+    and the old generation deleted. The live index directory is never
+    written in place (the previous implementation overwrote the very
+    directory it was reading, fenced only by localCheckpoint blocks,
+    which are not fault-tolerant — an executor loss mid-overwrite
+    destroyed the artifact). Crash exposure now: a failure before the
+    first rename leaves the live index untouched (a stale
+    ``.compact`` is overwritten by the next attempt); between the two
+    renames ``path`` briefly does not exist — concurrent screens
+    fail-safe (no sidecar) and BOTH complete generations remain on
+    disk (rename ``<path>.old`` back, or ``<path>.compact`` in, to
+    recover); after the second rename the new generation is live and
+    ``<path>.old`` is garbage. On object stores without atomic
+    rename (raw S3) front this with a committer, as for any
+    rename-based swap."""
+    from .util import hadoop_path_and_fs
+
     params = _substr_sidecar_io(spark, path, None)
-    fps = spark.read.parquet(path).select("__k").distinct()
-    # materialize before overwriting the directory being read
-    fps = fps.localCheckpoint()
-    n = fps.count()
-    fps.write.mode("overwrite").parquet(path)
-    # rewriting the dir drops the sidecar file? parquet overwrite
-    # clears the directory — restore the sidecar afterwards
-    _substr_sidecar_io(spark, path, params)
+    base = path.rstrip("/")
+    staged = base + ".compact"
+    # reads the live directory, writes the sibling — no in-place
+    # overwrite, so no checkpoint needed to fence the lineage
+    fps = spark.read.parquet(base).select("__k").distinct()
+    fps.write.mode("overwrite").parquet(staged)
+    n = spark.read.parquet(staged).count()  # parquet-footer count
+    _substr_sidecar_io(
+        spark,
+        staged,
+        {**params, "n_rows": int(n), "appended_rows": 0},
+    )
+    cur, fs = hadoop_path_and_fs(spark, base)
+    new, _ = hadoop_path_and_fs(spark, staged)
+    old, _ = hadoop_path_and_fs(spark, base + ".old")
+    fs.delete(old, True)
+    if not fs.rename(cur, old):
+        raise IOError(f"compaction: could not stage out {base}")
+    if not fs.rename(new, cur):
+        fs.rename(old, cur)  # restore the previous generation
+        raise IOError(f"compaction: could not swap in {staged}")
+    fs.delete(old, True)
     return n
 
 

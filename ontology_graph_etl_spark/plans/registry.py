@@ -5858,7 +5858,14 @@ def _q138_substring_index_screen(spark, sf_dir):
     textops.write_substring_index(
         build, path, "doc_id", "text", min_len=_Q138_L, base_hash="md5"
     )
-    textops.merge_substring_index(spark, path, ingest, "doc_id", "text")
+    # auto_compact_ratio=None pins the certified lifecycle to exactly
+    # write → append → screen (the r11-certified job sequence); the
+    # self-triggering compaction path is pytest-pinned separately
+    # (tests/test_streaming.py) and is value-neutral here anyway —
+    # the screen's semi join is set-semantics.
+    textops.merge_substring_index(
+        spark, path, ingest, "doc_id", "text", auto_compact_ratio=None
+    )
     return textops.screen_against_substring_index(
         spark, path, screened, "doc_id", "text"
     )

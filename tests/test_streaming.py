@@ -777,8 +777,10 @@ def test_compact_substring_index_preserves_screen(spark, tmp_path):
     path = str(tmp_path / "cidx")
     write_substring_index(corpus, path, min_len=8)
     # merge the SAME corpus twice: pure duplicate fingerprints
-    merge_substring_index(spark, path, corpus)
-    merge_substring_index(spark, path, corpus)
+    # (auto_compact_ratio=None — this test exercises the MANUAL
+    # compaction path; the self-triggering path has its own test)
+    merge_substring_index(spark, path, corpus, auto_compact_ratio=None)
+    merge_substring_index(spark, path, corpus, auto_compact_ratio=None)
     raw = spark.read.parquet(path).count()
     distinct = spark.read.parquet(path).select("__k").distinct().count()
     assert raw == 3 * distinct
@@ -802,3 +804,167 @@ def test_compact_substring_index_preserves_screen(spark, tmp_path):
         )
     )
     assert before == after and before[0][2] > 0
+    # staged-swap hygiene: neither intermediate generation survives a
+    # SUCCESSFUL compaction
+    import os as _os
+
+    assert not _os.path.exists(path + ".compact")
+    assert not _os.path.exists(path + ".old")
+
+
+def test_compact_substring_index_crash_windows(spark, tmp_path):
+    """Crash-atomicity of the staged-swap compaction (ADVICE r11: the
+    in-place overwrite destroyed the index on a mid-write failure).
+    Three windows:
+
+    1. crash BEFORE the swap (a stale ``.compact`` sibling exists,
+       even a corrupt one): the live index still screens, and the
+       next compaction overwrites the leftover and succeeds;
+    2. crash BETWEEN the two renames (live dir staged out to
+       ``.old``, new generation not yet renamed in): reads fail-safe
+       (sidecar-missing ValueError, never silent wrong answers) and
+       BOTH complete generations remain on disk — the documented
+       recovery (rename one back) restores screening;
+    3. the swap never mutates the staged-out old generation: after
+       recovery from (2) the screen result is byte-identical.
+    """
+    import os
+    import shutil
+
+    from ontology_graph_etl_spark.operators.textops import (
+        compact_substring_index,
+        merge_substring_index,
+        screen_against_substring_index,
+        write_substring_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta SHARED-RUN-OF-TEXT gamma delta")],
+        "doc_id: long, text: string",
+    )
+    batch = spark.createDataFrame(
+        [(9, "quoting SHARED-RUN-OF-TEXT verbatim")],
+        "doc_id: long, text: string",
+    )
+    path = str(tmp_path / "cidx")
+    write_substring_index(corpus, path, min_len=8)
+    merge_substring_index(spark, path, corpus, auto_compact_ratio=None)
+    want = sorted(
+        map(
+            tuple,
+            screen_against_substring_index(spark, path, batch).collect(),
+        )
+    )
+
+    # window 1: stale/corrupt .compact leftover from a failed attempt
+    os.makedirs(path + ".compact", exist_ok=True)
+    with open(path + ".compact/garbage.bin", "wb") as f:
+        f.write(b"\x00not parquet")
+    got = sorted(
+        map(
+            tuple,
+            screen_against_substring_index(spark, path, batch).collect(),
+        )
+    )
+    assert got == want  # live index untouched by the leftover
+    n = compact_substring_index(spark, path)
+    assert n > 0
+    assert not os.path.exists(path + ".compact")
+    assert not os.path.exists(path + ".old")
+    got = sorted(
+        map(
+            tuple,
+            screen_against_substring_index(spark, path, batch).collect(),
+        )
+    )
+    assert got == want
+
+    # window 2: simulate a crash between the two renames — the live
+    # dir is at .old, the staged generation at .compact, path absent
+    shutil.move(path, path + ".old")
+    shutil.copytree(path + ".old", path + ".compact")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sidecar"):
+        screen_against_substring_index(spark, path, batch)
+
+    # window 3: documented recovery — rename the old generation back
+    shutil.move(path + ".old", path)
+    got = sorted(
+        map(
+            tuple,
+            screen_against_substring_index(spark, path, batch).collect(),
+        )
+    )
+    assert got == want
+    shutil.rmtree(path + ".compact")
+
+
+def test_merge_substring_index_auto_compacts(spark, tmp_path):
+    """merge_substring_index self-triggers compaction once the
+    appended fraction passes auto_compact_ratio: duplicate-heavy
+    merges do NOT grow the stored row count unboundedly, the sidecar
+    counters reset on compaction, and screen results are unchanged
+    throughout. A legacy sidecar without counters compacts on the
+    first merge (self-seeding)."""
+    from ontology_graph_etl_spark.operators.textops import (
+        _SUBSTR_INDEX_SIDECAR,
+        merge_substring_index,
+        screen_against_substring_index,
+        write_substring_index,
+    )
+    from ontology_graph_etl_spark.operators.util import (
+        read_json_sidecar,
+        write_json_sidecar,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta SHARED-RUN-OF-TEXT gamma delta")],
+        "doc_id: long, text: string",
+    )
+    batch = spark.createDataFrame(
+        [(9, "quoting SHARED-RUN-OF-TEXT verbatim")],
+        "doc_id: long, text: string",
+    )
+    path = str(tmp_path / "aidx")
+    write_substring_index(corpus, path, min_len=8)
+    distinct = spark.read.parquet(path).count()
+    want = sorted(
+        map(
+            tuple,
+            screen_against_substring_index(spark, path, batch).collect(),
+        )
+    )
+
+    # every merge re-appends the full duplicate set (ratio 1.0 > 0.5
+    # against the compacted base) — each call must compact, so the
+    # stored row count stays pinned at the distinct set
+    for _ in range(3):
+        params = merge_substring_index(spark, path, corpus)
+        assert params["appended_rows"] == 0  # compaction fired + reset
+        assert params["n_rows"] == distinct
+        assert spark.read.parquet(path).count() == distinct
+    got = sorted(
+        map(
+            tuple,
+            screen_against_substring_index(spark, path, batch).collect(),
+        )
+    )
+    assert got == want
+
+    # legacy sidecar (no counters): first merge self-seeds via compact
+    legacy = read_json_sidecar(
+        spark, path, _SUBSTR_INDEX_SIDECAR, {"min_len"}, "t", "t"
+    )
+    legacy.pop("n_rows"), legacy.pop("appended_rows")
+    write_json_sidecar(spark, path, _SUBSTR_INDEX_SIDECAR, legacy)
+    params = merge_substring_index(spark, path, corpus)
+    assert params["n_rows"] == distinct and params["appended_rows"] == 0
+
+    # manual mode never compacts: rows grow by the batch's distinct set
+    before = spark.read.parquet(path).count()
+    params = merge_substring_index(
+        spark, path, corpus, auto_compact_ratio=None
+    )
+    assert spark.read.parquet(path).count() > before
+    assert params["appended_rows"] > 0
