@@ -1367,13 +1367,18 @@ def containment_pairs_sketch(
         raise ValueError(f"unknown base_hash {base_hash!r}")
     toks = toks.select("doc", "token", h.alias("h"))
     if max_index_df is not None:
+        # document frequency is counted per TOKEN, not per mod-2^31
+        # hash: a hash collision would merge distinct shingles'
+        # frequencies and could evict a below-cap informative shingle
+        # from the whole pipeline (ADVICE r11). The hash stays the
+        # sketch/probe key; only the frequency filter keys on token.
         hot = (
-            toks.groupBy("h")
+            toks.groupBy("token")
             .agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") > max_index_df)
-            .select("h")
+            .select("token")
         )
-        toks = toks.join(hot, "h", "left_anti")
+        toks = toks.join(hot, "token", "left_anti")
     # materialized once; feeds sizes, the sketch window, the index
     # side of the probe join, and the verify arrays
     toks = toks.localCheckpoint()

@@ -1340,7 +1340,15 @@ def search_ivf_index(
     duplicated rather than shared so the certified q63/q86/q122 plans
     stay byte-stable) pointed at the persisted lists. Per-query
     candidate work is ~|index|·nprobe/num_lists; the probe is an
-    equi-join on ``list_id`` against the stored layout."""
+    equi-join on ``list_id`` against the stored layout.
+
+    Self-exclusion contract: stored rows whose ``vec_id`` equals the
+    query id are dropped. When the two id columns are the same type
+    (or both numeric) this is native equality; when exactly ONE side
+    is a string the ids compare AS STRINGS and the two id spaces are
+    assumed disjoint — a double query id 5.0 does not exclude a
+    stored string "5" (normalize to one type before indexing if a
+    mixed deployment must self-match)."""
     params = _read_ivf_sidecar(spark, path)
     ctr = F.broadcast(
         spark.createDataFrame(
@@ -1377,7 +1385,14 @@ def search_ivf_index(
     # ANSI on the implicit numeric cast, so string-typed mismatches
     # compare as strings; same-typed ids (q137) and mixed NUMERIC
     # widths (long index vs double query id: 5 == 5.0) keep the native
-    # comparison so numeric equality semantics survive
+    # comparison so numeric equality semantics survive.
+    # CONTRACT (ADVICE r11): when exactly ONE side is StringType the
+    # id spaces are assumed DISJOINT — the string compare cannot
+    # equate a numeric render to a stored string ("5.0" vs "5"), and
+    # casting the string side to the numeric type would be unsafe
+    # (non-numeric strings raise under ANSI). Callers mixing a string
+    # id space with a numeric one that must self-match should
+    # normalize ids to one type before indexing.
     from pyspark.sql.types import StringType
 
     n_t = assigned.schema["neighbor_id"].dataType
@@ -1460,7 +1475,10 @@ def hashed_bow_embedding(
         for t in texts:
             toks = _py_tokens(t)
             if not toks:
-                out.append(zero)
+                # copy: rows must not share one ndarray object — safe
+                # today (read-only before Arrow serialization) but one
+                # in-place mutation away from cross-row corruption
+                out.append(zero.copy())
                 continue
             idx = np.fromiter(
                 (b(w) for w in toks), dtype=np.int64, count=len(toks)

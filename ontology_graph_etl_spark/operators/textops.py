@@ -1242,6 +1242,15 @@ def _exact_substring_intervals(
       hot key, so the threshold is conservative — the join form's
       real constituency is a wide cluster where one straggler task
       costs more than an extra full pass over the stream.
+
+    EAGER-PROBE caveat (ADVICE r11): ``"auto"`` runs its sample scan
+    + collect AT PLAN-CONSTRUCTION TIME — a side-effecting Spark job
+    from an otherwise lazy builder, paid even if the returned frame
+    is never executed, and re-paid on every call (each fixpoint pass
+    if the caller threads ``auto`` through
+    :func:`exact_substring_removal_to_fixpoint`). Probe once and pass
+    the resolved ``"window"``/``"join"`` explicitly when constructing
+    many plans.
     """
     if skew_mode not in ("window", "join", "auto"):
         raise ValueError(f"unknown skew_mode {skew_mode!r}")
@@ -1405,6 +1414,11 @@ def exact_substring_spans(
     boilerplate) is the one case to fall back to the
     groupBy+join-back form, whose partial aggregation absorbs the
     skew map-side.
+
+    ``skew_mode="auto"`` resolves that choice via a sample probe that
+    runs EAGERLY at plan-construction time (a Spark job before any
+    action on the returned frame, re-paid per call) — probe once and
+    pass the resolved mode explicitly when constructing many plans.
     """
     if min_len < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
@@ -1465,6 +1479,11 @@ def exact_substring_removal(
     attribute (the q110 lesson: an expression-valued array inside a
     HOF lambda is re-evaluated per element), and each fold step does
     one O(gap) substring, so reassembly is O(doc length) per doc.
+
+    ``skew_mode="auto"`` runs an EAGER sample probe at plan-
+    construction time, re-paid per call — see
+    :func:`exact_substring_spans`; resolve it once for repeated
+    construction (each fixpoint pass re-pays it).
     """
     if min_len < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
@@ -1549,7 +1568,9 @@ def exact_substring_removal_to_fixpoint(
     ``localCheckpoint``-pinned — an iterative lineage over the corpus
     re-executes every earlier pass per action otherwise. In practice
     convergence takes 1-2 real passes (Lee et al. accept even the
-    single pass)."""
+    single pass). ``skew_mode="auto"``'s eager sample probe (see
+    :func:`exact_substring_spans`) re-runs on EVERY pass here —
+    resolve it to ``"window"``/``"join"`` up front instead."""
     if max_passes < 1:
         raise ValueError(f"max_passes must be >= 1, got {max_passes}")
     orig = df.select(
