@@ -145,6 +145,11 @@ HEADLINE = [
     "q139_bigram_logprob",
     "q140_cluster_balanced_sample",
     "q141_retrieval_pipeline",
+    # round-12 additions: the certified shard-export lifecycle (write
+    # + partitioned read-back + order re-derivation — carries its
+    # per-invocation parquet write like the other stored-artifact
+    # rows) so every certified operator accumulates timing history
+    "q142_shard_export",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

@@ -5703,6 +5703,83 @@ WHERE rank <= {p["k"]}
 """
 
 
+_Q142_SHARDS = 8
+
+
+def _q142_shard_export(spark, sf_dir):
+    # Certify the deterministic shard export (sinks/writers.py:
+    # write_training_shards / read_training_shards) — the last
+    # pytest-only major component (r11 verdict #5). Shard MEMBERSHIP
+    # is the pure md5 range-bucket function hex32·n div 2^32 and
+    # within-shard ORDER here is the curriculum variant
+    # (order_col="n_chars" ascending, md5 tiebreak), both fully
+    # re-derivable in DuckDB. The query writes the documents table as
+    # 8 shards, reads the STORED layout back, and emits
+    # (shard, position, doc_id): `shard` comes from the stored
+    # partition column (a misassigned row hash-mismatches), and
+    # `position` ranks the stored rows by the documented sort key —
+    # the oracle derives all three from scratch, so the hash pins the
+    # assignment arithmetic, the partitioned-write round trip, and
+    # the curriculum order contract in one row set. The stored FILE
+    # order itself (parquet row order per shard) and the
+    # partition-pruned shard=i read are plan/pytest-pinned
+    # (tests/test_sinks_and_sources.py, test_plan_shapes.py).
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..sinks import writers
+
+    docs = _t(spark, sf_dir, "documents")
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"q142_shards_{os.getpid()}"
+    )
+    if os.path.exists(scratch):
+        shutil.rmtree(scratch, ignore_errors=True)
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = scratch + "/shards"
+    writers.write_training_shards(
+        docs.select("doc_id", "n_chars"),
+        path,
+        n_shards=_Q142_SHARDS,
+        key_col="doc_id",
+        order_col="n_chars",
+    )
+    back = writers.read_training_shards(spark, path)
+    h8 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    w = Window.partitionBy("shard").orderBy(
+        F.col("n_chars").asc(), h8.asc()
+    )
+    return back.select(
+        F.col("shard").cast("int").alias("shard"),
+        F.row_number().over(w).alias("position"),
+        "doc_id",
+    )
+
+
+def _q142_sql(n: int = _Q142_SHARDS) -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars, h8,
+         CAST(CAST(('0x' || h8) AS BIGINT) * {n} // 4294967296 AS INT)
+           AS shard
+  FROM h
+)
+SELECT shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY n_chars, h8) AS INT) AS position,
+       doc_id
+FROM s
+"""
+
+
 _Q140 = {"k": 4, "per_cluster": 50}
 
 
@@ -6132,9 +6209,13 @@ RECERTIFY: set[str] = set()
 QUERIES: list[QueryDef] = [
     # --- ROUND-12 WINDOW (first 50) ---
     # regenerated mechanically (names[:50] bucketed by latest-green
-    # round): 37 r9-green names (priority 2 on the prospective view,
-    # at the ceil(134/50)=3-round cap once the r12 artifact lands),
-    # then 13 r10-green fills in prior registry order.
+    # round): never-certified round-12 queries first, then 37
+    # r9-green names (priority 2 on the prospective view, at the
+    # ceil(N/50)=3-round cap once the r12 artifact lands), then
+    # r10-green fills in prior registry order. Each head insertion
+    # displaced the window's then-last entry to the tail head
+    # (q142 → q21).
+    QueryDef("q142_shard_export", _q142_shard_export, _q142_sql(), "§2.11"),
     QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
     QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
     QueryDef(
@@ -6225,10 +6306,11 @@ QUERIES: list[QueryDef] = [
     QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
     QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
     QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
-    QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
     # --- TAIL (not certified this round) ---
-    # 34 r10-green names lead (they seed the r13 window), then the
-    # 50 r11-green names (maximally fresh).
+    # r10-green names lead (they seed the r13 window; q21 displaced
+    # from the window by the q142 insertion), then the 50 r11-green
+    # names (maximally fresh).
+    QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
     QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
     QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
     QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
