@@ -148,8 +148,9 @@ HEADLINE = [
     # round-12 additions: the certified shard-export lifecycle (write
     # + partitioned read-back + order re-derivation — carries its
     # per-invocation parquet write like the other stored-artifact
-    # rows) so every certified operator accumulates timing history
+    # rows) and the one-call exact-budget mix composition
     "q142_shard_export",
+    "q143_token_budget_mix",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

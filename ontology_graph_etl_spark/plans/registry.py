@@ -4233,6 +4233,50 @@ FROM ranked r LEFT JOIN alloc a ON r.source = a.domain
     )
 
 
+def _q143_token_budget_mix(spark, sf_dir):
+    # pipelines.build_token_budget_mix certified END TO END (r11
+    # verdict #6, the q141 composition precedent): apportion a
+    # 1M-char budget across sources (q100's largest-remainder
+    # arithmetic), greedily fill each domain's allocation in
+    # md5(doc_id) order (q105's windowed running sums), and annotate
+    # every row with its domain's allocation — one hash covers
+    # allocation + fill + keep flags + the broadcast decision-trail
+    # join. Stage-equivalence vs the manual composition is pinned in
+    # tests/test_pipelines.py; this row certifies the one-call shape.
+    from .. import pipelines
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return pipelines.build_token_budget_mix(docs, 1_000_000)
+
+
+# the q105 oracle (which already embeds q100's apportionment as its
+# alloc CTE) with the allocation column carried through — the
+# pipeline's decision-trail join re-derived in one chain
+def _q143_sql() -> str:
+    return (
+        "WITH alloc AS (\n"
+        + _q100_sql
+        + """),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum_chars
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.n_chars,
+       CAST(r.cum_chars AS BIGINT) AS cum_weight,
+       COALESCE(r.cum_chars <= a.allocation, FALSE) AS keep,
+       a.allocation AS allocation
+FROM ranked r LEFT JOIN alloc a ON r.source = a.domain
+"""
+    )
+
+
 def _part_hierarchy_edges(spark, sf_dir):
     # the shared PARENT_OF-shaped fixture (main.py:81-93 analogue) the
     # ontology-shape queries run on: child -> child div 10, endpoint-
@@ -6214,7 +6258,13 @@ QUERIES: list[QueryDef] = [
     # ceil(N/50)=3-round cap once the r12 artifact lands), then
     # r10-green fills in prior registry order. Each head insertion
     # displaced the window's then-last entry to the tail head
-    # (q142 → q21).
+    # (q143 → q20, q142 → q21).
+    QueryDef(
+        "q143_token_budget_mix",
+        _q143_token_budget_mix,
+        _q143_sql(),
+        "§2.11",
+    ),
     QueryDef("q142_shard_export", _q142_shard_export, _q142_sql(), "§2.11"),
     QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
     QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
@@ -6305,11 +6355,11 @@ QUERIES: list[QueryDef] = [
     QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
     QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
     QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
-    QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
     # --- TAIL (not certified this round) ---
     # r10-green names lead (they seed the r13 window; q21 displaced
     # from the window by the q142 insertion), then the 50 r11-green
     # names (maximally fresh).
+    QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
     QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
     QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
     QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
