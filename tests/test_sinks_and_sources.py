@@ -600,6 +600,44 @@ def test_bpe_train_golden_merge_table(spark):
     ]
 
 
+def test_bpe_train_local_equals_distributed(spark):
+    """Round-12 merge-round economics: bpe_train runs the merge loop
+    driver-side (incremental pair counts, zero jobs per round) when
+    the vocabulary fits driver_vocab_max, distributed above it. The
+    two paths must emit IDENTICAL merge tables — same winners, same
+    tie-breaks, same pair counts, same early exhaustion — including
+    on overlap-adversarial corpora (repeated-symbol runs like "aaaa"
+    where adjacency counting counts overlaps but a merge applies
+    left-to-right non-overlapping, and lhs==rhs merges)."""
+    from ontology_graph_etl_spark.operators.textops import bpe_train
+
+    corpora = [
+        [(1, "low low LOW lower"), (2, "low newest 42 newest ok!?")],
+        [
+            (1, "aaa aab aaa bb abab baba aa a b aaaa"),
+            (2, "xyxy xyx yxy xxyy aaa abab"),
+        ],
+        [(1, "ab ab")],
+    ]
+    for rows in corpora:
+        docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+        for n in (1, 4, 40):
+            local = [
+                tuple(r) for r in bpe_train(docs, "text", n).collect()
+            ]
+            dist = [
+                tuple(r)
+                for r in bpe_train(
+                    docs,
+                    "text",
+                    n,
+                    driver_vocab_max=0,
+                    checkpoint_every=3,
+                ).collect()
+            ]
+            assert local == dist, (rows, n)
+
+
 def test_bpe_encode_roundtrip_under_learned_merges(spark):
     """bpe_encode applies bpe_train's merge table in training order:
     'low' collapses to one token, 'lower' to low+e+r, 'newest' to
