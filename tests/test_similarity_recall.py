@@ -120,6 +120,21 @@ def test_ivf_det_topk_recall(emb, exact):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_ivf_trained_recall_floor_second_operating_point(emb, exact):
+    """Second recall-contract operating point (r11 verdict #7, beside
+    q63's nl=8/nprobe=4 >= 0.4 floor): the TRAINED quantizer at
+    num_lists=16, nprobe=8 — probed fraction 0.5, the knee of the
+    round-12 recall curve (SCALING.md: recall ~0.78-0.84 at fraction
+    0.5 across 8-64 lists at sf0.1; 0.80 at this corpus) — must hold
+    recall@5 >= 0.6. Guards the auto-nprobe guidance: nprobe ~=
+    num_lists/2 is the documented >=0.7-recall setting."""
+    out = similarity.ivf_topk_deterministic(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, num_lists=16, nprobe=8, train_rounds=3,
+    )
+    _check_approx(out.collect(), exact, min_recall=0.6)
+
+
 def test_topk_recall_semantics(spark):
     """topk_recall: partial overlap scores |∩|/k; a query missing from
     the approx side entirely scores 0.0 instead of disappearing."""
