@@ -2093,6 +2093,7 @@ def bigram_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     lam: float = 0.7,
+    skew_mode: str = "window",
 ) -> DataFrame:
     """Interpolated bigram LM quality proxy — the order-2 upgrade of
     :func:`unigram_logprob` (q88's CCNet-style stand-in for a KenLM
@@ -2119,9 +2120,29 @@ def bigram_logprob(
     conditional-probability terms. First-token scoring reuses the
     same broadcast unigram table. No smoothing floor needed:
     every scored n-gram is in the corpus by construction (the model is
-    trained on the scored corpus itself, q88's contract)."""
+    trained on the scored corpus itself, q88's contract).
+
+    ``skew_mode`` is the q131 device applied to the PAIR window — the
+    skew key here is a stopword bigram ("of the"-class) whose every
+    occurrence lands in one window partition:
+
+    - ``"window"`` (default, the certified q139 plan): per-pair count
+      in the same pass over the occurrence stream.
+    - ``"join"``: ``groupBy(w1, w2)`` (partial aggregation absorbs
+      the hot pair map-side) joined back on the pair key — the count
+      travels as a column, AQE skew-split applies to the join; price:
+      the tokenize+zip+explode stream computes twice.
+    - ``"auto"``: the q131 sampled probe (1 % docs, in-doc
+      concentration NOT scaled by 1/frac) against
+      ``_SKEW_AUTO_THRESHOLD``. EAGER at plan-construction time
+      (one Spark job per call) — probe once and pass the resolved
+      mode when constructing many plans. Measured (SCALING r12): as
+      with q131, the window form wins every local regime — the join
+      form's constituency is wide-cluster straggler topology."""
     if not 0 <= lam <= 1:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if skew_mode not in ("window", "join", "auto"):
+        raise ValueError(f"unknown skew_mode {skew_mode!r}")
     base = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("__doc"),
         whitespace_tokens(F.col(text_col)).alias("__t"),
@@ -2150,14 +2171,49 @@ def bigram_logprob(
     occ = base.select("__doc", F.explode(pairs).alias("p")).select(
         "__doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
-    # c2 as a window count over occ itself, NOT groupBy + join-back:
-    # the join form re-derives the tokenize+zip+explode lineage for
-    # its second consumer (the round-10 fork-without-reuse class,
-    # measured 113 s vs 63 s at 100x on the q131 seed stream); the
-    # window computes the per-pair count in the SAME pass
-    c2 = F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+    if skew_mode == "auto":
+        # the q131 probe on a 1% doc sample: a sampled doc arrives
+        # WHOLE, so in-doc-concentrated pair counts are measured
+        # exactly and must not scale by 1/frac; only the cross-doc
+        # remainder extrapolates
+        frac = 0.01
+        est = (
+            base.sample(fraction=frac, seed=42)
+            .select("__doc", F.explode(pairs).alias("p"))
+            .groupBy("p.w1", "p.w2", "__doc")
+            .agg(F.count(F.lit(1)).alias("cd"))
+            .groupBy("w1", "w2")
+            .agg(F.sum("cd").alias("c"), F.max("cd").alias("m"))
+            .select(
+                (F.col("m") + (F.col("c") - F.col("m")) / F.lit(frac))
+                .alias("est")
+            )
+            .agg(F.max("est"))
+            .collect()[0][0]
+        ) or 0.0
+        skew_mode = "join" if est > _SKEW_AUTO_THRESHOLD else "window"
+    if skew_mode == "join":
+        # groupBy absorbs the hot pair map-side; the count joins back
+        # as a column (AQE skew-split applies). The occurrence stream
+        # computes twice — the q131 trade, deliberately unpinned
+        # (checkpointing a corpus-token-sized stream is the measured
+        # GC death class, SCALING r10)
+        pc = occ.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("__c2")
+        )
+        counted = occ.join(pc, ["w1", "w2"])
+    else:
+        # c2 as a window count over occ itself, NOT groupBy +
+        # join-back: the join form re-derives the tokenize+zip+explode
+        # lineage for its second consumer (the round-10
+        # fork-without-reuse class, measured 113 s vs 63 s at 100x on
+        # the q131 seed stream); the window computes the per-pair
+        # count in the SAME pass
+        counted = occ.withColumn(
+            "__c2", F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+        )
     bigram_scores = (
-        occ.withColumn("__c2", c2)
+        counted
         .join(
             F.broadcast(freq.select(F.col("token").alias("w1"), "c1")),
             "w1",

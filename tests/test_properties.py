@@ -3779,6 +3779,30 @@ def test_bigram_logprob_penalizes_scrambled_order(spark):
     assert got[1].n_tokens == 4
 
 
+def test_bigram_logprob_skew_modes_equal(spark):
+    """Round-12 stretch: the q131 skew_mode device on the bigram pair
+    window. All three physical forms of the per-pair count (window /
+    groupBy+join-back / auto-probed) must be value-equal — including
+    on a hot-pair corpus where one bigram dominates — and the default
+    stays 'window' (the certified q139 plan). Unknown modes raise."""
+    import pytest as _pytest
+
+    from ontology_graph_etl_spark.operators.textops import bigram_logprob
+
+    rows = [(i, "of the " * 20 + f"unique{i} tail") for i in range(30)]
+    rows += [(100, "a b a b"), (101, "")]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    base = sorted(map(tuple, bigram_logprob(docs).collect()), key=repr)
+    for mode in ("join", "auto"):
+        got = sorted(
+            map(tuple, bigram_logprob(docs, skew_mode=mode).collect()),
+            key=repr,
+        )
+        assert got == base, mode
+    with _pytest.raises(ValueError, match="skew_mode"):
+        bigram_logprob(docs, skew_mode="nope")
+
+
 def test_cluster_balanced_sample_caps_dense_regions(spark):
     """q140 semantics: per-cluster exact-k flattens a skewed semantic
     distribution — a dense cluster is capped at per_cluster while a
