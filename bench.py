@@ -151,6 +151,8 @@ HEADLINE = [
     # rows) and the one-call exact-budget mix composition
     "q142_shard_export",
     "q143_token_budget_mix",
+    "q144_tokenizer_fertility",
+    "q145_ngram_novelty",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

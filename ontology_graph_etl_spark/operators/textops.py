@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import whitespace_tokens
@@ -1294,6 +1294,16 @@ def bpe_encode(
     back to tokens. Zero shuffles, zero UDFs: tokenization at 100 TB
     is scan-speed string work and must stay inside codegen.
     """
+    return df.select(
+        F.col(id_col), _bpe_tokens_expr(text_col, merges).alias(out_col)
+    )
+
+
+def _bpe_tokens_expr(text_col: str, merges) -> Column:
+    """The :func:`bpe_encode` token expression as a reusable Column
+    (shared with :func:`tokenizer_fertility` so the two stay
+    plan-identical): wrap eligible words' characters, fold the merge
+    replaces, split back to tokens."""
     wrapped = F.array_join(
         F.transform(
             F.filter(
@@ -1308,13 +1318,140 @@ def bpe_encode(
         wrapped = F.replace(
             wrapped, F.lit(f"<{lhs}><{rhs}>"), F.lit(f"<{lhs}{rhs}>")
         )
-    toks = F.filter(
+    return F.filter(
         F.split(
             F.regexp_replace(wrapped, "[<>]+", " "), " "
         ),
         lambda t: t != "",
     )
-    return df.select(F.col(id_col), toks.alias(out_col))
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: Sequence[tuple[str, str]],
+) -> DataFrame:
+    """Tokenizer-evaluation statistics per document under a learned
+    BPE merge list — the standard fertility/compression report a
+    tokenizer change ships with: ``n_words`` (eligible ``[a-z]+``
+    words, the trainer's domain), ``n_chars`` (their total length),
+    ``n_tokens`` (after :func:`bpe_encode`'s expression),
+    ``fertility`` = tokens per word (1.0 = every word is one token;
+    the headline number tokenizer papers report), and
+    ``chars_per_token`` (compression — higher is better for a fixed
+    context window). Documents with no eligible words score NULL
+    fertility (0/0 is undefined, not 0).
+
+    Pure per-row expression chain over one scan — zero shuffles, zero
+    UDFs, same posture as :func:`bpe_encode` (whose token expression
+    is shared verbatim, so the two stay plan-consistent). At 100 TB
+    this is the scan-speed eval pass you run on a corpus SAMPLE per
+    tokenizer candidate.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda w: w.rlike("^[a-z]+$"),
+    )
+    toks = _bpe_tokens_expr(text_col, merges)
+    zero = F.lit(0).cast("long")
+    # NULL text propagates NULL arrays through split/filter — a NULL
+    # doc has zero eligible words, not unknown-many
+    n_words = F.coalesce(F.size(words).cast("long"), zero)
+    n_chars = F.coalesce(
+        F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.length(w),
+        ),
+        zero,
+    )
+    n_tokens = F.coalesce(F.size(toks).cast("long"), zero)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.when(
+            n_words > 0,
+            F.round(n_tokens.cast("double") / n_words, 6),
+        ).alias("fertility"),
+        F.when(
+            n_tokens > 0,
+            F.round(n_chars.cast("double") / n_tokens, 6),
+        ).alias("chars_per_token"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document NOVEL n-gram fraction against a CORPUS-SCALE
+    reference — the memorization/overlap metric (Lee et al. 2022's
+    "novel n-grams"; RefinedWeb reports the same curve): of a
+    document's distinct word ``n``-grams, what fraction does the
+    reference corpus NOT contain? Output per input doc: ``(id,
+    n_grams, n_novel, novelty)`` — ``novelty`` NULL when the doc has
+    no n-gram (shorter than ``n`` tokens), 1.0 = fully novel, 0.0 =
+    fully covered (a verbatim copy of reference text).
+
+    The complement of :func:`ngram_overlap`, at the other end of the
+    reference-size spectrum: overlap broadcasts a SMALL benchmark
+    blocklist; here the reference is another corpus (a train split
+    screened against, a previous crawl snapshot), so its distinct
+    gram set shuffles — the join is gram-keyed, both sides
+    partition-parallel, and the candidate side is walked ONCE (the
+    reference-hit flag travels through a single left join into one
+    per-doc aggregate — a separate anti-join count would re-derive
+    the explode lineage for its second consumer, the
+    fork-without-reuse class). Stopword-y grams make the join key
+    skewed; AQE's skew-join splitting applies.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    cand = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        .distinct()
+    )
+    ref = (
+        ensure_parallelism(reference.select(text_col))
+        .select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_doc = (
+        cand.join(ref, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.col("n_novel").cast("double") / F.col("n_grams"), 6
+                ),
+            ).alias("novelty"),
+        )
+    )
 
 
 #: sampled-probe threshold for ``skew_mode="auto"``: estimated rows of

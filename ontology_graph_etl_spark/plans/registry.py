@@ -5824,6 +5824,123 @@ FROM s
 """
 
 
+def _q144_tokenizer_fertility(spark, sf_dir):
+    # Tokenizer-eval report under the q129 trained vocabulary: train
+    # the 4-merge unit (the certified training price, q130 precedent),
+    # then per-doc fertility (tokens/word) and chars/token over the
+    # [a-z]+ word domain — the standard numbers a tokenizer candidate
+    # ships with. Pure expression chain sharing bpe_encode's token
+    # expression verbatim; the oracle extends the q129→q130 CTE chain
+    # with the word-side stats so training, tokenization, and the
+    # ratio arithmetic hash-check together.
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in textops.bpe_train(docs, "text", n_merges=_Q129_MERGES)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    return textops.tokenizer_fertility(docs, "doc_id", "text", merges)
+
+
+def _q144_sql(rounds: int = _Q129_MERGES) -> str:
+    """The q130 oracle's training+encode chain with the word-side
+    stats joined on: wdoc re-derives the eligible-word arrays, stats
+    computes the two ratio columns off the token arrays."""
+    enc = _q130_sql(rounds)
+    head = enc[: enc.index("\nSELECT doc_id, CAST(len(tok) AS BIGINT)")]
+    return (
+        head
+        + r""",
+wdoc AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> regexp_matches(x, '^[a-z]+$')) AS words
+  FROM documents
+),
+stats AS (
+  SELECT w.doc_id,
+         CAST(COALESCE(len(w.words), 0) AS BIGINT) AS n_words,
+         CAST(COALESCE(list_aggregate(
+             list_transform(w.words, x -> length(x)), 'sum'), 0)
+           AS BIGINT) AS n_chars,
+         CAST(COALESCE(len(t.tok), 0) AS BIGINT) AS n_tokens
+  FROM wdoc w JOIN toks t USING (doc_id)
+)
+SELECT doc_id, n_words, n_chars, n_tokens,
+       CASE WHEN n_words > 0
+            THEN round(CAST(n_tokens AS DOUBLE) / n_words, 6) END
+         AS fertility,
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(n_chars AS DOUBLE) / n_tokens, 6) END
+         AS chars_per_token
+FROM stats
+"""
+    )
+
+
+_Q145_N = 5
+
+
+def _q145_ngram_novelty(spark, sf_dir):
+    # Memorization/overlap metric at corpus-vs-corpus scale: the
+    # doc_id % 4 == 0 split scored for the fraction of its distinct
+    # word 5-grams the % 4 != 0 reference corpus does NOT contain
+    # (Lee et al. "novel n-grams"; the scale complement of q70's
+    # broadcast-benchmark overlap — here the reference gram set is
+    # corpus-sized and shuffles). One explode+distinct per side, one
+    # gram-keyed left join walked once into a per-doc aggregate.
+    docs = _t(spark, sf_dir, "documents")
+    return textops.ngram_novelty(
+        docs.where(F.col("doc_id") % 4 == 0),
+        docs.where(F.col("doc_id") % 4 != 0),
+        "doc_id",
+        "text",
+        n=_Q145_N,
+    )
+
+
+def _q145_sql(n: int = _Q145_N) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, arr, unnest(generate_series(1, len(arr) - {n - 1}))
+           AS i
+  FROM toks
+),
+cg AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(arr[i:i+{n - 1}], ' ') AS gram
+  FROM idx WHERE doc_id % 4 = 0
+),
+rg AS (
+  SELECT DISTINCT array_to_string(arr[i:i+{n - 1}], ' ') AS gram
+  FROM idx WHERE doc_id % 4 <> 0
+),
+per_doc AS (
+  SELECT c.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_novel
+  FROM cg c LEFT JOIN rg r USING (gram)
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.n_novel, 0) AS n_novel,
+       CASE WHEN p.n_grams > 0
+            THEN round(CAST(p.n_novel AS DOUBLE) / p.n_grams, 6) END
+         AS novelty
+FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 _Q140 = {"k": 4, "per_cluster": 50}
 
 
@@ -6258,7 +6375,19 @@ QUERIES: list[QueryDef] = [
     # ceil(N/50)=3-round cap once the r12 artifact lands), then
     # r10-green fills in prior registry order. Each head insertion
     # displaced the window's then-last entry to the tail head
-    # (q143 → q20, q142 → q21).
+    # (q145 → q94, q144 → q96, q143 → q20, q142 → q21).
+    QueryDef(
+        "q145_ngram_novelty",
+        _q145_ngram_novelty,
+        _q145_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q144_tokenizer_fertility",
+        _q144_tokenizer_fertility,
+        _q144_sql(),
+        "§2.11",
+    ),
     QueryDef(
         "q143_token_budget_mix",
         _q143_token_budget_mix,
@@ -6353,12 +6482,12 @@ QUERIES: list[QueryDef] = [
     QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
     QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
     QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
-    QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
-    QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
     # --- TAIL (not certified this round) ---
     # r10-green names lead (they seed the r13 window; q21 displaced
     # from the window by the q142 insertion), then the 50 r11-green
     # names (maximally fresh).
+    QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
+    QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
     QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
     QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
     QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),

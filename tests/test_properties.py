@@ -3803,6 +3803,81 @@ def test_bigram_logprob_skew_modes_equal(spark):
         bigram_logprob(docs, skew_mode="nope")
 
 
+def test_tokenizer_fertility_semantics(spark):
+    """q144 semantics on a hand-checkable vocabulary: under the
+    4-merge table from the golden corpus (lo, low, es, ew), 'low'
+    costs 1 token (fertility 1.0), 'lower' 3, 'newest' 4; ineligible
+    words never count; a doc with no eligible words scores NULL
+    fertility and NULL chars_per_token (0/0 is undefined, not 0)."""
+    from ontology_graph_etl_spark.operators.textops import (
+        bpe_train,
+        tokenizer_fertility,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "low low LOW lower"), (2, "low newest 42 newest ok!?")],
+        "doc_id: long, text: string",
+    )
+    merges = [
+        (r.lhs, r.rhs) for r in bpe_train(train, "text", 4).collect()
+    ]
+    docs = spark.createDataFrame(
+        [(1, "low"), (2, "lower newest"), (3, "42 !!"), (4, None)],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r.doc_id: r
+        for r in tokenizer_fertility(
+            docs, "doc_id", "text", merges
+        ).collect()
+    }
+    assert (got[1].n_words, got[1].n_chars, got[1].n_tokens) == (1, 3, 1)
+    assert got[1].fertility == 1.0 and got[1].chars_per_token == 3.0
+    # lower -> low,e,r (3) ; newest -> n,ew,es,t (4)
+    assert (got[2].n_words, got[2].n_tokens) == (2, 7)
+    assert got[2].fertility == 3.5
+    assert got[2].chars_per_token == round(11 / 7, 6)
+    for d in (3, 4):
+        assert got[d].n_words == 0 and got[d].n_tokens == 0
+        assert got[d].fertility is None
+        assert got[d].chars_per_token is None
+
+
+def test_ngram_novelty_semantics(spark):
+    """q145 semantics: a verbatim copy of reference text scores 0.0
+    novelty, fully-disjoint text scores 1.0, a half-overlapping doc
+    scores the exact fraction, and docs shorter than n tokens emit
+    (0, 0, NULL) instead of vanishing."""
+    from ontology_graph_etl_spark.operators.textops import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id: long, text: string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # 1 gram, in ref
+            (2, "purple zebra hexagons dance wildly tonight"),  # novel
+            # grams: 2 total, 1 in ref
+            (3, "quick brown fox jumps over nonsense"),
+            (4, "too short"),  # < n tokens
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r.doc_id: r
+        for r in ngram_novelty(docs, ref, n=5).collect()
+    }
+    assert (got[1].n_grams, got[1].n_novel, got[1].novelty) == (1, 0, 0.0)
+    assert got[2].n_grams == 2 and got[2].novelty == 1.0
+    assert (got[3].n_grams, got[3].n_novel, got[3].novelty) == (2, 1, 0.5)
+    assert (got[4].n_grams, got[4].n_novel, got[4].novelty) == (
+        0,
+        0,
+        None,
+    )
+
+
 def test_cluster_balanced_sample_caps_dense_regions(spark):
     """q140 semantics: per-cluster exact-k flattens a skewed semantic
     distribution — a dense cluster is capped at per_cluster while a
