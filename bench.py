@@ -153,6 +153,7 @@ HEADLINE = [
     "q143_token_budget_mix",
     "q144_tokenizer_fertility",
     "q145_ngram_novelty",
+    "q146_semantic_outlier_gate",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

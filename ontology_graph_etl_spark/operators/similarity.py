@@ -567,6 +567,67 @@ def kmeans_assign(
 KMEANS_SCALE = 10**6
 
 
+def semantic_outlier_gate(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    q: float = 0.1,
+    centroids: list[list[float]] | None = None,
+    approx: bool = False,
+    approx_accuracy: int = 10_000,
+) -> DataFrame:
+    """Cluster-distance outlier gate — the embedding-space curation
+    step between :func:`kmeans_assign` (the map) and a keep filter:
+    assign every vector to its max-cosine centroid, then flag the
+    lowest-similarity ``q`` fraction WITHIN EACH CLUSTER as outliers.
+    Per-cluster cutoffs, not a global one, because cluster densities
+    differ — a tight cluster's 10th percentile is another's median;
+    the per-cluster tail is where mislabeled/off-distribution vectors
+    sit (the SemDeDup-family "far from every prototype" signal, used
+    to drop or route to inspection).
+
+    Output per input vector: ``(id, centroid_id, sim, cutoff, keep)``
+    — ``cutoff`` is the cluster's q-quantile similarity rounded to 6
+    (``sim`` already is, the kmeans_assign contract), ``keep`` is
+    ``sim >= cutoff`` so ~(1-q) of each cluster survives; the decision
+    compares two 6-rounded values and is engine-portable.
+
+    Exact interpolated ``percentile`` by default (the q44/q101
+    precedent — equals DuckDB ``quantile_cont``, so q146 hash-checks);
+    ``approx=True`` is the 100 TB path: ``percentile_approx`` is a
+    MERGEABLE sketch, so the per-cluster aggregate partial-aggregates
+    map-side instead of shuffling every row to its cluster's reducer.
+    Scale shape: the assignment is kmeans_assign's zero-shuffle
+    literal argmax (or broadcast form past the plan-size bound), the
+    cutoff table is k rows and broadcast-joins back; the assignment
+    projection computes twice (once under the aggregate, once for the
+    join probe) — two narrow scans, the q138 trade, cheaper than
+    materializing a corpus-sized frame.
+    """
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    assigned = kmeans_assign(
+        df, id_col, vec_col, k=k, centroids=centroids
+    )
+    if approx:
+        cut = F.percentile_approx(
+            F.col("sim"), F.lit(q), F.lit(approx_accuracy)
+        )
+    else:
+        cut = F.percentile(F.col("sim"), F.lit(q))
+    cuts = assigned.groupBy("centroid_id").agg(
+        F.round(cut, 6).alias("cutoff")
+    )
+    return assigned.join(F.broadcast(cuts), "centroid_id").select(
+        F.col(id_col),
+        "centroid_id",
+        "sim",
+        "cutoff",
+        (F.col("sim") >= F.col("cutoff")).alias("keep"),
+    )
+
+
 def kmeans_train(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -5941,6 +5941,70 @@ LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+_Q146_K = 6
+_Q146_Q = 0.2
+
+
+def _q146_semantic_outlier_gate(spark, sf_dir):
+    # Embedding-space curation gate: deterministic E-step assignment
+    # (q76's md5-seeded argmax), then the lowest-similarity 20% WITHIN
+    # each cluster flagged as outliers via exact interpolated
+    # per-cluster percentiles (q44/q101 precedent: F.percentile ==
+    # quantile_cont). The keep decision compares two 6-rounded values
+    # so the boundary is engine-portable; approx=True swaps in the
+    # mergeable sketch for the 100 TB shuffle shape (pytest-pinned
+    # agreement, oracle pins the exact default).
+    return similarity.semantic_outlier_gate(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        k=_Q146_K,
+        q=_Q146_Q,
+    )
+
+
+def _q146_sql(k: int = _Q146_K, q: float = _Q146_Q) -> str:
+    # the q76 assignment CTEs with k=_Q146_K, extended with the
+    # per-cluster quantile and the keep flag
+    return rf"""
+WITH seeds AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS e,
+         CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS INTEGER) - 1 AS cid
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {k}
+),
+scored AS (
+  SELECT v.vec_id, s.cid,
+         round(
+           list_sum(list_transform(
+             list_zip(CAST(v.embedding AS DOUBLE[]), s.e),
+             x -> x[1] * x[2]))
+           / (greatest(sqrt(list_sum(list_transform(
+                CAST(v.embedding AS DOUBLE[]), x -> x * x))), 1e-12)
+              * greatest(sqrt(list_sum(list_transform(
+                  s.e, x -> x * x))), 1e-12)),
+           6) AS sim
+  FROM embeddings v CROSS JOIN seeds s
+),
+assigned AS (
+  SELECT vec_id, cid AS centroid_id, sim
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid ASC) = 1
+),
+cuts AS (
+  SELECT centroid_id, round(quantile_cont(sim, {q}), 6) AS cutoff
+  FROM assigned GROUP BY centroid_id
+)
+SELECT a.vec_id, a.centroid_id, a.sim, c.cutoff,
+       a.sim >= c.cutoff AS keep
+FROM assigned a JOIN cuts c USING (centroid_id)
+"""
+
+
 _Q140 = {"k": 4, "per_cluster": 50}
 
 
@@ -6375,7 +6439,13 @@ QUERIES: list[QueryDef] = [
     # ceil(N/50)=3-round cap once the r12 artifact lands), then
     # r10-green fills in prior registry order. Each head insertion
     # displaced the window's then-last entry to the tail head
-    # (q145 → q94, q144 → q96, q143 → q20, q142 → q21).
+    # (q146 → q93, q145 → q94, q144 → q96, q143 → q20, q142 → q21).
+    QueryDef(
+        "q146_semantic_outlier_gate",
+        _q146_semantic_outlier_gate,
+        _q146_sql(),
+        "§2.11",
+    ),
     QueryDef(
         "q145_ngram_novelty",
         _q145_ngram_novelty,
@@ -6481,11 +6551,11 @@ QUERIES: list[QueryDef] = [
     QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
     QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
     QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
-    QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
     # --- TAIL (not certified this round) ---
     # r10-green names lead (they seed the r13 window; q21 displaced
     # from the window by the q142 insertion), then the 50 r11-green
     # names (maximally fresh).
+    QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
     QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
     QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
     QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),

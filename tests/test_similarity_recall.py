@@ -135,6 +135,58 @@ def test_ivf_trained_recall_floor_second_operating_point(emb, exact):
     _check_approx(out.collect(), exact, min_recall=0.6)
 
 
+def test_semantic_outlier_gate_semantics(spark, emb):
+    """q146 semantics: per-cluster q-fraction flagged (roughly (1-q)
+    of each cluster keeps), the flagged rows are EXACTLY each
+    cluster's bottom similarity tail (no kept row scores below a
+    flagged one), every input row appears exactly once, and the
+    approx sketch path agrees with the exact default on cluster
+    membership and nearly everywhere on keep (the sketch may move the
+    cutoff by one rank)."""
+    from ontology_graph_etl_spark.operators.similarity import (
+        semantic_outlier_gate,
+    )
+
+    out = semantic_outlier_gate(emb, k=6, q=0.2)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert len({r.vec_id for r in rows}) == len(rows)
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r.centroid_id, []).append(r)
+    for cid, members in by_c.items():
+        kept = sum(1 for r in members if r.keep)
+        # exact interpolated 20th percentile: at least ~75% keep and
+        # at least one outlier in any cluster with enough members
+        assert kept >= 0.75 * len(members), (cid, kept, len(members))
+        if len(members) >= 10:
+            assert kept < len(members), cid
+        cuts = {r.cutoff for r in members}
+        assert len(cuts) == 1  # one cutoff per cluster
+        for r in members:
+            assert r.keep == (r.sim >= r.cutoff)
+        # the flagged set is exactly the bottom tail: no kept row
+        # scores below any flagged row
+        flagged = [r.sim for r in members if not r.keep]
+        if flagged:
+            assert max(flagged) < min(r.sim for r in members if r.keep)
+
+    # approx path: same assignment, keep may differ only near the cut
+    ap = semantic_outlier_gate(emb, k=6, q=0.2, approx=True).collect()
+    exact = {r.vec_id: r for r in rows}
+    diff = 0
+    for r in ap:
+        assert exact[r.vec_id].centroid_id == r.centroid_id
+        diff += exact[r.vec_id].keep != r.keep
+    assert diff <= 0.05 * len(ap)
+
+    # parameter guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="q must be"):
+        semantic_outlier_gate(emb, k=6, q=1.5)
+
+
 def test_topk_recall_semantics(spark):
     """topk_recall: partial overlap scores |∩|/k; a query missing from
     the approx side entirely scores 0.0 instead of disappearing."""
