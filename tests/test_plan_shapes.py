@@ -479,6 +479,42 @@ def test_substring_index_screen_semi_join_shape(spark, sf_dir):
     assert "LeftSemi" in plan, "screen lost its semi-join shape"
 
 
+def test_tokenizer_fertility_single_scan_no_shuffle(spark, sf_dir):
+    """q144: fertility/compression stats are a pure per-row expression
+    chain — exactly ONE corpus scan and ZERO exchanges; the word/token
+    arrays must never fork into per-column re-scans or a join."""
+    df = queries()["q144_tokenizer_fertility"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan.count("FileScan")
+    assert "Exchange" not in plan
+
+
+def test_ngram_novelty_single_walk(spark, sf_dir):
+    """q145: the candidate gram stream is walked ONCE — the
+    reference-hit flag travels through one left join into one per-doc
+    aggregate (a separate anti-join count would re-derive the explode
+    lineage: the fork-without-reuse class). At most 3 corpus scans
+    (candidate grams, reference grams, the id spine), no nested-loop
+    join."""
+    df = queries()["q145_ngram_novelty"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") <= 3, plan.count("FileScan")
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_outlier_gate_broadcast_cutoffs(spark, sf_dir):
+    """q146: the per-cluster cutoff table is k rows and must join back
+    as a BROADCAST hash join (a shuffled join on an 8-row side is the
+    wrong plan at any scale); the assignment projection computes twice
+    (the documented trade) — exactly 2 scans."""
+    df = queries()["q146_semantic_outlier_gate"](spark, sf_dir)
+    df.count()  # AQE finalizes the join strategy
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 2, plan.count("FileScan")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_bigram_logprob_bounded_scans(spark, sf_dir):
     """q139: the pair count is a window over the occurrence stream
     (not groupBy+join-back, which re-derives the explode lineage) and
