@@ -199,11 +199,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     subset = os.environ.get("SPARK_GRAFT_BENCH_SUBSET", "full")
-    headline = SUBSETS.get(subset) or [
-        n for n in subset.split(",") if n in set(HEADLINE)
-    ]
-    if not headline:
-        raise SystemExit(f"unknown bench subset: {subset!r}")
+    headline = SUBSETS.get(subset)
+    if headline is None:
+        # comma-separated explicit names: any unknown name is an
+        # ERROR, not a silent drop — a typo in an adjudication run
+        # must not produce a normal-looking record over the wrong set
+        headline = [n for n in subset.split(",") if n]
+        unknown = [n for n in headline if n not in set(HEADLINE)]
+        if unknown or not headline:
+            raise SystemExit(
+                f"unknown bench subset/queries: {unknown or subset!r} "
+                f"(named subsets: {sorted(SUBSETS)})"
+            )
     spark = get_spark(app_name="ontology-graph-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 

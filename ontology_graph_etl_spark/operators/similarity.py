@@ -607,6 +607,14 @@ def semantic_outlier_gate(
     """
     if not 0.0 < q < 1.0:
         raise ValueError(f"q must be in (0, 1), got {q}")
+    # guard the no-centroids cases explicitly (review r12): with zero
+    # centroids kmeans_assign emits NULL centroid_ids, the cutoff join
+    # below is null-unsafe, and every input row would vanish silently
+    # — a gate that "keeps nothing" must be an error, not a result
+    if centroids is not None and len(centroids) == 0:
+        raise ValueError("centroids must be non-empty when given")
+    if centroids is None and k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     assigned = kmeans_assign(
         df, id_col, vec_col, k=k, centroids=centroids
     )

@@ -1299,19 +1299,26 @@ def bpe_encode(
     )
 
 
+def _bpe_eligible_words(text_col: str) -> Column:
+    """THE eligible-word domain of the whole BPE family (train /
+    encode / fertility) as one shared Column: lowercased whitespace
+    words matching ``[a-z]+``. Single definition on purpose (review
+    r12): fertility's n_words and n_tokens must count the SAME domain,
+    so the domain cannot be allowed to drift between two copies of
+    the expression."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda w: w.rlike("^[a-z]+$"),
+    )
+
+
 def _bpe_tokens_expr(text_col: str, merges) -> Column:
     """The :func:`bpe_encode` token expression as a reusable Column
     (shared with :func:`tokenizer_fertility` so the two stay
     plan-identical): wrap eligible words' characters, fold the merge
     replaces, split back to tokens."""
     wrapped = F.array_join(
-        F.transform(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), r"\s+"),
-                lambda w: w.rlike("^[a-z]+$"),
-            ),
-            _bpe_wrap,
-        ),
+        F.transform(_bpe_eligible_words(text_col), _bpe_wrap),
         " ",
     )
     for lhs, rhs in merges:
@@ -1349,10 +1356,7 @@ def tokenizer_fertility(
     this is the scan-speed eval pass you run on a corpus SAMPLE per
     tokenizer candidate.
     """
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"),
-        lambda w: w.rlike("^[a-z]+$"),
-    )
+    words = _bpe_eligible_words(text_col)
     toks = _bpe_tokens_expr(text_col, merges)
     zero = F.lit(0).cast("long")
     # NULL text propagates NULL arrays through split/filter — a NULL

@@ -4210,8 +4210,14 @@ def _q105_fill_budget(spark, sf_dir):
 
 
 # DuckDB allows a WITH inside a CTE body, so the q100 apportionment
-# query embeds whole as the `alloc` CTE.
-def _q105_sql() -> str:
+# query embeds whole as the `alloc` CTE. The alloc+ranked head is
+# SHARED between the q105 and q143 oracles (review r12: the two had
+# drifted into verbatim copies — a fill-logic fix must exist once).
+# The final joins are null-SAFE (IS NOT DISTINCT FROM) to mirror
+# fill_budget's and the pipeline's eqNullSafe joins: a NULL-domain
+# document carries the NULL domain's allocation in Spark, and a
+# plain-equality oracle join would score it NULL/false instead.
+def _fill_budget_cte_head() -> str:
     return (
         "WITH alloc AS (\n"
         + _q100_sql
@@ -4225,10 +4231,18 @@ ranked AS (
          ) AS cum_chars
   FROM documents
 )
-SELECT r.doc_id, r.source, r.n_chars,
+"""
+    )
+
+
+def _q105_sql() -> str:
+    return (
+        _fill_budget_cte_head()
+        + """SELECT r.doc_id, r.source, r.n_chars,
        CAST(r.cum_chars AS BIGINT) AS cum_weight,
        COALESCE(r.cum_chars <= a.allocation, FALSE) AS keep
-FROM ranked r LEFT JOIN alloc a ON r.source = a.domain
+FROM ranked r LEFT JOIN alloc a
+  ON r.source IS NOT DISTINCT FROM a.domain
 """
     )
 
@@ -4251,28 +4265,18 @@ def _q143_token_budget_mix(spark, sf_dir):
     return pipelines.build_token_budget_mix(docs, 1_000_000)
 
 
-# the q105 oracle (which already embeds q100's apportionment as its
-# alloc CTE) with the allocation column carried through — the
-# pipeline's decision-trail join re-derived in one chain
+# the q105 oracle's shared alloc+ranked head with the allocation
+# column carried through — the pipeline's decision-trail join
+# re-derived in one chain (join null-safety: see _fill_budget_cte_head)
 def _q143_sql() -> str:
     return (
-        "WITH alloc AS (\n"
-        + _q100_sql
-        + """),
-ranked AS (
-  SELECT doc_id, source, n_chars,
-         sum(n_chars) OVER (
-           PARTITION BY source
-           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
-           ROWS UNBOUNDED PRECEDING
-         ) AS cum_chars
-  FROM documents
-)
-SELECT r.doc_id, r.source, r.n_chars,
+        _fill_budget_cte_head()
+        + """SELECT r.doc_id, r.source, r.n_chars,
        CAST(r.cum_chars AS BIGINT) AS cum_weight,
        COALESCE(r.cum_chars <= a.allocation, FALSE) AS keep,
        a.allocation AS allocation
-FROM ranked r LEFT JOIN alloc a ON r.source = a.domain
+FROM ranked r LEFT JOIN alloc a
+  ON r.source IS NOT DISTINCT FROM a.domain
 """
     )
 
@@ -5793,9 +5797,12 @@ def _q142_shard_export(spark, sf_dir):
         order_col="n_chars",
     )
     back = writers.read_training_shards(spark, path)
-    h8 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    # the writer's documented sort key: (order_col, FULL md5) — plus a
+    # doc_id tiebreak so the rank is total even under a (review r12)
+    # full-digest tie, keeping the certification hash data-independent
+    h = F.md5(F.col("doc_id").cast("string"))
     w = Window.partitionBy("shard").orderBy(
-        F.col("n_chars").asc(), h8.asc()
+        F.col("n_chars").asc(), h.asc(), F.col("doc_id").asc()
     )
     return back.select(
         F.col("shard").cast("int").alias("shard"),
@@ -5808,17 +5815,18 @@ def _q142_sql(n: int = _Q142_SHARDS) -> str:
     return f"""
 WITH h AS (
   SELECT doc_id, n_chars,
-         substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+         md5(CAST(doc_id AS VARCHAR)) AS hfull
   FROM documents
 ), s AS (
-  SELECT doc_id, n_chars, h8,
-         CAST(CAST(('0x' || h8) AS BIGINT) * {n} // 4294967296 AS INT)
-           AS shard
+  SELECT doc_id, n_chars, hfull,
+         CAST(CAST(('0x' || substring(hfull, 1, 8)) AS BIGINT)
+              * {n} // 4294967296 AS INT) AS shard
   FROM h
 )
 SELECT shard,
        CAST(row_number() OVER (PARTITION BY shard
-                               ORDER BY n_chars, h8) AS INT) AS position,
+                               ORDER BY n_chars, hfull, doc_id)
+         AS INT) AS position,
        doc_id
 FROM s
 """
@@ -6429,7 +6437,13 @@ JOIN iv b
 #: any query whose oracle text or executed plan changes this round,
 #: and bump RECERTIFY_ROUND to 12.
 RECERTIFY_ROUND = 12
-RECERTIFY: set[str] = set()
+RECERTIFY: set[str] = {
+    # round-12 oracle null-safety fix (self-review): the q105 fill
+    # oracle's allocation join became IS NOT DISTINCT FROM to mirror
+    # fill_budget's eqNullSafe semantics — oracle text changed, its
+    # green r9 row predates it. Already a window member (r9 cohort).
+    "q105_fill_budget",
+}
 
 QUERIES: list[QueryDef] = [
     # --- ROUND-12 WINDOW (first 50) ---

@@ -138,7 +138,15 @@ def write_training_shards(
         f"raise_error('write_training_shards: NULL {msg_key} has no "
         f"deterministic shard; filter or fill NULL keys first'))"
     )
-    h8 = F.expr(f"substring(md5({checked_key}), 1, 8)")
+    # shard assignment buckets the 8-hex prefix; the ORDER key is the
+    # FULL md5 (review r12): two distinct keys can share the first 8
+    # hex digits (verified at realistic id ranges), and an 8-hex tie
+    # would make within-shard order engine/partitioning-arbitrary.
+    # Full-md5 order refines the prefix order, so the range-bucket
+    # "concatenating shards replays the global md5 order" claim stays
+    # exact. Rows sharing the SAME key value still tie — key
+    # uniqueness is the caller's contract, as for any keyed export.
+    h8 = F.expr(f"md5({checked_key})")
     shard = F.expr(
         f"CAST(conv(substring(md5({checked_key}), 1, 8),"
         f" 16, 10) AS BIGINT) * {int(n_shards)} div 4294967296"
