@@ -1356,22 +1356,33 @@ def tokenizer_fertility(
     this is the scan-speed eval pass you run on a corpus SAMPLE per
     tokenizer candidate.
     """
-    words = _bpe_eligible_words(text_col)
-    toks = _bpe_tokens_expr(text_col, merges)
+    # STAGED projection (measured, SCALING r12): the word/token
+    # arrays are higher-order-function expressions, which evaluate
+    # INTERPRETED — outside whole-stage codegen's subexpression
+    # elimination — so referencing them from several sibling output
+    # columns in one select re-runs the whole merge-fold per column
+    # (the round-7 no-CSE class, projection-level variant: 140 s vs
+    # 68 s at 100×). Materialize them as named columns first; the
+    # stats then reference plain attributes.
+    staged = df.select(
+        F.col(id_col),
+        _bpe_eligible_words(text_col).alias("__w"),
+        _bpe_tokens_expr(text_col, merges).alias("__t"),
+    )
     zero = F.lit(0).cast("long")
     # NULL text propagates NULL arrays through split/filter — a NULL
     # doc has zero eligible words, not unknown-many
-    n_words = F.coalesce(F.size(words).cast("long"), zero)
+    n_words = F.coalesce(F.size("__w").cast("long"), zero)
     n_chars = F.coalesce(
         F.aggregate(
-            words,
+            "__w",
             F.lit(0).cast("long"),
             lambda acc, w: acc + F.length(w),
         ),
         zero,
     )
-    n_tokens = F.coalesce(F.size(toks).cast("long"), zero)
-    return df.select(
+    n_tokens = F.coalesce(F.size("__t").cast("long"), zero)
+    return staged.select(
         F.col(id_col),
         n_words.alias("n_words"),
         n_chars.alias("n_chars"),
