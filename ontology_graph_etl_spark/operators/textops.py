@@ -195,12 +195,20 @@ def repetition_score(
     fraction of word n-grams that are repeats of an earlier n-gram,
     ``1 - distinct/total`` (0.0 for texts shorter than ``n`` tokens).
     Pure per-row expressions — narrow, shuffle-free, scan-speed."""
-    grams = word_ngrams(F.col(text_col), n)
-    total = F.size(grams)
+    # STAGED (SCALING r12): the n-gram array is an expensive
+    # interpreted HOF chain referenced three times in the ratio —
+    # outside codegen subexpression elimination each reference re-ran
+    # the whole n-gram build (325 s vs 103 s at 30× inflation).
+    # Materialize it once as a column; the ratio then references a
+    # plain attribute. (Staging is NOT free in general — it widens the
+    # intermediate row — so it is reserved for expensive HOFs:
+    # quality_score's cheap split measured FASTER inline.)
+    staged = df.withColumn("__rg", word_ngrams(F.col(text_col), n))
+    total = F.size("__rg")
     ratio = F.when(
-        total > 0, 1 - F.size(F.array_distinct(grams)) / total
+        total > 0, 1 - F.size(F.array_distinct("__rg")) / total
     ).otherwise(F.lit(0.0))
-    return df.withColumn(out_col, F.round(ratio, 6))
+    return staged.withColumn(out_col, F.round(ratio, 6)).drop("__rg")
 
 
 def benchmark_ngrams(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:

@@ -6443,6 +6443,11 @@ RECERTIFY: set[str] = {
     # fill_budget's eqNullSafe semantics — oracle text changed, its
     # green r9 row predates it. Already a window member (r9 cohort).
     "q105_fill_budget",
+    # round-12 staged-HOF fix: repetition_score materializes its
+    # n-gram array before the ratio (3.15× at 30×, values identical)
+    # — executed plan changed; its green r11 row predates it. Moved
+    # into the window, displacing q87 (an r10 fill) to the tail head.
+    "q71_repetition",
 }
 
 QUERIES: list[QueryDef] = [
@@ -6564,11 +6569,12 @@ QUERIES: list[QueryDef] = [
     QueryDef("q61_lsh_topk", _q61_lsh_topk, _q61_sql(), "§2.11"),
     QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
     QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
-    QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
+    QueryDef("q71_repetition", _q71_repetition, _q71_sql, "§2.11"),
     # --- TAIL (not certified this round) ---
     # r10-green names lead (they seed the r13 window; q21 displaced
     # from the window by the q142 insertion), then the 50 r11-green
     # names (maximally fresh).
+    QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
     QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
     QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
     QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
@@ -6704,7 +6710,6 @@ QUERIES: list[QueryDef] = [
         "§2.11",
     ),
     QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),
-    QueryDef("q71_repetition", _q71_repetition, _q71_sql, "§2.11"),
     QueryDef(
         "q73_event_correlation",
         _q73_event_correlation,
