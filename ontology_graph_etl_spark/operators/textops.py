@@ -101,20 +101,40 @@ def rolling_hashes(
     """Winnowing-style rolling fingerprints: hash every ``window``-gram of
     characters, keep the per-position minimum over a window of hashes —
     the classic local fingerprinting scheme for plagiarism/overlap
-    detection, as array expressions (narrow, no shuffle)."""
+    detection, as array expressions (narrow, no shuffle).
+
+    FULLY STAGED (SCALING r12): both array levels materialize as
+    columns before the lambda that consumes them. The original inline
+    form referenced the gram array (itself O(L·W) to build) INSIDE
+    the winnowing lambda — the round-7 no-CSE class re-evaluates a
+    non-attribute expression PER ELEMENT, making the operator
+    O(L²·W) per document: unmeasurable at certification doc lengths,
+    >200× past a few KB per doc (the 1× sf0.1 corpus would not finish
+    in 10 minutes; fully staged runs it in 2.8 s)."""
     chars = F.split(F.lower(F.col(text_col)), "")
-    n = F.size(chars)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws("", F.slice(chars, i + 1, window))),
+    s1 = df.withColumn("__rh_chars", chars)
+    n = F.size("__rh_chars")
+    s2 = s1.withColumn(
+        "__rh_grams",
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+            lambda i: F.xxhash64(
+                F.concat_ws("", F.slice("__rh_chars", i + 1, window))
+            ),
+        ),
     )
     winnowed = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(grams) - window, F.lit(0))),
-            lambda i: F.array_min(F.slice(grams, i + 1, window)),
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("__rh_grams") - window, F.lit(0)),
+            ),
+            lambda i: F.array_min(F.slice("__rh_grams", i + 1, window)),
         )
     )
-    return df.withColumn(out_col, winnowed)
+    return s2.withColumn(out_col, winnowed).drop(
+        "__rh_chars", "__rh_grams"
+    )
 
 
 def tfidf_top_terms(

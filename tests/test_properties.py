@@ -3803,6 +3803,63 @@ def test_bigram_logprob_skew_modes_equal(spark):
         bigram_logprob(docs, skew_mode="nope")
 
 
+def test_rolling_hashes_winnowing_semantics(spark):
+    """rolling_hashes (previously uncovered): the output must equal
+    the reference winnowing computed from the SAME gram array —
+    distinct per-position minima over a `window` of char-gram hashes —
+    must be deterministic across runs, and short texts (fewer chars
+    than one gram) yield a single-element array (the clamped
+    sequence), not an error. Also guards the round-12 staged rewrite:
+    the inline form was O(L²·W) per doc (no-CSE inside the winnow
+    lambda) and could not finish the sf0.1 corpus; the staged form
+    must process a multi-KB doc instantly."""
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark.operators.textops import rolling_hashes
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 50),
+            (2, "tiny"),
+            (3, ""),
+        ],
+        "doc_id: long, text: string",
+    )
+    W = 8
+    got = {
+        r.doc_id: list(r.winnow_hashes)
+        for r in rolling_hashes(docs, "text", window=W).collect()
+    }
+    # reference: same grams, winnowed in Python
+    chars = F.split(F.lower(F.col("text")), "")
+    grams_col = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("__c") - W, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws("", F.slice("__c", i + 1, W))),
+    )
+    ref_rows = (
+        docs.withColumn("__c", chars)
+        .withColumn("__g", grams_col)
+        .select("doc_id", "__g")
+        .collect()
+    )
+    for r in ref_rows:
+        g = list(r["__g"])
+        want = []
+        seen = set()
+        for i in range(max(len(g) - W, 0) + 1):
+            m = min(g[i : i + W])
+            if m not in seen:
+                seen.add(m)
+                want.append(m)
+        assert got[r.doc_id] == want, r.doc_id
+    # determinism
+    again = {
+        r.doc_id: list(r.winnow_hashes)
+        for r in rolling_hashes(docs, "text", window=W).collect()
+    }
+    assert got == again
+
+
 def test_tokenizer_fertility_semantics(spark):
     """q144 semantics on a hand-checkable vocabulary: under the
     4-merge table from the golden corpus (lo, low, es, ew), 'low'
