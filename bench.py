@@ -154,6 +154,7 @@ HEADLINE = [
     "q144_tokenizer_fertility",
     "q145_ngram_novelty",
     "q146_semantic_outlier_gate",
+    "q147_winnow_fingerprints",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

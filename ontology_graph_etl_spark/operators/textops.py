@@ -96,33 +96,54 @@ def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> D
 
 
 def rolling_hashes(
-    df: DataFrame, text_col: str, window: int = 8, out_col: str = "winnow_hashes"
+    df: DataFrame,
+    text_col: str,
+    window: int = 8,
+    out_col: str = "winnow_hashes",
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
-    """Winnowing-style rolling fingerprints: hash every ``window``-gram of
-    characters, keep the per-position minimum over a window of hashes —
-    the classic local fingerprinting scheme for plagiarism/overlap
-    detection, as array expressions (narrow, no shuffle).
+    """Winnowing-style rolling fingerprints (Schleimer et al. 2003):
+    hash every ``window``-gram of characters, keep the per-position
+    minimum over a window of gram hashes, distinct — the classic local
+    fingerprinting scheme for plagiarism/overlap detection, as array
+    expressions (narrow, no shuffle). Guarantee: any shared substring
+    of length >= 2·window-1 contributes at least one common
+    fingerprint.
 
-    FULLY STAGED (SCALING r12): both array levels materialize as
-    columns before the lambda that consumes them. The original inline
-    form referenced the gram array (itself O(L·W) to build) INSIDE
-    the winnowing lambda — the round-7 no-CSE class re-evaluates a
-    non-attribute expression PER ELEMENT, making the operator
-    O(L²·W) per document: unmeasurable at certification doc lengths,
-    >200× past a few KB per doc (the 1× sf0.1 corpus would not finish
-    in 10 minutes; fully staged runs it in 2.8 s)."""
-    chars = F.split(F.lower(F.col(text_col)), "")
-    s1 = df.withColumn("__rh_chars", chars)
-    n = F.size("__rh_chars")
-    s2 = s1.withColumn(
-        "__rh_grams",
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
-            lambda i: F.xxhash64(
-                F.concat_ws("", F.slice("__rh_chars", i + 1, window))
-            ),
+    ``base_hash="md5"`` folds the first 15 md5 hex digits to a BIGINT
+    (the q131/q50 convention) so the whole computation replays in any
+    SQL engine — the q147-certified variant; ``xxhash64`` is the
+    cheaper production default.
+
+    STAGED (SCALING r12): grams are built directly as
+    ``hash(substring(text, i, W))`` (no intermediate char array) and
+    materialize as a COLUMN before the winnowing lambda consumes them.
+    The original inline form referenced the gram array inside the
+    lambda — the round-7 no-CSE class re-evaluates a non-attribute
+    expression PER ELEMENT, stacking to O(L²·W) per document: the 1×
+    sf0.1 corpus did not finish in 10 minutes; staged runs it in
+    seconds, linear through 10×."""
+    if base_hash == "xxhash64":
+        def h(s):
+            return F.xxhash64(s)
+    elif base_hash == "md5":
+        def h(s):
+            return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                "long"
+            )
+    else:
+        raise ValueError(f"unknown base_hash {base_hash!r}")
+    # lower(text) stages as a column too: referenced inside the gram
+    # lambda it would re-lowercase the WHOLE text per element (O(L²))
+    s1 = df.withColumn("__rh_t", F.lower(F.col(text_col)))
+    t = F.col("__rh_t")
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.length(t) - (window - 1), F.lit(1))
         ),
+        lambda i: h(t.substr(i, F.lit(window))),
     )
+    staged = s1.withColumn("__rh_grams", grams).drop("__rh_t")
     winnowed = F.array_distinct(
         F.transform(
             F.sequence(
@@ -132,9 +153,7 @@ def rolling_hashes(
             lambda i: F.array_min(F.slice("__rh_grams", i + 1, window)),
         )
     )
-    return s2.withColumn(out_col, winnowed).drop(
-        "__rh_chars", "__rh_grams"
-    )
+    return staged.withColumn(out_col, winnowed).drop("__rh_grams")
 
 
 def tfidf_top_terms(

@@ -6013,6 +6013,63 @@ FROM assigned a JOIN cuts c USING (centroid_id)
 """
 
 
+_Q147_W = 8
+
+
+def _q147_winnow_fingerprints(spark, sf_dir):
+    # Winnowing local fingerprints (Schleimer et al. 2003) certified:
+    # per-position minimum over a window of character-gram hashes,
+    # distinct per doc — the plagiarism/overlap fingerprint scheme.
+    # md5 base hash (15-hex→BIGINT, the q131/q50 convention) so every
+    # gram hash, the window minima, and the distinct set re-derive in
+    # DuckDB; the oracle mirrors the in-row array computation with the
+    # row-based window-min formulation (same math, q131 precedent).
+    # doc_id % 20 keeps the exploded row count certification-sized.
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 20 == 0) & F.col("text").isNotNull())
+    )
+    out = textops.rolling_hashes(
+        docs, "text", window=_Q147_W, base_hash="md5"
+    )
+    return out.select(
+        "doc_id", F.explode("winnow_hashes").alias("wh")
+    ).distinct()
+
+
+def _q147_sql(w: int = _Q147_W) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS t
+  FROM documents
+  WHERE doc_id % 20 = 0 AND text IS NOT NULL
+),
+pos AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(length(t) - {w - 1}, 1)))
+           AS i
+  FROM d
+),
+g AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substring(md5(substring(t, i, {w})), 1, 15))
+              AS BIGINT) AS h
+  FROM pos
+),
+wmin AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW
+                      AND {w - 1} FOLLOWING) AS wh,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM g
+)
+SELECT DISTINCT doc_id, wh
+FROM wmin
+WHERE i <= greatest(n_grams - {w}, 0) + 1
+"""
+
+
 _Q140 = {"k": 4, "per_cluster": 50}
 
 
@@ -6460,6 +6517,12 @@ QUERIES: list[QueryDef] = [
     # displaced the window's then-last entry to the tail head
     # (q146 → q93, q145 → q94, q144 → q96, q143 → q20, q142 → q21).
     QueryDef(
+        "q147_winnow_fingerprints",
+        _q147_winnow_fingerprints,
+        _q147_sql(),
+        "§2.11",
+    ),
+    QueryDef(
         "q146_semantic_outlier_gate",
         _q146_semantic_outlier_gate,
         _q146_sql(),
@@ -6568,12 +6631,12 @@ QUERIES: list[QueryDef] = [
     QueryDef("q123_quantize_recon", _q123_quantize_recon, _q123_sql(), "§2.11"),
     QueryDef("q61_lsh_topk", _q61_lsh_topk, _q61_sql(), "§2.11"),
     QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
-    QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
     QueryDef("q71_repetition", _q71_repetition, _q71_sql, "§2.11"),
     # --- TAIL (not certified this round) ---
     # r10-green names lead (they seed the r13 window; q21 displaced
     # from the window by the q142 insertion), then the 50 r11-green
     # names (maximally fresh).
+    QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
     QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
     QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
     QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
