@@ -6032,8 +6032,16 @@ def _q147_winnow_fingerprints(spark, sf_dir):
     out = textops.rolling_hashes(
         docs, "text", window=_Q147_W, base_hash="md5"
     )
+    # explode_OUTER, deliberately: plain explode triggers Catalyst's
+    # InferFiltersFromGenerate, which adds size(arr)>0 and then
+    # CollapseProject inlines the ENTIRE staged winnow chain into that
+    # Filter — resurrecting the O(L²·W) unstaged form below the
+    # projections (measured: 88 s vs 3 s at sf0.1). The winnow array
+    # is never empty by construction (both sequences are clamped to
+    # >= 1 element), so outer-explode emits no NULL rows to drop and
+    # the inference rule simply never fires.
     return out.select(
-        "doc_id", F.explode("winnow_hashes").alias("wh")
+        "doc_id", F.explode_outer("winnow_hashes").alias("wh")
     ).distinct()
 
 

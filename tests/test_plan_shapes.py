@@ -515,6 +515,21 @@ def test_semantic_outlier_gate_broadcast_cutoffs(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_winnow_fingerprints_no_filter_inlining(spark, sf_dir):
+    """q147: exploding the staged winnow array with plain explode()
+    lets InferFiltersFromGenerate add size(arr)>0, and CollapseProject
+    then inlines the ENTIRE staged winnow chain into that Filter —
+    resurrecting the O(L²·W) unstaged form (measured 88 s vs 3 s at
+    sf0.1). The query uses explode_outer so the rule never fires: no
+    Filter in the plan may contain the winnow expression."""
+    df = queries()["q147_winnow_fingerprints"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ")
+        if s.startswith("Filter"):
+            assert "array_min" not in s and "md5" not in s, s[:200]
+
+
 def test_bigram_logprob_bounded_scans(spark, sf_dir):
     """q139: the pair count is a window over the occurrence stream
     (not groupBy+join-back, which re-derives the explode lineage) and
