@@ -6501,29 +6501,211 @@ JOIN iv b
 #: artifact (the round-8 failure mode q112 navigated in r10). Add
 #: any query whose oracle text or executed plan changes this round,
 #: and bump RECERTIFY_ROUND to 12.
-RECERTIFY_ROUND = 12
-RECERTIFY: set[str] = {
-    # round-12 oracle null-safety fix (self-review): the q105 fill
-    # oracle's allocation join became IS NOT DISTINCT FROM to mirror
-    # fill_budget's eqNullSafe semantics — oracle text changed, its
-    # green r9 row predates it. Already a window member (r9 cohort).
-    "q105_fill_budget",
-    # round-12 staged-HOF fix: repetition_score materializes its
-    # n-gram array before the ratio (3.15× at 30×, values identical)
-    # — executed plan changed; its green r11 row predates it. Moved
-    # into the window, displacing q87 (an r10 fill) to the tail head.
-    "q71_repetition",
-}
+RECERTIFY_ROUND = 13
+RECERTIFY: set[str] = set()
+# q105_fill_budget / q71_repetition (the r12 members) left the set
+# this round: their green r12 rows exist, and keeping them past the
+# certifying round would trip the pre-view self-clear on the r13
+# artifact (the round-8 failure mode q112 navigated in r10). Add any
+# query whose oracle text or executed plan changes this round.
 
 QUERIES: list[QueryDef] = [
-    # --- ROUND-12 WINDOW (first 50) ---
-    # regenerated mechanically (names[:50] bucketed by latest-green
-    # round): never-certified round-12 queries first, then 37
-    # r9-green names (priority 2 on the prospective view, at the
-    # ceil(N/50)=3-round cap once the r12 artifact lands), then
-    # r10-green fills in prior registry order. Each head insertion
-    # displaced the window's then-last entry to the tail head
-    # (q146 → q93, q145 → q94, q144 → q96, q143 → q20, q142 → q21).
+    # --- ROUND-13 WINDOW (first 50) ---
+    # regenerated mechanically (names bucketed by latest-green round):
+    # the 41 r10-green names lead (they hit the ceil(140/50)=3-round
+    # staleness cap now that the r12 artifact landed), then 9 r11-green
+    # fills in prior registry (tail) order. All 50 r12-green names
+    # close the tail, maximally fresh; the remaining 40 r11 names lead
+    # the tail and seed the r14 window. New queries registered
+    # mid-round are inserted at the window head (never-certified names
+    # must sit in the window); each insertion pushes the window's last
+    # entry to the tail head.
+    QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
+    QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
+    QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
+    QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
+    QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
+    QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
+    QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
+    QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
+    QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
+    QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
+    QueryDef("q25_rollup", _q25_rollup, _q25_sql, "§2.7"),
+    QueryDef("q27_cube", _q27_cube, _q27_sql, "§2.7"),
+    QueryDef("q01_scan_jsonl", _q01_scan_jsonl, _q01_sql, "S1,P1"),
+    QueryDef("q02_scan_map", _q02_scan_map, _q02_sql, "S3"),
+    QueryDef("q03_prefix_scan", _q03_prefix_scan, _q03_sql, "S5,P6"),
+    QueryDef("q04_meta_project", _q04_meta_project, _q04_sql, "S6"),
+    QueryDef("q08_lookup_join", _q08_lookup_join, _q08_sql, "J1,P5"),
+    QueryDef("q09_anti_join", _q09_anti_join, _q09_sql, "J2"),
+    QueryDef("q10_edge_join", _q10_edge_join, _q10_sql, "J3,G2"),
+    QueryDef("q13_group_count", _q13_group_count, _q13_sql, "A2"),
+    QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
+    QueryDef("q110_span_removal", _q110_span_removal, _q110_sql, "§2.11"),
+    QueryDef("q111_topo_depth", _q111_topo_depth, _q111_sql, "G12"),
+    QueryDef("q113_bm25_topk", _q113_bm25_topk, _q113_sql, "§2.11"),
+    QueryDef("q114_multi_profile", _q114_multi_profile, _q114_sql, "§2.11"),
+    QueryDef(
+        "q115_hybrid_retrieval",
+        _q115_hybrid_retrieval,
+        _q115_sql,
+        "§2.11",
+    ),
+    QueryDef("q116_pivot", _q116_pivot, _q116_sql, "§2.7"),
+    QueryDef("q117_unpivot", _q117_unpivot, _q117_sql, "§2.7"),
+    QueryDef("q118_star_rollup", _q118_star_rollup, _q118_sql, "§2.7"),
+    QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
+    QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
+    QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
+    QueryDef("q17_format_string", _q17_format_string, _q17_sql, "F2,F4,K1"),
+    QueryDef("q05_conditional_props", _q05_conditional_props, _q05_sql, "P2"),
+    QueryDef("q06_filter_notnull", _q06_filter_notnull, _q06_sql, "P3"),
+    QueryDef("q07_filter_neq", _q07_filter_neq, _q07_sql, "P4"),
+    QueryDef("q11_semi_contains", _q11_semi_contains, _q11_sql, "J4"),
+    QueryDef("q12_array_distinct", _q12_array_distinct, _q12_sql, "A1,F3"),
+    QueryDef("q16_regex_sanitize", _q16_regex_sanitize, _q16_sql, "F1"),
+    QueryDef("q90_lpa_communities", _q90_lpa_communities, _q90_sql(), "§2.8"),
+    QueryDef("q97_rolling_agg", _q97_rolling_agg, _q97_sql, "§2.7"),
+    QueryDef(
+        "q141_retrieval_pipeline",
+        _q141_retrieval_pipeline,
+        _q141_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q140_cluster_balanced_sample",
+        _q140_cluster_balanced_sample,
+        _q140_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q139_bigram_logprob",
+        _q139_bigram_logprob,
+        _q139_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q138_substring_index_screen",
+        _q138_substring_index_screen,
+        _q138_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q137_stored_ivf_search",
+        _q137_stored_ivf_search,
+        _q137_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q136_containment_sketch",
+        _q136_containment_sketch,
+        _q136_sql(),
+        "§2.11",
+    ),
+    QueryDef("q133_doc_chunks", _q133_doc_chunks, _q133_sql(), "§2.11"),
+    QueryDef(
+        "q131_exact_substring_spans",
+        _q131_exact_substring_spans,
+        _q131_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q132_exact_substring_removal",
+        _q132_exact_substring_removal,
+        _q132_sql(),
+        "§2.11",
+    ),
+    # --- TAIL (not certified this round) ---
+    QueryDef("q98_numeric_drift", _q98_numeric_drift, _q98_sql, "§2.11"),
+    QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
+    QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
+    QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),
+    QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
+    QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),
+    QueryDef(
+        "q35_connected_components",
+        _q35_connected_components,
+        _q35_sql,
+        "G9",
+    ),
+    QueryDef("q36_shortest_path", _q36_shortest_path, _q36_sql, "G7"),
+    QueryDef("q38_triangle_count", _q38_triangle_count, _q38_sql, "G10"),
+    QueryDef("q44_percentile", _q44_percentile, _q44_sql, "§2.7"),
+    QueryDef("q45_topk_per_group", _q45_topk_per_group, _q45_sql, "§2.7"),
+    QueryDef("q46_funnel", _q46_funnel, _q46_sql, "§2.10"),
+    QueryDef(
+        "q50_minhash_simjoin",
+        _q50_minhash_simjoin,
+        _q50_oracle_sql(),
+        "§2.11",
+    ),
+    QueryDef("q52_tfidf_topterms", _q52_tfidf_topterms, _q52_sql, "§2.11"),
+    QueryDef("q54_exact_dedup", _q54_exact_dedup, _q54_sql, "§2.11"),
+    QueryDef("q55_simhash", _q55_simhash, _q55_sql, "§2.11"),
+    QueryDef("q56_jaccard_pairs", _q56_jaccard_pairs, _q56_sql, "§2.11"),
+    QueryDef("q66_dedup_clusters", _q66_dedup_clusters, _q66_sql, "§2.11"),
+    QueryDef(
+        "q67_lsh_dedup_clusters",
+        _q67_lsh_dedup_clusters,
+        _q67_oracle_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q69_cluster_representatives",
+        _q69_cluster_representatives,
+        _q69_sql,
+        "§2.11",
+    ),
+    QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),
+    QueryDef(
+        "q73_event_correlation",
+        _q73_event_correlation,
+        _q73_sql,
+        "§2.10",
+    ),
+    QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
+    QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
+    QueryDef(
+        "q78_incremental_dedup",
+        _q78_incremental_dedup,
+        _q78_oracle_sql(),
+        "§2.11",
+    ),
+    QueryDef("q81_media_features", _q81_media_features, _q81_sql, "multimodal"),
+    QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
+    QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
+    QueryDef("q126_kcore", _q126_kcore, _q126_sql(), "G14"),
+    QueryDef("q127_scd2_historize", _q127_scd2_historize, _q127_sql, "§2.7"),
+    QueryDef("q128_hard_negatives", _q128_hard_negatives, _q128_sql, "§2.11"),
+    QueryDef("q129_bpe_train", _q129_bpe_train, _q129_sql(), "§2.11"),
+    QueryDef("q119_kmeans_train", _q119_kmeans_train, _q119_sql(), "§2.11"),
+    QueryDef("q121_retrieval_eval", _q121_retrieval_eval, _q121_sql(), "§2.11"),
+    QueryDef(
+        "q122_ivf_trained_topk",
+        _q122_ivf_trained_topk,
+        _q122_sql(),
+        "§2.11",
+    ),
+    QueryDef("q124_bpe_pair_stats", _q124_bpe_pair_stats, _q124_sql, "§2.11"),
+    QueryDef(
+        "q125_leakage_free_split",
+        _q125_leakage_free_split,
+        _q125_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q112_depth_histogram_roots",
+        _q112_depth_histogram_roots,
+        _q112_sql,
+        "G12",
+    ),
+    QueryDef(
+        "q120_index_screen",
+        _q120_index_screen,
+        _q78_oracle_sql(7),
+        "§2.11",
+    ),
+    QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
     QueryDef(
         "q147_winnow_fingerprints",
         _q147_winnow_fingerprints,
@@ -6622,7 +6804,6 @@ QUERIES: list[QueryDef] = [
     QueryDef("q41_session_window", _q41_session_window, _q41_sql, "§2.10"),
     QueryDef("q42_sliding_window", _q42_sliding_window, _q42_sql, "§2.10"),
     QueryDef("q53_approx_agg", _q53_approx_agg, _q53_sql, "§2.11"),
-    # 13 r10-green fills (ties at priority 1; prior registry order):
     QueryDef(
         "q135_interval_overlap",
         _q135_interval_overlap,
@@ -6640,196 +6821,6 @@ QUERIES: list[QueryDef] = [
     QueryDef("q61_lsh_topk", _q61_lsh_topk, _q61_sql(), "§2.11"),
     QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
     QueryDef("q71_repetition", _q71_repetition, _q71_sql, "§2.11"),
-    # --- TAIL (not certified this round) ---
-    # r10-green names lead (they seed the r13 window; q21 displaced
-    # from the window by the q142 insertion), then the 50 r11-green
-    # names (maximally fresh).
-    QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
-    QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
-    QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
-    QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
-    QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
-    QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
-    QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
-    QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
-    QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
-    QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
-    QueryDef("q25_rollup", _q25_rollup, _q25_sql, "§2.7"),
-    QueryDef("q27_cube", _q27_cube, _q27_sql, "§2.7"),
-    QueryDef("q01_scan_jsonl", _q01_scan_jsonl, _q01_sql, "S1,P1"),
-    QueryDef("q02_scan_map", _q02_scan_map, _q02_sql, "S3"),
-    QueryDef("q03_prefix_scan", _q03_prefix_scan, _q03_sql, "S5,P6"),
-    QueryDef("q04_meta_project", _q04_meta_project, _q04_sql, "S6"),
-    QueryDef("q08_lookup_join", _q08_lookup_join, _q08_sql, "J1,P5"),
-    QueryDef("q09_anti_join", _q09_anti_join, _q09_sql, "J2"),
-    QueryDef("q10_edge_join", _q10_edge_join, _q10_sql, "J3,G2"),
-    QueryDef("q13_group_count", _q13_group_count, _q13_sql, "A2"),
-    QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
-    QueryDef("q110_span_removal", _q110_span_removal, _q110_sql, "§2.11"),
-    QueryDef("q111_topo_depth", _q111_topo_depth, _q111_sql, "G12"),
-    QueryDef("q113_bm25_topk", _q113_bm25_topk, _q113_sql, "§2.11"),
-    QueryDef("q114_multi_profile", _q114_multi_profile, _q114_sql, "§2.11"),
-    QueryDef(
-        "q115_hybrid_retrieval",
-        _q115_hybrid_retrieval,
-        _q115_sql,
-        "§2.11",
-    ),
-    QueryDef("q116_pivot", _q116_pivot, _q116_sql, "§2.7"),
-    QueryDef("q117_unpivot", _q117_unpivot, _q117_sql, "§2.7"),
-    QueryDef("q118_star_rollup", _q118_star_rollup, _q118_sql, "§2.7"),
-    QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
-    QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
-    QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
-    QueryDef("q17_format_string", _q17_format_string, _q17_sql, "F2,F4,K1"),
-    QueryDef("q05_conditional_props", _q05_conditional_props, _q05_sql, "P2"),
-    QueryDef("q06_filter_notnull", _q06_filter_notnull, _q06_sql, "P3"),
-    QueryDef("q07_filter_neq", _q07_filter_neq, _q07_sql, "P4"),
-    QueryDef("q11_semi_contains", _q11_semi_contains, _q11_sql, "J4"),
-    QueryDef("q12_array_distinct", _q12_array_distinct, _q12_sql, "A1,F3"),
-    QueryDef("q16_regex_sanitize", _q16_regex_sanitize, _q16_sql, "F1"),
-    QueryDef("q90_lpa_communities", _q90_lpa_communities, _q90_sql(), "§2.8"),
-    QueryDef("q97_rolling_agg", _q97_rolling_agg, _q97_sql, "§2.7"),
-    # 50 r11-green names:
-    QueryDef(
-        "q141_retrieval_pipeline",
-        _q141_retrieval_pipeline,
-        _q141_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q140_cluster_balanced_sample",
-        _q140_cluster_balanced_sample,
-        _q140_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q139_bigram_logprob",
-        _q139_bigram_logprob,
-        _q139_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q138_substring_index_screen",
-        _q138_substring_index_screen,
-        _q138_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q137_stored_ivf_search",
-        _q137_stored_ivf_search,
-        _q137_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q136_containment_sketch",
-        _q136_containment_sketch,
-        _q136_sql(),
-        "§2.11",
-    ),
-    QueryDef("q133_doc_chunks", _q133_doc_chunks, _q133_sql(), "§2.11"),
-    QueryDef(
-        "q131_exact_substring_spans",
-        _q131_exact_substring_spans,
-        _q131_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q132_exact_substring_removal",
-        _q132_exact_substring_removal,
-        _q132_sql(),
-        "§2.11",
-    ),
-    QueryDef("q98_numeric_drift", _q98_numeric_drift, _q98_sql, "§2.11"),
-    QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
-    QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
-    QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),
-    QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
-    QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),
-    QueryDef(
-        "q35_connected_components",
-        _q35_connected_components,
-        _q35_sql,
-        "G9",
-    ),
-    QueryDef("q36_shortest_path", _q36_shortest_path, _q36_sql, "G7"),
-    QueryDef("q38_triangle_count", _q38_triangle_count, _q38_sql, "G10"),
-    QueryDef("q44_percentile", _q44_percentile, _q44_sql, "§2.7"),
-    QueryDef("q45_topk_per_group", _q45_topk_per_group, _q45_sql, "§2.7"),
-    QueryDef("q46_funnel", _q46_funnel, _q46_sql, "§2.10"),
-    QueryDef(
-        "q50_minhash_simjoin",
-        _q50_minhash_simjoin,
-        _q50_oracle_sql(),
-        "§2.11",
-    ),
-    QueryDef("q52_tfidf_topterms", _q52_tfidf_topterms, _q52_sql, "§2.11"),
-    QueryDef("q54_exact_dedup", _q54_exact_dedup, _q54_sql, "§2.11"),
-    QueryDef("q55_simhash", _q55_simhash, _q55_sql, "§2.11"),
-    QueryDef("q56_jaccard_pairs", _q56_jaccard_pairs, _q56_sql, "§2.11"),
-    QueryDef("q66_dedup_clusters", _q66_dedup_clusters, _q66_sql, "§2.11"),
-    QueryDef(
-        "q67_lsh_dedup_clusters",
-        _q67_lsh_dedup_clusters,
-        _q67_oracle_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q69_cluster_representatives",
-        _q69_cluster_representatives,
-        _q69_sql,
-        "§2.11",
-    ),
-    QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),
-    QueryDef(
-        "q73_event_correlation",
-        _q73_event_correlation,
-        _q73_sql,
-        "§2.10",
-    ),
-    QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
-    QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
-    QueryDef(
-        "q78_incremental_dedup",
-        _q78_incremental_dedup,
-        _q78_oracle_sql(),
-        "§2.11",
-    ),
-    QueryDef("q81_media_features", _q81_media_features, _q81_sql, "multimodal"),
-    QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
-    QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
-    QueryDef("q126_kcore", _q126_kcore, _q126_sql(), "G14"),
-    QueryDef("q127_scd2_historize", _q127_scd2_historize, _q127_sql, "§2.7"),
-    QueryDef("q128_hard_negatives", _q128_hard_negatives, _q128_sql, "§2.11"),
-    QueryDef("q129_bpe_train", _q129_bpe_train, _q129_sql(), "§2.11"),
-    QueryDef("q119_kmeans_train", _q119_kmeans_train, _q119_sql(), "§2.11"),
-    QueryDef("q121_retrieval_eval", _q121_retrieval_eval, _q121_sql(), "§2.11"),
-    QueryDef(
-        "q122_ivf_trained_topk",
-        _q122_ivf_trained_topk,
-        _q122_sql(),
-        "§2.11",
-    ),
-    QueryDef("q124_bpe_pair_stats", _q124_bpe_pair_stats, _q124_sql, "§2.11"),
-    QueryDef(
-        "q125_leakage_free_split",
-        _q125_leakage_free_split,
-        _q125_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q112_depth_histogram_roots",
-        _q112_depth_histogram_roots,
-        _q112_sql,
-        "G12",
-    ),
-    QueryDef(
-        "q120_index_screen",
-        _q120_index_screen,
-        _q78_oracle_sql(7),
-        "§2.11",
-    ),
-    QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
 ]
 
 
