@@ -166,7 +166,38 @@ HEADLINE = [
 # fingerprints, only a position-controlled reading (this subset, first
 # thing in its own process) can adjudicate session-position load vs a
 # real regression. Run: SPARK_GRAFT_BENCH_SUBSET=r2gate python bench.py
-R2_GATE = HEADLINE[:21]
+# Listed EXPLICITLY (review r12): HEADLINE[:21] was positional — any
+# future insertion before index 21 would silently change the
+# adjudicated query set, producing a normal-looking gate record over
+# the wrong queries. These are the round-2 record's names, frozen.
+R2_GATE = [
+    "q14_upsert_first_wins",
+    "q20_join3",
+    "q26_asof_join",
+    "q21_agg_suite",
+    "q22_sort_limit",
+    "q23_window_rank",
+    "q31_two_hop_motif",
+    "q32_closure",
+    "q41_session_window",
+    "q50_minhash_simjoin",
+    "q51_cosine_topk",
+    "q52_tfidf_topterms",
+    "q55_simhash",
+    "q28_interval_join",
+    "q37_pagerank",
+    "q46_funnel",
+    "q67_lsh_dedup_clusters",
+    "q70_decontaminate",
+    "q73_event_correlation",
+    "q74_sequence_pack",
+    "q78_incremental_dedup",
+]
+assert R2_GATE == HEADLINE[:21], (
+    "R2_GATE must stay a prefix of HEADLINE — the gate subset is "
+    "frozen to the round-2 record's names; append new queries after "
+    "index 21, never insert before it"
+)
 
 SUBSETS = {"r2gate": R2_GATE, "full": HEADLINE}
 

@@ -133,6 +133,12 @@ def rolling_hashes(
             )
     else:
         raise ValueError(f"unknown base_hash {base_hash!r}")
+    clash = {"__rh_t", "__rh_grams"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"rolling_hashes staging column(s) {sorted(clash)} already "
+            "exist on the input and would be silently overwritten"
+        )
     # lower(text) stages as a column too: referenced inside the gram
     # lambda it would re-lowercase the WHOLE text per element (O(L²))
     s1 = df.withColumn("__rh_t", F.lower(F.col(text_col)))
@@ -242,6 +248,11 @@ def repetition_score(
     # plain attribute. (Staging is NOT free in general — it widens the
     # intermediate row — so it is reserved for expensive HOFs:
     # quality_score's cheap split measured FASTER inline.)
+    if "__rg" in df.columns:
+        raise ValueError(
+            "repetition_score staging column __rg already exists on "
+            "the input and would be silently overwritten"
+        )
     staged = df.withColumn("__rg", word_ngrams(F.col(text_col), n))
     total = F.size("__rg")
     ratio = F.when(
@@ -2137,6 +2148,17 @@ def merge_substring_index(
     (the manual log-structured trade). A legacy sidecar without the
     counters compacts on the first merge, which seeds them.
 
+    SINGLE WRITER REQUIRED: merges and compactions assume one ingest
+    loop owns the index. A concurrent merge that appends between a
+    compaction's staged distinct-read and its first rename lands its
+    batch in ``<path>.old`` and is deleted with it — silent
+    fingerprint loss (later screens miss real duplicates). Concurrent
+    SCREENS are safe at every point; concurrent WRITERS must be
+    serialized externally (one queue, or a lock/lease service) —
+    self-triggering compaction makes an unsupervised multi-writer
+    loop the likely misuse, so it is called out here and in
+    :func:`compact_substring_index`.
+
     Returns the sidecar parameters as of AFTER this merge (counters
     reset when compaction fired)."""
     params = _substr_sidecar_io(spark, path, None)
@@ -2258,7 +2280,17 @@ def compact_substring_index(spark, path: str) -> int:
     recover); after the second rename the new generation is live and
     ``<path>.old`` is garbage. On object stores without atomic
     rename (raw S3) front this with a committer, as for any
-    rename-based swap."""
+    rename-based swap.
+
+    SINGLE WRITER REQUIRED: crash-atomicity covers crashes and
+    concurrent screens, not concurrent writers. A
+    :func:`merge_substring_index` that appends to ``path`` between
+    this function's staged distinct-read and the first rename writes
+    into what becomes ``<path>.old`` — deleted after the swap, losing
+    that batch's fingerprints silently. Serialize all merges and
+    compactions through one writer (self-triggering compaction inside
+    ``merge_substring_index`` already does, for a single ingest
+    loop)."""
     from .util import hadoop_path_and_fs
 
     params = _substr_sidecar_io(spark, path, None)

@@ -6502,7 +6502,15 @@ JOIN iv b
 #: any query whose oracle text or executed plan changes this round,
 #: and bump RECERTIFY_ROUND to 12.
 RECERTIFY_ROUND = 13
-RECERTIFY: set[str] = set()
+RECERTIFY: set[str] = {
+    # round-13 review fix: write_training_shards renamed its staging
+    # column __h8 -> __hmd5 (the variable held the FULL md5 after the
+    # r12 order-key fix; the name contradicted the value). Values
+    # provably identical, but the executed write-side plan text
+    # changed — recertify per the standing policy. Moved to the
+    # window head, displacing q132 (an r11 fill) to the tail head.
+    "q142_shard_export",
+}
 # q105_fill_budget / q71_repetition (the r12 members) left the set
 # this round: their green r12 rows exist, and keeping them past the
 # certifying round would trip the pre-view self-clear on the r13
@@ -6520,6 +6528,7 @@ QUERIES: list[QueryDef] = [
     # mid-round are inserted at the window head (never-certified names
     # must sit in the window); each insertion pushes the window's last
     # entry to the tail head.
+    QueryDef("q142_shard_export", _q142_shard_export, _q142_sql(), "§2.11"),
     QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
     QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
     QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
@@ -6609,13 +6618,13 @@ QUERIES: list[QueryDef] = [
         _q131_sql(),
         "§2.11",
     ),
+    # --- TAIL (not certified this round) ---
     QueryDef(
         "q132_exact_substring_removal",
         _q132_exact_substring_removal,
         _q132_sql(),
         "§2.11",
     ),
-    # --- TAIL (not certified this round) ---
     QueryDef("q98_numeric_drift", _q98_numeric_drift, _q98_sql, "§2.11"),
     QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
     QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
@@ -6736,7 +6745,6 @@ QUERIES: list[QueryDef] = [
         _q143_sql(),
         "§2.11",
     ),
-    QueryDef("q142_shard_export", _q142_shard_export, _q142_sql(), "§2.11"),
     QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
     QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
     QueryDef(

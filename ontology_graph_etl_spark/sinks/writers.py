@@ -115,9 +115,9 @@ def write_training_shards(
 
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    if "shard" in df.columns or "__h8" in df.columns:
+    if "shard" in df.columns or "__hmd5" in df.columns:
         raise ValueError(
-            "write_training_shards output column shard (or internal __h8)"
+            "write_training_shards output column shard (or internal __hmd5)"
             " already exists on the input"
         )
     # NULL keys would yield md5(NULL) = NULL shard ids, landing rows in
@@ -146,7 +146,7 @@ def write_training_shards(
     # "concatenating shards replays the global md5 order" claim stays
     # exact. Rows sharing the SAME key value still tie — key
     # uniqueness is the caller's contract, as for any keyed export.
-    h8 = F.expr(f"md5({checked_key})")
+    hfull = F.expr(f"md5({checked_key})")
     shard = F.expr(
         f"CAST(conv(substring(md5({checked_key}), 1, 8),"
         f" 16, 10) AS BIGINT) * {int(n_shards)} div 4294967296"
@@ -167,13 +167,13 @@ def write_training_shards(
             )
         oc = F.col(order_col)
         sort_cols.append(oc.asc() if ascending else oc.desc())
-    sort_cols.append(F.col("__h8"))
+    sort_cols.append(F.col("__hmd5"))
     (
-        df.withColumn("__h8", h8)
+        df.withColumn("__hmd5", hfull)
         .withColumn("shard", shard.cast("int"))
         .repartition(n_shards, F.col("shard"))
         .sortWithinPartitions(*sort_cols)
-        .drop("__h8")
+        .drop("__hmd5")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

@@ -3860,6 +3860,33 @@ def test_rolling_hashes_winnowing_semantics(spark):
     assert got == again
 
 
+def test_textops_staging_collision_guards(spark):
+    """rolling_hashes and repetition_score stage internals via
+    withColumn (__rh_t/__rh_grams, __rg); an input already carrying
+    one of those names must raise instead of being silently
+    overwritten and dropped (the write_training_shards precedent)."""
+    import pytest
+
+    from ontology_graph_etl_spark.operators.textops import (
+        repetition_score,
+        rolling_hashes,
+    )
+
+    for col in ("__rh_t", "__rh_grams"):
+        df = spark.createDataFrame(
+            [("abc", 1)], f"text: string, {col}: long"
+        )
+        with pytest.raises(ValueError, match=col):
+            rolling_hashes(df, "text")
+    df = spark.createDataFrame([("abc", 1)], "text: string, __rg: long")
+    with pytest.raises(ValueError, match="__rg"):
+        repetition_score(df, "text")
+    # clean inputs are unaffected
+    clean = spark.createDataFrame([("a b a b",)], "text: string")
+    assert rolling_hashes(clean, "text").count() == 1
+    assert repetition_score(clean, "text").count() == 1
+
+
 def test_tokenizer_fertility_semantics(spark):
     """q144 semantics on a hand-checkable vocabulary: under the
     4-merge table from the golden corpus (lo, low, es, ew), 'low'

@@ -439,8 +439,9 @@ def test_write_training_shards_deterministic_and_balanced(
 
 
 def test_write_training_shards_clash_guard(spark, tmp_path):
-    """An input frame already carrying 'shard' (or the internal __h8)
-    must raise instead of silently colliding with the output layout."""
+    """An input frame already carrying 'shard' (or the internal
+    __hmd5 staging column) must raise instead of silently colliding
+    with the output layout."""
     import pytest
 
     from ontology_graph_etl_spark.sinks.writers import write_training_shards
@@ -448,6 +449,9 @@ def test_write_training_shards_clash_guard(spark, tmp_path):
     df = spark.createDataFrame([(1, 2)], "doc_id: long, shard: int")
     with pytest.raises(ValueError, match="shard"):
         write_training_shards(df, str(tmp_path / "x"), 4, "doc_id")
+    df2 = spark.createDataFrame([(1, "z")], "doc_id: long, __hmd5: string")
+    with pytest.raises(ValueError, match="__hmd5"):
+        write_training_shards(df2, str(tmp_path / "y"), 4, "doc_id")
 
 
 def test_write_training_shards_null_key_raises(spark, tmp_path):
