@@ -155,6 +155,8 @@ HEADLINE = [
     "q145_ngram_novelty",
     "q146_semantic_outlier_gate",
     "q147_winnow_fingerprints",
+    # round-13 additions
+    "q148_model_quality_gate",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

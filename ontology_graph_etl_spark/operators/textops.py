@@ -2494,3 +2494,133 @@ def bigram_logprob(
             F.col("mean_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-scorer quality gate (FineWeb-Edu / DCLM-style classifier filtering)
+# ---------------------------------------------------------------------------
+
+def fake_model_scorer(texts):
+    """Deterministic content-derived fake scorer (the
+    ``multimodal.fake_decoder`` seam contract, for text): score =
+    first 8 md5 hex digits of the UTF-8 text / 2^32 — uniform on
+    [0, 1), bit-replayable in any SQL engine
+    (``('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0``),
+    and exactly representable in float64 (an integer < 2^32 divided
+    by a power of two). NULL text scores NULL. Lets every Spark-side
+    contract of :func:`model_scores` (schema, Arrow batching,
+    partition preservation, gate composition) be tested and
+    driver-certified for real while the production model is absent."""
+    import hashlib
+
+    import pandas as pd
+
+    def one(t):
+        if t is None:
+            return None
+        d = hashlib.md5(str(t).encode("utf-8")).hexdigest()
+        return int(d[:8], 16) / 4294967296.0
+
+    return texts.map(one).astype("float64" if len(texts) else object)
+
+
+def model_scores(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    text_col: str,
+    scorer=fake_model_scorer,
+    score_col: str = "model_score",
+) -> DataFrame:
+    """Batch model inference seam over a text column — the
+    FineWeb-Edu/DCLM classifier-scoring stage, as partition-preserving
+    ``mapInPandas`` (the ``multimodal.extract_features`` shape).
+
+    ``scorer`` is BATCH-VECTORIZED: it receives a ``pd.Series`` of
+    texts (one Arrow batch at a time) and returns an aligned
+    ``pd.Series`` of float scores — exactly the shape a real model
+    wants (tokenize-and-forward a whole batch, amortizing per-call
+    overhead), injected so the environment's lack of model runtimes
+    never touches the Spark plumbing. The default
+    :func:`fake_model_scorer` is deterministic and SQL-replayable
+    (oracle-certifiable end to end).
+
+    Scale shape: embarrassingly parallel scan — no shuffle, Arrow
+    moves each input split to Python once, and the output carries only
+    ``id_cols + [score_col]`` (the text never rides back to the JVM).
+    At 100 TB the only knobs are input split size
+    (``spark.sql.files.maxPartitionBytes``) and
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (= the model's
+    batch size)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_cols = list(id_cols)
+    if score_col in df.columns:
+        raise ValueError(
+            f"model_scores output column {score_col!r} already exists "
+            "on the input"
+        )
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [in_fields[c] for c in id_cols]
+        + [StructField(score_col, DoubleType(), True)]
+    )
+
+    def run(batches):
+        for batch in batches:
+            out = batch[id_cols].copy()
+            out[score_col] = scorer(batch[text_col])
+            yield out
+
+    return df.select(*id_cols, text_col).mapInPandas(run, schema=out_schema)
+
+
+def model_quality_gate(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    scorer=fake_model_scorer,
+    threshold: float | None = None,
+    keep_pct: int | None = None,
+    strata_col: str | None = None,
+    score_col: str = "model_score",
+    buckets: int = 256,
+) -> DataFrame:
+    """Classifier-filter a corpus on model scores — the standard
+    FineWeb-Edu ("educational value >= threshold") / DCLM ("top X%
+    by fasttext score") curation stage, composed from
+    :func:`model_scores` + either a fixed ``threshold`` or the
+    per-stratum :func:`..relational.quality_percentile_gate`.
+
+    Exactly one of ``threshold`` / ``keep_pct`` must be given:
+
+    * ``threshold=t``: ``keep = score >= t`` (NULL-scored rows are
+      dropped — ``keep`` is coalesced to false, never NULL). Output:
+      ``key_col[, strata_col], score_col, keep``.
+    * ``keep_pct=p`` (integer percent): keep the top ``p``% per
+      ``strata_col`` stratum (required; e.g. per dump/domain/lang) by
+      score — the integer-arithmetic rank rule and bucketed window
+      plan of ``quality_percentile_gate``, so no single-task stratum
+      sort at 100 TB. Output adds ``quality_rank``.
+
+    Every row rides through with its score and flag (audit-friendly);
+    filter on ``keep`` for the gated corpus."""
+    if (threshold is None) == (keep_pct is None):
+        raise ValueError("give exactly one of threshold= / keep_pct=")
+    id_cols = [key_col] + (
+        [strata_col] if strata_col and strata_col != key_col else []
+    )
+    scored = model_scores(df, id_cols, text_col, scorer, score_col)
+    if threshold is not None:
+        return scored.withColumn(
+            "keep",
+            F.coalesce(
+                F.col(score_col) >= F.lit(float(threshold)), F.lit(False)
+            ),
+        )
+    if strata_col is None:
+        raise ValueError("keep_pct= requires strata_col=")
+    from .relational import quality_percentile_gate
+
+    return quality_percentile_gate(
+        scored, key_col, strata_col, score_col, int(keep_pct), buckets
+    )

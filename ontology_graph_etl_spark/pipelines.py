@@ -182,6 +182,8 @@ def curate_pretraining_corpus(
     base_hash: str = "xxhash64",
     materialize: bool = False,
     span_removal_k: int | None = None,
+    model_scorer=None,
+    model_threshold: float = 0.5,
 ) -> DataFrame:
     """One-call training-data curation — the composition the individual
     §2.11 operators exist for:
@@ -196,6 +198,14 @@ def curate_pretraining_corpus(
        its two shuffles each.
     1. Gopher quality gate (``gopher_quality_filters``) — drop reasons
        ride along as columns.
+    1.5. (opt-in) Model-scorer gate (``model_scorer=``, the
+       FineWeb-Edu/DCLM classifier-filter stage): batch-vectorized
+       inference via :func:`operators.textops.model_scores`, keep =
+       ``model_score >= model_threshold`` (NULL scores drop). The
+       output gains ``model_score`` and ``model_keep``; the gate ANDs
+       into ``keep`` and prunes the LSH input alongside the Gopher
+       gate. Inject a real classifier in production,
+       ``textops.fake_model_scorer`` in tests.
     2. Exact dedup, first-wins by min id over identical text.
     3. MinHash-LSH near-dup clustering over the surviving docs
        (``lsh_dedup_clusters`` — banded, never O(n²)).
@@ -238,6 +248,19 @@ def curate_pretraining_corpus(
         ).localCheckpoint()
         work = spans.select(id_col, F.col("text_clean").alias(text_col))
     gq = gopher_quality_filters(work, id_col, text_col)
+    model = None
+    if model_scorer is not None:
+        from .operators.textops import model_scores
+
+        model = model_scores(
+            work, [id_col], text_col, model_scorer
+        ).withColumn(
+            "model_keep",
+            F.coalesce(
+                F.col("model_score") >= F.lit(float(model_threshold)),
+                F.lit(False),
+            ),
+        )
     quality = quality_score(work.select(id_col, text_col), text_col).select(
         id_col, "quality_score"
     )
@@ -251,12 +274,20 @@ def curate_pretraining_corpus(
         gq = gq.localCheckpoint()
         exact = exact.localCheckpoint()
         quality = quality.localCheckpoint()
+        if model is not None:
+            model = model.localCheckpoint()
     survivors = (
         work.join(gq.select(id_col, "passes_gopher"), id_col)
         .join(exact, id_col)
         .where(F.col("passes_gopher") & F.col("exact_keep"))
         .select(id_col, text_col)
     )
+    if model is not None:
+        survivors = (
+            survivors.join(model.select(id_col, "model_keep"), id_col)
+            .where(F.col("model_keep"))
+            .select(id_col, text_col)
+        )
     clusters = lsh_dedup_clusters(
         survivors,
         id_col,
@@ -283,15 +314,16 @@ def curate_pretraining_corpus(
     )
     if spans is not None:
         out = out.join(spans, id_col)
-    return (
-        out.withColumn("split", split)
-        .withColumn(
-            "keep",
-            F.col("passes_gopher")
-            & F.col("exact_keep")
-            & F.coalesce(F.col("near_keep"), F.lit(False)),
-        )
+    if model is not None:
+        out = out.join(model, id_col)
+    keep = (
+        F.col("passes_gopher")
+        & F.col("exact_keep")
+        & F.coalesce(F.col("near_keep"), F.lit(False))
     )
+    if model is not None:
+        keep = keep & F.col("model_keep")
+    return out.withColumn("split", split).withColumn("keep", keep)
 
 
 def build_token_budget_mix(

@@ -6078,6 +6078,50 @@ WHERE i <= greatest(n_grams - {w}, 0) + 1
 """
 
 
+def _q148_model_quality_gate(spark, sf_dir):
+    # FineWeb-Edu/DCLM-style classifier filtering certified end to
+    # end through the injectable scorer seam: batch-vectorized
+    # mapInPandas inference (textops.model_scores, the
+    # multimodal-codec seam contract) with the deterministic
+    # digest-based fake scorer (score = first 8 md5 hex digits of the
+    # text / 2^32 — exact in float64, replayable in SQL), composed
+    # with quality_percentile_gate's bucketed rank plan: keep the top
+    # 40% per lang by model score. The oracle re-derives the scores
+    # from md5(text) and replays the integer-percent rank rule (q103
+    # precedent). In production inject a real classifier; the Spark
+    # plumbing (schema, Arrow batches, gate plan) is what this row
+    # certifies.
+    return textops.model_quality_gate(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        "doc_id",
+        "text",
+        keep_pct=40,
+        strata_col="lang",
+    )
+
+
+_q148_sql = r"""
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS model_score
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, model_score,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY model_score DESC, doc_id ASC
+         ) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM s
+)
+SELECT doc_id, lang, model_score,
+       CAST(rk AS INTEGER) AS quality_rank,
+       (rk - 1) * 100 < n * 40 AS keep
+FROM r
+"""
+
+
 _Q140 = {"k": 4, "per_cluster": 50}
 
 
@@ -6528,6 +6572,12 @@ QUERIES: list[QueryDef] = [
     # mid-round are inserted at the window head (never-certified names
     # must sit in the window); each insertion pushes the window's last
     # entry to the tail head.
+    QueryDef(
+        "q148_model_quality_gate",
+        _q148_model_quality_gate,
+        _q148_sql,
+        "§2.11",
+    ),
     QueryDef("q142_shard_export", _q142_shard_export, _q142_sql(), "§2.11"),
     QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
     QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
@@ -6612,13 +6662,13 @@ QUERIES: list[QueryDef] = [
         "§2.11",
     ),
     QueryDef("q133_doc_chunks", _q133_doc_chunks, _q133_sql(), "§2.11"),
+    # --- TAIL (not certified this round) ---
     QueryDef(
         "q131_exact_substring_spans",
         _q131_exact_substring_spans,
         _q131_sql(),
         "§2.11",
     ),
-    # --- TAIL (not certified this round) ---
     QueryDef(
         "q132_exact_substring_removal",
         _q132_exact_substring_removal,

@@ -223,6 +223,47 @@ def test_curate_pretraining_corpus_end_to_end(spark, sf_dir):
         out.unpersist()
 
 
+def test_curate_model_scorer_hook(spark, sf_dir):
+    """The opt-in model-scorer stage: with a scorer that passes
+    everything (threshold 0.0 over non-null scores) the decision trail
+    equals the scorer-free run (modulo the two extra columns); with a
+    real threshold, every kept doc passes the model gate, dropped-by-
+    model docs lose keep even when they pass everything else, and the
+    LSH input is pruned (model-dropped docs never become cluster
+    representatives)."""
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators.textops import fake_model_scorer
+    from ontology_graph_etl_spark.pipelines import curate_pretraining_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    base = {
+        (r.doc_id, r.keep, r.split, r.cluster)
+        for r in curate_pretraining_corpus(docs).collect()
+    }
+    allpass = curate_pretraining_corpus(
+        docs, model_scorer=fake_model_scorer, model_threshold=0.0
+    ).collect()
+    assert {(r.doc_id, r.keep, r.split, r.cluster) for r in allpass} == base
+    assert all(r.model_keep for r in allpass if r.model_score is not None)
+
+    gated = curate_pretraining_corpus(
+        docs, model_scorer=fake_model_scorer, model_threshold=0.5
+    ).collect()
+    assert len(gated) == len(allpass)
+    for r in gated:
+        if r.keep:
+            assert r.model_keep and r.model_score >= 0.5
+        if not r.model_keep:
+            assert not r.keep
+            # pruned before clustering: never a near-dup representative
+            assert r.near_keep is None or r.near_keep is False
+    # the model gate actually bites at this threshold (the digest
+    # scorer is uniform on [0,1), so ~half the corpus fails it)
+    n_dropped = sum(not r.model_keep for r in gated)
+    assert 0 < n_dropped < len(gated)
+
+
 def test_curate_materialize_identical_output_one_scan(spark, sf_dir):
     """materialize=True must change the PLAN (gate/exact/quality branches
     pinned as in-memory RDDs, parquet rescanned fewer times), never the

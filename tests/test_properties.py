@@ -3887,6 +3887,83 @@ def test_textops_staging_collision_guards(spark):
     assert repetition_score(clean, "text").count() == 1
 
 
+def test_model_scorer_seam(spark):
+    """q148's seam contracts: the fake scorer's scores equal the
+    hashlib recomputation (and are exact float64), NULL text scores
+    NULL (threshold keep coalesces to False, never NULL), the output
+    schema carries only id cols + model_score, a score_col clash
+    raises, and exactly one of threshold=/keep_pct= must be given."""
+    import hashlib
+
+    import pytest
+
+    from ontology_graph_etl_spark.operators.textops import (
+        model_quality_gate,
+        model_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, None), (4, "quick fox")],
+        "doc_id: long, text: string",
+    )
+    scored = model_scores(docs, ["doc_id"], "text")
+    assert scored.columns == ["doc_id", "model_score"]
+    got = {r.doc_id: r.model_score for r in scored.collect()}
+
+    def expect(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 2**32
+
+    assert got[1] == expect("hello world")
+    assert got[2] == expect("")
+    assert got[3] is None
+    assert got[4] == expect("quick fox")
+
+    gated = model_quality_gate(docs, "doc_id", "text", threshold=0.5)
+    flags = {r.doc_id: r.keep for r in gated.collect()}
+    assert flags[3] is False  # NULL score -> dropped, not NULL
+    for i in (1, 2, 4):
+        assert flags[i] == (got[i] >= 0.5)
+
+    with pytest.raises(ValueError, match="exactly one"):
+        model_quality_gate(docs, "doc_id", "text")
+    with pytest.raises(ValueError, match="exactly one"):
+        model_quality_gate(
+            docs, "doc_id", "text", threshold=0.5, keep_pct=40
+        )
+    with pytest.raises(ValueError, match="strata_col"):
+        model_quality_gate(docs, "doc_id", "text", keep_pct=40)
+    with pytest.raises(ValueError, match="model_score"):
+        model_scores(
+            docs.withColumn("model_score", docs.doc_id), ["doc_id"], "text"
+        )
+
+
+def test_model_scorer_batch_vectorized(spark):
+    """The scorer receives pd.Series BATCHES (not scalars) — the
+    contract a real model needs to amortize per-call overhead. A probe
+    scorer records call granularity; every call must be a Series and
+    the number of calls must be far below the number of rows."""
+    import pandas as pd
+
+    from ontology_graph_etl_spark.operators.textops import model_scores
+
+    calls = []
+
+    def probe(texts: pd.Series) -> pd.Series:
+        assert isinstance(texts, pd.Series)
+        calls.append(len(texts))
+        return pd.Series([float(len(t)) for t in texts], dtype="float64")
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (i % 7)) for i in range(200)],
+        "doc_id: long, text: string",
+    ).coalesce(2)
+    out = model_scores(docs, ["doc_id"], "text", probe).collect()
+    assert {r.doc_id: r.model_score for r in out} == {
+        i: float(i % 7) for i in range(200)
+    }
+
+
 def test_tokenizer_fertility_semantics(spark):
     """q144 semantics on a hand-checkable vocabulary: under the
     4-merge table from the golden corpus (lo, low, es, ew), 'low'
