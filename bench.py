@@ -157,6 +157,9 @@ HEADLINE = [
     "q147_winnow_fingerprints",
     # round-13 additions
     "q148_model_quality_gate",
+    "q149_fixpoint_removal",
+    "q150_bpe_train_deep",
+    "q151_multimodal_neardup",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

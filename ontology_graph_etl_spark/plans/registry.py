@@ -3887,6 +3887,93 @@ FROM idx
 """
 
 
+_Q151_THRESHOLD = 0.999
+
+
+def _q151_multimodal_neardup(spark, sf_dir):
+    # Perceptual-hash-style media near-dup: the fake decoder's
+    # digest feature vectors (sha256 bytes / 255, deterministic and
+    # SQL-replayable) through mean-centered sign-LSH + cosine verify
+    # (multimodal.multimodal_near_duplicates — the q82 production
+    # path composed over the codec seam). The asset table doubles
+    # every 25th document under a shifted id so exact byte-duplicates
+    # exist at certification scale (cosine 1.0 by construction); the
+    # 0.999 threshold keeps exactly those plus any digest near-ties,
+    # which the oracle re-derives identically. Centering is the
+    # operator's own per-dimension mean (digest features are all
+    # nonnegative — uncentered, every asset lands in the all-ones
+    # bucket and LSH degenerates to all-pairs).
+    docs = _t(spark, sf_dir, "documents")
+
+    def asset(df, shift):
+        return df.select(
+            (F.col("doc_id") + F.lit(shift)).alias("asset_id"),
+            F.lit("image").alias("media_type"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
+
+    assets = asset(docs, 0).unionByName(
+        asset(docs.where(F.col("doc_id") % 25 == 0), 1000000)
+    )
+    from ..sources.multimodal import multimodal_near_duplicates
+
+    return multimodal_near_duplicates(
+        assets, threshold=_Q151_THRESHOLD
+    )
+
+
+_q151_sql = (
+    """WITH a AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS id, text FROM documents
+  WHERE doc_id % 25 = 0
+),
+f AS (SELECT id, sha256(text) AS hx FROM a),
+v0 AS (
+  SELECT id,
+         [('0x' || substr(hx, 1, 2))::INT / 255.0,
+         ('0x' || substr(hx, 3, 2))::INT / 255.0,
+         ('0x' || substr(hx, 5, 2))::INT / 255.0,
+         ('0x' || substr(hx, 7, 2))::INT / 255.0,
+         ('0x' || substr(hx, 9, 2))::INT / 255.0,
+         ('0x' || substr(hx, 11, 2))::INT / 255.0,
+         ('0x' || substr(hx, 13, 2))::INT / 255.0,
+         ('0x' || substr(hx, 15, 2))::INT / 255.0] AS raw
+  FROM f
+),
+m AS (
+  SELECT pos, round(avg(raw[pos]), 6) AS mu
+  FROM v0 CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS pos) g
+  GROUP BY pos
+),
+muv AS (SELECT list(mu ORDER BY pos) AS mu_vec FROM m),
+v AS (
+  SELECT v0.id, [raw[1] - mu_vec[1], raw[2] - mu_vec[2], raw[3] - mu_vec[3], raw[4] - mu_vec[4], raw[5] - mu_vec[5], raw[6] - mu_vec[6], raw[7] - mu_vec[7], raw[8] - mu_vec[8]] AS e
+  FROM v0, muv
+),
+bits AS (
+  SELECT id, e,
+         list_transform(e[1:8],
+                        x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END) AS b
+  FROM v
+),
+bands AS (
+  SELECT id, e, band,
+         array_to_string(b[band * 4 + 1 : band * 4 + 4], '') AS bucket
+  FROM bits CROSS JOIN (SELECT unnest(range(2)) AS band) g
+),
+"""
+    + _verified_pair_ctes(
+        """  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.id < b.id""",
+        _Q151_THRESHOLD,
+    )
+    + "\nSELECT id_a, id_b, cosine_sim FROM pairs"
+)
+
+
 def _q96_temperature_mix(spark, sf_dir):
     # temperature-scaled domain resampling (alpha=0.5, UniMax-style):
     # target shares proportional to isqrt(count_d) — integer sqrt is
@@ -5158,12 +5245,19 @@ def _q129_bpe_train(spark, sf_dir):
     )
 
 
-def _q129_sql(rounds: int = _Q129_MERGES) -> str:
+def _q129_sql(rounds: int = _Q129_MERGES, materialized: bool = False) -> str:
     """Chained-CTE DuckDB twin of bpe_train: s0 is the wrapped
     word-frequency table; per round r a pair-count CTE p{r}, a 1-row
     argmax CTE b{r} ((count desc, lhs, rhs) — the Spark fetch), and the
     rewritten vocabulary s{r} via the same left-to-right substring
-    replace; output = the merge table b1..b{rounds}."""
+    replace; output = the merge table b1..b{rounds}.
+
+    ``materialized=True`` (the q150 deep chain) pins every CTE with
+    DuckDB's AS MATERIALIZED: the default inlining re-expands each
+    multi-referenced CTE into its consumers, so a deep chain re-opens
+    the base parquet exponentially many times — 16+ rounds exhaust the
+    process fd limit; materialized, 64 rounds run in ~2 s. q129's own
+    4-round oracle text stays byte-identical (default False)."""
     parts = [
         "WITH w0 AS (",
         "  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (",
@@ -5178,10 +5272,11 @@ def _q129_sql(rounds: int = _Q129_MERGES) -> str:
         "  FROM w0",
         "),",
     ]
+    M = " MATERIALIZED" if materialized else ""
     for r in range(1, rounds + 1):
         p = r - 1
         parts += [
-            f"p{r} AS (",
+            f"p{r} AS{M} (",
             f"  SELECT l, r, SUM(cnt) AS pc FROM (",
             f"    SELECT arr[pos] AS l, arr[pos + 1] AS r, cnt FROM (",
             f"      SELECT arr, cnt,",
@@ -5191,9 +5286,9 @@ def _q129_sql(rounds: int = _Q129_MERGES) -> str:
             f"            FROM s{p})))",
             f"  GROUP BY l, r",
             f"),",
-            f"b{r} AS (SELECT l, r, pc FROM p{r}",
+            f"b{r} AS{M} (SELECT l, r, pc FROM p{r}",
             f"         ORDER BY pc DESC, l, r LIMIT 1),",
-            f"s{r} AS (",
+            f"s{r} AS{M} (",
             f"  SELECT w, cnt,",
             f"         replace(s,",
             f"           '<' || (SELECT l FROM b{r}) || '><'",
@@ -5210,6 +5305,29 @@ def _q129_sql(rounds: int = _Q129_MERGES) -> str:
         for r in range(1, rounds + 1)
     ]
     return "\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+_Q150_MERGES = 64
+
+
+def _q150_bpe_train_deep(spark, sf_dir):
+    # BPE at realistic merge depth: 64 rounds through the driver-side
+    # incremental-pair-count + lazy-deletion-heap path (the corpus
+    # vocabulary fits driver_vocab_max, so training collects the word
+    # table once and never re-scans the corpus per round — 256 merges
+    # in ~1 s). q129's 4-merge row certifies the distributed round
+    # machinery; this row puts the heap path's merge bookkeeping
+    # (incremental pair deltas, stale-entry skipping, tie order)
+    # inside a driver hash at depth. The oracle replays the same 64
+    # rounds as chained MATERIALIZED CTEs (inlined, the chain re-opens
+    # the base parquet exponentially often and exhausts the fd limit).
+    return textops.bpe_train(
+        _t(spark, sf_dir, "documents"), "text", n_merges=_Q150_MERGES
+    )
+
+
+def _q150_sql() -> str:
+    return _q129_sql(_Q150_MERGES, materialized=True)
 
 
 def _q130_bpe_encode(spark, sf_dir):
@@ -5398,6 +5516,115 @@ FROM documents d
 LEFT JOIN agg a USING (doc_id)
 LEFT JOIN asm m USING (doc_id)
 """
+
+
+def _q149_pass_ctes(src: str, x: str, L: int) -> str:
+    """One exact-substring-removal pass as CTEs over relation ``src``
+    (columns doc_id, text), suffix ``x``: the q131 span chain + the
+    q132 cut/reassembly, ending in ``d{x}`` (the cleaned corpus) and
+    ``rm{x}`` (a 1-row scalar: characters removed this pass)."""
+    return f"""
+pos{x} AS (
+  SELECT doc_id,
+         unnest(generate_series(1, length(text) - {L} + 1)) AS i,
+         text
+  FROM {src} WHERE length(text) >= {L}
+),
+keyed{x} AS (
+  SELECT doc_id, i, md5(substr(text, i, {L})) AS k FROM pos{x}
+),
+dup{x} AS (
+  SELECT doc_id, i FROM (
+    SELECT doc_id, i, COUNT(*) OVER (PARTITION BY k) AS c FROM keyed{x})
+  WHERE c >= 2
+),
+isl{x} AS (
+  SELECT doc_id, i,
+         CASE WHEN i > COALESCE(MAX(i + {L} - 1) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              + 1
+              THEN 1 ELSE 0 END AS new_span
+  FROM dup{x}
+),
+num{x} AS (
+  SELECT doc_id, i,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+  FROM isl{x}
+),
+spans{x} AS (
+  SELECT doc_id, span_id, MIN(i) AS s, MAX(i + {L} - 1) AS e
+  FROM num{x} GROUP BY doc_id, span_id
+),
+segs{x} AS (
+  SELECT doc_id, s, e,
+         COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS prev_e
+  FROM spans{x}
+),
+frags{x} AS (
+  SELECT g.doc_id,
+         substr(d.text, g.prev_e + 1, g.s - g.prev_e - 1) AS frag,
+         g.s AS ord
+  FROM segs{x} g JOIN {src} d USING (doc_id)
+  UNION ALL
+  SELECT m.doc_id, substr(d.text, m.last_e + 1) AS frag,
+         2147483647 AS ord
+  FROM (SELECT doc_id, MAX(e) AS last_e FROM spans{x}
+        GROUP BY doc_id) m
+  JOIN {src} d USING (doc_id)
+),
+asm{x} AS (
+  SELECT doc_id, string_agg(frag, '' ORDER BY ord) AS text_clean
+  FROM frags{x} GROUP BY doc_id
+),
+d{x} AS (
+  SELECT s.doc_id, COALESCE(a.text_clean, s.text) AS text
+  FROM {src} s LEFT JOIN asm{x} a USING (doc_id)
+),
+rm{x} AS (
+  SELECT COALESCE(SUM(e - s + 1), 0) AS removed FROM spans{x}
+)"""
+
+
+def _q149_fixpoint_removal(spark, sf_dir):
+    # Multi-pass Lee-et-al removal certified: a cut can butt two
+    # distant fragments together and form a NEW >=30-char repeat
+    # across the seam, so one pass is not idempotent. max_passes=2 is
+    # FIXED on the cert dataset so the oracle is a deterministic
+    # two-fold chaining of the q132 span+cut CTEs; n_passes /
+    # converged re-derive from the per-pass removed-character scalars
+    # (pass 2 of an already-converged corpus removes zero characters
+    # and leaves it untouched, so the chained text is correct in
+    # every branch). Hash covers the full cleaned text, the per-doc
+    # total dup_chars, and the convergence verdict.
+    return textops.exact_substring_removal_to_fixpoint(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        min_len=_Q131_L,
+        max_passes=2,
+    )
+
+
+def _q149_sql(L: int = _Q131_L) -> str:
+    return (
+        "WITH d0 AS (SELECT doc_id, text FROM documents),"
+        + _q149_pass_ctes("d0", "1", L)
+        + ","
+        + _q149_pass_ctes("d1", "2", L)
+        + """
+SELECT d0.doc_id,
+       CAST(length(d0.text) AS BIGINT) AS n_chars,
+       CAST(length(d0.text) - length(d2.text) AS BIGINT) AS dup_chars,
+       d2.text AS text_clean,
+       CAST(CASE WHEN rm1.removed = 0 THEN 1 ELSE 2 END AS INTEGER)
+         AS n_passes,
+       (rm1.removed = 0 OR rm2.removed = 0) AS converged
+FROM d0 JOIN d2 USING (doc_id), rm1, rm2
+"""
+    )
 
 
 _Q133_CHUNK = 200
@@ -6573,6 +6800,24 @@ QUERIES: list[QueryDef] = [
     # must sit in the window); each insertion pushes the window's last
     # entry to the tail head.
     QueryDef(
+        "q151_multimodal_neardup",
+        _q151_multimodal_neardup,
+        _q151_sql,
+        "multimodal",
+    ),
+    QueryDef(
+        "q150_bpe_train_deep",
+        _q150_bpe_train_deep,
+        _q150_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q149_fixpoint_removal",
+        _q149_fixpoint_removal,
+        _q149_sql(),
+        "§2.11",
+    ),
+    QueryDef(
         "q148_model_quality_gate",
         _q148_model_quality_gate,
         _q148_sql,
@@ -6649,6 +6894,7 @@ QUERIES: list[QueryDef] = [
         _q138_sql(),
         "§2.11",
     ),
+    # --- TAIL (not certified this round) ---
     QueryDef(
         "q137_stored_ivf_search",
         _q137_stored_ivf_search,
@@ -6662,7 +6908,6 @@ QUERIES: list[QueryDef] = [
         "§2.11",
     ),
     QueryDef("q133_doc_chunks", _q133_doc_chunks, _q133_sql(), "§2.11"),
-    # --- TAIL (not certified this round) ---
     QueryDef(
         "q131_exact_substring_spans",
         _q131_exact_substring_spans,

@@ -252,3 +252,77 @@ def sample_frames(
     return assets.select("asset_id", "media_type", "payload").mapInPandas(
         run, schema=FRAMES_SCHEMA
     )
+
+
+def multimodal_near_duplicates(
+    assets: DataFrame,
+    decoder: Decoder = fake_decoder,
+    threshold: float = 0.95,
+    n_bands: int = 2,
+    band_bits: int = 4,
+    center: bool = True,
+) -> DataFrame:
+    """Perceptual-hash-style near-duplicate detection over binary
+    media assets — the multimodal counterpart of the text corpus's
+    q82/q87 embedding dedup: decode each payload to a feature vector
+    through the injectable ``decoder`` seam
+    (:func:`extract_features`), then find near-dup pairs with the
+    banded sign-LSH + cosine-verify production path
+    (``similarity.embedding_near_duplicates_lsh`` — candidates from a
+    (band, bucket) equi-join, linear in rows×bands, never all-pairs).
+
+    ``center=True`` (default) subtracts the per-dimension corpus mean
+    before hashing: sign-LSH needs roughly zero-centered coordinates,
+    and raw perceptual features (histograms, the digest fake) are
+    often all-nonnegative — uncentered they put EVERY asset in the
+    all-ones bucket and the candidate set degenerates to all-pairs.
+    The means come from one tiny per-dimension aggregate (posexplode →
+    avg, rounded to 6 dp for engine portability) broadcast back as an
+    array — no driver collect, no corpus rescan. Assets whose decode
+    yields no feature vector are skipped.
+
+    Returns ``(id_a, id_b, cosine_sim)`` pairs with rounded cosine >=
+    ``threshold`` — exact byte-duplicates score 1.0 by construction.
+    At 100 TB the costs are the decode scan (embarrassingly parallel)
+    and the rows×bands bucket shuffle; the feature vectors riding the
+    joins are decode-sized (a few doubles), never the payloads."""
+    from ..operators.similarity import embedding_near_duplicates_lsh
+
+    feats = extract_features(assets, decoder).select(
+        "asset_id", "feature_vec"
+    )
+    vecs = feats.where(
+        F.col("feature_vec").isNotNull() & (F.size("feature_vec") > 0)
+    )
+    if center:
+        means = (
+            vecs.select(
+                F.posexplode("feature_vec").alias("pos", "val")
+            )
+            .groupBy("pos")
+            .agg(F.round(F.avg("val"), 6).alias("mu"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "mu"))
+                ).alias("pm")
+            )
+            .select(
+                F.transform(F.col("pm"), lambda s: s["mu"]).alias(
+                    "mu_vec"
+                )
+            )
+        )
+        vecs = vecs.crossJoin(F.broadcast(means)).select(
+            "asset_id",
+            F.zip_with(
+                "feature_vec", "mu_vec", lambda x, m: x - m
+            ).alias("feature_vec"),
+        )
+    return embedding_near_duplicates_lsh(
+        vecs,
+        "asset_id",
+        "feature_vec",
+        threshold=threshold,
+        n_bands=n_bands,
+        band_bits=band_bits,
+    )
