@@ -160,6 +160,7 @@ HEADLINE = [
     "q149_fixpoint_removal",
     "q150_bpe_train_deep",
     "q151_multimodal_neardup",
+    "q152_ccnet_pipeline",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

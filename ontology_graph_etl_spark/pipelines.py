@@ -463,3 +463,67 @@ def search_retrieval_index(
     return search_ivf_index(
         spark, path, q, id_col, "embedding", k=k, nprobe=nprobe
     )
+
+
+def ccnet_quality_pipeline(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_pct: int = 34,
+    lam: float = 0.7,
+    langs: list[str] | None = None,
+    buckets: int = 256,
+) -> DataFrame:
+    """CCNet-style per-language LM quality bucketing (Wenzek et al.
+    2020) — the composition its stages exist for:
+
+    1. language ID (:func:`operators.textops.language_id`) tags every
+       doc with ``lang_pred``;
+    2. one bigram LM per language
+       (:func:`operators.textops.bigram_logprob` trained on that
+       language's OWN docs — the CCNet contract: a Wikipedia-grade LM
+       per language, never one model across languages), scoring each
+       doc's mean token log-probability;
+    3. per-language percentile gate
+       (:func:`operators.relational.quality_percentile_gate`):
+       ``keep_pct=34`` flags CCNet's "head" tercile per language by
+       LM score (higher mean logprob = lower perplexity = cleaner
+       text); ``quality_rank`` orders the whole language for
+       head/middle/tail bucketing downstream.
+
+    ``langs=`` is the production path (CCNet runs a FIXED language
+    list); ``None`` collects the tiny distinct ``lang_pred`` domain
+    (driver-side small-domain fetch, the seed-fetch class). The
+    per-language loop is a loop over that small domain — each
+    language's LM is an independent lazy plan, so Spark schedules
+    them as one job when the union is consumed.
+
+    Returns every input doc as ``(id, lang_pred, mean_logprob,
+    quality_rank, keep)`` — audit-friendly; filter ``keep`` for the
+    head bucket. Empty docs score NULL and rank trailing (DESC =
+    nulls last), like every other gate in the repo."""
+    from .operators.relational import quality_percentile_gate
+    from .operators.textops import bigram_logprob, language_id
+
+    tagged = language_id(
+        docs.select(id_col, text_col), text_col
+    ).localCheckpoint()
+    if langs is None:
+        langs = [
+            r[0]
+            for r in tagged.select("lang_pred").distinct().collect()
+        ]
+    scored = None
+    for lang in sorted(langs):
+        part = tagged.where(F.col("lang_pred") == lang).select(
+            id_col, text_col
+        )
+        lm = bigram_logprob(part, id_col, text_col, lam=lam).select(
+            id_col,
+            F.lit(lang).alias("lang_pred"),
+            "mean_logprob",
+        )
+        scored = lm if scored is None else scored.unionByName(lm)
+    return quality_percentile_gate(
+        scored, id_col, "lang_pred", "mean_logprob", keep_pct, buckets
+    )

@@ -6472,6 +6472,129 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+_Q152_PCT = 34
+_Q152_LAM = 0.7
+
+
+def _q152_lm_ctes(src: str, x: str, lam: float) -> str:
+    """One per-language bigram-LM scoring block (the q139 chain over
+    relation ``src`` with columns doc_id, text), suffix ``x``; ends in
+    ``per{x}`` = (doc_id, mean_logprob) for every doc of ``src``
+    (0-token docs score NULL)."""
+    return rf"""
+tk{x} AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM {src}
+),
+toks{x} AS (SELECT doc_id, unnest(t) AS token FROM tk{x}),
+freq{x} AS (SELECT token, CAST(count(*) AS BIGINT) AS c1
+            FROM toks{x} GROUP BY token),
+total{x} AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM freq{x}),
+occ{x} AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM tk{x} WHERE len(t) >= 2)
+),
+bi{x} AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+          FROM occ{x} GROUP BY w1, w2),
+bl{x} AS (
+  SELECT b.w1, b.w2,
+         ln({lam!r} * b.c2 / f1.c1 + {1.0 - lam!r} * f2.c1 / tt.n)
+           AS lp
+  FROM bi{x} b
+  JOIN freq{x} f1 ON f1.token = b.w1
+  JOIN freq{x} f2 ON f2.token = b.w2
+  CROSS JOIN total{x} tt
+),
+bs{x} AS (
+  SELECT o.doc_id, l.lp
+  FROM occ{x} o JOIN bl{x} l ON l.w1 = o.w1 AND l.w2 = o.w2
+),
+fs{x} AS (
+  SELECT q.doc_id, ln(CAST(f.c1 AS DOUBLE) / tt.n) AS lp
+  FROM (SELECT doc_id, t[1] AS token FROM tk{x} WHERE len(t) >= 1) q
+  JOIN freq{x} f USING (token) CROSS JOIN total{x} tt
+),
+sc{x} AS (
+  SELECT doc_id, round(avg(lp), 6) AS mean_logprob
+  FROM (SELECT * FROM bs{x} UNION ALL SELECT * FROM fs{x})
+  GROUP BY doc_id
+),
+per{x} AS (
+  SELECT s.doc_id, p.mean_logprob
+  FROM {src} s LEFT JOIN sc{x} p USING (doc_id)
+)"""
+
+
+def _q152_ccnet_pipeline(spark, sf_dir):
+    # CCNet-style per-language LM quality bucketing certified as the
+    # one-call composition (the q85/q141/q143 precedent): q57's
+    # lang-ID tags the corpus, each language gets its OWN q139 bigram
+    # LM (the CCNet contract — never one model across languages), and
+    # q103's per-stratum integer-percent gate flags the top-34% "head"
+    # bucket per language by mean log-probability. The oracle chains
+    # the q57 lang CTEs into two parameterized q139 LM blocks (en /
+    # und) and replays the gate's rank rule; the fixed langs= list is
+    # the production contract (CCNet runs a known language set), so
+    # the plan has no driver-side domain fetch.
+    from .. import pipelines
+
+    return pipelines.ccnet_quality_pipeline(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        keep_pct=_Q152_PCT,
+        lam=_Q152_LAM,
+        langs=["en", "und"],
+    )
+
+
+def _q152_sql() -> str:
+    return (
+        rf"""
+WITH lang AS (
+  SELECT doc_id, text,
+         CASE WHEN round(CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks,
+                     x -> x IN ({_STOPWORD_SQL_LIST}))) AS DOUBLE)
+                   / len(toks)
+              ELSE 0.0 END, 6) >= 0.02
+              THEN 'en' ELSE 'und' END AS lang_pred
+  FROM (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+),
+en AS (SELECT doc_id, text FROM lang WHERE lang_pred = 'en'),
+und AS (SELECT doc_id, text FROM lang WHERE lang_pred = 'und'),"""
+        + _q152_lm_ctes("en", "_en", _Q152_LAM)
+        + ","
+        + _q152_lm_ctes("und", "_un", _Q152_LAM)
+        + rf""",
+scored AS (
+  SELECT doc_id, 'en' AS lang_pred, mean_logprob FROM per_en
+  UNION ALL
+  SELECT doc_id, 'und' AS lang_pred, mean_logprob FROM per_un
+),
+rk AS (
+  SELECT doc_id, lang_pred, mean_logprob,
+         row_number() OVER (
+           PARTITION BY lang_pred
+           ORDER BY mean_logprob DESC NULLS LAST, doc_id ASC
+         ) AS r,
+         count(*) OVER (PARTITION BY lang_pred) AS n
+  FROM scored
+)
+SELECT doc_id, lang_pred, mean_logprob,
+       CAST(r AS INTEGER) AS quality_rank,
+       (r - 1) * 100 < n * {_Q152_PCT} AS keep
+FROM rk
+"""
+    )
+
+
 _Q138_L = 30
 
 
@@ -6800,6 +6923,12 @@ QUERIES: list[QueryDef] = [
     # must sit in the window); each insertion pushes the window's last
     # entry to the tail head.
     QueryDef(
+        "q152_ccnet_pipeline",
+        _q152_ccnet_pipeline,
+        _q152_sql(),
+        "§2.11",
+    ),
+    QueryDef(
         "q151_multimodal_neardup",
         _q151_multimodal_neardup,
         _q151_sql,
@@ -6888,13 +7017,13 @@ QUERIES: list[QueryDef] = [
         _q139_sql(),
         "§2.11",
     ),
+    # --- TAIL (not certified this round) ---
     QueryDef(
         "q138_substring_index_screen",
         _q138_substring_index_screen,
         _q138_sql(),
         "§2.11",
     ),
-    # --- TAIL (not certified this round) ---
     QueryDef(
         "q137_stored_ivf_search",
         _q137_stored_ivf_search,

@@ -264,6 +264,70 @@ def test_curate_model_scorer_hook(spark, sf_dir):
     assert 0 < n_dropped < len(gated)
 
 
+def test_ccnet_pipeline_stage_equivalence(spark, sf_dir):
+    """ccnet_quality_pipeline == the manual composition (language_id →
+    per-language bigram_logprob → per-language percentile gate), and
+    the contract holds: every doc exactly once, keep == top keep_pct%
+    per language by LM score, langs=None (driver domain fetch) equals
+    the fixed-list path."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators.relational import (
+        quality_percentile_gate,
+    )
+    from ontology_graph_etl_spark.operators.textops import (
+        bigram_logprob,
+        language_id,
+    )
+    from ontology_graph_etl_spark.pipelines import ccnet_quality_pipeline
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = ccnet_quality_pipeline(
+        docs, keep_pct=34, langs=["en", "und"]
+    ).collect()
+    assert len(out) == docs.count()
+    assert len({r.doc_id for r in out}) == len(out)
+
+    tagged = language_id(docs, "text")
+    manual = None
+    for lang in ("en", "und"):
+        part = tagged.where(F.col("lang_pred") == lang).select(
+            "doc_id", "text"
+        )
+        lm = bigram_logprob(part, "doc_id", "text").select(
+            "doc_id", F.lit(lang).alias("lang_pred"), "mean_logprob"
+        )
+        manual = lm if manual is None else manual.unionByName(lm)
+    want = {
+        tuple(r)
+        for r in quality_percentile_gate(
+            manual, "doc_id", "lang_pred", "mean_logprob", 34
+        ).collect()
+    }
+    assert {tuple(r) for r in out} == want
+
+    # keep == integer-percent head bucket per language
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang_pred, []).append(r)
+    for lang, rows in by_lang.items():
+        n = len(rows)
+        n_keep = sum(r.keep for r in rows)
+        assert n_keep == math.ceil(n * 34 / 100), (lang, n, n_keep)
+        worst_kept = max(r.quality_rank for r in rows if r.keep)
+        best_dropped = min(
+            (r.quality_rank for r in rows if not r.keep), default=10**9
+        )
+        assert worst_kept < best_dropped
+
+    # langs=None discovers the same domain
+    auto = {tuple(r) for r in ccnet_quality_pipeline(docs, keep_pct=34).collect()}
+    assert auto == want
+
+
 def test_curate_materialize_identical_output_one_scan(spark, sf_dir):
     """materialize=True must change the PLAN (gate/exact/quality branches
     pinned as in-memory RDDs, parquet rescanned fewer times), never the
