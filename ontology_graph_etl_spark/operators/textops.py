@@ -1462,6 +1462,7 @@ def ngram_novelty(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Per-document NOVEL n-gram fraction against a CORPUS-SCALE
     reference — the memorization/overlap metric (Lee et al. 2022's
@@ -1482,10 +1483,34 @@ def ngram_novelty(
     per-doc aggregate — a separate anti-join count would re-derive
     the explode lineage for its second consumer, the
     fork-without-reuse class). Stopword-y grams make the join key
-    skewed; AQE's skew-join splitting applies.
+    skewed — and AQE's skew-join splitting does NOT apply here:
+    both join inputs are distincts ON the join key, so each side's
+    final dedup aggregate reuses its own gram-keyed shuffle as the
+    join input, and ``OptimizeSkewedJoin`` (which only matches
+    ``SMJ(Sort(bare shuffle), Sort(bare shuffle))``) never fires —
+    measured on an adversarial corpus with 8 stopword grams holding
+    73 % of candidate rows (11 MB hot partitions vs 1 MB median,
+    thresholds far below, ``forceOptimizeSkewedJoin`` on): zero
+    skew-reads, while the equivalent plan with bare-shuffle children
+    split every hot partition (SCALING.md round 13). The class:
+    ANY join whose input is a distinct/groupBy on the join key is
+    structurally skew-split-ineligible.
+
+    ``salt_buckets=k`` is the manual escalation for that regime: the
+    candidate side salts its gram key ``pmod(xxhash64(id), k)`` ways
+    and the (already distinct, one-row-per-gram) reference side
+    replicates k×, so a hot gram's candidate rows spread over k
+    partitions at the price of a k× larger reference shuffle. Values
+    are identical (property-pinned); default ``None`` keeps the
+    certified unsalted plan. Worth switching only when one gram
+    holds enough rows to straggle a task — a hot gram is bounded at
+    one row per document by the per-doc distinct, so this needs
+    billion-doc corpora with near-universal stopword runs.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if salt_buckets is not None and salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
     cand = (
         ensure_parallelism(df.select(id_col, text_col))
         .select(
@@ -1500,9 +1525,23 @@ def ngram_novelty(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
+    if salt_buckets is not None:
+        k = int(salt_buckets)
+        cand = cand.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(k))
+        )
+        ref = ref.select(
+            "gram",
+            "__hit",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(k - 1)).cast("array<bigint>")
+            ).alias("__salt"),
+        )
+        joined = cand.join(ref, ["gram", "__salt"], "left")
+    else:
+        joined = cand.join(ref, "gram", "left")
     per_doc = (
-        cand.join(ref, "gram", "left")
-        .groupBy(id_col)
+        joined.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
             F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))

@@ -3887,6 +3887,38 @@ def test_textops_staging_collision_guards(spark):
     assert repetition_score(clean, "text").count() == 1
 
 
+def test_ngram_novelty_salted_matches_unsalted(spark):
+    """salt_buckets=k spreads a hot gram's candidate rows k ways
+    (reference side replicated k times) — values must be IDENTICAL to
+    the unsalted certified plan, including empty docs (NULL novelty)
+    and fully-covered docs (0.0)."""
+    from ontology_graph_etl_spark.operators.textops import ngram_novelty
+
+    import pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the of and to in is it extra one"),
+            (2, "the of and to in is it"),
+            (3, "totally novel text here only"),
+            (4, "x"),
+        ],
+        "doc_id: long, text: string",
+    )
+    ref = spark.createDataFrame(
+        [(10, "the of and to in is it that")],
+        "doc_id: long, text: string",
+    )
+    base = sorted(map(tuple, ngram_novelty(docs, ref).collect()))
+    for k in (1, 4, 16):
+        got = sorted(
+            map(tuple, ngram_novelty(docs, ref, salt_buckets=k).collect())
+        )
+        assert got == base, k
+    with pytest.raises(ValueError, match="salt_buckets"):
+        ngram_novelty(docs, ref, salt_buckets=0)
+
+
 def test_model_scorer_seam(spark):
     """q148's seam contracts: the fake scorer's scores equal the
     hashlib recomputation (and are exact float64), NULL text scores
