@@ -6595,6 +6595,50 @@ FROM rk
     )
 
 
+_Q153_DIST = 3
+
+
+def _q153_fuzzy_join(spark, sf_dir):
+    # Record-linkage / typo-class entity resolution: candidate
+    # duplicate part-name pairs within Levenshtein 3, via two-pass
+    # (first-token, last-token) blocking over the distinct-name
+    # dictionary — the edit-distance complement of the token-set dedup
+    # family (q50 minhash / q55 simhash key on content overlap; a
+    # typo pair shares almost no shingles). Verified JVM-side with
+    # the built-in levenshtein inside codegen; the quadratic step
+    # runs on the name DICTIONARY (64 names here; millions at 100 TB
+    # vs billions of rows), never the corpus.
+    part = _t(spark, sf_dir, "part")
+    return dedup.fuzzy_entity_join(part, "p_name", max_distance=_Q153_DIST)
+
+
+def _q153_sql(d: int = _Q153_DIST) -> str:
+    return f"""
+WITH names AS (
+  SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM part GROUP BY 1
+),
+keyed AS (
+  SELECT name, split_part(name, ' ', 1) AS bk FROM names
+  UNION
+  SELECT name, list_extract(string_split(name, ' '), -1) AS bk
+  FROM names
+),
+pairs AS (
+  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+  FROM keyed a JOIN keyed b USING (bk)
+  WHERE a.name < b.name
+)
+SELECT p.name_a, p.name_b,
+       CAST(levenshtein(p.name_a, p.name_b) AS INTEGER) AS distance,
+       na.n_rows AS n_a, nb.n_rows AS n_b
+FROM pairs p
+JOIN names na ON na.name = p.name_a
+JOIN names nb ON nb.name = p.name_b
+WHERE levenshtein(p.name_a, p.name_b) <= {d}
+"""
+
+
 _Q138_L = 30
 
 
@@ -6922,6 +6966,12 @@ QUERIES: list[QueryDef] = [
     # mid-round are inserted at the window head (never-certified names
     # must sit in the window); each insertion pushes the window's last
     # entry to the tail head.
+    QueryDef(
+        "q153_fuzzy_join",
+        _q153_fuzzy_join,
+        _q153_sql(),
+        "§2.11",
+    ),
     QueryDef(
         "q152_ccnet_pipeline",
         _q152_ccnet_pipeline,

@@ -4105,3 +4105,43 @@ def test_cluster_balanced_sample_caps_dense_regions(spark):
         df.repartition(7), k=2, per_cluster=10, centroids=cents
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_fuzzy_entity_join_golden_and_blocking_semantics(spark):
+    """fuzzy_entity_join on a hand-checkable name domain: (a) typo
+    pairs within the distance that share a first or last token are
+    found, with per-name row counts; (b) a pair within the distance
+    that differs in BOTH its first and last token is invisible — the
+    documented multi-pass blocking recall trade; (c) pairs across
+    both blocking passes dedupe to one row; (d) unknown blocking
+    passes raise."""
+    import pytest as _pytest
+
+    from ontology_graph_etl_spark.operators.dedup import fuzzy_entity_join
+
+    df = spark.createDataFrame(
+        [
+            (1, "acme corp"),
+            (2, "acme corp"),
+            (3, "acme corpx"),   # lev 1, shares both tokens' blocks
+            (4, "acme labs"),    # lev 5 from "acme corp" -> filtered
+            (5, "ax corp"),      # lev 3 from "acme corp", shares last
+            (6, "bcme xorp"),    # lev 2 from "acme corp" but differs
+                                 # in BOTH first and last token: unseen
+        ],
+        "id: long, name: string",
+    )
+    got = {
+        (r.name_a, r.name_b): (r.distance, r.n_a, r.n_b)
+        for r in fuzzy_entity_join(df, "name", max_distance=3).collect()
+    }
+    assert got[("acme corp", "acme corpx")] == (1, 2, 1)
+    assert got[("acme corp", "ax corp")] == (3, 2, 1)
+    # blocking miss: lev("acme corp","bcme xorp")=2 <= 3 but no row
+    assert ("acme corp", "bcme xorp") not in got
+    # "acme corpx" vs "ax corp": shares neither block key -> absent
+    # even though present names pair through "acme corp"
+    assert all(d <= 3 for d, _, _ in got.values())
+    assert len(got) == 2
+    with _pytest.raises(ValueError):
+        fuzzy_entity_join(df, "name", blocking=("soundex",)).collect()
