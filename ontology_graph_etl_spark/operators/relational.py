@@ -1649,3 +1649,79 @@ def interval_overlap_join(
         .drop("__bucket", f"__sb{ls}", f"__sb{rs}")
     )
     return joined
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 hour",
+    trunc: str = "hour",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Time-series resample + gap fill: bucket each key's observations
+    to a regular grid (``date_trunc(trunc)``; ``bucket`` must be the
+    matching interval literal) and emit one row per key per bucket
+    from the key's first observed bucket through its last, carrying
+    the last observed value forward across empty buckets (LOCF — the
+    standard dashboard/feature-store densification every event
+    pipeline re-derives). Per observed bucket the carried value is the
+    LATEST observation (``ts_col`` order, ties by ``tie_col``; without
+    a tie column, equal-timestamp ties resolve to the largest value —
+    pass ``tie_col`` for total determinism). Output: keys, ``bucket``,
+    ``value_col`` (filled), ``observed`` flag, ``n_obs`` (observations
+    in the bucket; 0 on filled rows).
+
+    Plan shape — deliberately NOT the naive grid build (per-key
+    min/max → sequence → explode → left join back → fill window: four
+    shuffles, two of them carrying the exploded grid): one groupBy to
+    per-(key, bucket) aggregates, then a single ``lead`` window per
+    key, then each observed row explodes ``sequence(bucket,
+    next_bucket - step)`` carrying its value — the fill IS the
+    explode, so the grid never shuffles and LOCF needs no second
+    window. Two exchanges total, both of corpus-aggregate (not grid)
+    size. Skew: a key whose neighboring observations straddle a long
+    outage explodes span/bucket rows from one row — bounded by
+    wall-clock span over bucket width, independent of data volume;
+    pathological spans (years × second buckets) should cap the
+    sequence upstream or coarsen ``trunc``.
+    """
+    keys = list(key_cols)
+    ords = [F.col(ts_col).alias("__o0")] + (
+        [F.col(tie_col).alias("__o1")] if tie_col else []
+    )
+    pick = F.struct(*ords, F.col(value_col).alias("__v"))
+    obs = df.groupBy(
+        *keys, F.date_trunc(trunc, F.col(ts_col)).alias("bucket")
+    ).agg(
+        F.max(pick).getField("__v").alias("__v"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col("bucket").asc()
+    )
+    step = F.expr(f"interval {bucket}")
+    nxt = F.lead("bucket").over(w)
+    run = obs.withColumn(
+        "__end",
+        F.coalesce(nxt - step, F.col("bucket")),
+    )
+    return run.select(
+        *keys,
+        F.col("bucket").alias("__b0"),
+        F.explode(F.sequence(F.col("bucket"), F.col("__end"), step)).alias(
+            "bucket"
+        ),
+        "__v",
+        "__n",
+    ).select(
+        *keys,
+        "bucket",
+        F.col("__v").alias(value_col),
+        (F.col("bucket") == F.col("__b0")).alias("observed"),
+        F.when(F.col("bucket") == F.col("__b0"), F.col("__n"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_obs"),
+    )

@@ -6595,6 +6595,54 @@ FROM rk
     )
 
 
+def _q154_gapfill_locf(spark, sf_dir):
+    # Time-series densification: per-user hourly resample of the
+    # events stream with last-observation-carried-forward across
+    # empty buckets, from each user's first observed hour through
+    # its last. The fill is the explode (lead window -> per-gap
+    # sequence), not a grid join — two exchanges total; see
+    # relational.gapfill_locf. event_id tie-breaks equal timestamps
+    # so the carried value is total-order deterministic.
+    ev = _t(spark, sf_dir, "events")
+    return relational.gapfill_locf(
+        ev, ["user_id"], "ts", "value", tie_col="event_id"
+    )
+
+
+_q154_sql = """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+obs AS (
+  SELECT user_id, bucket,
+         max(CASE WHEN rn = 1 THEN value END) AS v,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM b GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM spans
+),
+joined AS (
+  SELECT g.user_id, g.bucket, o.v, COALESCE(o.n_obs, 0) AS n_obs,
+         o.v IS NOT NULL AS observed
+  FROM grid g LEFT JOIN obs o USING (user_id, bucket)
+)
+SELECT user_id, bucket,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       observed, n_obs
+FROM joined
+"""
+
+
 _Q153_DIST = 3
 
 
@@ -6966,6 +7014,12 @@ QUERIES: list[QueryDef] = [
     # mid-round are inserted at the window head (never-certified names
     # must sit in the window); each insertion pushes the window's last
     # entry to the tail head.
+    QueryDef(
+        "q154_gapfill_locf",
+        _q154_gapfill_locf,
+        _q154_sql,
+        "§2.7",
+    ),
     QueryDef(
         "q153_fuzzy_join",
         _q153_fuzzy_join,

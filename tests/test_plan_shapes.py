@@ -540,3 +540,21 @@ def test_bigram_logprob_bounded_scans(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") <= 3, plan.count("FileScan")
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gapfill_locf_join_free_two_exchanges(spark, sf_dir):
+    """q154: the fill is the explode (lead window -> per-gap
+    sequence), NOT a grid build joined back to observations — the
+    plan must contain no join at all and exactly two exchanges (the
+    per-bucket aggregate and the per-key lead window); a third
+    exchange or any join means the naive grid formulation crept
+    back in."""
+    df = queries()["q154_gapfill_locf"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:500]
+    n_ex = sum(
+        1
+        for ln in plan.splitlines()
+        if ln.strip().lstrip("+-: ").startswith("Exchange")
+    )
+    assert n_ex == 2, f"expected 2 exchanges, saw {n_ex}"

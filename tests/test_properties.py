@@ -4145,3 +4145,40 @@ def test_fuzzy_entity_join_golden_and_blocking_semantics(spark):
     assert len(got) == 2
     with _pytest.raises(ValueError):
         fuzzy_entity_join(df, "name", blocking=("soundex",)).collect()
+
+
+def test_gapfill_locf_golden(spark):
+    """gapfill_locf on a hand-checkable stream: (a) gaps between a
+    key's first and last observed hour densify with the prior value
+    carried forward and n_obs=0; (b) nothing extends past the last
+    observation; (c) within one bucket the LATEST event wins, equal
+    timestamps tie-broken by tie_col; (d) keys never bleed into each
+    other."""
+    from ontology_graph_etl_spark.operators.relational import gapfill_locf
+
+    rows = [
+        # user 1: obs at 00:10 (v=1), 00:50 (v=2) same bucket;
+        # gap at 01:00; obs at 02:30 (v=5)
+        (1, "2024-01-01 00:10:00", 1, 1.0),
+        (1, "2024-01-01 00:50:00", 2, 2.0),
+        (1, "2024-01-01 02:30:00", 3, 5.0),
+        # user 2: two obs with EQUAL ts -> tie_col (event_id) wins
+        (2, "2024-01-01 10:00:00", 10, 7.0),
+        (2, "2024-01-01 10:00:00", 11, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id: long, ts: string, event_id: long, value: double"
+    ).withColumn("ts", __import__("pyspark").sql.functions.to_timestamp("ts"))
+    out = gapfill_locf(
+        df, ["user_id"], "ts", "value", tie_col="event_id"
+    ).collect()
+    got = {
+        (r.user_id, r.bucket.isoformat()): (r.value, r.observed, r.n_obs)
+        for r in out
+    }
+    assert got[(1, "2024-01-01T00:00:00")] == (2.0, True, 2)   # latest in bucket
+    assert got[(1, "2024-01-01T01:00:00")] == (2.0, False, 0)  # filled
+    assert got[(1, "2024-01-01T02:00:00")] == (5.0, True, 1)
+    assert (1, "2024-01-01T03:00:00") not in got               # no extension
+    assert got[(2, "2024-01-01T10:00:00")] == (3.0, True, 2)   # tie: id 11
+    assert len(got) == 4
