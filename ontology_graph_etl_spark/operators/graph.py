@@ -1158,3 +1158,59 @@ def kcore(
     return sym.groupBy("a").agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     ).select(F.col("a").alias("node"), "degree")
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_common: int = 1,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Adamic-Adar link prediction over a bipartite (or neighbor-list)
+    edge set: for every src pair sharing at least ``min_common`` dst
+    neighbors, ``aa_score = Σ_common 1/ln(deg(dst))`` — common
+    neighbors weighted down by how promiscuous they are (a part every
+    supplier ships says nothing; a rare shared part says a lot). The
+    standard link-prediction / entity-affinity baseline (Adamic &
+    Adar 2003), output one row per unordered pair (``node_a <
+    node_b``) with ``n_common`` and ``aa_score`` (rounded 6dp — the
+    cross-engine float contract).
+
+    Plan shape: dedup edges, count dst degrees, attach the degree to
+    the edge frame BEFORE the self-join (degree join is linear; doing
+    it after pairs would touch the quadratic frame), self-join on dst
+    with ``a.src < b.src`` halving the square, one groupBy. Degree-1
+    dst keys drop before pairing (they cannot be common, and
+    ``ln(1)=0`` would divide by zero). Skew IS the algorithm's cost
+    model: a hub dst emits deg²/2 pair rows — ``max_degree`` drops
+    hub keys entirely (their 1/ln(deg) contribution is the smallest,
+    so truncation is the textbook mitigation, not an approximation
+    hack); at 100 TB always set it (the q38 triangle-count hub bound
+    applies verbatim).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    deg = e.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    lo = 2
+    cond = F.col("__d") >= lo
+    if max_degree is not None:
+        cond = cond & (F.col("__d") <= max_degree)
+    ed = e.join(deg.where(cond), "dst")
+    a = ed.select(
+        "dst", F.col("src").alias("node_a"), F.col("__d").alias("__da")
+    )
+    b = ed.select("dst", F.col("src").alias("node_b"))
+    return (
+        a.join(b, "dst")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("__da"))), 6).alias(
+                "aa_score"
+            ),
+        )
+        .where(F.col("n_common") >= min_common)
+    )

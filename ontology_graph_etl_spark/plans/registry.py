@@ -6595,6 +6595,39 @@ FROM rk
     )
 
 
+def _q155_adamic_adar(spark, sf_dir):
+    # Link prediction over the supplier->part bipartite edge set:
+    # Adamic-Adar affinity for every supplier pair (common parts
+    # weighted 1/ln(part's supplier-degree)), n_common >= 3. Degree
+    # attaches to the edge frame BEFORE the quadratic self-join; the
+    # tested graph is dense (every pair co-occurs) which is exactly
+    # the regime the max_degree hub cap is documented for.
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return graph.adamic_adar(edges, min_common=3)
+
+
+_q155_sql = """
+WITH e AS (
+  SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem
+),
+deg AS (
+  SELECT dst, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1
+),
+ed AS (
+  SELECT e.src, e.dst, deg.d FROM e JOIN deg USING (dst) WHERE deg.d >= 2
+)
+SELECT a.src AS node_a, b.src AS node_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       round(SUM(1.0 / ln(a.d)), 6) AS aa_score
+FROM ed a JOIN ed b ON a.dst = b.dst AND a.src < b.src
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+"""
+
+
 def _q154_gapfill_locf(spark, sf_dir):
     # Time-series densification: per-user hourly resample of the
     # events stream with last-observation-carried-forward across
@@ -7014,6 +7047,12 @@ QUERIES: list[QueryDef] = [
     # mid-round are inserted at the window head (never-certified names
     # must sit in the window); each insertion pushes the window's last
     # entry to the tail head.
+    QueryDef(
+        "q155_adamic_adar",
+        _q155_adamic_adar,
+        _q155_sql,
+        "§2.8",
+    ),
     QueryDef(
         "q154_gapfill_locf",
         _q154_gapfill_locf,

@@ -602,3 +602,39 @@ def test_kcore_fixpoint_converges_on_q126_graph(spark, sf_dir):
     }
     assert fix == fixed
     assert fix, "k-core emptied the sf0.001 graph; pick a smaller k"
+
+
+def test_adamic_adar_golden_and_hub_cap(spark):
+    """adamic_adar on a hand-checkable bipartite graph: scores are
+    sum(1/ln(deg)) over common dst neighbors, degree-1 dsts can't
+    pair, a < b canonical order, and max_degree drops hub dst keys
+    entirely."""
+    import math
+
+    from ontology_graph_etl_spark.operators.graph import adamic_adar
+
+    # dst 100: suppliers 1,2,3 (deg 3); dst 200: 1,2 (deg 2);
+    # dst 300: only 3 (deg 1 -> never common)
+    edges = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (1, 200), (2, 200), (3, 300),
+         (1, 100)],  # duplicate edge must not double-count
+        "src: long, dst: long",
+    )
+    got = {
+        (r.node_a, r.node_b): (r.n_common, r.aa_score)
+        for r in adamic_adar(edges).collect()
+    }
+    aa_12 = round(1 / math.log(3) + 1 / math.log(2), 6)
+    aa_13 = round(1 / math.log(3), 6)
+    assert got == {
+        (1, 2): (2, aa_12),
+        (1, 3): (1, aa_13),
+        (2, 3): (1, aa_13),
+    }
+    # hub cap: max_degree=2 removes dst 100 (deg 3) -> only the
+    # (1,2) pair through dst 200 survives
+    capped = {
+        (r.node_a, r.node_b): (r.n_common, r.aa_score)
+        for r in adamic_adar(edges, max_degree=2).collect()
+    }
+    assert capped == {(1, 2): (1, round(1 / math.log(2), 6))}
