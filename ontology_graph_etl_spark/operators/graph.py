@@ -1214,3 +1214,179 @@ def adamic_adar(
         )
         .where(F.col("n_common") >= min_common)
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_trim_rounds: int = 10,
+    max_color_rounds: int = 50,
+    max_outer_rounds: int = 20,
+) -> DataFrame:
+    """Strongly connected components of a directed graph — the
+    trim + forward-coloring + backward-sweep method (the FW-BW /
+    coloring family of Fleischer et al. / Slota et al., the published
+    scalable alternative to Tarjan's inherently sequential stack).
+    Returns ``(id, scc_id)`` for every edge endpoint, ``scc_id`` =
+    the smallest node id in the component.
+
+    Three phases, all over shrinking frames:
+
+    1. **Trim** (``max_trim_rounds``, best-effort): nodes with zero
+       in-degree or zero out-degree cannot sit on a cycle — they are
+       singleton SCCs; peel them iteratively (each peel exposes the
+       next tail layer). On tail-heavy graphs (functional-graph rho
+       tails, link-graph pendants) this resolves MOST nodes in a few
+       cheap degree-count rounds before any quadratic-ish work. A cap
+       hit is not an error — coloring handles whatever remains.
+    2. **Color**: propagate the minimum ancestor id forward along
+       edges to fixpoint (``color(dst) = min(color(dst),
+       color(src))`` per round, semi-naive — only changed colors
+       re-propagate). Rounds needed = the graph's longest min-label
+       path, so this is an O(diameter)-round algorithm like every
+       published distributed SCC; ``max_color_rounds`` guards with a
+       RuntimeError rather than silently wrong output.
+    3. **Backward sweep**: each color class has one pivot (``color ==
+       id``); the pivot's SCC is exactly the nodes of its class that
+       reach it through intra-class edges (Fleischer's theorem — the
+       v→pivot path can never leave the class, else the class's
+       color would be smaller). One reverse BFS from ALL pivots at
+       once (frontier semi-join per round), assign, remove, repeat
+       from phase 2 — non-pivot-SCC nodes of a class recolor next
+       outer round.
+
+    Scale shape: every phase is endpoint-keyed joins/aggregates over
+    an edge frame that only shrinks; frontiers and color deltas are
+    node-sized; ``localCheckpoint`` truncates each round's lineage
+    fork (the kcore device). Skew: a hub node's edges concentrate on
+    one endpoint hash — same exposure and same mitigation as q37
+    pagerank (AQE skew split); color propagation adds no new skew
+    axis because deltas key on the same endpoints.
+    """
+    e_all = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e_all.select(F.col("src").alias("id"))
+        .union(e_all.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    assigned: list[DataFrame] = []
+    e = e_all
+    # -- phase 1: trim tails (singletons by degree) ---------------------
+    for _ in range(max_trim_rounds):
+        # self-loop nodes are cyclic by themselves: never trimmable
+        loopers = e.where(F.col("src") == F.col("dst")).select(
+            F.col("src").alias("id")
+        )
+        has_out = e.select(F.col("src").alias("id")).distinct()
+        has_in = e.select(F.col("dst").alias("id")).distinct()
+        keep = (
+            has_out.intersect(has_in).union(loopers).distinct()
+        )
+        trimmed = nodes.join(keep, "id", "left_anti").localCheckpoint()
+        if trimmed.isEmpty():
+            break
+        assigned.append(
+            trimmed.select("id", F.col("id").alias("scc_id"))
+        )
+        nodes = nodes.join(keep, "id", "semi").localCheckpoint()
+        e = (
+            e.join(nodes.select(F.col("id").alias("src")), "src", "semi")
+            .join(nodes.select(F.col("id").alias("dst")), "dst", "semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    # -- phases 2+3: color, sweep, peel, repeat --------------------------
+    for _ in range(max_outer_rounds):
+        if nodes.isEmpty():
+            break
+        color = nodes.select("id", F.col("id").alias("color"))
+        delta = color
+        for i in range(max_color_rounds):
+            # propagate only last round's improvements (semi-naive)
+            cand = (
+                e.join(
+                    delta.select(
+                        F.col("id").alias("src"), F.col("color").alias("c")
+                    ),
+                    "src",
+                )
+                .groupBy("dst")
+                .agg(F.min("c").alias("c"))
+            )
+            merged = (
+                color.join(
+                    cand.select(F.col("dst").alias("id"), "c"), "id", "left"
+                )
+                .select(
+                    "id",
+                    F.least(F.col("color"), F.coalesce("c", F.col("color"))).alias(
+                        "color"
+                    ),
+                    (F.col("c") < F.col("color")).alias("__improved"),
+                )
+                .localCheckpoint()
+            )
+            delta = merged.where(F.col("__improved")).select("id", "color")
+            color = merged.select("id", "color")
+            if delta.isEmpty():
+                break
+        else:
+            raise RuntimeError(
+                f"scc coloring did not reach fixpoint within "
+                f"{max_color_rounds} rounds; raise max_color_rounds "
+                f"(rounds scale with graph diameter)"
+            )
+        # intra-class edges: both endpoints share a color
+        ce = (
+            e.join(
+                color.select(F.col("id").alias("src"), F.col("color").alias("cs")),
+                "src",
+            )
+            .join(
+                color.select(F.col("id").alias("dst"), F.col("color").alias("cd")),
+                "dst",
+            )
+            .where(F.col("cs") == F.col("cd"))
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        pivots = color.where(F.col("id") == F.col("color")).select(
+            "id", F.col("color").alias("scc_id")
+        )
+        reached = pivots.localCheckpoint()
+        frontier = reached
+        while not frontier.isEmpty():
+            step = (
+                ce.join(
+                    frontier.select(F.col("id").alias("dst"), "scc_id"), "dst"
+                )
+                .select(F.col("src").alias("id"), "scc_id")
+                .distinct()
+            )
+            frontier = step.join(reached, "id", "left_anti").localCheckpoint()
+            if frontier.isEmpty():
+                break
+            reached = reached.union(frontier).localCheckpoint()
+        assigned.append(reached)
+        nodes = nodes.join(reached, "id", "left_anti").localCheckpoint()
+        e = (
+            e.join(nodes.select(F.col("id").alias("src")), "src", "semi")
+            .join(nodes.select(F.col("id").alias("dst")), "dst", "semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    if not nodes.isEmpty():
+        raise RuntimeError(
+            f"scc did not converge within {max_outer_rounds} outer rounds"
+        )
+    out = assigned[0]
+    for frame in assigned[1:]:
+        out = out.union(frame)
+    return out.select("id", "scc_id")

@@ -6595,6 +6595,74 @@ FROM rk
     )
 
 
+def _q156_scc(spark, sf_dir):
+    # Strongly connected components (trim + forward-coloring +
+    # backward-sweep, graph.strongly_connected_components) over a
+    # block-structured directed graph derived from part keys: per
+    # 16-key block, two 6-cycles bridged in BOTH directions (one
+    # 12-node SCC) plus four tail nodes feeding the cycles (singleton
+    # SCCs the trim phase peels). Block-local edges keep the global
+    # diameter ~8 at EVERY scale factor — the round count of the
+    # O(diameter) coloring algorithm is a design property of the
+    # graph, not a lucky constant.
+    part = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    p = pk % 16
+    b = pk - p
+    e1 = part.where(p <= 5).select(
+        pk.alias("src"), (b + (p + 1) % 6).alias("dst")
+    )
+    e2 = part.where((p >= 8) & (p <= 13)).select(
+        pk.alias("src"), (b + 8 + (p - 7) % 6).alias("dst")
+    )
+    e3 = part.where(p.isin(6, 7)).select(pk.alias("src"), b.alias("dst"))
+    e4 = part.where(p.isin(14, 15)).select(
+        pk.alias("src"), (b + 8).alias("dst")
+    )
+    e5 = part.where(p == 0).select(pk.alias("src"), (b + 8).alias("dst"))
+    e6 = part.where(p == 11).select(pk.alias("src"), (b + 3).alias("dst"))
+    edges = e1.union(e2).union(e3).union(e4).union(e5).union(e6)
+    return graph.strongly_connected_components(edges)
+
+
+_q156_sql = """
+WITH RECURSIVE e AS (
+  SELECT p_partkey AS src,
+         p_partkey - p_partkey % 16 + (p_partkey % 16 + 1) % 6 AS dst
+  FROM part WHERE p_partkey % 16 <= 5
+  UNION
+  SELECT p_partkey,
+         p_partkey - p_partkey % 16 + 8 + (p_partkey % 16 - 7) % 6
+  FROM part WHERE p_partkey % 16 BETWEEN 8 AND 13
+  UNION
+  SELECT p_partkey, p_partkey - p_partkey % 16
+  FROM part WHERE p_partkey % 16 IN (6, 7)
+  UNION
+  SELECT p_partkey, p_partkey - p_partkey % 16 + 8
+  FROM part WHERE p_partkey % 16 IN (14, 15)
+  UNION
+  SELECT p_partkey, p_partkey - p_partkey % 16 + 8
+  FROM part WHERE p_partkey % 16 = 0
+  UNION
+  SELECT p_partkey, p_partkey - p_partkey % 16 + 3
+  FROM part WHERE p_partkey % 16 = 11
+),
+n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+r(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS w
+  FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT id, CAST(LEAST(id, COALESCE(MIN(w), id)) AS BIGINT) AS scc_id
+FROM n LEFT JOIN mutual ON mutual.v = n.id
+GROUP BY id
+"""
+
+
 def _q155_adamic_adar(spark, sf_dir):
     # Link prediction over the supplier->part bipartite edge set:
     # Adamic-Adar affinity for every supplier pair (common parts
@@ -7047,6 +7115,12 @@ QUERIES: list[QueryDef] = [
     # mid-round are inserted at the window head (never-certified names
     # must sit in the window); each insertion pushes the window's last
     # entry to the tail head.
+    QueryDef(
+        "q156_scc",
+        _q156_scc,
+        _q156_sql,
+        "§2.8",
+    ),
     QueryDef(
         "q155_adamic_adar",
         _q155_adamic_adar,

@@ -638,3 +638,37 @@ def test_adamic_adar_golden_and_hub_cap(spark):
         for r in adamic_adar(edges, max_degree=2).collect()
     }
     assert capped == {(1, 2): (1, round(1 / math.log(2), 6))}
+
+
+def test_scc_golden(spark):
+    """strongly_connected_components on a hand-checkable graph:
+    a 3-cycle, a tail feeding it (trim-phase singleton), a self-loop
+    node, two mutually-bridged 2-cycles (one merged SCC), and a
+    one-way bridge between SCCs that must NOT merge them."""
+    from ontology_graph_etl_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            # 3-cycle 1->2->3->1 with tail 4->1
+            (1, 2), (2, 3), (3, 1), (4, 1),
+            # self-loop
+            (5, 5),
+            # two 2-cycles bridged both ways -> one SCC {6,7,8,9}
+            (6, 7), (7, 6), (8, 9), (9, 8), (6, 8), (9, 7),
+            # one-way bridge: {1,2,3} -> self-loop {5}: no merge
+            (2, 5),
+        ],
+        "src: long, dst: long",
+    )
+    got = {
+        r.id: r.scc_id
+        for r in strongly_connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        4: 4,
+        5: 5,
+        6: 6, 7: 6, 8: 6, 9: 6,
+    }
