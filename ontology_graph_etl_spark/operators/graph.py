@@ -1390,3 +1390,69 @@ def strongly_connected_components(
     for frame in assigned[1:]:
         out = out.union(frame)
     return out.select("id", "scc_id")
+
+
+def deterministic_random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    steps: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    start_col: str = "id",
+) -> DataFrame:
+    """Fixed-length graph walks with HASH-SELECTED next hops — the
+    walk-corpus generator behind DeepWalk/node2vec-style graph
+    embeddings, made exactly reproducible: at step ``t`` from node
+    ``v`` the walk moves to ``argmin_u md5(v|t|u)`` over v's
+    out-neighbors. The md5 order statistic is uniform-ish over
+    neighbors and varies per step (t is in the hash), so walks mix
+    like seeded-random ones while staying replayable bit-for-bit on
+    any engine — no RNG state, no seed plumbing, no
+    collect-and-reseed. One walk starts per ``starts`` row
+    (``walk_id`` = the start node); a walk ends early at a node with
+    no out-edges. Output: ``(walk_id, pos, node)``, pos 0..steps.
+
+    Plan shape: ``steps`` unrolled join+aggregate rounds — the walk
+    frontier (one row per live walk) joins the edge list on the
+    current node and ``min_by(dst, md5(...))`` picks the hop in a
+    single partial-aggregable pass (no window, no sort). The edge
+    frame is localCheckpoint-pinned once and reused every round; the
+    frontier never exceeds the start count, so at 100 TB the
+    per-round shuffle is starts-sized while the edge side stays
+    stationary and co-partitioned on src. Hub skew: a hot node's
+    neighbor list lands in one aggregation group per walk — bounded
+    by out-degree; cap degenerate hubs upstream if out-degrees are
+    corpus-scaled (the q155 max_degree rationale).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = starts.select(
+        F.col(start_col).alias("walk_id"),
+        F.lit(0).alias("pos"),
+        F.col(start_col).alias("node"),
+    )
+    out = cur
+    for t in range(1, steps + 1):
+        cur = (
+            cur.join(e, cur["node"] == e["src"])
+            .groupBy("walk_id")
+            .agg(
+                F.min_by(
+                    "dst",
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("node"),
+                            F.lit(str(t)),
+                            F.col("dst"),
+                        )
+                    ),
+                ).alias("node")
+            )
+            .select("walk_id", F.lit(t).alias("pos"), "node")
+        )
+        out = out.union(cur)
+    return out

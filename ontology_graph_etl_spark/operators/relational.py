@@ -1725,3 +1725,80 @@ def gapfill_locf(
         .cast("long")
         .alias("n_obs"),
     )
+
+
+def association_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Market-basket pair mining: for every unordered item pair
+    co-occurring in at least ``min_pair_count`` baskets, emit
+    ``pair_count``, each item's basket count, ``support``
+    (pair/baskets), ``confidence_ab`` (pair/count_a) and ``lift``
+    (pair·baskets / (count_a·count_b)) — the Apriori-at-k=2 /
+    co-occurrence-statistics stage of recommendation and
+    data-exploration pipelines (rounded 6dp, the cross-engine float
+    contract).
+
+    Plan shape: one distinct to basket-item pairs, one basket-keyed
+    self-join (``a < b`` halves the square) feeding one pair-keyed
+    count, then two broadcast-sized joins against the item-count
+    table and a 1-row cross join for the basket total — the fact
+    frame shuffles twice (basket key, then pair key), never more.
+    Skew is PER-BASKET quadratic: a degenerate basket of m items
+    emits m²/2 pair rows — ``max_basket_size`` drops oversized
+    baskets whole (the standard frequent-itemset hygiene filter:
+    a basket containing half the catalog carries no signal); basket
+    sizes are domain-bounded (order line counts), not corpus-scaled,
+    so the pair frame grows linearly with baskets at 100 TB.
+    """
+    b = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_basket_size is not None:
+        ok = (
+            b.groupBy("basket")
+            .agg(F.count(F.lit(1)).alias("__sz"))
+            .where(F.col("__sz") <= max_basket_size)
+            .select("basket")
+        )
+        b = b.join(ok, "basket", "semi")
+    n_baskets = b.agg(
+        F.count_distinct(F.col("basket")).cast("long").alias("__n")
+    )
+    ic = b.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    x = b.select("basket", F.col("item").alias("item_a"))
+    y = b.select("basket", F.col("item").alias("item_b"))
+    pc = (
+        x.join(y, "basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .where(F.col("pair_count") >= min_pair_count)
+    )
+    ca = ic.select(F.col("item").alias("item_a"), F.col("c").alias("count_a"))
+    cb = ic.select(F.col("item").alias("item_b"), F.col("c").alias("count_b"))
+    return (
+        pc.join(ca, "item_a")
+        .join(cb, "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            "count_a",
+            "count_b",
+            F.round(F.col("pair_count") / F.col("__n"), 6).alias("support"),
+            F.round(F.col("pair_count") / F.col("count_a"), 6).alias(
+                "confidence_ab"
+            ),
+            F.round(
+                F.col("pair_count") * F.col("__n")
+                / (F.col("count_a") * F.col("count_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -6595,6 +6595,101 @@ FROM rk
     )
 
 
+_Q158_STEPS = 6
+
+
+def _q158_random_walks(spark, sf_dir):
+    # Walk-corpus generation for graph embeddings: 6-step walks over
+    # the bidirectional supplier<->part bipartite graph (q30's "S"/"P"
+    # id convention) from the first 21 suppliers, next hop =
+    # argmin md5(node|step|neighbor) — seeded-random mixing with
+    # bit-for-bit cross-engine replayability (the hash IS the RNG).
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    ps = li.select(
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    starts = sup.where(F.col("s_suppkey") <= 20).select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("id")
+    )
+    return graph.deterministic_random_walks(
+        sp.union(ps), starts, steps=_Q158_STEPS
+    )
+
+
+def _q158_sql(steps: int = _Q158_STEPS) -> str:
+    ctes = [
+        """e AS (
+  SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+         'P' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem
+  UNION
+  SELECT DISTINCT 'P' || CAST(l_partkey AS VARCHAR),
+         'S' || CAST(l_suppkey AS VARCHAR) FROM lineitem
+)""",
+        """w0 AS (
+  SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS walk_id,
+         0 AS pos, 'S' || CAST(s_suppkey AS VARCHAR) AS node
+  FROM supplier WHERE s_suppkey <= 20
+)""",
+    ]
+    for t in range(1, steps + 1):
+        ctes.append(f"""w{t} AS (
+  SELECT w.walk_id, {t} AS pos,
+         arg_min(e.dst, md5(w.node || '|{t}|' || e.dst)) AS node
+  FROM w{t - 1} w JOIN e ON e.src = w.node
+  GROUP BY w.walk_id
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT walk_id, CAST(pos AS INTEGER) AS pos, node FROM w{t}"
+        for t in range(steps + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+def _q157_assoc_pairs(spark, sf_dir):
+    # Market-basket co-occurrence statistics over order baskets:
+    # every part pair sharing >= 2 orders with support / confidence /
+    # lift (Apriori at k=2). One basket-keyed self-join + one
+    # pair-keyed count; item counts and the basket total join back
+    # broadcast-sized. See relational.association_pairs for the
+    # per-basket quadratic skew bound.
+    li = _t(spark, sf_dir, "lineitem")
+    return relational.association_pairs(
+        li, "l_orderkey", "l_partkey", min_pair_count=2
+    )
+
+
+_q157_sql = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n FROM b),
+ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+pc AS (
+  SELECT x.item AS item_a, y.item AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS pair_count
+  FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.pair_count,
+       ca.c AS count_a, cb.c AS count_b,
+       round(CAST(p.pair_count AS DOUBLE) / nb.n, 6) AS support,
+       round(CAST(p.pair_count AS DOUBLE) / ca.c, 6) AS confidence_ab,
+       round(CAST(p.pair_count AS DOUBLE) * nb.n / (ca.c * cb.c), 6)
+         AS lift
+FROM pc p
+JOIN ic ca ON ca.item = p.item_a
+JOIN ic cb ON cb.item = p.item_b
+CROSS JOIN nb
+WHERE p.pair_count >= 2
+"""
+
+
 def _q156_scc(spark, sf_dir):
     # Strongly connected components (trim + forward-coloring +
     # backward-sweep, graph.strongly_connected_components) over a
@@ -7115,6 +7210,18 @@ QUERIES: list[QueryDef] = [
     # mid-round are inserted at the window head (never-certified names
     # must sit in the window); each insertion pushes the window's last
     # entry to the tail head.
+    QueryDef(
+        "q158_random_walks",
+        _q158_random_walks,
+        _q158_sql(),
+        "§2.8",
+    ),
+    QueryDef(
+        "q157_assoc_pairs",
+        _q157_assoc_pairs,
+        _q157_sql,
+        "§2.7",
+    ),
     QueryDef(
         "q156_scc",
         _q156_scc,

@@ -672,3 +672,43 @@ def test_scc_golden(spark):
         5: 5,
         6: 6, 7: 6, 8: 6, 9: 6,
     }
+
+
+def test_deterministic_random_walks_golden(spark):
+    """deterministic_random_walks: the next hop is exactly
+    argmin_u md5(node|t|u) (recomputed here with hashlib), walks are
+    identical across runs, and a dead-end node terminates its walk
+    early while other walks continue."""
+    import hashlib
+
+    from ontology_graph_etl_spark.operators.graph import (
+        deterministic_random_walks,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"), ("c", "d")],
+        # d has no out-edges: any walk reaching d stops there
+        "src: string, dst: string",
+    )
+    starts = spark.createDataFrame([("a",), ("d",)], "id: string")
+    out = deterministic_random_walks(edges, starts, steps=3)
+    got = {(r.walk_id, r.pos): r.node for r in out.collect()}
+
+    def pick(node, t, neighbors):
+        return min(
+            neighbors,
+            key=lambda u: hashlib.md5(f"{node}|{t}|{u}".encode()).hexdigest(),
+        )
+
+    adj = {"a": ["b", "c"], "b": ["a", "c"], "c": ["d"]}
+    node, expect = "a", {("a", 0): "a", ("d", 0): "d"}
+    for t in (1, 2, 3):
+        if node not in adj:
+            break
+        node = pick(node, t, adj[node])
+        expect[("a", t)] = node
+    assert got == expect
+    # replay: same result frame on a second run
+    again = {(r.walk_id, r.pos): r.node
+             for r in deterministic_random_walks(edges, starts, 3).collect()}
+    assert again == got

@@ -4182,3 +4182,49 @@ def test_gapfill_locf_golden(spark):
     assert (1, "2024-01-01T03:00:00") not in got               # no extension
     assert got[(2, "2024-01-01T10:00:00")] == (3.0, True, 2)   # tie: id 11
     assert len(got) == 4
+
+
+def test_association_pairs_golden_and_basket_cap(spark):
+    """association_pairs on hand-checkable baskets: counts, support,
+    confidence and lift agree with pencil-and-paper; duplicate
+    (basket, item) rows collapse; max_basket_size drops oversized
+    baskets whole."""
+    from ontology_graph_etl_spark.operators.relational import (
+        association_pairs,
+    )
+
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"), (2, "y"),   # dup item row collapses
+        (3, "x"), (3, "z"),
+        (4, "w"),                        # lone item, no pairs
+    ]
+    df = spark.createDataFrame(rows, "basket: long, item: string")
+    got = {
+        (r.item_a, r.item_b): (
+            r.pair_count, r.count_a, r.count_b, r.support,
+            r.confidence_ab, r.lift,
+        )
+        for r in association_pairs(
+            df, "basket", "item", min_pair_count=1
+        ).collect()
+    }
+    # 4 baskets; x in 3, y in 2, z in 1
+    assert got[("x", "y")] == (2, 3, 2, 0.5, round(2 / 3, 6),
+                               round(2 * 4 / (3 * 2), 6))
+    assert got[("x", "z")] == (1, 3, 1, 0.25, round(1 / 3, 6),
+                               round(1 * 4 / (3 * 1), 6))
+    assert len(got) == 2
+    # min_pair_count=2 keeps only (x, y)
+    assert [
+        (r.item_a, r.item_b)
+        for r in association_pairs(
+            df, "basket", "item", min_pair_count=2
+        ).collect()
+    ] == [("x", "y")]
+    # cap: baskets 1-3 have 2 items; cap=1 drops them all -> no pairs
+    # AND the basket total shrinks to the surviving baskets (4: one)
+    capped = association_pairs(
+        df, "basket", "item", min_pair_count=1, max_basket_size=1
+    ).collect()
+    assert capped == []
