@@ -1802,3 +1802,51 @@ def association_pairs(
             ).alias("lift"),
         )
     )
+
+
+def group_ols(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line fit: ``slope``,
+    ``intercept`` and ``r2`` of ``y ~ x`` for each group, plus ``n``
+    — the trend-extraction aggregate behind drift dashboards and
+    per-segment forecasting baselines (rounded 6dp, the cross-engine
+    float contract; groups with zero x-variance get NULLs, never a
+    division error).
+
+    Numerics are the design constraint, not the algebra: the raw
+    textbook moments (``n·Σxy − Σx·Σy``...) catastrophically cancel
+    when x sits far from 0 (epoch-seconds x: ~9e17 − ~9e17), so this
+    uses the engines' single-pass STABLE aggregates — ``covar_samp``
+    / ``var_samp`` / ``corr`` are Welford-style updates in both
+    Spark and DuckDB, and slope/intercept/r² derive from them without
+    re-expanding the cancelling products. Callers should still
+    rebase wide-origin x (e.g. hours since the corpus min timestamp,
+    an EXACT stored value, not a computed mean) so the intercept's
+    magnitude stays within 6dp rounding tolerance of slope·x̄ error.
+    One shuffle on the group key, everything partial-aggregable;
+    skew = one giant group's stream folds on one task — the same
+    bounded exposure as every keyed aggregate here.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    # nullif guards: var_samp = 0 on constant-x (or constant-y) groups,
+    # and ANSI mode turns the division into an error instead of a NULL
+    # fit — including INSIDE corr's own finalizer, so r² is written as
+    # covar²/(varx·vary) rather than corr(x,y)²
+    cov = F.covar_samp(x, y)
+    slope = cov / F.nullif(F.var_samp(x), F.lit(0.0))
+    r2 = (cov * cov) / F.nullif(
+        F.var_samp(x) * F.var_samp(y), F.lit(0.0)
+    )
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(slope, 6).alias("slope"),
+            F.round(F.avg(y) - slope * F.avg(x), 6).alias("intercept"),
+            F.round(r2, 6).alias("r2"),
+        )
+    )

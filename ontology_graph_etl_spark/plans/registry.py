@@ -6595,6 +6595,97 @@ FROM rk
     )
 
 
+_Q160 = {"alpha": 0.01, "min_count": 5}
+
+
+def _q160_vocab_drift(spark, sf_dir):
+    # Corpus-diff drift report: which tokens distinguish the even-id
+    # half of the documents corpus from the odd-id half — log-odds
+    # with an informative Dirichlet prior + z calibration (Monroe et
+    # al. "Fightin' Words"). One explode + one token-keyed aggregate
+    # for both sides' counts; totals broadcast back vocab-sized.
+    docs = _t(spark, sf_dir, "documents")
+    return textops.vocabulary_drift(
+        docs.withColumn("side", F.col("doc_id") % 2 == 0),
+        "side",
+        "text",
+        **_Q160,
+    )
+
+
+def _q160_sql(alpha: float = _Q160["alpha"], mc: int = _Q160["min_count"]):
+    return f"""
+WITH occ AS (
+  SELECT doc_id % 2 = 0 AS a, unnest(
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS count_a,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS count_b
+  FROM occ GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(count_a) AS BIGINT) AS ta,
+         CAST(SUM(count_b) AS BIGINT) AS tb,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM counts
+)
+SELECT token, count_a, count_b,
+       round(ln((count_a + {alpha}) / (ta + v * {alpha} - count_a - {alpha}))
+           - ln((count_b + {alpha}) / (tb + v * {alpha} - count_b - {alpha})),
+           6) AS log_odds,
+       round((ln((count_a + {alpha}) / (ta + v * {alpha} - count_a - {alpha}))
+            - ln((count_b + {alpha}) / (tb + v * {alpha} - count_b - {alpha})))
+           / sqrt(1.0 / (count_a + {alpha}) + 1.0 / (count_b + {alpha})),
+           6) AS z
+FROM counts CROSS JOIN tot
+WHERE count_a + count_b >= {mc}
+"""
+
+
+def _q159_group_ols(spark, sf_dir):
+    # Per-event-type value trend: OLS of value against hours since
+    # the corpus min timestamp (an EXACT stored value both engines
+    # rebase on identically — epoch-seconds x would catastrophically
+    # cancel in the raw moments; see relational.group_ols). Stable
+    # covar_samp/var_samp/corr aggregates, one shuffle.
+    ev = _t(spark, sf_dir, "events")
+    dt = dict(zip(ev.columns, [f.dataType for f in ev.schema.fields]))[
+        "ts"
+    ]
+    from ..operators.util import epoch_double
+
+    lo = ev.agg(F.min(epoch_double(F.col("ts"), dt)).alias("__lo"))
+    d = ev.crossJoin(F.broadcast(lo)).select(
+        F.col("event_type").alias("grp"),
+        ((epoch_double(F.col("ts"), dt) - F.col("__lo")) / 3600.0).alias(
+            "x"
+        ),
+        F.col("value").alias("y"),
+    )
+    return relational.group_ols(d, ["grp"], "x", "y")
+
+
+_q159_sql = """
+WITH lo AS (SELECT min(epoch(ts)) AS lo FROM events),
+d AS (
+  SELECT event_type AS grp, (epoch(ts) - lo.lo) / 3600.0 AS x,
+         value AS y
+  FROM events CROSS JOIN lo
+)
+SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+       round(covar_samp(x, y) / var_samp(x), 6) AS slope,
+       round(avg(y) - covar_samp(x, y) / var_samp(x) * avg(x), 6)
+         AS intercept,
+       round(covar_samp(x, y) * covar_samp(x, y)
+             / (var_samp(x) * var_samp(y)), 6) AS r2
+FROM d GROUP BY grp
+"""
+
+
 _Q158_STEPS = 6
 
 
@@ -7210,6 +7301,18 @@ QUERIES: list[QueryDef] = [
     # mid-round are inserted at the window head (never-certified names
     # must sit in the window); each insertion pushes the window's last
     # entry to the tail head.
+    QueryDef(
+        "q160_vocab_drift",
+        _q160_vocab_drift,
+        _q160_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q159_group_ols",
+        _q159_group_ols,
+        _q159_sql,
+        "§2.7",
+    ),
     QueryDef(
         "q158_random_walks",
         _q158_random_walks,

@@ -4228,3 +4228,56 @@ def test_association_pairs_golden_and_basket_cap(spark):
         df, "basket", "item", min_pair_count=1, max_basket_size=1
     ).collect()
     assert capped == []
+
+
+def test_group_ols_golden_and_degenerate(spark):
+    """group_ols on exact points: a perfect line recovers slope,
+    intercept, r2=1; a zero-x-variance group yields NULLs instead of
+    a division error."""
+    from ontology_graph_etl_spark.operators.relational import group_ols
+
+    rows = [
+        # y = 2x + 1 exactly
+        ("lin", 0.0, 1.0), ("lin", 1.0, 3.0), ("lin", 2.0, 5.0),
+        # constant x
+        ("flat", 4.0, 1.0), ("flat", 4.0, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "grp: string, x: double, y: double")
+    got = {r.grp: (r.n, r.slope, r.intercept, r.r2)
+           for r in group_ols(df, ["grp"], "x", "y").collect()}
+    assert got["lin"] == (3, 2.0, 1.0, 1.0)
+    n, slope, intercept, r2 = got["flat"]
+    assert n == 2 and slope is None and intercept is None and r2 is None
+
+
+def test_vocabulary_drift_golden(spark):
+    """vocabulary_drift on a two-token corpus: counts split by side,
+    log-odds sign tracks which side over-uses the token, z = delta
+    over its standard error, min_count prunes."""
+    import math
+
+    from ontology_graph_etl_spark.operators.textops import vocabulary_drift
+
+    df = spark.createDataFrame(
+        [
+            (True, "hot hot hot cold"),
+            (False, "cold cold Cold hot"),
+        ],
+        "side: boolean, text: string",
+    )
+    out = {r.token: (r.count_a, r.count_b, r.log_odds, r.z)
+           for r in vocabulary_drift(df, "side", "text", alpha=0.5,
+                                     min_count=1).collect()}
+    # lowercased: a = {hot:3, cold:1}, b = {hot:1, cold:3}; V=2,
+    # a0=1, ta=tb=4
+    def lo(a, b):
+        return (math.log((a + .5) / (4 + 1 - a - .5))
+                - math.log((b + .5) / (4 + 1 - b - .5)))
+
+    d = lo(3, 1)
+    z = d / math.sqrt(1 / 3.5 + 1 / 1.5)
+    assert out["hot"] == (3, 1, round(d, 6), round(z, 6))
+    assert out["cold"] == (1, 3, round(-d, 6), round(-z, 6))
+    assert vocabulary_drift(
+        df, "side", "text", min_count=5
+    ).count() == 0
