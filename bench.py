@@ -161,6 +161,14 @@ HEADLINE = [
     "q150_bpe_train_deep",
     "q151_multimodal_neardup",
     "q152_ccnet_pipeline",
+    "q153_fuzzy_join",
+    "q154_gapfill_locf",
+    "q155_adamic_adar",
+    "q156_scc",
+    "q157_assoc_pairs",
+    "q158_random_walks",
+    "q159_group_ols",
+    "q160_vocab_drift",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is
