@@ -169,6 +169,8 @@ HEADLINE = [
     "q158_random_walks",
     "q159_group_ols",
     "q160_vocab_drift",
+    "q161_transition_matrix",
+    "q162_categorical_profile",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is
@@ -233,6 +235,11 @@ _PLAN_ID_RE = re.compile(
     # filter). Drop the truncated fragment; the untruncated prefix
     # still fingerprints the plan.
     r"|\S*\.\.\."
+    # subexpression-elimination aliases (_common_expr_N) draw from a
+    # GLOBAL counter, so the same plan gets a different N per run
+    # (q159's covar² projection was the first to trip it). The alias
+    # number carries no plan identity — strip it like expression ids.
+    r"|_common_expr_\d+"
 )
 
 

@@ -1850,3 +1850,134 @@ def group_ols(
             F.round(r2, 6).alias("r2"),
         )
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    state_col: str,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition statistics over per-key event
+    streams: for every observed ``(prev_state, next_state)`` pair, the
+    transition count and the row-normalized conditional probability
+    ``P(next | prev)`` (rounded 6dp) — the behavioral-model summary
+    behind session analysis, journey mining and synthetic-sequence
+    generators. Transitions are counted WITHIN a key's stream
+    (ordered by ``order_col``, ties by ``tie_col``), never across
+    keys.
+
+    Plan shape: one key-partitioned ``lag`` window produces the pair
+    stream, one (prev, next)-keyed partial-aggregable count, and the
+    per-prev normalizer is a window over the (much smaller) count
+    frame — the corpus shuffles twice, the second time already
+    aggregated to the state-pair domain. Skew: a hot user's stream is
+    one window partition (time-bounded per key, the q127 historize
+    argument); a hot STATE pair combines map-side.
+    """
+    keys = [F.col(k) for k in key_cols]
+    order = [F.col(order_col).asc()] + (
+        [F.col(tie_col).asc()] if tie_col else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    pairs = (
+        df.withColumn("__prev", F.lag(F.col(state_col)).over(w))
+        .where(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("prev_state"),
+            F.col(state_col).alias("next_state"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wn = Window.partitionBy("prev_state")
+    return pairs.select(
+        "prev_state",
+        "next_state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wn), 6).alias("prob"),
+    )
+
+
+def categorical_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Dataset-card profile for CATEGORICAL columns — the counterpart
+    of :func:`group_profile`'s numeric card: per column, row/null
+    counts, distinct cardinality, Shannon entropy (bits) of the
+    non-null value distribution, and the modal value with its share
+    (count ties broken toward the LARGER value, for determinism).
+    The quality-report stage that catches single-value columns,
+    near-constant skew, and unexpectedly high-cardinality
+    categoricals before they hit a shuffle key.
+
+    Plan shape: every column profiles in ONE corpus pass — rows
+    unpivot to a (column, value) stream via an inline
+    array-of-structs explode (k columns cost one scan, not k; the
+    q114 argument), one (column, value)-keyed partial-aggregable
+    count collapses to the value domain, per-column totals join back
+    on the domain-sized frame, and the rollup (entropy sum, max_by
+    modal pick) never touches the corpus again. Nulls count per
+    column but stay out of the entropy/mode. Hot values combine
+    map-side; a corpus-cardinality column (an id mistakenly
+    profiled) makes the count frame corpus-sized — profile
+    categoricals, not keys.
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.value")
+    counts = pairs.groupBy("column", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = counts.groupBy("column").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("value").isNull(), F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("__nulls"),
+        F.sum(F.when(F.col("value").isNotNull(), F.col("c")))
+        .cast("long")
+        .alias("__nn"),
+    )
+    p = F.col("c") / F.col("__nn")
+    return (
+        counts.join(totals, "column")
+        .groupBy("column")
+        .agg(
+            (F.first("__nn") + F.first("__nulls")).cast("long").alias(
+                "n_rows"
+            ),
+            F.first("__nulls").alias("n_nulls"),
+            F.sum(F.when(F.col("value").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_distinct"),
+            F.round(
+                -F.sum(
+                    F.when(F.col("value").isNotNull(), p * F.log2(p))
+                ),
+                6,
+            ).alias("entropy"),
+            F.max_by(
+                "value",
+                F.when(
+                    F.col("value").isNotNull(),
+                    F.struct(
+                        F.col("c").alias("c"), F.col("value").alias("v")
+                    ),
+                ),
+            ).alias("top_value"),
+            F.round(
+                F.max(F.when(F.col("value").isNotNull(), F.col("c")))
+                / F.first("__nn"),
+                6,
+            ).alias("top_share"),
+        )
+    )

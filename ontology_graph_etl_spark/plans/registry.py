@@ -6595,6 +6595,91 @@ FROM rk
     )
 
 
+def _q161_transition_matrix(spark, sf_dir):
+    # First-order Markov transition statistics over per-user event
+    # streams: P(next_type | prev_type) with counts, transitions
+    # never crossing users, event_id tie-breaking equal timestamps.
+    # One key-partitioned lag window + one pair-keyed count; the
+    # normalizer windows over the state-pair-domain frame.
+    ev = _t(spark, sf_dir, "events")
+    return relational.transition_matrix(
+        ev, ["user_id"], "ts", "event_type", tie_col="event_id"
+    )
+
+
+_q161_sql = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_state,
+         event_type AS next_state
+  FROM events
+),
+cnt AS (
+  SELECT prev_state, next_state, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE prev_state IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_state, next_state, n,
+       round(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY prev_state), 6) AS prob
+FROM cnt
+"""
+
+
+def _q162_categorical_profile(spark, sf_dir):
+    # Categorical dataset card over the documents table: cardinality,
+    # null counts, Shannon entropy and modal value/share for lang and
+    # source, all in ONE corpus scan (inline unpivot explode -> one
+    # (column, value)-keyed count -> domain-sized rollup).
+    docs = _t(spark, sf_dir, "documents")
+    return relational.categorical_profile(docs, ["lang", "source"])
+
+
+_q162_sql = """
+WITH pairs AS (
+  SELECT 'lang' AS col, lang AS value FROM documents
+  UNION ALL
+  SELECT 'source', source FROM documents
+),
+counts AS (
+  SELECT col, value, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs GROUP BY 1, 2
+),
+tot AS (
+  SELECT col,
+         CAST(COALESCE(SUM(CASE WHEN value IS NULL THEN c END), 0)
+              AS BIGINT) AS nulls,
+         CAST(SUM(CASE WHEN value IS NOT NULL THEN c END) AS BIGINT)
+           AS nn
+  FROM counts GROUP BY 1
+),
+top AS (
+  SELECT col, value AS top_value FROM (
+    SELECT col, value,
+           row_number() OVER (PARTITION BY col
+                              ORDER BY c DESC, value DESC) AS rn
+    FROM counts WHERE value IS NOT NULL) s
+  WHERE rn = 1
+)
+SELECT c.col AS "column",
+       t.nn + t.nulls AS n_rows,
+       t.nulls AS n_nulls,
+       CAST(SUM(CASE WHEN c.value IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_distinct,
+       round(-SUM(CASE WHEN c.value IS NOT NULL
+                       THEN (CAST(c.c AS DOUBLE) / t.nn)
+                            * log2(CAST(c.c AS DOUBLE) / t.nn) END),
+             6) AS entropy,
+       any_value(tp.top_value) AS top_value,
+       round(CAST(MAX(CASE WHEN c.value IS NOT NULL THEN c.c END)
+                  AS DOUBLE) / t.nn, 6) AS top_share
+FROM counts c
+JOIN tot t ON t.col = c.col
+JOIN top tp ON tp.col = c.col
+GROUP BY c.col, t.nn, t.nulls
+"""
+
+
 _Q160 = {"alpha": 0.01, "min_count": 5}
 
 
@@ -7301,6 +7386,18 @@ QUERIES: list[QueryDef] = [
     # mid-round are inserted at the window head (never-certified names
     # must sit in the window); each insertion pushes the window's last
     # entry to the tail head.
+    QueryDef(
+        "q162_categorical_profile",
+        _q162_categorical_profile,
+        _q162_sql,
+        "§2.11",
+    ),
+    QueryDef(
+        "q161_transition_matrix",
+        _q161_transition_matrix,
+        _q161_sql,
+        "§2.7",
+    ),
     QueryDef(
         "q160_vocab_drift",
         _q160_vocab_drift,

@@ -4281,3 +4281,65 @@ def test_vocabulary_drift_golden(spark):
     assert vocabulary_drift(
         df, "side", "text", min_count=5
     ).count() == 0
+
+
+def test_transition_matrix_golden(spark):
+    """transition_matrix on a hand-checkable stream: transitions stay
+    within a key, probabilities row-normalize per prev_state, ties on
+    the order column break by tie_col."""
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark.operators.relational import (
+        transition_matrix,
+    )
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+        (2, 1, "b"),            # key boundary: no a->b bleed from u1
+        (2, 2, "c"),
+        # equal order value: tie col decides a comes before c
+        (3, 5, "a"), (3, 5, "c"),
+    ]
+    df = spark.createDataFrame(rows, "u: long, o: long, s: string")
+    df = df.withColumn("tie", F.monotonically_increasing_id())
+    got = {
+        (r.prev_state, r.next_state): (r.n, r.prob)
+        for r in transition_matrix(df, ["u"], "o", "s", tie_col="tie")
+        .collect()
+    }
+    # prev=a: a->b twice (u1), a->c once (u3) -> 2/3, 1/3
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    assert got[("a", "c")] == (1, round(1 / 3, 6))
+    # prev=b: b->a (u1), b->c (u2) -> 1/2 each
+    assert got[("b", "a")] == (1, round(1 / 2, 6))
+    assert got[("b", "c")] == (1, round(1 / 2, 6))
+    assert len(got) == 4
+
+
+def test_categorical_profile_golden(spark):
+    """categorical_profile on known distributions: entropy in bits,
+    modal value with share, nulls counted but excluded from entropy
+    and mode, count ties broken toward the larger value."""
+    from ontology_graph_etl_spark.operators.relational import (
+        categorical_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("x", "p"), ("x", "q"), ("y", None), ("y", "q")],
+        "a: string, b: string",
+    )
+    got = {r["column"]: r for r in categorical_profile(df, ["a", "b"])
+           .collect()}
+    ra = got["a"]
+    # a: x,x,y,y -> entropy 1 bit, tie x/y at 2 -> larger value y
+    assert (ra.n_rows, ra.n_nulls, ra.n_distinct) == (4, 0, 2)
+    assert ra.entropy == 1.0 and ra.top_value == "y"
+    assert ra.top_share == 0.5
+    rb = got["b"]
+    # b: p,q,q + null -> H(1/3,2/3), mode q at 2/3
+    import math
+
+    h = -(1/3) * math.log2(1/3) - (2/3) * math.log2(2/3)
+    assert (rb.n_rows, rb.n_nulls, rb.n_distinct) == (4, 1, 2)
+    assert rb.entropy == round(h, 6)
+    assert rb.top_value == "q" and rb.top_share == round(2 / 3, 6)
