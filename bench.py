@@ -171,6 +171,7 @@ HEADLINE = [
     "q160_vocab_drift",
     "q161_transition_matrix",
     "q162_categorical_profile",
+    "q163_hll_lifecycle",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

@@ -1913,9 +1913,11 @@ def categorical_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     unpivot to a (column, value) stream via an inline
     array-of-structs explode (k columns cost one scan, not k; the
     q114 argument), one (column, value)-keyed partial-aggregable
-    count collapses to the value domain, per-column totals join back
-    on the domain-sized frame, and the rollup (entropy sum, max_by
-    modal pick) never touches the corpus again. Nulls count per
+    count collapses to the value domain, per-column totals come from
+    a WINDOW over that domain-sized frame (never a groupBy+join-back,
+    which forks the count lineage and re-scans the corpus per
+    consumer), and the rollup (entropy sum, max_by modal pick) never
+    touches the corpus again. Nulls count per
     column but stay out of the entropy/mode. Hot values combine
     map-side; a corpus-cardinality column (an id mistakenly
     profiled) makes the count frame corpus-sized — profile
@@ -1937,20 +1939,30 @@ def categorical_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     counts = pairs.groupBy("column", "value").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    totals = counts.groupBy("column").agg(
+    # per-column totals as a WINDOW over the count frame, not a
+    # groupBy + join-back: the join form forks the count lineage and
+    # re-executes the corpus scan per consumer (the round-5
+    # fork-without-reuse class — observed as a second FileScan in the
+    # executed plan; the plan pin guards it)
+    wc = Window.partitionBy("column")
+    enriched = counts.select(
+        "column",
+        "value",
+        "c",
         F.coalesce(
-            F.sum(F.when(F.col("value").isNull(), F.col("c"))), F.lit(0)
+            F.sum(F.when(F.col("value").isNull(), F.col("c"))).over(wc),
+            F.lit(0),
         )
         .cast("long")
         .alias("__nulls"),
         F.sum(F.when(F.col("value").isNotNull(), F.col("c")))
+        .over(wc)
         .cast("long")
         .alias("__nn"),
     )
     p = F.col("c") / F.col("__nn")
     return (
-        counts.join(totals, "column")
-        .groupBy("column")
+        enriched.groupBy("column")
         .agg(
             (F.first("__nn") + F.first("__nulls")).cast("long").alias(
                 "n_rows"

@@ -6595,6 +6595,88 @@ FROM rk
     )
 
 
+def _q163_hll_lifecycle(spark, sf_dir):
+    # The fourth stored-artifact lifecycle (q120 dedup bands, q137 IVF
+    # lists, q138 substring fingerprints, now HLL cardinality
+    # registers): sketch distinct tokens per lang over the even-id
+    # half, persist, MERGE the odd-id half as an O(batch) ingest
+    # append, then estimate from the stored registers alone — and
+    # project estimation quality into a hash-checkable boolean against
+    # the exact distinct count (the q53 approx-aggregate
+    # contract-oracle pattern; HLL register merge is a pointwise max,
+    # so the estimate is order-independent and deterministic). lg_k=12
+    # is ~1.6% RSE; the 5% gate fails the driver row if the stored
+    # lifecycle ever corrupts registers.
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions import whitespace_tokens
+    from ..operators import sketches
+
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(
+        "lang", F.explode(whitespace_tokens(F.col("text"))).alias("token")
+    )
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"q163_hll_{os.getpid()}"
+    )
+    if os.path.exists(scratch):
+        shutil.rmtree(scratch, ignore_errors=True)
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = scratch + "/sk"
+    build = docs.where(F.col("doc_id") % 2 == 0)
+    ingest = docs.where(F.col("doc_id") % 2 == 1)
+
+    def tok(d):
+        return d.select(
+            "lang",
+            F.explode(whitespace_tokens(F.col("text"))).alias("token"),
+        )
+
+    sketches.write_cardinality_sketches(
+        sketches.build_cardinality_sketches(tok(build), ["lang"], "token"),
+        path,
+        ["lang"],
+        "token",
+    )
+    sketches.merge_cardinality_sketches(
+        spark, path, tok(ingest), ["lang"], "token"
+    )
+    est = sketches.estimate_cardinality(spark, path, ["lang"])
+    exact = occ.groupBy("lang").agg(
+        F.count_distinct("token").cast("long").alias("n_tokens_exact"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+    return exact.join(est, "lang").select(
+        "lang",
+        "n_tokens_exact",
+        "n_occurrences",
+        (
+            F.abs(
+                F.col("estimate") / F.col("n_tokens_exact") - F.lit(1.0)
+            )
+            <= 0.05
+        ).alias("est_ok"),
+    )
+
+
+_q163_sql = """
+WITH occ AS (
+  SELECT lang, unnest(
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '')) AS token
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS n_tokens_exact,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       TRUE AS est_ok
+FROM occ GROUP BY lang
+"""
+
+
 def _q161_transition_matrix(spark, sf_dir):
     # First-order Markov transition statistics over per-user event
     # streams: P(next_type | prev_type) with counts, transitions
@@ -7386,6 +7468,12 @@ QUERIES: list[QueryDef] = [
     # mid-round are inserted at the window head (never-certified names
     # must sit in the window); each insertion pushes the window's last
     # entry to the tail head.
+    QueryDef(
+        "q163_hll_lifecycle",
+        _q163_hll_lifecycle,
+        _q163_sql,
+        "§2.11",
+    ),
     QueryDef(
         "q162_categorical_profile",
         _q162_categorical_profile,

@@ -558,3 +558,29 @@ def test_gapfill_locf_join_free_two_exchanges(spark, sf_dir):
         if ln.strip().lstrip("+-: ").startswith("Exchange")
     )
     assert n_ex == 2, f"expected 2 exchanges, saw {n_ex}"
+
+
+def test_categorical_profile_single_scan(spark, sf_dir):
+    """q162: k columns profile in ONE corpus pass — the inline
+    unpivot explode must not multiply FileScans (k scans is the
+    naive per-column loop this operator exists to avoid)."""
+    df = queries()["q162_categorical_profile"](spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan.count("FileScan")
+
+
+def test_transition_matrix_domain_sized_second_shuffle(spark, sf_dir):
+    """q161: the corpus shuffles on the key for the lag window and on
+    the state pair for the count; the per-prev normalizer windows
+    over the count frame — three exchanges total, no join anywhere
+    (a groupBy+join-back normalizer would re-shuffle the corpus)."""
+    df = queries()["q161_transition_matrix"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:400]
+    n_ex = sum(
+        1
+        for ln in plan.splitlines()
+        if ln.strip().lstrip("+-: ").startswith("Exchange")
+    )
+    assert n_ex == 3, f"expected 3 exchanges, saw {n_ex}"

@@ -4343,3 +4343,41 @@ def test_categorical_profile_golden(spark):
     assert (rb.n_rows, rb.n_nulls, rb.n_distinct) == (4, 1, 2)
     assert rb.entropy == round(h, 6)
     assert rb.top_value == "q" and rb.top_share == round(2 / 3, 6)
+
+
+def test_hll_sketch_lifecycle_roundtrip(spark, tmp_path):
+    """sketches.py lifecycle: build -> write -> O(batch) merge ->
+    estimate equals the exact distinct count on a small domain
+    (HLL_4 is exact well below saturation), n_rows audits across
+    batches, lg_k mismatch on append refuses loudly."""
+    import pytest as _pytest
+
+    from ontology_graph_etl_spark.operators import sketches
+
+    a = spark.createDataFrame(
+        [("g1", i % 20) for i in range(200)]
+        + [("g2", i % 7) for i in range(70)],
+        "g: string, v: long",
+    )
+    b = spark.createDataFrame(
+        # overlaps g1's domain plus 5 new values
+        [("g1", i % 25) for i in range(50)],
+        "g: string, v: long",
+    )
+    path = str(tmp_path / "sk")
+    sketches.write_cardinality_sketches(
+        sketches.build_cardinality_sketches(a, ["g"], "v"),
+        path, ["g"], "v",
+    )
+    sketches.merge_cardinality_sketches(spark, path, b, ["g"], "v")
+    got = {r.g: (r.estimate, r.n_rows)
+           for r in sketches.estimate_cardinality(spark, path, ["g"])
+           .collect()}
+    assert got["g1"] == (25, 250)   # union of 0..19 and 0..24
+    assert got["g2"] == (7, 70)
+    # parameter guard: append under a different lg_k refuses
+    with _pytest.raises(ValueError):
+        sketches.write_cardinality_sketches(
+            sketches.build_cardinality_sketches(b, ["g"], "v", lg_k=10),
+            path, ["g"], "v", lg_k=10, mode="append",
+        )
