@@ -1285,9 +1285,12 @@ def strongly_connected_components(
             F.col("src").alias("id")
         )
         has_out = e.select(F.col("src").alias("id")).distinct()
-        has_in = e.select(F.col("dst").alias("id")).distinct()
+        has_in = e.select(F.col("dst").alias("id"))
+        # semi join, not intersect: both sides are endpoint
+        # projections of the SAME deduped edge frame, so intersect's
+        # extra per-side distinct pass buys nothing
         keep = (
-            has_out.intersect(has_in).union(loopers).distinct()
+            has_out.join(has_in, "id", "semi").union(loopers).distinct()
         )
         trimmed = nodes.join(keep, "id", "left_anti").localCheckpoint()
         if trimmed.isEmpty():
@@ -1385,6 +1388,10 @@ def strongly_connected_components(
     if not nodes.isEmpty():
         raise RuntimeError(
             f"scc did not converge within {max_outer_rounds} outer rounds"
+        )
+    if not assigned:  # empty edge input: no endpoints, empty result
+        return e_all.select(
+            F.col("src").alias("id"), F.col("dst").alias("scc_id")
         )
     out = assigned[0]
     for frame in assigned[1:]:

@@ -1795,9 +1795,13 @@ def association_pairs(
             F.round(F.col("pair_count") / F.col("count_a"), 6).alias(
                 "confidence_ab"
             ),
+            # double math BEFORE the multiplies: pair_count·n_baskets
+            # and count_a·count_b overflow BIGINT at corpus scale
+            # (ANSI makes that an error, not a wrap) — and the oracle
+            # computes in double anyway
             F.round(
-                F.col("pair_count") * F.col("__n")
-                / (F.col("count_a") * F.col("count_b")),
+                F.col("pair_count").cast("double") * F.col("__n")
+                / (F.col("count_a").cast("double") * F.col("count_b")),
                 6,
             ).alias("lift"),
         )

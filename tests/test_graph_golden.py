@@ -712,3 +712,16 @@ def test_deterministic_random_walks_golden(spark):
     again = {(r.walk_id, r.pos): r.node
              for r in deterministic_random_walks(edges, starts, 3).collect()}
     assert again == got
+
+
+def test_scc_empty_edges(spark):
+    """strongly_connected_components on an empty edge frame returns
+    an empty (id, scc_id) frame instead of raising."""
+    from ontology_graph_etl_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    empty = spark.createDataFrame([], "src: long, dst: long")
+    out = strongly_connected_components(empty)
+    assert out.columns == ["id", "scc_id"]
+    assert out.count() == 0

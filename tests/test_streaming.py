@@ -968,3 +968,69 @@ def test_merge_substring_index_auto_compacts(spark, tmp_path):
     )
     assert spark.read.parquet(path).count() > before
     assert params["appended_rows"] > 0
+
+
+def test_streaming_hll_sketches_maintained_across_batches(spark, tmp_path):
+    """Streaming maintenance of the stored HLL cardinality store
+    (the q163 lifecycle driven by foreachBatch): each micro-batch
+    appends its per-group registers in O(batch); the estimate over
+    the stored registers equals the exact distinct count of the
+    union of all batches — including values repeated ACROSS batches,
+    which a per-batch count would double-count and HLL's pointwise
+    register max absorbs."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_graph_etl_spark.operators import sketches
+
+    seed = spark.createDataFrame(
+        [("g1", v) for v in range(10)], "g: string, v: long"
+    )
+    path = str(tmp_path / "sk")
+    sketches.write_cardinality_sketches(
+        sketches.build_cardinality_sketches(seed, ["g"], "v"),
+        path, ["g"], "v",
+    )
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    # batch 0: 5 overlapping + 5 new values; batch 1: all repeats
+    batches = [
+        [("g1", v) for v in range(5, 15)],
+        [("g1", v) for v in range(10)],
+    ]
+    for i, rows in enumerate(batches):
+        f = str(in_dir / f"b{i}.parquet")
+        pq.write_table(
+            pa.table({
+                "g": [g for g, _ in rows],
+                "v": [v for _, v in rows],
+            }),
+            f,
+        )
+        os.utime(f, (1700000000 + i, 1700000000 + i))
+
+    def append_sketches(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            sketches.merge_cardinality_sketches(
+                spark, path, batch_df, ["g"], "v"
+            )
+
+    stream = (
+        spark.readStream.schema("g string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(append_sketches)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.g: (r.estimate, r.n_rows)
+           for r in sketches.estimate_cardinality(spark, path, ["g"])
+           .collect()}
+    # union domain = 0..14 (15 distinct); rows audit 10+10+10
+    assert got["g1"] == (15, 30)
