@@ -144,3 +144,60 @@ def estimate_cardinality(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("estimate"),
         F.sum("n_rows").cast("long").alias("n_rows"),
     )
+
+
+def compact_cardinality_sketches(spark: SparkSession, path: str) -> int:
+    """Rewrite the sketch store as ONE register row per group —
+    unions all batch rows' registers (`hll_union_agg`, the same
+    merge the estimator performs lazily) and sums the audit row
+    counts, so estimate-time cost drops from groups × batches rows
+    to groups rows. Estimates are unchanged by construction: HLL
+    union is associative, commutative and idempotent, so pre-merging
+    batches is exactly the estimator's own fold.
+
+    Crash-atomic staged swap, the :func:`textops.
+    compact_substring_index` device verbatim: write the compacted
+    generation to ``<path>.compact``, copy the sidecar, then two
+    renames (live → ``.old``, staged → live). A crash between
+    renames leaves both complete generations on disk; rename either
+    back to recover. SINGLE WRITER REQUIRED — a concurrent
+    :func:`merge_cardinality_sketches` appending between the staged
+    read and the first rename writes into what becomes ``.old`` and
+    is deleted after the swap; serialize merges and compactions
+    through one writer. Returns the compacted row (group) count.
+    """
+    from .util import hadoop_path_and_fs
+
+    stored_params = read_json_sidecar(
+        spark,
+        path,
+        _SIDECAR,
+        _PARAM_KEYS,
+        "hll sketch store",
+        "rebuild via write_cardinality_sketches(mode='overwrite')",
+    )
+    base = path.rstrip("/")
+    staged = base + ".compact"
+    group_cols = list(stored_params["group_cols"])
+    merged = (
+        spark.read.parquet(base)
+        .groupBy(*group_cols)
+        .agg(
+            F.hll_union_agg("sketch").alias("sketch"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+        )
+    )
+    merged.write.mode("overwrite").parquet(staged)
+    n = spark.read.parquet(staged).count()
+    write_json_sidecar(spark, staged, _SIDECAR, stored_params)
+    cur, fs = hadoop_path_and_fs(spark, base)
+    new, _ = hadoop_path_and_fs(spark, staged)
+    old, _ = hadoop_path_and_fs(spark, base + ".old")
+    fs.delete(old, True)
+    if not fs.rename(cur, old):
+        raise IOError(f"hll compaction: could not stage out {base}")
+    if not fs.rename(new, cur):
+        fs.rename(old, cur)
+        raise IOError(f"hll compaction: could not swap in {staged}")
+    fs.delete(old, True)
+    return int(n)

@@ -7459,15 +7459,18 @@ RECERTIFY: set[str] = {
 
 QUERIES: list[QueryDef] = [
     # --- ROUND-13 WINDOW (first 50) ---
-    # regenerated mechanically (names bucketed by latest-green round):
-    # the 41 r10-green names lead (they hit the ceil(140/50)=3-round
-    # staleness cap now that the r12 artifact landed), then 9 r11-green
-    # fills in prior registry (tail) order. All 50 r12-green names
-    # close the tail, maximally fresh; the remaining 40 r11 names lead
-    # the tail and seed the r14 window. New queries registered
-    # mid-round are inserted at the window head (never-certified names
-    # must sit in the window); each insertion pushes the window's last
-    # entry to the tail head.
+    # Current composition after this round's 11 mid-round insertions
+    # (each entered at the window head per the standing rule;
+    # never-certified names must sit in the window): 16 never-
+    # certified round-13 queries (q148–q163, newest first) + q142
+    # (the RECERTIFY member) + the 33 stalest r10-green names. The 8
+    # r10 names the insertions displaced lead the tail at staleness
+    # 2 < the ceil(156/50)=4-round cap (the registry GREW this round,
+    # which raised the cap — test_certification_window_freshness is
+    # the mechanical authority and stays green across every
+    # insertion). The 9 r11 fills the original rotation scheduled
+    # moved to the tail head behind them and seed the r14 window
+    # together with the displaced r10 names.
     QueryDef(
         "q163_hll_lifecycle",
         _q163_hll_lifecycle,

@@ -1034,3 +1034,52 @@ def test_streaming_hll_sketches_maintained_across_batches(spark, tmp_path):
            .collect()}
     # union domain = 0..14 (15 distinct); rows audit 10+10+10
     assert got["g1"] == (15, 30)
+
+
+def test_compact_cardinality_sketches_preserves_estimates(spark, tmp_path):
+    """HLL store compaction: batch rows collapse to one register row
+    per group, estimates and row audits are IDENTICAL before and
+    after (union is associative/commutative/idempotent — compaction
+    is the estimator's own fold, pre-applied), and further merges
+    keep working against the compacted generation."""
+    from ontology_graph_etl_spark.operators import sketches
+
+    path = str(tmp_path / "sk")
+    frames = [
+        [("g1", v) for v in range(30)] + [("g2", v) for v in range(5)],
+        [("g1", v) for v in range(20, 50)],
+        [("g2", v) for v in range(5, 9)],
+    ]
+    first = spark.createDataFrame(frames[0], "g: string, v: long")
+    sketches.write_cardinality_sketches(
+        sketches.build_cardinality_sketches(first, ["g"], "v"),
+        path, ["g"], "v",
+    )
+    for rows in frames[1:]:
+        sketches.merge_cardinality_sketches(
+            spark, path,
+            spark.createDataFrame(rows, "g: string, v: long"),
+            ["g"], "v",
+        )
+    before = {r.g: (r.estimate, r.n_rows)
+              for r in sketches.estimate_cardinality(spark, path, ["g"])
+              .collect()}
+    n_rows_before = spark.read.parquet(path).count()
+    assert n_rows_before > 2  # batches really did accumulate
+    n = sketches.compact_cardinality_sketches(spark, path)
+    assert n == 2  # one row per group now
+    assert spark.read.parquet(path).count() == 2
+    after = {r.g: (r.estimate, r.n_rows)
+             for r in sketches.estimate_cardinality(spark, path, ["g"])
+             .collect()}
+    assert after == before == {"g1": (50, 60), "g2": (9, 9)}
+    # the compacted generation still accepts merges
+    sketches.merge_cardinality_sketches(
+        spark, path,
+        spark.createDataFrame([("g2", 100)], "g: string, v: long"),
+        ["g"], "v",
+    )
+    final = {r.g: r.estimate
+             for r in sketches.estimate_cardinality(spark, path, ["g"])
+             .collect()}
+    assert final == {"g1": 50, "g2": 10}
