@@ -172,6 +172,7 @@ HEADLINE = [
     "q161_transition_matrix",
     "q162_categorical_profile",
     "q163_hll_lifecycle",
+    "q164_cdc_apply",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

@@ -156,3 +156,86 @@ def exact_dedup(
     if order_col is not None:
         return first_wins(df, keys, order_col)
     return df.dropDuplicates(list(keys))
+
+
+def apply_cdc_batch(
+    target: DataFrame,
+    cdc: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str | Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an op-coded change batch to a keyed table — the CDC
+    counterpart of :func:`merge_into`: ``cdc`` rows carry the
+    target's full column set plus ``op_col`` ('I'nsert / 'U'pdate /
+    'D'elete; I and U are both upserts, MERGE-style) and an
+    ``order_col`` change sequence. Within the batch only each key's
+    LATEST op applies (a key inserted then deleted in one batch ends
+    deleted — per-key terminal-state semantics, the standard
+    CDC-compaction contract); pass a Sequence for ``order_col`` when
+    one column doesn't totalize the order (the first-wins lesson,
+    upsert.py module docstring). Untouched target keys pass through
+    unchanged. Output schema == target schema.
+
+    Plan shape: one key-partitioned window reduces the batch to
+    terminal rows, one left-anti join removes every touched key from
+    the target, one union appends the surviving upserts — the target
+    shuffles once on the key, and a batch-sized cdc side broadcasts
+    under AQE, so the 100-TB table never moves twice. (For stored
+    tables compose with the staged-swap write device —
+    tests/test_streaming.py pins the foreachBatch lifecycle.)
+    """
+    keys = list(key_cols)
+    order = _order_cols(order_col)
+    missing = [c for c in target.columns if c not in cdc.columns]
+    if missing:
+        raise ValueError(
+            f"cdc batch lacks target columns {missing}; CDC rows must "
+            f"carry full row images"
+        )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        *[F.col(o).desc() for o in order]
+    )
+    latest = (
+        cdc.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    kept = target.join(latest.select(*keys), keys, "left_anti")
+    ups = latest.where(F.col(op_col) != "D").select(*target.columns)
+    return kept.unionByName(ups)
+
+
+def apply_cdc_to_store(
+    spark,
+    path: str,
+    cdc: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str | Sequence[str],
+    op_col: str = "op",
+) -> None:
+    """Apply a CDC batch to a parquet-stored table in place, via the
+    crash-atomic staged-swap device (read live → apply → write
+    sibling ``.staged`` → two renames): a reader mid-swap sees one
+    complete generation or the other, never a partial write, and a
+    crash leaves both generations recoverable by rename. SINGLE
+    WRITER REQUIRED (the compact_substring_index contract). This is
+    the foreachBatch body for a streaming CDC-apply pipeline —
+    pinned in tests/test_streaming.py."""
+    from .util import hadoop_path_and_fs
+
+    base = path.rstrip("/")
+    staged = base + ".staged"
+    cur_df = spark.read.parquet(base)
+    out = apply_cdc_batch(cur_df, cdc, key_cols, order_col, op_col)
+    out.write.mode("overwrite").parquet(staged)
+    cur, fs = hadoop_path_and_fs(spark, base)
+    new, _ = hadoop_path_and_fs(spark, staged)
+    old, _ = hadoop_path_and_fs(spark, base + ".old")
+    fs.delete(old, True)
+    if not fs.rename(cur, old):
+        raise IOError(f"cdc apply: could not stage out {base}")
+    if not fs.rename(new, cur):
+        fs.rename(old, cur)
+        raise IOError(f"cdc apply: could not swap in {staged}")
+    fs.delete(old, True)

@@ -6595,6 +6595,65 @@ FROM rk
     )
 
 
+def _q164_cdc_apply(spark, sf_dir):
+    # Op-coded CDC application (the reference's MERGE surface, A4,
+    # generalized to I/U/D change batches): a change stream derived
+    # from orders (status F->update, O->insert, P->delete; full row
+    # images; (o_orderdate, o_orderkey) as the change sequence)
+    # applied to the customer table with per-key TERMINAL-state
+    # semantics — only each key's latest op lands. One window over
+    # the batch, one anti join, one union; the target shuffles once.
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cdc = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("cdc-"), F.col("o_orderkey").cast("string")).alias(
+            "c_name"
+        ),
+        (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("U"))
+        .when(F.col("o_orderstatus") == "O", F.lit("I"))
+        .otherwise(F.lit("D"))
+        .alias("op"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    return upsert.apply_cdc_batch(
+        cust, cdc, ["c_custkey"], ["o_orderdate", "o_orderkey"]
+    )
+
+
+_q164_sql = """
+WITH cdc AS (
+  SELECT o_custkey AS c_custkey,
+         'cdc-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+         CAST(o_orderkey % 25 AS INTEGER) AS c_nationkey,
+         o_totalprice AS c_acctbal,
+         o_orderpriority AS c_mktsegment,
+         CASE o_orderstatus WHEN 'F' THEN 'U' WHEN 'O' THEN 'I'
+              ELSE 'D' END AS op,
+         o_orderdate, o_orderkey
+  FROM orders
+),
+latest AS (
+  SELECT * FROM (
+    SELECT c.*, row_number() OVER (
+      PARTITION BY c_custkey
+      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM cdc c) t
+  WHERE rn = 1
+)
+SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+FROM customer c LEFT JOIN latest l USING (c_custkey)
+WHERE l.c_custkey IS NULL
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM latest WHERE op <> 'D'
+"""
+
+
 def _q163_hll_lifecycle(spark, sf_dir):
     # The fourth stored-artifact lifecycle (q120 dedup bands, q137 IVF
     # lists, q138 substring fingerprints, now HLL cardinality
@@ -7471,6 +7530,12 @@ QUERIES: list[QueryDef] = [
     # insertion). The 9 r11 fills the original rotation scheduled
     # moved to the tail head behind them and seed the r14 window
     # together with the displaced r10 names.
+    QueryDef(
+        "q164_cdc_apply",
+        _q164_cdc_apply,
+        _q164_sql,
+        "A4",
+    ),
     QueryDef(
         "q163_hll_lifecycle",
         _q163_hll_lifecycle,

@@ -4381,3 +4381,36 @@ def test_hll_sketch_lifecycle_roundtrip(spark, tmp_path):
             sketches.build_cardinality_sketches(b, ["g"], "v", lg_k=10),
             path, ["g"], "v", lg_k=10, mode="append",
         )
+
+
+def test_apply_cdc_batch_golden(spark):
+    """apply_cdc_batch terminal-state semantics on a hand-checkable
+    batch: latest op per key wins (insert-then-delete ends deleted,
+    delete-then-update ends updated), untouched keys pass through,
+    missing full-row-image columns refuse loudly."""
+    import pytest as _pytest
+
+    from ontology_graph_etl_spark.operators.upsert import apply_cdc_batch
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k: long, name: string, v: double",
+    )
+    cdc = spark.createDataFrame(
+        [
+            # key 1: update then delete -> gone
+            (1, "a2", 11.0, "U", 1), (1, "a2", 11.0, "D", 2),
+            # key 2: delete then update -> survives with new values
+            (2, "b2", 21.0, "D", 1), (2, "b3", 22.0, "U", 2),
+            # key 9: fresh insert
+            (9, "z", 90.0, "I", 1),
+        ],
+        "k: long, name: string, v: double, op: string, seq: long",
+    )
+    got = {
+        r.k: (r.name, r.v)
+        for r in apply_cdc_batch(target, cdc, ["k"], "seq").collect()
+    }
+    assert got == {2: ("b3", 22.0), 3: ("c", 30.0), 9: ("z", 90.0)}
+    with _pytest.raises(ValueError):
+        apply_cdc_batch(target, cdc.drop("name"), ["k"], "seq")

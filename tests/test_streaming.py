@@ -1083,3 +1083,65 @@ def test_compact_cardinality_sketches_preserves_estimates(spark, tmp_path):
              for r in sketches.estimate_cardinality(spark, path, ["g"])
              .collect()}
     assert final == {"g1": 50, "g2": 10}
+
+
+def test_streaming_cdc_apply_staged_swap(spark, tmp_path):
+    """Streaming CDC application to a stored parquet table via
+    foreachBatch + apply_cdc_to_store's staged swap: after two
+    micro-batches the stored state equals applying the batches
+    sequentially — including a key updated in batch 0 and deleted in
+    batch 1 (cross-batch terminal state), which single-batch
+    compaction alone cannot produce."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_graph_etl_spark.operators.upsert import apply_cdc_to_store
+
+    state = str(tmp_path / "table")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k: long, name: string, v: double"
+    ).write.parquet(state)
+    in_dir = tmp_path / "cdc"
+    in_dir.mkdir()
+    batches = [
+        # batch 0: update 1, insert 3
+        [(1, "a2", 11.0, "U", 1), (3, "c", 30.0, "I", 2)],
+        # batch 1: delete 1 (updated last batch), update 3
+        [(1, "a2", 11.0, "D", 3), (3, "c2", 31.0, "U", 4)],
+    ]
+    for i, rows in enumerate(batches):
+        f = str(in_dir / f"b{i}.parquet")
+        pq.write_table(
+            pa.table({
+                "k": [r[0] for r in rows],
+                "name": [r[1] for r in rows],
+                "v": [r[2] for r in rows],
+                "op": [r[3] for r in rows],
+                "seq": [r[4] for r in rows],
+            }),
+            f,
+        )
+        os.utime(f, (1700000000 + i, 1700000000 + i))
+
+    def apply(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            apply_cdc_to_store(spark, state, batch_df, ["k"], "seq")
+
+    stream = (
+        spark.readStream
+        .schema("k long, name string, v double, op string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = {r.k: (r.name, r.v)
+             for r in spark.read.parquet(state).collect()}
+    assert final == {2: ("b", 20.0), 3: ("c2", 31.0)}
