@@ -7520,9 +7520,9 @@ QUERIES: list[QueryDef] = [
     # --- ROUND-13 WINDOW (first 50) ---
     # Current composition after this round's 11 mid-round insertions
     # (each entered at the window head per the standing rule;
-    # never-certified names must sit in the window): 16 never-
-    # certified round-13 queries (q148–q163, newest first) + q142
-    # (the RECERTIFY member) + the 33 stalest r10-green names. The 8
+    # never-certified names must sit in the window): 17 never-
+    # certified round-13 queries (q148–q164, newest first) + q142
+    # (the RECERTIFY member) + the 32 stalest r10-green names. The 9
     # r10 names the insertions displaced lead the tail at staleness
     # 2 < the ceil(156/50)=4-round cap (the registry GREW this round,
     # which raised the cap — test_certification_window_freshness is
