@@ -177,13 +177,16 @@ def apply_cdc_batch(
     upsert.py module docstring). Untouched target keys pass through
     unchanged. Output schema == target schema.
 
-    Plan shape: one key-partitioned window reduces the batch to
-    terminal rows, one left-anti join removes every touched key from
-    the target, one union appends the surviving upserts — the target
-    shuffles once on the key, and a batch-sized cdc side broadcasts
-    under AQE, so the 100-TB table never moves twice. (For stored
-    tables compose with the staged-swap write device —
-    tests/test_streaming.py pins the foreachBatch lifecycle.)
+    Plan shape (pinned in tests/test_plan_shapes.py): the terminal-row
+    window gets ``WindowGroupLimit`` pushdown (rn=1 pre-filters
+    map-side before the batch's key exchange), the touched-key list
+    broadcasts into a LeftAnti hash join, and the union appends the
+    surviving upserts — so the 100-TB TARGET NEVER SHUFFLES; only the
+    batch exchanges, on its key. The batch lineage forks into two
+    batch-sized scans (key list + upsert rows) — accepted because it
+    is batch-sized, not corpus-sized (the round-5 fork rule's scope).
+    For stored tables compose with the staged-swap write device —
+    tests/test_streaming.py pins the foreachBatch lifecycle.
     """
     keys = list(key_cols)
     order = _order_cols(order_col)

@@ -584,3 +584,23 @@ def test_transition_matrix_domain_sized_second_shuffle(spark, sf_dir):
         if ln.strip().lstrip("+-: ").startswith("Exchange")
     )
     assert n_ex == 3, f"expected 3 exchanges, saw {n_ex}"
+
+
+def test_cdc_apply_target_never_shuffles(spark, sf_dir):
+    """q164: the anti join that removes touched keys must be a
+    broadcast LeftAnti (the batch key list broadcasts; the 100-TB
+    target never exchanges — there is no Exchange above the target
+    scan), and WindowGroupLimit must push the rn=1 terminal-row
+    filter map-side. The cdc lineage forking into two batch-sized
+    scans is the accepted trade (batch-sized, not corpus-sized)."""
+    df = queries()["q164_cdc_apply"](spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    # the customer scan feeds the anti join directly: no Exchange
+    # between them (check lineage segment order textually)
+    cust_scan = plan.index("FileScan parquet [c_custkey")
+    anti = plan.index("LeftAnti")
+    assert "Exchange hashpartitioning" not in plan[anti:cust_scan]
