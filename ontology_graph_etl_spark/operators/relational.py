@@ -1671,7 +1671,11 @@ def gapfill_locf(
     a tie column, equal-timestamp ties resolve to the largest value —
     pass ``tie_col`` for total determinism). Output: keys, ``bucket``,
     ``value_col`` (filled), ``observed`` flag, ``n_obs`` (observations
-    in the bucket; 0 on filled rows).
+    in the bucket; 0 on filled rows). CONTRACT: ``value_col`` must be
+    non-null — ``observed`` means "a row landed in this bucket" (row
+    existence), and a null observation would be carried forward as
+    the bucket's value verbatim; coalesce or filter nulls upstream if
+    the stream can produce them.
 
     Plan shape — deliberately NOT the naive grid build (per-key
     min/max → sequence → explode → left join back → fill window: four
@@ -1922,7 +1926,10 @@ def categorical_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     which forks the count lineage and re-scans the corpus per
     consumer), and the rollup (entropy sum, max_by modal pick) never
     touches the corpus again. Nulls count per
-    column but stay out of the entropy/mode. Hot values combine
+    column but stay out of the entropy/mode; an all-NULL column
+    reports ``n_rows == n_nulls`` (the __nn window sum coalesces to
+    0) with NULL entropy/top_value/top_share, since no non-null
+    distribution exists. Hot values combine
     map-side; a corpus-cardinality column (an id mistakenly
     profiled) makes the count frame corpus-sized — profile
     categoricals, not keys.
@@ -1959,8 +1966,12 @@ def categorical_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         )
         .cast("long")
         .alias("__nulls"),
-        F.sum(F.when(F.col("value").isNotNull(), F.col("c")))
-        .over(wc)
+        F.coalesce(
+            F.sum(F.when(F.col("value").isNotNull(), F.col("c"))).over(
+                wc
+            ),
+            F.lit(0),
+        )
         .cast("long")
         .alias("__nn"),
     )

@@ -196,6 +196,25 @@ def apply_cdc_batch(
             f"cdc batch lacks target columns {missing}; CDC rows must "
             f"carry full row images"
         )
+    # Op-domain guard: the contract is strictly I/U/D. A NULL op would
+    # silently pass the != 'D' terminal filter as "dropped" and any
+    # other code would silently upsert — fail the job instead, at the
+    # point the op column is consumed (batch-side projection; the
+    # target plan is untouched, preserving the never-shuffles pin).
+    op_checked = F.when(
+        F.col(op_col).isin("I", "U", "D"), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"apply_cdc_batch: {op_col!r} outside the I/U/D "
+                    "contract: "
+                ),
+                F.coalesce(F.col(op_col), F.lit("NULL")),
+            )
+        )
+    )
+    cdc = cdc.withColumn(op_col, op_checked)
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
         *[F.col(o).desc() for o in order]
     )

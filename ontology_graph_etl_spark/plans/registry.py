@@ -6667,7 +6667,6 @@ def _q163_hll_lifecycle(spark, sf_dir):
     # is ~1.6% RSE; the 5% gate fails the driver row if the stored
     # lifecycle ever corrupts registers.
     import atexit
-    import os
     import shutil
     import tempfile
 
@@ -6678,11 +6677,12 @@ def _q163_hll_lifecycle(spark, sf_dir):
     occ = docs.select(
         "lang", F.explode(whitespace_tokens(F.col("text"))).alias("token")
     )
-    scratch = os.path.join(
-        tempfile.gettempdir(), f"q163_hll_{os.getpid()}"
-    )
-    if os.path.exists(scratch):
-        shutil.rmtree(scratch, ignore_errors=True)
+    # Per-invocation UNIQUE scratch dir (r13 ADVICE): a fixed
+    # pid-keyed path rmtree'd on re-entry would tear the store out
+    # from under a prior invocation's still-lazy result DataFrame in
+    # the same process. mkdtemp never collides, so each atexit hook
+    # owns exactly its own dir and nothing is deleted early.
+    scratch = tempfile.mkdtemp(prefix="q163_hll_")
     atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     path = scratch + "/sk"
     build = docs.where(F.col("doc_id") % 2 == 0)
@@ -6790,8 +6790,8 @@ tot AS (
   SELECT col,
          CAST(COALESCE(SUM(CASE WHEN value IS NULL THEN c END), 0)
               AS BIGINT) AS nulls,
-         CAST(SUM(CASE WHEN value IS NOT NULL THEN c END) AS BIGINT)
-           AS nn
+         CAST(COALESCE(SUM(CASE WHEN value IS NOT NULL THEN c END), 0)
+              AS BIGINT) AS nn
   FROM counts GROUP BY 1
 ),
 top AS (
@@ -6816,7 +6816,7 @@ SELECT c.col AS "column",
                   AS DOUBLE) / t.nn, 6) AS top_share
 FROM counts c
 JOIN tot t ON t.col = c.col
-JOIN top tp ON tp.col = c.col
+LEFT JOIN top tp ON tp.col = c.col
 GROUP BY c.col, t.nn, t.nulls
 """
 
@@ -7143,8 +7143,13 @@ grid AS (
   FROM spans
 ),
 joined AS (
+  -- observed derives from ROW EXISTENCE (n_obs), not value
+  -- non-nullness (r13 ADVICE): the operator marks a bucket observed
+  -- whenever a row landed in it, and its contract requires a
+  -- non-null value_col, so the two definitions coincide on valid
+  -- input — but this form can't silently diverge if they don't.
   SELECT g.user_id, g.bucket, o.v, COALESCE(o.n_obs, 0) AS n_obs,
-         o.v IS NOT NULL AS observed
+         o.n_obs IS NOT NULL AS observed
   FROM grid g LEFT JOIN obs o USING (user_id, bucket)
 )
 SELECT user_id, bucket,

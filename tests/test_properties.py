@@ -4414,3 +4414,39 @@ def test_apply_cdc_batch_golden(spark):
     assert got == {2: ("b3", 22.0), 3: ("c", 30.0), 9: ("z", 90.0)}
     with _pytest.raises(ValueError):
         apply_cdc_batch(target, cdc.drop("name"), ["k"], "seq")
+    # op-domain guard (r13 ADVICE): NULL or unrecognized codes fail
+    # the job at execution instead of silently passing the != 'D'
+    # filter as upserts
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    for bad_op in (None, "X"):
+        bad = spark.createDataFrame(
+            [(7, "n", 70.0, bad_op, 1)],
+            "k: long, name: string, v: double, op: string, seq: long",
+        )
+        with _pytest.raises((Py4JJavaError, PySparkException)):
+            apply_cdc_batch(target, bad, ["k"], "seq").collect()
+
+
+def test_categorical_profile_all_null_column(spark):
+    """An all-NULL column keeps its row-count contract (r13 ADVICE):
+    n_rows == n_nulls with the __nn window sum coalesced to 0;
+    entropy/top_value/top_share are NULL because no non-null
+    distribution exists."""
+    from ontology_graph_etl_spark.operators.relational import (
+        categorical_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("x", None), ("y", None), ("x", None)],
+        "a: string, b: string",
+    )
+    got = {r["column"]: r for r in categorical_profile(df, ["a", "b"])
+           .collect()}
+    rb = got["b"]
+    assert (rb.n_rows, rb.n_nulls, rb.n_distinct) == (3, 3, 0)
+    assert rb.entropy is None and rb.top_value is None
+    assert rb.top_share is None
+    ra = got["a"]  # sibling column unaffected
+    assert (ra.n_rows, ra.n_nulls, ra.top_value) == (3, 0, "x")
