@@ -1423,19 +1423,39 @@ def deterministic_random_walks(
     frontier (one row per live walk) joins the edge list on the
     current node and ``min_by(dst, md5(...))`` picks the hop in a
     single partial-aggregable pass (no window, no sort). The edge
-    frame is localCheckpoint-pinned once and reused every round; the
-    frontier never exceeds the start count, so at 100 TB the
-    per-round shuffle is starts-sized while the edge side stays
-    stationary and co-partitioned on src. Hub skew: a hot node's
-    neighbor list lands in one aggregation group per walk — bounded
-    by out-degree; cap degenerate hubs upstream if out-degrees are
-    corpus-scaled (the q155 max_degree rationale).
+    Plan shape (rebuilt round 14 after reading the r13 executed plan
+    — three separate defects compounded into the 5.5×-per-10×
+    SCALING.md reading): edges collapse ONCE into an adjacency-list
+    frame (``groupBy(src).collect_set(dst)`` — a single O(E) shuffle
+    that also dedups; persisted and materialized so every round reads
+    the cached nodes-sized frame, never the corpus). Each round the
+    FRONTIER (never more rows than ``starts``) is explicitly
+    ``broadcast()`` — a checkpointed/aggregated frontier has no size
+    statistics, and without the hint Catalyst flipped rounds ≥2 to
+    broadcasting the EDGE side, gigabytes per round for a 21-row
+    probe — joined against the adjacency frame, and the hop is picked
+    IN-EXPRESSION: ``array_min(transform(nbrs, u → (md5(v|t|u), u)))``
+    is the same argmin the old per-edge-row ``min_by`` aggregate
+    computed, without re-flattening the neighbor lists or a per-round
+    aggregate. Each round's result is localCheckpoint-pinned: the
+    checkpoint cuts lineage, without which each union branch at pos=t
+    re-executed the entire step prefix 1..t-1 — O(steps²) work for an
+    O(steps) algorithm. Per-round cost is now one scan of the cached
+    node-sized adjacency frame probed by a broadcast hash table —
+    measured 13 s → 0.4 s for the six rounds at 10× (SCALING.md
+    round-14); the one-time adjacency build is the remaining (linear,
+    irreducible) O(E) term. Hub skew: a hot node's neighbors become
+    one array in one row — bounded by out-degree; cap degenerate hubs
+    upstream if out-degrees are corpus-scaled (the q155 max_degree
+    rationale).
     """
-    e = (
+    adj = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .localCheckpoint()
+        .groupBy("src")
+        .agg(F.collect_set("dst").alias("__nbrs"))
+        .persist()
     )
+    adj.count()  # materialize once; every round reads the cache
     cur = starts.select(
         F.col(start_col).alias("walk_id"),
         F.lit(0).alias("pos"),
@@ -1443,23 +1463,24 @@ def deterministic_random_walks(
     )
     out = cur
     for t in range(1, steps + 1):
-        cur = (
-            cur.join(e, cur["node"] == e["src"])
-            .groupBy("walk_id")
-            .agg(
-                F.min_by(
-                    "dst",
+        step = F.lit(str(t))
+        hop = F.array_min(
+            F.transform(
+                F.col("__nbrs"),
+                lambda u: F.struct(
                     F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.col("node"),
-                            F.lit(str(t)),
-                            F.col("dst"),
-                        )
-                    ),
-                ).alias("node")
+                        F.concat_ws("|", F.col("node"), step, u)
+                    ).alias("h"),
+                    u.alias("u"),
+                ),
             )
-            .select("walk_id", F.lit(t).alias("pos"), "node")
+        )["u"]
+        cur = (
+            F.broadcast(cur)
+            .join(adj, cur["node"] == adj["src"])
+            .select("walk_id", F.lit(t).alias("pos"), hop.alias("node"))
+            .localCheckpoint()
         )
         out = out.union(cur)
+    adj.unpersist()  # every round is checkpoint-materialized already
     return out

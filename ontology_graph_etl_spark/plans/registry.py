@@ -7075,21 +7075,31 @@ GROUP BY id
 """
 
 
+_Q155_MAX_DEG = 40
+
+
 def _q155_adamic_adar(spark, sf_dir):
     # Link prediction over the supplier->part bipartite edge set:
     # Adamic-Adar affinity for every supplier pair (common parts
     # weighted 1/ln(part's supplier-degree)), n_common >= 3. Degree
     # attaches to the edge frame BEFORE the quadratic self-join; the
     # tested graph is dense (every pair co-occurs) which is exactly
-    # the regime the max_degree hub cap is documented for.
+    # the regime the max_degree hub cap is documented for — so the
+    # CERTIFIED shape exercises the cap (r13 VERDICT: certifying the
+    # shape users must not run at scale invites copy-paste of the
+    # wrong call). max_degree=40 BINDS at the certification scale
+    # (it drops the one degree-41 hub part), so the driver hash
+    # certifies the capped semantics, not a vacuous filter; SCALING.md
+    # measured the uncapped quadratic at 211.8 s for 10x vs 6.5 s
+    # capped.
     li = _t(spark, sf_dir, "lineitem")
     edges = li.select(
         F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
     )
-    return graph.adamic_adar(edges, min_common=3)
+    return graph.adamic_adar(edges, min_common=3, max_degree=_Q155_MAX_DEG)
 
 
-_q155_sql = """
+_q155_sql = f"""
 WITH e AS (
   SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem
 ),
@@ -7097,7 +7107,8 @@ deg AS (
   SELECT dst, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1
 ),
 ed AS (
-  SELECT e.src, e.dst, deg.d FROM e JOIN deg USING (dst) WHERE deg.d >= 2
+  SELECT e.src, e.dst, deg.d FROM e JOIN deg USING (dst)
+  WHERE deg.d >= 2 AND deg.d <= {_Q155_MAX_DEG}
 )
 SELECT a.src AS node_a, b.src AS node_b,
        CAST(COUNT(*) AS BIGINT) AS n_common,
