@@ -173,6 +173,13 @@ HEADLINE = [
     "q162_categorical_profile",
     "q163_hll_lifecycle",
     "q164_cdc_apply",
+    # round-14 additions: the frozen-gate-statistics lifecycle (the
+    # fifth stored artifact — both rows carry their per-invocation
+    # store build+write like the other lifecycle rows)
+    "q165_frozen_gate_screen",
+    "q166_ccnet_frozen_screen",
+    "q167_bipartite_project",
+    "q168_corpus_health",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

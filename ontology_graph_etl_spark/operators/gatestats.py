@@ -1,0 +1,602 @@
+"""Frozen gate statistics — the FIFTH stored-artifact lifecycle.
+
+Every quality gate in the repo (q103 percentile gate, q146 outlier
+gate, q148 model gate, q152 CCNet LM) recomputes its corpus
+statistics per invocation — correct for one-shot curation, wrong for
+incremental ingest, where a micro-batch must be screened against the
+SAME statistics as every batch before it, with zero corpus recompute.
+This module persists the statistics once and screens batches against
+the frozen store: the q120 (dedup bands) / q137 (IVF lists) / q138
+(substring fingerprints) / q163 (HLL registers) stored-artifact
+contract applied to curation. It is also CCNet's actual production
+shape (Wenzek et al. 2020): the LM is trained ONCE on a reference
+corpus, the perplexity cutoffs are frozen, and every CommonCrawl dump
+is screened against the frozen statistics — never against itself.
+
+Two artifact kinds, one store layout each (parquet + JSON params
+sidecar, the sketches.py device):
+
+* **Percentile-gate cutoffs** — per-stratum frozen score cutoffs
+  derived from :func:`relational.quality_percentile_gate` over a
+  reference corpus. Screening is one broadcast join: ``keep = score
+  >= cutoff`` (ties INCLUSIVE — a frozen cutoff cannot see ranks, so
+  the boundary rule is by-value, documented and deterministic).
+  Exact percentiles admit NO O(batch) merge — the maintenance
+  operation is a periodic rebuild (also CCNet practice), so this
+  store deliberately has build/write/read/screen and no merge.
+* **Per-language bigram LM counts** — the count tables behind
+  :func:`textops.bigram_logprob`, which ARE additive: ingest batches
+  append partial counts in O(batch) (:func:`merge_lm_counts`),
+  read-time scoring folds them with one group-sum, and
+  :func:`compact_lm_counts` rewrites the store to one row per n-gram
+  under the crash-atomic staged swap. Frozen scoring must handle
+  n-grams the reference never saw (the train-on-self gates never
+  face OOV): unseen unigrams take a 0.5/N floor, unseen bigrams
+  contribute 0 to the interpolated term — deterministic, engine-
+  portable arithmetic (certified cross-engine by q166).
+
+``build_ccnet_store`` / ``screen_ccnet_frozen`` compose the two: one
+store directory holding the per-language LM (``lm/``) and the
+per-language head-tercile cutoffs (``cutoffs/``), so screening a new
+dump is language-ID → frozen-LM score → frozen-cutoff gate, touching
+nothing but the batch and the store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .util import read_json_sidecar, write_json_sidecar
+
+_CUTOFF_SIDECAR = "_gate_params.json"
+_CUTOFF_KEYS = ("strata_col", "score_col", "keep_pct")
+_LM_SIDECAR = "_lm_params.json"
+_LM_KEYS = ("lang_col", "lam")
+
+#: unseen-unigram probability floor, as a count: p_floor = 0.5 / N.
+#: 0.5 "half an occurrence" is the classic continuity-correction
+#: choice; any constant in (0, 1) works — what matters is that it is
+#: FROZEN with the store's arithmetic and identical across engines.
+_OOV_COUNT = 0.5
+
+
+# ---------------------------------------------------------------------------
+# Percentile-gate cutoffs: build / write / read / screen
+# ---------------------------------------------------------------------------
+
+
+def build_gate_cutoffs(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    score_col: str,
+    keep_pct: int,
+    buckets: int = 256,
+) -> DataFrame:
+    """Per-stratum frozen cutoffs from a reference corpus: run the
+    exact integer-percent gate (:func:`relational.
+    quality_percentile_gate` — bucketed, no single-task stratum sort)
+    and take each stratum's minimum KEPT score. Returns
+    ``(strata_col, cutoff double, n_build long)``; a stratum whose
+    keep set is empty (possible only when every score is NULL) gets a
+    NULL cutoff, which the screen maps to keep=False."""
+    from .relational import quality_percentile_gate
+
+    gated = quality_percentile_gate(
+        df, key_col, strata_col, score_col, keep_pct, buckets
+    )
+    return gated.groupBy(strata_col).agg(
+        F.min(F.when(F.col("keep"), F.col(score_col)))
+        .cast("double")
+        .alias("cutoff"),
+        F.count(F.lit(1)).cast("long").alias("n_build"),
+    )
+
+
+def write_gate_cutoffs(
+    cutoffs: DataFrame,
+    path: str,
+    strata_col: str,
+    score_col: str,
+    keep_pct: int,
+) -> None:
+    """Persist the cutoff table with its parameter sidecar. Always a
+    full overwrite — exact percentiles have no incremental form, so
+    the only maintenance operation is rebuild-and-replace (swap via
+    a staged path upstream if readers are live; the table is
+    strata-sized, so rewrites are trivially cheap)."""
+    params = {
+        "strata_col": str(strata_col),
+        "score_col": str(score_col),
+        "keep_pct": int(keep_pct),
+    }
+    cutoffs.write.mode("overwrite").parquet(path)
+    write_json_sidecar(cutoffs.sparkSession, path, _CUTOFF_SIDECAR, params)
+
+
+def read_gate_cutoffs(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, dict]:
+    """Load the cutoff table and its frozen parameters."""
+    params = read_json_sidecar(
+        spark,
+        path,
+        _CUTOFF_SIDECAR,
+        _CUTOFF_KEYS,
+        "gate cutoff store",
+        "rebuild via write_gate_cutoffs",
+    )
+    return spark.read.parquet(path), params
+
+
+def screen_against_cutoffs(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    unknown_strata: str = "drop",
+) -> DataFrame:
+    """Screen a micro-batch against frozen cutoffs: every batch row
+    comes back with ``keep = score >= cutoff`` (ties inclusive; NULL
+    scores never keep). Strata the reference never saw have no frozen
+    cutoff — ``unknown_strata='drop'`` (default) rejects them,
+    ``'keep'`` passes them through for a later rebuild to adjudicate;
+    both are explicit policy, never an accident of join type. One
+    broadcast join against the strata-sized cutoff table — the batch
+    never shuffles and the corpus is never touched."""
+    if unknown_strata not in ("drop", "keep"):
+        raise ValueError(
+            f"unknown_strata must be drop|keep, got {unknown_strata!r}"
+        )
+    cutoffs, params = read_gate_cutoffs(spark, path)
+    strata, score = params["strata_col"], params["score_col"]
+    clash = {"keep", "__cut", "__seen"} & set(batch.columns)
+    if clash:
+        raise ValueError(
+            f"screen_against_cutoffs output columns {sorted(clash)} "
+            "already exist on the batch"
+        )
+    cut = cutoffs.select(
+        F.col(strata).alias("__gs"),
+        F.col("cutoff").alias("__cut"),
+        F.lit(True).alias("__seen"),
+    )
+    joined = batch.join(
+        F.broadcast(cut), F.col(strata).eqNullSafe(F.col("__gs")), "left"
+    )
+    known_keep = F.coalesce(
+        F.col(score).cast("double") >= F.col("__cut"), F.lit(False)
+    )
+    keep = F.when(F.col("__seen").isNull(), F.lit(unknown_strata == "keep"))
+    return joined.withColumn("keep", keep.otherwise(known_keep)).drop(
+        "__gs", "__cut", "__seen"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frozen per-language bigram LM: build / write / merge / compact / score
+# ---------------------------------------------------------------------------
+
+
+def _lm_token_frames(
+    docs: DataFrame, id_col: str, text_col: str, lang_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared tokenize step: (per-doc token arrays, unigram
+    occurrences, bigram occurrences), all carrying ``__lang``.
+    Bigrams come from the zip-against-own-shift device of
+    :func:`textops.bigram_logprob` — per-row JVM arrays, no
+    positional self-join."""
+    from ..functions import whitespace_tokens
+    from .util import ensure_parallelism
+
+    base = ensure_parallelism(
+        docs.select(id_col, text_col, lang_col)
+    ).select(
+        F.col(id_col).alias("__doc"),
+        F.col(lang_col).alias("__lang"),
+        whitespace_tokens(F.col(text_col)).alias("__t"),
+    )
+    n = F.size("__t")
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(F.col("__t"), 1, n - 1).alias("w1"),
+            F.slice(F.col("__t"), 2, n - 1).alias("w2"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    toks = base.select(
+        "__doc", "__lang", F.explode("__t").alias("token")
+    )
+    occ = base.select(
+        "__doc", "__lang", F.explode(pairs).alias("p")
+    ).select(
+        "__doc",
+        "__lang",
+        F.col("p.w1").alias("w1"),
+        F.col("p.w2").alias("w2"),
+    )
+    return base, toks, occ
+
+
+def build_lm_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang_pred",
+) -> DataFrame:
+    """Per-language n-gram count tables as ONE unioned frame:
+    ``(lang, w1, w2, c)`` where ``w2 IS NULL`` marks a unigram row.
+    Both counts are plain partial-aggregable groupBys (hot stopword
+    n-grams combine map-side); the frame is vocabulary-sized, never
+    corpus-sized. The per-language totals are NOT stored — they are
+    the sum of the language's unigram rows, derived at read time, so
+    appended batches can never desynchronize count and total."""
+    _, toks, occ = _lm_token_frames(docs, id_col, text_col, lang_col)
+    uni = toks.groupBy("__lang", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).select(
+        F.col("__lang").alias("lang"),
+        F.col("token").alias("w1"),
+        F.lit(None).cast("string").alias("w2"),
+        "c",
+    )
+    bi = occ.groupBy("__lang", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).select(F.col("__lang").alias("lang"), "w1", "w2", "c")
+    return uni.unionByName(bi)
+
+
+def write_lm_counts(
+    counts: DataFrame,
+    path: str,
+    lang_col: str = "lang_pred",
+    lam: float = 0.7,
+    mode: str = "overwrite",
+) -> None:
+    """Persist LM count rows with the frozen scoring parameters.
+    ``mode='append'`` is the O(batch) ingest path — partial count
+    rows are added, nothing stored is read or rewritten; the read
+    side group-sums. The sidecar's ``lam`` is frozen at build time:
+    scoring the same store under drifting interpolation weights
+    would silently change every historical keep decision."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if not 0 <= lam <= 1:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    spark = counts.sparkSession
+    params = {"lang_col": str(lang_col), "lam": float(lam)}
+    if mode == "append":
+        stored = read_json_sidecar(
+            spark,
+            path,
+            _LM_SIDECAR,
+            _LM_KEYS,
+            "frozen LM store",
+            "rebuild via write_lm_counts(mode='overwrite')",
+        )
+        got = {k: stored[k] for k in _LM_KEYS}
+        if got != params:
+            raise ValueError(
+                f"frozen LM store at {path} was built with {got}; "
+                f"refusing to append rows built with {params}"
+            )
+    counts.write.mode(mode).parquet(path)
+    if mode == "overwrite":
+        write_json_sidecar(spark, path, _LM_SIDECAR, params)
+
+
+def merge_lm_counts(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = None,
+) -> None:
+    """Ingest-batch LM maintenance: count the batch's n-grams under
+    the STORED parameters and append — O(batch), the stored rows are
+    never read (the q163 merge contract; n-gram counts are additive,
+    so batch granularity is free and order-independent)."""
+    stored = read_json_sidecar(
+        spark,
+        path,
+        _LM_SIDECAR,
+        _LM_KEYS,
+        "frozen LM store",
+        "rebuild via write_lm_counts(mode='overwrite')",
+    )
+    lc = lang_col if lang_col is not None else stored["lang_col"]
+    counts = build_lm_counts(batch, id_col, text_col, lc)
+    write_lm_counts(
+        counts,
+        path,
+        lang_col=stored["lang_col"],
+        lam=float(stored["lam"]),
+        mode="append",
+    )
+
+
+def compact_lm_counts(spark: SparkSession, path: str) -> int:
+    """Rewrite the LM store as one row per (lang, w1, w2) — the same
+    group-sum the scorer folds lazily, so scores are unchanged by
+    construction (addition is associative). Crash-atomic staged swap,
+    the :func:`sketches.compact_cardinality_sketches` device
+    verbatim; SINGLE WRITER REQUIRED (a concurrent merge's append
+    between the staged read and the swap lands in ``.old`` and is
+    deleted). Returns the compacted row count."""
+    from .util import hadoop_path_and_fs
+
+    stored = read_json_sidecar(
+        spark,
+        path,
+        _LM_SIDECAR,
+        _LM_KEYS,
+        "frozen LM store",
+        "rebuild via write_lm_counts(mode='overwrite')",
+    )
+    base = path.rstrip("/")
+    staged = base + ".compact"
+    merged = (
+        spark.read.parquet(base)
+        .groupBy("lang", "w1", "w2")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    merged.write.mode("overwrite").parquet(staged)
+    n = spark.read.parquet(staged).count()
+    write_json_sidecar(spark, staged, _LM_SIDECAR, stored)
+    cur, fs = hadoop_path_and_fs(spark, base)
+    new, _ = hadoop_path_and_fs(spark, staged)
+    old, _ = hadoop_path_and_fs(spark, base + ".old")
+    fs.delete(old, True)
+    if not fs.rename(cur, old):
+        raise IOError(f"lm compaction: could not stage out {base}")
+    if not fs.rename(new, cur):
+        fs.rename(old, cur)
+        raise IOError(f"lm compaction: could not swap in {staged}")
+    fs.delete(old, True)
+    return int(n)
+
+
+def score_with_frozen_lm(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang_pred",
+) -> DataFrame:
+    """Score a batch under the FROZEN interpolated bigram model —
+    the zero-corpus-recompute counterpart of :func:`textops.
+    bigram_logprob` (same arithmetic, same 6dp-rounded mean), plus
+    the OOV rules a frozen model needs (train-on-self never sees an
+    unseen n-gram; a frozen model sees them constantly):
+
+    * unseen unigram: ``p_uni = 0.5 / N`` (the continuity-correction
+      floor, frozen in ``_OOV_COUNT``);
+    * unseen bigram: the ``lam * c2/c1`` term is 0 and the unigram
+      backoff term carries the probability — Jelinek-Mercer's own
+      semantics, no extra device.
+
+    On the store's own training corpus every n-gram is seen, both
+    rules are dormant, and the scores equal ``bigram_logprob``'s
+    exactly — the property :func:`build_ccnet_store` relies on to
+    freeze cutoffs from train-on-self scores (pinned in tests).
+
+    Returns ``(id_col, lang_col, mean_logprob)`` for EVERY batch row
+    (0-token docs score NULL). Plan shape: the batch tokenizes once,
+    unigram/bigram occurrence streams join the vocabulary-sized count
+    tables on (lang, token) keys — the count tables come from one
+    store scan + one group-sum fold over appended batches, and the
+    per-language totals ride a lang-count-sized frame. A language
+    with no stored counts scores NULL (joins all miss), which a
+    downstream gate maps to keep=False."""
+    stored = read_json_sidecar(
+        spark,
+        path,
+        _LM_SIDECAR,
+        _LM_KEYS,
+        "frozen LM store",
+        "rebuild via write_lm_counts(mode='overwrite')",
+    )
+    lam = float(stored["lam"])
+    counts = (
+        spark.read.parquet(path)
+        .groupBy("lang", "w1", "w2")
+        .agg(F.sum("c").cast("long").alias("c"))
+        # vocabulary-sized fold of the store feeding FOUR consumers
+        # (two unigram-term joins, the bigram join, the totals) —
+        # pin it, or the store scan+sum runs per consumer
+        .localCheckpoint()
+    )
+    uni = counts.where(F.col("w2").isNull()).select(
+        F.col("lang").alias("__ul"),
+        F.col("w1").alias("__ut"),
+        F.col("c").alias("__c1"),
+    )
+    tot = uni.groupBy(F.col("__ul").alias("__tl")).agg(
+        F.sum("__c1").cast("long").alias("__n")
+    )
+    bi = counts.where(F.col("w2").isNotNull()).select(
+        F.col("lang").alias("__bl"),
+        F.col("w1").alias("__bw1"),
+        F.col("w2").alias("__bw2"),
+        F.col("c").alias("__c2"),
+    )
+    base, _, occ = _lm_token_frames(batch, id_col, text_col, lang_col)
+    # first token: ln(p_uni)
+    first = base.where(F.size("__t") >= 1).select(
+        "__doc", "__lang", F.col("__t")[0].alias("token")
+    )
+    fs = (
+        first.join(
+            uni,
+            (F.col("__lang") == F.col("__ul"))
+            & (F.col("token") == F.col("__ut")),
+            "left",
+        )
+        .join(tot, F.col("__lang") == F.col("__tl"), "left")
+        .select(
+            "__doc",
+            F.log(
+                F.coalesce(F.col("__c1").cast("double"), F.lit(_OOV_COUNT))
+                / F.col("__n")
+            ).alias("__lp"),
+        )
+    )
+    # subsequent tokens: ln(lam * c2/c1(w1) + (1-lam) * p_uni(w2))
+    u1 = uni.select(
+        F.col("__ul").alias("__l1"),
+        F.col("__ut").alias("__t1"),
+        F.col("__c1").alias("__c1a"),
+    )
+    u2 = uni.select(
+        F.col("__ul").alias("__l2"),
+        F.col("__ut").alias("__t2"),
+        F.col("__c1").alias("__c1b"),
+    )
+    bs = (
+        occ.join(
+            bi,
+            (F.col("__lang") == F.col("__bl"))
+            & (F.col("w1") == F.col("__bw1"))
+            & (F.col("w2") == F.col("__bw2")),
+            "left",
+        )
+        .join(
+            u1,
+            (F.col("__lang") == F.col("__l1"))
+            & (F.col("w1") == F.col("__t1")),
+            "left",
+        )
+        .join(
+            u2,
+            (F.col("__lang") == F.col("__l2"))
+            & (F.col("w2") == F.col("__t2")),
+            "left",
+        )
+        .join(tot, F.col("__lang") == F.col("__tl"), "left")
+        .select(
+            "__doc",
+            F.log(
+                F.lit(lam)
+                * F.coalesce(
+                    F.col("__c2").cast("double") / F.col("__c1a"),
+                    F.lit(0.0),
+                )
+                + F.lit(1.0 - lam)
+                * F.coalesce(
+                    F.col("__c1b").cast("double"), F.lit(_OOV_COUNT)
+                )
+                / F.col("__n")
+            ).alias("__lp"),
+        )
+    )
+    sc = fs.unionByName(bs).groupBy("__doc").agg(
+        F.round(F.avg("__lp"), 6).alias("mean_logprob")
+    )
+    return (
+        batch.select(F.col(id_col), F.col(lang_col))
+        .join(sc, F.col(id_col) == F.col("__doc"), "left")
+        .select(id_col, lang_col, "mean_logprob")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet frozen store: one-call build + screen
+# ---------------------------------------------------------------------------
+
+
+def build_ccnet_store(
+    reference_docs: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: list[str] | None = None,
+    keep_pct: int = 34,
+    lam: float = 0.7,
+    buckets: int = 256,
+) -> None:
+    """Build the frozen CCNet store from a reference corpus: language-
+    ID the reference, persist one bigram-LM count table per language
+    (``<store>/lm``) and the per-language head-bucket cutoffs
+    (``<store>/cutoffs``). Cutoffs come from :func:`pipelines.
+    ccnet_quality_pipeline` over the reference (train-on-self scores
+    — identical to frozen-LM scores on the training corpus, see
+    :func:`score_with_frozen_lm`), so the frozen gate reproduces
+    exactly the boundary the one-shot pipeline drew, by value.
+    ``langs`` is the production fixed list (the q152 contract); docs
+    language-ID'd outside it contribute nothing to the store and are
+    rejected at screen time as unknown strata."""
+    from .textops import language_id
+    from .. import pipelines
+
+    if langs is None:
+        raise ValueError(
+            "build_ccnet_store requires the fixed production language "
+            "list (the q152 langs= contract)"
+        )
+    tagged = language_id(
+        reference_docs.select(id_col, text_col), text_col
+    ).where(F.col("lang_pred").isin(*langs))
+    write_lm_counts(
+        build_lm_counts(tagged, id_col, text_col, "lang_pred"),
+        store_dir.rstrip("/") + "/lm",
+        lang_col="lang_pred",
+        lam=lam,
+    )
+    scored = pipelines.ccnet_quality_pipeline(
+        reference_docs,
+        id_col,
+        text_col,
+        keep_pct=keep_pct,
+        lam=lam,
+        langs=langs,
+        buckets=buckets,
+    )
+    write_gate_cutoffs(
+        scored.groupBy("lang_pred").agg(
+            F.min(F.when(F.col("keep"), F.col("mean_logprob")))
+            .cast("double")
+            .alias("cutoff"),
+            F.count(F.lit(1)).cast("long").alias("n_build"),
+        ),
+        store_dir.rstrip("/") + "/cutoffs",
+        strata_col="lang_pred",
+        score_col="mean_logprob",
+        keep_pct=keep_pct,
+    )
+
+
+def screen_ccnet_frozen(
+    spark: SparkSession,
+    store_dir: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unknown_strata: str = "drop",
+) -> DataFrame:
+    """Screen a micro-batch against the frozen CCNet store: language-
+    ID the batch, score each doc under its language's FROZEN bigram
+    LM, gate on the FROZEN per-language cutoff. Returns ``(id_col,
+    lang_pred, mean_logprob, keep)`` for every batch row. Touches the
+    batch and the store only — zero reference-corpus recompute, which
+    is the entire point: screening the Nth dump costs the same as the
+    first, and two dumps screened in either order get identical
+    verdicts."""
+    from .textops import language_id
+
+    tagged = language_id(batch.select(id_col, text_col), text_col)
+    scored = score_with_frozen_lm(
+        spark,
+        store_dir.rstrip("/") + "/lm",
+        tagged,
+        id_col,
+        text_col,
+        "lang_pred",
+    )
+    return screen_against_cutoffs(
+        spark,
+        store_dir.rstrip("/") + "/cutoffs",
+        scored,
+        unknown_strata=unknown_strata,
+    ).select(id_col, "lang_pred", "mean_logprob", "keep")

@@ -527,3 +527,129 @@ def ccnet_quality_pipeline(
     return quality_percentile_gate(
         scored, id_col, "lang_pred", "mean_logprob", keep_pct, buckets
     )
+
+
+def corpus_health_report(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    cat_cols: list[str],
+    num_cols: list[str],
+    compare_cols: list[str] | None = None,
+    vocab_top_k: int = 10,
+    n_bins: int = 10,
+    alpha: float = 0.01,
+    min_count: int = 5,
+) -> DataFrame:
+    """One-call snapshot-over-snapshot health report — the q85/q143/
+    q152 one-call precedent applied to the drift/audit family: every
+    recurring-ingest question a curation pipeline asks about "this
+    dump vs the last one", chained as ONE lazy plan and emitted in a
+    single long-format frame ``(section, key, metric, value)``:
+
+    * ``rows``      — :func:`operators.relational.snapshot_diff`
+      status counts (added/removed/changed/unchanged);
+    * ``cat_psi``   — per categorical column, the summed PSI of
+      :func:`operators.relational.distribution_drift`;
+    * ``num_psi``   — per numeric column, the summed PSI of
+      :func:`operators.relational.numeric_drift` (side A = ``old``
+      fixes the bins — the reference snapshot is the contract);
+    * ``vocab``     — the ``vocab_top_k`` most side-distinguishing
+      tokens by |z| from :func:`operators.textops.vocabulary_drift`
+      (side A = ``new``, so positive log-odds = overrepresented in
+      the new snapshot), ties broken token-ascending;
+    * ``profile``   — :func:`operators.relational.
+      categorical_profile` of the NEW snapshot, numeric metrics
+      melted (n_nulls / n_distinct / entropy / top_share).
+
+    Each section is exactly its standalone operator's output
+    (stage-equivalence pinned in tests/test_pipelines.py) — the
+    composition adds no semantics, only the single-plan packaging:
+    one action computes the whole report, so a scheduler sees one
+    job and the operators' own scale shapes (union-pivot PSI, one
+    tagged explode for vocab, one-scan profile) are preserved
+    verbatim. Headline reading: ``cat_psi``/``num_psi`` > 0.2 is the
+    conventional action threshold; ``rows``/``vocab`` say what moved.
+    """
+    from .operators.relational import (
+        categorical_profile,
+        distribution_drift,
+        numeric_drift,
+        snapshot_diff,
+    )
+    from .operators.textops import vocabulary_drift
+
+    def row(section, key, metric, value):
+        return (
+            F.lit(section).alias("section"),
+            key.alias("key"),
+            F.lit(metric).alias("metric"),
+            value.cast("double").alias("value"),
+        )
+
+    parts = [
+        snapshot_diff(
+            old, new, id_col, compare_cols or [text_col]
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(*row("rows", F.col("status"), "count", F.col("__n")))
+    ]
+    for c in cat_cols:
+        parts.append(
+            distribution_drift(old, new, c)
+            .agg(F.round(F.sum("psi_contrib"), 6).alias("__v"))
+            .select(*row("cat_psi", F.lit(c), "psi", F.col("__v")))
+        )
+    for c in num_cols:
+        parts.append(
+            numeric_drift(old, new, c, n_bins=n_bins)
+            .agg(F.round(F.sum("psi_contrib"), 6).alias("__v"))
+            .select(*row("num_psi", F.lit(c), "psi", F.col("__v")))
+        )
+    tagged = new.select(
+        F.lit(True).alias("__side"), F.col(text_col)
+    ).unionByName(
+        old.select(F.lit(False).alias("__side"), F.col(text_col))
+    )
+    parts.append(
+        vocabulary_drift(
+            tagged, "__side", text_col, alpha=alpha, min_count=min_count
+        )
+        .orderBy(F.abs(F.col("z")).desc(), F.col("token").asc())
+        .limit(vocab_top_k)
+        .select(*row("vocab", F.col("token"), "z", F.col("z")))
+    )
+    prof = categorical_profile(new, cat_cols)
+    melted = prof.select(
+        F.col("column"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.col(m).cast("double").alias("v"),
+                    )
+                    for m in (
+                        "n_nulls",
+                        "n_distinct",
+                        "entropy",
+                        "top_share",
+                    )
+                ]
+            )
+        ).alias("p"),
+    )
+    parts.append(
+        melted.select(
+            F.lit("profile").alias("section"),
+            F.col("column").alias("key"),
+            F.col("p.m").alias("metric"),
+            F.col("p.v").alias("value"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -7471,6 +7471,443 @@ JOIN iv b
 """
 
 
+_Q165_PCT = 25
+
+
+def _q165_frozen_gate_screen(spark, sf_dir):
+    # The FIFTH stored-artifact lifecycle (q120 dedup bands, q137 IVF
+    # lists, q138 substring fingerprints, q163 HLL registers, now
+    # frozen gate statistics), certified on the q120 disjoint-split
+    # pattern: per-priority top-25% price cutoffs are BUILT from the
+    # even-orderkey half, persisted (cutoff table + params sidecar),
+    # and the odd half is screened against the FROZEN store — one
+    # broadcast join, zero reference recompute, keep = score >=
+    # cutoff (ties inclusive by value; a frozen cutoff cannot see
+    # ranks). The incremental-curation contract: screening the Nth
+    # ingest batch costs the same as the first.
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators import gatestats
+
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.where(F.col("o_orderkey") % 2 == 0)
+    batch = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="q165_gate_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = scratch + "/cut"
+    gatestats.write_gate_cutoffs(
+        gatestats.build_gate_cutoffs(
+            ref,
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            keep_pct=_Q165_PCT,
+        ),
+        path,
+        "o_orderpriority",
+        "o_totalprice",
+        _Q165_PCT,
+    )
+    return gatestats.screen_against_cutoffs(spark, path, batch)
+
+
+_q165_sql = f"""
+WITH ref AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+rk AS (
+  SELECT o_orderpriority AS p, o_totalprice AS s,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS r,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM ref
+),
+cut AS (
+  SELECT p, min(s) AS cutoff FROM rk
+  WHERE (r - 1) * 100 < n * {_Q165_PCT} GROUP BY p
+)
+SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+       COALESCE(o.o_totalprice >= c.cutoff, FALSE) AS keep
+FROM orders o LEFT JOIN cut c ON c.p = o.o_orderpriority
+WHERE o.o_orderkey % 2 = 1
+"""
+
+
+def _q166_ccnet_lang_block(x: str, lam: float, pct: int) -> str:
+    """Per-language oracle block for q166: frozen-LM statistics from
+    the reference half (reusing the q152 LM CTE chain for the
+    train-on-self cutoff), then the BATCH half scored under the
+    FROZEN model with the OOV rules of gatestats.score_with_frozen_lm
+    (unseen unigram → 0.5/N floor, unseen bigram → interpolation term
+    0). Suffixes: ``_r{x}`` = reference chain, ``b..{x}`` = batch."""
+    return (
+        rf"""
+ref_{x} AS (SELECT doc_id, text FROM ref WHERE lang_pred = '{x}'),"""
+        + _q152_lm_ctes(f"ref_{x}", f"_r{x}", lam)
+        + rf""",
+cut_{x} AS (
+  SELECT min(mean_logprob) AS cutoff FROM (
+    SELECT mean_logprob,
+           row_number() OVER (ORDER BY mean_logprob DESC NULLS LAST,
+                              doc_id ASC) AS r,
+           count(*) OVER () AS n
+    FROM per_r{x}) s
+  WHERE (r - 1) * 100 < n * {pct}
+),
+btk_{x} AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> t <> '') AS t
+  FROM bat WHERE lang_pred = '{x}'
+),
+bfs_{x} AS (
+  SELECT q.doc_id,
+         ln(COALESCE(CAST(f.c1 AS DOUBLE), 0.5) / tt.n) AS lp
+  FROM (SELECT doc_id, t[1] AS token FROM btk_{x} WHERE len(t) >= 1) q
+  LEFT JOIN freq_r{x} f USING (token) CROSS JOIN total_r{x} tt
+),
+bocc_{x} AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM btk_{x} WHERE len(t) >= 2)
+),
+bbs_{x} AS (
+  SELECT o.doc_id,
+         ln({lam!r} * COALESCE(CAST(b.c2 AS DOUBLE) / f1.c1, 0.0)
+            + {1.0 - lam!r} * COALESCE(CAST(f2.c1 AS DOUBLE), 0.5)
+              / tt.n) AS lp
+  FROM bocc_{x} o
+  LEFT JOIN bi_r{x} b ON b.w1 = o.w1 AND b.w2 = o.w2
+  LEFT JOIN freq_r{x} f1 ON f1.token = o.w1
+  LEFT JOIN freq_r{x} f2 ON f2.token = o.w2
+  CROSS JOIN total_r{x} tt
+),
+bsc_{x} AS (
+  SELECT doc_id, round(avg(lp), 6) AS mean_logprob
+  FROM (SELECT * FROM bfs_{x} UNION ALL SELECT * FROM bbs_{x})
+  GROUP BY doc_id
+),
+bper_{x} AS (
+  SELECT s.doc_id, '{x}' AS lang_pred, p.mean_logprob,
+         COALESCE(p.mean_logprob >= (SELECT cutoff FROM cut_{x}),
+                  FALSE) AS keep
+  FROM (SELECT doc_id FROM bat WHERE lang_pred = '{x}') s
+  LEFT JOIN bsc_{x} p USING (doc_id)
+)"""
+    )
+
+
+def _q166_ccnet_frozen_screen(spark, sf_dir):
+    # The frozen-statistics lifecycle composed into CCNet's actual
+    # production shape (Wenzek et al. 2020 run it exactly this way:
+    # LM trained once on the reference, perplexity cutoffs frozen,
+    # every dump screened against the frozen statistics): the
+    # even-doc half builds the store (per-language bigram-LM count
+    # tables + per-language head-bucket cutoffs + params sidecars),
+    # the odd half is screened with ZERO reference recompute —
+    # lang-ID, frozen-LM scoring (OOV floor for n-grams the
+    # reference never saw), frozen-cutoff gate. Train-on-self
+    # equivalence (frozen scores == q152's pipeline scores on the
+    # reference corpus) is pinned in tests/test_streaming.py.
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators import gatestats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    scratch = tempfile.mkdtemp(prefix="q166_ccnet_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    gatestats.build_ccnet_store(
+        ref,
+        scratch,
+        langs=["en", "und"],
+        keep_pct=_Q152_PCT,
+        lam=_Q152_LAM,
+    )
+    return gatestats.screen_ccnet_frozen(spark, scratch, batch)
+
+
+def _q166_sql() -> str:
+    return (
+        rf"""
+WITH lang AS (
+  SELECT doc_id, text,
+         CASE WHEN round(CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks,
+                     x -> x IN ({_STOPWORD_SQL_LIST}))) AS DOUBLE)
+                   / len(toks)
+              ELSE 0.0 END, 6) >= 0.02
+              THEN 'en' ELSE 'und' END AS lang_pred
+  FROM (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+),
+ref AS (SELECT doc_id, text, lang_pred FROM lang WHERE doc_id % 2 = 0),
+bat AS (SELECT doc_id, text, lang_pred FROM lang WHERE doc_id % 2 = 1),"""
+        + _q166_ccnet_lang_block("en", _Q152_LAM, _Q152_PCT)
+        + ","
+        + _q166_ccnet_lang_block("und", _Q152_LAM, _Q152_PCT)
+        + """
+SELECT doc_id, lang_pred, mean_logprob, keep FROM bper_en
+UNION ALL
+SELECT doc_id, lang_pred, mean_logprob, keep FROM bper_und
+"""
+    )
+
+
+def _q167_bipartite_project(spark, sf_dir):
+    # Bipartite projection: the co-occurrence graph the reference's
+    # TREATS corpus implies (drugs linked by shared neoplasms — here
+    # parts linked by shared orders), pairs sharing >= 2 orders with
+    # overlap jaccard. The graph twin of q157's association pairs:
+    # same pair set, scored by neighborhood overlap instead of basket
+    # statistics. Degree-1 orders drop before pairing (most of the
+    # edge frame on sparse graphs — the q56 inverted-index
+    # economics); no max_degree here BY DESIGN, not omission: the dst
+    # side is orders, whose degree is bounded by order size (<= 7 in
+    # this schema) — the hub-cap regime (q155) is for corpus-scaled
+    # degrees, which this graph cannot produce.
+    li = _t(spark, sf_dir, "lineitem")
+    return graph.bipartite_project(
+        li.select(
+            F.col("l_partkey").alias("src"),
+            F.col("l_orderkey").alias("dst"),
+        ),
+        min_common=2,
+    )
+
+
+_q167_sql = """
+WITH e AS (
+  SELECT DISTINCT l_partkey AS src, l_orderkey AS dst FROM lineitem
+),
+deg AS (
+  SELECT dst FROM e GROUP BY dst HAVING COUNT(*) >= 2
+),
+ed AS (SELECT e.src, e.dst FROM e JOIN deg USING (dst)),
+sdeg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS sd FROM ed GROUP BY src
+),
+pairs AS (
+  SELECT a.src AS node_a, b.src AS node_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM ed a JOIN ed b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT p.node_a, p.node_b, p.n_common,
+       da.sd AS deg_a, db.sd AS deg_b,
+       round(CAST(p.n_common AS DOUBLE)
+             / (da.sd + db.sd - p.n_common), 6) AS jaccard
+FROM pairs p
+JOIN sdeg da ON da.src = p.node_a
+JOIN sdeg db ON db.src = p.node_b
+"""
+
+
+def _q168_corpus_health(spark, sf_dir):
+    # One-call snapshot-over-snapshot health report (the q85/q143/
+    # q152 one-call precedent applied to the drift/audit family):
+    # the q91 snapshot derivation (old = id%7!=0; new = id%5!=0 with
+    # a third of shared docs edited) flows through snapshot-diff
+    # status counts, per-column categorical PSI (lang, source),
+    # numeric PSI (n_chars, old fixes the bins), the top-10
+    # vocabulary-drift tokens by |z|, and the new snapshot's
+    # categorical profile — ONE lazy plan, one long-format frame;
+    # each section is exactly its standalone operator's output
+    # (stage equivalence pinned in tests/test_pipelines.py).
+    from .. import pipelines
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.upper(F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return pipelines.corpus_health_report(
+        old,
+        new,
+        "doc_id",
+        "text",
+        cat_cols=["lang", "source"],
+        num_cols=["n_chars"],
+    )
+
+
+def _q168_cat_psi_ctes(col: str) -> str:
+    return f"""
+catc_{col} AS (
+  SELECT category,
+         CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM (SELECT {col} AS category, 0 AS s FROM oldd
+        UNION ALL SELECT {col}, 1 FROM newd)
+  GROUP BY category
+),
+catp_{col} AS (
+  SELECT round(sum(round((ga - gb) * ln(ga / gb), 6)), 6) AS v FROM (
+    SELECT greatest(CAST(na AS DOUBLE)
+                    / (SELECT sum(na) FROM catc_{col}), 1e-6) AS ga,
+           greatest(CAST(nb AS DOUBLE)
+                    / (SELECT sum(nb) FROM catc_{col}), 1e-6) AS gb
+    FROM catc_{col})
+)"""
+
+
+_q168_sql = (
+    """
+WITH oldd AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+newd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 5 <> 0
+),
+o AS (SELECT doc_id,
+             md5(concat_ws(chr(1),
+                           coalesce(text, chr(0) || 'null'))) AS fo
+      FROM oldd),
+n AS (SELECT doc_id,
+             md5(concat_ws(chr(1),
+                           coalesce(text, chr(0) || 'null'))) AS fn
+      FROM newd),
+st AS (
+  SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN fo <> fn THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+),
+rows_sec AS (
+  SELECT 'rows' AS section, status AS key, 'count' AS metric,
+         CAST(count(*) AS DOUBLE) AS value
+  FROM st GROUP BY status
+),"""
+    + _q168_cat_psi_ctes("lang")
+    + ","
+    + _q168_cat_psi_ctes("source")
+    + """,
+av AS (SELECT n_chars AS v FROM oldd WHERE n_chars IS NOT NULL),
+bv AS (SELECT n_chars AS v FROM newd WHERE n_chars IS NOT NULL),
+edges AS (
+  SELECT DISTINCT e FROM (
+    SELECT unnest(quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                    0.6, 0.7, 0.8, 0.9])) AS e
+    FROM av)
+),
+abin AS (
+  SELECT (SELECT CAST(COALESCE(SUM(CASE WHEN av.v > e THEN 1 ELSE 0
+                                    END), 0) AS BIGINT)
+          FROM edges) AS bin
+  FROM av
+),
+bbin AS (
+  SELECT (SELECT CAST(COALESCE(SUM(CASE WHEN bv.v > e THEN 1 ELSE 0
+                                    END), 0) AS BIGINT)
+          FROM edges) AS bin
+  FROM bv
+),
+sa AS (SELECT bin, count(*) / CAST((SELECT count(*) FROM abin)
+                                   AS DOUBLE) AS share_a
+       FROM abin GROUP BY bin),
+sb AS (SELECT bin, count(*) / CAST((SELECT count(*) FROM bbin)
+                                   AS DOUBLE) AS share_b
+       FROM bbin GROUP BY bin),
+nump AS (
+  SELECT round(sum(round((greatest(COALESCE(share_a, 0.0), 1e-6)
+                          - greatest(COALESCE(share_b, 0.0), 1e-6))
+                         * ln(greatest(COALESCE(share_a, 0.0), 1e-6)
+                              / greatest(COALESCE(share_b, 0.0),
+                                         1e-6)), 6)), 6) AS v
+  FROM sa FULL OUTER JOIN sb USING (bin)
+),
+vocc AS (
+  SELECT a, unnest(
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '')) AS token
+  FROM (SELECT TRUE AS a, text FROM newd
+        UNION ALL SELECT FALSE, text FROM oldd)
+),
+vcounts AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM vocc GROUP BY 1
+),
+vtot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS ta,
+         CAST(SUM(cb) AS BIGINT) AS tb,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM vcounts
+),
+vz AS (
+  SELECT token,
+         round((ln((ca + 0.01) / (ta + v * 0.01 - ca - 0.01))
+              - ln((cb + 0.01) / (tb + v * 0.01 - cb - 0.01)))
+             / sqrt(1.0 / (ca + 0.01) + 1.0 / (cb + 0.01)),
+             6) AS z
+  FROM vcounts CROSS JOIN vtot
+  WHERE ca + cb >= 5
+),
+vocab_sec AS (
+  SELECT 'vocab' AS section, token AS key, 'z' AS metric, z AS value
+  FROM vz ORDER BY abs(z) DESC, token ASC LIMIT 10
+),
+pp AS (
+  SELECT 'lang' AS col, lang AS value FROM newd
+  UNION ALL SELECT 'source', source FROM newd
+),
+pc AS (SELECT col, value, CAST(COUNT(*) AS BIGINT) AS c
+       FROM pp GROUP BY 1, 2),
+pt AS (
+  SELECT col,
+         CAST(COALESCE(SUM(CASE WHEN value IS NULL THEN c END), 0)
+              AS BIGINT) AS nulls,
+         CAST(COALESCE(SUM(CASE WHEN value IS NOT NULL THEN c END), 0)
+              AS BIGINT) AS nn
+  FROM pc GROUP BY 1
+),
+pagg AS (
+  SELECT c.col, t.nulls,
+         CAST(SUM(CASE WHEN c.value IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_distinct,
+         round(-SUM(CASE WHEN c.value IS NOT NULL
+                         THEN (CAST(c.c AS DOUBLE) / t.nn)
+                              * log2(CAST(c.c AS DOUBLE) / t.nn) END),
+               6) AS entropy,
+         round(CAST(MAX(CASE WHEN c.value IS NOT NULL THEN c.c END)
+                    AS DOUBLE) / t.nn, 6) AS top_share
+  FROM pc c JOIN pt t ON t.col = c.col
+  GROUP BY c.col, t.nn, t.nulls
+)
+SELECT * FROM rows_sec
+UNION ALL SELECT 'cat_psi', 'lang', 'psi', (SELECT v FROM catp_lang)
+UNION ALL SELECT 'cat_psi', 'source', 'psi',
+                 (SELECT v FROM catp_source)
+UNION ALL SELECT 'num_psi', 'n_chars', 'psi', (SELECT v FROM nump)
+UNION ALL SELECT * FROM vocab_sec
+UNION ALL SELECT 'profile', col, 'n_nulls', CAST(nulls AS DOUBLE)
+          FROM pagg
+UNION ALL SELECT 'profile', col, 'n_distinct',
+                 CAST(n_distinct AS DOUBLE) FROM pagg
+UNION ALL SELECT 'profile', col, 'entropy', entropy FROM pagg
+UNION ALL SELECT 'profile', col, 'top_share', top_share FROM pagg
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7510,101 +7947,75 @@ JOIN iv b
 #: the round whose window re-certifies them: once a CORRECTNESS file
 #: of that round (or later) carries their green row, the guard FAILS
 #: until the names are removed — the set cannot silently pin window
-#: slots forever. q131/q132/q133 (the r11 members) left the set this
-#: round: their green r11 rows exist, and keeping them past the
-#: certifying round would trip the pre-view self-clear on the r12
-#: artifact (the round-8 failure mode q112 navigated in r10). Add
-#: any query whose oracle text or executed plan changes this round,
-#: and bump RECERTIFY_ROUND to 12.
-RECERTIFY_ROUND = 13
+#: slots forever. q142 (the r13 member) left the set this round: its
+#: green r13 row exists, and keeping it past the certifying round
+#: would trip the pre-view self-clear on the r14 artifact (the
+#: round-8 failure mode q112 navigated in r10). Add any query whose
+#: oracle text or executed plan changes this round, and bump
+#: RECERTIFY_ROUND to 14.
+RECERTIFY_ROUND = 14
 RECERTIFY: set[str] = {
-    # round-13 review fix: write_training_shards renamed its staging
-    # column __h8 -> __hmd5 (the variable held the FULL md5 after the
-    # r12 order-key fix; the name contradicted the value). Values
-    # provably identical, but the executed write-side plan text
-    # changed — recertify per the standing policy. Moved to the
-    # window head, displacing q132 (an r11 fill) to the tail head.
-    "q142_shard_export",
+    # r13 ADVICE fixes (oracle text and/or executed plan changed):
+    # q154 oracle derives observed from row existence; q162 coalesces
+    # __nn on both engines (oracle also LEFT-joins top); q163 scratch
+    # store is per-invocation mkdtemp; q164's batch projection now
+    # validates the op domain.
+    "q154_gapfill_locf",
+    "q162_categorical_profile",
+    "q163_hll_lifecycle",
+    "q164_cdc_apply",
+    # r14: the certified q155 shape now exercises max_degree=40 in
+    # query and oracle (the cap binds — values change by design);
+    # q158 rebuilt on the persisted adjacency frame (hash-identical,
+    # plan changed wholesale).
+    "q155_adamic_adar",
+    "q158_random_walks",
 }
-# q105_fill_budget / q71_repetition (the r12 members) left the set
-# this round: their green r12 rows exist, and keeping them past the
-# certifying round would trip the pre-view self-clear on the r13
-# artifact (the round-8 failure mode q112 navigated in r10). Add any
-# query whose oracle text or executed plan changes this round.
 
 QUERIES: list[QueryDef] = [
-    # --- ROUND-13 WINDOW (first 50) ---
-    # Current composition after this round's 11 mid-round insertions
-    # (each entered at the window head per the standing rule;
-    # never-certified names must sit in the window): 17 never-
-    # certified round-13 queries (q148–q164, newest first) + q142
-    # (the RECERTIFY member) + the 32 stalest r10-green names. The 9
-    # r10 names the insertions displaced lead the tail at staleness
-    # 2 < the ceil(156/50)=4-round cap (the registry GREW this round,
-    # which raised the cap — test_certification_window_freshness is
-    # the mechanical authority and stays green across every
-    # insertion). The 9 r11 fills the original rotation scheduled
-    # moved to the tail head behind them and seed the r14 window
-    # together with the displaced r10 names.
+    # --- ROUND-14 WINDOW (first 50) ---
+    # REGENERATED MECHANICALLY from the CORRECTNESS history (the
+    # standing r11 procedure: bucket names by latest-green round,
+    # fill by staleness). Composition: the 4 never-certified
+    # round-14 queries (q168 corpus health report, q167 bipartite
+    # projection, q166 CCNet frozen screen, q165 frozen gate cutoffs
+    # — the fifth stored-artifact lifecycle), the 6 round-14
+    # RECERTIFY members (q154/q162/q163/q164 advice fixes, q155
+    # capped certification, q158 walk rebuild — oracle text or
+    # executed plan changed), the 9 r10-green names that reach the
+    # ceil(161/50)=4-round staleness cap when the r14 artifact lands
+    # (q17/q05/q06/q07/q11/q12/q16/q90/q97 — the r13 VERDICT's gating
+    # item), and the 31 stalest r11-green fills in prior registry
+    # order (the q167/q168 mid-round insertions displaced q70 and
+    # q73 to the tail head per the standing rule). The 18 remaining
+    # r11 names lead the tail at staleness 2
+    # and seed the r15 window with the r12 block behind them;
+    # test_certification_window_freshness is the mechanical
+    # authority. q142 left RECERTIFY (green r13 row recorded; the
+    # pre-view self-clear would trip on the r14 artifact otherwise).
     QueryDef(
-        "q164_cdc_apply",
-        _q164_cdc_apply,
-        _q164_sql,
-        "A4",
-    ),
-    QueryDef(
-        "q163_hll_lifecycle",
-        _q163_hll_lifecycle,
-        _q163_sql,
+        "q168_corpus_health",
+        _q168_corpus_health,
+        _q168_sql,
         "§2.11",
     ),
     QueryDef(
-        "q162_categorical_profile",
-        _q162_categorical_profile,
-        _q162_sql,
+        "q167_bipartite_project",
+        _q167_bipartite_project,
+        _q167_sql,
+        "§2.8",
+    ),
+    QueryDef(
+        "q166_ccnet_frozen_screen",
+        _q166_ccnet_frozen_screen,
+        _q166_sql(),
         "§2.11",
     ),
     QueryDef(
-        "q161_transition_matrix",
-        _q161_transition_matrix,
-        _q161_sql,
-        "§2.7",
-    ),
-    QueryDef(
-        "q160_vocab_drift",
-        _q160_vocab_drift,
-        _q160_sql(),
+        "q165_frozen_gate_screen",
+        _q165_frozen_gate_screen,
+        _q165_sql,
         "§2.11",
-    ),
-    QueryDef(
-        "q159_group_ols",
-        _q159_group_ols,
-        _q159_sql,
-        "§2.7",
-    ),
-    QueryDef(
-        "q158_random_walks",
-        _q158_random_walks,
-        _q158_sql(),
-        "§2.8",
-    ),
-    QueryDef(
-        "q157_assoc_pairs",
-        _q157_assoc_pairs,
-        _q157_sql,
-        "§2.7",
-    ),
-    QueryDef(
-        "q156_scc",
-        _q156_scc,
-        _q156_sql,
-        "§2.8",
-    ),
-    QueryDef(
-        "q155_adamic_adar",
-        _q155_adamic_adar,
-        _q155_sql,
-        "§2.8",
     ),
     QueryDef(
         "q154_gapfill_locf",
@@ -7613,79 +8024,35 @@ QUERIES: list[QueryDef] = [
         "§2.7",
     ),
     QueryDef(
-        "q153_fuzzy_join",
-        _q153_fuzzy_join,
-        _q153_sql(),
+        "q155_adamic_adar",
+        _q155_adamic_adar,
+        _q155_sql,
+        "§2.8",
+    ),
+    QueryDef(
+        "q158_random_walks",
+        _q158_random_walks,
+        _q158_sql(),
+        "§2.8",
+    ),
+    QueryDef(
+        "q162_categorical_profile",
+        _q162_categorical_profile,
+        _q162_sql,
         "§2.11",
     ),
     QueryDef(
-        "q152_ccnet_pipeline",
-        _q152_ccnet_pipeline,
-        _q152_sql(),
+        "q163_hll_lifecycle",
+        _q163_hll_lifecycle,
+        _q163_sql,
         "§2.11",
     ),
     QueryDef(
-        "q151_multimodal_neardup",
-        _q151_multimodal_neardup,
-        _q151_sql,
-        "multimodal",
+        "q164_cdc_apply",
+        _q164_cdc_apply,
+        _q164_sql,
+        "A4",
     ),
-    QueryDef(
-        "q150_bpe_train_deep",
-        _q150_bpe_train_deep,
-        _q150_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q149_fixpoint_removal",
-        _q149_fixpoint_removal,
-        _q149_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q148_model_quality_gate",
-        _q148_model_quality_gate,
-        _q148_sql,
-        "§2.11",
-    ),
-    QueryDef("q142_shard_export", _q142_shard_export, _q142_sql(), "§2.11"),
-    QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
-    QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
-    QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
-    QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
-    QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
-    QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
-    QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
-    QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
-    QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
-    QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
-    QueryDef("q25_rollup", _q25_rollup, _q25_sql, "§2.7"),
-    QueryDef("q27_cube", _q27_cube, _q27_sql, "§2.7"),
-    QueryDef("q01_scan_jsonl", _q01_scan_jsonl, _q01_sql, "S1,P1"),
-    QueryDef("q02_scan_map", _q02_scan_map, _q02_sql, "S3"),
-    QueryDef("q03_prefix_scan", _q03_prefix_scan, _q03_sql, "S5,P6"),
-    QueryDef("q04_meta_project", _q04_meta_project, _q04_sql, "S6"),
-    QueryDef("q08_lookup_join", _q08_lookup_join, _q08_sql, "J1,P5"),
-    QueryDef("q09_anti_join", _q09_anti_join, _q09_sql, "J2"),
-    QueryDef("q10_edge_join", _q10_edge_join, _q10_sql, "J3,G2"),
-    QueryDef("q13_group_count", _q13_group_count, _q13_sql, "A2"),
-    QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
-    QueryDef("q110_span_removal", _q110_span_removal, _q110_sql, "§2.11"),
-    QueryDef("q111_topo_depth", _q111_topo_depth, _q111_sql, "G12"),
-    QueryDef("q113_bm25_topk", _q113_bm25_topk, _q113_sql, "§2.11"),
-    QueryDef("q114_multi_profile", _q114_multi_profile, _q114_sql, "§2.11"),
-    QueryDef(
-        "q115_hybrid_retrieval",
-        _q115_hybrid_retrieval,
-        _q115_sql,
-        "§2.11",
-    ),
-    QueryDef("q116_pivot", _q116_pivot, _q116_sql, "§2.7"),
-    QueryDef("q117_unpivot", _q117_unpivot, _q117_sql, "§2.7"),
-    QueryDef("q118_star_rollup", _q118_star_rollup, _q118_sql, "§2.7"),
-    QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
-    QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
-    QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
     QueryDef("q17_format_string", _q17_format_string, _q17_sql, "F2,F4,K1"),
     QueryDef("q05_conditional_props", _q05_conditional_props, _q05_sql, "P2"),
     QueryDef("q06_filter_notnull", _q06_filter_notnull, _q06_sql, "P3"),
@@ -7713,7 +8080,6 @@ QUERIES: list[QueryDef] = [
         _q139_sql(),
         "§2.11",
     ),
-    # --- TAIL (not certified this round) ---
     QueryDef(
         "q138_substring_index_screen",
         _q138_substring_index_screen,
@@ -7785,6 +8151,9 @@ QUERIES: list[QueryDef] = [
         _q69_sql,
         "§2.11",
     ),
+    QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
+    QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
+    # --- TAIL (not certified this round) ---
     QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),
     QueryDef(
         "q73_event_correlation",
@@ -7792,8 +8161,6 @@ QUERIES: list[QueryDef] = [
         _q73_sql,
         "§2.10",
     ),
-    QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
-    QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
     QueryDef(
         "q78_incremental_dedup",
         _q78_incremental_dedup,
@@ -7949,6 +8316,110 @@ QUERIES: list[QueryDef] = [
     QueryDef("q61_lsh_topk", _q61_lsh_topk, _q61_sql(), "§2.11"),
     QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
     QueryDef("q71_repetition", _q71_repetition, _q71_sql, "§2.11"),
+    QueryDef(
+        "q161_transition_matrix",
+        _q161_transition_matrix,
+        _q161_sql,
+        "§2.7",
+    ),
+    QueryDef(
+        "q160_vocab_drift",
+        _q160_vocab_drift,
+        _q160_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q159_group_ols",
+        _q159_group_ols,
+        _q159_sql,
+        "§2.7",
+    ),
+    QueryDef(
+        "q157_assoc_pairs",
+        _q157_assoc_pairs,
+        _q157_sql,
+        "§2.7",
+    ),
+    QueryDef(
+        "q156_scc",
+        _q156_scc,
+        _q156_sql,
+        "§2.8",
+    ),
+    QueryDef(
+        "q153_fuzzy_join",
+        _q153_fuzzy_join,
+        _q153_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q152_ccnet_pipeline",
+        _q152_ccnet_pipeline,
+        _q152_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q151_multimodal_neardup",
+        _q151_multimodal_neardup,
+        _q151_sql,
+        "multimodal",
+    ),
+    QueryDef(
+        "q150_bpe_train_deep",
+        _q150_bpe_train_deep,
+        _q150_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q149_fixpoint_removal",
+        _q149_fixpoint_removal,
+        _q149_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q148_model_quality_gate",
+        _q148_model_quality_gate,
+        _q148_sql,
+        "§2.11",
+    ),
+    QueryDef("q142_shard_export", _q142_shard_export, _q142_sql(), "§2.11"),
+    QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
+    QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
+    QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
+    QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
+    QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
+    QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
+    QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
+    QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
+    QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
+    QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
+    QueryDef("q25_rollup", _q25_rollup, _q25_sql, "§2.7"),
+    QueryDef("q27_cube", _q27_cube, _q27_sql, "§2.7"),
+    QueryDef("q01_scan_jsonl", _q01_scan_jsonl, _q01_sql, "S1,P1"),
+    QueryDef("q02_scan_map", _q02_scan_map, _q02_sql, "S3"),
+    QueryDef("q03_prefix_scan", _q03_prefix_scan, _q03_sql, "S5,P6"),
+    QueryDef("q04_meta_project", _q04_meta_project, _q04_sql, "S6"),
+    QueryDef("q08_lookup_join", _q08_lookup_join, _q08_sql, "J1,P5"),
+    QueryDef("q09_anti_join", _q09_anti_join, _q09_sql, "J2"),
+    QueryDef("q10_edge_join", _q10_edge_join, _q10_sql, "J3,G2"),
+    QueryDef("q13_group_count", _q13_group_count, _q13_sql, "A2"),
+    QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
+    QueryDef("q110_span_removal", _q110_span_removal, _q110_sql, "§2.11"),
+    QueryDef("q111_topo_depth", _q111_topo_depth, _q111_sql, "G12"),
+    QueryDef("q113_bm25_topk", _q113_bm25_topk, _q113_sql, "§2.11"),
+    QueryDef("q114_multi_profile", _q114_multi_profile, _q114_sql, "§2.11"),
+    QueryDef(
+        "q115_hybrid_retrieval",
+        _q115_hybrid_retrieval,
+        _q115_sql,
+        "§2.11",
+    ),
+    QueryDef("q116_pivot", _q116_pivot, _q116_sql, "§2.7"),
+    QueryDef("q117_unpivot", _q117_unpivot, _q117_sql, "§2.7"),
+    QueryDef("q118_star_rollup", _q118_star_rollup, _q118_sql, "§2.7"),
+    QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
+    QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
+    QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
 ]
 
 

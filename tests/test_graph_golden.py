@@ -725,3 +725,48 @@ def test_scc_empty_edges(spark):
     out = strongly_connected_components(empty)
     assert out.columns == ["id", "scc_id"]
     assert out.count() == 0
+
+
+def test_bipartite_project_golden(spark):
+    """bipartite_project on a hand-checkable bipartite graph: pair
+    counts, projected degrees, jaccard, degree-1 dst keys never pair,
+    min_common filters, max_degree drops hub keys entirely (and the
+    degrees stay consistent with the filtered edge set)."""
+    from ontology_graph_etl_spark.operators.graph import bipartite_project
+
+    edges = spark.createDataFrame(
+        [
+            # d1 shared by a,b; d2 shared by a,b,c; d3 only c (deg 1);
+            # hub shared by everyone
+            ("a", "d1"), ("b", "d1"),
+            ("a", "d2"), ("b", "d2"), ("c", "d2"),
+            ("c", "d3"),
+            ("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub"),
+            ("a", "d1"),  # duplicate edge — must dedup
+        ],
+        "src: string, dst: string",
+    )
+    got = {
+        (r.node_a, r.node_b): (r.n_common, r.deg_a, r.deg_b, r.jaccard)
+        for r in bipartite_project(edges).collect()
+    }
+    # d3 (degree 1) contributes nothing; degrees count d1,d2,hub only
+    assert got[("a", "b")] == (3, 3, 3, 1.0)
+    assert got[("a", "c")] == (2, 3, 2, round(2 / 3, 6))
+    assert got[("a", "d")] == (1, 3, 1, round(1 / 3, 6))
+    assert len(got) == 6  # all pairs of {a,b,c} plus d with each
+    filtered = {
+        (r.node_a, r.node_b)
+        for r in bipartite_project(edges, min_common=2).collect()
+    }
+    assert filtered == {("a", "b"), ("a", "c"), ("b", "c")}
+    # cap 3 drops the hub; d has no remaining edges, degrees shrink
+    capped = {
+        (r.node_a, r.node_b): (r.n_common, r.deg_a, r.deg_b)
+        for r in bipartite_project(edges, max_degree=3).collect()
+    }
+    assert capped == {
+        ("a", "b"): (2, 2, 2),
+        ("a", "c"): (1, 2, 1),
+        ("b", "c"): (1, 2, 1),
+    }

@@ -563,3 +563,76 @@ def test_retrieval_index_finds_verbatim_chunk(spark, tmp_path):
     )
     assert top.neighbor_id == "2:1"
     assert top.cosine_sim == 1.0
+
+
+def test_corpus_health_report_stage_equivalence(spark, sf_dir):
+    """corpus_health_report sections are EXACTLY the standalone
+    operators' outputs (the q85/q143/q152 composition contract:
+    packaging adds no semantics) — each section re-derived from the
+    standalone op must match the report's rows."""
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark import pipelines
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators.relational import (
+        categorical_profile,
+        distribution_drift,
+        numeric_drift,
+        snapshot_diff,
+    )
+    from ontology_graph_etl_spark.operators.textops import (
+        vocabulary_drift,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.upper(F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    report = pipelines.corpus_health_report(
+        old, new, "doc_id", "text",
+        cat_cols=["lang", "source"], num_cols=["n_chars"],
+    )
+    rows = {(r.section, r.key, r.metric): r.value
+            for r in report.collect()}
+    # rows section == snapshot_diff counts
+    diff = {r.status: r.n
+            for r in snapshot_diff(old, new, "doc_id", ["text"])
+            .groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+    for s, c in diff.items():
+        assert rows[("rows", s, "count")] == float(c)
+    # cat/num psi == summed standalone psi_contrib
+    for c in ("lang", "source"):
+        want = distribution_drift(old, new, c).agg(
+            F.round(F.sum("psi_contrib"), 6)
+        ).collect()[0][0]
+        assert rows[("cat_psi", c, "psi")] == want
+    want = numeric_drift(old, new, "n_chars", n_bins=10).agg(
+        F.round(F.sum("psi_contrib"), 6)
+    ).collect()[0][0]
+    assert rows[("num_psi", "n_chars", "psi")] == want
+    # vocab section == standalone top-10 by |z|
+    tagged = new.select(
+        F.lit(True).alias("s"), "text"
+    ).unionByName(old.select(F.lit(False).alias("s"), "text"))
+    top = vocabulary_drift(tagged, "s", "text").orderBy(
+        F.abs(F.col("z")).desc(), F.col("token").asc()
+    ).limit(10).collect()
+    got_vocab = {k[1]: v for k, v in rows.items() if k[0] == "vocab"}
+    assert got_vocab == {r.token: r.z for r in top} and len(top) == 10
+    # profile section == categorical_profile of NEW, melted
+    for r in categorical_profile(new, ["lang", "source"]).collect():
+        assert rows[("profile", r["column"], "n_nulls")] == float(
+            r.n_nulls
+        )
+        assert rows[("profile", r["column"], "entropy")] == r.entropy
+        assert rows[("profile", r["column"], "top_share")] == (
+            r.top_share
+        )

@@ -604,3 +604,81 @@ def test_cdc_apply_target_never_shuffles(spark, sf_dir):
     cust_scan = plan.index("FileScan parquet [c_custkey")
     anti = plan.index("LeftAnti")
     assert "Exchange hashpartitioning" not in plan[anti:cust_scan]
+
+
+def test_frozen_cutoff_screen_batch_never_shuffles(spark, sf_dir):
+    """q165: screening a batch against frozen cutoffs is ONE
+    broadcast join against the strata-sized cutoff table — the batch
+    side carries no Exchange anywhere (the zero-corpus-recompute
+    contract would be hollow if the batch paid a shuffle per
+    screen)."""
+    df = queries()["q165_frozen_gate_screen"](spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    n_ex = sum(
+        1
+        for ln in plan.splitlines()
+        if ln.strip().lstrip("+-: ").startswith("Exchange hashpartitioning")
+    )
+    assert n_ex == 0, f"expected no hash exchange, saw {n_ex}:\n{plan[:600]}"
+
+
+def test_random_walks_round_broadcasts_frontier(spark, sf_dir):
+    """q158 (round-14 rebuild): a walk round must build the broadcast
+    hash table on the FRONTIER side (BuildLeft) — never on the
+    adjacency/edge side (the r13 plan broadcast the full edge frame
+    on rounds >= 2 because the sizeless checkpointed frontier lost
+    the size race; the explicit hint pins it) — and the round's only
+    other input is the cached adjacency frame (InMemoryTableScan,
+    zero FileScans: per-round cost no longer touches the corpus).
+    Inspects _walk_round's own plan: the eager per-round checkpoint
+    reduces the operator's final plan to pinned scans, which is
+    exactly why the r13 defect was invisible there. The operator's
+    final plan is additionally pinned to carry no joins at all —
+    every round pre-executed against the cache."""
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators.graph import _walk_round
+
+    li = load_table(spark, sf_dir, "lineitem")
+    adj = (
+        li.select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+            .alias("dst"),
+        )
+        .groupBy("src")
+        .agg(F.collect_set("dst").alias("__nbrs"))
+        .persist()
+    )
+    adj.count()
+    cur = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") <= 20)
+        .select(
+            F.concat(F.lit("S"), F.col("s_suppkey").cast("string"))
+            .alias("walk_id"),
+            F.lit(0).alias("pos"),
+            F.concat(F.lit("S"), F.col("s_suppkey").cast("string"))
+            .alias("node"),
+        )
+        .localCheckpoint()
+    )
+    rnd = _walk_round(cur, adj, 2)
+    rnd.count()
+    plan = rnd._jdf.queryExecution().executedPlan().toString()
+    adj.unpersist()
+    assert "BroadcastHashJoin" in plan and "BuildLeft" in plan
+    assert "BuildRight" not in plan, plan[:800]
+    assert "InMemoryTableScan" in plan
+    # (no bare-FileScan assertion: InMemoryTableScan's printed plan
+    # embeds the cached relation's ORIGINAL scan text, so the string
+    # appears even though the round reads only the cache)
+    # and the operator's final plan: pure union of pinned rounds
+    df = queries()["q158_random_walks"](spark, sf_dir)
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in final, final[:400]

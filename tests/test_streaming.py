@@ -1145,3 +1145,235 @@ def test_streaming_cdc_apply_staged_swap(spark, tmp_path):
     final = {r.k: (r.name, r.v)
              for r in spark.read.parquet(state).collect()}
     assert final == {2: ("b", 20.0), 3: ("c2", 31.0)}
+
+
+def test_frozen_lm_merge_fold_equivalence(spark, sf_dir, tmp_path):
+    """Fold-equivalence of the frozen-LM store (the fifth stored
+    artifact): building the count store in one shot and building it
+    by merge_lm_counts over three disjoint batches yields the SAME
+    folded (lang, w1, w2, c) table — n-gram counts are additive, so
+    batch granularity is free — and identical frozen scores for a
+    probe batch."""
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators import gatestats
+    from ontology_graph_etl_spark.operators.textops import language_id
+
+    docs = language_id(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "text",
+    )
+    oneshot = str(tmp_path / "lm1")
+    gatestats.write_lm_counts(
+        gatestats.build_lm_counts(docs), oneshot
+    )
+    merged = str(tmp_path / "lm3")
+    gatestats.write_lm_counts(
+        gatestats.build_lm_counts(docs.where("doc_id % 3 = 0")), merged
+    )
+    for i in (1, 2):
+        gatestats.merge_lm_counts(
+            spark, merged, docs.where(f"doc_id % 3 = {i}")
+        )
+
+    def fold(path):
+        return {
+            (r.lang, r.w1, r.w2): r.c
+            for r in spark.read.parquet(path)
+            .groupBy("lang", "w1", "w2")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        }
+
+    want = fold(oneshot)
+    assert fold(merged) == want and len(want) > 0
+    probe = docs.limit(20)
+    s1 = {r.doc_id: r.mean_logprob
+          for r in gatestats.score_with_frozen_lm(
+              spark, oneshot, probe).collect()}
+    s3 = {r.doc_id: r.mean_logprob
+          for r in gatestats.score_with_frozen_lm(
+              spark, merged, probe).collect()}
+    assert s1 == s3 and len(s1) == 20
+
+
+def test_frozen_lm_compact_preserves_scores(spark, sf_dir, tmp_path):
+    """compact_lm_counts collapses appended batch rows to one row per
+    n-gram; frozen scores are IDENTICAL before and after (compaction
+    is the scorer's own group-sum, pre-applied), further merges keep
+    working, and a lam-mismatched append refuses loudly."""
+    import pytest as _pytest
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators import gatestats
+    from ontology_graph_etl_spark.operators.textops import language_id
+
+    docs = language_id(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "text",
+    )
+    path = str(tmp_path / "lm")
+    gatestats.write_lm_counts(
+        gatestats.build_lm_counts(docs.where("doc_id % 2 = 0")), path
+    )
+    gatestats.merge_lm_counts(spark, path, docs.where("doc_id % 2 = 1"))
+    probe = docs.limit(25)
+    before = {r.doc_id: r.mean_logprob
+              for r in gatestats.score_with_frozen_lm(
+                  spark, path, probe).collect()}
+    raw_before = spark.read.parquet(path).count()
+    n = gatestats.compact_lm_counts(spark, path)
+    assert 0 < n < raw_before  # duplicates really existed and merged
+    assert spark.read.parquet(path).count() == n
+    after = {r.doc_id: r.mean_logprob
+             for r in gatestats.score_with_frozen_lm(
+                 spark, path, probe).collect()}
+    assert after == before
+    gatestats.merge_lm_counts(spark, path, docs.limit(5))  # still appends
+    with _pytest.raises(ValueError, match="refusing to append"):
+        gatestats.write_lm_counts(
+            gatestats.build_lm_counts(docs.limit(5)),
+            path,
+            lam=0.5,
+            mode="append",
+        )
+
+
+def test_frozen_ccnet_store_matches_train_on_self(spark, sf_dir, tmp_path):
+    """The q166 equivalence pin: screening the REFERENCE corpus
+    against its own frozen store reproduces ccnet_quality_pipeline's
+    (lang, score, keep) verdicts exactly — on the training corpus
+    every n-gram is seen, the OOV rules are dormant, and the frozen
+    cutoff reproduces the rank gate's boundary by value."""
+    from ontology_graph_etl_spark import pipelines
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators import gatestats
+
+    ref = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where("doc_id % 2 = 0")
+    )
+    store = str(tmp_path / "ccnet")
+    gatestats.build_ccnet_store(ref, store, langs=["en", "und"])
+    pipe = {
+        r.doc_id: (r.lang_pred, r.mean_logprob, r.keep)
+        for r in pipelines.ccnet_quality_pipeline(
+            ref, langs=["en", "und"]
+        ).collect()
+    }
+    frozen = {
+        r.doc_id: (r.lang_pred, r.mean_logprob, r.keep)
+        for r in gatestats.screen_ccnet_frozen(spark, store, ref)
+        .collect()
+    }
+    assert frozen == pipe and len(pipe) > 0
+    assert any(v[2] for v in frozen.values())  # non-vacuous gate
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="langs"):
+        gatestats.build_ccnet_store(ref, store + "2")
+
+
+def test_screen_against_cutoffs_policies(spark, tmp_path):
+    """Frozen-cutoff screen semantics on hand-checkable data: ties at
+    the cutoff keep (by-value boundary), NULL scores never keep, and
+    strata the reference never saw follow the explicit
+    unknown_strata policy (drop vs keep), never a join accident."""
+    import pytest as _pytest
+
+    from ontology_graph_etl_spark.operators import gatestats
+
+    ref = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(1, 11)]
+        + [("b", i, float(100 + i)) for i in range(1, 5)],
+        "s: string, k: long, v: double",
+    )
+    path = str(tmp_path / "cut")
+    gatestats.write_gate_cutoffs(
+        gatestats.build_gate_cutoffs(ref, "k", "s", "v", keep_pct=30),
+        path, "s", "v", 30,
+    )
+    cuts = {r.s: (r.cutoff, r.n_build)
+            for r in gatestats.read_gate_cutoffs(spark, path)[0]
+            .collect()}
+    # a: 10 rows, keep 3 -> cutoff = 8.0; b: 4 rows, keep 2 -> 103.0
+    assert cuts == {"a": (8.0, 10), "b": (103.0, 4)}
+    batch = spark.createDataFrame(
+        [("a", 1, 8.0), ("a", 2, 7.999), ("b", 3, None),
+         ("zz", 4, 999.0)],
+        "s: string, k: long, v: double",
+    )
+    got = {r.k: r.keep
+           for r in gatestats.screen_against_cutoffs(
+               spark, path, batch).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: False}
+    kept = {r.k: r.keep
+            for r in gatestats.screen_against_cutoffs(
+                spark, path, batch, unknown_strata="keep").collect()}
+    assert kept[4] is True and kept[3] is False
+    with _pytest.raises(ValueError, match="unknown_strata"):
+        gatestats.screen_against_cutoffs(
+            spark, path, batch, unknown_strata="maybe")
+
+
+def test_streaming_ccnet_screen_frozen_store(spark, sf_dir, tmp_path):
+    """The frozen-store property that motivates the lifecycle, driven
+    by foreachBatch: micro-batches screened against the frozen CCNet
+    store get EXACTLY the verdicts of screening their union in one
+    call — zero reference recompute per batch, and batch order cannot
+    matter because nothing in the store changes."""
+    import os
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators import gatestats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.where("doc_id % 2 = 0")
+    incoming = docs.where("doc_id % 2 = 1")
+    store = str(tmp_path / "ccnet")
+    gatestats.build_ccnet_store(ref, store, langs=["en", "und"])
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i in (0, 1, 2):
+        rows = incoming.where(f"doc_id % 3 = {i}").collect()
+        f = str(in_dir / f"b{i}.parquet")
+        pq.write_table(
+            pa.table({
+                "doc_id": [r.doc_id for r in rows],
+                "text": [r.text for r in rows],
+            }),
+            f,
+        )
+        os.utime(f, (1700000000 + i, 1700000000 + i))
+    verdicts: dict[int, tuple] = {}
+
+    def screen(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        for r in gatestats.screen_ccnet_frozen(
+            spark, store, batch_df
+        ).collect():
+            verdicts[r.doc_id] = (r.lang_pred, r.mean_logprob, r.keep)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(screen)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    oneshot = {
+        r.doc_id: (r.lang_pred, r.mean_logprob, r.keep)
+        for r in gatestats.screen_ccnet_frozen(
+            spark, store, incoming
+        ).collect()
+    }
+    assert verdicts == oneshot and len(oneshot) == incoming.count()
