@@ -3,14 +3,27 @@ plus the large-scale pipeline extensions, each as a composable function
 over DataFrames. Everything here is declarative DataFrame API so Catalyst
 owns physical planning (broadcast vs shuffle, AQE skew handling)."""
 
-from . import dedup, graph, grouped, relational, similarity, textops, upsert, util
+from . import (
+    dedup,
+    gatestats,
+    graph,
+    grouped,
+    relational,
+    similarity,
+    sketches,
+    textops,
+    upsert,
+    util,
+)
 
 __all__ = [
     "dedup",
+    "gatestats",
     "graph",
     "grouped",
     "relational",
     "similarity",
+    "sketches",
     "textops",
     "upsert",
     "util",

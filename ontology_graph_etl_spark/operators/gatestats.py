@@ -502,6 +502,80 @@ def score_with_frozen_lm(
 
 
 # ---------------------------------------------------------------------------
+# Frozen model gate: the q148 scorer seam over the cutoff store
+# ---------------------------------------------------------------------------
+
+
+def build_model_gate_store(
+    reference_docs: DataFrame,
+    path: str,
+    key_col: str,
+    text_col: str,
+    strata_col: str,
+    keep_pct: int,
+    scorer=None,
+    score_col: str = "model_score",
+    buckets: int = 256,
+) -> None:
+    """Freeze a FineWeb-Edu/DCLM-style classifier gate: score the
+    reference corpus through the batch-vectorized model seam
+    (:func:`textops.model_scores`) and persist the per-stratum
+    top-``keep_pct``% cutoffs. The classifier itself is NOT stored —
+    ``scorer`` must be the same (versioned) model at build and screen
+    time, which is the caller's artifact registry's job; what this
+    store freezes is the DECISION BOUNDARY, the part that silently
+    drifts when gates recompute per-invocation percentiles on every
+    dump."""
+    from .textops import fake_model_scorer, model_scores
+
+    scored = model_scores(
+        reference_docs,
+        [key_col, strata_col],
+        text_col,
+        scorer if scorer is not None else fake_model_scorer,
+        score_col,
+    )
+    write_gate_cutoffs(
+        build_gate_cutoffs(
+            scored, key_col, strata_col, score_col, keep_pct, buckets
+        ),
+        path,
+        strata_col,
+        score_col,
+        keep_pct,
+    )
+
+
+def screen_model_gate_frozen(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    key_col: str,
+    text_col: str,
+    scorer=None,
+    unknown_strata: str = "drop",
+) -> DataFrame:
+    """Screen a micro-batch through the frozen classifier gate: score
+    with the injected model seam, keep = score >= the stored
+    stratum cutoff. Column names come from the store's sidecar, so a
+    batch can never silently screen against the wrong boundary.
+    Returns ``(key_col, strata_col, score_col, keep)``."""
+    from .textops import fake_model_scorer, model_scores
+
+    _, params = read_gate_cutoffs(spark, path)
+    scored = model_scores(
+        batch,
+        [key_col, params["strata_col"]],
+        text_col,
+        scorer if scorer is not None else fake_model_scorer,
+        params["score_col"],
+    )
+    return screen_against_cutoffs(
+        spark, path, scored, unknown_strata=unknown_strata
+    )
+
+
+# ---------------------------------------------------------------------------
 # CCNet frozen store: one-call build + screen
 # ---------------------------------------------------------------------------
 

@@ -4450,3 +4450,47 @@ def test_categorical_profile_all_null_column(spark):
     assert rb.top_share is None
     ra = got["a"]  # sibling column unaffected
     assert (ra.n_rows, ra.n_nulls, ra.top_value) == (3, 0, "x")
+
+
+def test_frozen_model_gate_matches_train_on_self(spark, sf_dir, tmp_path):
+    """The frozen classifier gate reproduces model_quality_gate's
+    keep_pct verdicts when screening its own reference corpus (the
+    q166 by-value boundary equivalence applied to the q148 scorer
+    seam), and screens a new batch with zero reference recompute."""
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators import gatestats
+    from ontology_graph_etl_spark.operators.textops import (
+        model_quality_gate,
+    )
+
+    # strata = lang (present in BOTH halves; source is id-derived at
+    # this scale, so even/odd halves would have disjoint strata and
+    # the unknown-strata drop policy would empty the screen)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    ref = docs.where("doc_id % 2 = 0")
+    path = str(tmp_path / "mg")
+    gatestats.build_model_gate_store(
+        ref, path, "doc_id", "text", "lang", keep_pct=30
+    )
+    want = {
+        r.doc_id: r.keep
+        for r in model_quality_gate(
+            ref, "doc_id", "text", keep_pct=30, strata_col="lang"
+        ).collect()
+    }
+    got = {
+        r.doc_id: r.keep
+        for r in gatestats.screen_model_gate_frozen(
+            spark, path, ref, "doc_id", "text"
+        ).collect()
+    }
+    assert got == want and any(want.values()) and not all(want.values())
+    # a new batch screens against the same frozen boundary
+    out = gatestats.screen_model_gate_frozen(
+        spark, path, docs.where("doc_id % 2 = 1"), "doc_id", "text"
+    )
+    assert set(out.columns) == {"doc_id", "lang", "model_score", "keep"}
+    rows = out.collect()
+    assert len(rows) > 0 and any(r.keep for r in rows)
