@@ -180,6 +180,7 @@ HEADLINE = [
     "q166_ccnet_frozen_screen",
     "q167_bipartite_project",
     "q168_corpus_health",
+    "q169_drift_baseline",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

@@ -44,7 +44,9 @@ nothing but the batch and the store.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .util import read_json_sidecar, write_json_sidecar
@@ -498,6 +500,244 @@ def score_with_frozen_lm(
         batch.select(F.col(id_col), F.col(lang_col))
         .join(sc, F.col(id_col) == F.col("__doc"), "left")
         .select(id_col, lang_col, "mean_logprob")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frozen drift baseline: reference shares/bins persisted once,
+# per-batch PSI computed against them (the monitoring counterpart of
+# the gate store — q92/q98 recompute BOTH sides per invocation; a
+# production monitor compares every batch against the SAME frozen
+# reference distribution)
+# ---------------------------------------------------------------------------
+
+_BASELINE_SIDECAR = "_baseline_params.json"
+_BASELINE_KEYS = ("cat_cols", "num_cols", "n_bins", "min_share")
+
+
+def _bin_expr(col: str, edges: list[float]):
+    """Bin index = count of edges strictly below the value (the q98
+    convention), as one literal comparison sum."""
+    b = F.lit(0)
+    for e in edges:
+        b = b + F.when(F.col(col) > F.lit(float(e)), 1).otherwise(0)
+    return b.cast("long")
+
+
+def build_drift_baseline(
+    ref: DataFrame,
+    path: str,
+    cat_cols: Sequence[str] = (),
+    num_cols: Sequence[str] = (),
+    n_bins: int = 10,
+    min_share: float = 1e-6,
+) -> None:
+    """Freeze a reference snapshot's distributions: per categorical
+    column the category shares, per numeric column the equal-
+    frequency bin EDGES (exact interior quantiles — the q98 cross-
+    engine contract) and the reference share per bin. One long
+    parquet table ``(kind, col, key, edge, share)``:
+
+    * ``kind='cat'``  — key = category value (NULLs as the tagged
+      sentinel so they survive the parquet round-trip as a category);
+    * ``kind='edge'`` — key = edge index, ``edge`` = the quantile;
+    * ``kind='num'``  — key = bin index (count of edges strictly
+      below the value, the q98 convention), ``share`` = reference
+      share of that bin.
+
+    NULL numeric values are excluded (a missing-rate metric, not a
+    distribution position); all shares are stored UNclamped —
+    clamping to ``min_share`` is the PSI computation's job, recorded
+    in the sidecar so both sides of every future comparison use the
+    same floor."""
+    from functools import reduce
+
+    cat_cols, num_cols = list(cat_cols), list(num_cols)
+    if not cat_cols and not num_cols:
+        raise ValueError("give at least one of cat_cols/num_cols")
+    parts = []
+    for c in cat_cols:
+        cnt = ref.groupBy(
+            F.col(c).cast("string").alias("key")
+        ).agg(F.count(F.lit(1)).alias("__n"))
+        parts.append(
+            cnt.select(
+                F.lit("cat").alias("kind"),
+                F.lit(c).alias("col"),
+                F.coalesce(F.col("key"), F.lit("\x00null")).alias("key"),
+                F.lit(None).cast("double").alias("edge"),
+                (
+                    F.col("__n")
+                    / F.sum("__n").over(Window.partitionBy())
+                ).alias("share"),
+            )
+        )
+    qs = [i / n_bins for i in range(1, n_bins)]
+    for c in num_cols:
+        vals = ref.where(F.col(c).isNotNull()).select(
+            F.col(c).cast("double").alias("__v")
+        )
+        edges = vals.agg(
+            F.percentile(
+                F.col("__v"), F.array(*[F.lit(q) for q in qs])
+            ).alias("__e")
+        ).select(F.explode(F.array_distinct("__e")).alias("edge"))
+        parts.append(
+            edges.select(
+                F.lit("edge").alias("kind"),
+                F.lit(c).alias("col"),
+                F.row_number()
+                .over(Window.partitionBy().orderBy("edge"))
+                .cast("string")
+                .alias("key"),
+                F.col("edge"),
+                F.lit(None).cast("double").alias("share"),
+            )
+        )
+        # bin = count of edges strictly below the value, computed as a
+        # literal comparison sum (the edges are a (n_bins-1)-sized
+        # driver fetch — the accepted seed-fetch class; a join-based
+        # form would multiply rows by edges-below and lose value
+        # multiplicity under any per-value regroup)
+        evals = sorted(r.edge for r in edges.collect())
+        bins = vals.select(
+            _bin_expr("__v", evals).alias("__bin")
+        ).groupBy("__bin").agg(F.count(F.lit(1)).alias("__n"))
+        parts.append(
+            bins.select(
+                F.lit("num").alias("kind"),
+                F.lit(c).alias("col"),
+                F.col("__bin").cast("string").alias("key"),
+                F.lit(None).cast("double").alias("edge"),
+                (
+                    F.col("__n")
+                    / F.sum("__n").over(Window.partitionBy())
+                ).alias("share"),
+            )
+        )
+    table = reduce(lambda a, b: a.unionByName(b), parts)
+    table.write.mode("overwrite").parquet(path)
+    write_json_sidecar(
+        table.sparkSession,
+        path,
+        _BASELINE_SIDECAR,
+        {
+            "cat_cols": cat_cols,
+            "num_cols": num_cols,
+            "n_bins": int(n_bins),
+            "min_share": float(min_share),
+        },
+    )
+
+
+def psi_against_baseline(
+    spark: SparkSession, path: str, batch: DataFrame
+) -> DataFrame:
+    """Per-column PSI of a micro-batch against the FROZEN baseline:
+    ``(kind, col, psi, n_batch)`` — one row per monitored column,
+    every batch compared against the SAME reference distribution
+    (q92/q98 recompute both sides per invocation, so their "drift"
+    moves whenever the reference half re-derives; a monitor needs the
+    reference pinned). Shares on both sides clamp at the sidecar's
+    ``min_share`` so one-side-only categories/bins contribute finite
+    terms. The baseline table is tiny (domains × columns) and
+    broadcasts; the batch pays one scan per column family (categorical
+    columns unpivot in one pass; each numeric column bins against its
+    broadcast edges). PSI is rounded 6dp per column (the cross-engine
+    float contract)."""
+    from functools import reduce
+
+    params = read_json_sidecar(
+        spark,
+        path,
+        _BASELINE_SIDECAR,
+        _BASELINE_KEYS,
+        "drift baseline store",
+        "rebuild via build_drift_baseline",
+    )
+    ms = float(params["min_share"])
+    stored = spark.read.parquet(path).localCheckpoint()
+    outs = []
+    cat_cols = list(params["cat_cols"])
+    if cat_cols:
+        pairs = batch.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col"),
+                            F.coalesce(
+                                F.col(c).cast("string"),
+                                F.lit("\x00null"),
+                            ).alias("key"),
+                        )
+                        for c in cat_cols
+                    ]
+                )
+            ).alias("p")
+        ).select("p.col", "p.key")
+        bc = pairs.groupBy("col", "key").agg(
+            F.count(F.lit(1)).alias("__n")
+        ).withColumn(
+            "share_b",
+            F.col("__n") / F.sum("__n").over(Window.partitionBy("col")),
+        )
+        base = stored.where(F.col("kind") == "cat").select(
+            "col", "key", F.col("share").alias("share_a")
+        )
+        joined = base.join(bc.select("col", "key", "share_b"),
+                           ["col", "key"], "full_outer")
+        ga = F.greatest(F.coalesce(F.col("share_a"), F.lit(0.0)), F.lit(ms))
+        gb = F.greatest(F.coalesce(F.col("share_b"), F.lit(0.0)), F.lit(ms))
+        outs.append(
+            joined.groupBy("col")
+            .agg(
+                F.round(F.sum((ga - gb) * F.log(ga / gb)), 6).alias("psi")
+            )
+            .select(F.lit("cat").alias("kind"), "col", "psi")
+        )
+    for c in list(params["num_cols"]):
+        vals = batch.where(F.col(c).isNotNull()).select(
+            F.col(c).cast("double").alias("__v")
+        )
+        # the frozen edges are a (n_bins-1)-sized driver fetch from
+        # the domain-sized baseline table — the accepted seed-fetch
+        # class; binning stays a literal expression, join-free
+        evals = sorted(
+            r.edge
+            for r in stored.where(
+                (F.col("kind") == "edge") & (F.col("col") == c)
+            )
+            .select("edge")
+            .collect()
+        )
+        bins = (
+            vals.select(_bin_expr("__v", evals).alias("__bin"))
+            .groupBy("__bin")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .withColumn(
+                "share_b",
+                F.col("__n") / F.sum("__n").over(Window.partitionBy()),
+            )
+            .select(F.col("__bin").cast("string").alias("key"), "share_b")
+        )
+        base = stored.where(
+            (F.col("kind") == "num") & (F.col("col") == c)
+        ).select("key", F.col("share").alias("share_a"))
+        joined = base.join(bins, "key", "full_outer")
+        ga = F.greatest(F.coalesce(F.col("share_a"), F.lit(0.0)), F.lit(ms))
+        gb = F.greatest(F.coalesce(F.col("share_b"), F.lit(0.0)), F.lit(ms))
+        outs.append(
+            joined.agg(
+                F.round(F.sum((ga - gb) * F.log(ga / gb)), 6).alias("psi")
+            ).select(
+                F.lit("num").alias("kind"), F.lit(c).alias("col"), "psi"
+            )
+        )
+    counts = batch.agg(F.count(F.lit(1)).cast("long").alias("n_batch"))
+    out = reduce(lambda a, b: a.unionByName(b), outs)
+    return out.crossJoin(F.broadcast(counts)).select(
+        "kind", "col", "psi", "n_batch"
     )
 
 

@@ -7908,6 +7908,112 @@ UNION ALL SELECT 'profile', col, 'top_share', top_share FROM pagg
 )
 
 
+def _q169_drift_baseline(spark, sf_dir):
+    # Frozen drift baseline (the monitoring face of the fifth stored
+    # lifecycle): the even-doc half's distributions are persisted ONCE
+    # (category shares for lang/source, exact-quantile bin edges +
+    # reference shares for n_chars) and the odd half is PSI-scored
+    # against the FROZEN store — q92/q98 recompute both sides per
+    # invocation, which moves the "reference" under a monitor; here
+    # every batch compares against the same baseline. The disjoint
+    # source domains between halves deliberately exercise the
+    # min_share clamp path (one-side-only categories contribute
+    # finite terms).
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators import gatestats
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    scratch = tempfile.mkdtemp(prefix="q169_baseline_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = scratch + "/bl"
+    gatestats.build_drift_baseline(
+        ref, path, cat_cols=["lang", "source"], num_cols=["n_chars"]
+    )
+    return gatestats.psi_against_baseline(spark, path, batch)
+
+
+def _q169_cat_block(col: str) -> str:
+    return f"""
+ca_{col} AS (
+  SELECT coalesce(CAST({col} AS VARCHAR), chr(0) || 'null') AS key,
+         count(*) / CAST((SELECT count(*) FROM ref) AS DOUBLE) AS sa
+  FROM ref GROUP BY 1
+),
+cb_{col} AS (
+  SELECT coalesce(CAST({col} AS VARCHAR), chr(0) || 'null') AS key,
+         count(*) / CAST((SELECT count(*) FROM bat) AS DOUBLE) AS sb
+  FROM bat GROUP BY 1
+),
+p_{col} AS (
+  SELECT round(sum((greatest(coalesce(sa, 0.0), 1e-6)
+                    - greatest(coalesce(sb, 0.0), 1e-6))
+                   * ln(greatest(coalesce(sa, 0.0), 1e-6)
+                        / greatest(coalesce(sb, 0.0), 1e-6))), 6) AS psi
+  FROM ca_{col} FULL OUTER JOIN cb_{col} USING (key)
+)"""
+
+
+_q169_sql = (
+    """
+WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+bat AS (SELECT * FROM documents WHERE doc_id % 2 = 1),"""
+    + _q169_cat_block("lang")
+    + ","
+    + _q169_cat_block("source")
+    + """,
+rv AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM ref
+       WHERE n_chars IS NOT NULL),
+bv AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM bat
+       WHERE n_chars IS NOT NULL),
+edges AS (
+  SELECT DISTINCT e FROM (
+    SELECT unnest(quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                    0.6, 0.7, 0.8, 0.9])) AS e
+    FROM rv)
+),
+rbin AS (
+  SELECT (SELECT CAST(COALESCE(SUM(CASE WHEN rv.v > e THEN 1 ELSE 0
+                                    END), 0) AS BIGINT)
+          FROM edges) AS bin
+  FROM rv
+),
+bbin AS (
+  SELECT (SELECT CAST(COALESCE(SUM(CASE WHEN bv.v > e THEN 1 ELSE 0
+                                    END), 0) AS BIGINT)
+          FROM edges) AS bin
+  FROM bv
+),
+sa AS (SELECT bin, count(*) / CAST((SELECT count(*) FROM rbin)
+                                   AS DOUBLE) AS sa
+       FROM rbin GROUP BY bin),
+sb AS (SELECT bin, count(*) / CAST((SELECT count(*) FROM bbin)
+                                   AS DOUBLE) AS sb
+       FROM bbin GROUP BY bin),
+p_num AS (
+  SELECT round(sum((greatest(coalesce(sa, 0.0), 1e-6)
+                    - greatest(coalesce(sb, 0.0), 1e-6))
+                   * ln(greatest(coalesce(sa, 0.0), 1e-6)
+                        / greatest(coalesce(sb, 0.0), 1e-6))), 6) AS psi
+  FROM sa FULL OUTER JOIN sb USING (bin)
+),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_batch FROM bat)
+SELECT 'cat' AS kind, 'lang' AS col, (SELECT psi FROM p_lang) AS psi,
+       (SELECT n_batch FROM nb) AS n_batch
+UNION ALL
+SELECT 'cat', 'source', (SELECT psi FROM p_source),
+       (SELECT n_batch FROM nb)
+UNION ALL
+SELECT 'num', 'n_chars', (SELECT psi FROM p_num),
+       (SELECT n_batch FROM nb)
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7976,23 +8082,30 @@ QUERIES: list[QueryDef] = [
     # --- ROUND-14 WINDOW (first 50) ---
     # REGENERATED MECHANICALLY from the CORRECTNESS history (the
     # standing r11 procedure: bucket names by latest-green round,
-    # fill by staleness). Composition: the 4 never-certified
-    # round-14 queries (q168 corpus health report, q167 bipartite
-    # projection, q166 CCNet frozen screen, q165 frozen gate cutoffs
-    # — the fifth stored-artifact lifecycle), the 6 round-14
+    # fill by staleness). Composition: the 5 never-certified
+    # round-14 queries (q169 frozen drift baseline, q168 corpus
+    # health report, q167 bipartite projection, q166 CCNet frozen
+    # screen, q165 frozen gate cutoffs — the fifth stored-artifact
+    # lifecycle), the 6 round-14
     # RECERTIFY members (q154/q162/q163/q164 advice fixes, q155
     # capped certification, q158 walk rebuild — oracle text or
     # executed plan changed), the 9 r10-green names that reach the
     # ceil(161/50)=4-round staleness cap when the r14 artifact lands
     # (q17/q05/q06/q07/q11/q12/q16/q90/q97 — the r13 VERDICT's gating
-    # item), and the 31 stalest r11-green fills in prior registry
-    # order (the q167/q168 mid-round insertions displaced q70 and
-    # q73 to the tail head per the standing rule). The 18 remaining
-    # r11 names lead the tail at staleness 2
+    # item), and the 30 stalest r11-green fills in prior registry
+    # order (the q167/q168/q169 mid-round insertions displaced q70,
+    # q73 and q77 to the tail head per the standing rule). The 19
+    # remaining r11 names lead the tail at staleness 2
     # and seed the r15 window with the r12 block behind them;
     # test_certification_window_freshness is the mechanical
     # authority. q142 left RECERTIFY (green r13 row recorded; the
     # pre-view self-clear would trip on the r14 artifact otherwise).
+    QueryDef(
+        "q169_drift_baseline",
+        _q169_drift_baseline,
+        _q169_sql,
+        "§2.11",
+    ),
     QueryDef(
         "q168_corpus_health",
         _q168_corpus_health,
@@ -8152,8 +8265,8 @@ QUERIES: list[QueryDef] = [
         "§2.11",
     ),
     QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
-    QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
     # --- TAIL (not certified this round) ---
+    QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
     QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),
     QueryDef(
         "q73_event_correlation",

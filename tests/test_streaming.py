@@ -1377,3 +1377,83 @@ def test_streaming_ccnet_screen_frozen_store(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert verdicts == oneshot and len(oneshot) == incoming.count()
+
+
+def test_streaming_drift_monitor_frozen_baseline(spark, sf_dir, tmp_path):
+    """The frozen drift baseline as a streaming monitor: each
+    micro-batch PSI-scores against the SAME stored reference
+    distributions via foreachBatch — per-batch verdicts equal the
+    batch-at-once computation (nothing in the store changes between
+    batches), and PSI of the reference against itself is exactly 0
+    (shares re-derive bit-identically from the frozen edges)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators import gatestats
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    ref = docs.where("doc_id % 2 = 0")
+    incoming = docs.where("doc_id % 2 = 1")
+    path = str(tmp_path / "bl")
+    gatestats.build_drift_baseline(
+        ref, path, cat_cols=["lang"], num_cols=["n_chars"]
+    )
+    # self-PSI is exactly zero on every monitored column
+    self_psi = {(r.kind, r.col): r.psi
+                for r in gatestats.psi_against_baseline(
+                    spark, path, ref).collect()}
+    assert self_psi == {("cat", "lang"): 0.0, ("num", "n_chars"): 0.0}
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    for i in (0, 1):
+        rows = incoming.where(f"doc_id % 2 = 1 and doc_id % 4 = {2*i+1}"
+                              ).collect()
+        f = str(in_dir / f"b{i}.parquet")
+        pq.write_table(
+            pa.table({
+                "doc_id": [r.doc_id for r in rows],
+                "lang": [r.lang for r in rows],
+                "n_chars": [r.n_chars for r in rows],
+            }),
+            f,
+        )
+        os.utime(f, (1700000000 + i, 1700000000 + i))
+    got: dict[int, dict] = {}
+
+    def monitor(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        key = batch_df.agg({"doc_id": "min"}).collect()[0][0] % 4
+        got[key] = {
+            (r.kind, r.col): (r.psi, r.n_batch)
+            for r in gatestats.psi_against_baseline(
+                spark, path, batch_df
+            ).collect()
+        }
+
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(got) == 2
+    for i in (1, 3):
+        want = {
+            (r.kind, r.col): (r.psi, r.n_batch)
+            for r in gatestats.psi_against_baseline(
+                spark, path, incoming.where(f"doc_id % 4 = {i}")
+            ).collect()
+        }
+        assert got[i] == want and want[("cat", "lang")][1] > 0
