@@ -75,6 +75,8 @@ def build_gate_cutoffs(
     score_col: str,
     keep_pct: int,
     buckets: int = 256,
+    approx: bool = False,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """Per-stratum frozen cutoffs from a reference corpus: run the
     exact integer-percent gate (:func:`relational.
@@ -82,7 +84,25 @@ def build_gate_cutoffs(
     and take each stratum's minimum KEPT score. Returns
     ``(strata_col, cutoff double, n_build long)``; a stratum whose
     keep set is empty (possible only when every score is NULL) gets a
-    NULL cutoff, which the screen maps to keep=False."""
+    NULL cutoff, which the screen maps to keep=False.
+
+    ``approx=True`` is the 100 TB build path (the q98 device): the
+    cutoff comes from ``percentile_approx(score, 1 - pct/100)`` — a
+    mergeable KLL-style sketch, ONE map-side-partial aggregate, no
+    window and no rank anywhere (rank error ≤ 1/approx_accuracy, so
+    the boundary can move by a few rank-adjacent rows; the exact
+    default stays the certified q165 contract). NULL scores are
+    excluded from the sketch (they can never be kept either way)."""
+    if approx:
+        q = 1.0 - keep_pct / 100.0
+        return df.groupBy(strata_col).agg(
+            F.percentile_approx(
+                F.col(score_col).cast("double"),
+                F.lit(q),
+                F.lit(approx_accuracy),
+            ).alias("cutoff"),
+            F.count(F.lit(1)).cast("long").alias("n_build"),
+        )
     from .relational import quality_percentile_gate
 
     gated = quality_percentile_gate(

@@ -4494,3 +4494,42 @@ def test_frozen_model_gate_matches_train_on_self(spark, sf_dir, tmp_path):
     assert set(out.columns) == {"doc_id", "lang", "model_score", "keep"}
     rows = out.collect()
     assert len(rows) > 0 and any(r.keep for r in rows)
+
+
+def test_gate_cutoffs_approx_build_path(spark, sf_dir):
+    """The approx=True 100 TB build path: per-stratum cutoffs from
+    the mergeable percentile sketch land within a few rank-adjacent
+    rows of the exact gate's boundary — the screened keep sets agree
+    on all but a boundary sliver — and the approx plan carries no
+    window (one partial-aggregable pass)."""
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators.gatestats import (
+        build_gate_cutoffs,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {r.o_orderpriority: r.cutoff
+             for r in build_gate_cutoffs(
+                 orders, "o_orderkey", "o_orderpriority",
+                 "o_totalprice", 25).collect()}
+    ap = build_gate_cutoffs(
+        orders, "o_orderkey", "o_orderpriority", "o_totalprice", 25,
+        approx=True,
+    )
+    assert "Window" not in ap._jdf.queryExecution().executedPlan().toString()
+    approx = {r.o_orderpriority: r.cutoff for r in ap.collect()}
+    assert set(approx) == set(exact)
+    total = orders.count()
+    for p, cut in approx.items():
+        # keep-set symmetric difference vs the exact cutoff is a
+        # boundary sliver, not a different gate
+        moved = orders.where(
+            (F.col("o_orderpriority") == p)
+            & (
+                (F.col("o_totalprice") >= cut)
+                != (F.col("o_totalprice") >= exact[p])
+            )
+        ).count()
+        assert moved <= max(2, total // 100), (p, cut, exact[p], moved)
