@@ -181,6 +181,7 @@ HEADLINE = [
     "q167_bipartite_project",
     "q168_corpus_health",
     "q169_drift_baseline",
+    "q170_robust_zscore",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

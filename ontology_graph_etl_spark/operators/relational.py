@@ -2008,3 +2008,78 @@ def categorical_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             ).alias("top_share"),
         )
     )
+
+
+def robust_zscore(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    z: float = 3.5,
+    approx: bool = False,
+    approx_accuracy: int = 10_000,
+) -> DataFrame:
+    """Robust per-group outlier flagging via the modified z-score
+    (Iglewicz & Hoaglin): ``0.6745 * (x - median) / MAD``, where MAD
+    is the median absolute deviation — the data-cleaning gate that
+    survives exactly the rows it exists to catch (mean/stddev z-scores
+    are dragged toward the outliers; one runaway value inflates sigma
+    until nothing flags). Appends ``robust_z`` (rounded 6dp, the
+    cross-engine float contract) and ``is_outlier`` (|z'| > ``z``;
+    3.5 is the textbook threshold). NULL values and all-constant
+    groups (MAD = 0) yield NULL ``robust_z`` and ``is_outlier`` false
+    — a constant group has no outliers by this statistic, not
+    infinitely many.
+
+    Plan shape: two grouped percentile aggregates (exact ``percentile``
+    by default — DuckDB's ``quantile_cont`` interpolation, the q44
+    precedent — so the flags are engine-portable), each collapsing to
+    a group-domain-sized frame that BROADCASTS back; the corpus is
+    scanned twice (once per statistic — MAD needs the median first)
+    and never shuffles on anything but the group key inside the
+    aggregates. ``approx=True`` swaps both percentiles for the
+    mergeable sketch (the :func:`winsorize`/:func:`numeric_drift`
+    contract): no global sort, group medians off by ≤
+    1/approx_accuracy rank error, flags drift only on
+    boundary-adjacent rows."""
+    keys = list(group_cols)
+    if not keys:
+        raise ValueError("robust_zscore needs at least one group col")
+    clash = {"robust_z", "is_outlier", "__med", "__mad"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"robust_zscore output columns {sorted(clash)} already "
+            "exist on the input"
+        )
+    v = F.col(value_col).cast("double")
+
+    def med(col):
+        if approx:
+            return F.percentile_approx(
+                col, F.lit(0.5), F.lit(approx_accuracy)
+            )
+        return F.percentile(col, F.lit(0.5))
+
+    meds = df.where(v.isNotNull()).groupBy(*keys).agg(
+        med(v).alias("__med")
+    )
+    with_med = df.join(F.broadcast(meds), keys, "left")
+    mads = (
+        with_med.where(v.isNotNull())
+        .groupBy(*keys)
+        .agg(med(F.abs(v - F.col("__med"))).alias("__mad"))
+    )
+    scored = with_med.join(F.broadcast(mads), keys, "left")
+    rz = F.when(
+        v.isNotNull() & (F.col("__mad") > 0),
+        F.round(
+            F.lit(0.6745) * (v - F.col("__med")) / F.col("__mad"), 6
+        ),
+    )
+    return (
+        scored.withColumn("robust_z", rz)
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.abs(F.col("robust_z")) > F.lit(z), F.lit(False)),
+        )
+        .drop("__med", "__mad")
+    )

@@ -8014,6 +8014,52 @@ SELECT 'num', 'n_chars', (SELECT psi FROM p_num),
 )
 
 
+_Q170_Z = 3.5
+
+
+def _q170_robust_zscore(spark, sf_dir):
+    # Robust per-type outlier flagging over the events value stream:
+    # the Iglewicz-Hoaglin modified z-score (0.6745·(x−median)/MAD) —
+    # the data-cleaning gate that survives the rows it catches, where
+    # a mean/stddev z-score is dragged toward its own outliers. Two
+    # grouped exact-percentile aggregates, each broadcasting a
+    # domain-sized statistics frame back onto the stream.
+    ev = _t(spark, sf_dir, "events")
+    return relational.robust_zscore(
+        ev.select("event_id", "event_type", "value"),
+        ["event_type"],
+        "value",
+        z=_Q170_Z,
+    )
+
+
+_q170_sql = f"""
+WITH m AS (
+  SELECT event_type,
+         quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+d AS (
+  SELECT e.event_type,
+         quantile_cont(abs(CAST(e.value AS DOUBLE) - m.med), 0.5) AS mad
+  FROM events e JOIN m USING (event_type)
+  WHERE e.value IS NOT NULL GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN e.value IS NOT NULL AND d.mad > 0
+            THEN round(0.6745 * (CAST(e.value AS DOUBLE) - m.med)
+                       / d.mad, 6) END AS robust_z,
+       COALESCE(abs(CASE WHEN e.value IS NOT NULL AND d.mad > 0
+                         THEN round(0.6745
+                                    * (CAST(e.value AS DOUBLE) - m.med)
+                                    / d.mad, 6) END) > {_Q170_Z},
+                FALSE) AS is_outlier
+FROM events e
+LEFT JOIN m USING (event_type)
+LEFT JOIN d USING (event_type)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8082,24 +8128,31 @@ QUERIES: list[QueryDef] = [
     # --- ROUND-14 WINDOW (first 50) ---
     # REGENERATED MECHANICALLY from the CORRECTNESS history (the
     # standing r11 procedure: bucket names by latest-green round,
-    # fill by staleness). Composition: the 5 never-certified
-    # round-14 queries (q169 frozen drift baseline, q168 corpus
-    # health report, q167 bipartite projection, q166 CCNet frozen
-    # screen, q165 frozen gate cutoffs — the fifth stored-artifact
-    # lifecycle), the 6 round-14
+    # fill by staleness). Composition: the 6 never-certified
+    # round-14 queries (q170 robust z-score outlier gate, q169
+    # frozen drift baseline, q168 corpus health report, q167
+    # bipartite projection, q166 CCNet frozen screen, q165 frozen
+    # gate cutoffs — the fifth stored-artifact lifecycle), the 6
+    # round-14
     # RECERTIFY members (q154/q162/q163/q164 advice fixes, q155
     # capped certification, q158 walk rebuild — oracle text or
     # executed plan changed), the 9 r10-green names that reach the
     # ceil(161/50)=4-round staleness cap when the r14 artifact lands
     # (q17/q05/q06/q07/q11/q12/q16/q90/q97 — the r13 VERDICT's gating
-    # item), and the 30 stalest r11-green fills in prior registry
-    # order (the q167/q168/q169 mid-round insertions displaced q70,
-    # q73 and q77 to the tail head per the standing rule). The 19
+    # item), and the 29 stalest r11-green fills in prior registry
+    # order (the q167–q170 mid-round insertions displaced q70, q73,
+    # q74 and q77 to the tail head per the standing rule). The 20
     # remaining r11 names lead the tail at staleness 2
     # and seed the r15 window with the r12 block behind them;
     # test_certification_window_freshness is the mechanical
     # authority. q142 left RECERTIFY (green r13 row recorded; the
     # pre-view self-clear would trip on the r14 artifact otherwise).
+    QueryDef(
+        "q170_robust_zscore",
+        _q170_robust_zscore,
+        _q170_sql,
+        "§2.11",
+    ),
     QueryDef(
         "q169_drift_baseline",
         _q169_drift_baseline,
@@ -8264,8 +8317,8 @@ QUERIES: list[QueryDef] = [
         _q69_sql,
         "§2.11",
     ),
-    QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
     # --- TAIL (not certified this round) ---
+    QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
     QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
     QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),
     QueryDef(

@@ -4533,3 +4533,38 @@ def test_gate_cutoffs_approx_build_path(spark, sf_dir):
             )
         ).count()
         assert moved <= max(2, total // 100), (p, cut, exact[p], moved)
+
+
+def test_robust_zscore_golden(spark):
+    """robust_zscore on hand-checkable groups: the modified z-score
+    formula, NULLs pass through unflagged, a constant group (MAD=0)
+    yields NULL scores and no outliers (not infinitely many), and the
+    approx path agrees on well-separated data."""
+    from ontology_graph_etl_spark.operators.relational import (
+        robust_zscore,
+    )
+
+    df = spark.createDataFrame(
+        # g1: median 3, MAD 1 -> x=100 scores 0.6745*97
+        [("g1", 1, 1.0), ("g1", 2, 2.0), ("g1", 3, 3.0),
+         ("g1", 4, 4.0), ("g1", 5, 5.0), ("g1", 6, 100.0),
+         ("g1", 7, None),
+         # g2: constant
+         ("g2", 8, 7.0), ("g2", 9, 7.0), ("g2", 10, 7.0)],
+        "g: string, k: long, v: double",
+    )
+    got = {r.k: (r.robust_z, r.is_outlier)
+           for r in robust_zscore(df, ["g"], "v").collect()}
+    # g1: median of (1,2,3,4,5,100) = 3.5; deviations sorted
+    # (.5,.5,1.5,1.5,2.5,96.5) -> MAD = 1.5
+    assert got[6] == (round(0.6745 * 96.5 / 1.5, 6), True)
+    assert got[3] == (round(0.6745 * -0.5 / 1.5, 6), False)
+    assert got[7] == (None, False)          # NULL value
+    assert got[8] == (None, False)          # constant group, MAD=0
+    ap = {r.k: r.is_outlier
+          for r in robust_zscore(df, ["g"], "v", approx=True).collect()}
+    assert ap == {k: v[1] for k, v in got.items()}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="group col"):
+        robust_zscore(df, [], "v")
