@@ -13,7 +13,7 @@ shape (Wenzek et al. 2020): the LM is trained ONCE on a reference
 corpus, the perplexity cutoffs are frozen, and every CommonCrawl dump
 is screened against the frozen statistics — never against itself.
 
-Two artifact kinds, one store layout each (parquet + JSON params
+Three artifact kinds, one store layout each (parquet + JSON params
 sidecar, the sketches.py device):
 
 * **Percentile-gate cutoffs** — per-stratum frozen score cutoffs
@@ -35,11 +35,22 @@ sidecar, the sketches.py device):
   contribute 0 to the interpolated term — deterministic, engine-
   portable arithmetic (certified cross-engine by q166).
 
-``build_ccnet_store`` / ``screen_ccnet_frozen`` compose the two: one
-store directory holding the per-language LM (``lm/``) and the
-per-language head-tercile cutoffs (``cutoffs/``), so screening a new
-dump is language-ID → frozen-LM score → frozen-cutoff gate, touching
-nothing but the batch and the store.
+* **Drift baselines** — a reference snapshot's category shares and
+  exact-quantile numeric bin edges + shares, persisted once
+  (:func:`build_drift_baseline`); every micro-batch PSI-scores
+  against the SAME frozen distributions
+  (:func:`psi_against_baseline`) — q92/q98 recompute both sides per
+  invocation, which moves the reference under a monitor.
+
+``build_ccnet_store`` / ``screen_ccnet_frozen`` compose the first
+two: one store directory holding the per-language LM (``lm/``) and
+the per-language head-tercile cutoffs (``cutoffs/``), so screening a
+new dump is language-ID → frozen-LM score → frozen-cutoff gate,
+touching nothing but the batch and the store.
+``build_model_gate_store`` / ``screen_model_gate_frozen`` put the
+q148 classifier-scorer seam over the cutoff store: the model stays
+the caller's versioned artifact, the store freezes its decision
+boundary.
 """
 
 from __future__ import annotations
@@ -93,6 +104,8 @@ def build_gate_cutoffs(
     the boundary can move by a few rank-adjacent rows; the exact
     default stays the certified q165 contract). NULL scores are
     excluded from the sketch (they can never be kept either way)."""
+    if not (0 < keep_pct <= 100):
+        raise ValueError(f"keep_pct must be in (0, 100], got {keep_pct}")
     if approx:
         q = 1.0 - keep_pct / 100.0
         return df.groupBy(strata_col).agg(
