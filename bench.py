@@ -182,6 +182,7 @@ HEADLINE = [
     "q168_corpus_health",
     "q169_drift_baseline",
     "q170_robust_zscore",
+    "q171_crosstab_chi2",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

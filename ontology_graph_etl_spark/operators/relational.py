@@ -2083,3 +2083,80 @@ def robust_zscore(
         )
         .drop("__med", "__mad")
     )
+
+
+def crosstab_association(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Chi-square association between two categorical columns — the
+    contingency-table stage of a dataset profile (is the label
+    distribution independent of the source? does dump correlate with
+    language?), emitted per OBSERVED cell with the table-level
+    statistics riding along: ``(a, b, observed, expected,
+    std_residual, chi2, cramers_v)`` (6dp-rounded doubles, the
+    cross-engine float contract). ``chi2`` uses the algebraic
+    identity ``Σ(o−e)²/e = Σ o²/e − n`` so UNOBSERVED cells (o=0,
+    e>0) are fully accounted for without materializing them;
+    ``cramers_v = sqrt(chi2 / (n · min(ka−1, kb−1)))`` is the
+    [0,1]-normalized effect size (NULL when either column is
+    constant — no association is definable). NULL categories count
+    as a real category (tagged sentinel, the q162 device).
+
+    Plan shape (the q162 lesson applied to two columns): ONE corpus
+    pass to the (a, b) cell counts; row totals, column totals, grand
+    total, domain cardinalities, and the chi2 sum are all WINDOWS
+    over that domain-sized cell frame — never a groupBy+join-back,
+    which would fork the count lineage and re-scan the corpus per
+    consumer. Hot cells combine map-side; the cell frame is
+    |A|×|B|-bounded, so everything after the first aggregate is
+    domain-sized regardless of corpus scale.
+    """
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("\x00null"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("\x00null"))
+    cells = df.groupBy(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    wr = Window.partitionBy("a")
+    wc = Window.partitionBy("b")
+    wt = Window.partitionBy()
+    en = cells.select(
+        "a",
+        "b",
+        "observed",
+        F.sum("observed").over(wr).cast("double").alias("__rt"),
+        F.sum("observed").over(wc).cast("double").alias("__ct"),
+        F.sum("observed").over(wt).cast("double").alias("__n"),
+        F.size(F.collect_set("a").over(wt)).cast("long").alias("__ka"),
+        F.size(F.collect_set("b").over(wt)).cast("long").alias("__kb"),
+    ).withColumn("__e", F.col("__rt") * F.col("__ct") / F.col("__n"))
+    chi2 = (
+        F.sum(
+            F.col("observed").cast("double")
+            * F.col("observed")
+            / F.col("__e")
+        ).over(wt)
+        - F.col("__n")
+    )
+    dof_min = F.least(F.col("__ka") - 1, F.col("__kb") - 1)
+    return (
+        en.withColumn("__chi2", chi2)
+        .select(
+            "a",
+            "b",
+            "observed",
+            F.round("__e", 6).alias("expected"),
+            F.round(
+                (F.col("observed") - F.col("__e"))
+                / F.sqrt(F.col("__e")),
+                6,
+            ).alias("std_residual"),
+            F.round("__chi2", 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("__chi2")
+                    / (F.col("__n") * F.nullif(dof_min, F.lit(0)))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )

@@ -8060,6 +8060,58 @@ LEFT JOIN d USING (event_type)
 """
 
 
+def _q171_crosstab_chi2(spark, sf_dir):
+    # Chi-square association between order priority and order status
+    # — the contingency-table profile stage (is priority independent
+    # of status?), per observed cell with expected counts,
+    # standardized residuals, and the table-level chi2 / Cramér's V
+    # riding along. One corpus pass to cell counts; every statistic
+    # is a window over the |A|x|B|-bounded cell frame.
+    orders = _t(spark, sf_dir, "orders")
+    return relational.crosstab_association(
+        orders, "o_orderpriority", "o_orderstatus"
+    )
+
+
+_q171_sql = """
+WITH cells AS (
+  SELECT coalesce(CAST(o_orderpriority AS VARCHAR), chr(0) || 'null')
+           AS a,
+         coalesce(CAST(o_orderstatus AS VARCHAR), chr(0) || 'null')
+           AS b,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM orders GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(observed) AS DOUBLE) AS n,
+         CAST(count(DISTINCT a) AS BIGINT) AS ka,
+         CAST(count(DISTINCT b) AS BIGINT) AS kb
+  FROM cells
+),
+rt AS (SELECT a, CAST(sum(observed) AS DOUBLE) AS rtot
+       FROM cells GROUP BY a),
+ct AS (SELECT b, CAST(sum(observed) AS DOUBLE) AS ctot
+       FROM cells GROUP BY b),
+en AS (
+  SELECT c.a, c.b, c.observed,
+         rt.rtot * ct.ctot / t.n AS e, t.n, t.ka, t.kb
+  FROM cells c JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot t
+),
+chi AS (
+  SELECT sum(CAST(observed AS DOUBLE) * observed / e) - max(n) AS chi2
+  FROM en
+)
+SELECT en.a, en.b, en.observed,
+       round(en.e, 6) AS expected,
+       round((en.observed - en.e) / sqrt(en.e), 6) AS std_residual,
+       round(chi.chi2, 6) AS chi2,
+       round(sqrt(chi.chi2
+                  / (en.n * nullif(least(en.ka - 1, en.kb - 1), 0))),
+             6) AS cramers_v
+FROM en CROSS JOIN chi
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8128,25 +8180,31 @@ QUERIES: list[QueryDef] = [
     # --- ROUND-14 WINDOW (first 50) ---
     # REGENERATED MECHANICALLY from the CORRECTNESS history (the
     # standing r11 procedure: bucket names by latest-green round,
-    # fill by staleness). Composition: the 6 never-certified
-    # round-14 queries (q170 robust z-score outlier gate, q169
-    # frozen drift baseline, q168 corpus health report, q167
-    # bipartite projection, q166 CCNet frozen screen, q165 frozen
-    # gate cutoffs — the fifth stored-artifact lifecycle), the 6
-    # round-14
+    # fill by staleness). Composition: the 7 never-certified
+    # round-14 queries (q171 crosstab chi2, q170 robust z-score
+    # outlier gate, q169 frozen drift baseline, q168 corpus health
+    # report, q167 bipartite projection, q166 CCNet frozen screen,
+    # q165 frozen gate cutoffs — the fifth stored-artifact
+    # lifecycle), the 6 round-14
     # RECERTIFY members (q154/q162/q163/q164 advice fixes, q155
     # capped certification, q158 walk rebuild — oracle text or
     # executed plan changed), the 9 r10-green names that reach the
     # ceil(161/50)=4-round staleness cap when the r14 artifact lands
     # (q17/q05/q06/q07/q11/q12/q16/q90/q97 — the r13 VERDICT's gating
-    # item), and the 29 stalest r11-green fills in prior registry
-    # order (the q167–q170 mid-round insertions displaced q70, q73,
-    # q74 and q77 to the tail head per the standing rule). The 20
-    # remaining r11 names lead the tail at staleness 2
+    # item), and the 28 stalest r11-green fills in prior registry
+    # order (the q167–q171 mid-round insertions displaced q70, q73,
+    # q74, q77 and q69 to the tail head per the standing rule). The
+    # 21 remaining r11 names lead the tail at staleness 2
     # and seed the r15 window with the r12 block behind them;
     # test_certification_window_freshness is the mechanical
     # authority. q142 left RECERTIFY (green r13 row recorded; the
     # pre-view self-clear would trip on the r14 artifact otherwise).
+    QueryDef(
+        "q171_crosstab_chi2",
+        _q171_crosstab_chi2,
+        _q171_sql,
+        "§2.11",
+    ),
     QueryDef(
         "q170_robust_zscore",
         _q170_robust_zscore,
@@ -8311,13 +8369,13 @@ QUERIES: list[QueryDef] = [
         _q67_oracle_sql(),
         "§2.11",
     ),
+    # --- TAIL (not certified this round) ---
     QueryDef(
         "q69_cluster_representatives",
         _q69_cluster_representatives,
         _q69_sql,
         "§2.11",
     ),
-    # --- TAIL (not certified this round) ---
     QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
     QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
     QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),

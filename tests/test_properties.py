@@ -4568,3 +4568,49 @@ def test_robust_zscore_golden(spark):
 
     with _pytest.raises(ValueError, match="group col"):
         robust_zscore(df, [], "v")
+
+
+def test_crosstab_association_golden(spark):
+    """crosstab_association on a hand-checkable 2x2 table: expected
+    counts, the zero-cell-correct chi2 identity (sum o^2/e - n), the
+    standardized residuals, Cramer's V, NULL-category handling, and
+    the constant-column NULL-V case."""
+    from ontology_graph_etl_spark.operators.relational import (
+        crosstab_association,
+    )
+
+    # 2x2: a=x pairs only with p (10), a=y with p (5) and q (5)
+    df = spark.createDataFrame(
+        [("x", "p")] * 10 + [("y", "p")] * 5 + [("y", "q")] * 5,
+        "a: string, b: string",
+    )
+    rows = {(r.a, r.b): r for r in crosstab_association(df, "a", "b")
+            .collect()}
+    # n=20, rt(x)=10, rt(y)=10, ct(p)=15, ct(q)=5
+    # e(x,p)=7.5 e(y,p)=7.5 e(y,q)=2.5; zero cell (x,q): e=2.5
+    # chi2 = 100/7.5 + 25/7.5 + 25/2.5 - 20 = 6.666667
+    assert rows[("x", "p")].expected == 7.5
+    assert rows[("y", "q")].expected == 2.5
+    chi2 = rows[("x", "p")].chi2
+    assert chi2 == round(100 / 7.5 + 25 / 7.5 + 25 / 2.5 - 20, 6)
+    # 2x2 -> V = sqrt(chi2/n)
+    import math
+
+    assert rows[("x", "p")].cramers_v == round(math.sqrt(chi2 / 20), 6)
+    assert rows[("x", "p")].std_residual == round(
+        (10 - 7.5) / math.sqrt(7.5), 6
+    )
+    assert len(rows) == 3  # only observed cells emitted
+    # NULL category participates as a real category
+    withnull = spark.createDataFrame(
+        [("x", "p"), ("x", None), (None, "p")], "a: string, b: string"
+    )
+    got = {(r.a, r.b) for r in
+           crosstab_association(withnull, "a", "b").collect()}
+    assert ("x", "\x00null") in got and ("\x00null", "p") in got
+    # constant column -> min(ka,kb)-1 = 0 -> V is NULL, chi2 = 0
+    const = spark.createDataFrame(
+        [("x", "p"), ("y", "p")], "a: string, b: string"
+    )
+    r0 = crosstab_association(const, "a", "b").collect()[0]
+    assert r0.cramers_v is None and r0.chi2 == 0.0
