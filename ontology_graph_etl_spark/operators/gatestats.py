@@ -202,7 +202,15 @@ def screen_against_cutoffs(
     known_keep = F.coalesce(
         F.col(score).cast("double") >= F.col("__cut"), F.lit(False)
     )
-    keep = F.when(F.col("__seen").isNull(), F.lit(unknown_strata == "keep"))
+    # "NULL scores never keep" is unconditional — it applies to
+    # unknown strata too (r14 ADVICE fix: the 'keep' policy passes
+    # unknown strata through for a later rebuild to adjudicate, but a
+    # row with no score is unscoreable under ANY cutoff)
+    unknown_keep = (
+        F.lit(unknown_strata == "keep")
+        & F.col(score).cast("double").isNotNull()
+    )
+    keep = F.when(F.col("__seen").isNull(), unknown_keep)
     return joined.withColumn("keep", keep.otherwise(known_keep)).drop(
         "__gs", "__cut", "__seen"
     )
@@ -293,7 +301,19 @@ def write_lm_counts(
     rows are added, nothing stored is read or rewritten; the read
     side group-sums. The sidecar's ``lam`` is frozen at build time:
     scoring the same store under drifting interpolation weights
-    would silently change every historical keep decision."""
+    would silently change every historical keep decision.
+
+    Appends are CRASH-ATOMIC (r14 ADVICE fix): the batch's count
+    rows are written to a staging directory OUTSIDE the store, then
+    committed with a single filesystem rename into the store as a
+    ``batch-*`` subdirectory — the read side lists recursively. A
+    job that dies mid-write leaves only an orphaned staging dir the
+    store never reads; count magnitudes are additive, so a silently
+    half-committed batch would have skewed every frozen score
+    forever (unlike the idempotent membership stores, where a
+    partial append merely under-screens until retry). Mirrors
+    :func:`compact_lm_counts`'s staged swap; same single-writer
+    caveat for concurrent compaction."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     if not 0 <= lam <= 1:
@@ -315,9 +335,24 @@ def write_lm_counts(
                 f"frozen LM store at {path} was built with {got}; "
                 f"refusing to append rows built with {params}"
             )
-    counts.write.mode(mode).parquet(path)
-    if mode == "overwrite":
-        write_json_sidecar(spark, path, _LM_SIDECAR, params)
+        from uuid import uuid4
+
+        from .util import hadoop_path_and_fs
+
+        base = path.rstrip("/")
+        tag = f"batch-{uuid4().hex}"
+        staged = f"{base}.staging-{tag}"
+        counts.write.mode("overwrite").parquet(staged)
+        new, fs = hadoop_path_and_fs(spark, staged)
+        dest, _ = hadoop_path_and_fs(spark, f"{base}/{tag}")
+        if not fs.rename(new, dest):
+            fs.delete(new, True)
+            raise IOError(
+                f"lm append: could not commit staged batch into {base}"
+            )
+        return
+    counts.write.mode("overwrite").parquet(path)
+    write_json_sidecar(spark, path, _LM_SIDECAR, params)
 
 
 def merge_lm_counts(
@@ -372,7 +407,10 @@ def compact_lm_counts(spark: SparkSession, path: str) -> int:
     base = path.rstrip("/")
     staged = base + ".compact"
     merged = (
-        spark.read.parquet(base)
+        # recursive: appended batches live as batch-* subdirectories
+        # (the crash-atomic commit of write_lm_counts mode='append')
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(base)
         .groupBy("lang", "w1", "w2")
         .agg(F.sum("c").cast("long").alias("c"))
     )
@@ -435,7 +473,10 @@ def score_with_frozen_lm(
     )
     lam = float(stored["lam"])
     counts = (
-        spark.read.parquet(path)
+        # recursive: appended batches live as batch-* subdirectories
+        # (the crash-atomic commit of write_lm_counts mode='append')
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(path)
         .groupBy("lang", "w1", "w2")
         .agg(F.sum("c").cast("long").alias("c"))
         # vocabulary-sized fold of the store feeding FOUR consumers

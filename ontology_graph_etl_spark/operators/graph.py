@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .upsert import first_wins
+from .util import broadcast_if_small
 
 
 def build_nodes(
@@ -1240,7 +1241,9 @@ def bipartite_project(
     be common — on sparse bipartite graphs this is most of the edge
     frame), self-join on dst with ``a.src < b.src`` halving the
     square, one pair-keyed groupBy; src degrees ride a separate
-    linear aggregate broadcast onto the pair frame. Skew IS the cost
+    linear aggregate joined onto the pair frame under a count-gated
+    broadcast hint (util.broadcast_if_small — a corpus-scaled src
+    domain falls back to a shuffle join). Skew IS the cost
     model: a hub dst emits deg²/2 pair rows, and ``max_degree`` drops
     hub keys entirely — set it at scale (the q155 cap rationale:
     hub-shared neighbors are the least informative and generate the
@@ -1268,6 +1271,12 @@ def bipartite_project(
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
         .where(F.col("n_common") >= min_common)
     )
+    # src-degree tables are src-domain-sized; gate the hint on a
+    # measured count (util.broadcast_if_small) so a corpus-scaled src
+    # domain degrades to a shuffle join instead of a forced-broadcast
+    # driver OOM (r14 VERDICT watch item). sdeg is persisted once by
+    # the gate and feeds both projections from cache.
+    sdeg = broadcast_if_small(sdeg)
     da = sdeg.select(
         F.col("src").alias("node_a"), F.col("__sd").alias("deg_a")
     )
@@ -1275,8 +1284,8 @@ def bipartite_project(
         F.col("src").alias("node_b"), F.col("__sd").alias("deg_b")
     )
     return (
-        pairs.join(F.broadcast(da), "node_a")
-        .join(F.broadcast(db), "node_b")
+        pairs.join(da, "node_a")
+        .join(db, "node_b")
         .select(
             "node_a",
             "node_b",
@@ -1482,6 +1491,8 @@ def deterministic_random_walks(
     src_col: str = "src",
     dst_col: str = "dst",
     start_col: str = "id",
+    broadcast_frontier: bool | None = None,
+    max_broadcast_starts: int = 1_000_000,
 ) -> DataFrame:
     """Fixed-length graph walks with HASH-SELECTED next hops — the
     walk-corpus generator behind DeepWalk/node2vec-style graph
@@ -1495,10 +1506,6 @@ def deterministic_random_walks(
     (``walk_id`` = the start node); a walk ends early at a node with
     no out-edges. Output: ``(walk_id, pos, node)``, pos 0..steps.
 
-    Plan shape: ``steps`` unrolled join+aggregate rounds — the walk
-    frontier (one row per live walk) joins the edge list on the
-    current node and ``min_by(dst, md5(...))`` picks the hop in a
-    single partial-aggregable pass (no window, no sort). The edge
     Plan shape (rebuilt round 14 after reading the r13 executed plan
     — three separate defects compounded into the 5.5×-per-10×
     SCALING.md reading): edges collapse ONCE into an adjacency-list
@@ -1524,7 +1531,20 @@ def deterministic_random_walks(
     one array in one row — bounded by out-degree; cap degenerate hubs
     upstream if out-degrees are corpus-scaled (the q155 max_degree
     rationale).
+
+    The frontier broadcast is GATED, not unconditional (r14 ADVICE
+    fix): a DeepWalk-style corpus generator starts one walk per NODE,
+    making the frontier node-scaled — a forced hint would then build
+    a corpus-scaled hash table every round. ``broadcast_frontier``:
+    True/False force the hint on/off; None (default) counts
+    ``starts`` ONCE (the frontier never grows — walks only die) and
+    hints only when the count is at or under ``max_broadcast_starts``.
+    Above the threshold the round join is a plain shuffle join on the
+    node key, which at node-scaled starts is the co-located join you
+    want anyway.
     """
+    if broadcast_frontier is None:
+        broadcast_frontier = starts.count() <= max_broadcast_starts
     adj = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .groupBy("src")
@@ -1539,20 +1559,30 @@ def deterministic_random_walks(
     )
     out = cur
     for t in range(1, steps + 1):
-        cur = _walk_round(cur, adj, t).localCheckpoint()
+        cur = _walk_round(
+            cur, adj, t, broadcast_frontier=broadcast_frontier
+        ).localCheckpoint()
         out = out.union(cur)
     adj.unpersist()  # every round is checkpoint-materialized already
     return out
 
 
-def _walk_round(cur: DataFrame, adj: DataFrame, t: int) -> DataFrame:
+def _walk_round(
+    cur: DataFrame,
+    adj: DataFrame,
+    t: int,
+    broadcast_frontier: bool = True,
+) -> DataFrame:
     """One walk round, pre-checkpoint (split out so the plan pin in
     tests/test_plan_shapes.py can inspect the round's OWN plan — the
     eager per-round localCheckpoint reduces the operator's final plan
     to a union of pinned scans, which hides the join shape the
     round-13 adjudication found broken): broadcast the starts-sized
-    frontier into the adjacency join and pick the hop in-expression
-    via the md5 argmin."""
+    frontier into the adjacency join (hint gated by the caller on the
+    start count — a checkpointed frontier has no size statistics, so
+    below the gate the explicit hint is still required to stop
+    Catalyst broadcasting the EDGE side) and pick the hop
+    in-expression via the md5 argmin."""
     step = F.lit(str(t))
     hop = F.array_min(
         F.transform(
@@ -1565,8 +1595,9 @@ def _walk_round(cur: DataFrame, adj: DataFrame, t: int) -> DataFrame:
             ),
         )
     )["u"]
+    frontier = F.broadcast(cur) if broadcast_frontier else cur
     return (
-        F.broadcast(cur)
+        frontier
         .join(adj, cur["node"] == adj["src"])
         .select("walk_id", F.lit(t).alias("pos"), hop.alias("node"))
     )

@@ -11,11 +11,12 @@ from __future__ import annotations
 
 import math
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .util import epoch_double, epoch_units
+from .util import broadcast_if_small, epoch_double, epoch_units
 
 
 def prefix_scan(df: DataFrame, order_col: str, stop_predicate: Column) -> DataFrame:
@@ -1218,7 +1219,11 @@ def quality_percentile_gate(
     )
     b = (
         df.join(
-            F.broadcast(mm), F.col(strata_col).eqNullSafe(F.col("__qs"))
+            # strata-domain-sized by contract; gate the hint on a
+            # measured count so a corpus-scaled stratum domain falls
+            # back to a shuffle join (util.broadcast_if_small)
+            broadcast_if_small(mm),
+            F.col(strata_col).eqNullSafe(F.col("__qs")),
         )
         .withColumn("__bkt", bkt)
         .drop("__qs", "__lo", "__hi")
@@ -1244,7 +1249,7 @@ def quality_percentile_gate(
     )
     return (
         local.join(
-            F.broadcast(offsets),
+            broadcast_if_small(offsets),
             F.col(strata_col).eqNullSafe(F.col("__qs"))
             & (local["__bkt"] == offsets["__bkt"]),
         )
@@ -1471,7 +1476,9 @@ def fill_budget(
         # emitting them with keep=false
         summed = (
             local.join(
-                F.broadcast(offsets),
+                # domain×bucket-sized (buckets ≤ 4096); gate the hint
+                # on a measured count all the same — domains can scale
+                broadcast_if_small(offsets),
                 F.col(domain_col).eqNullSafe(F.col("__fb_dom"))
                 & F.col("__bkt").eqNullSafe(F.col("__fb_bkt")),
             )
@@ -2033,7 +2040,10 @@ def robust_zscore(
     Plan shape: two grouped percentile aggregates (exact ``percentile``
     by default — DuckDB's ``quantile_cont`` interpolation, the q44
     precedent — so the flags are engine-portable), each collapsing to
-    a group-domain-sized frame that BROADCASTS back; the corpus is
+    a group-domain-sized frame joined back NULL-SAFELY (a NULL group
+    key is a group like any other) under a COUNT-GATED broadcast hint
+    (util.broadcast_if_small — a corpus-scaled group domain degrades
+    to a shuffle join instead of a forced-broadcast OOM); the corpus is
     scanned twice (once per statistic — MAD needs the median first)
     and never shuffles on anything but the group key inside the
     aggregates. ``approx=True`` swaps both percentiles for the
@@ -2044,13 +2054,37 @@ def robust_zscore(
     keys = list(group_cols)
     if not keys:
         raise ValueError("robust_zscore needs at least one group col")
-    clash = {"robust_z", "is_outlier", "__med", "__mad"} & set(df.columns)
+    akeys = [f"__rzk{i}" for i in range(len(keys))]
+    clash = (
+        {"robust_z", "is_outlier", "__med", "__mad"} | set(akeys)
+    ) & set(df.columns)
     if clash:
         raise ValueError(
             f"robust_zscore output columns {sorted(clash)} already "
             "exist on the input"
         )
     v = F.col(value_col).cast("double")
+
+    def _join_stats(left: DataFrame, stats: DataFrame) -> DataFrame:
+        # NULL-SAFE key equality: groupBy computes a NULL-key group,
+        # and a plain equi join would silently never match it back —
+        # rows with a NULL group key got stats computed but NULL
+        # robust_z / is_outlier=false (the screen_against_cutoffs
+        # contract, applied here; r14 ADVICE fix). The stats frame is
+        # group-domain-sized by contract, but the hint is GATED on a
+        # measured count (util.broadcast_if_small) so a corpus-scaled
+        # domain degrades to a shuffle join instead of a driver OOM.
+        renamed = stats.select(
+            *[F.col(k).alias(a) for k, a in zip(keys, akeys)],
+            *[c for c in stats.columns if c not in keys],
+        )
+        cond = reduce(
+            lambda x, y: x & y,
+            [F.col(k).eqNullSafe(F.col(a)) for k, a in zip(keys, akeys)],
+        )
+        return left.join(
+            broadcast_if_small(renamed), cond, "left"
+        ).drop(*akeys)
 
     def med(col):
         if approx:
@@ -2062,13 +2096,13 @@ def robust_zscore(
     meds = df.where(v.isNotNull()).groupBy(*keys).agg(
         med(v).alias("__med")
     )
-    with_med = df.join(F.broadcast(meds), keys, "left")
+    with_med = _join_stats(df, meds)
     mads = (
         with_med.where(v.isNotNull())
         .groupBy(*keys)
         .agg(med(F.abs(v - F.col("__med"))).alias("__mad"))
     )
-    scored = with_med.join(F.broadcast(mads), keys, "left")
+    scored = _join_stats(with_med, mads)
     rz = F.when(
         v.isNotNull() & (F.col("__mad") > 0),
         F.round(

@@ -36,6 +36,31 @@ def epoch_double(c: Column, dt: DataType) -> Column:
     return units.cast("double")
 
 
+def broadcast_if_small(df: DataFrame, max_rows: int = 1_000_000) -> DataFrame:
+    """Broadcast hint gated on MEASURED cardinality — the guard for the
+    "domain-sized statistics frame" join-back pattern (per-group
+    medians, degree tables, stratum cutoffs). An unconditional
+    ``F.broadcast()`` on such a frame is a hint Catalyst cannot
+    decline: when the group domain turns out to scale with the corpus
+    (per-user keys at 100×), the forced hint becomes a driver OOM
+    instead of a graceful shuffle join. This helper persists the frame
+    (it is about to be consumed at least twice — once counted here,
+    once joined), counts it, and hints only when the count is at or
+    under ``max_rows``; above the threshold the plain persisted frame
+    is returned and Catalyst/AQE plan a shuffle join as usual. The
+    persist also means the gating count costs no extra corpus scan:
+    the aggregate that produced the frame materializes into cache
+    exactly once, same as the unguarded plan. The default threshold
+    (1M rows of key+stat columns, low hundreds of MB at worst) sits
+    well under executor memory while still covering every legitimate
+    "domain-sized" frame; callers with wider rows pass a lower cap —
+    the same contract as textops' ``driver_vocab_max`` device."""
+    df = df.persist()
+    if df.count() <= max_rows:
+        return F.broadcast(df)
+    return df
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin repartition up to the session's default parallelism —
     only when the input has FEWER partitions.

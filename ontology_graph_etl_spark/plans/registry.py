@@ -8022,8 +8022,11 @@ def _q170_robust_zscore(spark, sf_dir):
     # the Iglewicz-Hoaglin modified z-score (0.6745·(x−median)/MAD) —
     # the data-cleaning gate that survives the rows it catches, where
     # a mean/stddev z-score is dragged toward its own outliers. Two
-    # grouped exact-percentile aggregates, each broadcasting a
-    # domain-sized statistics frame back onto the stream.
+    # grouped exact-percentile aggregates, each joining a domain-sized
+    # statistics frame back onto the stream NULL-SAFELY under a
+    # count-gated broadcast hint (r15: util.broadcast_if_small + the
+    # eqNullSafe ADVICE fix — a NULL group key is scored like any
+    # other group; the oracle joins IS NOT DISTINCT FROM to match).
     ev = _t(spark, sf_dir, "events")
     return relational.robust_zscore(
         ev.select("event_id", "event_type", "value"),
@@ -8042,7 +8045,7 @@ WITH m AS (
 d AS (
   SELECT e.event_type,
          quantile_cont(abs(CAST(e.value AS DOUBLE) - m.med), 0.5) AS mad
-  FROM events e JOIN m USING (event_type)
+  FROM events e JOIN m ON e.event_type IS NOT DISTINCT FROM m.event_type
   WHERE e.value IS NOT NULL GROUP BY 1
 )
 SELECT e.event_id, e.event_type, e.value,
@@ -8055,8 +8058,8 @@ SELECT e.event_id, e.event_type, e.value,
                                     / d.mad, 6) END) > {_Q170_Z},
                 FALSE) AS is_outlier
 FROM events e
-LEFT JOIN m USING (event_type)
-LEFT JOIN d USING (event_type)
+LEFT JOIN m ON e.event_type IS NOT DISTINCT FROM m.event_type
+LEFT JOIN d ON e.event_type IS NOT DISTINCT FROM d.event_type
 """
 
 

@@ -682,3 +682,120 @@ def test_random_walks_round_broadcasts_frontier(spark, sf_dir):
     df = queries()["q158_random_walks"](spark, sf_dir)
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in final, final[:400]
+
+
+def test_broadcast_if_small_gates_on_measured_count(spark, sf_dir):
+    """util.broadcast_if_small (the r14 VERDICT watch-item fix for
+    the forced-broadcast-on-'domain-sized'-frames class): under the
+    threshold the join carries the broadcast hint; OVER the
+    threshold the hint is withheld and the join degrades to a
+    shuffle join Catalyst can plan — a forced F.broadcast() is a
+    hint Catalyst cannot decline, so a corpus-scaled group domain
+    became a driver OOM instead of a graceful fallback."""
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators.util import broadcast_if_small
+
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # under the cap: hinted — BroadcastHashJoin regardless of stats
+    small = orders.join(
+        broadcast_if_small(stats, max_rows=10_000_000), "o_custkey"
+    )
+    small.count()
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:600]
+    # over the cap: no hint — with autoBroadcast disabled the join
+    # must be a shuffle join (the graceful fallback the forced hint
+    # forbade); persist keeps the gating count from re-aggregating
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        stats2 = orders.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n2")
+        )
+        big = orders.join(
+            broadcast_if_small(stats2, max_rows=1), "o_custkey"
+        )
+        big.count()
+        plan2 = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan2, plan2[:600]
+        assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_random_walks_frontier_gate_semantics(spark, sf_dir):
+    """The frontier broadcast is gated, not unconditional (r14 ADVICE
+    medium): with broadcast_frontier=False (the node-scaled-starts
+    regime — one walk per node makes the frontier corpus-sized) the
+    round join carries NO forced frontier hint, and the walks
+    themselves are bit-identical either way — the hint is a physical
+    choice, never semantics."""
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators.graph import (
+        _walk_round,
+        deterministic_random_walks,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+        .alias("dst"),
+    )
+    starts = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") <= 15)
+        .select(
+            F.concat(F.lit("S"), F.col("s_suppkey").cast("string"))
+            .alias("id")
+        )
+    )
+
+    def walks(**kw):
+        return sorted(
+            (r.walk_id, r.pos, r.node)
+            for r in deterministic_random_walks(
+                edges, starts, steps=2, **kw
+            ).collect()
+        )
+
+    hinted = walks(broadcast_frontier=True)
+    plain = walks(broadcast_frontier=False)
+    auto = walks()  # 15 starts <= default cap -> hint on
+    assert hinted == plain == auto and len(hinted) > 0
+    # the auto gate flips off above max_broadcast_starts
+    capped = walks(max_broadcast_starts=0)
+    assert capped == hinted
+
+    # plan check: no forced frontier broadcast when gated off (with
+    # auto-broadcast disabled so Catalyst can't re-broadcast either
+    # side on its own at the tiny test scale)
+    adj = (
+        edges.groupBy("src")
+        .agg(F.collect_set("dst").alias("__nbrs"))
+        .persist()
+    )
+    adj.count()
+    cur = starts.select(
+        F.col("id").alias("walk_id"),
+        F.lit(0).alias("pos"),
+        F.col("id").alias("node"),
+    ).localCheckpoint()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        rnd = _walk_round(cur, adj, 1, broadcast_frontier=False)
+        rnd.count()
+        plan = rnd._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        adj.unpersist()
+    assert "BroadcastHashJoin" not in plan, plan[:600]

@@ -1176,9 +1176,12 @@ def test_frozen_lm_merge_fold_equivalence(spark, sf_dir, tmp_path):
         )
 
     def fold(path):
+        # recursive: appended batches commit as batch-* subdirs
+        # (crash-atomic staged rename, r15)
         return {
             (r.lang, r.w1, r.w2): r.c
-            for r in spark.read.parquet(path)
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(path)
             .groupBy("lang", "w1", "w2")
             .agg(F.sum("c").alias("c"))
             .collect()
@@ -1220,7 +1223,11 @@ def test_frozen_lm_compact_preserves_scores(spark, sf_dir, tmp_path):
     before = {r.doc_id: r.mean_logprob
               for r in gatestats.score_with_frozen_lm(
                   spark, path, probe).collect()}
-    raw_before = spark.read.parquet(path).count()
+    raw_before = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(path)
+        .count()
+    )
     n = gatestats.compact_lm_counts(spark, path)
     assert 0 < n < raw_before  # duplicates really existed and merged
     assert spark.read.parquet(path).count() == n
@@ -1236,6 +1243,61 @@ def test_frozen_lm_compact_preserves_scores(spark, sf_dir, tmp_path):
             lam=0.5,
             mode="append",
         )
+
+
+def test_frozen_lm_append_crash_atomic(spark, tmp_path):
+    """Crash-atomicity of the LM append path (r14 ADVICE fix): an
+    append COMMITS as a single directory rename into the store, so a
+    job that dies mid-write leaves only an orphaned staging dir the
+    read side never folds in — a silently half-committed count batch
+    would skew every frozen score forever. Verifies (a) committed
+    batches land as batch-* subdirectories and score correctly, and
+    (b) an orphaned ``.staging-*`` dir full of poison counts changes
+    nothing."""
+    import os
+
+    from ontology_graph_etl_spark.operators import gatestats
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha", "en"), (2, "beta gamma beta", "en")],
+        "doc_id: long, text: string, lang_pred: string",
+    )
+    path = str(tmp_path / "lm")
+    gatestats.write_lm_counts(
+        gatestats.build_lm_counts(docs.where("doc_id = 1")), path
+    )
+    gatestats.merge_lm_counts(spark, path, docs.where("doc_id = 2"))
+    subdirs = [
+        d for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d))
+    ]
+    assert len(subdirs) == 1 and subdirs[0].startswith("batch-")
+    before = {
+        r.doc_id: r.mean_logprob
+        for r in gatestats.score_with_frozen_lm(spark, path, docs)
+        .collect()
+    }
+    # simulate a mid-append crash: a staging dir full of poison counts
+    # next to the store (the pre-rename state) — never read
+    poison = spark.createDataFrame(
+        [("en", "alpha", None, 10_000_000)],
+        "lang: string, w1: string, w2: string, c: long",
+    )
+    poison.write.mode("overwrite").parquet(f"{path}.staging-batch-dead")
+    after = {
+        r.doc_id: r.mean_logprob
+        for r in gatestats.score_with_frozen_lm(spark, path, docs)
+        .collect()
+    }
+    assert after == before
+    # compaction folds committed batch subdirs and ignores the orphan
+    gatestats.compact_lm_counts(spark, path)
+    final = {
+        r.doc_id: r.mean_logprob
+        for r in gatestats.score_with_frozen_lm(spark, path, docs)
+        .collect()
+    }
+    assert final == before
 
 
 def test_frozen_ccnet_store_matches_train_on_self(spark, sf_dir, tmp_path):
@@ -1300,17 +1362,20 @@ def test_screen_against_cutoffs_policies(spark, tmp_path):
     assert cuts == {"a": (8.0, 10), "b": (103.0, 4)}
     batch = spark.createDataFrame(
         [("a", 1, 8.0), ("a", 2, 7.999), ("b", 3, None),
-         ("zz", 4, 999.0)],
+         ("zz", 4, 999.0), ("zz", 5, None)],
         "s: string, k: long, v: double",
     )
     got = {r.k: r.keep
            for r in gatestats.screen_against_cutoffs(
                spark, path, batch).collect()}
-    assert got == {1: True, 2: False, 3: False, 4: False}
+    assert got == {1: True, 2: False, 3: False, 4: False, 5: False}
     kept = {r.k: r.keep
             for r in gatestats.screen_against_cutoffs(
                 spark, path, batch, unknown_strata="keep").collect()}
     assert kept[4] is True and kept[3] is False
+    # "NULL scores never keep" is unconditional — it wins over the
+    # unknown-strata 'keep' pass-through too (r14 ADVICE fix)
+    assert kept[5] is False
     with _pytest.raises(ValueError, match="unknown_strata"):
         gatestats.screen_against_cutoffs(
             spark, path, batch, unknown_strata="maybe")
