@@ -8154,64 +8154,359 @@ FROM en CROSS JOIN chi
 #: the round whose window re-certifies them: once a CORRECTNESS file
 #: of that round (or later) carries their green row, the guard FAILS
 #: until the names are removed — the set cannot silently pin window
-#: slots forever. q142 (the r13 member) left the set this round: its
-#: green r13 row exists, and keeping it past the certifying round
-#: would trip the pre-view self-clear on the r14 artifact (the
-#: round-8 failure mode q112 navigated in r10). Add any query whose
-#: oracle text or executed plan changes this round, and bump
-#: RECERTIFY_ROUND to 14.
-RECERTIFY_ROUND = 14
+#: slots forever. The six r14 members (q154/q162/q163/q164 advice
+#: fixes, q155 capped cert, q158 walk rebuild) left the set this
+#: round: their green r14 rows exist, and keeping them past the
+#: certifying round would trip the pre-view self-clear on the r15
+#: artifact (the round-8 failure mode q112 navigated in r10). Add
+#: any query whose oracle text or executed plan changes this round,
+#: and bump RECERTIFY_ROUND to 15.
+RECERTIFY_ROUND = 15
 RECERTIFY: set[str] = {
-    # r13 ADVICE fixes (oracle text and/or executed plan changed):
-    # q154 oracle derives observed from row existence; q162 coalesces
-    # __nn on both engines (oracle also LEFT-joins top); q163 scratch
-    # store is per-invocation mkdtemp; q164's batch projection now
-    # validates the op domain.
-    "q154_gapfill_locf",
-    "q162_categorical_profile",
-    "q163_hll_lifecycle",
-    "q164_cdc_apply",
-    # r14: the certified q155 shape now exercises max_degree=40 in
-    # query and oracle (the cap binds — values change by design);
-    # q158 rebuilt on the persisted adjacency frame (hash-identical,
-    # plan changed wholesale).
-    "q155_adamic_adar",
-    "q158_random_walks",
+    # r15 ADVICE fixes + the broadcast_if_small guard (executed plan
+    # and/or oracle text changed): q165/q166 — screen keep-expression
+    # now ANDs score non-nullness for unknown strata, and the
+    # gate/ccnet builds route through the gated quality-gate hints;
+    # q167 — gated src-degree broadcast (persist+count); q170 —
+    # null-safe stats joins (oracle now IS NOT DISTINCT FROM) + gated
+    # hints; q152/q148/q103 — quality_percentile_gate's bucket
+    # frames (mm/offsets) now persist+count before hinting;
+    # q105/q143 — fill_budget's offsets frame likewise.
+    "q165_frozen_gate_screen",
+    "q166_ccnet_frozen_screen",
+    "q167_bipartite_project",
+    "q170_robust_zscore",
+    "q152_ccnet_pipeline",
+    "q148_model_quality_gate",
+    "q103_quality_gate",
+    "q105_fill_budget",
+    "q143_token_budget_mix",
 }
 
 QUERIES: list[QueryDef] = [
-    # --- ROUND-14 WINDOW (first 50) ---
+    # --- ROUND-15 WINDOW (first 50) ---
     # REGENERATED MECHANICALLY from the CORRECTNESS history (the
     # standing r11 procedure: bucket names by latest-green round,
-    # fill by staleness). Composition: the 7 never-certified
-    # round-14 queries (q171 crosstab chi2, q170 robust z-score
-    # outlier gate, q169 frozen drift baseline, q168 corpus health
-    # report, q167 bipartite projection, q166 CCNet frozen screen,
-    # q165 frozen gate cutoffs — the fifth stored-artifact
-    # lifecycle), the 6 round-14
-    # RECERTIFY members (q154/q162/q163/q164 advice fixes, q155
-    # capped certification, q158 walk rebuild — oracle text or
-    # executed plan changed), the 9 r10-green names that reach the
-    # ceil(161/50)=4-round staleness cap when the r14 artifact lands
-    # (q17/q05/q06/q07/q11/q12/q16/q90/q97 — the r13 VERDICT's gating
-    # item), and the 28 stalest r11-green fills in prior registry
-    # order (the q167–q171 mid-round insertions displaced q70, q73,
-    # q74, q77 and q69 to the tail head per the standing rule). The
-    # 21 remaining r11 names lead the tail at staleness 2
-    # and seed the r15 window with the r12 block behind them;
+    # fill by staleness). Composition: the 9 round-15 RECERTIFY
+    # members (executed plan and/or oracle text changed by the r14
+    # ADVICE fixes + the broadcast_if_small guard: q165/q166 screen
+    # keep-expression + gate/ccnet plan, q167 gated degree
+    # broadcast, q170 null-safe stats joins + oracle, q152/q148/q103
+    # via quality_percentile_gate's gated bucket-frame hints,
+    # q105/q143 via fill_budget's gated offsets hint), then the 21
+    # r11-green names that reach the ceil(164/50)=4-round staleness
+    # cap when the r15 artifact lands (the r14 VERDICT's mandatory
+    # gating item), then the 20 stalest r12-green fills in prior
+    # registry order. The 26 remaining r12 names lead the tail and
+    # seed the r16 window (they hit the cap at r16 — next round's
+    # mandatory rotation), with the r13 then r14 blocks behind them;
     # test_certification_window_freshness is the mechanical
-    # authority. q142 left RECERTIFY (green r13 row recorded; the
-    # pre-view self-clear would trip on the r14 artifact otherwise).
+    # authority. New queries registered mid-round insert at the
+    # window head, each pushing the window's last entry to the tail
+    # head.
     QueryDef(
-        "q171_crosstab_chi2",
-        _q171_crosstab_chi2,
-        _q171_sql,
+        "q165_frozen_gate_screen",
+        _q165_frozen_gate_screen,
+        _q165_sql,
         "§2.11",
+    ),
+    QueryDef(
+        "q166_ccnet_frozen_screen",
+        _q166_ccnet_frozen_screen,
+        _q166_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q167_bipartite_project",
+        _q167_bipartite_project,
+        _q167_sql,
+        "§2.8",
     ),
     QueryDef(
         "q170_robust_zscore",
         _q170_robust_zscore,
         _q170_sql,
+        "§2.11",
+    ),
+    QueryDef(
+        "q152_ccnet_pipeline",
+        _q152_ccnet_pipeline,
+        _q152_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q148_model_quality_gate",
+        _q148_model_quality_gate,
+        _q148_sql,
+        "§2.11",
+    ),
+    QueryDef("q103_quality_gate", _q103_quality_gate, _q103_sql, "§2.11"),
+    QueryDef("q105_fill_budget", _q105_fill_budget, _q105_sql(), "§2.11"),
+    QueryDef(
+        "q143_token_budget_mix",
+        _q143_token_budget_mix,
+        _q143_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q69_cluster_representatives",
+        _q69_cluster_representatives,
+        _q69_sql,
+        "§2.11",
+    ),
+    QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
+    QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
+    QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),
+    QueryDef(
+        "q73_event_correlation",
+        _q73_event_correlation,
+        _q73_sql,
+        "§2.10",
+    ),
+    QueryDef(
+        "q78_incremental_dedup",
+        _q78_incremental_dedup,
+        _q78_oracle_sql(),
+        "§2.11",
+    ),
+    QueryDef("q81_media_features", _q81_media_features, _q81_sql, "multimodal"),
+    QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
+    QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
+    QueryDef("q126_kcore", _q126_kcore, _q126_sql(), "G14"),
+    QueryDef("q127_scd2_historize", _q127_scd2_historize, _q127_sql, "§2.7"),
+    QueryDef("q128_hard_negatives", _q128_hard_negatives, _q128_sql, "§2.11"),
+    QueryDef("q129_bpe_train", _q129_bpe_train, _q129_sql(), "§2.11"),
+    QueryDef("q119_kmeans_train", _q119_kmeans_train, _q119_sql(), "§2.11"),
+    QueryDef("q121_retrieval_eval", _q121_retrieval_eval, _q121_sql(), "§2.11"),
+    QueryDef(
+        "q122_ivf_trained_topk",
+        _q122_ivf_trained_topk,
+        _q122_sql(),
+        "§2.11",
+    ),
+    QueryDef("q124_bpe_pair_stats", _q124_bpe_pair_stats, _q124_sql, "§2.11"),
+    QueryDef(
+        "q125_leakage_free_split",
+        _q125_leakage_free_split,
+        _q125_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q112_depth_histogram_roots",
+        _q112_depth_histogram_roots,
+        _q112_sql,
+        "G12",
+    ),
+    QueryDef(
+        "q120_index_screen",
+        _q120_index_screen,
+        _q78_oracle_sql(7),
+        "§2.11",
+    ),
+    QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
+    QueryDef(
+        "q147_winnow_fingerprints",
+        _q147_winnow_fingerprints,
+        _q147_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q146_semantic_outlier_gate",
+        _q146_semantic_outlier_gate,
+        _q146_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q145_ngram_novelty",
+        _q145_ngram_novelty,
+        _q145_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q144_tokenizer_fertility",
+        _q144_tokenizer_fertility,
+        _q144_sql(),
+        "§2.11",
+    ),
+    QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
+    QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
+    QueryDef(
+        "q62_embedding_neardup",
+        _q62_embedding_neardup,
+        _q62_sql,
+        "§2.11",
+    ),
+    QueryDef(
+        "q100_apportion_budget",
+        _q100_apportion_budget,
+        _q100_sql,
+        "§2.11",
+    ),
+    QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),
+    QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
+    QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
+    QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
+    QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
+    QueryDef(
+        "q65_deterministic_split",
+        _q65_deterministic_split,
+        _q65_sql,
+        "§2.11",
+    ),
+    QueryDef(
+        "q68_stratified_sample",
+        _q68_stratified_sample,
+        _q68_sql,
+        "§2.11",
+    ),
+    QueryDef("q72_pii_redact", _q72_pii_redact, _q72_sql, "§2.11"),
+    QueryDef(
+        "q106_personalized_pagerank",
+        _q106_personalized_pagerank,
+        _ppr_oracle_sql(3),
+        "§2.8",
+    ),
+    QueryDef("q37_pagerank", _q37_pagerank, _q37_sql, "G8"),
+    QueryDef("q107_depth_histogram", _q107_depth_histogram, _q107_sql, "G5"),
+    QueryDef("q101_winsorize", _q101_winsorize, _q101_sql, "§2.11"),
+    # --- TAIL (not certified this round; 26 r12 names lead, seeding r16) ---
+    QueryDef(
+        "q92_distribution_drift",
+        _q92_distribution_drift,
+        _q92_sql,
+        "§2.11",
+    ),
+    QueryDef("q104_corpus_profile", _q104_corpus_profile, _q104_sql, "§2.11"),
+    QueryDef("q99_lsh_quality", _q99_lsh_quality, _q99_sql(), "§2.11"),
+    QueryDef("q34_degrees", _q34_degrees, _q34_sql, "G6"),
+    QueryDef("q26_asof_join", _q26_asof_join, _q26_sql, "§2.7"),
+    QueryDef("q89_asof_forward", _q89_asof_forward, _q89_sql, "§2.7"),
+    QueryDef("q82_lsh_neardup", _q82_lsh_neardup, _q82_sql, "§2.11"),
+    QueryDef("q86_ivf_det_topk", _q86_ivf_det_topk, _q86_sql(), "§2.11"),
+    QueryDef("q85_curate", _q85_curate, _q85_sql(), "§2.11"),
+    QueryDef("q80_binary_meta", _q80_binary_meta, _q80_sql, "multimodal"),
+    QueryDef("q30_one_hop", _q30_one_hop, _q30_sql, "G3"),
+    QueryDef("q31_two_hop_motif", _q31_two_hop_motif, _q31_sql, "G4"),
+    QueryDef("q32_closure", _q32_closure, _q32_sql, "G5"),
+    QueryDef("q33_edge_histogram", _q33_edge_histogram, _q33_sql, "G6"),
+    QueryDef("q43_gap_stats", _q43_gap_stats, _q43_sql, "§2.9"),
+    QueryDef("q40_tumbling_agg", _q40_tumbling_agg, _q40_sql, "§2.10"),
+    QueryDef("q41_session_window", _q41_session_window, _q41_sql, "§2.10"),
+    QueryDef("q42_sliding_window", _q42_sliding_window, _q42_sql, "§2.10"),
+    QueryDef("q53_approx_agg", _q53_approx_agg, _q53_sql, "§2.11"),
+    QueryDef(
+        "q135_interval_overlap",
+        _q135_interval_overlap,
+        _q135_sql,
+        "§2.7",
+    ),
+    QueryDef(
+        "q134_containment_pairs",
+        _q134_containment_pairs,
+        _q134_sql,
+        "§2.11",
+    ),
+    QueryDef("q130_bpe_encode", _q130_bpe_encode, _q130_sql(), "§2.11"),
+    QueryDef("q123_quantize_recon", _q123_quantize_recon, _q123_sql(), "§2.11"),
+    QueryDef("q61_lsh_topk", _q61_lsh_topk, _q61_sql(), "§2.11"),
+    QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
+    QueryDef("q71_repetition", _q71_repetition, _q71_sql, "§2.11"),
+    QueryDef(
+        "q161_transition_matrix",
+        _q161_transition_matrix,
+        _q161_sql,
+        "§2.7",
+    ),
+    QueryDef(
+        "q160_vocab_drift",
+        _q160_vocab_drift,
+        _q160_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q159_group_ols",
+        _q159_group_ols,
+        _q159_sql,
+        "§2.7",
+    ),
+    QueryDef(
+        "q157_assoc_pairs",
+        _q157_assoc_pairs,
+        _q157_sql,
+        "§2.7",
+    ),
+    QueryDef(
+        "q156_scc",
+        _q156_scc,
+        _q156_sql,
+        "§2.8",
+    ),
+    QueryDef(
+        "q153_fuzzy_join",
+        _q153_fuzzy_join,
+        _q153_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q151_multimodal_neardup",
+        _q151_multimodal_neardup,
+        _q151_sql,
+        "multimodal",
+    ),
+    QueryDef(
+        "q150_bpe_train_deep",
+        _q150_bpe_train_deep,
+        _q150_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q149_fixpoint_removal",
+        _q149_fixpoint_removal,
+        _q149_sql(),
+        "§2.11",
+    ),
+    QueryDef("q142_shard_export", _q142_shard_export, _q142_sql(), "§2.11"),
+    QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
+    QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
+    QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
+    QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
+    QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
+    QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
+    QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
+    QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
+    QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
+    QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
+    QueryDef("q25_rollup", _q25_rollup, _q25_sql, "§2.7"),
+    QueryDef("q27_cube", _q27_cube, _q27_sql, "§2.7"),
+    QueryDef("q01_scan_jsonl", _q01_scan_jsonl, _q01_sql, "S1,P1"),
+    QueryDef("q02_scan_map", _q02_scan_map, _q02_sql, "S3"),
+    QueryDef("q03_prefix_scan", _q03_prefix_scan, _q03_sql, "S5,P6"),
+    QueryDef("q04_meta_project", _q04_meta_project, _q04_sql, "S6"),
+    QueryDef("q08_lookup_join", _q08_lookup_join, _q08_sql, "J1,P5"),
+    QueryDef("q09_anti_join", _q09_anti_join, _q09_sql, "J2"),
+    QueryDef("q10_edge_join", _q10_edge_join, _q10_sql, "J3,G2"),
+    QueryDef("q13_group_count", _q13_group_count, _q13_sql, "A2"),
+    QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
+    QueryDef("q110_span_removal", _q110_span_removal, _q110_sql, "§2.11"),
+    QueryDef("q111_topo_depth", _q111_topo_depth, _q111_sql, "G12"),
+    QueryDef("q113_bm25_topk", _q113_bm25_topk, _q113_sql, "§2.11"),
+    QueryDef("q114_multi_profile", _q114_multi_profile, _q114_sql, "§2.11"),
+    QueryDef(
+        "q115_hybrid_retrieval",
+        _q115_hybrid_retrieval,
+        _q115_sql,
+        "§2.11",
+    ),
+    QueryDef("q116_pivot", _q116_pivot, _q116_sql, "§2.7"),
+    QueryDef("q117_unpivot", _q117_unpivot, _q117_sql, "§2.7"),
+    QueryDef("q118_star_rollup", _q118_star_rollup, _q118_sql, "§2.7"),
+    QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
+    QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
+    QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
+    QueryDef(
+        "q171_crosstab_chi2",
+        _q171_crosstab_chi2,
+        _q171_sql,
         "§2.11",
     ),
     QueryDef(
@@ -8224,24 +8519,6 @@ QUERIES: list[QueryDef] = [
         "q168_corpus_health",
         _q168_corpus_health,
         _q168_sql,
-        "§2.11",
-    ),
-    QueryDef(
-        "q167_bipartite_project",
-        _q167_bipartite_project,
-        _q167_sql,
-        "§2.8",
-    ),
-    QueryDef(
-        "q166_ccnet_frozen_screen",
-        _q166_ccnet_frozen_screen,
-        _q166_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q165_frozen_gate_screen",
-        _q165_frozen_gate_screen,
-        _q165_sql,
         "§2.11",
     ),
     QueryDef(
@@ -8372,281 +8649,6 @@ QUERIES: list[QueryDef] = [
         _q67_oracle_sql(),
         "§2.11",
     ),
-    # --- TAIL (not certified this round) ---
-    QueryDef(
-        "q69_cluster_representatives",
-        _q69_cluster_representatives,
-        _q69_sql,
-        "§2.11",
-    ),
-    QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
-    QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
-    QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),
-    QueryDef(
-        "q73_event_correlation",
-        _q73_event_correlation,
-        _q73_sql,
-        "§2.10",
-    ),
-    QueryDef(
-        "q78_incremental_dedup",
-        _q78_incremental_dedup,
-        _q78_oracle_sql(),
-        "§2.11",
-    ),
-    QueryDef("q81_media_features", _q81_media_features, _q81_sql, "multimodal"),
-    QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
-    QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
-    QueryDef("q126_kcore", _q126_kcore, _q126_sql(), "G14"),
-    QueryDef("q127_scd2_historize", _q127_scd2_historize, _q127_sql, "§2.7"),
-    QueryDef("q128_hard_negatives", _q128_hard_negatives, _q128_sql, "§2.11"),
-    QueryDef("q129_bpe_train", _q129_bpe_train, _q129_sql(), "§2.11"),
-    QueryDef("q119_kmeans_train", _q119_kmeans_train, _q119_sql(), "§2.11"),
-    QueryDef("q121_retrieval_eval", _q121_retrieval_eval, _q121_sql(), "§2.11"),
-    QueryDef(
-        "q122_ivf_trained_topk",
-        _q122_ivf_trained_topk,
-        _q122_sql(),
-        "§2.11",
-    ),
-    QueryDef("q124_bpe_pair_stats", _q124_bpe_pair_stats, _q124_sql, "§2.11"),
-    QueryDef(
-        "q125_leakage_free_split",
-        _q125_leakage_free_split,
-        _q125_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q112_depth_histogram_roots",
-        _q112_depth_histogram_roots,
-        _q112_sql,
-        "G12",
-    ),
-    QueryDef(
-        "q120_index_screen",
-        _q120_index_screen,
-        _q78_oracle_sql(7),
-        "§2.11",
-    ),
-    QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
-    QueryDef(
-        "q147_winnow_fingerprints",
-        _q147_winnow_fingerprints,
-        _q147_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q146_semantic_outlier_gate",
-        _q146_semantic_outlier_gate,
-        _q146_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q145_ngram_novelty",
-        _q145_ngram_novelty,
-        _q145_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q144_tokenizer_fertility",
-        _q144_tokenizer_fertility,
-        _q144_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q143_token_budget_mix",
-        _q143_token_budget_mix,
-        _q143_sql(),
-        "§2.11",
-    ),
-    QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
-    QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
-    QueryDef(
-        "q62_embedding_neardup",
-        _q62_embedding_neardup,
-        _q62_sql,
-        "§2.11",
-    ),
-    QueryDef(
-        "q100_apportion_budget",
-        _q100_apportion_budget,
-        _q100_sql,
-        "§2.11",
-    ),
-    QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),
-    QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
-    QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
-    QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
-    QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
-    QueryDef(
-        "q65_deterministic_split",
-        _q65_deterministic_split,
-        _q65_sql,
-        "§2.11",
-    ),
-    QueryDef(
-        "q68_stratified_sample",
-        _q68_stratified_sample,
-        _q68_sql,
-        "§2.11",
-    ),
-    QueryDef("q72_pii_redact", _q72_pii_redact, _q72_sql, "§2.11"),
-    QueryDef("q105_fill_budget", _q105_fill_budget, _q105_sql(), "§2.11"),
-    QueryDef(
-        "q106_personalized_pagerank",
-        _q106_personalized_pagerank,
-        _ppr_oracle_sql(3),
-        "§2.8",
-    ),
-    QueryDef("q37_pagerank", _q37_pagerank, _q37_sql, "G8"),
-    QueryDef("q107_depth_histogram", _q107_depth_histogram, _q107_sql, "G5"),
-    QueryDef("q103_quality_gate", _q103_quality_gate, _q103_sql, "§2.11"),
-    QueryDef("q101_winsorize", _q101_winsorize, _q101_sql, "§2.11"),
-    QueryDef(
-        "q92_distribution_drift",
-        _q92_distribution_drift,
-        _q92_sql,
-        "§2.11",
-    ),
-    QueryDef("q104_corpus_profile", _q104_corpus_profile, _q104_sql, "§2.11"),
-    QueryDef("q99_lsh_quality", _q99_lsh_quality, _q99_sql(), "§2.11"),
-    QueryDef("q34_degrees", _q34_degrees, _q34_sql, "G6"),
-    QueryDef("q26_asof_join", _q26_asof_join, _q26_sql, "§2.7"),
-    QueryDef("q89_asof_forward", _q89_asof_forward, _q89_sql, "§2.7"),
-    QueryDef("q82_lsh_neardup", _q82_lsh_neardup, _q82_sql, "§2.11"),
-    QueryDef("q86_ivf_det_topk", _q86_ivf_det_topk, _q86_sql(), "§2.11"),
-    QueryDef("q85_curate", _q85_curate, _q85_sql(), "§2.11"),
-    QueryDef("q80_binary_meta", _q80_binary_meta, _q80_sql, "multimodal"),
-    QueryDef("q30_one_hop", _q30_one_hop, _q30_sql, "G3"),
-    QueryDef("q31_two_hop_motif", _q31_two_hop_motif, _q31_sql, "G4"),
-    QueryDef("q32_closure", _q32_closure, _q32_sql, "G5"),
-    QueryDef("q33_edge_histogram", _q33_edge_histogram, _q33_sql, "G6"),
-    QueryDef("q43_gap_stats", _q43_gap_stats, _q43_sql, "§2.9"),
-    QueryDef("q40_tumbling_agg", _q40_tumbling_agg, _q40_sql, "§2.10"),
-    QueryDef("q41_session_window", _q41_session_window, _q41_sql, "§2.10"),
-    QueryDef("q42_sliding_window", _q42_sliding_window, _q42_sql, "§2.10"),
-    QueryDef("q53_approx_agg", _q53_approx_agg, _q53_sql, "§2.11"),
-    QueryDef(
-        "q135_interval_overlap",
-        _q135_interval_overlap,
-        _q135_sql,
-        "§2.7",
-    ),
-    QueryDef(
-        "q134_containment_pairs",
-        _q134_containment_pairs,
-        _q134_sql,
-        "§2.11",
-    ),
-    QueryDef("q130_bpe_encode", _q130_bpe_encode, _q130_sql(), "§2.11"),
-    QueryDef("q123_quantize_recon", _q123_quantize_recon, _q123_sql(), "§2.11"),
-    QueryDef("q61_lsh_topk", _q61_lsh_topk, _q61_sql(), "§2.11"),
-    QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
-    QueryDef("q71_repetition", _q71_repetition, _q71_sql, "§2.11"),
-    QueryDef(
-        "q161_transition_matrix",
-        _q161_transition_matrix,
-        _q161_sql,
-        "§2.7",
-    ),
-    QueryDef(
-        "q160_vocab_drift",
-        _q160_vocab_drift,
-        _q160_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q159_group_ols",
-        _q159_group_ols,
-        _q159_sql,
-        "§2.7",
-    ),
-    QueryDef(
-        "q157_assoc_pairs",
-        _q157_assoc_pairs,
-        _q157_sql,
-        "§2.7",
-    ),
-    QueryDef(
-        "q156_scc",
-        _q156_scc,
-        _q156_sql,
-        "§2.8",
-    ),
-    QueryDef(
-        "q153_fuzzy_join",
-        _q153_fuzzy_join,
-        _q153_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q152_ccnet_pipeline",
-        _q152_ccnet_pipeline,
-        _q152_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q151_multimodal_neardup",
-        _q151_multimodal_neardup,
-        _q151_sql,
-        "multimodal",
-    ),
-    QueryDef(
-        "q150_bpe_train_deep",
-        _q150_bpe_train_deep,
-        _q150_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q149_fixpoint_removal",
-        _q149_fixpoint_removal,
-        _q149_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q148_model_quality_gate",
-        _q148_model_quality_gate,
-        _q148_sql,
-        "§2.11",
-    ),
-    QueryDef("q142_shard_export", _q142_shard_export, _q142_sql(), "§2.11"),
-    QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
-    QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
-    QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
-    QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
-    QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
-    QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
-    QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
-    QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
-    QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
-    QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
-    QueryDef("q25_rollup", _q25_rollup, _q25_sql, "§2.7"),
-    QueryDef("q27_cube", _q27_cube, _q27_sql, "§2.7"),
-    QueryDef("q01_scan_jsonl", _q01_scan_jsonl, _q01_sql, "S1,P1"),
-    QueryDef("q02_scan_map", _q02_scan_map, _q02_sql, "S3"),
-    QueryDef("q03_prefix_scan", _q03_prefix_scan, _q03_sql, "S5,P6"),
-    QueryDef("q04_meta_project", _q04_meta_project, _q04_sql, "S6"),
-    QueryDef("q08_lookup_join", _q08_lookup_join, _q08_sql, "J1,P5"),
-    QueryDef("q09_anti_join", _q09_anti_join, _q09_sql, "J2"),
-    QueryDef("q10_edge_join", _q10_edge_join, _q10_sql, "J3,G2"),
-    QueryDef("q13_group_count", _q13_group_count, _q13_sql, "A2"),
-    QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
-    QueryDef("q110_span_removal", _q110_span_removal, _q110_sql, "§2.11"),
-    QueryDef("q111_topo_depth", _q111_topo_depth, _q111_sql, "G12"),
-    QueryDef("q113_bm25_topk", _q113_bm25_topk, _q113_sql, "§2.11"),
-    QueryDef("q114_multi_profile", _q114_multi_profile, _q114_sql, "§2.11"),
-    QueryDef(
-        "q115_hybrid_retrieval",
-        _q115_hybrid_retrieval,
-        _q115_sql,
-        "§2.11",
-    ),
-    QueryDef("q116_pivot", _q116_pivot, _q116_sql, "§2.7"),
-    QueryDef("q117_unpivot", _q117_unpivot, _q117_sql, "§2.7"),
-    QueryDef("q118_star_rollup", _q118_star_rollup, _q118_sql, "§2.7"),
-    QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
-    QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
-    QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
 ]
 
 
