@@ -183,6 +183,7 @@ HEADLINE = [
     "q169_drift_baseline",
     "q170_robust_zscore",
     "q171_crosstab_chi2",
+    "q172_ingest_micro_batch",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

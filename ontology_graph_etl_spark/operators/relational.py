@@ -1249,7 +1249,12 @@ def quality_percentile_gate(
     )
     return (
         local.join(
-            broadcast_if_small(offsets),
+            # strata×bucket-sized, but NOT hinted: offsets' lineage is
+            # a corpus-scan groupBy, so a count-gated hint would pay a
+            # second corpus aggregate, and a forced hint on a
+            # corpus-scaled stratum domain is a driver OOM — AQE
+            # broadcasts it from its measured runtime size instead
+            offsets,
             F.col(strata_col).eqNullSafe(F.col("__qs"))
             & (local["__bkt"] == offsets["__bkt"]),
         )
@@ -1476,9 +1481,11 @@ def fill_budget(
         # emitting them with keep=false
         summed = (
             local.join(
-                # domain×bucket-sized (buckets ≤ 4096); gate the hint
-                # on a measured count all the same — domains can scale
-                broadcast_if_small(offsets),
+                # domain×bucket-sized (buckets ≤ 4096) but NOT hinted:
+                # offsets' lineage is a corpus-scan groupBy (a gating
+                # count would re-run it) and domains can scale — AQE
+                # broadcasts from the measured runtime size instead
+                offsets,
                 F.col(domain_col).eqNullSafe(F.col("__fb_dom"))
                 & F.col("__bkt").eqNullSafe(F.col("__fb_bkt")),
             )
@@ -2041,9 +2048,12 @@ def robust_zscore(
     by default — DuckDB's ``quantile_cont`` interpolation, the q44
     precedent — so the flags are engine-portable), each collapsing to
     a group-domain-sized frame joined back NULL-SAFELY (a NULL group
-    key is a group like any other) under a COUNT-GATED broadcast hint
-    (util.broadcast_if_small — a corpus-scaled group domain degrades
-    to a shuffle join instead of a forced-broadcast OOM); the corpus is
+    key is a group like any other) with NO forced broadcast hint —
+    AQE sees the aggregate's actual output size at runtime and picks
+    the broadcast join itself, so a corpus-scaled group domain
+    degrades to a shuffle join instead of a forced-broadcast OOM,
+    with zero extra jobs (r15: a count-gated hint re-executed the
+    percentile aggregates and measured 1.7-3x slower); the corpus is
     scanned twice (once per statistic — MAD needs the median first)
     and never shuffles on anything but the group key inside the
     aggregates. ``approx=True`` swaps both percentiles for the
@@ -2070,10 +2080,14 @@ def robust_zscore(
         # and a plain equi join would silently never match it back —
         # rows with a NULL group key got stats computed but NULL
         # robust_z / is_outlier=false (the screen_against_cutoffs
-        # contract, applied here; r14 ADVICE fix). The stats frame is
-        # group-domain-sized by contract, but the hint is GATED on a
-        # measured count (util.broadcast_if_small) so a corpus-scaled
-        # domain degrades to a shuffle join instead of a driver OOM.
+        # contract, applied here; r14 ADVICE fix). NO forced broadcast
+        # hint: the stats frame is group-domain-sized by contract, but
+        # a corpus-scaled domain would turn an undeclinable hint into
+        # a driver OOM — AQE reads the aggregate's ACTUAL output size
+        # at the stage boundary and converts to a broadcast join when
+        # it is small (measured: AQE picks broadcast here at every
+        # test scale; a count-gated hint was 1.7-4x slower because the
+        # gating count re-executed the percentile aggregate).
         renamed = stats.select(
             *[F.col(k).alias(a) for k, a in zip(keys, akeys)],
             *[c for c in stats.columns if c not in keys],
@@ -2082,9 +2096,7 @@ def robust_zscore(
             lambda x, y: x & y,
             [F.col(k).eqNullSafe(F.col(a)) for k, a in zip(keys, akeys)],
         )
-        return left.join(
-            broadcast_if_small(renamed), cond, "left"
-        ).drop(*akeys)
+        return left.join(renamed, cond, "left").drop(*akeys)
 
     def med(col):
         if approx:

@@ -653,3 +653,195 @@ def corpus_health_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def ingest_micro_batch(
+    spark,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dedup_index_path: str | None = None,
+    dedup_threshold: float = 0.5,
+    substring_index_path: str | None = None,
+    max_dup_char_frac: float = 0.5,
+    ccnet_store_dir: str | None = None,
+    unknown_strata: str = "drop",
+    drift_baseline_path: str | None = None,
+    drift_psi_threshold: float = 0.2,
+    hll_store_path: str | None = None,
+    merge_accepted: bool = True,
+) -> DataFrame:
+    """ONE audited call for the continuous-ingest production loop —
+    screen a micro-batch against every stored lifecycle it opts into,
+    emit a per-document decision trail (the ``curate_pretraining_
+    corpus`` audit shape), and fold the ACCEPTED documents back into
+    the maintainable stores so batch N+1 sees batch N:
+
+    * ``dedup_index_path`` — MinHash-LSH band index
+      (:func:`operators.dedup.screen_against_index`): per doc
+      ``n_near_dups``, ``max_jaccard`` (6dp, NULL when no verified
+      near-dup at ``dedup_threshold``), ``near_dup``.
+    * ``substring_index_path`` — corpus window fingerprints
+      (:func:`operators.textops.screen_against_substring_index`):
+      ``n_chars``, ``dup_chars``, ``n_dup_spans``, ``dup_char_frac``
+      (6dp; 0.0 for empty docs), ``substr_reject`` =
+      frac > ``max_dup_char_frac``.
+    * ``ccnet_store_dir`` — frozen CCNet store
+      (:func:`operators.gatestats.screen_ccnet_frozen`):
+      ``lang_pred``, ``mean_logprob``, ``ccnet_keep``.
+    * ``drift_baseline_path`` — frozen drift baseline
+      (:func:`operators.gatestats.psi_against_baseline`): the batch's
+      per-column PSI collapses to ``drift_psi_max`` + ``drift_alarm``
+      (> ``drift_psi_threshold``) riding on every row — a batch-level
+      monitor recorded in the trail (the conditions under which each
+      doc was admitted), never a per-doc gate.
+    * ``hll_store_path`` — cardinality sketch store
+      (:func:`operators.sketches`): pure maintenance (accepted docs
+      merge in under the sidecar's own group/value columns); sketches
+      gate nothing, so no trail column.
+
+    ``accepted`` = NOT near_dup AND NOT substr_reject AND ccnet_keep,
+    each conjunct only when its store is opted in. The trail is
+    ``localCheckpoint``-MATERIALIZED before any store is written:
+    verdicts are frozen first, so the fold-back can never leak the
+    batch's own fingerprints into its own screen (and the returned
+    frame stays valid after the merges). With ``merge_accepted`` the
+    accepted rows append into the dedup band index, the substring
+    fingerprint index, and the HLL store — each an O(batch) append
+    under the store's frozen sidecar parameters (never a corpus
+    read); the CCNet and drift stores are FROZEN by contract (that is
+    their point — Wenzek-style screens and monitors compare every
+    batch against the same reference) and are never written here.
+
+    Scale shape: everything is batch-sized — the corpus appears only
+    through the stored artifacts (band rows, fingerprints, count
+    tables, baseline shares), each read pruned to its join. Screening
+    the Nth batch costs the same as the first; the one cross-batch
+    state is the stores themselves.
+    """
+    from .operators import gatestats, sketches
+    from .operators.dedup import merge_dedup_index, screen_against_index
+    from .operators.textops import (
+        merge_substring_index,
+        screen_against_substring_index,
+    )
+
+    stores = (
+        dedup_index_path,
+        substring_index_path,
+        ccnet_store_dir,
+        drift_baseline_path,
+        hll_store_path,
+    )
+    if all(s is None for s in stores):
+        raise ValueError(
+            "ingest_micro_batch: no store opted in — pass at least one "
+            "of dedup_index_path / substring_index_path / "
+            "ccnet_store_dir / drift_baseline_path / hll_store_path"
+        )
+    trail = batch.select(id_col)
+    gates = []
+    if dedup_index_path is not None:
+        pairs = screen_against_index(
+            spark,
+            dedup_index_path,
+            batch,
+            id_col,
+            text_col,
+            threshold=dedup_threshold,
+        )
+        hits = pairs.groupBy("incoming_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_near_dups"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+        trail = (
+            trail.join(
+                hits, trail[id_col] == hits["incoming_id"], "left"
+            )
+            .drop("incoming_id")
+            .withColumn(
+                "n_near_dups",
+                F.coalesce("n_near_dups", F.lit(0).cast("long")),
+            )
+            .withColumn("near_dup", F.col("max_jaccard").isNotNull())
+        )
+        gates.append(~F.col("near_dup"))
+    if substring_index_path is not None:
+        spans = screen_against_substring_index(
+            spark, substring_index_path, batch, id_col, text_col
+        )
+        frac = F.when(
+            F.col("n_chars") > 0,
+            F.round(F.col("dup_chars") / F.col("n_chars"), 6),
+        ).otherwise(F.lit(0.0))
+        trail = trail.join(
+            spans.withColumn("dup_char_frac", frac).withColumn(
+                "substr_reject",
+                F.col("dup_char_frac") > F.lit(max_dup_char_frac),
+            ),
+            id_col,
+            "left",
+        )
+        gates.append(~F.col("substr_reject"))
+    if ccnet_store_dir is not None:
+        ccnet = gatestats.screen_ccnet_frozen(
+            spark,
+            ccnet_store_dir,
+            batch,
+            id_col,
+            text_col,
+            unknown_strata=unknown_strata,
+        ).withColumnRenamed("keep", "ccnet_keep")
+        trail = trail.join(ccnet, id_col, "left")
+        gates.append(F.coalesce("ccnet_keep", F.lit(False)))
+    if drift_baseline_path is not None:
+        psi = gatestats.psi_against_baseline(
+            spark, drift_baseline_path, batch
+        )
+        mx = psi.agg(
+            F.round(F.max("psi"), 6).alias("drift_psi_max")
+        )
+        trail = trail.crossJoin(F.broadcast(mx)).withColumn(
+            "drift_alarm",
+            F.coalesce(
+                F.col("drift_psi_max") > F.lit(drift_psi_threshold),
+                F.lit(False),
+            ),
+        )
+    accepted_col = F.lit(True)
+    for g in gates:
+        accepted_col = accepted_col & g
+    trail = trail.withColumn("accepted", accepted_col)
+    # freeze the verdicts BEFORE mutating any store the screens read
+    trail = trail.localCheckpoint()
+    if merge_accepted:
+        ok_ids = trail.where("accepted").select(id_col)
+        accepted_docs = batch.join(ok_ids, id_col, "left_semi")
+        if dedup_index_path is not None:
+            merge_dedup_index(
+                spark, dedup_index_path, accepted_docs, id_col, text_col
+            )
+        if substring_index_path is not None:
+            merge_substring_index(
+                spark, substring_index_path, accepted_docs, id_col,
+                text_col,
+            )
+        if hll_store_path is not None:
+            from .operators.util import read_json_sidecar
+
+            stored = read_json_sidecar(
+                spark,
+                hll_store_path,
+                sketches._SIDECAR,
+                sketches._PARAM_KEYS,
+                "hll sketch store",
+                "rebuild via write_cardinality_sketches",
+            )
+            sketches.merge_cardinality_sketches(
+                spark,
+                hll_store_path,
+                accepted_docs,
+                list(stored["group_cols"]),
+                str(stored["value_col"]),
+            )
+    return trail

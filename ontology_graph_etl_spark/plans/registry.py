@@ -8023,10 +8023,11 @@ def _q170_robust_zscore(spark, sf_dir):
     # the data-cleaning gate that survives the rows it catches, where
     # a mean/stddev z-score is dragged toward its own outliers. Two
     # grouped exact-percentile aggregates, each joining a domain-sized
-    # statistics frame back onto the stream NULL-SAFELY under a
-    # count-gated broadcast hint (r15: util.broadcast_if_small + the
-    # eqNullSafe ADVICE fix — a NULL group key is scored like any
-    # other group; the oracle joins IS NOT DISTINCT FROM to match).
+    # statistics frame back onto the stream NULL-SAFELY (r15 eqNullSafe
+    # ADVICE fix — a NULL group key is scored like any other group;
+    # the oracle joins IS NOT DISTINCT FROM to match) with NO forced
+    # broadcast hint — AQE broadcasts from the measured runtime size,
+    # so a corpus-scaled group domain cannot OOM the driver.
     ev = _t(spark, sf_dir, "events")
     return relational.robust_zscore(
         ev.select("event_id", "event_type", "value"),
@@ -8115,6 +8116,291 @@ FROM en CROSS JOIN chi
 """
 
 
+# --- q172: one-call incremental-ingest composition ------------------------
+
+_Q172_MOD = 6          # %6 split — q78 uses %10, q120 %7, q138 %4, q166 %2
+_Q172_THRESH = 0.5     # verified-jaccard near-dup bar (the q78 bar)
+_Q172_L = 30           # substring window length (the q131/q138 contract)
+_Q172_FRAC = 0.5       # max duplicated-char fraction
+_Q172_PSI = 0.2        # conventional PSI action threshold
+
+
+def _q172_ingest_micro_batch(spark, sf_dir):
+    # The one-call production ingest loop (pipelines.ingest_micro_
+    # batch): docs with doc_id % 6 != 0 play the existing corpus and
+    # build ALL FIVE stored lifecycles cold (MinHash-LSH band index +
+    # sidecar, substring fingerprint index + sidecar, frozen CCNet
+    # store (LM count tables + cutoffs), frozen drift baseline, HLL
+    # sketch store); the % 6 == 0 split arrives as ONE micro-batch
+    # and gets the full per-doc decision trail — near-dup verdict
+    # (verified jaccard >= 0.5 against the stored bands), duplicated-
+    # char fraction vs the stored fingerprints, frozen-CCNet
+    # language/score/keep, the batch-level drift PSI + alarm, and the
+    # composed `accepted`. Accepted docs then fold back into the
+    # maintainable stores (band index, fingerprints, HLL) — the trail
+    # is checkpoint-frozen first, so the hash certifies the verdicts
+    # + every store's build/read round-trip, while the fold-back is
+    # exercised on every invocation (its cross-batch semantics are
+    # pinned by the three-micro-batch foreachBatch lifecycle test in
+    # tests/test_streaming.py). md5 base hashes so band keys and
+    # window fingerprints re-derive in DuckDB.
+    import atexit
+    import shutil
+    import tempfile
+
+    from .. import pipelines
+    from ..operators import gatestats, sketches
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % _Q172_MOD != 0)
+    batch = docs.where(F.col("doc_id") % _Q172_MOD == 0)
+    scratch = tempfile.mkdtemp(prefix="q172_ingest_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    dd, ss = scratch + "/bands", scratch + "/substr"
+    cc, bl, hl = scratch + "/ccnet", scratch + "/baseline", scratch + "/hll"
+    dedup.write_dedup_index(
+        dedup.prepare_dedup_index(
+            ref, "doc_id", "text",
+            num_hashes=64, bands=16, shingle_n=3, base_hash="md5",
+        ),
+        dd, num_hashes=64, bands=16, shingle_n=3, base_hash="md5",
+    )
+    textops.write_substring_index(
+        ref, ss, "doc_id", "text", min_len=_Q172_L, base_hash="md5"
+    )
+    gatestats.build_ccnet_store(
+        ref.select("doc_id", "text"), cc,
+        langs=["en", "und"], keep_pct=_Q152_PCT, lam=_Q152_LAM,
+    )
+    gatestats.build_drift_baseline(
+        ref, bl, cat_cols=["lang"], num_cols=["n_chars"]
+    )
+    sketches.write_cardinality_sketches(
+        sketches.build_cardinality_sketches(ref, ["lang"], "doc_id"),
+        hl, ["lang"], "doc_id",
+    )
+    return pipelines.ingest_micro_batch(
+        spark, batch, "doc_id", "text",
+        dedup_index_path=dd, dedup_threshold=_Q172_THRESH,
+        substring_index_path=ss, max_dup_char_frac=_Q172_FRAC,
+        ccnet_store_dir=cc,
+        drift_baseline_path=bl, drift_psi_threshold=_Q172_PSI,
+        hll_store_path=hl,
+    )
+
+
+def _q172_sql() -> str:
+    """Composed oracle: the q166 lang-ID + frozen-CCNet blocks, the
+    q78 minhash/band/verify chain (dd_ prefix, %6 split, 0.5 bar),
+    the q138 window-fingerprint span chain (ss_ prefix), and the q169
+    PSI blocks, all over the SAME ref/bat split, joined into one
+    per-batch-doc verdict row."""
+    p = 2147483647
+    perms = ",\n    ".join(
+        f"({k}, {a}::BIGINT, {b}::BIGINT)"
+        for k, (a, b) in enumerate(dedup._permutation_constants(64))
+    )
+    m, L = _Q172_MOD, _Q172_L
+    return (
+        rf"""
+WITH lang AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         CASE WHEN round(CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks,
+                     x -> x IN ({_STOPWORD_SQL_LIST}))) AS DOUBLE)
+                   / len(toks)
+              ELSE 0.0 END, 6) >= 0.02
+              THEN 'en' ELSE 'und' END AS lang_pred
+  FROM (SELECT doc_id, text, lang, source, n_chars,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+),
+ref AS (SELECT * FROM lang WHERE doc_id % {m} <> 0),
+bat AS (SELECT * FROM lang WHERE doc_id % {m} = 0),"""
+        + _q166_ccnet_lang_block("en", _Q152_LAM, _Q152_PCT)
+        + ","
+        + _q166_ccnet_lang_block("und", _Q152_LAM, _Q152_PCT)
+        + ","
+        + _q169_cat_block("lang")
+        + rf""",
+rv AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM ref
+       WHERE n_chars IS NOT NULL),
+bv AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM bat
+       WHERE n_chars IS NOT NULL),
+edges AS (
+  SELECT DISTINCT e FROM (
+    SELECT unnest(quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                    0.6, 0.7, 0.8, 0.9])) AS e
+    FROM rv)
+),
+rbin AS (
+  SELECT (SELECT CAST(COALESCE(SUM(CASE WHEN rv.v > e THEN 1 ELSE 0
+                                    END), 0) AS BIGINT)
+          FROM edges) AS bin
+  FROM rv
+),
+bbin AS (
+  SELECT (SELECT CAST(COALESCE(SUM(CASE WHEN bv.v > e THEN 1 ELSE 0
+                                    END), 0) AS BIGINT)
+          FROM edges) AS bin
+  FROM bv
+),
+nsa AS (SELECT bin, count(*) / CAST((SELECT count(*) FROM rbin)
+                                    AS DOUBLE) AS sa
+        FROM rbin GROUP BY bin),
+nsb AS (SELECT bin, count(*) / CAST((SELECT count(*) FROM bbin)
+                                    AS DOUBLE) AS sb
+        FROM bbin GROUP BY bin),
+p_num AS (
+  SELECT round(sum((greatest(coalesce(sa, 0.0), 1e-6)
+                    - greatest(coalesce(sb, 0.0), 1e-6))
+                   * ln(greatest(coalesce(sa, 0.0), 1e-6)
+                        / greatest(coalesce(sb, 0.0), 1e-6))), 6) AS psi
+  FROM nsa FULL OUTER JOIN nsb USING (bin)
+),
+psis AS (
+  SELECT round(greatest((SELECT psi FROM p_lang),
+                        (SELECT psi FROM p_num)), 6) AS psi_max
+),
+dd_toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+dd_idx AS (
+  SELECT doc_id, arr,
+         unnest(generate_series(1, greatest(len(arr) - 2, 1))) AS i
+  FROM dd_toks
+),
+dd_grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(arr[i:least(i + 2, len(arr))], ' ') AS gram
+  FROM dd_idx
+),
+dd_hashes AS (
+  SELECT doc_id, gram,
+         CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT)
+           % {p} AS h
+  FROM dd_grams
+),
+dd_perms(k, a, b) AS (
+  VALUES
+    {perms}
+),
+dd_sig AS (
+  SELECT doc_id, k, MIN((a * h + b) % {p}) AS s
+  FROM dd_hashes CROSS JOIN dd_perms
+  GROUP BY doc_id, k
+),
+dd_bands AS (
+  SELECT doc_id, k // 4 AS band,
+         string_agg(CAST(s AS VARCHAR), ',' ORDER BY k) AS band_key
+  FROM dd_sig GROUP BY doc_id, k // 4
+),
+dd_cand AS (
+  SELECT DISTINCT l.doc_id AS incoming_id, r.doc_id AS existing_id
+  FROM dd_bands l JOIN dd_bands r
+    ON l.band = r.band AND l.band_key = r.band_key
+  WHERE l.doc_id % {m} = 0 AND r.doc_id % {m} <> 0
+),
+dd_sizes AS (SELECT doc_id, COUNT(*) AS n FROM dd_grams GROUP BY doc_id),
+dd_inter AS (
+  SELECT c.incoming_id, c.existing_id, COUNT(*) AS i
+  FROM dd_cand c
+  JOIN dd_grams ga ON ga.doc_id = c.incoming_id
+  JOIN dd_grams gb ON gb.doc_id = c.existing_id AND gb.gram = ga.gram
+  GROUP BY c.incoming_id, c.existing_id
+),
+dd_pairs AS (
+  SELECT i.incoming_id,
+         CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS j
+  FROM dd_inter i
+  JOIN dd_sizes sa ON sa.doc_id = i.incoming_id
+  JOIN dd_sizes sb ON sb.doc_id = i.existing_id
+  WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {_Q172_THRESH}
+),
+dd_agg AS (
+  SELECT incoming_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+         round(MAX(j), 6) AS max_jaccard
+  FROM dd_pairs GROUP BY incoming_id
+),
+ss_win AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substring(md5(substr(text, i, {L})), 1, 15))
+              AS BIGINT) AS k
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, length(text) - {L} + 1)) AS i
+    FROM documents WHERE length(text) >= {L})
+),
+ss_idx AS (SELECT DISTINCT k FROM ss_win WHERE (doc_id % {m}) <> 0),
+ss_dup AS (
+  SELECT w.doc_id, w.i FROM ss_win w JOIN ss_idx USING (k)
+  WHERE (w.doc_id % {m}) = 0
+),
+ss_isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i > COALESCE(MAX(i + {L} - 1) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              + 1
+              THEN 1 ELSE 0 END AS new_span
+  FROM ss_dup
+),
+ss_num AS (
+  SELECT doc_id, i,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+  FROM ss_isl
+),
+ss_spans AS (
+  SELECT doc_id, span_id, MIN(i) AS s, MAX(i + {L} - 1) AS e
+  FROM ss_num GROUP BY doc_id, span_id
+),
+ss_agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
+  FROM ss_spans GROUP BY doc_id
+),
+ccall AS (
+  SELECT doc_id, lang_pred, mean_logprob, keep FROM bper_en
+  UNION ALL
+  SELECT doc_id, lang_pred, mean_logprob, keep FROM bper_und
+)
+SELECT b.doc_id,
+       CAST(COALESCE(dd.n_dups, 0) AS BIGINT) AS n_near_dups,
+       dd.max_jaccard,
+       dd.max_jaccard IS NOT NULL AS near_dup,
+       CAST(length(b.text) AS BIGINT) AS n_chars,
+       CAST(COALESCE(ss.dup_chars, 0) AS BIGINT) AS dup_chars,
+       CAST(COALESCE(ss.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN length(b.text) > 0
+            THEN round(CAST(COALESCE(ss.dup_chars, 0) AS DOUBLE)
+                       / length(b.text), 6)
+            ELSE 0.0 END AS dup_char_frac,
+       CASE WHEN length(b.text) > 0
+            THEN round(CAST(COALESCE(ss.dup_chars, 0) AS DOUBLE)
+                       / length(b.text), 6)
+            ELSE 0.0 END > {_Q172_FRAC} AS substr_reject,
+       cc.lang_pred, cc.mean_logprob, cc.keep AS ccnet_keep,
+       (SELECT psi_max FROM psis) AS drift_psi_max,
+       COALESCE((SELECT psi_max FROM psis) > {_Q172_PSI}, FALSE)
+         AS drift_alarm,
+       (dd.max_jaccard IS NULL)
+         AND NOT (CASE WHEN length(b.text) > 0
+                       THEN round(CAST(COALESCE(ss.dup_chars, 0)
+                                       AS DOUBLE) / length(b.text), 6)
+                       ELSE 0.0 END > {_Q172_FRAC})
+         AND COALESCE(cc.keep, FALSE) AS accepted
+FROM bat b
+LEFT JOIN ccall cc USING (doc_id)
+LEFT JOIN dd_agg dd ON dd.incoming_id = b.doc_id
+LEFT JOIN ss_agg ss USING (doc_id)
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8163,15 +8449,17 @@ FROM en CROSS JOIN chi
 #: and bump RECERTIFY_ROUND to 15.
 RECERTIFY_ROUND = 15
 RECERTIFY: set[str] = {
-    # r15 ADVICE fixes + the broadcast_if_small guard (executed plan
-    # and/or oracle text changed): q165/q166 — screen keep-expression
-    # now ANDs score non-nullness for unknown strata, and the
-    # gate/ccnet builds route through the gated quality-gate hints;
-    # q167 — gated src-degree broadcast (persist+count); q170 —
-    # null-safe stats joins (oracle now IS NOT DISTINCT FROM) + gated
-    # hints; q152/q148/q103 — quality_percentile_gate's bucket
-    # frames (mm/offsets) now persist+count before hinting;
-    # q105/q143 — fill_budget's offsets frame likewise.
+    # r15 ADVICE fixes + the forced-broadcast-class guard (executed
+    # plan and/or oracle text changed): q165/q166 — screen
+    # keep-expression now ANDs score non-nullness for unknown strata,
+    # and the gate/ccnet builds route through the reworked
+    # quality-gate plan; q167 — src-degree hint dropped (AQE
+    # broadcasts from measured size); q170 — null-safe stats joins
+    # (oracle now IS NOT DISTINCT FROM), hints dropped for AQE;
+    # q152/q148/q103 — quality_percentile_gate's mm frame behind
+    # util.broadcast_if_small (localCheckpoint'd, count cheap) and
+    # its offsets frame un-hinted for AQE; q105/q143 — fill_budget's
+    # offsets frame likewise.
     "q165_frozen_gate_screen",
     "q166_ccnet_frozen_screen",
     "q167_bipartite_project",
@@ -8203,7 +8491,14 @@ QUERIES: list[QueryDef] = [
     # test_certification_window_freshness is the mechanical
     # authority. New queries registered mid-round insert at the
     # window head, each pushing the window's last entry to the tail
-    # head.
+    # head. Mid-round insertions so far: q172 (one-call ingest
+    # composition; displaced q101 to the tail head).
+    QueryDef(
+        "q172_ingest_micro_batch",
+        _q172_ingest_micro_batch,
+        _q172_sql(),
+        "§2.11",
+    ),
     QueryDef(
         "q165_frozen_gate_screen",
         _q165_frozen_gate_screen,
@@ -8368,8 +8663,8 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef("q37_pagerank", _q37_pagerank, _q37_sql, "G8"),
     QueryDef("q107_depth_histogram", _q107_depth_histogram, _q107_sql, "G5"),
-    QueryDef("q101_winsorize", _q101_winsorize, _q101_sql, "§2.11"),
     # --- TAIL (not certified this round; 26 r12 names lead, seeding r16) ---
+    QueryDef("q101_winsorize", _q101_winsorize, _q101_sql, "§2.11"),
     QueryDef(
         "q92_distribution_drift",
         _q92_distribution_drift,

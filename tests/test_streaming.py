@@ -1522,3 +1522,153 @@ def test_streaming_drift_monitor_frozen_baseline(spark, sf_dir, tmp_path):
             ).collect()
         }
         assert got[i] == want and want[("cat", "lang")][1] > 0
+
+
+def test_ingest_micro_batch_foreachbatch_lifecycle(spark, sf_dir, tmp_path):
+    """The q172 composition driven by Structured Streaming foreachBatch
+    over THREE micro-batches — the actual production ingest loop: all
+    five stores built once from a reference corpus, then each arriving
+    batch is screened in ONE call and its accepted docs fold back into
+    the maintainable stores, so batch N+1's screen sees batch N:
+
+    * an exact re-send of an ACCEPTED batch-1 doc must come back
+      near_dup=True in a later batch (the band index grew);
+    * re-sending a REJECTED doc must still screen the same way
+      (rejects never merge — the screen_against_index contract);
+    * the HLL store accumulates accepted rows only (audit n_rows);
+    * verdicts are frozen before merges — the returned trail stays
+      valid and batch-internal order cannot matter.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_graph_etl_spark import pipelines
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators import (
+        dedup,
+        gatestats,
+        sketches,
+        textops,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    # a 1/6 reference slice keeps the ccnet-store build (the heavy
+    # stage) test-sized; semantics are split-agnostic
+    ref = docs.where("doc_id % 6 = 1")
+    dd = str(tmp_path / "bands")
+    ss = str(tmp_path / "substr")
+    cc = str(tmp_path / "ccnet")
+    bl = str(tmp_path / "baseline")
+    hl = str(tmp_path / "hll")
+    dedup.write_dedup_index(
+        dedup.prepare_dedup_index(
+            ref, "doc_id", "text",
+            num_hashes=64, bands=16, shingle_n=3, base_hash="md5",
+        ),
+        dd, num_hashes=64, bands=16, shingle_n=3, base_hash="md5",
+    )
+    textops.write_substring_index(
+        ref, ss, "doc_id", "text", min_len=30, base_hash="md5"
+    )
+    gatestats.build_ccnet_store(
+        ref.select("doc_id", "text"), cc, langs=["en", "und"],
+        keep_pct=80, lam=0.7,
+    )
+    gatestats.build_drift_baseline(
+        ref, bl, cat_cols=["lang"], num_cols=["n_chars"]
+    )
+    sketches.write_cardinality_sketches(
+        sketches.build_cardinality_sketches(ref, ["lang"], "doc_id"),
+        hl, ["lang"], "doc_id",
+    )
+
+    arriving = sorted(
+        docs.where("doc_id % 6 = 0").collect(), key=lambda r: r.doc_id
+    )
+    half = len(arriving) // 2
+    b1 = arriving[:half][:20]
+    # batch 2 = fresh docs; batch 3 RE-SENDS batch-1 docs under new ids
+    b2 = arriving[half:][:20]
+    b3 = [
+        (r.doc_id + 1_000_000, r.text, r.lang, r.n_chars) for r in b1
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate(
+        [
+            [(r.doc_id, r.text, r.lang, r.n_chars) for r in b1],
+            [(r.doc_id, r.text, r.lang, r.n_chars) for r in b2],
+            b3,
+        ]
+    ):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [x[0] for x in rows],
+                    "text": [x[1] for x in rows],
+                    "lang": [x[2] for x in rows],
+                    "n_chars": [x[3] for x in rows],
+                }
+            ),
+            str(in_dir / f"b{i}.parquet"),
+        )
+        import os
+
+        os.utime(
+            str(in_dir / f"b{i}.parquet"),
+            (1700000000 + i, 1700000000 + i),
+        )
+
+    trails = []
+
+    def handle(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        trails.append(
+            pipelines.ingest_micro_batch(
+                spark, batch_df, "doc_id", "text",
+                dedup_index_path=dd,
+                substring_index_path=ss,
+                ccnet_store_dir=cc,
+                drift_baseline_path=bl,
+                hll_store_path=hl,
+            ).collect()
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(trails) == 3
+    t1 = {r.doc_id: r for r in trails[0]}
+    t3 = {r.doc_id: r for r in trails[2]}
+    accepted1 = [i for i, r in t1.items() if r.accepted]
+    rejected_dup1 = [i for i, r in t1.items() if r.near_dup]
+    assert accepted1, "lifecycle test needs at least one accepted doc"
+    # (a) re-sent accepted docs now collide against the grown index
+    for i in accepted1:
+        assert t3[i + 1_000_000].near_dup is True, i
+        assert t3[i + 1_000_000].accepted is False, i
+    # (b) re-sent docs that were near-dups of the ORIGINAL corpus
+    # still screen as near-dups (the stored rows never left)
+    for i in rejected_dup1:
+        assert t3[i + 1_000_000].near_dup is True, i
+    # (c) HLL audit rows grew by exactly the accepted counts
+    n_ref = ref.count()
+    n_acc = sum(
+        1 for t in trails for r in t if r.accepted
+    )
+    est = sketches.estimate_cardinality(spark, hl, ["lang"])
+    assert est.agg(F.sum("n_rows")).collect()[0][0] == n_ref + n_acc
