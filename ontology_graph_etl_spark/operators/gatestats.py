@@ -23,7 +23,13 @@ sidecar, the sketches.py device):
   the boundary rule is by-value, documented and deterministic).
   Exact percentiles admit NO O(batch) merge — the maintenance
   operation is a periodic rebuild (also CCNet practice), so this
-  store deliberately has build/write/read/screen and no merge.
+  store deliberately has build/write/read/screen and no merge. Its
+  MERGEABLE sibling (``build_binned_cutoff_store`` /
+  ``merge_binned_cutoff_store`` / ``derive_binned_cutoffs`` /
+  ``screen_against_binned_cutoffs``) keeps additive histogram
+  counts over frozen equal-width score bins instead: O(batch)
+  maintenance with rank error bounded by one bin's occupancy,
+  exact rebuild as the calibration path (r15).
 * **Per-language bigram LM counts** — the count tables behind
   :func:`textops.bigram_logprob`, which ARE additive: ingest batches
   append partial counts in O(batch) (:func:`merge_lm_counts`),
@@ -179,16 +185,40 @@ def screen_against_cutoffs(
     both are explicit policy, never an accident of join type. One
     broadcast join against the strata-sized cutoff table — the batch
     never shuffles and the corpus is never touched."""
+    cutoffs, params = read_gate_cutoffs(spark, path)
+    return _screen_cutoff_frame(
+        batch,
+        cutoffs,
+        params["strata_col"],
+        params["score_col"],
+        unknown_strata,
+        "screen_against_cutoffs",
+    )
+
+
+def _screen_cutoff_frame(
+    batch: DataFrame,
+    cutoffs: DataFrame,
+    strata: str,
+    score: str,
+    unknown_strata: str,
+    what: str,
+) -> DataFrame:
+    """THE cutoff-screen semantics, shared by the exact and binned
+    stores so the keep rules cannot drift: one broadcast join against
+    the strata-sized ``(strata, cutoff)`` frame; ``keep = score >=
+    cutoff`` (ties inclusive); NULL scores NEVER keep (unconditional —
+    unknown strata included, the r14 ADVICE fix); strata absent from
+    the cutoff frame follow ``unknown_strata`` (drop|keep), never a
+    join accident."""
     if unknown_strata not in ("drop", "keep"):
         raise ValueError(
             f"unknown_strata must be drop|keep, got {unknown_strata!r}"
         )
-    cutoffs, params = read_gate_cutoffs(spark, path)
-    strata, score = params["strata_col"], params["score_col"]
     clash = {"keep", "__cut", "__seen"} & set(batch.columns)
     if clash:
         raise ValueError(
-            f"screen_against_cutoffs output columns {sorted(clash)} "
+            f"{what} output columns {sorted(clash)} "
             "already exist on the batch"
         )
     cut = cutoffs.select(
@@ -202,10 +232,6 @@ def screen_against_cutoffs(
     known_keep = F.coalesce(
         F.col(score).cast("double") >= F.col("__cut"), F.lit(False)
     )
-    # "NULL scores never keep" is unconditional — it applies to
-    # unknown strata too (r14 ADVICE fix: the 'keep' policy passes
-    # unknown strata through for a later rebuild to adjudicate, but a
-    # row with no score is unscoreable under ANY cutoff)
     unknown_keep = (
         F.lit(unknown_strata == "keep")
         & F.col(score).cast("double").isNotNull()
@@ -214,6 +240,288 @@ def screen_against_cutoffs(
     return joined.withColumn("keep", keep.otherwise(known_keep)).drop(
         "__gs", "__cut", "__seen"
     )
+
+
+# ---------------------------------------------------------------------------
+# Binned (mergeable) gate cutoffs: build / merge / derive / screen / compact
+# ---------------------------------------------------------------------------
+
+_BINNED_SIDECAR = "_binned_gate_params.json"
+_BINNED_KEYS = ("strata_col", "score_col", "keep_pct", "n_bins")
+
+
+def _binned_bin_expr(score, lo, hi, n_bins: int):
+    """Frozen equal-width DESCENDING bin index (0 = top of the build
+    range) — the quality-gate slice convention. Scores outside the
+    FROZEN [lo, hi] clamp to the edge bins; NULL scores map to a NULL
+    bin (counted toward per-stratum totals, never keepable). The
+    arithmetic is plain double ops so DuckDB reproduces the indices
+    bit-for-bit."""
+    s2 = F.least(F.greatest(score, lo), hi)
+    return (
+        F.when(score.isNull(), F.lit(None).cast("int"))
+        .when(hi == lo, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((hi - s2) / (hi - lo) * n_bins),
+                F.lit(n_bins - 1),
+            ).cast("int")
+        )
+    )
+
+
+def build_binned_cutoff_store(
+    ref: DataFrame,
+    path: str,
+    strata_col: str,
+    score_col: str,
+    keep_pct: int,
+    n_bins: int = 1024,
+) -> None:
+    """The MERGEABLE face of the percentile-gate cutoff store. The
+    exact store (:func:`build_gate_cutoffs`) deliberately ships no
+    merge — exact percentiles admit no O(batch) fold — so every
+    cutoff refresh there is a full reference recompute. This store
+    trades bounded rank error for O(batch) maintenance (the r14
+    VERDICT item): per stratum it freezes the build split's score
+    RANGE ``[lo, hi]`` and keeps additive histogram counts over
+    ``n_bins`` equal-width bins of that frozen range (the q169
+    drift-baseline edge device — counts merge additively, the
+    merge_lm_counts contract). Cutoffs re-derive from the folded bin
+    counts at read time with rank error bounded by one bin's
+    occupancy; a periodic exact rebuild stays the calibration path.
+
+    Layout: ``<path>/counts`` — ``(strata, bin, c)`` rows, ``bin``
+    NULL counting the stratum's NULL-score rows (they weigh the keep
+    target exactly as the exact gate's rank rule counts them, but can
+    never be kept); ``<path>/ranges`` — ``(strata, lo, hi)`` frozen
+    at build; params sidecar at the store root. Strata are FROZEN at
+    build like the ranges: a later batch's unknown stratum has no
+    frozen range to bin against, so merges drop it (documented; the
+    screen's unknown_strata policy adjudicates its rows, a rebuild
+    adds the stratum).
+    """
+    if not (0 < keep_pct <= 100):
+        raise ValueError(f"keep_pct must be in (0, 100], got {keep_pct}")
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    spark = ref.sparkSession
+    base = path.rstrip("/")
+    s = F.col(score_col).cast("double")
+    # group over ALL rows (min/max ignore NULLs): an all-NULL-score
+    # stratum still freezes a (NULL, NULL) range row, so its rows
+    # count toward totals and it derives a NULL cutoff — the exact
+    # store's contract — instead of silently becoming "unknown"
+    ranges = ref.groupBy(F.col(strata_col).alias("strata")).agg(
+        F.min(s).alias("lo"), F.max(s).alias("hi")
+    )
+    ranges.write.mode("overwrite").parquet(base + "/ranges")
+    counts = _binned_counts(spark, ref, base, strata_col, score_col, n_bins)
+    counts.write.mode("overwrite").parquet(base + "/counts")
+    write_json_sidecar(
+        spark,
+        base,
+        _BINNED_SIDECAR,
+        {
+            "strata_col": str(strata_col),
+            "score_col": str(score_col),
+            "keep_pct": int(keep_pct),
+            "n_bins": int(n_bins),
+        },
+    )
+
+
+def _binned_counts(
+    spark, batch: DataFrame, base: str, strata_col: str, score_col: str,
+    n_bins: int,
+) -> DataFrame:
+    """Bin a frame under the store's FROZEN ranges: inner join to the
+    strata-sized range table (unknown strata drop — no frozen range
+    to bin against), one partial-aggregable groupBy to (strata, bin,
+    c)."""
+    ranges = spark.read.parquet(base + "/ranges")
+    s = F.col(score_col).cast("double")
+    return (
+        batch.select(
+            F.col(strata_col).alias("__bs"), s.alias("__score")
+        )
+        .join(
+            F.broadcast(ranges),
+            F.col("__bs").eqNullSafe(F.col("strata")),
+        )
+        .select(
+            "strata",
+            _binned_bin_expr(
+                F.col("__score"), F.col("lo"), F.col("hi"), n_bins
+            ).alias("bin"),
+        )
+        .groupBy("strata", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def merge_binned_cutoff_store(
+    spark: SparkSession, path: str, batch: DataFrame
+) -> None:
+    """O(batch) cutoff maintenance: bin the batch under the stored
+    sidecar's own parameters and FROZEN ranges, then commit the count
+    rows crash-atomically (util.atomic_append_subdir — one rename, a
+    dying job leaves only an orphaned staging dir). The stored rows
+    are never read; bin counts are additive, so batch granularity and
+    order are free (the merge_lm_counts contract). Rows of strata the
+    build never saw are dropped here (no frozen range) — the screen's
+    ``unknown_strata`` policy decides their fate until an exact
+    rebuild adds the stratum."""
+    from .util import atomic_append_subdir
+
+    params = read_json_sidecar(
+        spark, path, _BINNED_SIDECAR, _BINNED_KEYS,
+        "binned cutoff store", "rebuild via build_binned_cutoff_store",
+    )
+    counts = _binned_counts(
+        spark, batch, path.rstrip("/"),
+        params["strata_col"], params["score_col"], int(params["n_bins"]),
+    )
+    atomic_append_subdir(counts, path.rstrip("/") + "/counts",
+                         "binned cutoff merge")
+
+
+def derive_binned_cutoffs(spark: SparkSession, path: str) -> DataFrame:
+    """Fold the stored bin counts and derive per-stratum cutoffs:
+    ``(strata, cutoff, n_build)``. The keep target is the EXACT
+    gate's integer rule — ``k = ((n_total * pct - 1) div 100) + 1``
+    over ALL rows including NULL scores — and the cutoff is the LOWER
+    EDGE of the first (descending) bin whose cumulative count reaches
+    ``min(k, n_nonnull)``: keeps at least the exact gate's keep set,
+    over-keeping by at most one bin's occupancy (the documented rank
+    error; shrink it with more bins or recalibrate with an exact
+    rebuild). An all-NULL stratum derives a NULL cutoff — the screen
+    maps it to keep=False, the exact-store contract. Everything here
+    is strata×bins-sized; the corpus is never touched."""
+    params = read_json_sidecar(
+        spark, path, _BINNED_SIDECAR, _BINNED_KEYS,
+        "binned cutoff store", "rebuild via build_binned_cutoff_store",
+    )
+    pct, n_bins = int(params["keep_pct"]), int(params["n_bins"])
+    base = path.rstrip("/")
+    counts = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(base + "/counts")
+        .groupBy("strata", "bin")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    totals = counts.groupBy("strata").agg(
+        F.sum("c").cast("long").alias("__n"),
+        F.sum(F.when(F.col("bin").isNotNull(), F.col("c")))
+        .cast("long")
+        .alias("__nn"),
+    )
+    # the EXACT gate's integer keep rule, in pure integer arithmetic
+    # (div, not double /): no float fraction can flip a boundary
+    k = F.expr(f"(__n * {pct} - 1) div 100 + 1")
+    targets = totals.select(
+        "strata",
+        "__n",
+        F.coalesce("__nn", F.lit(0).cast("long")).alias("__nn"),
+        F.least(k, F.coalesce("__nn", F.lit(0).cast("long")))
+        .alias("__k"),
+    )
+    w = (
+        Window.partitionBy("strata")
+        .orderBy(F.col("bin").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        counts.where(F.col("bin").isNotNull())
+        .withColumn("__cum", F.sum("c").over(w))
+    )
+    hit = (
+        cum.join(targets, "strata")
+        .where(F.col("__cum") >= F.col("__k"))
+        .groupBy("strata")
+        .agg(F.min("bin").alias("__b"))
+    )
+    ranges = spark.read.parquet(base + "/ranges")
+    return (
+        targets.join(ranges, "strata", "left")
+        .join(hit, "strata", "left")
+        .select(
+            "strata",
+            F.when(F.col("__nn") == 0, F.lit(None).cast("double"))
+            .when(F.col("__b") == n_bins - 1, F.col("lo"))
+            .otherwise(
+                F.col("hi")
+                - (F.col("hi") - F.col("lo"))
+                * (F.col("__b") + 1)
+                / n_bins
+            )
+            .alias("cutoff"),
+            F.col("__n").alias("n_build"),
+        )
+    )
+
+
+def screen_against_binned_cutoffs(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    unknown_strata: str = "drop",
+) -> DataFrame:
+    """Screen a micro-batch against the MERGEABLE cutoff store: derive
+    the current cutoffs from the folded bin counts (strata×bins-sized
+    work, zero corpus recompute), then the EXACT store's screen
+    semantics verbatim (shared :func:`_screen_cutoff_frame` — ties
+    inclusive, NULL scores never keep, unknown strata by policy)."""
+    params = read_json_sidecar(
+        spark, path, _BINNED_SIDECAR, _BINNED_KEYS,
+        "binned cutoff store", "rebuild via build_binned_cutoff_store",
+    )
+    cuts = derive_binned_cutoffs(spark, path).withColumnRenamed(
+        "strata", params["strata_col"]
+    )
+    return _screen_cutoff_frame(
+        batch,
+        cuts,
+        params["strata_col"],
+        params["score_col"],
+        unknown_strata,
+        "screen_against_binned_cutoffs",
+    )
+
+
+def compact_binned_cutoff_store(spark: SparkSession, path: str) -> int:
+    """Rewrite the counts table as one row per (strata, bin) — the
+    same group-sum derive_binned_cutoffs folds lazily, so cutoffs are
+    unchanged by construction. Crash-atomic staged swap (the
+    compact_lm_counts device); SINGLE WRITER REQUIRED. Returns the
+    compacted row count."""
+    from .util import hadoop_path_and_fs
+
+    read_json_sidecar(
+        spark, path, _BINNED_SIDECAR, _BINNED_KEYS,
+        "binned cutoff store", "rebuild via build_binned_cutoff_store",
+    )
+    base = path.rstrip("/") + "/counts"
+    staged = base + ".compact"
+    merged = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(base)
+        .groupBy("strata", "bin")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    merged.write.mode("overwrite").parquet(staged)
+    n = spark.read.parquet(staged).count()
+    cur, fs = hadoop_path_and_fs(spark, base)
+    new, _ = hadoop_path_and_fs(spark, staged)
+    old, _ = hadoop_path_and_fs(spark, base + ".old")
+    fs.delete(old, True)
+    if not fs.rename(cur, old):
+        raise IOError(f"binned cutoff compaction: could not stage out {base}")
+    if not fs.rename(new, cur):
+        fs.rename(old, cur)
+        raise IOError(f"binned cutoff compaction: could not swap in {staged}")
+    fs.delete(old, True)
+    return int(n)
 
 
 # ---------------------------------------------------------------------------
@@ -335,21 +643,9 @@ def write_lm_counts(
                 f"frozen LM store at {path} was built with {got}; "
                 f"refusing to append rows built with {params}"
             )
-        from uuid import uuid4
+        from .util import atomic_append_subdir
 
-        from .util import hadoop_path_and_fs
-
-        base = path.rstrip("/")
-        tag = f"batch-{uuid4().hex}"
-        staged = f"{base}.staging-{tag}"
-        counts.write.mode("overwrite").parquet(staged)
-        new, fs = hadoop_path_and_fs(spark, staged)
-        dest, _ = hadoop_path_and_fs(spark, f"{base}/{tag}")
-        if not fs.rename(new, dest):
-            fs.delete(new, True)
-            raise IOError(
-                f"lm append: could not commit staged batch into {base}"
-            )
+        atomic_append_subdir(counts, path, "lm append")
         return
     counts.write.mode("overwrite").parquet(path)
     write_json_sidecar(spark, path, _LM_SIDECAR, params)

@@ -104,6 +104,32 @@ def write_json_sidecar(spark, path: str, filename: str, params: dict) -> None:
         out.close()
 
 
+def atomic_append_subdir(df: DataFrame, base: str, what: str) -> None:
+    """Crash-atomic append into a parquet store whose readers list
+    RECURSIVELY (``spark.read.option("recursiveFileLookup", "true")``):
+    the batch is written to a staging directory OUTSIDE the store,
+    then committed with ONE filesystem rename into the store as a
+    ``batch-*`` subdirectory. A job that dies mid-write leaves only an
+    orphaned ``.staging-*`` dir the store never reads — essential for
+    ADDITIVE stores (count tables, histogram bins), where a silently
+    half-committed batch skews every later read; for idempotent
+    membership stores a flat append merely under-screens until retry.
+    Shared by the LM count store and the binned cutoff store (the r14
+    ADVICE fix, factored)."""
+    from uuid import uuid4
+
+    spark = df.sparkSession
+    b = base.rstrip("/")
+    tag = f"batch-{uuid4().hex}"
+    staged = f"{b}.staging-{tag}"
+    df.write.mode("overwrite").parquet(staged)
+    new, fs = hadoop_path_and_fs(spark, staged)
+    dest, _ = hadoop_path_and_fs(spark, f"{b}/{tag}")
+    if not fs.rename(new, dest):
+        fs.delete(new, True)
+        raise IOError(f"{what}: could not commit staged batch into {b}")
+
+
 def read_json_sidecar(
     spark,
     path: str,

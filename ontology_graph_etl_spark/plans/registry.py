@@ -8116,6 +8116,109 @@ FROM en CROSS JOIN chi
 """
 
 
+# --- q173: mergeable binned gate-cutoff store ------------------------------
+
+_Q173_PCT = 40
+_Q173_BINS = 64
+
+
+def _q173_binned_cutoff_screen(spark, sf_dir):
+    # The MERGEABLE cutoff store certified on the q138 build+merge+
+    # screen pattern: per-language additive histogram counts over
+    # frozen equal-width n_chars bins are BUILT from doc_id % 3 == 1
+    # (ranges frozen there), the % 3 == 2 slice merges in as an
+    # O(batch) crash-atomic append under the frozen ranges, and the
+    # held-out % 3 == 0 slice screens against cutoffs DERIVED from
+    # the folded counts — the hash covers the counts+ranges+sidecar
+    # round-trip AND build+merge == one-shot fold equivalence,
+    # because the oracle bins "% 3 <> 0" in one pass under ranges
+    # frozen from the build slice alone. The exact gate's integer
+    # keep rule sets the target rank; the cutoff is the first
+    # descending bin edge reaching it (over-keeps by at most one
+    # bin's occupancy — the documented rank error; exact rebuild is
+    # the calibration path).
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators import gatestats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    scratch = tempfile.mkdtemp(prefix="q173_binned_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = scratch + "/store"
+    gatestats.build_binned_cutoff_store(
+        docs.where(F.col("doc_id") % 3 == 1),
+        path,
+        "lang",
+        "n_chars",
+        _Q173_PCT,
+        n_bins=_Q173_BINS,
+    )
+    gatestats.merge_binned_cutoff_store(
+        spark, path, docs.where(F.col("doc_id") % 3 == 2)
+    )
+    cuts = gatestats.derive_binned_cutoffs(spark, path).select(
+        F.col("strata").alias("lang"), "cutoff"
+    )
+    screened = gatestats.screen_against_binned_cutoffs(
+        spark, path, docs.where(F.col("doc_id") % 3 == 0)
+    )
+    return screened.join(cuts, "lang", "left").select(
+        "doc_id", "lang", "n_chars", "cutoff", "keep"
+    )
+
+
+_q173_sql = f"""
+WITH bld AS (SELECT lang, CAST(n_chars AS DOUBLE) AS s
+             FROM documents WHERE doc_id % 3 = 1),
+mrg AS (SELECT lang, CAST(n_chars AS DOUBLE) AS s
+        FROM documents WHERE doc_id % 3 = 2),
+rng AS (SELECT lang, min(s) AS lo, max(s) AS hi FROM bld GROUP BY lang),
+binned AS (
+  SELECT r.lang,
+         CASE WHEN a.s IS NULL THEN NULL
+              WHEN r.hi = r.lo THEN 0
+              ELSE CAST(least(floor((r.hi - least(greatest(a.s, r.lo),
+                                                  r.hi))
+                                    / (r.hi - r.lo) * {_Q173_BINS}),
+                              {_Q173_BINS - 1}) AS INTEGER)
+         END AS bin
+  FROM (SELECT * FROM bld UNION ALL SELECT * FROM mrg) a
+  JOIN rng r USING (lang)
+),
+cnt AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS c
+        FROM binned GROUP BY 1, 2),
+tot AS (SELECT lang, sum(c) AS n,
+               sum(CASE WHEN bin IS NOT NULL THEN c END) AS nn
+        FROM cnt GROUP BY lang),
+tgt AS (SELECT lang, n, COALESCE(nn, 0) AS nn,
+               least((n * {_Q173_PCT} - 1) // 100 + 1,
+                     COALESCE(nn, 0)) AS k
+        FROM tot),
+cum AS (SELECT lang, bin,
+               sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cm
+        FROM cnt WHERE bin IS NOT NULL),
+hit AS (SELECT c.lang, min(c.bin) AS b
+        FROM cum c JOIN tgt USING (lang)
+        WHERE c.cm >= tgt.k GROUP BY c.lang),
+cuts AS (
+  SELECT t.lang,
+         CASE WHEN t.nn = 0 THEN NULL
+              WHEN h.b = {_Q173_BINS - 1} THEN r.lo
+              ELSE r.hi - (r.hi - r.lo) * (h.b + 1) / {_Q173_BINS}
+         END AS cutoff
+  FROM tgt t LEFT JOIN rng r USING (lang) LEFT JOIN hit h USING (lang)
+)
+SELECT d.doc_id, d.lang, d.n_chars, c.cutoff,
+       COALESCE(CAST(d.n_chars AS DOUBLE) >= c.cutoff, FALSE) AS keep
+FROM documents d LEFT JOIN cuts c USING (lang)
+WHERE d.doc_id % 3 = 0
+"""
+
+
 # --- q172: one-call incremental-ingest composition ------------------------
 
 _Q172_MOD = 6          # %6 split — q78 uses %10, q120 %7, q138 %4, q166 %2
@@ -8492,7 +8595,14 @@ QUERIES: list[QueryDef] = [
     # authority. New queries registered mid-round insert at the
     # window head, each pushing the window's last entry to the tail
     # head. Mid-round insertions so far: q172 (one-call ingest
-    # composition; displaced q101 to the tail head).
+    # composition; displaced q101 to the tail head), q173 (mergeable
+    # binned cutoff store; displaced q107).
+    QueryDef(
+        "q173_binned_cutoff_screen",
+        _q173_binned_cutoff_screen,
+        _q173_sql,
+        "§2.11",
+    ),
     QueryDef(
         "q172_ingest_micro_batch",
         _q172_ingest_micro_batch,
@@ -8662,8 +8772,8 @@ QUERIES: list[QueryDef] = [
         "§2.8",
     ),
     QueryDef("q37_pagerank", _q37_pagerank, _q37_sql, "G8"),
-    QueryDef("q107_depth_histogram", _q107_depth_histogram, _q107_sql, "G5"),
     # --- TAIL (not certified this round; 26 r12 names lead, seeding r16) ---
+    QueryDef("q107_depth_histogram", _q107_depth_histogram, _q107_sql, "G5"),
     QueryDef("q101_winsorize", _q101_winsorize, _q101_sql, "§2.11"),
     QueryDef(
         "q92_distribution_drift",
