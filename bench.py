@@ -185,6 +185,7 @@ HEADLINE = [
     "q171_crosstab_chi2",
     "q172_ingest_micro_batch",
     "q173_binned_cutoff_screen",
+    "q174_weighted_paths",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

@@ -518,6 +518,136 @@ def shortest_paths(
     return dist
 
 
+def weighted_shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    max_iterations: int | None = None,
+) -> DataFrame:
+    """Min-plus single-source-set shortest paths → ``(id, dist)`` —
+    distributed Bellman-Ford over a cost column, the weighted
+    generalization of :func:`shortest_paths` (same semi-naive
+    machinery: each round relaxes only the nodes whose tentative
+    distance IMPROVED last round, so per-round shuffle input is
+    frontier-sized and settled nodes never re-propagate). The
+    reference's ``PARENT_OF`` hierarchy (main.py:81-93) plus any
+    cost-annotated edge set needs exactly this: hop-count BFS cannot
+    rank a cheap 3-hop route over an expensive direct edge.
+
+    Weights must be INTEGRAL (validated; cast to long) — the
+    integer-cents contract of ``rolling_time_aggregate``: per-path
+    sums and the min over them are then exact and engine-portable,
+    where float path sums flip last-ulp digits between engines and
+    break hash-compared oracles. Scale fractional costs upstream.
+
+    Negative weights are legal (Bellman-Ford semantics) but negative
+    CYCLES have no shortest paths: with any negative weight present
+    and ``max_iterations=None``, the round cap becomes the node count
+    (the classical |V|-round bound, one extra count job) and a
+    frontier still improving at the cap raises ``ValueError`` instead
+    of returning wrong distances. With non-negative weights the
+    default cap is 50 rounds (distances only settle — the BFS
+    contract) and hitting it warns about missing depth, like
+    :func:`shortest_paths`.
+
+    Per round: frontier ⋈ edges (frontier-sized), one map-side-
+    combined min-aggregate, one node-sized anti-join merge;
+    ``localCheckpoint`` pins each round's frontier AND the rewritten
+    distance table (unlike BFS's append-only union, an improved node
+    REPLACES its row, so the dist lineage would otherwise re-derive
+    every prior round per iteration)."""
+    wt = F.col(weight_col)
+    dt = edges.schema[weight_col].dataType.simpleString()
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"weighted_shortest_paths needs an integral {weight_col} "
+            f"(got {dt}) — scale fractional costs to integer units "
+            "upstream (the integer-cents contract)"
+        )
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            wt.cast("long").alias("w"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))  # parallel edges: cheapest wins
+        .localCheckpoint()
+    )
+    has_negative = (
+        e.agg(F.min("w").alias("m")).collect()[0]["m"] or 0
+    ) < 0
+    guard_cycles = False
+    if max_iterations is None:
+        if has_negative:
+            # the classical |V|-round bound: still improving after
+            # n_nodes rounds ⟹ a negative cycle is reachable
+            n_nodes = (
+                e.select(F.col("src").alias("id"))
+                .union(e.select(F.col("dst").alias("id")))
+                .union(sources.select(F.col(sources.columns[0]).alias("id")))
+                .distinct()
+                .count()
+            )
+            max_iterations = int(n_nodes) + 1
+            guard_cycles = True
+        else:
+            max_iterations = 50
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    converged = False
+    for _ in range(max_iterations):
+        cand = (
+            frontier.join(e, frontier.id == e.src)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("w")).alias("d"),
+            )
+            .groupBy("id")
+            .agg(F.min("d").alias("d"))
+        )
+        improved = (
+            cand.join(dist, "id", "left")
+            .where(F.col("dist").isNull() | (F.col("d") < F.col("dist")))
+            .select("id", F.col("d").alias("dist"))
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            converged = True
+            break
+        dist = (
+            dist.join(improved.select("id"), "id", "left_anti")
+            .union(improved)
+            .localCheckpoint()
+        )
+        frontier = improved
+    if not converged:
+        if guard_cycles:
+            raise ValueError(
+                "weighted_shortest_paths: distances still improving "
+                f"after {max_iterations} rounds (> node count) — a "
+                "negative cycle is reachable from the sources; no "
+                "shortest paths exist"
+            )
+        import warnings
+
+        warnings.warn(
+            f"weighted_shortest_paths did not converge within "
+            f"{max_iterations} iterations; distances beyond that "
+            "depth may be missing or non-minimal",
+            stacklevel=2,
+        )
+    return dist
+
+
 #: fixed-point scale for :func:`pagerank` — rank mass is carried in
 #: integer units of 1e-12 so every arithmetic step is exact and
 #: engine-order-independent (BIGINT sums commute; double sums don't).

@@ -8116,6 +8116,74 @@ FROM en CROSS JOIN chi
 """
 
 
+# --- q174: weighted shortest paths ------------------------------------------
+
+
+def _q174_weighted_paths(spark, sf_dir):
+    # Min-plus Bellman-Ford over a DAG with genuinely competing
+    # routes: the q36 part hierarchy (parent = p div 10) gains a
+    # SECOND parent (p div 10 + 1, where that part exists) and
+    # deterministic integral costs (p % 7 + 1 on the primary edge,
+    # p % 5 + 3 on the secondary), so a cheap two-hop route can beat
+    # an expensive direct edge — exactly what hop-count BFS (q36)
+    # cannot rank. Distances from the root set (p_partkey < 10);
+    # integer weights keep every path sum exact and the DuckDB
+    # recursive-CTE oracle hash-identical. The DAG orientation
+    # (parents are strictly smaller keys) bounds the oracle's
+    # UNION ALL recursion by construction.
+    part = _t(spark, sf_dir, "part")
+    keys = part.select(F.col("p_partkey").alias("parent"))
+    child = part.select(F.col("p_partkey").alias("child")).where(
+        F.col("child") >= 10
+    )
+
+    def edge(parent_expr, w_expr):
+        return (
+            child.select(
+                parent_expr.alias("parent"),
+                "child",
+                w_expr.cast("long").alias("w"),
+            )
+            .join(F.broadcast(keys), "parent")
+            .select(
+                F.col("parent").alias("src"),
+                F.col("child").alias("dst"),
+                "w",
+            )
+        )
+
+    edges = edge(
+        F.expr("child div 10"), F.col("child") % 7 + 1
+    ).unionByName(
+        edge(F.expr("child div 10 + 1"), F.col("child") % 5 + 3)
+    )
+    sources = part.select("p_partkey").where(F.col("p_partkey") < 10)
+    return graph.weighted_shortest_paths(
+        edges, sources, weight_col="w"
+    ).select(F.col("id").alias("node"), F.col("dist").cast("long"))
+
+
+_q174_sql = """
+WITH RECURSIVE e AS (
+  SELECT p.p_partkey // 10 AS src, p.p_partkey AS dst,
+         CAST(p.p_partkey % 7 + 1 AS BIGINT) AS w
+  FROM part p JOIN part pp ON pp.p_partkey = p.p_partkey // 10
+  WHERE p.p_partkey >= 10
+  UNION ALL
+  SELECT p.p_partkey // 10 + 1, p.p_partkey,
+         CAST(p.p_partkey % 5 + 3 AS BIGINT)
+  FROM part p JOIN part pp ON pp.p_partkey = p.p_partkey // 10 + 1
+  WHERE p.p_partkey >= 10
+),
+sp(node, d) AS (
+  SELECT p_partkey, CAST(0 AS BIGINT) FROM part WHERE p_partkey < 10
+  UNION ALL
+  SELECT e.dst, s.d + e.w FROM sp s JOIN e ON e.src = s.node
+)
+SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM sp GROUP BY node
+"""
+
+
 # --- q173: mergeable binned gate-cutoff store ------------------------------
 
 _Q173_PCT = 40
@@ -8596,7 +8664,14 @@ QUERIES: list[QueryDef] = [
     # window head, each pushing the window's last entry to the tail
     # head. Mid-round insertions so far: q172 (one-call ingest
     # composition; displaced q101 to the tail head), q173 (mergeable
-    # binned cutoff store; displaced q107).
+    # binned cutoff store; displaced q107), q174 (weighted shortest
+    # paths; displaced q37).
+    QueryDef(
+        "q174_weighted_paths",
+        _q174_weighted_paths,
+        _q174_sql,
+        "§2.8,G7",
+    ),
     QueryDef(
         "q173_binned_cutoff_screen",
         _q173_binned_cutoff_screen,
@@ -8771,8 +8846,8 @@ QUERIES: list[QueryDef] = [
         _ppr_oracle_sql(3),
         "§2.8",
     ),
-    QueryDef("q37_pagerank", _q37_pagerank, _q37_sql, "G8"),
     # --- TAIL (not certified this round; 26 r12 names lead, seeding r16) ---
+    QueryDef("q37_pagerank", _q37_pagerank, _q37_sql, "G8"),
     QueryDef("q107_depth_histogram", _q107_depth_histogram, _q107_sql, "G5"),
     QueryDef("q101_winsorize", _q101_winsorize, _q101_sql, "§2.11"),
     QueryDef(

@@ -770,3 +770,114 @@ def test_bipartite_project_golden(spark):
         ("a", "c"): (1, 2, 1),
         ("b", "c"): (1, 2, 1),
     }
+
+
+def test_weighted_shortest_paths_golden(spark):
+    """Hand-checkable min-plus semantics: a cheap 3-hop route beats an
+    expensive direct edge (exactly what hop-count BFS cannot rank);
+    unreachable nodes are absent; parallel edges keep the cheapest."""
+    from ontology_graph_etl_spark.operators.graph import (
+        weighted_shortest_paths,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "z", 100),
+            ("a", "b", 1),
+            ("b", "c", 1),
+            ("c", "z", 1),
+            ("a", "b", 7),   # parallel edge, more expensive — ignored
+            ("z", "q", 2),
+            ("x", "y", 5),   # unreachable island
+        ],
+        "src: string, dst: string, w: long",
+    )
+    sources = spark.createDataFrame([("a",)], "id: string")
+    got = {
+        r.id: r.dist
+        for r in weighted_shortest_paths(
+            edges, sources, weight_col="w"
+        ).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2, "z": 3, "q": 5}
+
+
+def test_weighted_shortest_paths_negative_edges_and_cycle_guard(spark):
+    """Bellman-Ford semantics: negative edges (no cycle) relax
+    correctly — a route that LOOKS more expensive wins via a negative
+    edge; a reachable negative CYCLE raises instead of returning
+    non-distances; integral weights are enforced."""
+    import pytest as _pytest
+
+    from ontology_graph_etl_spark.operators.graph import (
+        weighted_shortest_paths,
+    )
+
+    # negative edge, acyclic: a->b(5), a->c(10), c->d(-8), d->b(1):
+    # best a->b is 3 via the negative edge, not the direct 5
+    edges = spark.createDataFrame(
+        [("a", "b", 5), ("a", "c", 10), ("c", "d", -8), ("d", "b", 1)],
+        "src: string, dst: string, w: long",
+    )
+    sources = spark.createDataFrame([("a",)], "id: string")
+    got = {
+        r.id: r.dist
+        for r in weighted_shortest_paths(
+            edges, sources, weight_col="w"
+        ).collect()
+    }
+    assert got == {"a": 0, "b": 3, "c": 10, "d": 2}
+
+    # reachable negative cycle: b->c->b with net -1
+    cyc = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 2), ("c", "b", -3)],
+        "src: string, dst: string, w: long",
+    )
+    with _pytest.raises(ValueError, match="negative cycle"):
+        weighted_shortest_paths(cyc, sources, weight_col="w")
+
+    # fractional weights refuse loudly (the integer-cents contract)
+    frac = spark.createDataFrame(
+        [("a", "b", 0.5)], "src: string, dst: string, w: double"
+    )
+    with _pytest.raises(ValueError, match="integral"):
+        weighted_shortest_paths(frac, sources, weight_col="w")
+
+
+def test_weighted_paths_agree_with_bfs_on_unit_weights(spark, sf_dir):
+    """With all weights = 1, min-plus distances ARE hop counts — the
+    weighted operator must reproduce shortest_paths exactly on the
+    q36 certification graph."""
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators.graph import (
+        shortest_paths,
+        weighted_shortest_paths,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    keys = part.select(F.col("p_partkey").alias("parent"))
+    edges = (
+        part.select(
+            F.col("p_partkey").alias("child"),
+            F.expr("p_partkey div 10").alias("parent"),
+        )
+        .where(F.col("child") >= 10)
+        .join(F.broadcast(keys), "parent")
+        .select(F.col("parent").alias("src"), F.col("child").alias("dst"))
+    )
+    sources = part.select("p_partkey").where(F.col("p_partkey") < 10)
+    bfs = {
+        r.id: r.dist
+        for r in shortest_paths(edges, sources).collect()
+    }
+    wsp = {
+        r.id: r.dist
+        for r in weighted_shortest_paths(
+            edges.withColumn("w", F.lit(1).cast("long")),
+            sources,
+            weight_col="w",
+        ).collect()
+    }
+    assert wsp == bfs and len(bfs) > 0
