@@ -186,6 +186,7 @@ HEADLINE = [
     "q172_ingest_micro_batch",
     "q173_binned_cutoff_screen",
     "q174_weighted_paths",
+    "q175_boundary_chunks",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

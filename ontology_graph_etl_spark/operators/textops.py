@@ -1981,6 +1981,8 @@ def chunk_documents(
     text_col: str = "text",
     chunk_chars: int = 200,
     stride: int = 150,
+    respect_boundaries: bool = False,
+    boundary: str = " ",
 ) -> DataFrame:
     """Overlapping character chunking — the retrieval-corpus
     preparation step (RAG indexing, long-document embedding): chunk
@@ -1999,6 +2001,24 @@ def chunk_documents(
     speed at 100 TB, and the natural upstream of the embedding /
     ANN-index queries (q51/q63/q86) whose unit is the chunk, not the
     document.
+
+    ``respect_boundaries=True`` is the RAG-quality variant (r14
+    VERDICT item): a fixed-offset cut splits words mid-token, so each
+    NON-TAIL chunk instead ends at the last ``boundary`` occurrence
+    (default a single space) inside its window — chunk starts stay
+    the same fixed-stride arithmetic (the layout never becomes
+    data-dependent), only the tail of each chunk trims back, and the
+    trimmed suffix reappears whole in the next chunk. Still pure
+    per-row expressions: the last-occurrence search is
+    ``locate(reverse(boundary), reverse(window))`` arithmetic, zero
+    shuffle. Two documented fallbacks keep full coverage: the DOC-TAIL
+    chunk never trims (the document end is a boundary), and a window
+    whose last boundary sits at or before the stride point (or has
+    none — one unbroken token) takes the HARD cut, since trimming
+    past the stride point would drop characters no later chunk
+    covers. The output gains ``boundary_cut`` (was this chunk
+    trimmed); ``chunk_start``/``n_chunks`` are identical to the flat
+    layout by construction.
     """
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
@@ -2007,6 +2027,8 @@ def chunk_documents(
             f"chunk_chars ({chunk_chars}) must be >= stride ({stride}) — "
             "a stride past the chunk end would leave uncovered gaps"
         )
+    if respect_boundaries and not boundary:
+        raise ValueError("boundary must be a non-empty string")
     # backtick-quote the user-supplied names once (escaped) so a name
     # containing a backtick resolves as a literal identifier instead
     # of failing F.col's multi-part parse — the writers.py class
@@ -2041,14 +2063,50 @@ def chunk_documents(
         F.explode(ids).alias("chunk_id"),
     )
     start = F.col("chunk_id") * stride + 1
-    return out.select(
-        icol,
-        F.col("chunk_id"),
-        start.alias("chunk_start"),
-        F.substring(
-            F.col("__chunk_text_src"), start, F.lit(chunk_chars)
-        ).alias("chunk_text"),
-        F.col("n_chunks").cast("long").alias("n_chunks"),
+    window = F.substring(
+        F.col("__chunk_text_src"), start, F.lit(chunk_chars)
+    )
+    if not respect_boundaries:
+        return out.select(
+            icol,
+            F.col("chunk_id"),
+            start.alias("chunk_start"),
+            window.alias("chunk_text"),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+        )
+    blen = len(boundary)
+    w = F.col("__w")
+    # last occurrence of the boundary inside the window, via the
+    # reversed-search identity: locate over reversed strings finds the
+    # occurrence closest to the window END; 0 = not present (both
+    # engines' convention). cut_len = chars strictly before it.
+    pos = F.locate(boundary[::-1], F.reverse(w))
+    cut_len = F.length(w) - pos - F.lit(blen) + 1
+    is_tail = (start + F.lit(chunk_chars) - 1) >= F.length(
+        F.col("__chunk_text_src")
+    )
+    trimmed = (
+        ~is_tail & (pos > 0) & (cut_len > F.lit(int(stride)))
+    )
+    return (
+        out.select(
+            icol,
+            "chunk_id",
+            "n_chunks",
+            F.col("__chunk_text_src"),
+            start.alias("chunk_start"),
+            window.alias("__w"),
+        )
+        .select(
+            icol,
+            F.col("chunk_id"),
+            F.col("chunk_start"),
+            F.when(trimmed, F.substring(w, 1, cut_len))
+            .otherwise(w)
+            .alias("chunk_text"),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            trimmed.alias("boundary_cut"),
+        )
     )
 
 

@@ -8116,6 +8116,66 @@ FROM en CROSS JOIN chi
 """
 
 
+# --- q175: boundary-aware chunking -------------------------------------------
+
+
+def _q175_boundary_chunks(spark, sf_dir):
+    # The RAG-quality chunker (q133 + respect_boundaries): same
+    # fixed-stride layout — chunk starts and counts are byte-identical
+    # to q133's pure arithmetic — but each non-tail chunk ends at the
+    # last space inside its window instead of mid-token; the trimmed
+    # suffix reappears whole in the next chunk. Fallbacks (doc-tail
+    # never trims; a window whose last space sits at or before the
+    # stride point takes the hard cut, keeping full coverage) are in
+    # the hash via chunk_text + boundary_cut.
+    return textops.chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        chunk_chars=_Q133_CHUNK,
+        stride=_Q133_STRIDE,
+        respect_boundaries=True,
+    )
+
+
+def _q175_sql(C: int = _Q133_CHUNK, s: int = _Q133_STRIDE) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) <= 0 THEN 0
+              WHEN length(text) <= {C} THEN 1
+              ELSE (length(text) - {C} + {s - 1}) // {s} + 1
+         END AS n_chunks
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, text, n_chunks,
+         unnest(generate_series(0, n_chunks - 1)) AS i
+  FROM d WHERE n_chunks > 0
+),
+win AS (
+  SELECT doc_id, i, n_chunks,
+         substr(text, i * {s} + 1, {C}) AS w,
+         i * {s} + {C} >= length(text) AS tail
+  FROM ex
+),
+cut AS (
+  SELECT doc_id, i, n_chunks, w, tail,
+         strpos(reverse(w), ' ') AS pos,
+         length(w) - strpos(reverse(w), ' ') AS cut_len
+  FROM win
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       CAST(i * {s} + 1 AS INT) AS chunk_start,
+       CASE WHEN NOT tail AND pos > 0 AND cut_len > {s}
+            THEN substr(w, 1, cut_len) ELSE w END AS chunk_text,
+       CAST(n_chunks AS BIGINT) AS n_chunks,
+       (NOT tail AND pos > 0 AND cut_len > {s}) AS boundary_cut
+FROM cut
+"""
+
+
 # --- q174: weighted shortest paths ------------------------------------------
 
 
@@ -8665,7 +8725,14 @@ QUERIES: list[QueryDef] = [
     # head. Mid-round insertions so far: q172 (one-call ingest
     # composition; displaced q101 to the tail head), q173 (mergeable
     # binned cutoff store; displaced q107), q174 (weighted shortest
-    # paths; displaced q37).
+    # paths; displaced q37), q175 (boundary-aware chunking; displaced
+    # q106).
+    QueryDef(
+        "q175_boundary_chunks",
+        _q175_boundary_chunks,
+        _q175_sql(),
+        "§2.11",
+    ),
     QueryDef(
         "q174_weighted_paths",
         _q174_weighted_paths,
@@ -8840,13 +8907,13 @@ QUERIES: list[QueryDef] = [
         "§2.11",
     ),
     QueryDef("q72_pii_redact", _q72_pii_redact, _q72_sql, "§2.11"),
+    # --- TAIL (not certified this round; 26 r12 names lead, seeding r16) ---
     QueryDef(
         "q106_personalized_pagerank",
         _q106_personalized_pagerank,
         _ppr_oracle_sql(3),
         "§2.8",
     ),
-    # --- TAIL (not certified this round; 26 r12 names lead, seeding r16) ---
     QueryDef("q37_pagerank", _q37_pagerank, _q37_sql, "G8"),
     QueryDef("q107_depth_histogram", _q107_depth_histogram, _q107_sql, "G5"),
     QueryDef("q101_winsorize", _q101_winsorize, _q101_sql, "§2.11"),

@@ -4614,3 +4614,69 @@ def test_crosstab_association_golden(spark):
     )
     r0 = crosstab_association(const, "a", "b").collect()[0]
     assert r0.cramers_v is None and r0.chi2 == 0.0
+
+
+def test_boundary_chunking_golden_and_fallbacks(spark):
+    """respect_boundaries semantics on hand-checkable docs: a chunk
+    that would split a word trims back to the last space; a window
+    with NO boundary (one unbroken token) takes the hard cut; a
+    window whose last space sits at or before the stride point takes
+    the hard cut (coverage guarantee); the doc-tail chunk never
+    trims; chunk_start / n_chunks are byte-identical to the flat
+    layout; and every non-space character of the doc appears in at
+    least one chunk."""
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark.operators.textops import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "x" * 25),            # no boundary anywhere
+            (3, "short doc"),         # single chunk (tail)
+            (4, "ab cdefghijklmn op"),  # last space before stride point
+        ],
+        "doc_id: long, text: string",
+    )
+    out = chunk_documents(
+        df, chunk_chars=12, stride=8, respect_boundaries=True
+    )
+    rows = {
+        (r.doc_id, r.chunk_id): r
+        for r in out.collect()
+    }
+    # word-boundary trim: window "alpha beta g" -> "alpha beta"
+    assert rows[(1, 0)].chunk_text == "alpha beta"
+    assert rows[(1, 0)].boundary_cut is True
+    # no-boundary window: hard cut, full 12 chars
+    assert rows[(2, 0)].chunk_text == "x" * 12
+    assert rows[(2, 0)].boundary_cut is False
+    # single-chunk doc is its own tail: never trims
+    assert rows[(3, 0)].chunk_text == "short doc"
+    assert rows[(3, 0)].boundary_cut is False
+    # last space in window at position 3: cut_len 2 <= stride 8 would
+    # drop chars no later chunk covers -> hard cut
+    assert rows[(4, 0)].chunk_text == "ab cdefghijk"
+    assert rows[(4, 0)].boundary_cut is False
+
+    # layout identity with the flat chunker
+    flat = chunk_documents(df, chunk_chars=12, stride=8)
+    lay = lambda d: sorted(
+        (r.doc_id, r.chunk_id, r.chunk_start, r.n_chunks)
+        for r in d.collect()
+    )
+    assert lay(flat) == lay(out)
+
+    # coverage: every non-space char position is inside some chunk's
+    # kept span [chunk_start, chunk_start + len(chunk_text) - 1]
+    texts = {r.doc_id: r.text for r in df.collect()}
+    spans = {}
+    for (d, _), r in rows.items():
+        spans.setdefault(d, []).append(
+            (r.chunk_start, r.chunk_start + len(r.chunk_text) - 1)
+        )
+    for d, text in texts.items():
+        for i, ch in enumerate(text, start=1):
+            if ch == " ":
+                continue
+            assert any(s <= i <= e for s, e in spans[d]), (d, i, ch)
