@@ -187,6 +187,7 @@ HEADLINE = [
     "q173_binned_cutoff_screen",
     "q174_weighted_paths",
     "q175_boundary_chunks",
+    "q176_pq_ivf_search",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

@@ -1486,6 +1486,321 @@ def search_ivf_index(
     )
 
 
+_PQ_SIDECAR = "_pq_ivf_params.json"
+_PQ_KEYS = ("num_lists", "m", "ksub", "centroids", "codebooks")
+
+
+def _pq_slices(vec: Column, dim: int, m: int) -> list[Column]:
+    dsub = dim // m
+    return [F.slice(vec, j * dsub + 1, dsub) for j in range(m)]
+
+
+def _pq_codes_expr(vec: Column, dim: int, codebooks) -> Column:
+    """The PQ encoding as ONE per-row expression — an ``array<int>``
+    of ``m`` sub-space codes, each the rounded-argmax nearest
+    sub-centroid (round(cos, 6) before the argmax, ties to the LOWEST
+    code — kmeans_assign's literal-path contract verbatim, so the
+    whole encoding re-derives in SQL). Zero joins, zero Python: the
+    m·ksub·(dim/m) codebook literals ride in the projection like
+    kmeans_assign's literal strategy."""
+    m = len(codebooks)
+    codes = []
+    for j, (sub, book) in enumerate(zip(_pq_slices(vec, dim, m), codebooks)):
+        cands = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        cosine(
+                            sub, F.array(*[F.lit(float(x)) for x in c])
+                        ),
+                        6,
+                    ).alias("sim"),
+                    F.lit(-ci).alias("neg_c"),
+                )
+                for ci, c in enumerate(book)
+            ]
+        )
+        codes.append((-F.array_max(cands)["neg_c"]).cast("int"))
+    return F.array(*codes)
+
+
+def write_pq_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_lists: int = 16,
+    m: int = 4,
+    ksub: int = 16,
+    train_rounds: int = 0,
+    pq_rounds: int = 0,
+) -> dict:
+    """Build and persist a PRODUCT-QUANTIZED IVF index — the standard
+    memory story for ANN at 100 TB (Jégou et al. 2011): the stored
+    lists carry ``m`` one-byte-scale codes + one norm per vector
+    instead of the full float array (~dim·8 bytes → m·4 + 8 here,
+    ~16x at dim=64/m=4; the raw vectors stay wherever the corpus
+    lives and are read ONLY for the shortlist rescore). Sub-space
+    codebooks come from :func:`kmeans_train` run per sub-space
+    (``pq_rounds=0`` = the md5-seeded pick, keeping the whole
+    lifecycle CTE-replayable — the q119/q122 device; raise it for
+    trained codebooks), the coarse quantizer from the same
+    ``train_rounds`` contract as :func:`write_ivf_index`. Everything
+    is FROZEN into the sidecar (centroids + codebooks): merges must
+    encode under the stored quantizers or every previously-stored
+    code is orphaned — the dedup-index permutation-constant rule.
+
+    Store rows: ``(vec_id, list_id, codes array<int>, norm double)``
+    — the norm makes the ADC dot product a cosine approximation at
+    search time without touching the raw vector."""
+    if m < 1 or ksub < 2:
+        raise ValueError(f"need m >= 1 and ksub >= 2, got m={m} ksub={ksub}")
+    head = corpus.select(vec_col).head(1)
+    if not head:
+        raise ValueError("write_pq_ivf_index: empty corpus")
+    dim = len(head[0][0])
+    if dim % m != 0:
+        raise ValueError(
+            f"embedding dim {dim} is not divisible by m={m} sub-spaces"
+        )
+    spark = corpus.sparkSession
+    cents = kmeans_train(
+        corpus, id_col, vec_col, k=num_lists, rounds=train_rounds
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    dsub = dim // m
+    codebooks = []
+    for j in range(m):
+        sub = corpus.select(
+            F.col(id_col), F.slice(vec, j * dsub + 1, dsub).alias("__sub")
+        )
+        codebooks.append(
+            kmeans_train(sub, id_col, "__sub", k=ksub, rounds=pq_rounds)
+        )
+    rows = (
+        kmeans_assign(corpus, id_col, vec_col, centroids=cents)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col("centroid_id").alias("list_id"),
+        )
+        .join(
+            corpus.select(
+                F.col(id_col).alias("vec_id"),
+                _pq_codes_expr(vec, dim, codebooks).alias("codes"),
+                F.sqrt(
+                    F.aggregate(
+                        vec, F.lit(0.0), lambda acc, v: acc + v * v
+                    )
+                ).alias("norm"),
+            ),
+            "vec_id",
+        )
+    )
+    rows.write.mode("overwrite").parquet(path)
+    from .util import write_json_sidecar
+
+    write_json_sidecar(
+        spark,
+        path,
+        _PQ_SIDECAR,
+        {
+            "num_lists": int(num_lists),
+            "m": int(m),
+            "ksub": int(ksub),
+            "centroids": [[float(x) for x in c] for c in cents],
+            "codebooks": [
+                [[float(x) for x in c] for c in book] for book in codebooks
+            ],
+        },
+    )
+    return {"centroids": cents, "codebooks": codebooks, "dim": dim}
+
+
+def _read_pq_sidecar(spark, path: str) -> dict:
+    from .util import read_json_sidecar
+
+    return read_json_sidecar(
+        spark,
+        path,
+        _PQ_SIDECAR,
+        _PQ_KEYS,
+        "PQ-IVF index",
+        "an index without its frozen quantizers cannot be merged "
+        "into or searched safely; rebuild via write_pq_ivf_index",
+    )
+
+
+def merge_pq_ivf_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Fold a batch into a stored PQ-IVF index: assign + encode under
+    the index's OWN frozen coarse centroids and sub-codebooks, append
+    O(batch) — the merge_ivf_index shape, codes instead of raw
+    vectors."""
+    params = _read_pq_sidecar(spark, path)
+    codebooks = params["codebooks"]
+    dim = len(codebooks) * len(codebooks[0][0])
+    vec = F.col(vec_col).cast("array<double>")
+    rows = (
+        kmeans_assign(
+            batch, id_col, vec_col, centroids=params["centroids"]
+        )
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col("centroid_id").alias("list_id"),
+        )
+        .join(
+            batch.select(
+                F.col(id_col).alias("vec_id"),
+                _pq_codes_expr(vec, dim, codebooks).alias("codes"),
+                F.sqrt(
+                    F.aggregate(
+                        vec, F.lit(0.0), lambda acc, v: acc + v * v
+                    )
+                ).alias("norm"),
+            ),
+            "vec_id",
+        )
+    )
+    rows.write.mode("append").parquet(path)
+    return params
+
+
+def search_pq_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    rescore_mult: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k against a stored PQ-IVF index:
+    probe the ``nprobe`` nearest lists (sidecar centroids), score
+    every candidate CODE by ASYMMETRIC DISTANCE — the per-query ADC
+    table ``dot(q_sub_j, codebook_j[c])`` is one projected
+    ``m·ksub`` array, each candidate costs ``m`` table lookups, no
+    raw vector is touched — shortlist ``k·rescore_mult`` per query by
+    the ADC cosine approximation (stored norms turn the dot into a
+    cosine), then RESCORE the shortlist on raw vectors from
+    ``corpus`` for the exact final top-k. Per-query candidate work is
+    ~|index|·nprobe/num_lists code rows; the only raw-vector reads
+    are shortlist-sized. Self-exclusion follows search_ivf_index's
+    type-aware contract."""
+    params = _read_pq_sidecar(spark, path)
+    codebooks = params["codebooks"]
+    m, ksub = len(codebooks), len(codebooks[0])
+    ctr = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(params["centroids"])],
+            "list_id int, centroid array<double>",
+        )
+    )
+    dim = len(codebooks) * len(codebooks[0][0])
+    qvec = F.col("q_raw")
+    # the per-query ADC table: entry j·ksub + c = dot(q_sub_j, book_j[c])
+    adc = F.array(
+        *[
+            _dot(
+                sub,
+                F.array(*[F.lit(float(x)) for x in c]),
+            )
+            for j, (sub, book) in enumerate(
+                zip(_pq_slices(qvec, dim, m), codebooks)
+            )
+            for c in book
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_raw"),
+    ).select(
+        "query_id",
+        "q_raw",
+        adc.alias("__adc"),
+        F.sqrt(
+            F.aggregate(
+                F.col("q_raw"), F.lit(0.0), lambda acc, v: acc + v * v
+            )
+        ).alias("__qn"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), F.col("list_id").asc()
+    )
+    probed = (
+        q.crossJoin(ctr)
+        .withColumn(
+            "__csim", F.round(cosine(F.col("q_raw"), F.col("centroid")), 6)
+        )
+        .withColumn("__r", F.row_number().over(w_probe))
+        .where(F.col("__r") <= nprobe)
+        .select("query_id", "q_raw", "__adc", "__qn", "list_id")
+    )
+    stored = spark.read.parquet(path).select(
+        F.col("vec_id").alias("neighbor_id"), "list_id", "codes", "norm"
+    )
+    from pyspark.sql.types import StringType
+
+    n_t = stored.schema["neighbor_id"].dataType
+    q_t = q.schema["query_id"].dataType
+    if n_t == q_t or not (
+        isinstance(n_t, StringType) or isinstance(q_t, StringType)
+    ):
+        not_self = F.col("neighbor_id") != F.col("query_id")
+    else:
+        not_self = F.col("neighbor_id").cast("string") != F.col(
+            "query_id"
+        ).cast("string")
+    approx_dot = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("__adc"),
+            F.lit(j * ksub + 1) + F.element_at(F.col("codes"), j + 1),
+        )
+        approx_dot = term if approx_dot is None else approx_dot + term
+    approx = F.round(
+        approx_dot
+        / (
+            F.greatest(F.col("__qn"), F.lit(1e-12))
+            * F.greatest(F.col("norm"), F.lit(1e-12))
+        ),
+        6,
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        probed.join(stored, "list_id")
+        .where(not_self)
+        .withColumn("approx_sim", approx)
+        .withColumn("__sr", F.row_number().over(w_short))
+        .where(F.col("__sr") <= k * rescore_mult)
+        .select("query_id", "q_raw", "neighbor_id")
+    )
+    raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_raw"),
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        shortlist.join(raw, "neighbor_id")
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("q_raw"), F.col("c_raw")), 6)
+        )
+        .withColumn("rank", F.row_number().over(w_k))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
 def hashed_bow_embedding(
     df: DataFrame,
     text_col: str,

@@ -8116,6 +8116,181 @@ FROM en CROSS JOIN chi
 """
 
 
+# --- q176: product-quantized stored IVF --------------------------------------
+
+_Q176 = {"num_lists": 8, "nprobe": 3, "k": 5, "m": 4, "ksub": 16,
+         "mult": 10}
+
+
+def _q176_pq_ivf_search(spark, sf_dir):
+    # Product quantization over the stored-IVF lifecycle (Jégou et
+    # al. 2011 — the standard ANN memory story at 100 TB): the stored
+    # lists carry m=4 sub-space codes + one norm per vector (~16x
+    # smaller than the raw float arrays q137 stores); search is
+    # probe → per-query ADC table (m·ksub dot products) → code-only
+    # shortlist (k·mult per query) → exact rescore on raw vectors for
+    # the final top-k. Build on vec_id % 4 != 0 (coarse seeds AND
+    # sub-codebooks md5-seeded from the build split — train_rounds=0
+    # / pq_rounds=0, the q86/q137 replayability device), MERGE the
+    # % 4 == 0 split under the FROZEN quantizers, search the % 43
+    # query set — the hash covers codes+norms+sidecar round-trip,
+    # frozen-quantizer merge equivalence (the oracle encodes the
+    # whole corpus under build-split quantizers in one pass), the ADC
+    # shortlist arithmetic, and the rescore. The recall-vs-exact
+    # contract (>= the q63 0.4 floor) is pinned in
+    # tests/test_similarity_recall.py.
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    existing = emb.where(F.col("vec_id") % 4 != 0)
+    batch = emb.where(F.col("vec_id") % 4 == 0)
+    scratch = tempfile.mkdtemp(prefix="q176_pq_ivf_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = scratch + "/idx"
+    similarity.write_pq_ivf_index(
+        existing,
+        path,
+        "vec_id",
+        "embedding",
+        num_lists=_Q176["num_lists"],
+        m=_Q176["m"],
+        ksub=_Q176["ksub"],
+        train_rounds=0,
+        pq_rounds=0,
+    )
+    similarity.merge_pq_ivf_index(spark, path, batch)
+    return similarity.search_pq_ivf_index(
+        spark,
+        path,
+        emb.where(F.col("vec_id") % 43 == 0),
+        emb,
+        "vec_id",
+        "embedding",
+        k=_Q176["k"],
+        nprobe=_Q176["nprobe"],
+        rescore_mult=_Q176["mult"],
+    )
+
+
+def _q176_sql() -> str:
+    """DuckDB twin: the q137 coarse chain (seeds from the build split,
+    whole-corpus assignment under them = build+merge), plus the PQ
+    layer — sub-codebooks are the build split's md5-order head rows
+    sliced per sub-space, codes the per-sub rounded argmax, the ADC
+    table a (query x sub x code) dot-product frame summed in pinned
+    j-order per candidate, shortlist by the norm-scaled ADC cosine,
+    exact rescore for the final top-k."""
+    P = _Q176
+    dsub = 64 // P["m"]
+    cos_vs = _cos_fold_sql("v.e", "s.e")
+    cos_qs = _cos_fold_sql("q.qe", "s.e")
+    sub_v = f"v.e[j.j * {dsub} + 1 : (j.j + 1) * {dsub}]"
+    sub_ps = f"ps.e[j.j * {dsub} + 1 : (j.j + 1) * {dsub}]"
+    sub_q = f"q.qe[j.j * {dsub} + 1 : (j.j + 1) * {dsub}]"
+    cos_sub = _cos_fold_sql(sub_v, sub_ps)
+    shortn = P["k"] * P["mult"]
+    return f"""
+WITH ex AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % 4 <> 0
+),
+seeds AS (
+  SELECT e, CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS INTEGER) - 1 AS cid
+  FROM ex
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {P["num_lists"]}
+),
+pqseeds AS (
+  SELECT e, CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS INTEGER) - 1 AS scid
+  FROM ex
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {P["ksub"]}
+),
+js AS (SELECT unnest(generate_series(0, {P["m"] - 1})) AS j),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+assign AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT v.vec_id, s.cid, {cos_vs} AS sim
+    FROM v CROSS JOIN seeds s) t
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid ASC) = 1
+),
+codes AS (
+  SELECT vec_id, j, scid AS code FROM (
+    SELECT v.vec_id, j.j AS j, ps.scid, {cos_sub} AS sim
+    FROM v CROSS JOIN js j CROSS JOIN pqseeds ps) t
+  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                             ORDER BY sim DESC, scid ASC) = 1
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v
+      WHERE vec_id % 43 = 0),
+probe AS (
+  SELECT query_id, qe, cid AS list_id FROM (
+    SELECT q.query_id, q.qe, s.cid, {cos_qs} AS csim
+    FROM q CROSS JOIN seeds s) t
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY csim DESC, cid ASC)
+          <= {P["nprobe"]}
+),
+adc AS (
+  SELECT q.query_id, j.j AS j, ps.scid,
+         list_sum(list_transform(list_zip({sub_q}, {sub_ps}),
+                                 x -> x[1] * x[2])) AS d
+  FROM q CROSS JOIN js j CROSS JOIN pqseeds ps
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a USING (list_id)
+  WHERE a.vec_id <> p.query_id
+),
+approx AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_sum(list(t.d ORDER BY t.j))
+               / (greatest(qn.nrm, 1e-12) * greatest(nn.nrm, 1e-12)),
+               6) AS approx_sim
+  FROM cand c
+  JOIN codes k ON k.vec_id = c.neighbor_id
+  JOIN adc t ON t.query_id = c.query_id AND t.j = k.j
+            AND t.scid = k.code
+  JOIN norms qn ON qn.vec_id = c.query_id
+  JOIN norms nn ON nn.vec_id = c.neighbor_id
+  GROUP BY c.query_id, c.neighbor_id, qn.nrm, nn.nrm
+),
+short AS (
+  SELECT query_id, neighbor_id FROM approx
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY approx_sim DESC,
+                                      neighbor_id ASC) <= {shortn}
+),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_cos_fold_sql("q.qe", "c.e")} AS cosine_sim
+  FROM short s
+  JOIN q ON q.query_id = s.query_id
+  JOIN v c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY cosine_sim DESC, neighbor_id ASC
+       ) AS INTEGER) AS rank,
+       neighbor_id, cosine_sim
+FROM scored
+QUALIFY rank <= {P["k"]}
+"""
+
+
 # --- q175: boundary-aware chunking -------------------------------------------
 
 
@@ -8726,7 +8901,13 @@ QUERIES: list[QueryDef] = [
     # composition; displaced q101 to the tail head), q173 (mergeable
     # binned cutoff store; displaced q107), q174 (weighted shortest
     # paths; displaced q37), q175 (boundary-aware chunking; displaced
-    # q106).
+    # q106), q176 (product-quantized stored IVF; displaced q72).
+    QueryDef(
+        "q176_pq_ivf_search",
+        _q176_pq_ivf_search,
+        _q176_sql(),
+        "§2.11",
+    ),
     QueryDef(
         "q175_boundary_chunks",
         _q175_boundary_chunks,
@@ -8906,8 +9087,8 @@ QUERIES: list[QueryDef] = [
         _q68_sql,
         "§2.11",
     ),
-    QueryDef("q72_pii_redact", _q72_pii_redact, _q72_sql, "§2.11"),
     # --- TAIL (not certified this round; 26 r12 names lead, seeding r16) ---
+    QueryDef("q72_pii_redact", _q72_pii_redact, _q72_sql, "§2.11"),
     QueryDef(
         "q106_personalized_pagerank",
         _q106_personalized_pagerank,
