@@ -265,10 +265,185 @@ def _plan_fingerprint(df) -> str:
     return hashlib.sha256(_PLAN_ID_RE.sub("", s).encode()).hexdigest()[:16]
 
 
+def steady_main(sf_dir: str, sf_val) -> None:
+    """Steady-state mode (SPARK_GRAFT_BENCH_SUBSET=steady): the
+    certified stored-artifact queries rebuild their store per
+    invocation BY DESIGN — the hash must cover build + sidecar +
+    screen — which makes the headline number increasingly a measure
+    of certification overhead, not engine speed (r14 VERDICT watch
+    item). This mode prices the deployment loop instead: every store
+    builds ONCE outside the timers, then each per-batch screen/search
+    pass is timed cold + warm — the cost a long-lived ingest actually
+    pays for batch N, which the lifecycle contracts say is
+    independent of N. Same two-line JSON output, metric
+    ``steady_state_screen_wall_time``."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark import pipelines
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators import (
+        dedup,
+        gatestats,
+        sketches,
+        similarity,
+        textops,
+    )
+
+    spark = get_spark(app_name="ontology-graph-etl-spark-bench-steady")
+    spark.sparkContext.setLogLevel("ERROR")
+    scratch = tempfile.mkdtemp(prefix="bench_steady_")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    orders = load_table(spark, sf_dir, "orders")
+    ref_docs = docs.where(F.col("doc_id") % 6 != 0)
+    batch_docs = docs.where(F.col("doc_id") % 6 == 0)
+
+    # ---- one-time builds (UNTIMED - the amortize-to-zero term) ----
+    t0 = time.perf_counter()
+    dd = scratch + "/bands"
+    dedup.write_dedup_index(
+        dedup.prepare_dedup_index(
+            ref_docs, "doc_id", "text",
+            num_hashes=64, bands=16, shingle_n=3, base_hash="xxhash64",
+        ),
+        dd, num_hashes=64, bands=16, shingle_n=3, base_hash="xxhash64",
+    )
+    ss = scratch + "/substr"
+    textops.write_substring_index(ref_docs, ss, "doc_id", "text", min_len=30)
+    cc = scratch + "/ccnet"
+    gatestats.build_ccnet_store(
+        ref_docs.select("doc_id", "text"), cc, langs=["en", "und"],
+        keep_pct=34, lam=0.7,
+    )
+    bl = scratch + "/baseline"
+    gatestats.build_drift_baseline(
+        ref_docs, bl, cat_cols=["lang"], num_cols=["n_chars"]
+    )
+    hl = scratch + "/hll"
+    sketches.write_cardinality_sketches(
+        sketches.build_cardinality_sketches(ref_docs, ["lang"], "doc_id"),
+        hl, ["lang"], "doc_id",
+    )
+    gc = scratch + "/cutoffs"
+    gatestats.write_gate_cutoffs(
+        gatestats.build_gate_cutoffs(
+            orders.where(F.col("o_orderkey") % 2 == 0),
+            "o_orderkey", "o_orderpriority", "o_totalprice", keep_pct=25,
+        ),
+        gc, "o_orderpriority", "o_totalprice", 25,
+    )
+    bc = scratch + "/binned"
+    gatestats.build_binned_cutoff_store(
+        docs.where(F.col("doc_id") % 3 != 0), bc, "lang", "n_chars", 40,
+        n_bins=64,
+    )
+    ivf = scratch + "/ivf"
+    similarity.write_ivf_index(
+        emb.where(F.col("vec_id") % 5 != 0), ivf, num_lists=8,
+        train_rounds=0,
+    )
+    pq = scratch + "/pq"
+    similarity.write_pq_ivf_index(
+        emb.where(F.col("vec_id") % 4 != 0), pq, num_lists=8, m=4, ksub=16,
+    )
+    build_sec = round(time.perf_counter() - t0, 3)
+
+    screens = {
+        "dedup_band_screen": lambda: dedup.screen_against_index(
+            spark, dd, batch_docs, "doc_id", "text", threshold=0.5
+        ),
+        "substring_screen": lambda: textops.screen_against_substring_index(
+            spark, ss, batch_docs, "doc_id", "text"
+        ),
+        "ccnet_screen": lambda: gatestats.screen_ccnet_frozen(
+            spark, cc, batch_docs.select("doc_id", "text")
+        ),
+        "gate_screen": lambda: gatestats.screen_against_cutoffs(
+            spark, gc,
+            orders.where(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey", "o_orderpriority", "o_totalprice"
+            ),
+        ),
+        "binned_cutoff_screen": lambda:
+            gatestats.screen_against_binned_cutoffs(
+                spark, bc, docs.where(F.col("doc_id") % 3 == 0)
+            ),
+        "drift_psi": lambda: gatestats.psi_against_baseline(
+            spark, bl, batch_docs
+        ),
+        "hll_estimate": lambda: sketches.estimate_cardinality(
+            spark, hl, ["lang"]
+        ),
+        "ivf_search": lambda: similarity.search_ivf_index(
+            spark, ivf, emb.where(F.col("vec_id") < 10), k=5, nprobe=3
+        ),
+        "pq_ivf_search": lambda: similarity.search_pq_ivf_index(
+            spark, pq, emb.where(F.col("vec_id") % 43 == 0), emb,
+            k=5, nprobe=3, rescore_mult=10,
+        ),
+        "ingest_composition": lambda: pipelines.ingest_micro_batch(
+            spark, batch_docs, "doc_id", "text",
+            dedup_index_path=dd, substring_index_path=ss,
+            ccnet_store_dir=cc, drift_baseline_path=bl,
+            hll_store_path=hl, merge_accepted=False,
+        ),
+    }
+    def run_once(fn) -> float:
+        # crc-over-every-column action, NOT bare .count(): several
+        # screens end in keyed left joins that Catalyst join-eliminates
+        # under a column-free count — we'd time only the batch scan
+        # (the /verify recipe's timing gotcha)
+        start = time.perf_counter()
+        df = fn()
+        df.agg(
+            F.sum(
+                F.crc32(
+                    F.concat_ws(
+                        "|", *[F.col(c).cast("string") for c in df.columns]
+                    )
+                )
+            )
+        ).collect()
+        return round(time.perf_counter() - start, 3)
+
+    load_before = os.getloadavg()
+    timings, warm = {}, {}
+    for name, fn in screens.items():
+        timings[name] = run_once(fn)
+        warm[name] = run_once(fn)
+    shutil.rmtree(scratch, ignore_errors=True)
+    total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "steady_state_screen_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "value_warm": round(sum(warm.values()), 3),
+        "queries_warm": warm,
+        "store_build_sec": build_sec,
+        "sf": sf_val,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+    }
+    print(json.dumps(full, separators=(",", ":")))
+    summary = dict(full)
+    summary.pop("queries_warm")
+    summary.pop("loadavg_before")
+    summary.pop("loadavg_after")
+    print(json.dumps(summary, separators=(",", ":")))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     subset = os.environ.get("SPARK_GRAFT_BENCH_SUBSET", "full")
+    if subset == "steady":
+        sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+        steady_main(sf_dir, sf_val)
+        return
     headline = SUBSETS.get(subset)
     if headline is None:
         # comma-separated explicit names: any unknown name is an

@@ -669,6 +669,7 @@ def ingest_micro_batch(
     drift_baseline_path: str | None = None,
     drift_psi_threshold: float = 0.2,
     hll_store_path: str | None = None,
+    binned_cutoff_path: str | None = None,
     merge_accepted: bool = True,
 ) -> DataFrame:
     """ONE audited call for the continuous-ingest production loop —
@@ -699,9 +700,18 @@ def ingest_micro_batch(
       (:func:`operators.sketches`): pure maintenance (accepted docs
       merge in under the sidecar's own group/value columns); sketches
       gate nothing, so no trail column.
+    * ``binned_cutoff_path`` — the MERGEABLE score gate
+      (:func:`operators.gatestats.screen_against_binned_cutoffs`):
+      the batch must carry the store's own strata/score columns
+      (sidecar-declared); per doc ``cutoff_keep``, and with
+      ``merge_accepted`` the accepted rows' scores fold into the bin
+      counts (O(batch), crash-atomic) so the cutoffs TRACK the
+      admitted corpus — the one gate in this composition that is
+      frozen-reference AND maintainable at once.
 
-    ``accepted`` = NOT near_dup AND NOT substr_reject AND ccnet_keep,
-    each conjunct only when its store is opted in. The trail is
+    ``accepted`` = NOT near_dup AND NOT substr_reject AND ccnet_keep
+    AND cutoff_keep, each conjunct only when its store is opted in.
+    The trail is
     ``localCheckpoint``-MATERIALIZED before any store is written:
     verdicts are frozen first, so the fold-back can never leak the
     batch's own fingerprints into its own screen (and the returned
@@ -732,12 +742,14 @@ def ingest_micro_batch(
         ccnet_store_dir,
         drift_baseline_path,
         hll_store_path,
+        binned_cutoff_path,
     )
     if all(s is None for s in stores):
         raise ValueError(
             "ingest_micro_batch: no store opted in — pass at least one "
             "of dedup_index_path / substring_index_path / "
-            "ccnet_store_dir / drift_baseline_path / hll_store_path"
+            "ccnet_store_dir / drift_baseline_path / hll_store_path / "
+            "binned_cutoff_path"
         )
     trail = batch.select(id_col)
     gates = []
@@ -808,6 +820,15 @@ def ingest_micro_batch(
                 F.lit(False),
             ),
         )
+    if binned_cutoff_path is not None:
+        gated = gatestats.screen_against_binned_cutoffs(
+            spark,
+            binned_cutoff_path,
+            batch,
+            unknown_strata=unknown_strata,
+        ).select(id_col, F.col("keep").alias("cutoff_keep"))
+        trail = trail.join(gated, id_col, "left")
+        gates.append(F.coalesce("cutoff_keep", F.lit(False)))
     accepted_col = F.lit(True)
     for g in gates:
         accepted_col = accepted_col & g
@@ -843,5 +864,9 @@ def ingest_micro_batch(
                 accepted_docs,
                 list(stored["group_cols"]),
                 str(stored["value_col"]),
+            )
+        if binned_cutoff_path is not None:
+            gatestats.merge_binned_cutoff_store(
+                spark, binned_cutoff_path, accepted_docs
             )
     return trail

@@ -636,3 +636,62 @@ def test_corpus_health_report_stage_equivalence(spark, sf_dir):
         assert rows[("profile", r["column"], "top_share")] == (
             r.top_share
         )
+
+
+def test_ingest_micro_batch_binned_cutoff_gate(spark, tmp_path):
+    """The sixth ingest opt-in: a mergeable binned-cutoff gate inside
+    the one-call composition — per-doc cutoff_keep ANDs into
+    accepted, unknown strata follow the explicit policy, and with
+    merge_accepted the ACCEPTED rows' scores fold back into the bin
+    counts (cutoffs track the admitted corpus: a flood of accepted
+    high scores must raise the derived cutoff)."""
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark import pipelines
+    from ontology_graph_etl_spark.operators import gatestats
+
+    ref = spark.createDataFrame(
+        [(i, f"text {i}", "en", float(i)) for i in range(1, 101)],
+        "doc_id: long, text: string, lang: string, score: double",
+    )
+    path = str(tmp_path / "binned")
+    gatestats.build_binned_cutoff_store(
+        ref, path, "lang", "score", keep_pct=50, n_bins=50
+    )
+    cut0 = {
+        r.strata: r.cutoff
+        for r in gatestats.derive_binned_cutoffs(spark, path).collect()
+    }["en"]
+    batch = spark.createDataFrame(
+        [
+            (201, "hi score", "en", 90.0),     # above cutoff -> keep
+            (202, "low score", "en", 1.0),     # below -> reject
+            (203, "null score", "en", None),   # NULL never keeps
+            (204, "alien", "xx", 99.0),        # unknown stratum, drop
+        ],
+        "doc_id: long, text: string, lang: string, score: double",
+    )
+    trail = pipelines.ingest_micro_batch(
+        spark, batch, "doc_id", "text", binned_cutoff_path=path
+    )
+    got = {r.doc_id: (r.cutoff_keep, r.accepted) for r in trail.collect()}
+    assert got == {
+        201: (True, True),
+        202: (False, False),
+        203: (False, False),
+        204: (False, False),
+    }
+    # accepted scores folded back: flood the store with accepted
+    # high-score docs and the derived cutoff must rise
+    flood = spark.createDataFrame(
+        [(300 + i, f"t{i}", "en", 95.0) for i in range(200)],
+        "doc_id: long, text: string, lang: string, score: double",
+    )
+    pipelines.ingest_micro_batch(
+        spark, flood, "doc_id", "text", binned_cutoff_path=path
+    )
+    cut1 = {
+        r.strata: r.cutoff
+        for r in gatestats.derive_binned_cutoffs(spark, path).collect()
+    }["en"]
+    assert cut1 > cut0, (cut0, cut1)
