@@ -670,6 +670,7 @@ def ingest_micro_batch(
     drift_psi_threshold: float = 0.2,
     hll_store_path: str | None = None,
     binned_cutoff_path: str | None = None,
+    intra_batch_dedup: bool = False,
     merge_accepted: bool = True,
 ) -> DataFrame:
     """ONE audited call for the continuous-ingest production loop —
@@ -709,9 +710,18 @@ def ingest_micro_batch(
       admitted corpus — the one gate in this composition that is
       frozen-reference AND maintainable at once.
 
-    ``accepted`` = NOT near_dup AND NOT substr_reject AND ccnet_keep
-    AND cutoff_keep, each conjunct only when its store is opted in.
-    The trail is
+    ``intra_batch_dedup=True`` adds the stage the store screens
+    deliberately scope OUT (the screen_against_index contract):
+    exact duplicates WITHIN the arriving batch itself — a dump
+    routinely contains its own copies, and without this stage every
+    copy of a novel text is accepted together (the store only learns
+    about them at the next batch). First-wins by min id over
+    identical text (one text-keyed aggregate, the q54 device); the
+    trail gains ``intra_batch_dup`` and losers AND into rejection.
+
+    ``accepted`` = NOT intra_batch_dup AND NOT near_dup AND NOT
+    substr_reject AND ccnet_keep AND cutoff_keep, each conjunct only
+    when its stage is opted in. The trail is
     ``localCheckpoint``-MATERIALIZED before any store is written:
     verdicts are frozen first, so the fold-back can never leak the
     batch's own fingerprints into its own screen (and the returned
@@ -753,6 +763,24 @@ def ingest_micro_batch(
         )
     trail = batch.select(id_col)
     gates = []
+    if intra_batch_dedup:
+        # first-wins by min id over identical text (the q54 device):
+        # one text-keyed partial-aggregable groupBy, winners-sized
+        # join back — the batch never shuffles more than once here
+        winners = (
+            batch.select(id_col, text_col)
+            .groupBy(text_col)
+            .agg(F.min(id_col).alias("__win"))
+            .select(
+                F.col("__win").alias(id_col), F.lit(True).alias("__ibw")
+            )
+        )
+        trail = (
+            trail.join(winners, id_col, "left")
+            .withColumn("intra_batch_dup", F.col("__ibw").isNull())
+            .drop("__ibw")
+        )
+        gates.append(~F.col("intra_batch_dup"))
     if dedup_index_path is not None:
         pairs = screen_against_index(
             spark,

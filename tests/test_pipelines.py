@@ -695,3 +695,53 @@ def test_ingest_micro_batch_binned_cutoff_gate(spark, tmp_path):
         for r in gatestats.derive_binned_cutoffs(spark, path).collect()
     }["en"]
     assert cut1 > cut0, (cut0, cut1)
+
+
+def test_ingest_micro_batch_intra_batch_dedup(spark, tmp_path):
+    """intra_batch_dedup: exact duplicates inside the arriving batch
+    itself (the case the store screens deliberately scope out) —
+    first-wins by min id over identical text; losers reject even
+    though the store has never seen the text."""
+    from ontology_graph_etl_spark import pipelines
+    from ontology_graph_etl_spark.operators import dedup
+
+    ref = spark.createDataFrame(
+        [(i, f"reference text number {i} with words") for i in range(50)],
+        "doc_id: long, text: string",
+    )
+    path = str(tmp_path / "bands")
+    dedup.write_dedup_index(
+        dedup.prepare_dedup_index(
+            ref, "doc_id", "text",
+            num_hashes=64, bands=16, shingle_n=3, base_hash="xxhash64",
+        ),
+        path, num_hashes=64, bands=16, shingle_n=3, base_hash="xxhash64",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, "a brand new document about spark"),
+            (102, "a brand new document about spark"),   # exact copy
+            (103, "another novel text entirely different"),
+        ],
+        "doc_id: long, text: string",
+    )
+    trail = pipelines.ingest_micro_batch(
+        spark, batch, "doc_id", "text",
+        dedup_index_path=path, intra_batch_dedup=True,
+        merge_accepted=False,
+    )
+    got = {r.doc_id: (r.intra_batch_dup, r.accepted)
+           for r in trail.collect()}
+    assert got == {
+        101: (False, True),   # first wins
+        102: (True, False),   # its exact in-batch copy loses
+        103: (False, True),
+    }
+    # without the stage both copies would be admitted together
+    # (merge_accepted=False so the first call's fold-back cannot
+    # have taught the store about them)
+    plain = pipelines.ingest_micro_batch(
+        spark, batch, "doc_id", "text", dedup_index_path=path,
+        merge_accepted=False,
+    )
+    assert all(r.accepted for r in plain.collect())

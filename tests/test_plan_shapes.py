@@ -799,3 +799,75 @@ def test_random_walks_frontier_gate_semantics(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         adj.unpersist()
     assert "BroadcastHashJoin" not in plan, plan[:600]
+
+
+def test_binned_cutoff_screen_batch_shape(spark, sf_dir):
+    """q173: the BATCH side of the binned-cutoff screen pays no
+    shuffle — deriving the cutoffs is strata×bins-sized work (its
+    group-sums may exchange domain-sized frames), and the screen
+    itself is the shared broadcast join (the q165 pin, applied to
+    the mergeable store): no SortMergeJoin anywhere, and the final
+    join against the batch is a BroadcastHashJoin."""
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators import gatestats
+
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="plan_q173_") + "/s"
+    gatestats.build_binned_cutoff_store(
+        docs.where("doc_id % 3 <> 0"), path, "lang", "n_chars", 40,
+        n_bins=64,
+    )
+    out = gatestats.screen_against_binned_cutoffs(
+        spark, path, docs.where("doc_id % 3 = 0")
+    )
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:800]
+
+
+def test_pq_ivf_search_plan_shape(spark, sf_dir):
+    """q176: the PQ search's memory contract is visible in the plan —
+    the STORE scan reads codes+norm and never a vector column (the
+    store does not even hold one), and the raw-vector corpus scan
+    reads exactly (id, embedding) for the shortlist rescore; the
+    probe side carries the broadcast centroid frame."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="plan_q176_") + "/pq"
+    similarity.write_pq_ivf_index(
+        emb.where("vec_id % 4 <> 0"), path, num_lists=8, m=4, ksub=16
+    )
+    out = similarity.search_pq_ivf_index(
+        spark, path, emb.where("vec_id < 5"), emb, k=5, nprobe=3
+    )
+    out.count()
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    scans = [
+        s for s in plan.split("\n\n") if "Scan parquet" in s
+    ]
+    store_scans = [s for s in scans if "/pq" in s]
+    corpus_scans = [s for s in scans if "embeddings" in s]
+    assert store_scans, plan[:500]
+    for s in store_scans:
+        assert "codes" in s and "norm" in s
+        assert "embedding" not in s  # the 17x memory story
+    # the rescore reads the raw vectors from the corpus, pruned to
+    # (vec_id, embedding)
+    assert any("embedding" in s for s in corpus_scans)
