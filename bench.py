@@ -188,6 +188,7 @@ HEADLINE = [
     "q174_weighted_paths",
     "q175_boundary_chunks",
     "q176_pq_ivf_search",
+    "q177_cutoff_calibration",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

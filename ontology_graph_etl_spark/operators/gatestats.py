@@ -489,6 +489,95 @@ def screen_against_binned_cutoffs(
     )
 
 
+def calibrate_binned_cutoffs(
+    spark: SparkSession,
+    path: str,
+    ref: DataFrame,
+    key_col: str,
+    max_gap_bins: float = 1.0,
+) -> DataFrame:
+    """The binned store's CALIBRATION report — the operator that
+    closes its accuracy loop ("exact rebuild stays the calibration
+    path" is hollow without a cheap way to see WHEN): derive the
+    store's current cutoffs from the folded bin counts, run the EXACT
+    integer gate over a calibration corpus ``ref`` under the
+    sidecar's own strata/score/keep_pct, and emit one row per stratum
+    on either side — ``(strata, cutoff_binned, cutoff_exact, abs_gap,
+    gap_bins, needs_rebuild)``. ``gap_bins`` normalizes the cutoff gap
+    by the stratum's frozen bin width, so the one number is
+    comparable across strata with wildly different score ranges;
+    ``needs_rebuild`` fires when it exceeds ``max_gap_bins`` (the
+    store's own documented error bound is ONE bin when the
+    calibration corpus equals the ingested corpus — a larger gap
+    means real drift), when a constant-range stratum (frozen width 0)
+    shows ANY gap, or when a stratum exists on only one side (new in
+    the corpus, or vanished from it). Cost: the store-side is
+    strata×bins-sized; the exact gate is the one corpus-scale pass —
+    which is the point: run this periodically, not per batch.
+
+    ``abs_gap``/``gap_bins`` are 6dp-rounded (the cross-engine float
+    contract); both-sides-NULL cutoffs (all-NULL-score strata) report
+    a NULL gap and no rebuild — no scores means nothing drifted."""
+    params = read_json_sidecar(
+        spark, path, _BINNED_SIDECAR, _BINNED_KEYS,
+        "binned cutoff store", "rebuild via build_binned_cutoff_store",
+    )
+    strata_col = params["strata_col"]
+    n_bins = int(params["n_bins"])
+    binned = derive_binned_cutoffs(spark, path).select(
+        "strata",
+        F.col("cutoff").alias("cutoff_binned"),
+        F.lit(True).alias("__in_store"),
+    )
+    exact = build_gate_cutoffs(
+        ref,
+        key_col,
+        strata_col,
+        params["score_col"],
+        int(params["keep_pct"]),
+    ).select(
+        F.col(strata_col).alias("__es"),
+        F.col("cutoff").alias("cutoff_exact"),
+        F.lit(True).alias("__in_ref"),
+    )
+    ranges = spark.read.parquet(path.rstrip("/") + "/ranges").select(
+        F.col("strata").alias("__rs"),
+        ((F.col("hi") - F.col("lo")) / n_bins).alias("__w"),
+    )
+    joined = (
+        binned.join(
+            exact, F.col("strata").eqNullSafe(F.col("__es")), "full_outer"
+        )
+        .withColumn("strata", F.coalesce("strata", "__es"))
+        .join(ranges, F.col("strata").eqNullSafe(F.col("__rs")), "left")
+    )
+    gap = F.abs(F.col("cutoff_exact") - F.col("cutoff_binned"))
+    both = F.col("__in_store").isNotNull() & F.col("__in_ref").isNotNull()
+    gap_bins = F.when(
+        F.col("__w") > 0, F.round(gap / F.col("__w"), 6)
+    )
+    needs = F.when(
+        ~F.coalesce(both, F.lit(False)), F.lit(True)
+    ).otherwise(
+        F.coalesce(
+            F.when(F.col("__w") > 0, gap_bins > F.lit(float(max_gap_bins)))
+            .otherwise(gap > 0),
+            # one cutoff NULL, the other not: drifted by definition;
+            # both NULL: nothing to drift
+            F.col("cutoff_binned").isNull()
+            != F.col("cutoff_exact").isNull(),
+        )
+    )
+    return joined.select(
+        "strata",
+        "cutoff_binned",
+        "cutoff_exact",
+        F.round(gap, 6).alias("abs_gap"),
+        gap_bins.alias("gap_bins"),
+        needs.alias("needs_rebuild"),
+    )
+
+
 def compact_binned_cutoff_store(spark: SparkSession, path: str) -> int:
     """Rewrite the counts table as one row per (strata, bin) — the
     same group-sum derive_binned_cutoffs folds lazily, so cutoffs are

@@ -1490,37 +1490,51 @@ _PQ_SIDECAR = "_pq_ivf_params.json"
 _PQ_KEYS = ("num_lists", "m", "ksub", "centroids", "codebooks")
 
 
-def _pq_slices(vec: Column, dim: int, m: int) -> list[Column]:
-    dsub = dim // m
-    return [F.slice(vec, j * dsub + 1, dsub) for j in range(m)]
-
-
 def _pq_codes_expr(vec: Column, dim: int, codebooks) -> Column:
     """The PQ encoding as ONE per-row expression — an ``array<int>``
     of ``m`` sub-space codes, each the rounded-argmax nearest
     sub-centroid (round(cos, 6) before the argmax, ties to the LOWEST
     code — kmeans_assign's literal-path contract verbatim, so the
-    whole encoding re-derives in SQL). Zero joins, zero Python: the
-    m·ksub·(dim/m) codebook literals ride in the projection like
-    kmeans_assign's literal strategy."""
+    whole encoding re-derives in SQL). Zero joins, zero Python, and
+    — critically — ZERO higher-order functions: HOF lambdas are
+    interpreted row-at-a-time (the q141 hashed-BoW lesson; the first
+    cut of this encoder spent 13 s of q176's certification in
+    zip_with/aggregate folds), so every dot and norm is UNROLLED into
+    plain element_at arithmetic that whole-stage codegen compiles.
+    The fold ORDER is preserved exactly (leading 0.0 term included),
+    and each sub-centroid's norm collapses to a Python-computed
+    literal (same left-to-right IEEE sum) — the emitted doubles are
+    bit-identical to the cosine()-based form, which the oracle's
+    list_sum folds mirror."""
+    import math
+
     m = len(codebooks)
+    dsub = dim // m
     codes = []
-    for j, (sub, book) in enumerate(zip(_pq_slices(vec, dim, m), codebooks)):
-        cands = F.array(
-            *[
+    for j, book in enumerate(codebooks):
+        base = j * dsub
+        comps = [F.element_at(vec, base + i + 1) for i in range(dsub)]
+        nsq = F.lit(0.0)
+        for c_ in comps:
+            nsq = nsq + c_ * c_
+        norm_sub = F.greatest(F.sqrt(nsq), F.lit(1e-12))
+        cands = []
+        for ci, c in enumerate(book):
+            dot = F.lit(0.0)
+            for i in range(dsub):
+                dot = dot + comps[i] * F.lit(float(c[i]))
+            norm_c = max(
+                math.sqrt(sum(float(x) * float(x) for x in c)), 1e-12
+            )
+            cands.append(
                 F.struct(
-                    F.round(
-                        cosine(
-                            sub, F.array(*[F.lit(float(x)) for x in c])
-                        ),
-                        6,
-                    ).alias("sim"),
+                    F.round(dot / (norm_sub * F.lit(norm_c)), 6).alias(
+                        "sim"
+                    ),
                     F.lit(-ci).alias("neg_c"),
                 )
-                for ci, c in enumerate(book)
-            ]
-        )
-        codes.append((-F.array_max(cands)["neg_c"]).cast("int"))
+            )
+        codes.append((-F.array_max(F.array(*cands))["neg_c"]).cast("int"))
     return F.array(*codes)
 
 
@@ -1703,20 +1717,23 @@ def search_pq_ivf_index(
         )
     )
     dim = len(codebooks) * len(codebooks[0][0])
+    dsub = dim // m
     qvec = F.col("q_raw")
-    # the per-query ADC table: entry j·ksub + c = dot(q_sub_j, book_j[c])
-    adc = F.array(
-        *[
-            _dot(
-                sub,
-                F.array(*[F.lit(float(x)) for x in c]),
-            )
-            for j, (sub, book) in enumerate(
-                zip(_pq_slices(qvec, dim, m), codebooks)
-            )
-            for c in book
+    # the per-query ADC table: entry j·ksub + c = dot(q_sub_j,
+    # book_j[c]) — UNROLLED element_at arithmetic (no interpreted
+    # HOF folds; same leading-0.0 sum order as _dot, so the doubles
+    # are bit-identical to the fold form the oracle mirrors)
+    adc_entries = []
+    for j, book in enumerate(codebooks):
+        comps = [
+            F.element_at(qvec, j * dsub + i + 1) for i in range(dsub)
         ]
-    )
+        for c in book:
+            dot = F.lit(0.0)
+            for i in range(dsub):
+                dot = dot + comps[i] * F.lit(float(c[i]))
+            adc_entries.append(dot)
+    adc = F.array(*adc_entries)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_raw"),

@@ -8116,6 +8116,133 @@ FROM en CROSS JOIN chi
 """
 
 
+# --- q177: binned-cutoff calibration report ----------------------------------
+
+
+def _q177_cutoff_calibration(spark, sf_dir):
+    # The calibration loop the binned store's contract promises
+    # ("exact rebuild stays the calibration path"): the q173 store
+    # (built %3==1, merged %3==2) is calibrated against the FULL
+    # documents table as the reference corpus — per lang, the
+    # store-derived binned cutoff vs the exact integer-gate cutoff,
+    # the gap normalized by the stratum's frozen bin width, and the
+    # needs_rebuild verdict (gap beyond one bin = real drift beyond
+    # the store's own error bound; one-sided strata = corpus
+    # composition changed). The periodic job that tells an ingest
+    # deployment WHEN to pay the exact rebuild.
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators import gatestats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    scratch = tempfile.mkdtemp(prefix="q177_calib_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = scratch + "/store"
+    gatestats.build_binned_cutoff_store(
+        docs.where(F.col("doc_id") % 3 == 1),
+        path,
+        "lang",
+        "n_chars",
+        _Q173_PCT,
+        n_bins=_Q173_BINS,
+    )
+    gatestats.merge_binned_cutoff_store(
+        spark, path, docs.where(F.col("doc_id") % 3 == 2)
+    )
+    return gatestats.calibrate_binned_cutoffs(
+        spark, path, docs, "doc_id", max_gap_bins=1.0
+    ).withColumnRenamed("strata", "lang")
+
+
+def _q177_sql() -> str:
+    """The q173 binned-cutoff CTE chain (store side) full-outer-joined
+    against the exact integer gate over the whole table (calibration
+    side), with the width-normalized gap + rebuild verdict re-derived
+    in SQL."""
+    P, B = _Q173_PCT, _Q173_BINS
+    return f"""
+WITH bld AS (SELECT lang, CAST(n_chars AS DOUBLE) AS s
+             FROM documents WHERE doc_id % 3 = 1),
+mrg AS (SELECT lang, CAST(n_chars AS DOUBLE) AS s
+        FROM documents WHERE doc_id % 3 = 2),
+rng AS (SELECT lang, min(s) AS lo, max(s) AS hi FROM bld GROUP BY lang),
+binned AS (
+  SELECT r.lang,
+         CASE WHEN a.s IS NULL THEN NULL
+              WHEN r.hi = r.lo THEN 0
+              ELSE CAST(least(floor((r.hi - least(greatest(a.s, r.lo),
+                                                  r.hi))
+                                    / (r.hi - r.lo) * {B}),
+                              {B - 1}) AS INTEGER)
+         END AS bin
+  FROM (SELECT * FROM bld UNION ALL SELECT * FROM mrg) a
+  JOIN rng r USING (lang)
+),
+cnt AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS c
+        FROM binned GROUP BY 1, 2),
+tot AS (SELECT lang, sum(c) AS n,
+               sum(CASE WHEN bin IS NOT NULL THEN c END) AS nn
+        FROM cnt GROUP BY lang),
+tgt AS (SELECT lang, n, COALESCE(nn, 0) AS nn,
+               least((n * {P} - 1) // 100 + 1, COALESCE(nn, 0)) AS k
+        FROM tot),
+cum AS (SELECT lang, bin,
+               sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cm
+        FROM cnt WHERE bin IS NOT NULL),
+hit AS (SELECT c.lang, min(c.bin) AS b
+        FROM cum c JOIN tgt USING (lang)
+        WHERE c.cm >= tgt.k GROUP BY c.lang),
+cuts AS (
+  SELECT t.lang,
+         CASE WHEN t.nn = 0 THEN NULL
+              WHEN h.b = {B - 1} THEN r.lo
+              ELSE r.hi - (r.hi - r.lo) * (h.b + 1) / {B}
+         END AS cutoff_binned
+  FROM tgt t LEFT JOIN rng r USING (lang) LEFT JOIN hit h USING (lang)
+),
+erk AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC NULLS LAST,
+                                     doc_id ASC) AS r,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+ecut AS (
+  SELECT lang, min(CAST(n_chars AS DOUBLE)) AS cutoff_exact
+  FROM erk WHERE (r - 1) * 100 < n * {P} GROUP BY lang
+),
+elangs AS (SELECT DISTINCT lang FROM documents),
+ex AS (
+  SELECT e.lang, c.cutoff_exact FROM elangs e
+  LEFT JOIN ecut c USING (lang)
+),
+width AS (SELECT lang, (hi - lo) / {B} AS w FROM rng)
+SELECT COALESCE(c.lang, x.lang) AS lang,
+       c.cutoff_binned,
+       x.cutoff_exact,
+       round(abs(x.cutoff_exact - c.cutoff_binned), 6) AS abs_gap,
+       CASE WHEN w.w > 0
+            THEN round(abs(x.cutoff_exact - c.cutoff_binned) / w.w, 6)
+       END AS gap_bins,
+       CASE WHEN c.lang IS NULL OR x.lang IS NULL THEN TRUE
+            ELSE COALESCE(
+              CASE WHEN w.w > 0
+                   THEN round(abs(x.cutoff_exact - c.cutoff_binned)
+                              / w.w, 6) > 1.0
+                   ELSE abs(x.cutoff_exact - c.cutoff_binned) > 0 END,
+              (c.cutoff_binned IS NULL) <> (x.cutoff_exact IS NULL))
+       END AS needs_rebuild
+FROM cuts c
+FULL OUTER JOIN ex x ON c.lang IS NOT DISTINCT FROM x.lang
+LEFT JOIN width w ON w.lang IS NOT DISTINCT FROM COALESCE(c.lang, x.lang)
+"""
+
+
 # --- q176: product-quantized stored IVF --------------------------------------
 
 _Q176 = {"num_lists": 8, "nprobe": 3, "k": 5, "m": 4, "ksub": 16,
@@ -8901,7 +9028,14 @@ QUERIES: list[QueryDef] = [
     # composition; displaced q101 to the tail head), q173 (mergeable
     # binned cutoff store; displaced q107), q174 (weighted shortest
     # paths; displaced q37), q175 (boundary-aware chunking; displaced
-    # q106), q176 (product-quantized stored IVF; displaced q72).
+    # q106), q176 (product-quantized stored IVF; displaced q72),
+    # q177 (binned-cutoff calibration report; displaced q68).
+    QueryDef(
+        "q177_cutoff_calibration",
+        _q177_cutoff_calibration,
+        _q177_sql(),
+        "§2.11",
+    ),
     QueryDef(
         "q176_pq_ivf_search",
         _q176_pq_ivf_search,
@@ -9081,13 +9215,13 @@ QUERIES: list[QueryDef] = [
         _q65_sql,
         "§2.11",
     ),
+    # --- TAIL (not certified this round; 26 r12 names lead, seeding r16) ---
     QueryDef(
         "q68_stratified_sample",
         _q68_stratified_sample,
         _q68_sql,
         "§2.11",
     ),
-    # --- TAIL (not certified this round; 26 r12 names lead, seeding r16) ---
     QueryDef("q72_pii_redact", _q72_pii_redact, _q72_sql, "§2.11"),
     QueryDef(
         "q106_personalized_pagerank",

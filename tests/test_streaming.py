@@ -1824,3 +1824,65 @@ def test_binned_cutoffs_agree_with_exact_within_bin_error(
     # the disagreement band is narrow by construction; sanity: most
     # verdicts agree
     assert n_diff < len(ev) * 0.2
+
+
+def test_calibrate_binned_cutoffs_verdicts(spark, sf_dir, tmp_path):
+    """Calibration semantics: against the SAME corpus the store
+    ingested, every stratum's gap is within the one-bin error bound
+    (needs_rebuild=False across the board — the store's own accuracy
+    contract); against a drifted corpus the verdicts flip; a stratum
+    on only one side always flags."""
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators import gatestats
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = str(tmp_path / "store")
+    gatestats.build_binned_cutoff_store(
+        docs.where("doc_id % 3 = 1"), path, "lang", "n_chars", 40,
+        n_bins=64,
+    )
+    gatestats.merge_binned_cutoff_store(
+        spark, path, docs.where("doc_id % 3 = 2")
+    )
+    ingested = docs.where("doc_id % 3 <> 0")
+    same = gatestats.calibrate_binned_cutoffs(
+        spark, path, ingested, "doc_id"
+    ).collect()
+    assert same and all(not r.needs_rebuild for r in same), same
+    assert all(
+        r.gap_bins is None or r.gap_bins <= 1.0 + 1e-9 for r in same
+    )
+    # binned never under-keeps: cutoff_binned <= cutoff_exact on the
+    # ingested corpus
+    for r in same:
+        if r.cutoff_binned is not None and r.cutoff_exact is not None:
+            assert r.cutoff_binned <= r.cutoff_exact + 1e-9, r
+
+    # drifted corpus: shift every score up by 10 bins' worth — the
+    # exact cutoffs move, the frozen store's don't, verdicts flip
+    drifted = ingested.withColumn(
+        "n_chars", F.col("n_chars") + F.lit(2000)
+    )
+    moved = gatestats.calibrate_binned_cutoffs(
+        spark, path, drifted, "doc_id"
+    ).collect()
+    assert all(r.needs_rebuild for r in moved), moved
+
+    # one-sided stratum: a lang the store never saw
+    alien = ingested.unionByName(
+        spark.createDataFrame(
+            [(10_000_001, "xx", 500)],
+            "doc_id: long, lang: string, n_chars: long",
+        ).select("doc_id", "lang", F.col("n_chars").cast("int"))
+    )
+    rows = {
+        r.strata: r.needs_rebuild
+        for r in gatestats.calibrate_binned_cutoffs(
+            spark, path, alien, "doc_id"
+        ).collect()
+    }
+    assert rows["xx"] is True
