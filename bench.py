@@ -189,6 +189,7 @@ HEADLINE = [
     "q175_boundary_chunks",
     "q176_pq_ivf_search",
     "q177_cutoff_calibration",
+    "q178_semantic_join",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

@@ -381,6 +381,66 @@ def _cosine_verify_pairs(
     )
 
 
+def semantic_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "vec_id",
+    left_vec: str = "embedding",
+    right_id: str | None = None,
+    right_vec: str | None = None,
+    threshold: float = 0.9,
+    n_bands: int = 8,
+    band_bits: int = 8,
+) -> DataFrame:
+    """CROSS-FRAME embedding join: ``(id_a, id_b, cosine_sim)`` for
+    every (left, right) pair with rounded cosine >= ``threshold`` —
+    the semantic twin of the string-blocked
+    :func:`dedup.fuzzy_entity_join` (there two catalogs link on
+    blocked edit distance; here on embedding similarity): entity
+    linking across datasets, embedding-level eval-contamination
+    screens (does a benchmark row have a semantic copy in train?),
+    cross-lingual/paraphrase alignment given a shared encoder.
+
+    Same physical economics as the self-join near-dup path
+    (:func:`embedding_near_duplicates_lsh`): each side computes the
+    SAME deterministic sign-bucket bands (no RNG, so one SQL engine
+    re-derives both sides), candidates come from a LEFT×RIGHT equi
+    join on ``(band, bucket)`` — shuffle linear in rows×bands, never
+    \|L\|·\|R\| — and the exact cosine verify touches bucket
+    collisions only, vectors joined back narrow-first. ``id_a`` is
+    always the left id and ``id_b`` the right id (no ``<`` ordering —
+    the sides are different tables); a pair is emitted once per
+    collision set (candidates distinct before verify). Requires
+    ``n_bands * band_bits <= dim`` on BOTH sides (the _sign_bands
+    execution-time guard)."""
+    right_id = left_id if right_id is None else right_id
+    right_vec = left_vec if right_vec is None else right_vec
+    nl, bl = _sign_bands(left, left_id, left_vec, n_bands, band_bits)
+    nr, br = _sign_bands(right, right_id, right_vec, n_bands, band_bits)
+    cand = (
+        bl.alias("l")
+        .join(br.alias("r"), ["band", "bucket"])
+        .select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+        )
+        .distinct()
+    )
+    a = nl.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = nr.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def semantic_dedup_clusters(
     df: DataFrame,
     id_col: str = "vec_id",

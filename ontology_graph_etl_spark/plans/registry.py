@@ -8116,6 +8116,45 @@ FROM en CROSS JOIN chi
 """
 
 
+# --- q178: cross-frame semantic join -----------------------------------------
+
+
+def _q178_semantic_join(spark, sf_dir):
+    # Cross-frame embedding join (entity linking / embedding-level
+    # contamination screen) — the semantic twin of q153's
+    # string-blocked fuzzy join: even vec_ids play catalog A, odd
+    # vec_ids catalog B; candidates from the deterministic
+    # sign-bucket bands (the q82 family, LEFT x RIGHT instead of a
+    # self join), exact cosine verify on collisions only. Threshold
+    # 0.3 for the q62/q82 reason (the synthetic embeddings' pairwise
+    # cosine tops out ~0.51 — a production 0.9 would be vacuously
+    # empty at certification scale).
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_join(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        "vec_id",
+        "embedding",
+        threshold=0.3,
+        n_bands=8,
+        band_bits=8,
+    )
+
+
+_q178_sql = (
+    "WITH "
+    + _sign_band_ctes
+    + ",\n"
+    + _verified_pair_ctes(
+        """  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.id % 2 = 0 AND b.id % 2 = 1""",
+        0.3,
+    )
+    + "\nSELECT id_a, id_b, cosine_sim FROM pairs"
+)
+
+
 # --- q177: binned-cutoff calibration report ----------------------------------
 
 
@@ -9029,7 +9068,14 @@ QUERIES: list[QueryDef] = [
     # binned cutoff store; displaced q107), q174 (weighted shortest
     # paths; displaced q37), q175 (boundary-aware chunking; displaced
     # q106), q176 (product-quantized stored IVF; displaced q72),
-    # q177 (binned-cutoff calibration report; displaced q68).
+    # q177 (binned-cutoff calibration report; displaced q68), q178
+    # (cross-frame semantic join; displaced q65).
+    QueryDef(
+        "q178_semantic_join",
+        _q178_semantic_join,
+        _q178_sql,
+        "§2.11",
+    ),
     QueryDef(
         "q177_cutoff_calibration",
         _q177_cutoff_calibration,
@@ -9209,13 +9255,13 @@ QUERIES: list[QueryDef] = [
     QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
     QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
     QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
+    # --- TAIL (not certified this round; 26 r12 names lead, seeding r16) ---
     QueryDef(
         "q65_deterministic_split",
         _q65_deterministic_split,
         _q65_sql,
         "§2.11",
     ),
-    # --- TAIL (not certified this round; 26 r12 names lead, seeding r16) ---
     QueryDef(
         "q68_stratified_sample",
         _q68_stratified_sample,

@@ -427,3 +427,35 @@ def test_pq_ivf_recall_floor(spark, sf_dir, tmp_path):
     }
     for r in got.collect():
         assert ex_pairs[(r.query_id, r.neighbor_id)] == r.cosine_sim
+
+
+def test_semantic_join_golden(spark):
+    """Cross-frame semantic join on planted vectors: an exact copy
+    and a same-direction scaled copy across the two frames match at
+    0.99 (cosine is scale-invariant); orthogonal vectors never
+    produce a candidate; ids are side-labeled (id_a = left, id_b =
+    right — no self-join ordering), and a left-side pair of near-dups
+    does NOT match each other (different frames only)."""
+    from ontology_graph_etl_spark.operators.similarity import semantic_join
+
+    dim = 16
+    base = [1.0] * dim
+    ortho = [1.0, -1.0] * (dim // 2)
+    left = spark.createDataFrame(
+        [(1, base), (2, base), (3, ortho)],
+        "vec_id: long, embedding: array<double>",
+    )
+    right = spark.createDataFrame(
+        [(10, [2.0] * dim), (11, ortho)],
+        "vec_id: long, embedding: array<double>",
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in semantic_join(
+            left, right, threshold=0.99, n_bands=4, band_bits=4
+        ).collect()
+    )
+    # both left copies match the scaled right copy; ortho matches ortho
+    assert got == [(1, 10, 1.0), (2, 10, 1.0), (3, 11, 1.0)]
+    # left ids never appear as id_b and vice versa
+    assert all(a in (1, 2, 3) and b in (10, 11) for a, b, _ in got)
