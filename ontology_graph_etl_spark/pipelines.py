@@ -898,3 +898,69 @@ def ingest_micro_batch(
                 spark, binned_cutoff_path, accepted_docs
             )
     return trail
+
+
+def run_ingest_stream(
+    spark,
+    source_dir: str,
+    schema,
+    trail_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+    **ingest_kwargs,
+):
+    """The :func:`ingest_micro_batch` loop as ONE Structured
+    Streaming query — the deployment wrapper the lifecycle tests
+    hand-wire: ``readStream`` over a parquet drop directory →
+    foreachBatch → screen/fold via the composition → the per-doc
+    decision trail lands in ``trail_dir`` partitioned by
+    ``ingest_batch_id`` (append-only, so the audit survives every
+    batch; re-delivered batches after a crash overwrite their OWN
+    partition — foreachBatch is at-least-once, and without the
+    partition overwrite a retry would duplicate trail rows).
+    ``ingest_kwargs`` pass through to :func:`ingest_micro_batch`
+    (store paths, thresholds, ``merge_accepted``...). Returns the
+    started ``StreamingQuery`` — callers own its lifecycle
+    (``awaitTermination`` / ``stop``); pass
+    ``.trigger(availableNow=True)`` semantics by letting the source
+    drain (the default here) or manage triggers on the returned
+    query upstream.
+
+    The checkpoint makes delivery at-least-once PER BATCH while the
+    composition's fold-backs are APPEND-ONLY stores: a crash between
+    the store merges and the checkpoint commit re-runs the batch,
+    re-screening it against stores that already contain its accepted
+    docs — they then screen as near-dups of themselves and are NOT
+    re-merged (self-stabilizing), but their trail partition records
+    the retry's verdicts; treat the trail as the audit of the LAST
+    delivery, which is the one whose decisions stuck."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", int(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def _handle(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        trail = ingest_micro_batch(
+            spark, batch_df, id_col, text_col, **ingest_kwargs
+        )
+        (
+            trail.withColumn(
+                "ingest_batch_id", F.lit(int(batch_id))
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch_id")
+            .parquet(trail_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1886,3 +1886,71 @@ def test_calibrate_binned_cutoffs_verdicts(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert rows["xx"] is True
+
+
+def test_run_ingest_stream_wrapper(spark, sf_dir, tmp_path):
+    """pipelines.run_ingest_stream — the one-call deployment wrapper
+    around the ingest composition: a parquet drop directory drains
+    through foreachBatch, each batch's decision trail lands
+    partitioned by ingest_batch_id, and the maintainable store grows
+    batch-over-batch (a doc re-sent in a later file screens as a
+    near-dup of its accepted earlier copy)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_graph_etl_spark import pipelines
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.where("doc_id % 6 = 1")
+    dd = str(tmp_path / "bands")
+    dedup.write_dedup_index(
+        dedup.prepare_dedup_index(
+            ref, "doc_id", "text",
+            num_hashes=64, bands=16, shingle_n=3, base_hash="xxhash64",
+        ),
+        dd, num_hashes=64, bands=16, shingle_n=3, base_hash="xxhash64",
+    )
+    rows = sorted(
+        docs.where("doc_id % 6 = 0").collect(), key=lambda r: r.doc_id
+    )[:30]
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    import os
+
+    b2 = [(r.doc_id + 1_000_000, r.text) for r in rows[:15]]  # re-sends
+    for i, batch in enumerate(
+        [[(r.doc_id, r.text) for r in rows], b2]
+    ):
+        f = str(in_dir / f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [x[0] for x in batch],
+                    "text": [x[1] for x in batch],
+                }
+            ),
+            f,
+        )
+        os.utime(f, (1700000000 + i, 1700000000 + i))
+    trail_dir = str(tmp_path / "trails")
+    q = pipelines.run_ingest_stream(
+        spark,
+        str(in_dir),
+        "doc_id long, text string",
+        trail_dir,
+        str(tmp_path / "ck"),
+        dedup_index_path=dd,
+    )
+    q.awaitTermination(240)
+    got = spark.read.parquet(trail_dir)
+    assert set(got.select("ingest_batch_id").distinct().toPandas()
+               ["ingest_batch_id"]) == {0, 1}
+    t1 = {r.doc_id: r for r in got.where("ingest_batch_id = 0").collect()}
+    t2 = {r.doc_id: r for r in got.where("ingest_batch_id = 1").collect()}
+    assert len(t1) == 30 and len(t2) == 15
+    # every batch-2 re-send of an ACCEPTED batch-1 doc collides
+    for i, r in t1.items():
+        if r.accepted and (i + 1_000_000) in t2:
+            assert t2[i + 1_000_000].near_dup is True, i
