@@ -4680,3 +4680,119 @@ def test_boundary_chunking_golden_and_fallbacks(spark):
             if ch == " ":
                 continue
             assert any(s <= i <= e for s, e in spans[d]), (d, i, ch)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(0, 9),            # src
+            st.integers(0, 9),            # dst
+            st.integers(0, 20),           # non-negative weight
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    n_sources=st.integers(1, 3),
+)
+@SETTINGS
+def test_weighted_shortest_paths_matches_dijkstra(spark, edges, n_sources):
+    """Cross-implementation pin on arbitrary small graphs (cycles,
+    self-loops, parallel edges, disconnected nodes included): the
+    distributed min-plus Bellman-Ford equals a pure-Python Dijkstra
+    over the same non-negative-weight graph, sources 0..n-1."""
+    import heapq
+
+    from ontology_graph_etl_spark.operators.graph import (
+        weighted_shortest_paths,
+    )
+
+    sources = list(range(n_sources))
+    # reference: Dijkstra with parallel-edge min collapse
+    adj: dict[int, dict[int, int]] = {}
+    for s, d, w in edges:
+        best = adj.setdefault(s, {})
+        best[d] = min(best.get(d, w), w)
+    dist = {s: 0 for s in sources}
+    heap = [(0, s) for s in sources]
+    heapq.heapify(heap)
+    while heap:
+        du, u = heapq.heappop(heap)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, {}).items():
+            nd = du + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+
+    e = spark.createDataFrame(
+        [(s, d, w) for s, d, w in edges], "src: long, dst: long, w: long"
+    )
+    src = spark.createDataFrame([(s,) for s in sources], "id: long")
+    got = {
+        r.id: r.dist
+        for r in weighted_shortest_paths(e, src, weight_col="w").collect()
+    }
+    assert got == dist
+
+
+@given(
+    scores=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.one_of(
+                st.none(), st.integers(-50, 50).map(lambda x: x / 2.0)
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    pct=st.integers(1, 100),
+)
+@SETTINGS
+def test_binned_cutoffs_superset_property(spark, scores, pct):
+    """The binned store's accuracy contract on ARBITRARY data (ties,
+    NULL scores, constant strata, one-row strata): screening the
+    build corpus against its own binned cutoffs keeps a SUPERSET of
+    the exact gate's keep set per stratum, and the binned cutoff
+    never exceeds the exact one."""
+    import tempfile
+
+    from ontology_graph_etl_spark.operators import gatestats
+
+    rows = [(i, s, v) for i, (s, v) in enumerate(scores)]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, strat: string, score: double"
+    )
+    path = tempfile.mkdtemp(prefix="prop_binned_") + "/s"
+    gatestats.build_binned_cutoff_store(
+        df, path, "strat", "score", pct, n_bins=8
+    )
+    binned = {
+        r.strata: r.cutoff
+        for r in gatestats.derive_binned_cutoffs(spark, path).collect()
+    }
+    exact = {
+        r.strat: r.cutoff
+        for r in gatestats.build_gate_cutoffs(
+            df, "doc_id", "strat", "score", pct
+        ).collect()
+    }
+    assert set(binned) == set(exact)
+    for k, e in exact.items():
+        b = binned[k]
+        assert (b is None) == (e is None), (k, b, e)
+        if b is not None:
+            assert b <= e + 1e-9, (k, b, e)
+    kept_binned = {
+        r.doc_id
+        for r in gatestats.screen_against_binned_cutoffs(
+            spark, path, df
+        ).collect()
+        if r.keep
+    }
+    kept_exact = {
+        i for i, (s, v) in enumerate(scores)
+        if v is not None and exact[s] is not None and v >= exact[s]
+    }
+    assert kept_exact <= kept_binned
