@@ -435,16 +435,34 @@ def derive_binned_cutoffs(spark: SparkSession, path: str) -> DataFrame:
         counts.where(F.col("bin").isNotNull())
         .withColumn("__cum", F.sum("c").over(w))
     )
+    # null-SAFE strata joins throughout: a NULL stratum key is a real
+    # group everywhere else in this store (_binned_counts groups over
+    # ALL rows, _screen_cutoff_frame and calibrate_binned_cutoffs join
+    # eqNullSafe), so derive must match its range/hit rows back too —
+    # a USING-column join here silently handed the NULL stratum a NULL
+    # cutoff and the screen rejected all its rows, diverging from the
+    # exact store (ADVICE r15, fixed r16).
     hit = (
-        cum.join(targets, "strata")
+        cum.join(
+            targets.select(F.col("strata").alias("__ts"), "__k"),
+            F.col("strata").eqNullSafe(F.col("__ts")),
+        )
         .where(F.col("__cum") >= F.col("__k"))
         .groupBy("strata")
         .agg(F.min("bin").alias("__b"))
     )
     ranges = spark.read.parquet(base + "/ranges")
     return (
-        targets.join(ranges, "strata", "left")
-        .join(hit, "strata", "left")
+        targets.join(
+            ranges.select(F.col("strata").alias("__rs"), "lo", "hi"),
+            F.col("strata").eqNullSafe(F.col("__rs")),
+            "left",
+        )
+        .join(
+            hit.select(F.col("strata").alias("__hs"), "__b"),
+            F.col("strata").eqNullSafe(F.col("__hs")),
+            "left",
+        )
         .select(
             "strata",
             F.when(F.col("__nn") == 0, F.lit(None).cast("double"))

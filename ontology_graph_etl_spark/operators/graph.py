@@ -577,11 +577,14 @@ def weighted_shortest_paths(
         .agg(F.min("w").alias("w"))  # parallel edges: cheapest wins
         .localCheckpoint()
     )
-    has_negative = (
-        e.agg(F.min("w").alias("m")).collect()[0]["m"] or 0
-    ) < 0
     guard_cycles = False
     if max_iterations is None:
+        # the min-weight probe is only consulted on this branch — an
+        # explicit max_iterations never reads it, so don't pay the
+        # extra job there (ADVICE r15)
+        has_negative = (
+            e.agg(F.min("w").alias("m")).collect()[0]["m"] or 0
+        ) < 0
         if has_negative:
             # the classical |V|-round bound: still improving after
             # n_nodes rounds ⟹ a negative cycle is reachable

@@ -1190,13 +1190,11 @@ def quality_percentile_gate(
             .drop("__n")
         )
     s = F.col(score_col)
-    mm = (
-        df.groupBy(F.col(strata_col).alias("__qs"))
-        .agg(
-            F.min(s).cast("double").alias("__lo"),
-            F.max(s).cast("double").alias("__hi"),
-        )
-        .localCheckpoint()
+    # materialized once inside broadcast_if_small (localCheckpoint) —
+    # no caller-side checkpoint, or the frame would materialize twice
+    mm = df.groupBy(F.col(strata_col).alias("__qs")).agg(
+        F.min(s).cast("double").alias("__lo"),
+        F.max(s).cast("double").alias("__hi"),
     )
     # slice index ascending in RANK order (score desc): max -> 0,
     # min -> buckets-1, NULLs -> buckets (desc = nulls last). Equal

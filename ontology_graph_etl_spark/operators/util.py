@@ -46,16 +46,21 @@ def broadcast_if_small(df: DataFrame, max_rows: int = 1_000_000) -> DataFrame:
     instead of a graceful shuffle join. This helper persists the frame
     (it is about to be consumed at least twice — once counted here,
     once joined), counts it, and hints only when the count is at or
-    under ``max_rows``; above the threshold the plain persisted frame
-    is returned and Catalyst/AQE plan a shuffle join as usual. The
-    persist also means the gating count costs no extra corpus scan:
-    the aggregate that produced the frame materializes into cache
-    exactly once, same as the unguarded plan. The default threshold
-    (1M rows of key+stat columns, low hundreds of MB at worst) sits
-    well under executor memory while still covering every legitimate
-    "domain-sized" frame; callers with wider rows pass a lower cap —
-    the same contract as textops' ``driver_vocab_max`` device."""
-    df = df.persist()
+    under ``max_rows``; above the threshold the plain materialized
+    frame is returned and Catalyst/AQE plan a shuffle join as usual.
+    Materialization is ``localCheckpoint`` — NOT ``persist``: a cached
+    frame pins a CacheManager entry until an explicit unpersist, and
+    in the stated use sites (per-micro-batch calls in a long-lived
+    ingest loop) that was an unbounded executor-storage leak (ADVICE
+    r15); checkpoint blocks are reclaimed by the ContextCleaner as
+    soon as the frame is unreferenced, so the gating count still costs
+    no extra corpus scan and nothing outlives the batch. The default
+    threshold (1M rows of key+stat columns, low hundreds of MB at
+    worst) sits well under executor memory while still covering every
+    legitimate "domain-sized" frame; callers with wider rows pass a
+    lower cap — the same contract as textops' ``driver_vocab_max``
+    device."""
+    df = df.localCheckpoint()
     if df.count() <= max_rows:
         return F.broadcast(df)
     return df

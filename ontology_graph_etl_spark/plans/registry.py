@@ -8168,7 +8168,9 @@ def _q177_cutoff_calibration(spark, sf_dir):
     # needs_rebuild verdict (gap beyond one bin = real drift beyond
     # the store's own error bound; one-sided strata = corpus
     # composition changed). The periodic job that tells an ingest
-    # deployment WHEN to pay the exact rebuild.
+    # deployment WHEN to pay the exact rebuild. Stratum is
+    # nullif(lang,'zh') — the NULL stratum present on BOTH sides must
+    # calibrate like any other (presence-marker semantics, ADVICE r15).
     import atexit
     import shutil
     import tempfile
@@ -8176,7 +8178,9 @@ def _q177_cutoff_calibration(spark, sf_dir):
     from ..operators import gatestats
 
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars"
+        "doc_id",
+        F.expr("nullif(lang, 'zh')").alias("lang"),
+        "n_chars",
     )
     scratch = tempfile.mkdtemp(prefix="q177_calib_")
     atexit.register(shutil.rmtree, scratch, ignore_errors=True)
@@ -8203,10 +8207,18 @@ def _q177_sql() -> str:
     side), with the width-normalized gap + rebuild verdict re-derived
     in SQL."""
     P, B = _Q173_PCT, _Q173_BINS
+    # All strata joins IS NOT DISTINCT FROM, and the one-sided
+    # verdict reads explicit presence markers (in_store/in_ref) —
+    # never lang nullity, which would force needs_rebuild=TRUE for a
+    # legitimate NULL stratum present on both sides (ADVICE r15; the
+    # engine's calibrate_binned_cutoffs uses __in_store/__in_ref the
+    # same way).
     return f"""
-WITH bld AS (SELECT lang, CAST(n_chars AS DOUBLE) AS s
+WITH bld AS (SELECT nullif(lang, 'zh') AS lang,
+                    CAST(n_chars AS DOUBLE) AS s
              FROM documents WHERE doc_id % 3 = 1),
-mrg AS (SELECT lang, CAST(n_chars AS DOUBLE) AS s
+mrg AS (SELECT nullif(lang, 'zh') AS lang,
+               CAST(n_chars AS DOUBLE) AS s
         FROM documents WHERE doc_id % 3 = 2),
 rng AS (SELECT lang, min(s) AS lo, max(s) AS hi FROM bld GROUP BY lang),
 binned AS (
@@ -8219,7 +8231,7 @@ binned AS (
                               {B - 1}) AS INTEGER)
          END AS bin
   FROM (SELECT * FROM bld UNION ALL SELECT * FROM mrg) a
-  JOIN rng r USING (lang)
+  JOIN rng r ON a.lang IS NOT DISTINCT FROM r.lang
 ),
 cnt AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS c
         FROM binned GROUP BY 1, 2),
@@ -8233,32 +8245,37 @@ cum AS (SELECT lang, bin,
                sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cm
         FROM cnt WHERE bin IS NOT NULL),
 hit AS (SELECT c.lang, min(c.bin) AS b
-        FROM cum c JOIN tgt USING (lang)
-        WHERE c.cm >= tgt.k GROUP BY c.lang),
+        FROM cum c JOIN tgt t ON c.lang IS NOT DISTINCT FROM t.lang
+        WHERE c.cm >= t.k GROUP BY c.lang),
 cuts AS (
   SELECT t.lang,
          CASE WHEN t.nn = 0 THEN NULL
               WHEN h.b = {B - 1} THEN r.lo
               ELSE r.hi - (r.hi - r.lo) * (h.b + 1) / {B}
-         END AS cutoff_binned
-  FROM tgt t LEFT JOIN rng r USING (lang) LEFT JOIN hit h USING (lang)
+         END AS cutoff_binned,
+         TRUE AS in_store
+  FROM tgt t
+  LEFT JOIN rng r ON t.lang IS NOT DISTINCT FROM r.lang
+  LEFT JOIN hit h ON t.lang IS NOT DISTINCT FROM h.lang
 ),
+docs2 AS (SELECT doc_id, nullif(lang, 'zh') AS lang, n_chars
+          FROM documents),
 erk AS (
   SELECT lang, n_chars,
          row_number() OVER (PARTITION BY lang
                             ORDER BY n_chars DESC NULLS LAST,
                                      doc_id ASC) AS r,
          count(*) OVER (PARTITION BY lang) AS n
-  FROM documents
+  FROM docs2
 ),
 ecut AS (
   SELECT lang, min(CAST(n_chars AS DOUBLE)) AS cutoff_exact
   FROM erk WHERE (r - 1) * 100 < n * {P} GROUP BY lang
 ),
-elangs AS (SELECT DISTINCT lang FROM documents),
+elangs AS (SELECT DISTINCT lang FROM docs2),
 ex AS (
-  SELECT e.lang, c.cutoff_exact FROM elangs e
-  LEFT JOIN ecut c USING (lang)
+  SELECT e.lang, c.cutoff_exact, TRUE AS in_ref FROM elangs e
+  LEFT JOIN ecut c ON e.lang IS NOT DISTINCT FROM c.lang
 ),
 width AS (SELECT lang, (hi - lo) / {B} AS w FROM rng)
 SELECT COALESCE(c.lang, x.lang) AS lang,
@@ -8268,7 +8285,7 @@ SELECT COALESCE(c.lang, x.lang) AS lang,
        CASE WHEN w.w > 0
             THEN round(abs(x.cutoff_exact - c.cutoff_binned) / w.w, 6)
        END AS gap_bins,
-       CASE WHEN c.lang IS NULL OR x.lang IS NULL THEN TRUE
+       CASE WHEN c.in_store IS NULL OR x.in_ref IS NULL THEN TRUE
             ELSE COALESCE(
               CASE WHEN w.w > 0
                    THEN round(abs(x.cutoff_exact - c.cutoff_binned)
@@ -8605,7 +8622,10 @@ def _q173_binned_cutoff_screen(spark, sf_dir):
     # keep rule sets the target rank; the cutoff is the first
     # descending bin edge reaching it (over-keeps by at most one
     # bin's occupancy — the documented rank error; exact rebuild is
-    # the calibration path).
+    # the calibration path). The stratum is nullif(lang,'zh') so a
+    # NULL stratum key — a real group everywhere in this store — is
+    # exercised under driver certification end-to-end (build / merge
+    # / derive / screen all null-safe; ADVICE r15 regression).
     import atexit
     import shutil
     import tempfile
@@ -8613,7 +8633,9 @@ def _q173_binned_cutoff_screen(spark, sf_dir):
     from ..operators import gatestats
 
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars"
+        "doc_id",
+        F.expr("nullif(lang, 'zh')").alias("lang"),
+        "n_chars",
     )
     scratch = tempfile.mkdtemp(prefix="q173_binned_")
     atexit.register(shutil.rmtree, scratch, ignore_errors=True)
@@ -8630,20 +8652,26 @@ def _q173_binned_cutoff_screen(spark, sf_dir):
         spark, path, docs.where(F.col("doc_id") % 3 == 2)
     )
     cuts = gatestats.derive_binned_cutoffs(spark, path).select(
-        F.col("strata").alias("lang"), "cutoff"
+        F.col("strata").alias("__cl"), "cutoff"
     )
     screened = gatestats.screen_against_binned_cutoffs(
         spark, path, docs.where(F.col("doc_id") % 3 == 0)
     )
-    return screened.join(cuts, "lang", "left").select(
-        "doc_id", "lang", "n_chars", "cutoff", "keep"
-    )
+    return screened.join(
+        cuts, F.col("lang").eqNullSafe(F.col("__cl")), "left"
+    ).select("doc_id", "lang", "n_chars", "cutoff", "keep")
 
 
+#: All strata joins IS NOT DISTINCT FROM — the NULL stratum
+#: (nullif(lang,'zh')) is a real group and must match its own
+#: range/target/hit rows, mirroring the engine's eqNullSafe joins
+#: (ADVICE r15 fix, certified here).
 _q173_sql = f"""
-WITH bld AS (SELECT lang, CAST(n_chars AS DOUBLE) AS s
+WITH bld AS (SELECT nullif(lang, 'zh') AS lang,
+                    CAST(n_chars AS DOUBLE) AS s
              FROM documents WHERE doc_id % 3 = 1),
-mrg AS (SELECT lang, CAST(n_chars AS DOUBLE) AS s
+mrg AS (SELECT nullif(lang, 'zh') AS lang,
+               CAST(n_chars AS DOUBLE) AS s
         FROM documents WHERE doc_id % 3 = 2),
 rng AS (SELECT lang, min(s) AS lo, max(s) AS hi FROM bld GROUP BY lang),
 binned AS (
@@ -8656,7 +8684,7 @@ binned AS (
                               {_Q173_BINS - 1}) AS INTEGER)
          END AS bin
   FROM (SELECT * FROM bld UNION ALL SELECT * FROM mrg) a
-  JOIN rng r USING (lang)
+  JOIN rng r ON a.lang IS NOT DISTINCT FROM r.lang
 ),
 cnt AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS c
         FROM binned GROUP BY 1, 2),
@@ -8671,19 +8699,22 @@ cum AS (SELECT lang, bin,
                sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cm
         FROM cnt WHERE bin IS NOT NULL),
 hit AS (SELECT c.lang, min(c.bin) AS b
-        FROM cum c JOIN tgt USING (lang)
-        WHERE c.cm >= tgt.k GROUP BY c.lang),
+        FROM cum c JOIN tgt t ON c.lang IS NOT DISTINCT FROM t.lang
+        WHERE c.cm >= t.k GROUP BY c.lang),
 cuts AS (
   SELECT t.lang,
          CASE WHEN t.nn = 0 THEN NULL
               WHEN h.b = {_Q173_BINS - 1} THEN r.lo
               ELSE r.hi - (r.hi - r.lo) * (h.b + 1) / {_Q173_BINS}
          END AS cutoff
-  FROM tgt t LEFT JOIN rng r USING (lang) LEFT JOIN hit h USING (lang)
+  FROM tgt t
+  LEFT JOIN rng r ON t.lang IS NOT DISTINCT FROM r.lang
+  LEFT JOIN hit h ON t.lang IS NOT DISTINCT FROM h.lang
 )
-SELECT d.doc_id, d.lang, d.n_chars, c.cutoff,
+SELECT d.doc_id, nullif(d.lang, 'zh') AS lang, d.n_chars, c.cutoff,
        COALESCE(CAST(d.n_chars AS DOUBLE) >= c.cutoff, FALSE) AS keep
-FROM documents d LEFT JOIN cuts c USING (lang)
+FROM documents d
+LEFT JOIN cuts c ON nullif(d.lang, 'zh') IS NOT DISTINCT FROM c.lang
 WHERE d.doc_id % 3 = 0
 """
 
@@ -9019,97 +9050,59 @@ LEFT JOIN ss_agg ss USING (doc_id)
 #: artifact (the round-8 failure mode q112 navigated in r10). Add
 #: any query whose oracle text or executed plan changes this round,
 #: and bump RECERTIFY_ROUND to 15.
-RECERTIFY_ROUND = 15
+RECERTIFY_ROUND = 16
 RECERTIFY: set[str] = {
-    # r15 ADVICE fixes + the forced-broadcast-class guard (executed
-    # plan and/or oracle text changed): q165/q166 — screen
-    # keep-expression now ANDs score non-nullness for unknown strata,
-    # and the gate/ccnet builds route through the reworked
-    # quality-gate plan; q167 — src-degree hint dropped (AQE
-    # broadcasts from measured size); q170 — null-safe stats joins
-    # (oracle now IS NOT DISTINCT FROM), hints dropped for AQE;
-    # q152/q148/q103 — quality_percentile_gate's mm frame behind
-    # util.broadcast_if_small (localCheckpoint'd, count cheap) and
-    # its offsets frame un-hinted for AQE; q105/q143 — fill_budget's
-    # offsets frame likewise.
+    # r16 ADVICE fixes (executed plan and/or oracle text changed):
+    # q173/q177 — derive_binned_cutoffs strata joins now eqNullSafe,
+    # the queries' stratum is nullif(lang,'zh') so the NULL-key path
+    # is driver-certified, and both oracles moved to IS NOT DISTINCT
+    # FROM joins (q177 also to presence-marker one-sided verdicts);
+    # q103/q148/q152/q165/q166/q172 — broadcast_if_small now
+    # materializes via localCheckpoint instead of persist (the
+    # per-micro-batch cache leak), which rewrites the gate's bucket
+    # frame in every plan routing through quality_percentile_gate /
+    # build_gate_cutoffs / build_ccnet_store.
+    "q173_binned_cutoff_screen",
+    "q177_cutoff_calibration",
+    "q103_quality_gate",
+    "q148_model_quality_gate",
+    "q152_ccnet_pipeline",
     "q165_frozen_gate_screen",
     "q166_ccnet_frozen_screen",
-    "q167_bipartite_project",
-    "q170_robust_zscore",
-    "q152_ccnet_pipeline",
-    "q148_model_quality_gate",
-    "q103_quality_gate",
-    "q105_fill_budget",
-    "q143_token_budget_mix",
+    "q172_ingest_micro_batch",
 }
 
 QUERIES: list[QueryDef] = [
-    # --- ROUND-15 WINDOW (first 50) ---
+    # --- ROUND-16 WINDOW (first 50) ---
     # REGENERATED MECHANICALLY from the CORRECTNESS history (the
     # standing r11 procedure: bucket names by latest-green round,
-    # fill by staleness). Composition: the 9 round-15 RECERTIFY
-    # members (executed plan and/or oracle text changed by the r14
-    # ADVICE fixes + the broadcast_if_small guard: q165/q166 screen
-    # keep-expression + gate/ccnet plan, q167 gated degree
-    # broadcast, q170 null-safe stats joins + oracle, q152/q148/q103
-    # via quality_percentile_gate's gated bucket-frame hints,
-    # q105/q143 via fill_budget's gated offsets hint), then the 21
-    # r11-green names that reach the ceil(164/50)=4-round staleness
-    # cap when the r15 artifact lands (the r14 VERDICT's mandatory
-    # gating item), then the 20 stalest r12-green fills in prior
-    # registry order. The 26 remaining r12 names lead the tail and
-    # seed the r16 window (they hit the cap at r16 — next round's
-    # mandatory rotation), with the r13 then r14 blocks behind them;
-    # test_certification_window_freshness is the mechanical
-    # authority. New queries registered mid-round insert at the
-    # window head, each pushing the window's last entry to the tail
-    # head. Mid-round insertions so far: q172 (one-call ingest
-    # composition; displaced q101 to the tail head), q173 (mergeable
-    # binned cutoff store; displaced q107), q174 (weighted shortest
-    # paths; displaced q37), q175 (boundary-aware chunking; displaced
-    # q106), q176 (product-quantized stored IVF; displaced q72),
-    # q177 (binned-cutoff calibration report; displaced q68), q178
-    # (cross-frame semantic join; displaced q65).
+    # fill by staleness). Composition: the 8 round-16 RECERTIFY
+    # members (executed plan and/or oracle text changed by the r15
+    # ADVICE fixes: q173/q177 null-safe strata joins + nullif
+    # stratum + oracle text; q103/q148/q152/q165/q166/q172 via
+    # broadcast_if_small's persist->localCheckpoint leak fix, which
+    # rewrites the gate's materialized bucket frame in every plan
+    # routing through quality_percentile_gate / build_gate_cutoffs /
+    # build_ccnet_store), then the 33 r12-green names that reach the
+    # ceil(171/50)=4-round staleness cap when the r16 artifact lands
+    # (the r15 VERDICT's mandatory gating item), then the 9 stalest
+    # r13-green fills in prior registry order. The 33 remaining r13
+    # names lead the tail and seed the r17 window, with the r14 then
+    # r15 blocks behind them; test_certification_window_freshness is
+    # the mechanical authority. New queries registered mid-round
+    # insert at the window head, each pushing the window's last
+    # entry to the tail head.
+    QueryDef("q103_quality_gate", _q103_quality_gate, _q103_sql, "§2.11"),
     QueryDef(
-        "q178_semantic_join",
-        _q178_semantic_join,
-        _q178_sql,
+        "q148_model_quality_gate",
+        _q148_model_quality_gate,
+        _q148_sql,
         "§2.11",
     ),
     QueryDef(
-        "q177_cutoff_calibration",
-        _q177_cutoff_calibration,
-        _q177_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q176_pq_ivf_search",
-        _q176_pq_ivf_search,
-        _q176_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q175_boundary_chunks",
-        _q175_boundary_chunks,
-        _q175_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q174_weighted_paths",
-        _q174_weighted_paths,
-        _q174_sql,
-        "§2.8,G7",
-    ),
-    QueryDef(
-        "q173_binned_cutoff_screen",
-        _q173_binned_cutoff_screen,
-        _q173_sql,
-        "§2.11",
-    ),
-    QueryDef(
-        "q172_ingest_micro_batch",
-        _q172_ingest_micro_batch,
-        _q172_sql(),
+        "q152_ccnet_pipeline",
+        _q152_ccnet_pipeline,
+        _q152_sql(),
         "§2.11",
     ),
     QueryDef(
@@ -9125,137 +9118,23 @@ QUERIES: list[QueryDef] = [
         "§2.11",
     ),
     QueryDef(
-        "q167_bipartite_project",
-        _q167_bipartite_project,
-        _q167_sql,
-        "§2.8",
-    ),
-    QueryDef(
-        "q170_robust_zscore",
-        _q170_robust_zscore,
-        _q170_sql,
+        "q172_ingest_micro_batch",
+        _q172_ingest_micro_batch,
+        _q172_sql(),
         "§2.11",
     ),
     QueryDef(
-        "q152_ccnet_pipeline",
-        _q152_ccnet_pipeline,
-        _q152_sql(),
+        "q173_binned_cutoff_screen",
+        _q173_binned_cutoff_screen,
+        _q173_sql,
         "§2.11",
     ),
     QueryDef(
-        "q148_model_quality_gate",
-        _q148_model_quality_gate,
-        _q148_sql,
+        "q177_cutoff_calibration",
+        _q177_cutoff_calibration,
+        _q177_sql(),
         "§2.11",
     ),
-    QueryDef("q103_quality_gate", _q103_quality_gate, _q103_sql, "§2.11"),
-    QueryDef("q105_fill_budget", _q105_fill_budget, _q105_sql(), "§2.11"),
-    QueryDef(
-        "q143_token_budget_mix",
-        _q143_token_budget_mix,
-        _q143_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q69_cluster_representatives",
-        _q69_cluster_representatives,
-        _q69_sql,
-        "§2.11",
-    ),
-    QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
-    QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
-    QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),
-    QueryDef(
-        "q73_event_correlation",
-        _q73_event_correlation,
-        _q73_sql,
-        "§2.10",
-    ),
-    QueryDef(
-        "q78_incremental_dedup",
-        _q78_incremental_dedup,
-        _q78_oracle_sql(),
-        "§2.11",
-    ),
-    QueryDef("q81_media_features", _q81_media_features, _q81_sql, "multimodal"),
-    QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
-    QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
-    QueryDef("q126_kcore", _q126_kcore, _q126_sql(), "G14"),
-    QueryDef("q127_scd2_historize", _q127_scd2_historize, _q127_sql, "§2.7"),
-    QueryDef("q128_hard_negatives", _q128_hard_negatives, _q128_sql, "§2.11"),
-    QueryDef("q129_bpe_train", _q129_bpe_train, _q129_sql(), "§2.11"),
-    QueryDef("q119_kmeans_train", _q119_kmeans_train, _q119_sql(), "§2.11"),
-    QueryDef("q121_retrieval_eval", _q121_retrieval_eval, _q121_sql(), "§2.11"),
-    QueryDef(
-        "q122_ivf_trained_topk",
-        _q122_ivf_trained_topk,
-        _q122_sql(),
-        "§2.11",
-    ),
-    QueryDef("q124_bpe_pair_stats", _q124_bpe_pair_stats, _q124_sql, "§2.11"),
-    QueryDef(
-        "q125_leakage_free_split",
-        _q125_leakage_free_split,
-        _q125_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q112_depth_histogram_roots",
-        _q112_depth_histogram_roots,
-        _q112_sql,
-        "G12",
-    ),
-    QueryDef(
-        "q120_index_screen",
-        _q120_index_screen,
-        _q78_oracle_sql(7),
-        "§2.11",
-    ),
-    QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
-    QueryDef(
-        "q147_winnow_fingerprints",
-        _q147_winnow_fingerprints,
-        _q147_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q146_semantic_outlier_gate",
-        _q146_semantic_outlier_gate,
-        _q146_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q145_ngram_novelty",
-        _q145_ngram_novelty,
-        _q145_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q144_tokenizer_fertility",
-        _q144_tokenizer_fertility,
-        _q144_sql(),
-        "§2.11",
-    ),
-    QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
-    QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
-    QueryDef(
-        "q62_embedding_neardup",
-        _q62_embedding_neardup,
-        _q62_sql,
-        "§2.11",
-    ),
-    QueryDef(
-        "q100_apportion_budget",
-        _q100_apportion_budget,
-        _q100_sql,
-        "§2.11",
-    ),
-    QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),
-    QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
-    QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
-    QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
-    QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
-    # --- TAIL (not certified this round; 26 r12 names lead, seeding r16) ---
     QueryDef(
         "q65_deterministic_split",
         _q65_deterministic_split,
@@ -9373,6 +9252,7 @@ QUERIES: list[QueryDef] = [
         _q149_sql(),
         "§2.11",
     ),
+    # --- TAIL (not certified this round; 33 r13 names lead, seeding r17) ---
     QueryDef("q142_shard_export", _q142_shard_export, _q142_sql(), "§2.11"),
     QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
     QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
@@ -9557,6 +9437,148 @@ QUERIES: list[QueryDef] = [
         _q67_oracle_sql(),
         "§2.11",
     ),
+    QueryDef(
+        "q178_semantic_join",
+        _q178_semantic_join,
+        _q178_sql,
+        "§2.11",
+    ),
+    QueryDef(
+        "q176_pq_ivf_search",
+        _q176_pq_ivf_search,
+        _q176_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q175_boundary_chunks",
+        _q175_boundary_chunks,
+        _q175_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q174_weighted_paths",
+        _q174_weighted_paths,
+        _q174_sql,
+        "§2.8,G7",
+    ),
+    QueryDef(
+        "q167_bipartite_project",
+        _q167_bipartite_project,
+        _q167_sql,
+        "§2.8",
+    ),
+    QueryDef(
+        "q170_robust_zscore",
+        _q170_robust_zscore,
+        _q170_sql,
+        "§2.11",
+    ),
+    QueryDef("q105_fill_budget", _q105_fill_budget, _q105_sql(), "§2.11"),
+    QueryDef(
+        "q143_token_budget_mix",
+        _q143_token_budget_mix,
+        _q143_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q69_cluster_representatives",
+        _q69_cluster_representatives,
+        _q69_sql,
+        "§2.11",
+    ),
+    QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
+    QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
+    QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),
+    QueryDef(
+        "q73_event_correlation",
+        _q73_event_correlation,
+        _q73_sql,
+        "§2.10",
+    ),
+    QueryDef(
+        "q78_incremental_dedup",
+        _q78_incremental_dedup,
+        _q78_oracle_sql(),
+        "§2.11",
+    ),
+    QueryDef("q81_media_features", _q81_media_features, _q81_sql, "multimodal"),
+    QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
+    QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
+    QueryDef("q126_kcore", _q126_kcore, _q126_sql(), "G14"),
+    QueryDef("q127_scd2_historize", _q127_scd2_historize, _q127_sql, "§2.7"),
+    QueryDef("q128_hard_negatives", _q128_hard_negatives, _q128_sql, "§2.11"),
+    QueryDef("q129_bpe_train", _q129_bpe_train, _q129_sql(), "§2.11"),
+    QueryDef("q119_kmeans_train", _q119_kmeans_train, _q119_sql(), "§2.11"),
+    QueryDef("q121_retrieval_eval", _q121_retrieval_eval, _q121_sql(), "§2.11"),
+    QueryDef(
+        "q122_ivf_trained_topk",
+        _q122_ivf_trained_topk,
+        _q122_sql(),
+        "§2.11",
+    ),
+    QueryDef("q124_bpe_pair_stats", _q124_bpe_pair_stats, _q124_sql, "§2.11"),
+    QueryDef(
+        "q125_leakage_free_split",
+        _q125_leakage_free_split,
+        _q125_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q112_depth_histogram_roots",
+        _q112_depth_histogram_roots,
+        _q112_sql,
+        "G12",
+    ),
+    QueryDef(
+        "q120_index_screen",
+        _q120_index_screen,
+        _q78_oracle_sql(7),
+        "§2.11",
+    ),
+    QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
+    QueryDef(
+        "q147_winnow_fingerprints",
+        _q147_winnow_fingerprints,
+        _q147_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q146_semantic_outlier_gate",
+        _q146_semantic_outlier_gate,
+        _q146_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q145_ngram_novelty",
+        _q145_ngram_novelty,
+        _q145_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q144_tokenizer_fertility",
+        _q144_tokenizer_fertility,
+        _q144_sql(),
+        "§2.11",
+    ),
+    QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
+    QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
+    QueryDef(
+        "q62_embedding_neardup",
+        _q62_embedding_neardup,
+        _q62_sql,
+        "§2.11",
+    ),
+    QueryDef(
+        "q100_apportion_budget",
+        _q100_apportion_budget,
+        _q100_sql,
+        "§2.11",
+    ),
+    QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),
+    QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
+    QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
+    QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
+    QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
 ]
 
 

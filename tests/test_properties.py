@@ -4739,7 +4739,10 @@ def test_weighted_shortest_paths_matches_dijkstra(spark, edges, n_sources):
 @given(
     scores=st.lists(
         st.tuples(
-            st.sampled_from(["a", "b"]),
+            # NULL stratum is a real group everywhere in the store
+            # (eqNullSafe joins) — sample it, or a null-UNSAFE join in
+            # derive would pass certification unseen (ADVICE r15)
+            st.sampled_from(["a", "b", None]),
             st.one_of(
                 st.none(), st.integers(-50, 50).map(lambda x: x / 2.0)
             ),
@@ -4752,10 +4755,10 @@ def test_weighted_shortest_paths_matches_dijkstra(spark, edges, n_sources):
 @SETTINGS
 def test_binned_cutoffs_superset_property(spark, scores, pct):
     """The binned store's accuracy contract on ARBITRARY data (ties,
-    NULL scores, constant strata, one-row strata): screening the
-    build corpus against its own binned cutoffs keeps a SUPERSET of
-    the exact gate's keep set per stratum, and the binned cutoff
-    never exceeds the exact one."""
+    NULL scores, NULL strata, constant strata, one-row strata):
+    screening the build corpus against its own binned cutoffs keeps a
+    SUPERSET of the exact gate's keep set per stratum, and the binned
+    cutoff never exceeds the exact one."""
     import tempfile
 
     from ontology_graph_etl_spark.operators import gatestats
