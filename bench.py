@@ -190,6 +190,10 @@ HEADLINE = [
     "q176_pq_ivf_search",
     "q177_cutoff_calibration",
     "q178_semantic_join",
+    # round-16 additions: the semantic-dedup (PQ-IVF) ingest store —
+    # carries its per-invocation index build like the other
+    # stored-lifecycle rows; the steady mode prices the screen alone
+    "q179_semantic_ingest",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is
@@ -385,6 +389,10 @@ def steady_main(sf_dir: str, sf_val) -> None:
         "pq_ivf_search": lambda: similarity.search_pq_ivf_index(
             spark, pq, emb.where(F.col("vec_id") % 43 == 0), emb,
             k=5, nprobe=3, rescore_mult=10,
+        ),
+        "semantic_screen": lambda: similarity.screen_pq_ivf_index(
+            spark, pq, emb.where(F.col("vec_id") % 4 == 0),
+            threshold=0.35, nprobe=3,
         ),
         "ingest_composition": lambda: pipelines.ingest_micro_batch(
             spark, batch_docs, "doc_id", "text",

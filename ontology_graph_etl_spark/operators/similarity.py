@@ -1744,29 +1744,24 @@ def merge_pq_ivf_index(
     return params
 
 
-def search_pq_ivf_index(
+def _pq_adc_scored(
     spark,
     path: str,
     queries: DataFrame,
-    corpus: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    nprobe: int = 4,
-    rescore_mult: int = 4,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
 ) -> DataFrame:
-    """Approximate cosine top-k against a stored PQ-IVF index:
-    probe the ``nprobe`` nearest lists (sidecar centroids), score
-    every candidate CODE by ASYMMETRIC DISTANCE — the per-query ADC
-    table ``dot(q_sub_j, codebook_j[c])`` is one projected
-    ``m·ksub`` array, each candidate costs ``m`` table lookups, no
-    raw vector is touched — shortlist ``k·rescore_mult`` per query by
-    the ADC cosine approximation (stored norms turn the dot into a
-    cosine), then RESCORE the shortlist on raw vectors from
-    ``corpus`` for the exact final top-k. Per-query candidate work is
-    ~|index|·nprobe/num_lists code rows; the only raw-vector reads
-    are shortlist-sized. Self-exclusion follows search_ivf_index's
-    type-aware contract."""
+    """Shared probe + ADC-scoring prefix of the PQ-IVF search AND
+    screen paths: probe the ``nprobe`` nearest lists (sidecar
+    centroids), score every candidate CODE in them by asymmetric
+    distance — the per-query ADC table ``dot(q_sub_j,
+    codebook_j[c])`` is one projected ``m·ksub`` array, each
+    candidate costs ``m`` table lookups, no raw vector is touched.
+    Returns ``(query_id, q_raw, neighbor_id, approx_sim)`` —
+    candidate work is ~|index|·nprobe/num_lists code rows per query;
+    expressions are kept byte-identical to the pre-refactor
+    search_pq_ivf_index body so its certified plan is unchanged."""
     params = _read_pq_sidecar(spark, path)
     codebooks = params["codebooks"]
     m, ksub = len(codebooks), len(codebooks[0])
@@ -1849,13 +1844,38 @@ def search_pq_ivf_index(
         ),
         6,
     )
+    return (
+        probed.join(stored, "list_id")
+        .where(not_self)
+        .withColumn("approx_sim", approx)
+    )
+
+
+def search_pq_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    rescore_mult: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k against a stored PQ-IVF index:
+    probe + ADC-score candidates (:func:`_pq_adc_scored` — no raw
+    vector touched), shortlist ``k·rescore_mult`` per query by the
+    ADC cosine approximation (stored norms turn the dot into a
+    cosine), then RESCORE the shortlist on raw vectors from
+    ``corpus`` for the exact final top-k. The only raw-vector reads
+    are shortlist-sized. Self-exclusion follows search_ivf_index's
+    type-aware contract."""
+    scored = _pq_adc_scored(spark, path, queries, id_col, vec_col, nprobe)
     w_short = Window.partitionBy("query_id").orderBy(
         F.col("approx_sim").desc(), F.col("neighbor_id").asc()
     )
     shortlist = (
-        probed.join(stored, "list_id")
-        .where(not_self)
-        .withColumn("approx_sim", approx)
+        scored
         .withColumn("__sr", F.row_number().over(w_short))
         .where(F.col("__sr") <= k * rescore_mult)
         .select("query_id", "q_raw", "neighbor_id")
@@ -1875,6 +1895,55 @@ def search_pq_ivf_index(
         .withColumn("rank", F.row_number().over(w_k))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def screen_pq_ivf_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    nprobe: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate screen of a micro-batch
+    against a stored PQ-IVF index — the embedding-space member of the
+    ingest screen family (:func:`pipelines.ingest_micro_batch`): one
+    row per batch row, ``(id_col, nearest_sim, semantic_dup)``.
+    ``nearest_sim`` is the maximum ADC-approximated cosine over the
+    probed lists' candidate CODES (6dp — max commutes with the
+    monotone rounding, so it equals the rounded max), NULL when the
+    probed lists hold no candidates; ``semantic_dup`` is
+    ``nearest_sim >= threshold`` (FALSE on NULL). No raw corpus
+    vector is ever read — the decision is made entirely from the
+    stored codes + norms, so screening the Nth batch costs
+    ~|batch|·|index|·nprobe/num_lists code rows and nothing else:
+    the per-batch-cost contract every ingest screen obeys. For exact
+    final similarities use :func:`search_pq_ivf_index` (which pays a
+    shortlist-sized raw-vector rescore); a gate only needs the
+    approximation — a vector the ADC places above a dedup threshold
+    is a near-copy by construction (codes quantize TOWARD the
+    stored vector)."""
+    scored = _pq_adc_scored(spark, path, batch, id_col, vec_col, nprobe)
+    agg = scored.groupBy("query_id").agg(
+        F.max("approx_sim").alias("nearest_sim")
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(
+            agg.withColumnRenamed("query_id", "__qid"),
+            F.col(id_col) == F.col("__qid"),
+            "left",
+        )
+        .drop("__qid")
+        .withColumn(
+            "semantic_dup",
+            F.coalesce(
+                F.col("nearest_sim") >= F.lit(float(threshold)),
+                F.lit(False),
+            ),
+        )
     )
 
 

@@ -670,6 +670,11 @@ def ingest_micro_batch(
     drift_psi_threshold: float = 0.2,
     hll_store_path: str | None = None,
     binned_cutoff_path: str | None = None,
+    pq_index_path: str | None = None,
+    vec_col: str = "embedding",
+    embed=None,
+    semantic_threshold: float = 0.8,
+    pq_nprobe: int = 4,
     intra_batch_dedup: bool = False,
     merge_accepted: bool = True,
 ) -> DataFrame:
@@ -709,6 +714,25 @@ def ingest_micro_batch(
       counts (O(batch), crash-atomic) so the cutoffs TRACK the
       admitted corpus — the one gate in this composition that is
       frozen-reference AND maintainable at once.
+    * ``pq_index_path`` — stored PQ-IVF index, the EMBEDDING-SPACE
+      dedup modality (SemDeDup-class: the q87 semantic-dedup
+      operation as a per-batch screen —
+      :func:`operators.similarity.screen_pq_ivf_index`): per doc
+      ``nearest_sim`` (max ADC-approximated cosine over the probed
+      lists' stored codes, 6dp, NULL when the probed lists are
+      empty) and ``semantic_dup`` (>= ``semantic_threshold``). The
+      batch must carry ``vec_col``, or pass ``embed=`` (a callable
+      ``DataFrame -> DataFrame`` adding it — the
+      ``build_retrieval_index`` seam, e.g.
+      :func:`operators.similarity.hashed_bow_embedding`); embedding
+      happens ONCE, before the trail freeze, and the same vectors
+      fold back. With ``merge_accepted`` the accepted vectors encode
+      under the index's FROZEN quantizers and append O(batch)
+      (:func:`operators.similarity.merge_pq_ivf_index`) — batch N+1
+      is screened against batch N's admitted embeddings. No raw
+      corpus vector is ever read: the verdict comes from stored
+      codes + norms alone, preserving the zero-corpus-term
+      per-batch cost.
 
     ``intra_batch_dedup=True`` adds the stage the store screens
     deliberately scope OUT (the screen_against_index contract):
@@ -720,15 +744,17 @@ def ingest_micro_batch(
     trail gains ``intra_batch_dup`` and losers AND into rejection.
 
     ``accepted`` = NOT intra_batch_dup AND NOT near_dup AND NOT
-    substr_reject AND ccnet_keep AND cutoff_keep, each conjunct only
-    when its stage is opted in. The trail is
+    substr_reject AND ccnet_keep AND cutoff_keep AND NOT
+    semantic_dup, each conjunct only when its stage is opted in. The trail is
     ``localCheckpoint``-MATERIALIZED before any store is written:
     verdicts are frozen first, so the fold-back can never leak the
     batch's own fingerprints into its own screen (and the returned
     frame stays valid after the merges). With ``merge_accepted`` the
     accepted rows append into the dedup band index, the substring
-    fingerprint index, and the HLL store — each an O(batch) append
-    under the store's frozen sidecar parameters (never a corpus
+    fingerprint index, the HLL store, and the PQ-IVF index (vectors
+    encoded under its frozen coarse centroids + sub-codebooks) —
+    each an O(batch) append under the store's frozen sidecar
+    parameters (never a corpus
     read); the CCNet and drift stores are FROZEN by contract (that is
     their point — Wenzek-style screens and monitors compare every
     batch against the same reference) and are never written here.
@@ -753,14 +779,25 @@ def ingest_micro_batch(
         drift_baseline_path,
         hll_store_path,
         binned_cutoff_path,
+        pq_index_path,
     )
     if all(s is None for s in stores):
         raise ValueError(
             "ingest_micro_batch: no store opted in — pass at least one "
             "of dedup_index_path / substring_index_path / "
             "ccnet_store_dir / drift_baseline_path / hll_store_path / "
-            "binned_cutoff_path"
+            "binned_cutoff_path / pq_index_path"
         )
+    vbatch = None
+    if pq_index_path is not None:
+        # embed ONCE — the screen and the fold-back must see the same
+        # vectors, and a model-backed seam must not run twice
+        vbatch = embed(batch) if embed is not None else batch
+        if vec_col not in vbatch.columns:
+            raise ValueError(
+                f"ingest_micro_batch: pq_index_path set but the batch "
+                f"has no {vec_col!r} column — pass embed= or vec_col="
+            )
     trail = batch.select(id_col)
     gates = []
     if intra_batch_dedup:
@@ -857,6 +894,20 @@ def ingest_micro_batch(
         ).select(id_col, F.col("keep").alias("cutoff_keep"))
         trail = trail.join(gated, id_col, "left")
         gates.append(F.coalesce("cutoff_keep", F.lit(False)))
+    if pq_index_path is not None:
+        from .operators.similarity import screen_pq_ivf_index
+
+        sem = screen_pq_ivf_index(
+            spark,
+            pq_index_path,
+            vbatch,
+            id_col,
+            vec_col,
+            threshold=semantic_threshold,
+            nprobe=pq_nprobe,
+        )
+        trail = trail.join(sem, id_col, "left")
+        gates.append(~F.coalesce("semantic_dup", F.lit(False)))
     accepted_col = F.lit(True)
     for g in gates:
         accepted_col = accepted_col & g
@@ -896,6 +947,16 @@ def ingest_micro_batch(
         if binned_cutoff_path is not None:
             gatestats.merge_binned_cutoff_store(
                 spark, binned_cutoff_path, accepted_docs
+            )
+        if pq_index_path is not None:
+            from .operators.similarity import merge_pq_ivf_index
+
+            merge_pq_ivf_index(
+                spark,
+                pq_index_path,
+                vbatch.join(ok_ids, id_col, "left_semi"),
+                id_col,
+                vec_col,
             )
     return trail
 

@@ -8474,6 +8474,167 @@ QUALIFY rank <= {P["k"]}
 """
 
 
+# --- q179: semantic-dedup (PQ-IVF) store in the ingest loop ------------------
+
+#: q176's quantizer geometry (so the oracle CTEs mirror its certified
+#: encode chain verbatim); the threshold sits at the sf0.01 batch's
+#: median nearest_sim so BOTH verdict branches are in the hash.
+_Q179 = {"num_lists": 8, "nprobe": 3, "m": 4, "ksub": 16,
+         "threshold": 0.35}
+
+
+def _q179_semantic_ingest(spark, sf_dir):
+    # The SIXTH ingest store (the one dedup modality q172's loop
+    # could not screen): a PQ-IVF index built from the existing
+    # corpus (vec_id % 4 != 0, md5-seeded frozen quantizers — the
+    # q176 replayability device), then the % 4 == 0 split arrives as
+    # ONE micro-batch through pipelines.ingest_micro_batch with
+    # pq_index_path= — per vector the max ADC-approximated cosine
+    # against the STORED CODES of the probed lists (no raw corpus
+    # vector read — the SemDeDup-class screen at ingest cost), the
+    # semantic_dup verdict at the threshold, and the composed
+    # accepted. The trail is checkpoint-frozen BEFORE the accepted
+    # vectors fold back (merge_pq_ivf_index under the frozen
+    # sidecar), so the hash certifies screen + store round-trip while
+    # the fold-back runs on every invocation (its cross-batch catch
+    # is pinned in tests/test_streaming.py).
+    import atexit
+    import shutil
+    import tempfile
+
+    from .. import pipelines
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="q179_semingest_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = scratch + "/idx"
+    similarity.write_pq_ivf_index(
+        emb.where(F.col("vec_id") % 4 != 0),
+        path,
+        "vec_id",
+        "embedding",
+        num_lists=_Q179["num_lists"],
+        m=_Q179["m"],
+        ksub=_Q179["ksub"],
+        train_rounds=0,
+        pq_rounds=0,
+    )
+    return pipelines.ingest_micro_batch(
+        spark,
+        emb.where(F.col("vec_id") % 4 == 0),
+        id_col="vec_id",
+        pq_index_path=path,
+        vec_col="embedding",
+        semantic_threshold=_Q179["threshold"],
+        pq_nprobe=_Q179["nprobe"],
+    )
+
+
+def _q179_sql() -> str:
+    """The q176 encode chain over the BUILD split only (the stored
+    rows at screen time — the trail freezes before fold-back), the
+    batch probed + ADC-scored against it, collapsed to the per-vector
+    max and the threshold verdicts."""
+    P = _Q179
+    dsub = 64 // P["m"]
+    cos_vs = _cos_fold_sql("v.e", "s.e")
+    cos_qs = _cos_fold_sql("q.qe", "s.e")
+    sub_v = f"v.e[j.j * {dsub} + 1 : (j.j + 1) * {dsub}]"
+    sub_ps = f"ps.e[j.j * {dsub} + 1 : (j.j + 1) * {dsub}]"
+    sub_q = f"q.qe[j.j * {dsub} + 1 : (j.j + 1) * {dsub}]"
+    cos_sub = _cos_fold_sql(sub_v, sub_ps)
+    return f"""
+WITH ex AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % 4 <> 0
+),
+seeds AS (
+  SELECT e, CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS INTEGER) - 1 AS cid
+  FROM ex
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {P["num_lists"]}
+),
+pqseeds AS (
+  SELECT e, CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS INTEGER) - 1 AS scid
+  FROM ex
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {P["ksub"]}
+),
+js AS (SELECT unnest(generate_series(0, {P["m"] - 1})) AS j),
+v AS (SELECT vec_id, e FROM ex),
+assign AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT v.vec_id, s.cid, {cos_vs} AS sim
+    FROM v CROSS JOIN seeds s) t
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid ASC) = 1
+),
+codes AS (
+  SELECT vec_id, j, scid AS code FROM (
+    SELECT v.vec_id, j.j AS j, ps.scid, {cos_sub} AS sim
+    FROM v CROSS JOIN js j CROSS JOIN pqseeds ps) t
+  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                             ORDER BY sim DESC, scid ASC) = 1
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id % 4 = 0),
+probe AS (
+  SELECT query_id, qe, cid AS list_id FROM (
+    SELECT q.query_id, q.qe, s.cid, {cos_qs} AS csim
+    FROM q CROSS JOIN seeds s) t
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY csim DESC, cid ASC)
+          <= {P["nprobe"]}
+),
+adc AS (
+  SELECT q.query_id, j.j AS j, ps.scid,
+         list_sum(list_transform(list_zip({sub_q}, {sub_ps}),
+                                 x -> x[1] * x[2])) AS d
+  FROM q CROSS JOIN js j CROSS JOIN pqseeds ps
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a USING (list_id)
+  WHERE a.vec_id <> p.query_id
+),
+approx AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_sum(list(t.d ORDER BY t.j))
+               / (greatest(qn.nrm, 1e-12) * greatest(nn.nrm, 1e-12)),
+               6) AS approx_sim
+  FROM cand c
+  JOIN codes k ON k.vec_id = c.neighbor_id
+  JOIN adc t ON t.query_id = c.query_id AND t.j = k.j
+            AND t.scid = k.code
+  JOIN (SELECT query_id,
+               sqrt(list_sum(list_transform(qe, x -> x * x))) AS nrm
+        FROM q) qn ON qn.query_id = c.query_id
+  JOIN norms nn ON nn.vec_id = c.neighbor_id
+  GROUP BY c.query_id, c.neighbor_id, qn.nrm, nn.nrm
+),
+nearest AS (
+  SELECT query_id, max(approx_sim) AS nearest_sim
+  FROM approx GROUP BY query_id
+)
+SELECT q.query_id AS vec_id,
+       n.nearest_sim,
+       COALESCE(n.nearest_sim >= {P["threshold"]}, FALSE)
+         AS semantic_dup,
+       NOT COALESCE(n.nearest_sim >= {P["threshold"]}, FALSE)
+         AS accepted
+FROM q LEFT JOIN nearest n USING (query_id)
+"""
+
+
 # --- q175: boundary-aware chunking -------------------------------------------
 
 
@@ -9091,7 +9252,15 @@ QUERIES: list[QueryDef] = [
     # r15 blocks behind them; test_certification_window_freshness is
     # the mechanical authority. New queries registered mid-round
     # insert at the window head, each pushing the window's last
-    # entry to the tail head.
+    # entry to the tail head. Mid-round insertions so far: q179
+    # (semantic-dedup PQ-IVF store in the ingest loop; displaced
+    # q149 to the tail head).
+    QueryDef(
+        "q179_semantic_ingest",
+        _q179_semantic_ingest,
+        _q179_sql(),
+        "§2.11",
+    ),
     QueryDef("q103_quality_gate", _q103_quality_gate, _q103_sql, "§2.11"),
     QueryDef(
         "q148_model_quality_gate",
@@ -9246,13 +9415,13 @@ QUERIES: list[QueryDef] = [
         _q150_sql(),
         "§2.11",
     ),
+    # --- TAIL (not certified this round; q149 displaced by q179, then the r13 block seeding r17) ---
     QueryDef(
         "q149_fixpoint_removal",
         _q149_fixpoint_removal,
         _q149_sql(),
         "§2.11",
     ),
-    # --- TAIL (not certified this round; 33 r13 names lead, seeding r17) ---
     QueryDef("q142_shard_export", _q142_shard_export, _q142_sql(), "§2.11"),
     QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
     QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),

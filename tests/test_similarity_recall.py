@@ -459,3 +459,82 @@ def test_semantic_join_golden(spark):
     assert got == [(1, 10, 1.0), (2, 10, 1.0), (3, 11, 1.0)]
     # left ids never appear as id_b and vice versa
     assert all(a in (1, 2, 3) and b in (10, 11) for a, b, _ in got)
+
+def test_screen_pq_ivf_threshold_and_empty_candidates(
+    spark, sf_dir, tmp_path
+):
+    """screen_pq_ivf_index contracts: one row per batch row; the
+    threshold is INCLUSIVE (nearest_sim == threshold =>
+    semantic_dup); the screen's nearest_sim equals the max approx_sim
+    of the shared probe+ADC prefix (_pq_adc_scored — max commutes
+    with the 6dp rounding); and a batch row whose probed lists hold
+    NO candidates gets NULL nearest_sim => semantic_dup=False."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    idx = str(tmp_path / "pq")
+    similarity.write_pq_ivf_index(
+        emb.where("vec_id % 3 = 1"), idx, "vec_id", "embedding",
+        num_lists=4, m=4, ksub=16, train_rounds=0, pq_rounds=0,
+    )
+    batch = emb.where("vec_id % 3 = 0").limit(10)
+    scr = similarity.screen_pq_ivf_index(
+        spark, idx, batch, "vec_id", "embedding",
+        threshold=2.0, nprobe=2,
+    )
+    rows = {r.vec_id: r for r in scr.collect()}
+    assert len(rows) == batch.count()
+    assert all(not r.semantic_dup for r in rows.values())  # t=2.0
+    # max-vs-prefix consistency
+    prefix_max = {
+        r.query_id: r.m
+        for r in similarity._pq_adc_scored(
+            spark, idx, batch, "vec_id", "embedding", 2
+        )
+        .groupBy("query_id")
+        .agg(F.max("approx_sim").alias("m"))
+        .collect()
+    }
+    for vid, r in rows.items():
+        assert r.nearest_sim == prefix_max[vid], vid
+    # inclusive threshold boundary on one concrete row
+    vid, r0 = next(iter(sorted(rows.items())))
+    one = batch.where(F.col("vec_id") == vid)
+    at = similarity.screen_pq_ivf_index(
+        spark, idx, one, "vec_id", "embedding",
+        threshold=r0.nearest_sim, nprobe=2,
+    ).collect()[0]
+    above = similarity.screen_pq_ivf_index(
+        spark, idx, one, "vec_id", "embedding",
+        threshold=r0.nearest_sim + 1e-6, nprobe=2,
+    ).collect()[0]
+    assert at.semantic_dup is True and above.semantic_dup is False
+    # empty probed list => NULL nearest_sim, never a dup: empty one
+    # list's rows out of the store, then probe ONLY that list (its
+    # own centroid as the query, nprobe=1)
+    side_path = tmp_path / "pq" / similarity._PQ_SIDECAR
+    side = json.loads(side_path.read_text())
+    stored = spark.read.parquet(idx)
+    target = stored.groupBy("list_id").count().orderBy("list_id")
+    lid = target.collect()[0].list_id
+    pruned = stored.where(F.col("list_id") != F.lit(lid))
+    # the overwrite wipes the whole dir, sidecar included — restore it
+    pruned.localCheckpoint().write.mode("overwrite").parquet(idx)
+    side_path.write_text(json.dumps(side))
+    cent = side["centroids"][lid]
+    probe_q = spark.createDataFrame(
+        [(999_999, [float(x) for x in cent])],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.screen_pq_ivf_index(
+        spark, idx, probe_q, "vec_id", "embedding",
+        threshold=0.0, nprobe=1,
+    ).collect()[0]
+    assert out.nearest_sim is None and out.semantic_dup is False

@@ -1954,3 +1954,162 @@ def test_run_ingest_stream_wrapper(spark, sf_dir, tmp_path):
     for i, r in t1.items():
         if r.accepted and (i + 1_000_000) in t2:
             assert t2[i + 1_000_000].near_dup is True, i
+
+
+def test_ingest_semantic_store_cross_batch(spark, sf_dir, tmp_path):
+    """The SIXTH ingest store (q179): a PQ-IVF index screens each
+    arriving batch for EMBEDDING-SPACE near-duplicates and accepted
+    vectors fold back, so batch N+1 is screened against batch N's
+    admitted embeddings. Driven through foreachBatch over three
+    micro-batches, like the five-store lifecycle test:
+
+    * batch-3 re-sends batch-1's ACCEPTED vectors verbatim under new
+      ids: each copy's nearest_sim must be >= its batch-1 twin's
+      (frozen centroids => identical probe lists => the candidate
+      set only grew — the superset-monotonic invariant), and at
+      least one copy crosses the threshold => semantic_dup=True,
+      accepted=False (the cross-batch semantic-duplicate catch);
+    * REJECTED vectors never merge: the stored row count equals
+      |build corpus| + total accepted across batches.
+
+    The threshold is derived at runtime between the (deterministic,
+    md5-seeded) fresh-vs-store max and the copy-vs-store max, so the
+    test pins the mechanism rather than a data-dependent constant.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_graph_etl_spark import pipelines
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    A = emb.where("vec_id % 3 = 1")
+    B = emb.where("vec_id % 3 = 0")
+    idx = str(tmp_path / "pq")
+    similarity.write_pq_ivf_index(
+        A, idx, "vec_id", "embedding",
+        num_lists=4, m=4, ksub=16, train_rounds=0, pq_rounds=0,
+    )
+    n_built = spark.read.parquet(idx).count()
+
+    rows = sorted(B.collect(), key=lambda r: r.vec_id)
+    b1 = rows[:20]
+    b2 = rows[20:40]
+    b3 = [(r.vec_id + 1_000_000, r.embedding) for r in b1]
+
+    # threshold calibration pre-pass on a throwaway index replaying
+    # EXACTLY the stream's store state: fresh B-vs-A sims must all
+    # pass batch 1, and after only b1 merges, an exact copy of a b1
+    # vector must be reachable above the bar. (The stream's batch-2
+    # merges can only ADD candidates, so the calibrated copy sims
+    # are lower bounds on the stream's — superset-monotonic.)
+    calib = str(tmp_path / "pq_calib")
+    similarity.write_pq_ivf_index(
+        A, calib, "vec_id", "embedding",
+        num_lists=4, m=4, ksub=16, train_rounds=0, pq_rounds=0,
+    )
+    fresh_max = (
+        similarity.screen_pq_ivf_index(
+            spark, calib, B, "vec_id", "embedding",
+            threshold=2.0, nprobe=2,
+        )
+        .agg(F.max("nearest_sim"))
+        .collect()[0][0]
+    )
+    b1_frame = spark.createDataFrame(
+        [(r.vec_id, list(map(float, r.embedding))) for r in b1],
+        "vec_id long, embedding array<double>",
+    )
+    similarity.merge_pq_ivf_index(spark, calib, b1_frame)
+    copy_max = (
+        similarity.screen_pq_ivf_index(
+            spark,
+            calib,
+            b1_frame.select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"),
+                "embedding",
+            ),
+            "vec_id", "embedding", threshold=2.0, nprobe=2,
+        )
+        .agg(F.max("nearest_sim"))
+        .collect()[0][0]
+    )
+    assert copy_max > fresh_max, (
+        "PQ quantization too coarse to separate an exact copy from "
+        f"fresh vectors (fresh_max={fresh_max}, copy_max={copy_max})"
+    )
+    thresh = (fresh_max + copy_max) / 2.0
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    import os
+
+    for i, batch in enumerate(
+        [[(r.vec_id, r.embedding) for r in b1],
+         [(r.vec_id, r.embedding) for r in b2],
+         b3]
+    ):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": [x[0] for x in batch],
+                    "embedding": [list(map(float, x[1])) for x in batch],
+                }
+            ),
+            str(in_dir / f"b{i}.parquet"),
+        )
+        os.utime(
+            str(in_dir / f"b{i}.parquet"),
+            (1700000000 + i, 1700000000 + i),
+        )
+
+    trails = []
+
+    def handle(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        trails.append(
+            pipelines.ingest_micro_batch(
+                spark, batch_df, id_col="vec_id",
+                pq_index_path=idx,
+                vec_col="embedding",
+                semantic_threshold=thresh,
+                pq_nprobe=2,
+            ).collect()
+        )
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(trails) == 3
+    t1 = {r.vec_id: r for r in trails[0]}
+    t3 = {r.vec_id: r for r in trails[2]}
+    accepted1 = [i for i, r in t1.items() if r.accepted]
+    assert accepted1, "needs at least one accepted batch-1 vector"
+    # (a) superset-monotonic: the copy sees every candidate its twin
+    # saw (frozen centroids, same probe lists) PLUS the twin itself
+    for i in accepted1:
+        c = t3[i + 1_000_000]
+        assert c.nearest_sim >= t1[i].nearest_sim, i
+    # (b) the cross-batch semantic-duplicate catch fires
+    caught = [
+        i for i in accepted1
+        if t3[i + 1_000_000].semantic_dup
+    ]
+    assert caught, "no re-sent accepted vector screened semantic_dup"
+    for i in caught:
+        assert t3[i + 1_000_000].accepted is False, i
+    # (c) rejects never merge: stored rows = build + accepted
+    n_acc = sum(1 for t in trails for r in t if r.accepted)
+    assert spark.read.parquet(idx).count() == n_built + n_acc
