@@ -1546,6 +1546,118 @@ def search_ivf_index(
     )
 
 
+def calibrate_ivf_index(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    max_recall_drop: float = 0.1,
+    max_skew: float = 4.0,
+) -> DataFrame:
+    """The stored-quantizer CALIBRATION report — the q177 device
+    (calibrate_binned_cutoffs) applied to the frozen ANN family:
+    merged batches encode under quantizers trained on the BUILD
+    corpus, and nothing else measures how much recall that freeze is
+    now costing or flags a rebuild. One row:
+
+    - ``n_stored`` — stored index rows;
+    - ``occupancy_skew`` — max list occupancy ÷ perfect-balance
+      occupancy (``max_count · num_lists / n_stored``, 6dp): 1.0 is
+      balanced, large values mean the frozen centroids no longer
+      partition the ingested distribution (probes over-read the fat
+      lists — the IVF latency pathology);
+    - ``recall_stored`` / ``recall_fresh`` — MICRO-averaged recall@k
+      (``Σ hits / Σ truth`` over the calibration query set — integer
+      sums, one division, 6dp: engine-portable where a mean of
+      per-query doubles is summation-order-dependent) of (a) the
+      stored index searched under its frozen sidecar centroids vs
+      (b) a FRESH twin retrained on ``corpus`` with the sidecar's own
+      num_lists/train_rounds contract
+      (:func:`ivf_topk_deterministic`), both against the same
+      brute-force :func:`cosine_topk` truth;
+    - ``recall_gap`` = recall_fresh − recall_stored (what a rebuild
+      would buy; can be negative — a fresh quantizer is not always
+      better on a finite query set);
+    - ``needs_rebuild`` — gap > ``max_recall_drop`` OR skew >
+      ``max_skew`` (NULL-safe: an empty truth set flags neither).
+
+    Cost shape: the store side is list-count-sized (one groupBy over
+    stored rows), both ANN searches are probe-pruned; the ONE
+    corpus-scale term is the exact brute-force truth pass — which is
+    the point: run this periodically (the q177 cadence), never per
+    batch."""
+    params = _read_ivf_sidecar(spark, path)
+    num_lists = int(params["num_lists"])
+    occ = (
+        spark.read.parquet(path)
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.sum("__c").cast("long").alias("n_stored"),
+            F.max("__c").cast("long").alias("__mx"),
+        )
+    )
+    truth = cosine_topk(corpus, queries, id_col, vec_col, k=k).select(
+        F.col("query_id").alias("__tq"), F.col("neighbor_id").alias("__td")
+    ).localCheckpoint()
+    res_stored = search_ivf_index(
+        spark, path, queries, id_col, vec_col, k=k, nprobe=nprobe
+    )
+    res_fresh = ivf_topk_deterministic(
+        corpus,
+        queries,
+        id_col,
+        vec_col,
+        k=k,
+        num_lists=num_lists,
+        nprobe=nprobe,
+        train_rounds=int(params["train_rounds"]),
+    )
+
+    def _hits(res, alias):
+        return truth.join(
+            res.select(
+                F.col("query_id").alias("__tq"),
+                F.col("neighbor_id").alias("__td"),
+            ),
+            ["__tq", "__td"],
+            "left_semi",
+        ).agg(F.count(F.lit(1)).cast("long").alias(alias))
+
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    rs = F.round(F.col("__hs") / F.col("n_truth"), 6)
+    rf = F.round(F.col("__hf") / F.col("n_truth"), 6)
+    gap = F.round(rf - rs, 6)
+    skew = F.round(
+        F.col("__mx") * F.lit(num_lists) / F.col("n_stored"), 6
+    )
+    return (
+        occ.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(_hits(res_stored, "__hs")))
+        .crossJoin(F.broadcast(_hits(res_fresh, "__hf")))
+        .select(
+            "n_stored",
+            skew.alias("occupancy_skew"),
+            "n_truth",
+            rs.alias("recall_stored"),
+            rf.alias("recall_fresh"),
+            gap.alias("recall_gap"),
+            (
+                F.coalesce(
+                    gap > F.lit(float(max_recall_drop)), F.lit(False)
+                )
+                | F.coalesce(
+                    skew > F.lit(float(max_skew)), F.lit(False)
+                )
+            ).alias("needs_rebuild"),
+        )
+    )
+
+
 _PQ_SIDECAR = "_pq_ivf_params.json"
 _PQ_KEYS = ("num_lists", "m", "ksub", "centroids", "codebooks")
 

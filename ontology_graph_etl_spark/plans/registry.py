@@ -8635,6 +8635,176 @@ FROM q LEFT JOIN nearest n USING (query_id)
 """
 
 
+# --- q180: stored-quantizer (IVF) calibration report -------------------------
+
+_Q180 = {"num_lists": 8, "nprobe": 3, "k": 5, "drop": 0.05, "skew": 3.0}
+
+
+def _q180_ivf_calibration(spark, sf_dir):
+    # The q177 calibration device applied to the frozen ANN
+    # quantizers: the stored IVF index (built from vec_id % 4 != 0
+    # with md5-seeded centroids frozen into the sidecar, the held-out
+    # quarter merged in under them — the q137 lifecycle) is calibrated
+    # against the FULL embeddings table: micro-averaged recall@5 of
+    # the stored index vs a FRESH twin retrained on today's corpus
+    # under the sidecar's own contract, both against one brute-force
+    # truth pass (the single corpus-scale term — run periodically,
+    # the q177 cadence), plus the per-list occupancy skew of the
+    # frozen partition and the composed needs_rebuild verdict. The
+    # periodic job that tells an ANN deployment WHEN the quantizer
+    # freeze has drifted enough to pay a retrain.
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="q180_ivfcal_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = scratch + "/idx"
+    similarity.write_ivf_index(
+        emb.where(F.col("vec_id") % 4 != 0),
+        path,
+        "vec_id",
+        "embedding",
+        num_lists=_Q180["num_lists"],
+        train_rounds=0,
+    )
+    similarity.merge_ivf_index(
+        spark, path, emb.where(F.col("vec_id") % 4 == 0)
+    )
+    return similarity.calibrate_ivf_index(
+        spark,
+        path,
+        emb,
+        emb.where(F.col("vec_id") % 43 == 0),
+        k=_Q180["k"],
+        nprobe=_Q180["nprobe"],
+        max_recall_drop=_Q180["drop"],
+        max_skew=_Q180["skew"],
+    )
+
+
+def _q180_sql() -> str:
+    """DuckDB twin: the q137 stored chain (build-split seeds, whole-
+    corpus assignment = build+merge) searched for the calibration
+    queries, a fresh chain seeded from the WHOLE corpus, one
+    brute-force truth, integer hit/truth sums, and the single-row
+    report re-derived."""
+    P = _Q180
+    cos_vs = _cos_fold_sql("v.e", "s.e")
+    cos_qs = _cos_fold_sql("q.qe", "s.e")
+    return f"""
+WITH ex AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % 4 <> 0
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bseeds AS (
+  SELECT e, CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS INTEGER) - 1 AS cid
+  FROM ex
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {P["num_lists"]}
+),
+fseeds AS (
+  SELECT e, CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS INTEGER) - 1 AS cid
+  FROM v
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {P["num_lists"]}
+),
+assign_s AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT v.vec_id, s.cid, {cos_vs} AS sim
+    FROM v CROSS JOIN bseeds s) t
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid ASC) = 1
+),
+assign_f AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT v.vec_id, s.cid, {cos_vs} AS sim
+    FROM v CROSS JOIN fseeds s) t
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid ASC) = 1
+),
+occ AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_stored,
+         CAST(max(c) AS BIGINT) AS mx
+  FROM (SELECT list_id, count(*) AS c FROM assign_s GROUP BY 1)
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 43 = 0),
+probe_s AS (
+  SELECT query_id, qe, cid AS list_id FROM (
+    SELECT q.query_id, q.qe, s.cid, round({cos_qs}, 6) AS csim
+    FROM q CROSS JOIN bseeds s) t
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY csim DESC, cid ASC)
+          <= {P["nprobe"]}
+),
+probe_f AS (
+  SELECT query_id, qe, cid AS list_id FROM (
+    SELECT q.query_id, q.qe, s.cid, round({cos_qs}, 6) AS csim
+    FROM q CROSS JOIN fseeds s) t
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY csim DESC, cid ASC)
+          <= {P["nprobe"]}
+),
+res_s AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           round({_cos_fold_sql("p.qe", "c.e")}, 6) AS cs
+    FROM probe_s p
+    JOIN assign_s a ON a.list_id = p.list_id
+    JOIN v c ON c.vec_id = a.vec_id
+    WHERE a.vec_id <> p.query_id) t
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cs DESC, neighbor_id ASC)
+          <= {P["k"]}
+),
+res_f AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           round({_cos_fold_sql("p.qe", "c.e")}, 6) AS cs
+    FROM probe_f p
+    JOIN assign_f a ON a.list_id = p.list_id
+    JOIN v c ON c.vec_id = a.vec_id
+    WHERE a.vec_id <> p.query_id) t
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cs DESC, neighbor_id ASC)
+          <= {P["k"]}
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           round({_cos_fold_sql("q.qe", "c.e")}, 6) AS cs
+    FROM q JOIN v c ON c.vec_id <> q.query_id) t
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cs DESC, neighbor_id ASC)
+          <= {P["k"]}
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+hs AS (SELECT CAST(count(*) AS BIGINT) AS h FROM truth t
+       JOIN res_s r USING (query_id, neighbor_id)),
+hf AS (SELECT CAST(count(*) AS BIGINT) AS h FROM truth t
+       JOIN res_f r USING (query_id, neighbor_id))
+SELECT o.n_stored,
+       round(o.mx * {P["num_lists"]} / o.n_stored, 6) AS occupancy_skew,
+       nt.n_truth,
+       round(hs.h / nt.n_truth, 6) AS recall_stored,
+       round(hf.h / nt.n_truth, 6) AS recall_fresh,
+       round(round(hf.h / nt.n_truth, 6)
+             - round(hs.h / nt.n_truth, 6), 6) AS recall_gap,
+       COALESCE(round(round(hf.h / nt.n_truth, 6)
+                      - round(hs.h / nt.n_truth, 6), 6)
+                > {P["drop"]}, FALSE)
+       OR COALESCE(round(o.mx * {P["num_lists"]} / o.n_stored, 6)
+                   > {P["skew"]}, FALSE) AS needs_rebuild
+FROM occ o CROSS JOIN nt CROSS JOIN hs CROSS JOIN hf
+"""
+
+
 # --- q175: boundary-aware chunking -------------------------------------------
 
 
@@ -9254,7 +9424,14 @@ QUERIES: list[QueryDef] = [
     # insert at the window head, each pushing the window's last
     # entry to the tail head. Mid-round insertions so far: q179
     # (semantic-dedup PQ-IVF store in the ingest loop; displaced
-    # q149 to the tail head).
+    # q149 to the tail head), q180 (stored-quantizer IVF calibration
+    # report; displaced q150).
+    QueryDef(
+        "q180_ivf_calibration",
+        _q180_ivf_calibration,
+        _q180_sql(),
+        "§2.11",
+    ),
     QueryDef(
         "q179_semantic_ingest",
         _q179_semantic_ingest,

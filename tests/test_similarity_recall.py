@@ -538,3 +538,61 @@ def test_screen_pq_ivf_threshold_and_empty_candidates(
         threshold=0.0, nprobe=1,
     ).collect()[0]
     assert out.nearest_sim is None and out.semantic_dup is False
+
+
+def test_calibrate_ivf_index_flags_shifted_merge(spark, sf_dir, tmp_path):
+    """calibrate_ivf_index goldens (the q177 device for the frozen
+    ANN quantizers): merging batches drawn from the BUILD
+    distribution leaves the report quiet, while a distribution-
+    shifted merge (every vector displaced along one direction — all
+    land in the same frozen list) inflates occupancy_skew past the
+    bound and flips needs_rebuild. Deterministic end to end
+    (md5-seeded quantizers, no RNG)."""
+    from pyspark.sql import functions as F
+
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    A = emb.where("vec_id % 4 != 0")
+    B = emb.where("vec_id % 4 = 0")
+    queries = emb.where("vec_id % 43 = 0")
+
+    def build_and_merge(batch, name):
+        path = str(tmp_path / name)
+        similarity.write_ivf_index(
+            A, path, "vec_id", "embedding", num_lists=8, train_rounds=0
+        )
+        similarity.merge_ivf_index(spark, path, batch)
+        return path
+
+    # in-distribution merge: quiet report
+    p1 = build_and_merge(B, "idx_ok")
+    r1 = similarity.calibrate_ivf_index(
+        spark, p1, emb, queries, k=5, nprobe=3,
+        max_recall_drop=0.25, max_skew=2.0,
+    ).collect()[0]
+    assert r1.n_stored == emb.count()
+    assert r1.needs_rebuild is False, r1
+
+    # shifted merge: every batch vector displaced along all-ones —
+    # the frozen quantizer funnels them into one list
+    shifted = B.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") + F.lit(10.0)
+        ).alias("embedding"),
+    )
+    p2 = build_and_merge(shifted, "idx_shift")
+    corpus2 = A.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    ).unionByName(shifted)
+    r2 = similarity.calibrate_ivf_index(
+        spark, p2, corpus2, queries, k=5, nprobe=3,
+        max_recall_drop=0.25, max_skew=2.0,
+    ).collect()[0]
+    assert r2.occupancy_skew > r1.occupancy_skew, (r1, r2)
+    assert r2.needs_rebuild is True, r2
