@@ -194,6 +194,11 @@ HEADLINE = [
     # carries its per-invocation index build like the other
     # stored-lifecycle rows; the steady mode prices the screen alone
     "q179_semantic_ingest",
+    # the stored-quantizer calibration report (per-invocation
+    # build+merge+brute-force truth — the periodic job's full price)
+    # and the URL/domain web-hygiene gate
+    "q180_ivf_calibration",
+    "q181_web_hygiene",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

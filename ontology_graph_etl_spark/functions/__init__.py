@@ -11,12 +11,16 @@ from .text import (
     stable_surrogate_id,
     whitespace_tokens,
 )
+from .url import normalize_url, url_domain, url_host
 
 __all__ = [
     "extract_json_fields",
     "first_prefix",
     "format_merge_statement",
+    "normalize_url",
     "sanitize_value",
     "stable_surrogate_id",
+    "url_domain",
+    "url_host",
     "whitespace_tokens",
 ]

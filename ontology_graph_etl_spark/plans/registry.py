@@ -8805,6 +8805,131 @@ FROM occ o CROSS JOIN nt CROSS JOIN hs CROSS JOIN hf
 """
 
 
+# --- q181: URL/domain web hygiene --------------------------------------------
+
+_Q181_CAP = 3
+_Q181_BLOCK = ["src3.example.com", "src7.example.com"]
+
+
+def _q181_web_hygiene(spark, sf_dir):
+    # The FineWeb/RefinedWeb front gate certified end-to-end: a
+    # deterministic URL is synthesized per document (mixed-case
+    # scheme/host, optional WWW alias, optional port, utm_* tracking
+    # params interleaved with real ones, optional fragment — every
+    # normalization rule gets exercised), then ONE web_hygiene_gate
+    # pass: normalize_url dedup identity, domain blocklist
+    # (broadcast), first-wins URL dedup over unblocked rows, and the
+    # per-domain contribution cap over survivors. The oracle derives
+    # the NORMALIZED forms analytically from the synthesis classes —
+    # an independent derivation, so the hash certifies the regexp
+    # implementation against the normalization SPEC, not against a
+    # mirrored copy of itself.
+    from ..operators.webops import web_hygiene_gate
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTP://")),
+        F.when(d % 3 == 2, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(d % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        (d % 5).cast("string"),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="), (d % 3).cast("string")
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("?id="), (d % 3).cast("string"),
+                F.lit("&utm_campaign=x"),
+            ),
+        )
+        .when(d % 4 == 2, F.lit("?utm_medium=a"))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#Sec1")).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url")
+    )
+    return web_hygiene_gate(
+        docs,
+        "url",
+        "doc_id",
+        blocked_domains=_Q181_BLOCK,
+        max_per_domain=_Q181_CAP,
+    ).select(
+        "doc_id", "url", "norm_url", "domain", "blocked", "url_dup",
+        "domain_rank", "keep",
+    )
+
+
+def _q181_sql() -> str:
+    blocked = ", ".join(f"'{b}'" for b in _Q181_BLOCK)
+    return f"""
+WITH u AS (
+  SELECT doc_id, source,
+         (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+         || (CASE WHEN doc_id % 3 = 2 THEN 'WWW.' ELSE '' END)
+         || source || '.Example.COM'
+         || (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+         || '/Docs/' || CAST(doc_id % 5 AS VARCHAR)
+         || (CASE doc_id % 4
+             WHEN 0 THEN '?utm_source=feed&id='
+                         || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 1 THEN '?id=' || CAST(doc_id % 3 AS VARCHAR)
+                         || '&utm_campaign=x'
+             WHEN 2 THEN '?utm_medium=a'
+             ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN '#Sec1' ELSE '' END) AS url
+  FROM documents
+),
+-- the ANALYTIC normalized forms: derived from the synthesis classes,
+-- not by re-running the engine's regexes — an independent spec
+built AS (
+  SELECT doc_id, url,
+         (CASE WHEN doc_id % 3 = 2 THEN 'www.' ELSE '' END)
+         || lower(source) || '.example.com'
+         || (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+         || '/Docs/' || CAST(doc_id % 5 AS VARCHAR)
+         || (CASE WHEN doc_id % 4 IN (0, 1)
+             THEN '?id=' || CAST(doc_id % 3 AS VARCHAR)
+             ELSE '' END) AS norm_url,
+         lower(source) || '.example.com' AS domain
+  FROM u
+),
+flags AS (
+  SELECT *, domain IN ({blocked}) AS blocked FROM built
+),
+firsts AS (
+  SELECT norm_url,
+         min(CASE WHEN NOT blocked THEN doc_id END) AS fid
+  FROM flags GROUP BY norm_url
+),
+d AS (
+  SELECT f.*,
+         COALESCE(NOT f.blocked AND f.doc_id <> fi.fid, FALSE)
+           AS url_dup
+  FROM flags f JOIN firsts fi USING (norm_url)
+),
+ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY domain
+                                 ORDER BY doc_id) AS INTEGER)
+           AS domain_rank
+  FROM d WHERE NOT blocked AND NOT url_dup
+)
+SELECT d.doc_id, d.url, d.norm_url, d.domain, d.blocked, d.url_dup,
+       r.domain_rank,
+       (NOT d.blocked AND NOT d.url_dup
+        AND COALESCE(r.domain_rank <= {_Q181_CAP}, FALSE)) AS keep
+FROM d LEFT JOIN ranked r USING (doc_id)
+"""
+
+
 # --- q175: boundary-aware chunking -------------------------------------------
 
 
@@ -9425,7 +9550,14 @@ QUERIES: list[QueryDef] = [
     # entry to the tail head. Mid-round insertions so far: q179
     # (semantic-dedup PQ-IVF store in the ingest loop; displaced
     # q149 to the tail head), q180 (stored-quantizer IVF calibration
-    # report; displaced q150).
+    # report; displaced q150), q181 (URL/domain web hygiene;
+    # displaced q151).
+    QueryDef(
+        "q181_web_hygiene",
+        _q181_web_hygiene,
+        _q181_sql(),
+        "§2.11",
+    ),
     QueryDef(
         "q180_ivf_calibration",
         _q180_ivf_calibration,
