@@ -199,6 +199,9 @@ HEADLINE = [
     # and the URL/domain web-hygiene gate
     "q180_ivf_calibration",
     "q181_web_hygiene",
+    # unigram-LM tokenizer training (driver-side EM over the
+    # corpus-independent word table after one distributed count pass)
+    "q182_unigram_train",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

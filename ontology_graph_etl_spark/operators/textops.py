@@ -2787,3 +2787,356 @@ def vocabulary_drift(
             F.round(z, 6).alias("z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer: train / encode
+# ---------------------------------------------------------------------------
+
+#: integer log-cost scale — Viterbi path sums are exact integer
+#: arithmetic (the weighted-shortest-paths integer-cents contract), so
+#: argmin decisions can never flip on cross-engine float summation
+#: order; only the ONE per-piece ln() quantization carries the q113
+#: last-ulp class of risk
+_UNI_SCALE = 1_000_000
+
+
+def _uni_cost(num: float, den: float) -> int:
+    """floor(SCALE·ln(num/den) + 0.5) — half-UP rounding spelled out
+    (Python's round() is banker's; SQL round() is half-away — floor+0.5
+    is the one convention both engines write identically)."""
+    import math
+
+    return int(math.floor(_UNI_SCALE * math.log(num / den) + 0.5))
+
+
+def _unigram_viterbi(
+    word: str, costs: dict, max_piece_len: int
+) -> list[str]:
+    """Min-cost segmentation of ``word`` under integer piece costs —
+    the unigram model's MAP tokenization (Viterbi over the
+    segmentation lattice). Tie-break is total contract: (cost asc,
+    token count asc, '|'-joined token string asc) — ASCII-only
+    strings, so Python tuple order equals SQL (BIGINT, BIGINT,
+    VARCHAR binary-collation) order and the oracle's row_number
+    replays it exactly. Requires every character of ``word`` in
+    ``costs`` (the trainer keeps all single chars for coverage);
+    raises KeyError-equivalent ValueError otherwise."""
+    n = len(word)
+    # best[j] = (cost, ntok, toks_str, tokens)
+    best: list = [None] * (n + 1)
+    best[0] = (0, 0, "", [])
+    for j in range(1, n + 1):
+        cand = None
+        for k in range(1, min(max_piece_len, j) + 1):
+            prev = best[j - k]
+            if prev is None:
+                continue
+            piece = word[j - k : j]
+            c = costs.get(piece)
+            if c is None:
+                continue
+            key = (prev[0] + c, prev[1] + 1, prev[2] + "|" + piece)
+            if cand is None or key < cand[0]:
+                cand = (key, prev[3] + [piece])
+        if cand is not None:
+            best[j] = (*cand[0], cand[1])
+    if best[n] is None:
+        raise ValueError(
+            f"unigram viterbi: {word!r} not coverable — vocabulary is "
+            "missing a character (the trainer always keeps all single "
+            "chars; frozen vocabularies applied to new text must too)"
+        )
+    return best[n][3]
+
+
+def _unigram_em_local(
+    words: list, vocab_size: int, rounds: int, max_piece_len: int,
+    seed_size: int,
+) -> list:
+    """The EM loop over a (word, count) table — driver-side, the
+    bpe_train ``_bpe_train_local`` precedent: the word-frequency table
+    is corpus-size-independent, so after the one distributed count
+    pass the iterations are vocabulary work. Hard (Viterbi) EM with
+    deterministic pruning:
+
+    seed:  every substring up to ``max_piece_len`` weighted by word
+           count, top ``seed_size`` by (freq desc, piece asc), plus
+           ALL single chars (coverage); costs -ln(freq/total).
+    round: Viterbi-segment every word → usage counts → keep top
+           ``vocab_size`` by (count desc, piece asc) plus single
+           chars → add-one-smoothed costs
+           -ln((count+1)/(total+|V|)).
+
+    Returns [(piece, final_usage_count, final_cost)] sorted by piece.
+    """
+    from collections import Counter
+
+    freq: Counter = Counter()
+    for w, c in words:
+        n = len(w)
+        for i in range(n):
+            for k in range(1, min(max_piece_len, n - i) + 1):
+                freq[w[i : i + k]] += c
+    chars = {p for p in freq if len(p) == 1}
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    vocab = {p for p, _ in top[:seed_size]} | chars
+    total = sum(freq[p] for p in vocab)
+    costs = {p: _uni_cost(total, freq[p]) for p in vocab}
+    usage: Counter = Counter()
+    for _ in range(rounds):
+        usage = Counter()
+        for w, c in words:
+            for t in _unigram_viterbi(w, costs, max_piece_len):
+                usage[t] += c
+        kept = sorted(usage.items(), key=lambda kv: (-kv[1], kv[0]))
+        vocab = {p for p, _ in kept[:vocab_size]} | chars
+        tot = sum(usage.get(p, 0) for p in vocab)
+        v = len(vocab)
+        costs = {
+            p: _uni_cost(tot + v, usage.get(p, 0) + 1) for p in vocab
+        }
+    return [
+        (p, int(usage.get(p, 0)), int(costs[p])) for p in sorted(vocab)
+    ]
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int,
+    rounds: int = 2,
+    max_piece_len: int = 4,
+    seed_size: int = 200,
+    max_word_len: int = 30,
+    driver_vocab_max: int = 65536,
+) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018, the SentencePiece
+    non-BPE family) — the OTHER mainstream subword vocabulary:
+    instead of greedy merges, a piece-probability model is EM-fit and
+    pruned to ``vocab_size``. This implementation is the hard-EM
+    (Viterbi) variant with fully deterministic arithmetic — integer
+    log-costs (:data:`_UNI_SCALE`), total-order tie-breaks, and
+    deterministic pruning — so the trained vocabulary hash-matches a
+    chained-CTE SQL replay (the q129 BPE device; soft-EM's lattice
+    posteriors are float sums whose cross-engine order cannot be
+    pinned). Returns ``(piece, cnt, cost)``: final-round usage counts
+    and add-one-smoothed integer costs — exactly what
+    :func:`unigram_encode` consumes.
+
+    Corpus-scale shape, the bpe_train story: ONE distributed pass
+    builds the word-frequency table over the same eligible-word
+    domain as the BPE family (lowercased whitespace ``[a-z]+`` words;
+    additionally capped at ``max_word_len`` chars — the SentencePiece
+    overlong-sentence skip, and what bounds the oracle's DP depth).
+    From then on every EM round is vocabulary-table work. Under
+    ``driver_vocab_max`` distinct words the loop runs driver-side
+    (:func:`_unigram_em_local` — the certified path; a 65k-row word
+    table is the q119 centroid-fetch class); above it each round runs
+    the SAME Viterbi per word inside an Arrow-batched mapInPandas over
+    the word table with broadcast costs, one map-side-combined usage
+    aggregate, and a vocab-sized driver fetch for the pruning step —
+    identical tables by construction (property-pinned)."""
+    words = (
+        ensure_parallelism(df.select(text_col))
+        .select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("w")
+        )
+        .where(
+            F.col("w").rlike("^[a-z]+$")
+            & (F.length("w") <= max_word_len)
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    spark = df.sparkSession
+    if words.count() <= driver_vocab_max:
+        rows = [
+            (r["w"], int(r["cnt"]))
+            for r in words.select("w", "cnt").collect()
+        ]
+        out = _unigram_em_local(
+            rows, vocab_size, rounds, max_piece_len, seed_size
+        )
+        return spark.createDataFrame(
+            out, "piece STRING, cnt BIGINT, cost BIGINT"
+        )
+    # distributed rounds: the corpus never reappears; per round one
+    # Arrow pass over the word table + one piece-keyed aggregate +
+    # a vocab-sized fetch
+    from collections import Counter
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    pos = F.explode(
+        F.sequence(F.lit(1), F.length("w"))
+    ).alias("i")
+    sub = words.select("w", "cnt", pos).select(
+        "w",
+        "cnt",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.least(
+                    F.lit(max_piece_len),
+                    F.length("w") - F.col("i") + 1,
+                ),
+            )
+        ).alias("k"),
+        F.col("i"),
+    )
+    freq_df = (
+        sub.select(
+            F.expr("substr(w, i, k)").alias("piece"), "cnt"
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("f"))
+        .localCheckpoint()
+    )
+    chars = {
+        r["piece"]
+        for r in freq_df.where(F.length("piece") == 1).collect()
+    }
+    top = freq_df.orderBy(
+        F.col("f").desc(), F.col("piece").asc()
+    ).limit(seed_size)
+    seed = {
+        r["piece"]: int(r["f"])
+        for r in top.collect()
+    }
+    for r in freq_df.where(
+        F.col("piece").isin(*chars)
+    ).collect():
+        seed.setdefault(r["piece"], int(r["f"]))
+    total = sum(seed.values())
+    costs = {p: _uni_cost(total, f) for p, f in seed.items()}
+    schema = StructType(
+        [
+            StructField("piece", StringType()),
+            StructField("uses", LongType()),
+        ]
+    )
+    usage_rows: dict = {}
+    for _ in range(rounds):
+        bcosts = spark.sparkContext.broadcast(costs)
+
+        def seg(batches):
+            cd = bcosts.value
+            for batch in batches:
+                out: Counter = Counter()
+                for w, c in zip(batch["w"], batch["cnt"]):
+                    for t in _unigram_viterbi(w, cd, max_piece_len):
+                        out[t] += int(c)
+                import pandas as pd
+
+                yield pd.DataFrame(
+                    {
+                        "piece": list(out.keys()),
+                        "uses": list(out.values()),
+                    }
+                )
+
+        usage_df = (
+            words.mapInPandas(seg, schema=schema)
+            .groupBy("piece")
+            .agg(F.sum("uses").cast("long").alias("uses"))
+        )
+        kept = usage_df.orderBy(
+            F.col("uses").desc(), F.col("piece").asc()
+        ).limit(vocab_size)
+        usage_rows = {
+            r["piece"]: int(r["uses"]) for r in kept.collect()
+        }
+        for r in usage_df.where(
+            F.col("piece").isin(*chars)
+        ).collect():
+            usage_rows.setdefault(r["piece"], int(r["uses"]))
+        vocab = set(usage_rows) | chars
+        tot = sum(usage_rows.get(p, 0) for p in vocab)
+        v = len(vocab)
+        costs = {
+            p: _uni_cost(tot + v, usage_rows.get(p, 0) + 1)
+            for p in vocab
+        }
+    out = [
+        (p, int(usage_rows.get(p, 0)), int(costs[p]))
+        for p in sorted(costs)
+    ]
+    return spark.createDataFrame(
+        out, "piece STRING, cnt BIGINT, cost BIGINT"
+    )
+
+
+def unigram_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab,
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Tokenize with a FROZEN unigram vocabulary — ``vocab`` is a
+    ``[(piece, cost)]`` list (or (piece, cnt, cost) rows straight from
+    :func:`unigram_lm_train`): per document, Viterbi-segment every
+    eligible word (the BPE family's ``[a-z]+`` domain) under the
+    integer costs and concatenate the pieces in word order. One
+    Arrow-batched ``mapInPandas`` pass (the :func:`model_scores`
+    batch-vectorized seam — per-word DP is imperative work no
+    expression chain covers); the vocabulary rides along broadcast,
+    dictionary-sized. Deterministic: same text + same vocab → same
+    tokens, bit for bit (property-pinned), because every tie-break in
+    the DP is total."""
+    import re
+
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    costs = {}
+    for row in vocab:
+        piece, cost = row[0], row[-1]
+        costs[str(piece)] = int(cost)
+    if not costs:
+        raise ValueError("unigram_encode: empty vocabulary")
+    max_len = max(len(p) for p in costs)
+    spark = df.sparkSession
+    bcosts = spark.sparkContext.broadcast(costs)
+    in_field = df.schema[id_col]
+    schema = StructType(
+        [
+            StructField(in_field.name, in_field.dataType, True),
+            StructField(out_col, ArrayType(StringType()), True),
+        ]
+    )
+    word_re = re.compile(r"^[a-z]+$")
+
+    def run(batches):
+        import pandas as pd
+
+        cd = bcosts.value
+        for batch in batches:
+            toks = []
+            for text in batch[text_col]:
+                if text is None:
+                    toks.append(None)
+                    continue
+                out = []
+                for w in str(text).lower().split():
+                    if word_re.match(w):
+                        out.extend(_unigram_viterbi(w, cd, max_len))
+                toks.append(out)
+            yield pd.DataFrame(
+                {in_field.name: batch[id_col], out_col: toks}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)

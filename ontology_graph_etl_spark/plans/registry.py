@@ -8930,6 +8930,151 @@ FROM d LEFT JOIN ranked r USING (doc_id)
 """
 
 
+# --- q182: unigram-LM (SentencePiece-style) tokenizer training ---------------
+
+_Q182 = {"vocab": 24, "rounds": 2, "plen": 4, "seed": 80, "wlen": 12}
+
+
+def _q182_unigram_train(spark, sf_dir):
+    # The non-BPE mainstream tokenizer family certified end-to-end:
+    # hard-EM (Viterbi) unigram-LM training over the BPE family's
+    # eligible-word domain — seed substring frequencies, two EM
+    # rounds of (integer-cost Viterbi segmentation → usage recount →
+    # deterministic prune to vocab_size + all chars → add-one
+    # smoothed costs). Integer log-costs make every Viterbi argmin an
+    # exact integer comparison (the q174 integer-cents contract), so
+    # the trained vocabulary hash-matches the oracle's chained-CTE DP
+    # replay — per round a position-synchronous best-state chain
+    # d_0..d_W, the q129/q150 chained-round device with a DP depth
+    # bound from max_word_len.
+    return textops.unigram_lm_train(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        vocab_size=_Q182["vocab"],
+        rounds=_Q182["rounds"],
+        max_piece_len=_Q182["plen"],
+        seed_size=_Q182["seed"],
+        max_word_len=_Q182["wlen"],
+    )
+
+
+def _q182_sql() -> str:
+    """Chained-CTE DuckDB twin of unigram_lm_train: the seed
+    frequency CTEs, then per EM round a position-synchronous Viterbi
+    DP (d{r}_0..d{r}_W — state = best (cost, n, toks) per word prefix
+    under the total tie order (cost, n, toks); AS MATERIALIZED per
+    the q150 deep-chain lesson), usage recount, deterministic prune,
+    and the smoothed integer costs. Output = (piece, cnt, cost) after
+    the final round."""
+    P = _Q182
+    R, W, L = P["rounds"], P["wlen"], P["plen"]
+    S = 1_000_000  # _UNI_SCALE
+    parts = [
+        "WITH words AS MATERIALIZED (",
+        "  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (",
+        r"    SELECT unnest(list_filter(",
+        r"      regexp_split_to_array(lower(text), '\s+'),",
+        r"      x -> regexp_matches(x, '^[a-z]+$'))) AS w",
+        "    FROM documents) t",
+        f"  WHERE len(w) <= {W}",
+        "  GROUP BY w",
+        "),",
+        "pos AS (SELECT w, cnt,",
+        "               unnest(generate_series(1, len(w))) AS i",
+        "        FROM words),",
+        f"sub AS (SELECT w, cnt, i,",
+        f"               unnest(generate_series(1,",
+        f"                 least({L}, len(w) - i + 1))) AS k",
+        "        FROM pos),",
+        "sf AS MATERIALIZED (",
+        "  SELECT substr(w, i, k) AS piece,",
+        "         CAST(sum(cnt) AS BIGINT) AS f",
+        "  FROM sub GROUP BY 1",
+        "),",
+        "chars AS MATERIALIZED (SELECT piece FROM sf WHERE len(piece) = 1),",
+        "sv AS MATERIALIZED (",
+        "  SELECT piece FROM (SELECT piece FROM sf",
+        f"    ORDER BY f DESC, piece ASC LIMIT {P['seed']})",
+        "  UNION",
+        "  SELECT piece FROM chars",
+        "),",
+        "stot AS (SELECT CAST(sum(f.f) AS DOUBLE) AS t",
+        "         FROM sv JOIN sf f USING (piece)),",
+        "v1 AS MATERIALIZED (",
+        f"  SELECT sv.piece, CAST(floor({S} * ln(t.t / f.f) + 0.5)",
+        "         AS BIGINT) AS cost",
+        "  FROM sv JOIN sf f USING (piece) CROSS JOIN stot t",
+        "),",
+    ]
+    for r in range(1, R + 1):
+        parts.append(
+            f"d{r}_0 AS (SELECT w, cnt, CAST(0 AS BIGINT) AS cost,"
+            " 0 AS n, '' AS toks FROM words),"
+        )
+        for j in range(1, W + 1):
+            unions = []
+            for k in range(1, min(L, j) + 1):
+                unions.append(
+                    f"      SELECT p.w, p.cnt, p.cost + v.cost AS cost,"
+                    f" p.n + 1 AS n,"
+                    f" p.toks || '|' || v.piece AS toks\n"
+                    f"      FROM d{r}_{j - k} p JOIN v{r} v"
+                    f" ON len(p.w) >= {j}"
+                    f" AND v.piece = substr(p.w, {j - k + 1}, {k})"
+                )
+            u = "\n      UNION ALL\n".join(unions)
+            parts.append(
+                f"d{r}_{j} AS MATERIALIZED (\n"
+                "  SELECT w, cnt, cost, n, toks FROM (\n"
+                "    SELECT c.*, row_number() OVER (PARTITION BY c.w"
+                " ORDER BY c.cost, c.n, c.toks) AS rn\n"
+                "    FROM (\n"
+                f"{u}\n"
+                "    ) c\n"
+                "  ) x WHERE rn = 1\n"
+                "),"
+            )
+        segs = "\n    UNION ALL\n".join(
+            f"    SELECT w, cnt, toks FROM d{r}_{j} WHERE len(w) = {j}"
+            for j in range(1, W + 1)
+        )
+        parts += [
+            f"seg{r} AS MATERIALIZED (\n{segs}\n),",
+            f"use{r} AS MATERIALIZED (",
+            "  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (",
+            "    SELECT cnt, unnest(string_split(toks[2:], '|'))"
+            " AS piece",
+            f"    FROM seg{r})",
+            "  GROUP BY piece",
+            "),",
+            f"kept{r} AS MATERIALIZED (",
+            f"  SELECT piece FROM (SELECT piece FROM use{r}",
+            f"    ORDER BY cnt DESC, piece ASC LIMIT {P['vocab']})",
+            "  UNION",
+            "  SELECT piece FROM chars",
+            "),",
+            f"stat{r} AS MATERIALIZED (",
+            "  SELECT k.piece, COALESCE(u.cnt, 0) AS cnt",
+            f"  FROM kept{r} k LEFT JOIN use{r} u USING (piece)",
+            "),",
+            f"tot{r} AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t,",
+            "                  CAST(count(*) AS DOUBLE) AS v",
+            f"           FROM stat{r}),",
+            f"v{r + 1} AS MATERIALIZED (",
+            f"  SELECT s.piece, CAST(floor({S} *"
+            " ln((t.t + t.v) / (s.cnt + 1)) + 0.5) AS BIGINT) AS cost",
+            f"  FROM stat{r} s CROSS JOIN tot{r} t",
+            "),",
+        ]
+    # strip the trailing comma of the last CTE
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT s.piece, CAST(s.cnt AS BIGINT) AS cnt, v.cost\n"
+        f"FROM stat{R} s JOIN v{R + 1} v USING (piece)"
+    )
+    return "\n".join(parts)
+
+
 # --- q175: boundary-aware chunking -------------------------------------------
 
 
@@ -9551,7 +9696,14 @@ QUERIES: list[QueryDef] = [
     # (semantic-dedup PQ-IVF store in the ingest loop; displaced
     # q149 to the tail head), q180 (stored-quantizer IVF calibration
     # report; displaced q150), q181 (URL/domain web hygiene;
-    # displaced q151).
+    # displaced q151), q182 (unigram-LM tokenizer training; displaced
+    # q153).
+    QueryDef(
+        "q182_unigram_train",
+        _q182_unigram_train,
+        _q182_sql(),
+        "§2.11",
+    ),
     QueryDef(
         "q181_web_hygiene",
         _q181_web_hygiene,

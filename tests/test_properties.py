@@ -4799,3 +4799,89 @@ def test_binned_cutoffs_superset_property(spark, scores, pct):
         if v is not None and exact[s] is not None and v >= exact[s]
     }
     assert kept_exact <= kept_binned
+
+
+@given(
+    corpus=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=9),
+        min_size=1,
+        max_size=25,
+    ),
+    vocab_size=st.integers(4, 16),
+)
+@SETTINGS
+def test_unigram_train_local_encode_roundtrip(spark, corpus, vocab_size):
+    """Unigram-LM contracts on arbitrary [a-z]+ corpora: (a) the
+    trainer is deterministic (two runs, identical tables); (b) encode
+    is deterministic and its tokens CONCATENATE back to exactly the
+    eligible words (Viterbi segments, never drops or invents chars);
+    (c) every single observed char is in the vocabulary (coverage —
+    any future word over the alphabet stays encodable)."""
+    from ontology_graph_etl_spark.operators.textops import (
+        unigram_encode,
+        unigram_lm_train,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(corpus)) for i in range(2)],
+        "doc_id: long, text: string",
+    )
+    t1 = sorted(
+        map(tuple, unigram_lm_train(
+            df, "text", vocab_size, rounds=2, max_piece_len=3,
+            seed_size=20, max_word_len=12,
+        ).collect())
+    )
+    t2 = sorted(
+        map(tuple, unigram_lm_train(
+            df, "text", vocab_size, rounds=2, max_piece_len=3,
+            seed_size=20, max_word_len=12,
+        ).collect())
+    )
+    assert t1 == t2
+    pieces = {p for p, _, _ in t1}
+    observed_chars = {c for w in corpus for c in w}
+    assert observed_chars <= pieces
+    vocab = [(p, cost) for p, _, cost in t1]
+    enc = unigram_encode(df, "doc_id", "text", vocab).collect()
+    enc2 = unigram_encode(df, "doc_id", "text", vocab).collect()
+    assert sorted((r.doc_id, tuple(r.tokens)) for r in enc) == sorted(
+        (r.doc_id, tuple(r.tokens)) for r in enc2
+    )
+    for r in enc:
+        assert "".join(r.tokens) == "".join(corpus)
+        assert all(t in pieces for t in r.tokens)
+
+
+def test_unigram_train_distributed_matches_local(spark):
+    """The distributed (mapInPandas per-round) trainer path produces
+    the IDENTICAL vocabulary table as the driver-side certified path
+    (forced via driver_vocab_max=0) — the bpe_train local/distributed
+    equality contract."""
+    from ontology_graph_etl_spark.operators.textops import (
+        unigram_lm_train,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "low lower lowest newest new news binding bind"),
+            (2, "the newest low news the the bind lowest"),
+        ],
+        "doc_id: long, text: string",
+    )
+    kw = dict(
+        vocab_size=12, rounds=2, max_piece_len=4, seed_size=30,
+        max_word_len=12,
+    )
+    local = sorted(
+        map(tuple, unigram_lm_train(df, "text", **kw).collect())
+    )
+    dist = sorted(
+        map(
+            tuple,
+            unigram_lm_train(
+                df, "text", driver_vocab_max=0, **kw
+            ).collect(),
+        )
+    )
+    assert local == dist
