@@ -202,6 +202,9 @@ HEADLINE = [
     # unigram-LM tokenizer training (driver-side EM over the
     # corpus-independent word table after one distributed count pass)
     "q182_unigram_train",
+    # cross-encoder rerank of the q115 fused top-k (pair frame stays
+    # top-k-sized; one corpus touch for the shortlist text fetch)
+    "q183_rerank",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

@@ -1085,6 +1085,76 @@ def rrf_fuse(
     )
 
 
+def rerank_topk(
+    fused: DataFrame,
+    queries: DataFrame,
+    docs: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    query_text_col: str = "query_text",
+    doc_text_col: str = "text",
+    scorer=None,
+    rerank_k: int = 5,
+    sep: str = "\n",
+    score_col: str = "rerank_score",
+) -> DataFrame:
+    """Cross-encoder RERANK of a fused top-k — the standard last
+    stage of a retrieval stack (BM25/ANN recall → RRF fuse →
+    cross-encoder precision): join each (query, candidate) pair of
+    ``fused`` back to its query text and document text, score the
+    packed pair text ``query + sep + doc`` through an injectable
+    Arrow-batch ``scorer`` (EXACTLY the :func:`textops.model_scores`
+    contract — a pandas ``Series[str] -> Series[float64]``; the
+    default :func:`textops.fake_model_scorer` md5-digest fake keeps
+    every Spark-side contract certifiable until a real cross-encoder
+    is injected), and re-rank per query by (score desc, id asc),
+    keeping ``rerank_k``. ALL columns of ``fused`` pass through, so
+    the pre-rank evidence (rrf score/rank) rides along the reranked
+    row.
+
+    Scale shape: ``fused`` is top-k-sized by construction, so the
+    pair frame never exceeds queries × k rows; the query-text join is
+    broadcast (query-set-sized) and the doc-text join sends the tiny
+    fused side against the corpus scan (AQE broadcasts it), so the
+    one corpus-sized touch is the unavoidable text fetch for the
+    shortlist. A NULL pair text (either side missing) scores NULL
+    and sorts LAST (desc_nulls_last — pinned explicitly: engines
+    disagree on default NULL placement in DESC order).
+    """
+    from .textops import fake_model_scorer, model_scores
+
+    if rerank_k < 1:
+        raise ValueError(f"rerank_topk: rerank_k must be >= 1, got {rerank_k}")
+    if scorer is None:
+        scorer = fake_model_scorer
+    carry = list(fused.columns)
+    q = queries.select(
+        F.col(query_col).alias("__rq"),
+        F.col(query_text_col).alias("__qt"),
+    )
+    d = docs.select(
+        F.col(id_col).alias("__rd"), F.col(doc_text_col).alias("__dt")
+    )
+    pairs = (
+        fused.join(F.broadcast(q), F.col(query_col) == F.col("__rq"))
+        .join(d, F.col(id_col) == F.col("__rd"))
+        .select(
+            *carry,
+            F.concat(
+                F.col("__qt"), F.lit(sep), F.col("__dt")
+            ).alias("__pair"),
+        )
+    )
+    scored = model_scores(pairs, carry, "__pair", scorer, score_col)
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rerank_rank", F.row_number().over(w))
+        .where(F.col("rerank_rank") <= rerank_k)
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

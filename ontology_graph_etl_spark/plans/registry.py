@@ -9075,6 +9075,75 @@ def _q182_sql() -> str:
     return "\n".join(parts)
 
 
+# --- q183: cross-encoder rerank of the fused top-k ---------------------------
+
+_Q183_K = 3
+
+
+def _q183_rerank(spark, sf_dir):
+    # The retrieval stack's standard last stage certified end-to-end:
+    # the q115 hybrid top-5 (BM25 + cosine, RRF-fused) reranked by an
+    # injectable cross-encoder seam — (query_text + NL + doc_text)
+    # pairs through the q148 model_scores Arrow contract with the
+    # md5-digest fake scorer, so the reranked order re-derives in SQL
+    # — keeping top-3 per query with the RRF evidence riding along.
+    # Inputs stay top-k-sized; the one corpus touch is the shortlist
+    # text fetch.
+    from ..functions import whitespace_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    fused = _q115_hybrid_retrieval(spark, sf_dir).withColumnRenamed(
+        "rank", "rrf_rank"
+    )
+    toks = whitespace_tokens(F.col("text"))
+    qs = docs.where(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 4)).alias("query_text"),
+    )
+    return similarity.rerank_topk(
+        fused,
+        qs,
+        docs.select("doc_id", "text"),
+        rerank_k=_Q183_K,
+    )
+
+
+def _q183_sql() -> str:
+    """The q115 oracle's CTE chain (the q121 prefix device) extended
+    with the fused top-5 selection, the pair-text build, the
+    md5-digest fake score re-derived, and the per-query rerank."""
+    prefix = _q115_sql[: _q115_sql.rindex("SELECT query AS query_id")]
+    return prefix.rstrip().rstrip(")").rstrip() + f"""
+),
+fsel AS (
+  SELECT query, doc, rrf_score,
+         CAST(row_number() OVER (PARTITION BY query
+                                 ORDER BY rrf_score DESC, doc ASC)
+              AS INTEGER) AS rrf_rank
+  FROM fused QUALIFY rrf_rank <= 5
+),
+qtext AS (
+  SELECT doc AS query, array_to_string(toks[1:4], ' ') AS qt
+  FROM base WHERE doc % 101 = 0
+),
+scored AS (
+  SELECT f.query, f.doc, f.rrf_score, f.rrf_rank,
+         CAST(('0x' || substring(md5(q.qt || chr(10) || d.text), 1, 8))
+              AS BIGINT) / 4294967296.0 AS rerank_score
+  FROM fsel f
+  JOIN qtext q USING (query)
+  JOIN documents d ON d.doc_id = f.doc
+)
+SELECT query AS query_id, doc AS doc_id, rrf_score, rrf_rank,
+       rerank_score,
+       CAST(row_number() OVER (PARTITION BY query
+                               ORDER BY rerank_score DESC NULLS LAST,
+                                        doc ASC)
+            AS INTEGER) AS rerank_rank
+FROM scored QUALIFY rerank_rank <= {_Q183_K}
+"""
+
+
 # --- q175: boundary-aware chunking -------------------------------------------
 
 
@@ -9697,7 +9766,14 @@ QUERIES: list[QueryDef] = [
     # q149 to the tail head), q180 (stored-quantizer IVF calibration
     # report; displaced q150), q181 (URL/domain web hygiene;
     # displaced q151), q182 (unigram-LM tokenizer training; displaced
-    # q153).
+    # q153), q183 (cross-encoder rerank of the fused top-k; displaced
+    # q156).
+    QueryDef(
+        "q183_rerank",
+        _q183_rerank,
+        _q183_sql(),
+        "§2.11",
+    ),
     QueryDef(
         "q182_unigram_train",
         _q182_unigram_train,

@@ -596,3 +596,47 @@ def test_calibrate_ivf_index_flags_shifted_merge(spark, sf_dir, tmp_path):
     ).collect()[0]
     assert r2.occupancy_skew > r1.occupancy_skew, (r1, r2)
     assert r2.needs_rebuild is True, r2
+
+
+def test_rerank_topk_contract(spark):
+    """rerank_topk semantics: pass-through of every fused column, the
+    injectable scorer receives the packed 'query + sep + doc' pair
+    text, ranking is (score desc, id asc) with NULL pair text LAST
+    (a candidate with no doc text can never outrank a scored one),
+    and rerank_k truncates per query."""
+    import pandas as pd
+
+    from ontology_graph_etl_spark.operators.similarity import rerank_topk
+
+    fused = spark.createDataFrame(
+        [(1, 10, 0.5, 1), (1, 11, 0.4, 2), (1, 12, 0.3, 3),
+         (2, 10, 0.9, 1), (2, 13, 0.1, 2)],
+        "query_id long, doc_id long, rrf_score double, rrf_rank int",
+    )
+    queries = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "query_id long, query_text string"
+    )
+    docs = spark.createDataFrame(
+        [(10, "ten"), (11, "eleven"), (12, None), (13, "thirteen")],
+        "doc_id long, text string",
+    )
+    def scorer(texts: pd.Series) -> pd.Series:
+        # longer pair text scores higher; NULL stays NULL — so the
+        # asserted scores below prove the exact packed pair strings
+        # the (executor-side) scorer received
+        return texts.map(
+            lambda t: None if t is None else float(len(t))
+        ).astype("float64" if len(texts) else object)
+
+    out = rerank_topk(
+        fused, queries, docs, scorer=scorer, rerank_k=2, sep="|"
+    ).collect()
+    by = {(r.query_id, r.rerank_rank): r for r in out}
+    # q1: eleven (11) beats ten (9); doc 12's NULL pair never ranks 1-2
+    assert by[(1, 1)].doc_id == 11 and by[(1, 2)].doc_id == 10
+    # fused columns ride along
+    assert by[(1, 1)].rrf_score == 0.4 and by[(1, 1)].rrf_rank == 2
+    # q2: beta|thirteen (13) > beta|ten (8)
+    assert by[(2, 1)].doc_id == 13 and by[(2, 2)].doc_id == 10
+    assert len(out) == 4  # rerank_k=2 per query
+    assert by[(1, 1)].rerank_score == 12.0
