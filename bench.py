@@ -205,6 +205,11 @@ HEADLINE = [
     # cross-encoder rerank of the q115 fused top-k (pair frame stays
     # top-k-sized; one corpus touch for the shortlist text fetch)
     "q183_rerank",
+    # PQ-IVF calibration (per-invocation stored+fresh PQ builds +
+    # brute-force truth — the periodic job's full price) and the
+    # stored URL index in the ingest loop
+    "q184_pq_calibration",
+    "q185_url_ingest",
 ]
 
 # The round-2 21-query gate subset (the driver's 2x-vs-baseline bar is

@@ -2129,6 +2129,111 @@ def screen_pq_ivf_index(
     )
 
 
+def calibrate_pq_ivf_index(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    scratch_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    rescore_mult: int = 4,
+    max_recall_drop: float = 0.1,
+    max_skew: float = 4.0,
+) -> DataFrame:
+    """:func:`calibrate_ivf_index` for the PRODUCT-QUANTIZED family —
+    the same one-row report (occupancy skew, stored-vs-fresh
+    micro-averaged recall@k against one brute-force truth pass,
+    needs_rebuild), but the fresh twin RETRAINS the full PQ stack
+    (coarse centroids AND the m sub-codebooks) on today's corpus
+    under the sidecar's own geometry and re-encodes, so the gap
+    prices exactly what a PQ rebuild would buy: freeze drift AND
+    quantization drift together. The twin is built through
+    :func:`write_pq_ivf_index` into ``scratch_path`` (a calibration
+    job owns a scratch directory the way any rebuild would; caller
+    owns cleanup), searched through the same
+    :func:`search_pq_ivf_index` path as the stored index —
+    differences in the report are index state, never code path.
+    Cost shape is q180's: store side list-count-sized, searches
+    probe-pruned + shortlist-rescored, the one corpus-scale term is
+    the brute-force truth pass — run periodically."""
+    params = _read_pq_sidecar(spark, path)
+    num_lists = int(params["num_lists"])
+    occ = (
+        spark.read.parquet(path)
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.sum("__c").cast("long").alias("n_stored"),
+            F.max("__c").cast("long").alias("__mx"),
+        )
+    )
+    truth = cosine_topk(corpus, queries, id_col, vec_col, k=k).select(
+        F.col("query_id").alias("__tq"),
+        F.col("neighbor_id").alias("__td"),
+    ).localCheckpoint()
+    res_stored = search_pq_ivf_index(
+        spark, path, queries, corpus, id_col, vec_col,
+        k=k, nprobe=nprobe, rescore_mult=rescore_mult,
+    )
+    write_pq_ivf_index(
+        corpus,
+        scratch_path,
+        id_col,
+        vec_col,
+        num_lists=num_lists,
+        m=int(params["m"]),
+        ksub=int(params["ksub"]),
+        train_rounds=0,
+        pq_rounds=0,
+    )
+    res_fresh = search_pq_ivf_index(
+        spark, scratch_path, queries, corpus, id_col, vec_col,
+        k=k, nprobe=nprobe, rescore_mult=rescore_mult,
+    )
+
+    def _hits(res, alias):
+        return truth.join(
+            res.select(
+                F.col("query_id").alias("__tq"),
+                F.col("neighbor_id").alias("__td"),
+            ),
+            ["__tq", "__td"],
+            "left_semi",
+        ).agg(F.count(F.lit(1)).cast("long").alias(alias))
+
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    rs = F.round(F.col("__hs") / F.col("n_truth"), 6)
+    rf = F.round(F.col("__hf") / F.col("n_truth"), 6)
+    gap = F.round(rf - rs, 6)
+    skew = F.round(
+        F.col("__mx") * F.lit(num_lists) / F.col("n_stored"), 6
+    )
+    return (
+        occ.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(_hits(res_stored, "__hs")))
+        .crossJoin(F.broadcast(_hits(res_fresh, "__hf")))
+        .select(
+            "n_stored",
+            skew.alias("occupancy_skew"),
+            "n_truth",
+            rs.alias("recall_stored"),
+            rf.alias("recall_fresh"),
+            gap.alias("recall_gap"),
+            (
+                F.coalesce(
+                    gap > F.lit(float(max_recall_drop)), F.lit(False)
+                )
+                | F.coalesce(
+                    skew > F.lit(float(max_skew)), F.lit(False)
+                )
+            ).alias("needs_rebuild"),
+        )
+    )
+
+
 def hashed_bow_embedding(
     df: DataFrame,
     text_col: str,

@@ -102,3 +102,169 @@ def web_hygiene_gate(
             F.col("domain_rank") <= F.lit(int(max_per_domain))
         )
     return out.withColumn("keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# Stored URL-seen / domain-count index: the cross-batch face of the gate
+# ---------------------------------------------------------------------------
+
+_URL_SIDECAR = "_url_index_params.json"
+_URL_KEYS = ("url_col", "max_per_domain")
+
+
+def write_url_index(
+    df: DataFrame,
+    path: str,
+    url_col: str,
+    max_per_domain: int | None = None,
+) -> None:
+    """Build the persisted URL hygiene store — the CROSS-BATCH face
+    of :func:`web_hygiene_gate` (whose dedup/cap only see one frame):
+    ``<path>/urls`` holds the DISTINCT normalized URLs admitted so
+    far, ``<path>/domcounts`` additive ``(domain, c)`` rows folded on
+    read (the binned-cutoff-store counting device), and the sidecar
+    freezes ``max_per_domain`` so every later screen applies the same
+    cap. Build semantics: ``df`` is an already-admitted corpus — its
+    rows count toward the domain budgets and its URLs are 'seen'."""
+    from .util import write_json_sidecar
+
+    spark = df.sparkSession
+    base = path.rstrip("/")
+    normed = df.select(
+        normalize_url(F.col(url_col)).alias("norm_url"),
+        url_domain(F.col(url_col)).alias("domain"),
+    )
+    normed.select("norm_url").distinct().write.mode(
+        "overwrite"
+    ).parquet(base + "/urls")
+    normed.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).write.mode("overwrite").parquet(base + "/domcounts")
+    # sidecar AFTER the data lands (write_dedup_index ordering)
+    write_json_sidecar(
+        spark,
+        base,
+        _URL_SIDECAR,
+        {
+            "url_col": str(url_col),
+            "max_per_domain": (
+                None if max_per_domain is None else int(max_per_domain)
+            ),
+        },
+    )
+
+
+def _read_url_sidecar(spark, path: str) -> dict:
+    from .util import read_json_sidecar
+
+    return read_json_sidecar(
+        spark,
+        path,
+        _URL_SIDECAR,
+        _URL_KEYS,
+        "URL index",
+        "rebuild via write_url_index",
+    )
+
+
+def merge_url_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    url_col: str | None = None,
+) -> None:
+    """Fold an ADMITTED batch into the URL store: its not-yet-stored
+    normalized URLs append into ``urls`` and its per-domain row
+    counts into ``domcounts`` — each an O(batch) crash-atomic
+    staged-subdir commit (:func:`util.atomic_append_subdir`); the
+    stored rows are never rewritten. SINGLE WRITER REQUIRED (the
+    store-family contract). Note the count semantics: every admitted
+    ROW spends domain budget, while only NEW urls join the seen set
+    — re-admitting a URL the caller chose not to dedup still costs
+    its domain."""
+    from .util import atomic_append_subdir
+
+    params = _read_url_sidecar(spark, path)
+    ucol = url_col or str(params["url_col"])
+    base = path.rstrip("/")
+    normed = batch.select(
+        normalize_url(F.col(ucol)).alias("norm_url"),
+        url_domain(F.col(ucol)).alias("domain"),
+    ).localCheckpoint()
+    stored = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(base + "/urls")
+        .select("norm_url")
+    )
+    fresh = (
+        normed.select("norm_url")
+        .distinct()
+        .join(stored, "norm_url", "left_anti")
+    )
+    atomic_append_subdir(fresh, base + "/urls", "URL index merge")
+    atomic_append_subdir(
+        normed.groupBy("domain").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ),
+        base + "/domcounts",
+        "URL index merge",
+    )
+
+
+def screen_against_url_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str,
+    url_col: str | None = None,
+) -> DataFrame:
+    """Screen a micro-batch against the stored URL index: one row per
+    batch row — ``(id_col, norm_url, domain, url_seen,
+    domain_full)``. ``url_seen`` is membership of the normalized URL
+    in the stored seen-set (a left-semi-shaped join against the
+    store, pruned to the batch's keys); ``domain_full`` is the
+    stored, FOLDED domain count at or over the sidecar's frozen
+    ``max_per_domain`` (always FALSE when the store was built without
+    a cap; an unseen domain has no budget spent). Decisions are
+    frozen-store reads only — the batch itself spends no budget until
+    :func:`merge_url_index` folds the admitted rows back, the
+    ingest-loop contract every stored screen obeys."""
+    params = _read_url_sidecar(spark, path)
+    ucol = url_col or str(params["url_col"])
+    cap = params["max_per_domain"]
+    base = path.rstrip("/")
+    normed = batch.select(
+        F.col(id_col),
+        normalize_url(F.col(ucol)).alias("norm_url"),
+        url_domain(F.col(ucol)).alias("domain"),
+    )
+    seen = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(base + "/urls")
+        .select("norm_url")
+        .withColumn("__seen", F.lit(True))
+    )
+    counts = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(base + "/domcounts")
+        .groupBy("domain")
+        .agg(F.sum("c").cast("long").alias("__dc"))
+    )
+    out = (
+        normed.join(seen, "norm_url", "left")
+        .withColumn("url_seen", F.coalesce("__seen", F.lit(False)))
+        .drop("__seen")
+        .join(counts, "domain", "left")
+    )
+    if cap is None:
+        out = out.withColumn("domain_full", F.lit(False))
+    else:
+        out = out.withColumn(
+            "domain_full",
+            F.coalesce(
+                F.col("__dc") >= F.lit(int(cap)), F.lit(False)
+            ),
+        )
+    return out.select(
+        id_col, "norm_url", "domain", "url_seen", "domain_full"
+    )

@@ -675,6 +675,8 @@ def ingest_micro_batch(
     embed=None,
     semantic_threshold: float = 0.8,
     pq_nprobe: int = 4,
+    url_index_path: str | None = None,
+    url_col: str = "url",
     intra_batch_dedup: bool = False,
     merge_accepted: bool = True,
 ) -> DataFrame:
@@ -714,6 +716,16 @@ def ingest_micro_batch(
       counts (O(batch), crash-atomic) so the cutoffs TRACK the
       admitted corpus — the one gate in this composition that is
       frozen-reference AND maintainable at once.
+    * ``url_index_path`` — stored URL-seen / domain-count index
+      (:func:`operators.webops.screen_against_url_index`): per doc
+      ``url_seen`` (normalized URL already admitted — the cross-batch
+      URL-exact dedup) and ``domain_full`` (the domain's FOLDED
+      stored count at the sidecar's frozen ``max_per_domain``); the
+      cheapest filter in the stack, screened first. With
+      ``merge_accepted`` the admitted rows' new URLs and per-domain
+      counts fold back O(batch), crash-atomic
+      (:func:`operators.webops.merge_url_index`) — a domain fills up
+      ACROSS batches, the RefinedWeb budget at ingest.
     * ``pq_index_path`` — stored PQ-IVF index, the EMBEDDING-SPACE
       dedup modality (SemDeDup-class: the q87 semantic-dedup
       operation as a per-batch screen —
@@ -743,9 +755,10 @@ def ingest_micro_batch(
     identical text (one text-keyed aggregate, the q54 device); the
     trail gains ``intra_batch_dup`` and losers AND into rejection.
 
-    ``accepted`` = NOT intra_batch_dup AND NOT near_dup AND NOT
-    substr_reject AND ccnet_keep AND cutoff_keep AND NOT
-    semantic_dup, each conjunct only when its stage is opted in. The trail is
+    ``accepted`` = NOT (url_seen OR domain_full) AND NOT
+    intra_batch_dup AND NOT near_dup AND NOT substr_reject AND
+    ccnet_keep AND cutoff_keep AND NOT semantic_dup, each conjunct
+    only when its stage is opted in. The trail is
     ``localCheckpoint``-MATERIALIZED before any store is written:
     verdicts are frozen first, so the fold-back can never leak the
     batch's own fingerprints into its own screen (and the returned
@@ -780,13 +793,14 @@ def ingest_micro_batch(
         hll_store_path,
         binned_cutoff_path,
         pq_index_path,
+        url_index_path,
     )
     if all(s is None for s in stores):
         raise ValueError(
             "ingest_micro_batch: no store opted in — pass at least one "
             "of dedup_index_path / substring_index_path / "
             "ccnet_store_dir / drift_baseline_path / hll_store_path / "
-            "binned_cutoff_path / pq_index_path"
+            "binned_cutoff_path / pq_index_path / url_index_path"
         )
     vbatch = None
     if pq_index_path is not None:
@@ -800,6 +814,16 @@ def ingest_micro_batch(
             )
     trail = batch.select(id_col)
     gates = []
+    if url_index_path is not None:
+        # the cheapest filter in the stack screens first: stored
+        # URL-seen membership + the frozen per-domain budget
+        from .operators.webops import screen_against_url_index
+
+        u = screen_against_url_index(
+            spark, url_index_path, batch, id_col, url_col
+        ).select(id_col, "url_seen", "domain_full")
+        trail = trail.join(u, id_col, "left")
+        gates.append(~F.col("url_seen") & ~F.col("domain_full"))
     if intra_batch_dedup:
         # first-wins by min id over identical text (the q54 device):
         # one text-keyed partial-aggregable groupBy, winners-sized
@@ -957,6 +981,12 @@ def ingest_micro_batch(
                 vbatch.join(ok_ids, id_col, "left_semi"),
                 id_col,
                 vec_col,
+            )
+        if url_index_path is not None:
+            from .operators.webops import merge_url_index
+
+            merge_url_index(
+                spark, url_index_path, accepted_docs, url_col
             )
     return trail
 

@@ -9144,6 +9144,320 @@ FROM scored QUALIFY rerank_rank <= {_Q183_K}
 """
 
 
+# --- q184: stored-quantizer (PQ-IVF) calibration report ----------------------
+
+_Q184 = {"num_lists": 8, "nprobe": 3, "k": 5, "m": 4, "ksub": 16,
+         "mult": 4, "drop": 0.05, "skew": 3.0}
+
+
+def _q184_pq_calibration(spark, sf_dir):
+    # q180's calibration device for the PRODUCT-QUANTIZED family: the
+    # stored PQ index (built from vec_id % 4 != 0, the held-out
+    # quarter merged under the frozen coarse centroids AND
+    # sub-codebooks — the q176 lifecycle) vs a FRESH twin retraining
+    # the full PQ stack on today's corpus, both searched through the
+    # same probe→ADC→rescore path against one brute-force truth pass,
+    # plus the stored lists' occupancy skew. The report prices freeze
+    # drift AND quantization drift together — what a PQ rebuild
+    # actually buys.
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="q184_pqcal_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = scratch + "/idx"
+    similarity.write_pq_ivf_index(
+        emb.where(F.col("vec_id") % 4 != 0),
+        path,
+        "vec_id",
+        "embedding",
+        num_lists=_Q184["num_lists"],
+        m=_Q184["m"],
+        ksub=_Q184["ksub"],
+        train_rounds=0,
+        pq_rounds=0,
+    )
+    similarity.merge_pq_ivf_index(
+        spark, path, emb.where(F.col("vec_id") % 4 == 0)
+    )
+    return similarity.calibrate_pq_ivf_index(
+        spark,
+        path,
+        emb,
+        emb.where(F.col("vec_id") % 43 == 0),
+        scratch + "/fresh",
+        k=_Q184["k"],
+        nprobe=_Q184["nprobe"],
+        rescore_mult=_Q184["mult"],
+        max_recall_drop=_Q184["drop"],
+        max_skew=_Q184["skew"],
+    )
+
+
+def _q184_pq_chain(pfx: str, seed_src: str) -> str:
+    """One full PQ search chain (the certified q176 CTE text,
+    parameterized): quantizers seeded from ``seed_src`` ('ex' = the
+    build split → the stored index after the frozen-quantizer merge;
+    'v' = the whole corpus → the fresh twin), whole-corpus
+    assign/encode, probe → ADC → shortlist → exact rescore →
+    ``{pfx}res`` top-k pairs."""
+    P = _Q184
+    dsub = 64 // P["m"]
+    cos_vs = _cos_fold_sql("v.e", "s.e")
+    cos_qs = _cos_fold_sql("q.qe", "s.e")
+    sub_v = f"v.e[j.j * {dsub} + 1 : (j.j + 1) * {dsub}]"
+    sub_ps = f"ps.e[j.j * {dsub} + 1 : (j.j + 1) * {dsub}]"
+    sub_q = f"q.qe[j.j * {dsub} + 1 : (j.j + 1) * {dsub}]"
+    cos_sub = _cos_fold_sql(sub_v, sub_ps)
+    shortn = P["k"] * P["mult"]
+    return f"""
+{pfx}seeds AS MATERIALIZED (
+  SELECT e, CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS INTEGER) - 1 AS cid
+  FROM {seed_src}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {P["num_lists"]}
+),
+{pfx}pqseeds AS MATERIALIZED (
+  SELECT e, CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS INTEGER) - 1 AS scid
+  FROM {seed_src}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {P["ksub"]}
+),
+{pfx}assign AS MATERIALIZED (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT v.vec_id, s.cid, {cos_vs} AS sim
+    FROM v CROSS JOIN {pfx}seeds s) t
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid ASC) = 1
+),
+{pfx}codes AS MATERIALIZED (
+  SELECT vec_id, j, scid AS code FROM (
+    SELECT v.vec_id, j.j AS j, ps.scid, {cos_sub} AS sim
+    FROM v CROSS JOIN js j CROSS JOIN {pfx}pqseeds ps) t
+  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                             ORDER BY sim DESC, scid ASC) = 1
+),
+{pfx}probe AS (
+  SELECT query_id, qe, cid AS list_id FROM (
+    SELECT q.query_id, q.qe, s.cid, {cos_qs} AS csim
+    FROM q CROSS JOIN {pfx}seeds s) t
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY csim DESC, cid ASC)
+          <= {P["nprobe"]}
+),
+{pfx}adc AS MATERIALIZED (
+  SELECT q.query_id, j.j AS j, ps.scid,
+         list_sum(list_transform(list_zip({sub_q}, {sub_ps}),
+                                 x -> x[1] * x[2])) AS d
+  FROM q CROSS JOIN js j CROSS JOIN {pfx}pqseeds ps
+),
+{pfx}cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM {pfx}probe p JOIN {pfx}assign a USING (list_id)
+  WHERE a.vec_id <> p.query_id
+),
+{pfx}approx AS MATERIALIZED (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_sum(list(t.d ORDER BY t.j))
+               / (greatest(qn.nrm, 1e-12) * greatest(nn.nrm, 1e-12)),
+               6) AS approx_sim
+  FROM {pfx}cand c
+  JOIN {pfx}codes k ON k.vec_id = c.neighbor_id
+  JOIN {pfx}adc t ON t.query_id = c.query_id AND t.j = k.j
+            AND t.scid = k.code
+  JOIN norms qn ON qn.vec_id = c.query_id
+  JOIN norms nn ON nn.vec_id = c.neighbor_id
+  GROUP BY c.query_id, c.neighbor_id, qn.nrm, nn.nrm
+),
+{pfx}short AS (
+  SELECT query_id, neighbor_id FROM {pfx}approx
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY approx_sim DESC,
+                                      neighbor_id ASC) <= {shortn}
+),
+{pfx}res AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id,
+           {_cos_fold_sql("q.qe", "c.e")} AS cosine_sim
+    FROM {pfx}short s
+    JOIN q ON q.query_id = s.query_id
+    JOIN v c ON c.vec_id = s.neighbor_id) t
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine_sim DESC,
+                                      neighbor_id ASC) <= {P["k"]}
+)"""
+
+
+def _q184_sql() -> str:
+    """DuckDB twin: the certified q176 chain run TWICE — stored
+    (build-split quantizers, whole-corpus encode = build+merge) and
+    fresh (whole-corpus quantizers) — one brute-force truth, integer
+    hit/truth sums, single-row report."""
+    P = _Q184
+    return f"""
+WITH ex AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % 4 <> 0
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+js AS (SELECT unnest(generate_series(0, {P["m"] - 1})) AS j),
+norms AS MATERIALIZED (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v
+      WHERE vec_id % 43 = 0),
+{_q184_pq_chain("s_", "ex")},
+{_q184_pq_chain("f_", "v")},
+occ AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_stored,
+         CAST(max(c) AS BIGINT) AS mx
+  FROM (SELECT list_id, count(*) AS c FROM s_assign GROUP BY 1)
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           round({_cos_fold_sql("q.qe", "c.e")}, 6) AS cs
+    FROM q JOIN v c ON c.vec_id <> q.query_id) t
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cs DESC, neighbor_id ASC)
+          <= {P["k"]}
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+hs AS (SELECT CAST(count(*) AS BIGINT) AS h FROM truth t
+       JOIN s_res r USING (query_id, neighbor_id)),
+hf AS (SELECT CAST(count(*) AS BIGINT) AS h FROM truth t
+       JOIN f_res r USING (query_id, neighbor_id))
+SELECT o.n_stored,
+       round(o.mx * {P["num_lists"]} / o.n_stored, 6) AS occupancy_skew,
+       nt.n_truth,
+       round(hs.h / nt.n_truth, 6) AS recall_stored,
+       round(hf.h / nt.n_truth, 6) AS recall_fresh,
+       round(round(hf.h / nt.n_truth, 6)
+             - round(hs.h / nt.n_truth, 6), 6) AS recall_gap,
+       COALESCE(round(round(hf.h / nt.n_truth, 6)
+                      - round(hs.h / nt.n_truth, 6), 6)
+                > {P["drop"]}, FALSE)
+       OR COALESCE(round(o.mx * {P["num_lists"]} / o.n_stored, 6)
+                   > {P["skew"]}, FALSE) AS needs_rebuild
+FROM occ o CROSS JOIN nt CROSS JOIN hs CROSS JOIN hf
+"""
+
+
+# --- q185: stored URL index in the ingest loop -------------------------------
+
+_Q185_CAP = 17
+
+
+def _q185_url_ingest(spark, sf_dir):
+    # The SEVENTH ingest store — the cross-batch face of the q181
+    # gate: documents carry the q181 synthesized URL; the % 6 != 0
+    # split plays the already-admitted corpus (its distinct
+    # normalized URLs become the seen-set, its per-domain row counts
+    # the spent budgets, the cap frozen in the sidecar), and the
+    # % 6 == 0 split arrives as ONE micro-batch through
+    # pipelines.ingest_micro_batch with url_index_path= — per doc
+    # url_seen (cross-batch URL-exact dedup), domain_full (the
+    # RefinedWeb budget), and the composed accepted. Trail freezes
+    # before the admitted rows fold back (O(batch) crash-atomic
+    # appends); cross-batch fill-up is pinned in test_streaming.py.
+    import atexit
+    import shutil
+    import tempfile
+
+    from .. import pipelines
+    from ..operators import webops
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTP://")),
+        F.when(d % 3 == 2, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(d % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        (d % 5).cast("string"),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="), (d % 3).cast("string")
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("?id="), (d % 3).cast("string"),
+                F.lit("&utm_campaign=x"),
+            ),
+        )
+        .when(d % 4 == 2, F.lit("?utm_medium=a"))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#Sec1")).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url")
+    )
+    scratch = tempfile.mkdtemp(prefix="q185_urlstore_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = scratch + "/urls"
+    webops.write_url_index(
+        docs.where(F.col("doc_id") % 6 != 0),
+        path,
+        "url",
+        max_per_domain=_Q185_CAP,
+    )
+    return pipelines.ingest_micro_batch(
+        spark,
+        docs.where(F.col("doc_id") % 6 == 0),
+        id_col="doc_id",
+        url_index_path=path,
+        url_col="url",
+    )
+
+
+def _q185_sql() -> str:
+    """The q181 analytic normalization over the synthesized URLs,
+    split into the store side (seen-set + domain budgets from
+    % 6 != 0) and the screened batch (% 6 == 0)."""
+    return f"""
+WITH built AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 2 THEN 'www.' ELSE '' END)
+         || lower(source) || '.example.com'
+         || (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+         || '/Docs/' || CAST(doc_id % 5 AS VARCHAR)
+         || (CASE WHEN doc_id % 4 IN (0, 1)
+             THEN '?id=' || CAST(doc_id % 3 AS VARCHAR)
+             ELSE '' END) AS norm_url,
+         lower(source) || '.example.com' AS domain
+  FROM documents
+),
+stored_urls AS (
+  SELECT DISTINCT norm_url FROM built WHERE doc_id % 6 <> 0
+),
+domc AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS c
+  FROM built WHERE doc_id % 6 <> 0 GROUP BY domain
+)
+SELECT b.doc_id,
+       (s.norm_url IS NOT NULL) AS url_seen,
+       COALESCE(d.c >= {_Q185_CAP}, FALSE) AS domain_full,
+       NOT ((s.norm_url IS NOT NULL)
+            OR COALESCE(d.c >= {_Q185_CAP}, FALSE)) AS accepted
+FROM built b
+LEFT JOIN stored_urls s USING (norm_url)
+LEFT JOIN domc d USING (domain)
+WHERE b.doc_id % 6 = 0
+"""
+
+
 # --- q175: boundary-aware chunking -------------------------------------------
 
 
@@ -9767,7 +10081,20 @@ QUERIES: list[QueryDef] = [
     # report; displaced q150), q181 (URL/domain web hygiene;
     # displaced q151), q182 (unigram-LM tokenizer training; displaced
     # q153), q183 (cross-encoder rerank of the fused top-k; displaced
-    # q156).
+    # q156), q184 (PQ-IVF calibration report; displaced q157), q185
+    # (stored URL index in the ingest loop; displaced q159).
+    QueryDef(
+        "q185_url_ingest",
+        _q185_url_ingest,
+        _q185_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q184_pq_calibration",
+        _q184_pq_calibration,
+        _q184_sql(),
+        "§2.11",
+    ),
     QueryDef(
         "q183_rerank",
         _q183_rerank,

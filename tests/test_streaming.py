@@ -2113,3 +2113,107 @@ def test_ingest_semantic_store_cross_batch(spark, sf_dir, tmp_path):
     # (c) rejects never merge: stored rows = build + accepted
     n_acc = sum(1 for t in trails for r in t if r.accepted)
     assert spark.read.parquet(idx).count() == n_built + n_acc
+
+
+def test_ingest_url_store_cross_batch(spark, tmp_path):
+    """The SEVENTH ingest store (q185): the stored URL-seen set and
+    domain budgets screen each arriving batch and admitted rows fold
+    back, so batch N+1 sees batch N — driven through foreachBatch
+    over three micro-batches:
+
+    * batch-3 re-sends batch-1's ACCEPTED URLs under new ids: every
+      copy must screen url_seen=True (the cross-batch URL-exact
+      catch); URLs REJECTED in batch 1 and never admitted since stay
+      unseen (rejects never merge);
+    * a domain fills up MID-STREAM: the budget spent by admitted
+      batch-1/2 rows pushes it to the frozen cap, so batch-3 rows of
+      that domain screen domain_full=True even with fresh URLs;
+    * the stored seen-set grows by exactly the accepted NEW urls.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_graph_etl_spark import pipelines
+    from ontology_graph_etl_spark.operators import webops
+
+    # build corpus: a.com holds 2 of its 4-budget, b.com 0 of 4
+    build = spark.createDataFrame(
+        [(1000, "https://a.com/seed0"), (1001, "https://a.com/seed1")],
+        "doc_id long, url string",
+    )
+    idx = str(tmp_path / "urlstore")
+    webops.write_url_index(build, idx, "url", max_per_domain=4)
+
+    b1 = [(1, "https://a.com/x"),            # accepted (a.com -> 3)
+          (2, "HTTP://A.COM/seed0"),         # seen (dup of build)
+          (3, "https://b.com/p1")]           # accepted (b.com -> 1)
+    b2 = [(4, "https://a.com/y"),            # accepted (a.com -> 4 FULL)
+          (5, "https://b.com/p2")]           # accepted (b.com -> 2)
+    b3 = [(6, "https://a.com/x"),            # re-send of 1 -> url_seen
+          (7, "https://b.com/p1?utm_s=1"),   # normalizes to 3 -> seen
+          (8, "https://a.com/fresh"),        # fresh but a.com FULL
+          (9, "https://b.com/p3"),           # accepted
+          (10, "HTTP://A.COM/seed0")]        # still seen
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    import os
+
+    for i, rows in enumerate([b1, b2, b3]):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [x[0] for x in rows],
+                    "url": [x[1] for x in rows],
+                }
+            ),
+            str(in_dir / f"b{i}.parquet"),
+        )
+        os.utime(
+            str(in_dir / f"b{i}.parquet"),
+            (1700000000 + i, 1700000000 + i),
+        )
+
+    trails = []
+
+    def handle(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        trails.append(
+            pipelines.ingest_micro_batch(
+                spark, batch_df, id_col="doc_id",
+                url_index_path=idx, url_col="url",
+            ).collect()
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(trails) == 3
+    t = {r.doc_id: r for batch in trails for r in batch}
+    # batch 1: 1 and 3 admitted, 2 seen
+    assert t[1].accepted and t[3].accepted
+    assert t[2].url_seen and not t[2].accepted
+    # batch 2: both admitted (a.com reaches its cap of 4)
+    assert t[4].accepted and t[5].accepted
+    # batch 3: re-sent accepted URLs are caught — exact and
+    # normalization-equivalent forms alike
+    assert t[6].url_seen and t[7].url_seen and t[10].url_seen
+    # the domain filled MID-STREAM: fresh URL, full budget
+    assert t[8].domain_full and not t[8].url_seen
+    assert not t[8].accepted
+    # b.com still has room
+    assert t[9].accepted
+    # seen-set grew by exactly the accepted new urls (2 build + 5)
+    stored = spark.read.option("recursiveFileLookup", "true").parquet(
+        idx + "/urls"
+    )
+    assert stored.distinct().count() == 7
