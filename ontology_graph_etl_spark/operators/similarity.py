@@ -493,6 +493,36 @@ def semantic_dedup_clusters(
     )
 
 
+def _literal_best_expr(vec: Column, cent_vecs) -> Column:
+    """The literal-path argmax candidate struct — ``array_max`` over
+    the k rounded-cosine candidates ``struct(sim, neg_cid)`` with the
+    k×dim centroid matrix embedded as literals. Extracted from
+    :func:`kmeans_assign` (byte-identical expression tree) so the
+    assignment can be INLINED as one projection wherever the old shape
+    was ``kmeans_assign(df).join(df, id)`` — the join-back was a
+    corpus-sized self-join (two exchanges + sort) purely to re-attach
+    columns the projection never had to drop (guide §2.4: remove
+    shuffles outright)."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine(
+                        vec,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                    ),
+                    6,
+                ).alias("sim"),
+                # negate so array_max's lexicographic struct compare
+                # resolves sim ties to the LOWEST centroid id
+                F.lit(-i).alias("neg_cid"),
+            )
+            for i, c in enumerate(cent_vecs)
+        ]
+    )
+    return F.array_max(scored)
+
+
 def kmeans_assign(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -595,24 +625,9 @@ def kmeans_assign(
                 F.col("__best.sim").alias("sim"),
             )
         )
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(
-                    cosine(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(x)) for x in row[vec_col]]),
-                    ),
-                    6,
-                ).alias("sim"),
-                # negate so array_max's lexicographic struct compare
-                # resolves sim ties to the LOWEST centroid id
-                F.lit(-i).alias("neg_cid"),
-            )
-            for i, row in enumerate(seeds)
-        ]
+    best = _literal_best_expr(
+        F.col(vec_col), [row[vec_col] for row in seeds]
     )
-    best = F.array_max(scored)
     return df.select(
         F.col(id_col),
         (-best["neg_cid"]).alias("centroid_id"),
@@ -729,13 +744,18 @@ def kmeans_train(
     - empty clusters keep their previous centroid (deterministic, no
       re-seeding RNG).
 
-    Scale shape per round: one assignment join (broadcast/literal
-    centroids — the input never shuffles for it) + one
+    Scale shape per round: ONE pass — the assignment is inlined into
+    the stats projection (literal centroids: zero shuffle; broadcast
+    centroids past the plan-size bound: the vector rides inside the
+    per-id max struct, one keyed shuffle) feeding a
     ``posexplode``→``groupBy(cid, pos)`` aggregate whose map-side
     combine collapses n·dim rows to k·dim per partition before the
     shuffle; only k·dim aggregated rows reach the driver (the same
     O(k) scalar-fetch class as the seed pick). No corpus-sized state
-    on the driver, no per-row Python.
+    on the driver, no per-row Python, and — since r16 — no corpus
+    self-join: the old ``df.join(assign, id)`` re-shuffled the whole
+    corpus by id every round to re-attach the vector column (guide
+    §2.4).
     """
     import math
 
@@ -751,13 +771,60 @@ def kmeans_train(
     cents = [[float(x) for x in r[vec_col]] for r in seed_rows]
     if not cents:
         return []
+    dim = len(cents[0])
+    eff = method
+    if eff == "auto":
+        eff = "literal" if k * dim <= 4096 else "broadcast"
+    if eff not in ("literal", "broadcast"):
+        raise ValueError(f"unknown kmeans_assign method {method!r}")
     for _ in range(rounds):
-        assign = kmeans_assign(
-            df, id_col, vec_col, k=k, method=method, centroids=cents
-        ).select(id_col, "centroid_id")
+        # (centroid_id, vec) WITHOUT the old ``df.join(assign, id)``
+        # corpus self-join: the assignment is a projection over df, so
+        # joining it back to df re-shuffled the whole corpus by id
+        # every round purely to re-attach the vector column the
+        # projection had in hand (guide §2.4). Literal path: one
+        # zero-shuffle projection; broadcast path: the vector rides
+        # inside the per-id max struct (sim/neg_cid decide — neg_cid
+        # is unique per id, so the vector never participates in the
+        # comparison), one keyed shuffle instead of a join.
+        if eff == "literal":
+            best = _literal_best_expr(F.col(vec_col), cents)
+            assigned = df.select(
+                (-best["neg_cid"]).alias("centroid_id"),
+                F.col(vec_col),
+            )
+        else:
+            spark = df.sparkSession
+            ctr = F.broadcast(
+                spark.createDataFrame(
+                    [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+                    "cid int, cvec array<double>",
+                )
+            )
+            assigned = (
+                df.select(F.col(id_col), F.col(vec_col))
+                .crossJoin(ctr)
+                .select(
+                    F.col(id_col),
+                    F.struct(
+                        F.round(
+                            cosine(F.col(vec_col), F.col("cvec")), 6
+                        ).alias("sim"),
+                        (-F.col("cid")).alias("neg_cid"),
+                        F.col(vec_col).alias("v"),
+                    ).alias("__cand"),
+                )
+                .groupBy(id_col)
+                .agg(F.max("__cand").alias("__best"))
+                .select(
+                    (-F.col("__best.neg_cid")).cast("int").alias(
+                        "centroid_id"
+                    ),
+                    F.col("__best.v").alias(vec_col),
+                )
+            )
         stats = (
-            df.join(assign, id_col)
-            .select(
+            assigned.select(
                 "centroid_id",
                 F.posexplode(F.col(vec_col)).alias("pos", "comp"),
             )
@@ -840,20 +907,38 @@ def ivf_topk_deterministic(
             "list_id int, centroid array<double>",
         )
     )
-    assigned = (
-        kmeans_assign(corpus, id_col, vec_col, k=num_lists, centroids=cents)
-        .select(
+    if cents and num_lists * len(cents[0]) <= 4096:
+        # assignment inlined as ONE projection — the old
+        # kmeans_assign(corpus).join(corpus, id) shape re-shuffled the
+        # corpus by id (two exchanges + sorts) purely to re-attach the
+        # vector column (guide §2.4); the literal argmax is the same
+        # expression kmeans_assign would emit, so list membership is
+        # bit-identical
+        best = _literal_best_expr(F.col(vec_col), cents)
+        assigned = corpus.select(
             F.col(id_col).alias("neighbor_id"),
-            F.col("centroid_id").alias("list_id"),
+            (-best["neg_cid"]).alias("list_id"),
+            F.col(vec_col).alias("c_raw"),
         )
-        .join(
-            corpus.select(
+    else:
+        # past the literal plan-size bound (or empty corpus) keep the
+        # broadcast-assign + join-back shape
+        assigned = (
+            kmeans_assign(
+                corpus, id_col, vec_col, k=num_lists, centroids=cents
+            )
+            .select(
                 F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).alias("c_raw"),
-            ),
-            "neighbor_id",
+                F.col("centroid_id").alias("list_id"),
+            )
+            .join(
+                corpus.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("c_raw"),
+                ),
+                "neighbor_id",
+            )
         )
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_raw")
     )
@@ -1424,6 +1509,39 @@ def _read_ivf_sidecar(spark, path: str) -> dict:
     )
 
 
+def _ivf_rows(
+    frame: DataFrame, id_col: str, vec_col: str, cents
+) -> DataFrame:
+    """``(vec_id, list_id, embedding)`` store rows for an IVF
+    build/merge — the assignment INLINED as one projection when the
+    centroid matrix fits kmeans_assign's literal plan-size bound
+    (the old ``kmeans_assign(frame).join(frame, id)`` shape
+    re-shuffled the frame by id purely to re-attach the vector column
+    — guide §2.4; list membership is bit-identical because the
+    literal argmax is the exact expression kmeans_assign emits)."""
+    if cents and len(cents) * len(cents[0]) <= 4096:
+        best = _literal_best_expr(F.col(vec_col), cents)
+        return frame.select(
+            F.col(id_col).alias("vec_id"),
+            (-best["neg_cid"]).alias("list_id"),
+            F.col(vec_col).cast("array<double>").alias("embedding"),
+        )
+    return (
+        kmeans_assign(frame, id_col, vec_col, centroids=cents)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col("centroid_id").alias("list_id"),
+        )
+        .join(
+            frame.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("embedding"),
+            ),
+            "vec_id",
+        )
+    )
+
+
 def write_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -1463,20 +1581,7 @@ def write_ivf_index(
         )
         cents = [[float(x) for x in r[vec_col]] for r in seeds]
     spark = corpus.sparkSession
-    rows = (
-        kmeans_assign(corpus, id_col, vec_col, centroids=cents)
-        .select(
-            F.col(id_col).alias("vec_id"),
-            F.col("centroid_id").alias("list_id"),
-        )
-        .join(
-            corpus.select(
-                F.col(id_col).alias("vec_id"),
-                F.col(vec_col).cast("array<double>").alias("embedding"),
-            ),
-            "vec_id",
-        )
-    )
+    rows = _ivf_rows(corpus, id_col, vec_col, cents)
     rows.write.mode("overwrite").parquet(path)
     # sidecar AFTER the data lands (write_dedup_index ordering): a
     # failed data write never leaves a sidecar pointing at nothing
@@ -1506,20 +1611,7 @@ def merge_ivf_index(
     append; the corpus-sized existing rows are never read (the
     merge_dedup_index shape). Returns the sidecar params."""
     params = _read_ivf_sidecar(spark, path)
-    rows = (
-        kmeans_assign(batch, id_col, vec_col, centroids=params["centroids"])
-        .select(
-            F.col(id_col).alias("vec_id"),
-            F.col("centroid_id").alias("list_id"),
-        )
-        .join(
-            batch.select(
-                F.col(id_col).alias("vec_id"),
-                F.col(vec_col).cast("array<double>").alias("embedding"),
-            ),
-            "vec_id",
-        )
-    )
+    rows = _ivf_rows(batch, id_col, vec_col, params["centroids"])
     rows.write.mode("append").parquet(path)
     return params
 
@@ -1780,6 +1872,204 @@ def _pq_codes_expr(vec: Column, dim: int, codebooks) -> Column:
     return F.array(*codes)
 
 
+def _round6_half_up(a):
+    """Vectorized twin of Spark's ``F.round(x, 6)`` on doubles.
+    Spark rounds the DECIMAL value of the double's shortest string
+    repr (``BigDecimal.valueOf(x).setScale(6, HALF_UP)``). The fast
+    path rounds half-away-from-zero in binary arithmetic, which
+    equals the decimal rounding whenever ``x·1e6`` is not within
+    float error of a ``.5`` midpoint; the rare near-midpoint values
+    (|frac−0.5| < 1e-6 — float error is < 1e-9 here, so the band is
+    generous) go through ``Decimal(repr(x))``, the exact replication.
+    NaN/±Inf pass through, as in Spark's Round."""
+    import numpy as np
+
+    y = a * 1e6
+    with np.errstate(invalid="ignore"):
+        fast = np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)) / 1e6
+        frac = y - np.floor(y)
+        near = np.abs(frac - 0.5) < 1e-6
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        six = Decimal("0.000001")
+        idx = np.nonzero(near)
+        vals = a[idx]
+        fast[idx] = [
+            float(
+                Decimal(repr(float(v))).quantize(
+                    six, rounding=ROUND_HALF_UP
+                )
+            )
+            for v in vals
+        ]
+    return fast
+
+
+def _pq_store_cols_udf(cents, dim: int, codebooks):
+    """Vectorized Arrow-batch twin of the PQ store-row expressions —
+    ``struct(list_id, codes, norm)`` computed per batch in NumPy with
+    the SAME scalar fold orders as the expression forms, so every
+    emitted double and every rounded-argmax decision is bit-identical
+    (property-pinned in tests/test_properties.py; the certified q176
+    oracle CTEs mirror the same folds):
+
+    - coarse ``list_id`` = :func:`_literal_best_expr`'s rounded-argmax
+      (round(dot/(norm_v·norm_c), 6) per centroid, ties to the LOWEST
+      id; ``norm_v = max(sqrt(0+v0²+v1²+…), 1e-12)`` left fold);
+    - ``codes`` = :func:`_pq_codes_expr`'s per-sub-space rounded
+      argmax, same contract per sub-slice;
+    - ``norm`` = the left-fold ``sqrt(0+Σv²)`` (NO 1e-12 floor — the
+      stored norm keeps ``F.aggregate``'s raw value).
+
+    Why a UDF when the repo unrolled these INTO expressions in r15:
+    the unrolled trees are ~2300 Catalyst nodes, which (a) dominate
+    wall time with ANALYSIS/optimizer cost (measured r16: a 200-row
+    build costs 8.6 s, a 37k-row build 7.5 s — the work is per-PLAN,
+    not per-row) and (b) overflow janino's 64 KB method limit, so
+    whole-stage codegen fails and execution is interpreted anyway.
+    One Arrow-vectorized node computes the same values with a
+    three-node plan (the minhash_signature precedent, guide §4.2).
+    NumPy float64 arithmetic is IEEE-identical to JVM doubles given
+    the same operand order, which the dim-loop accumulation preserves.
+    NULL vector ⇒ (0, [0]*m, NULL), the expressions' own NULL
+    semantics (greatest() drops the NULL norm to the 1e-12 floor and
+    the all-NULL-sim argmax ties to code 0)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    m = len(codebooks)
+    dsub = dim // m
+    books = [np.asarray(book, dtype=np.float64) for book in codebooks]
+    book_norms = [
+        np.asarray(
+            [
+                max(math.sqrt(sum(float(x) * float(x) for x in c)), 1e-12)
+                for c in book
+            ],
+            dtype=np.float64,
+        )
+        for book in codebooks
+    ]
+    cmat = np.asarray(cents, dtype=np.float64)
+    cnorms = np.asarray(
+        [
+            max(math.sqrt(sum(float(x) * float(x) for x in c)), 1e-12)
+            for c in cents
+        ],
+        dtype=np.float64,
+    )
+
+    def _argmax_rounded(sub, book, bnorms):
+        """rounded-argmax over one candidate matrix: round(cos, 6)
+        per candidate (fold-ordered dots/norms), strictly-greater
+        replacement so ties keep the LOWEST candidate id — the
+        array_max(struct(sim, -cid)) contract."""
+        n, d = sub.shape
+        nsq = np.zeros(n)
+        for i in range(d):
+            c = sub[:, i]
+            nsq = nsq + c * c
+        vnorm = np.maximum(np.sqrt(nsq), 1e-12)
+        best_sim = None
+        best_code = np.zeros(n, dtype=np.int64)
+        for ci in range(book.shape[0]):
+            dot = np.zeros(n)
+            for i in range(d):
+                dot = dot + sub[:, i] * book[ci, i]
+            sim = _round6_half_up(dot / (vnorm * bnorms[ci]))
+            if best_sim is None:
+                best_sim = sim
+            else:
+                repl = sim > best_sim
+                best_sim = np.where(repl, sim, best_sim)
+                best_code = np.where(repl, ci, best_code)
+        return best_code
+
+    out_type = StructType(
+        [
+            StructField("list_id", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+            StructField("norm", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _encode(vecs: pd.Series) -> pd.DataFrame:
+        mask = vecs.notna().to_numpy()
+        n_all = len(vecs)
+        list_id = np.zeros(n_all, dtype=np.int64)
+        codes = [[0] * m] * n_all
+        norm = np.full(n_all, np.nan)
+        if mask.any():
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
+            )
+            n = V.shape[0]
+            nsq = np.zeros(n)
+            for i in range(dim):
+                c = V[:, i]
+                nsq = nsq + c * c
+            norm[mask] = np.sqrt(nsq)
+            list_id[mask] = _argmax_rounded(V, cmat, cnorms)
+            sub_codes = np.empty((n, m), dtype=np.int64)
+            for j in range(m):
+                sub_codes[:, j] = _argmax_rounded(
+                    V[:, j * dsub : (j + 1) * dsub], books[j], book_norms[j]
+                )
+            it = iter(sub_codes.tolist())
+            codes = [next(it) if ok else [0] * m for ok in mask]
+        return pd.DataFrame(
+            {
+                "list_id": list_id,
+                "codes": codes,
+                "norm": pd.Series(norm).where(pd.Series(mask)),
+            }
+        )
+
+    return _encode
+
+
+def _pq_rows(
+    frame: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents,
+    dim: int,
+    codebooks,
+) -> DataFrame:
+    """``(vec_id, list_id, codes, norm)`` store rows for a PQ-IVF
+    build/merge — coarse assignment, PQ encoding and the norm all
+    computed by ONE Arrow-vectorized batch node over one projection
+    (:func:`_pq_store_cols_udf`; bit-identical to the expression
+    spec :func:`_pq_codes_expr` / :func:`_literal_best_expr`, which
+    the q176 oracle CTEs mirror). The pre-r16 shapes paid (a) a
+    frame-sized self-join to re-attach columns the projection had in
+    hand (guide §2.4) and (b) ~2300-node unrolled expression trees
+    whose Catalyst analysis dominated wall time and overflowed
+    janino's 64 KB codegen limit (guide §4.2 — measured r16: a
+    200-row build cost 8.6 s, a 37k-row build 7.5 s: the cost was
+    per-plan, not per-row)."""
+    enc = _pq_store_cols_udf(cents, dim, codebooks)
+    return frame.select(
+        F.col(id_col).alias("vec_id"),
+        enc(F.col(vec_col).cast("array<double>")).alias("__e"),
+    ).select(
+        "vec_id",
+        F.col("__e.list_id").alias("list_id"),
+        F.col("__e.codes").alias("codes"),
+        F.col("__e.norm").alias("norm"),
+    )
+
+
 def write_pq_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -1811,47 +2101,62 @@ def write_pq_ivf_index(
     search time without touching the raw vector."""
     if m < 1 or ksub < 2:
         raise ValueError(f"need m >= 1 and ksub >= 2, got m={m} ksub={ksub}")
-    head = corpus.select(vec_col).head(1)
-    if not head:
-        raise ValueError("write_pq_ivf_index: empty corpus")
-    dim = len(head[0][0])
-    if dim % m != 0:
-        raise ValueError(
-            f"embedding dim {dim} is not divisible by m={m} sub-spaces"
-        )
     spark = corpus.sparkSession
-    cents = kmeans_train(
-        corpus, id_col, vec_col, k=num_lists, rounds=train_rounds
-    )
     vec = F.col(vec_col).cast("array<double>")
-    dsub = dim // m
-    codebooks = []
-    for j in range(m):
-        sub = corpus.select(
-            F.col(id_col), F.slice(vec, j * dsub + 1, dsub).alias("__sub")
+    if train_rounds == 0 and pq_rounds == 0:
+        # ONE shared seed collect: the md5 seed order depends only on
+        # the id column, so the coarse quantizer's top-num_lists rows
+        # and every sub-codebook's top-ksub rows are prefixes of the
+        # SAME (md5(id), id)-ordered list — the old shape paid m+1
+        # separate full-corpus top-k passes (plus a head(1) for the
+        # dim probe) for seeds that are slices of one collect (guide
+        # §1.2: remove passes you don't need). Values are identical:
+        # float() of a double is exact, and each sub-codebook entry is
+        # the same contiguous slice kmeans_train's F.slice produced.
+        seed_rows = (
+            corpus.select(id_col, vec_col)
+            .withColumn("__o", F.md5(F.col(id_col).cast("string")))
+            .orderBy("__o", id_col)
+            .limit(max(num_lists, ksub))
+            .collect()
         )
-        codebooks.append(
-            kmeans_train(sub, id_col, "__sub", k=ksub, rounds=pq_rounds)
+        if not seed_rows:
+            raise ValueError("write_pq_ivf_index: empty corpus")
+        seed_vecs = [[float(x) for x in r[vec_col]] for r in seed_rows]
+        dim = len(seed_vecs[0])
+        if dim % m != 0:
+            raise ValueError(
+                f"embedding dim {dim} is not divisible by m={m} sub-spaces"
+            )
+        dsub = dim // m
+        cents = seed_vecs[:num_lists]
+        codebooks = [
+            [v[j * dsub : (j + 1) * dsub] for v in seed_vecs[:ksub]]
+            for j in range(m)
+        ]
+    else:
+        head = corpus.select(vec_col).head(1)
+        if not head:
+            raise ValueError("write_pq_ivf_index: empty corpus")
+        dim = len(head[0][0])
+        if dim % m != 0:
+            raise ValueError(
+                f"embedding dim {dim} is not divisible by m={m} sub-spaces"
+            )
+        dsub = dim // m
+        cents = kmeans_train(
+            corpus, id_col, vec_col, k=num_lists, rounds=train_rounds
         )
-    rows = (
-        kmeans_assign(corpus, id_col, vec_col, centroids=cents)
-        .select(
-            F.col(id_col).alias("vec_id"),
-            F.col("centroid_id").alias("list_id"),
-        )
-        .join(
-            corpus.select(
-                F.col(id_col).alias("vec_id"),
-                _pq_codes_expr(vec, dim, codebooks).alias("codes"),
-                F.sqrt(
-                    F.aggregate(
-                        vec, F.lit(0.0), lambda acc, v: acc + v * v
-                    )
-                ).alias("norm"),
-            ),
-            "vec_id",
-        )
-    )
+        codebooks = []
+        for j in range(m):
+            sub = corpus.select(
+                F.col(id_col),
+                F.slice(vec, j * dsub + 1, dsub).alias("__sub"),
+            )
+            codebooks.append(
+                kmeans_train(sub, id_col, "__sub", k=ksub, rounds=pq_rounds)
+            )
+    rows = _pq_rows(corpus, id_col, vec_col, cents, dim, codebooks)
     rows.write.mode("overwrite").parquet(path)
     from .util import write_json_sidecar
 
@@ -1900,27 +2205,8 @@ def merge_pq_ivf_index(
     params = _read_pq_sidecar(spark, path)
     codebooks = params["codebooks"]
     dim = len(codebooks) * len(codebooks[0][0])
-    vec = F.col(vec_col).cast("array<double>")
-    rows = (
-        kmeans_assign(
-            batch, id_col, vec_col, centroids=params["centroids"]
-        )
-        .select(
-            F.col(id_col).alias("vec_id"),
-            F.col("centroid_id").alias("list_id"),
-        )
-        .join(
-            batch.select(
-                F.col(id_col).alias("vec_id"),
-                _pq_codes_expr(vec, dim, codebooks).alias("codes"),
-                F.sqrt(
-                    F.aggregate(
-                        vec, F.lit(0.0), lambda acc, v: acc + v * v
-                    )
-                ).alias("norm"),
-            ),
-            "vec_id",
-        )
+    rows = _pq_rows(
+        batch, id_col, vec_col, params["centroids"], dim, codebooks
     )
     rows.write.mode("append").parquet(path)
     return params
@@ -1955,34 +2241,76 @@ def _pq_adc_scored(
     )
     dim = len(codebooks) * len(codebooks[0][0])
     dsub = dim // m
-    qvec = F.col("q_raw")
-    # the per-query ADC table: entry j·ksub + c = dot(q_sub_j,
-    # book_j[c]) — UNROLLED element_at arithmetic (no interpreted
-    # HOF folds; same leading-0.0 sum order as _dot, so the doubles
-    # are bit-identical to the fold form the oracle mirrors)
-    adc_entries = []
-    for j, book in enumerate(codebooks):
-        comps = [
-            F.element_at(qvec, j * dsub + i + 1) for i in range(dsub)
-        ]
-        for c in book:
-            dot = F.lit(0.0)
-            for i in range(dsub):
-                dot = dot + comps[i] * F.lit(float(c[i]))
-            adc_entries.append(dot)
-    adc = F.array(*adc_entries)
+    # the per-query ADC table (entry j·ksub + c = dot(q_sub_j,
+    # book_j[c])) and the query norm, as ONE Arrow-vectorized batch
+    # node: the r15 unrolled-expression form was ~2100 Catalyst nodes
+    # whose analysis cost dominated the (query-sized!) stage and
+    # overflowed janino's 64 KB codegen limit; the NumPy twin keeps
+    # the same leading-0.0 left-fold sum order per scalar, so the
+    # doubles are bit-identical to the fold form the oracle mirrors
+    # (guide §4.2)
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    books_np = [np.asarray(b, dtype=np.float64) for b in codebooks]
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("adc", ArrayType(DoubleType())),
+                StructField("qn", DoubleType()),
+            ]
+        )
+    )
+    def _adc_qn(vecs: pd.Series) -> pd.DataFrame:
+        n_all = len(vecs)
+        mask = vecs.notna().to_numpy()
+        adc_out: list = [None] * n_all
+        qn_out = np.full(n_all, np.nan)
+        if mask.any():
+            Q = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
+            )
+            n = Q.shape[0]
+            nsq = np.zeros(n)
+            for i in range(dim):
+                c = Q[:, i]
+                nsq = nsq + c * c
+            qn_out[mask] = np.sqrt(nsq)
+            table = np.empty((n, m * ksub))
+            for j in range(m):
+                sub = Q[:, j * dsub : (j + 1) * dsub]
+                for c in range(ksub):
+                    dot = np.zeros(n)
+                    for i in range(dsub):
+                        dot = dot + sub[:, i] * books_np[j][c, i]
+                    table[:, j * ksub + c] = dot
+            it = iter(table)
+            adc_out = [next(it) if ok else None for ok in mask]
+        return pd.DataFrame(
+            {
+                "adc": adc_out,
+                "qn": pd.Series(qn_out).where(pd.Series(mask)),
+            }
+        )
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_raw"),
     ).select(
         "query_id",
         "q_raw",
-        adc.alias("__adc"),
-        F.sqrt(
-            F.aggregate(
-                F.col("q_raw"), F.lit(0.0), lambda acc, v: acc + v * v
-            )
-        ).alias("__qn"),
+        _adc_qn(F.col("q_raw")).alias("__t"),
+    ).select(
+        "query_id",
+        "q_raw",
+        F.col("__t.adc").alias("__adc"),
+        F.col("__t.qn").alias("__qn"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("__csim").desc(), F.col("list_id").asc()

@@ -4885,3 +4885,97 @@ def test_unigram_train_distributed_matches_local(spark):
         )
     )
     assert local == dist
+
+
+def test_round6_half_up_matches_spark_round(spark):
+    """_round6_half_up is the exact NumPy twin of F.round(x, 6) on
+    doubles — including the decimal-string midpoint cases where a
+    naive binary floor(x*1e6 + 0.5) diverges (Spark rounds the
+    DECIMAL value of the shortest repr, HALF_UP)."""
+    import numpy as np
+
+    from ontology_graph_etl_spark.operators.similarity import (
+        _round6_half_up,
+    )
+
+    vals = [
+        0.1234565, -0.1234565, 0.1234575, -0.1234575,  # exact midpoints
+        0.9999995, -0.9999995, 1.0000005, -1.0000005,
+        0.12345649999999999, 0.12345650000000001,      # just off-midpoint
+        0.5e-6, -0.5e-6, 1.5e-6, 2.5e-6,               # tiny midpoints
+        0.0, -0.0, 1.0, -1.0, 0.3333333333333333,
+        float("nan"), float("inf"), float("-inf"),
+    ]
+    rng = np.random.RandomState(42)
+    vals += list(rng.uniform(-1, 1, 200))
+    vals += list(np.round(rng.uniform(-1, 1, 200), 6))  # near-exact 6dp
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    want = [r.r for r in df.select(F.round("x", 6).alias("r")).collect()]
+    got = _round6_half_up(np.asarray(vals, dtype=np.float64))
+    for w, g in zip(want, got):
+        if w != w:  # NaN
+            assert g != g
+        else:
+            assert w == g, (w, g)
+
+
+@given(
+    vecs=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.floats(
+                    min_value=-1.0,
+                    max_value=1.0,
+                    allow_nan=False,
+                    width=64,
+                ),
+                min_size=8,
+                max_size=8,
+            ),
+        ),
+        min_size=4,
+        max_size=16,
+    )
+)
+@SETTINGS
+def test_pq_store_cols_udf_matches_expression_spec(spark, vecs):
+    """The Arrow-vectorized PQ store-row encoder (_pq_store_cols_udf,
+    used by _pq_rows for every build/merge) is BIT-IDENTICAL to the
+    executable expression spec (_literal_best_expr coarse argmax +
+    _pq_codes_expr codes + the F.aggregate norm fold) — the
+    minhash_signature UDF-vs-expression precedent applied to the PQ
+    encode. NULL vectors included: both forms must emit
+    (list_id 0, [0]*m codes, NULL norm)."""
+    from ontology_graph_etl_spark.operators.similarity import (
+        _literal_best_expr,
+        _pq_codes_expr,
+        _pq_rows,
+    )
+
+    dim, m = 8, 2
+    seeds = [v for v in vecs if v is not None]
+    if not seeds:
+        return
+    cents = [list(map(float, v)) for v in seeds[:3]]
+    dsub = dim // m
+    codebooks = [
+        [list(map(float, v[j * dsub : (j + 1) * dsub])) for v in seeds[:2]]
+        for j in range(m)
+    ]
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    vec = F.col("v").cast("array<double>")
+    best = _literal_best_expr(F.col("v"), cents)
+    spec = df.select(
+        F.col("id").alias("vec_id"),
+        (-best["neg_cid"]).alias("list_id"),
+        _pq_codes_expr(vec, dim, codebooks).alias("codes"),
+        F.sqrt(
+            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("norm"),
+    ).collect()
+    got = _pq_rows(df, "id", "v", cents, dim, codebooks).collect()
+    spec_m = {r.vec_id: (r.list_id, list(r.codes), r.norm) for r in spec}
+    got_m = {r.vec_id: (r.list_id, list(r.codes), r.norm) for r in got}
+    assert spec_m == got_m
