@@ -405,6 +405,11 @@ def prepare_dedup_index(
     ``num_hashes/bands/shingle_n/base_hash`` to the screen call; the
     index does not self-describe its parameters.
     """
+    if bands > num_hashes or num_hashes % bands != 0:
+        # the _band_keys contract, checked before any job runs
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}"
+        )
     prep = (
         shingle_text(
             ensure_parallelism(df.select(id_col, text_col)),
@@ -417,9 +422,30 @@ def prepare_dedup_index(
     signed = minhash_signature(
         prep, "shingles", num_hashes, base_hash=base_hash
     )
-    keys = _band_keys(signed, id_col, "minhash", bands, num_hashes)
-    return keys.join(
-        prep.select(F.col(id_col).alias("doc"), "shingles"), "doc"
+    # band keys and the shingle payload in ONE projection — the
+    # pre-r16 shape built the narrow (doc, band, band_sig) frame via
+    # _band_keys and then JOINED it back to prep by doc purely to
+    # re-attach the shingle column (a corpus×bands-row shuffle of
+    # both sides — guide §2.4); the band expression is a projection
+    # of the signed frame, so the explode can simply carry shingles
+    # along. Same band_sig expression as _band_keys (xxhash64 over
+    # the band slice), so the stored rows are value-identical.
+    rows_per_band = num_hashes // bands
+    return signed.select(
+        F.col(id_col).alias("doc"),
+        "shingles",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(
+                        F.col("minhash"),
+                        b * rows_per_band + 1,
+                        rows_per_band,
+                    )
+                ),
+            )
+        ).alias("band", "band_sig"),
     ).select("band", "band_sig", "doc", "shingles")
 
 

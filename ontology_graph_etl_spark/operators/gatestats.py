@@ -1308,18 +1308,27 @@ def build_ccnet_store(
     buckets: int = 256,
 ) -> None:
     """Build the frozen CCNet store from a reference corpus: language-
-    ID the reference, persist one bigram-LM count table per language
-    (``<store>/lm``) and the per-language head-bucket cutoffs
-    (``<store>/cutoffs``). Cutoffs come from :func:`pipelines.
-    ccnet_quality_pipeline` over the reference (train-on-self scores
-    — identical to frozen-LM scores on the training corpus, see
-    :func:`score_with_frozen_lm`), so the frozen gate reproduces
-    exactly the boundary the one-shot pipeline drew, by value.
-    ``langs`` is the production fixed list (the q152 contract); docs
-    language-ID'd outside it contribute nothing to the store and are
-    rejected at screen time as unknown strata."""
+    ID the reference ONCE, persist one bigram-LM count table per
+    language (``<store>/lm``) and the per-language head-bucket cutoffs
+    (``<store>/cutoffs``). Cutoffs come from scoring the reference
+    under the JUST-WRITTEN frozen LM (:func:`score_with_frozen_lm`) +
+    the same :func:`relational.quality_percentile_gate` the one-shot
+    pipeline applies — train-on-self scores are identical to frozen-LM
+    scores on the training corpus (every n-gram is seen, the OOV rules
+    are dormant; pinned in tests/test_streaming.py
+    ``test_frozen_ccnet_store_matches_train_on_self``), so the frozen
+    gate reproduces exactly the boundary :func:`pipelines.
+    ccnet_quality_pipeline` would draw, by value. r16 optimization
+    (guide §1.2 — don't compute things twice): the pre-r16 build ran
+    the WHOLE pipeline a second time for the cutoffs — a second
+    language-ID pass over the reference plus one train-side bigram
+    window count per language — where scoring under the stored
+    vocabulary-sized count tables needs neither. ``langs`` is the
+    production fixed list (the q152 contract); docs language-ID'd
+    outside it contribute nothing to the store and are rejected at
+    screen time as unknown strata."""
+    from .relational import quality_percentile_gate
     from .textops import language_id
-    from .. import pipelines
 
     if langs is None:
         raise ValueError(
@@ -1328,21 +1337,28 @@ def build_ccnet_store(
         )
     tagged = language_id(
         reference_docs.select(id_col, text_col), text_col
-    ).where(F.col("lang_pred").isin(*langs))
+    ).where(F.col("lang_pred").isin(*langs)).localCheckpoint()
+    lm_path = store_dir.rstrip("/") + "/lm"
     write_lm_counts(
         build_lm_counts(tagged, id_col, text_col, "lang_pred"),
-        store_dir.rstrip("/") + "/lm",
+        lm_path,
         lang_col="lang_pred",
         lam=lam,
     )
-    scored = pipelines.ccnet_quality_pipeline(
-        reference_docs,
+    scored = quality_percentile_gate(
+        score_with_frozen_lm(
+            reference_docs.sparkSession,
+            lm_path,
+            tagged,
+            id_col,
+            text_col,
+            "lang_pred",
+        ),
         id_col,
-        text_col,
-        keep_pct=keep_pct,
-        lam=lam,
-        langs=langs,
-        buckets=buckets,
+        "lang_pred",
+        "mean_logprob",
+        keep_pct,
+        buckets,
     )
     write_gate_cutoffs(
         scored.groupBy("lang_pred").agg(
