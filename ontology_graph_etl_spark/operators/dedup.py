@@ -225,6 +225,20 @@ def minhash_signature_expr(
     )
 
 
+def _band_sig_array(minhash_col: Column, bands: int, rows_per_band: int):
+    """The per-document band-signature array: ``xxhash64`` over each
+    band's slice of the minhash signature — THE band-key expression,
+    shared by every producer (self-join keys, incoming-batch keys,
+    stored index rows) so band keys can never desynchronize between
+    the screen side and the store side."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.slice(minhash_col, b * rows_per_band + 1, rows_per_band)
+        ),
+    )
+
+
 def _band_keys(
     df: DataFrame,
     id_col: str,
@@ -249,12 +263,7 @@ def _band_keys(
     return df.select(
         F.col(id_col).alias("doc"),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col(minhash_col), b * rows_per_band + 1, rows_per_band)
-                ),
-            )
+            _band_sig_array(F.col(minhash_col), bands, rows_per_band)
         ).alias("band", "band_sig"),
     ).localCheckpoint()
 
@@ -428,23 +437,55 @@ def prepare_dedup_index(
     # re-attach the shingle column (a corpus×bands-row shuffle of
     # both sides — guide §2.4); the band expression is a projection
     # of the signed frame, so the explode can simply carry shingles
-    # along. Same band_sig expression as _band_keys (xxhash64 over
-    # the band slice), so the stored rows are value-identical.
+    # along.
+    return index_rows_from_signed(signed, id_col, bands, num_hashes)
+
+
+def signed_minhash_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """``(id, shingles, minhash)`` for a micro-batch, materialized
+    (``localCheckpoint``) — the SHARED one-pass input for screening a
+    batch against a stored index AND folding its accepted rows back in
+    (:func:`screen_against_index` ``incoming_signed=`` /
+    :func:`merge_dedup_index` ``signed=``). Without it the ingest loop
+    pays the shingle UDF + minhash UDF over the same batch TWICE per
+    micro-batch — once in the screen, once in the fold-back's
+    :func:`prepare_dedup_index` (guide §1.2). Build it with the
+    index's OWN sidecar parameters (``read_dedup_index``)."""
+    prep = shingle_text(
+        ensure_parallelism(df.select(id_col, text_col)),
+        text_col,
+        shingle_n,
+    ).select(id_col, "shingles")
+    return minhash_signature(
+        prep, "shingles", num_hashes, base_hash=base_hash
+    ).localCheckpoint()
+
+
+def index_rows_from_signed(
+    signed: DataFrame, id_col: str, bands: int, num_hashes: int
+) -> DataFrame:
+    """Stored-index rows ``(band, band_sig, doc, shingles)`` as ONE
+    projection of a signed frame — shared by the full build
+    (:func:`prepare_dedup_index`) and the signed fold-back
+    (:func:`merge_dedup_index` ``signed=``), same
+    :func:`_band_sig_array` keys as every screen side."""
+    if bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}"
+        )
     rows_per_band = num_hashes // bands
     return signed.select(
         F.col(id_col).alias("doc"),
         "shingles",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(
-                        F.col("minhash"),
-                        b * rows_per_band + 1,
-                        rows_per_band,
-                    )
-                ),
-            )
+            _band_sig_array(F.col("minhash"), bands, rows_per_band)
         ).alias("band", "band_sig"),
     ).select("band", "band_sig", "doc", "shingles")
 
@@ -460,6 +501,7 @@ def incremental_near_duplicates(
     threshold: float = 0.7,
     base_hash: str = "xxhash64",
     existing_index: DataFrame | None = None,
+    incoming_signed: DataFrame | None = None,
 ) -> DataFrame:
     """Continuous-ingest dedup: screen an ``incoming`` batch against an
     ``existing`` corpus, returning ``(incoming_id, existing_id, jaccard)``
@@ -497,11 +539,32 @@ def incremental_near_duplicates(
             .localCheckpoint()
         )
 
-    inc = _prep(incoming)
-    inc_bands = _band_keys(
-        minhash_signature(inc, "shingles", num_hashes, base_hash=base_hash),
-        id_col, "minhash", bands, num_hashes,
-    )
+    if incoming_signed is not None:
+        # pre-signed batch (signed_minhash_frame — already pinned):
+        # shingles and band keys are projections of the one checkpoint,
+        # so the shingle/minhash UDF pass is paid once for screen AND
+        # fold-back, and no second checkpoint is needed
+        if bands > num_hashes or num_hashes % bands != 0:
+            raise ValueError(
+                f"bands={bands} must divide num_hashes={num_hashes}"
+            )
+        inc = incoming_signed.select(id_col, "shingles")
+        inc_bands = incoming_signed.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(
+                _band_sig_array(
+                    F.col("minhash"), bands, num_hashes // bands
+                )
+            ).alias("band", "band_sig"),
+        )
+    else:
+        inc = _prep(incoming)
+        inc_bands = _band_keys(
+            minhash_signature(
+                inc, "shingles", num_hashes, base_hash=base_hash
+            ),
+            id_col, "minhash", bands, num_hashes,
+        )
     if existing_index is not None:
         # candidates AND their existing-side shingles in one join; the
         # per-pair first() collapses multi-band collisions (the shingle
@@ -686,6 +749,7 @@ def merge_dedup_index(
     accepted: DataFrame,
     id_col: str,
     text_col: str,
+    signed: DataFrame | None = None,
 ) -> dict:
     """Fold an accepted (screened-novel) batch into a stored index —
     the maintenance step :func:`screen_against_index` needs so batch
@@ -696,10 +760,26 @@ def merge_dedup_index(
     screen); merging rejected near-dups would make every later batch
     re-collide against rows the corpus already represents. Cost per
     batch: shingle+minhash over the batch (narrow), one O(batch)-sized
-    parquet append, zero reads of the existing index data.
+    parquet append, zero reads of the existing index data — and with
+    ``signed=`` (the screen's own :func:`signed_minhash_frame`,
+    restricted to the accepted rows; MUST have been built under this
+    index's sidecar parameters) the shingle/minhash pass is not paid
+    again at all: the band rows are a projection of the already-pinned
+    frame, value-identical to the recompute by the shared
+    :func:`_band_sig_array`/:func:`index_rows_from_signed` machinery.
     """
     params = _read_sidecar(spark, path)
-    batch_index = prepare_dedup_index(accepted, id_col, text_col, **params)
+    if signed is not None:
+        batch_index = index_rows_from_signed(
+            signed,
+            id_col,
+            int(params["bands"]),
+            int(params["num_hashes"]),
+        )
+    else:
+        batch_index = prepare_dedup_index(
+            accepted, id_col, text_col, **params
+        )
     write_dedup_index(batch_index, path, mode="append", **params)
     return params
 
@@ -711,12 +791,16 @@ def screen_against_index(
     id_col: str,
     text_col: str,
     threshold: float = 0.7,
+    incoming_signed: DataFrame | None = None,
 ) -> DataFrame:
     """Screen an incoming batch against a stored index using the
     index's OWN sidecar parameters — the parameter-mismatch class of
     silent failure is impossible by construction. Returns the
     ``(incoming_id, existing_id, jaccard)`` pairs of
-    :func:`incremental_near_duplicates`."""
+    :func:`incremental_near_duplicates`. ``incoming_signed`` (from
+    :func:`signed_minhash_frame` under THIS index's sidecar
+    parameters) lets a screen+fold-back loop pay the batch's
+    shingle/minhash pass once."""
     index, params = read_dedup_index(spark, path)
     return incremental_near_duplicates(
         None,
@@ -725,6 +809,7 @@ def screen_against_index(
         text_col,
         threshold=threshold,
         existing_index=index,
+        incoming_signed=incoming_signed,
         **params,
     )
 

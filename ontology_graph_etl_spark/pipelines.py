@@ -842,7 +842,26 @@ def ingest_micro_batch(
             .drop("__ibw")
         )
         gates.append(~F.col("intra_batch_dup"))
+    dd_signed = None
     if dedup_index_path is not None:
+        # ONE shingle+minhash pass for the batch, shared by the screen
+        # here and the fold-back merge below (pre-r16 the loop paid it
+        # twice per micro-batch — guide §1.2); built under the index's
+        # OWN sidecar parameters, the screen_against_index contract
+        from .operators.dedup import (
+            read_dedup_index,
+            signed_minhash_frame,
+        )
+
+        _, dd_params = read_dedup_index(spark, dedup_index_path)
+        dd_signed = signed_minhash_frame(
+            batch,
+            id_col,
+            text_col,
+            num_hashes=int(dd_params["num_hashes"]),
+            shingle_n=int(dd_params["shingle_n"]),
+            base_hash=str(dd_params["base_hash"]),
+        )
         pairs = screen_against_index(
             spark,
             dedup_index_path,
@@ -850,6 +869,7 @@ def ingest_micro_batch(
             id_col,
             text_col,
             threshold=dedup_threshold,
+            incoming_signed=dd_signed,
         )
         hits = pairs.groupBy("incoming_id").agg(
             F.count(F.lit(1)).cast("long").alias("n_near_dups"),
@@ -943,7 +963,12 @@ def ingest_micro_batch(
         accepted_docs = batch.join(ok_ids, id_col, "left_semi")
         if dedup_index_path is not None:
             merge_dedup_index(
-                spark, dedup_index_path, accepted_docs, id_col, text_col
+                spark,
+                dedup_index_path,
+                accepted_docs,
+                id_col,
+                text_col,
+                signed=dd_signed.join(ok_ids, id_col, "left_semi"),
             )
         if substring_index_path is not None:
             merge_substring_index(

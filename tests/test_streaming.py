@@ -2217,3 +2217,55 @@ def test_ingest_url_store_cross_batch(spark, tmp_path):
         idx + "/urls"
     )
     assert stored.distinct().count() == 7
+
+
+def test_signed_merge_equals_text_recompute_merge(spark, sf_dir, tmp_path):
+    """merge_dedup_index(signed=...) appends EXACTLY the rows the
+    text-recompute path would (the r16 shared-signed-frame ingest
+    optimization must not change the stored index by a byte), and
+    screen_against_index(incoming_signed=...) returns exactly the
+    plain screen's pairs."""
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    ref = docs.where("doc_id % 3 != 0")
+    batch = docs.where("doc_id % 3 = 0")
+    p_a = str(tmp_path / "a")
+    p_b = str(tmp_path / "b")
+    for p in (p_a, p_b):
+        dedup.write_dedup_index(
+            dedup.prepare_dedup_index(
+                ref, "doc_id", "text",
+                num_hashes=32, bands=8, shingle_n=3, base_hash="md5",
+            ),
+            p, num_hashes=32, bands=8, shingle_n=3, base_hash="md5",
+        )
+    _, params = dedup.read_dedup_index(spark, p_a)
+    signed = dedup.signed_minhash_frame(
+        batch, "doc_id", "text",
+        num_hashes=int(params["num_hashes"]),
+        shingle_n=int(params["shingle_n"]),
+        base_hash=str(params["base_hash"]),
+    )
+    plain = sorted(
+        map(tuple, dedup.screen_against_index(
+            spark, p_a, batch, "doc_id", "text", threshold=0.4
+        ).collect())
+    )
+    shared = sorted(
+        map(tuple, dedup.screen_against_index(
+            spark, p_a, batch, "doc_id", "text", threshold=0.4,
+            incoming_signed=signed,
+        ).collect())
+    )
+    assert plain == shared
+    dedup.merge_dedup_index(spark, p_a, batch, "doc_id", "text")
+    dedup.merge_dedup_index(
+        spark, p_b, batch, "doc_id", "text", signed=signed
+    )
+    rows = lambda p: sorted(
+        (r.band, r.band_sig, r.doc, tuple(r.shingles))
+        for r in spark.read.parquet(p).collect()
+    )
+    assert rows(p_a) == rows(p_b)
