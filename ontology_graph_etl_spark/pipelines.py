@@ -961,19 +961,35 @@ def ingest_micro_batch(
     if merge_accepted:
         ok_ids = trail.where("accepted").select(id_col)
         accepted_docs = batch.join(ok_ids, id_col, "left_semi")
+        # the fold-back merges are INDEPENDENT O(batch) appends into
+        # DISJOINT stores (each crash-atomic or idempotent on its own
+        # terms — the single-writer caveat is per store, and this loop
+        # is that store's single writer). Submit them from a small
+        # driver thread pool so one merge's straggler tail back-fills
+        # with the next merge's tasks (guide §2.6); the trail is
+        # already checkpoint-frozen, so every merge reads frozen
+        # inputs. Failure semantics match the sequential loop's
+        # guarantee: each store is individually consistent, and the
+        # first failure propagates after the in-flight futures drain.
+        merges = []
         if dedup_index_path is not None:
-            merge_dedup_index(
-                spark,
-                dedup_index_path,
-                accepted_docs,
-                id_col,
-                text_col,
-                signed=dd_signed.join(ok_ids, id_col, "left_semi"),
+            dd_acc = dd_signed.join(ok_ids, id_col, "left_semi")
+            merges.append(
+                lambda: merge_dedup_index(
+                    spark,
+                    dedup_index_path,
+                    accepted_docs,
+                    id_col,
+                    text_col,
+                    signed=dd_acc,
+                )
             )
         if substring_index_path is not None:
-            merge_substring_index(
-                spark, substring_index_path, accepted_docs, id_col,
-                text_col,
+            merges.append(
+                lambda: merge_substring_index(
+                    spark, substring_index_path, accepted_docs, id_col,
+                    text_col,
+                )
             )
         if hll_store_path is not None:
             from .operators.util import read_json_sidecar
@@ -986,33 +1002,46 @@ def ingest_micro_batch(
                 "hll sketch store",
                 "rebuild via write_cardinality_sketches",
             )
-            sketches.merge_cardinality_sketches(
-                spark,
-                hll_store_path,
-                accepted_docs,
-                list(stored["group_cols"]),
-                str(stored["value_col"]),
+            merges.append(
+                lambda: sketches.merge_cardinality_sketches(
+                    spark,
+                    hll_store_path,
+                    accepted_docs,
+                    list(stored["group_cols"]),
+                    str(stored["value_col"]),
+                )
             )
         if binned_cutoff_path is not None:
-            gatestats.merge_binned_cutoff_store(
-                spark, binned_cutoff_path, accepted_docs
+            merges.append(
+                lambda: gatestats.merge_binned_cutoff_store(
+                    spark, binned_cutoff_path, accepted_docs
+                )
             )
         if pq_index_path is not None:
             from .operators.similarity import merge_pq_ivf_index
 
-            merge_pq_ivf_index(
-                spark,
-                pq_index_path,
-                vbatch.join(ok_ids, id_col, "left_semi"),
-                id_col,
-                vec_col,
+            ok_vecs = vbatch.join(ok_ids, id_col, "left_semi")
+            merges.append(
+                lambda: merge_pq_ivf_index(
+                    spark, pq_index_path, ok_vecs, id_col, vec_col
+                )
             )
         if url_index_path is not None:
             from .operators.webops import merge_url_index
 
-            merge_url_index(
-                spark, url_index_path, accepted_docs, url_col
+            merges.append(
+                lambda: merge_url_index(
+                    spark, url_index_path, accepted_docs, url_col
+                )
             )
+        if merges:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(3, len(merges))
+            ) as pool:
+                for fut in [pool.submit(m) for m in merges]:
+                    fut.result()
     return trail
 
 

@@ -9745,27 +9745,42 @@ def _q172_ingest_micro_batch(spark, sf_dir):
     atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     dd, ss = scratch + "/bands", scratch + "/substr"
     cc, bl, hl = scratch + "/ccnet", scratch + "/baseline", scratch + "/hll"
-    dedup.write_dedup_index(
-        dedup.prepare_dedup_index(
-            ref, "doc_id", "text",
-            num_hashes=64, bands=16, shingle_n=3, base_hash="md5",
+    # the five store builds are INDEPENDENT jobs over disjoint output
+    # directories — submit them from a small driver thread pool so one
+    # build's straggler tail back-fills with the next build's tasks
+    # (guide §2.6: actions are only sequential because driver code
+    # calls them sequentially); 3 in flight is the guide's sweet spot.
+    # Results are byte-identical: each build writes exactly what it
+    # wrote sequentially, and the batch screen starts only after every
+    # future has resolved.
+    from concurrent.futures import ThreadPoolExecutor
+
+    builds = [
+        lambda: dedup.write_dedup_index(
+            dedup.prepare_dedup_index(
+                ref, "doc_id", "text",
+                num_hashes=64, bands=16, shingle_n=3, base_hash="md5",
+            ),
+            dd, num_hashes=64, bands=16, shingle_n=3, base_hash="md5",
         ),
-        dd, num_hashes=64, bands=16, shingle_n=3, base_hash="md5",
-    )
-    textops.write_substring_index(
-        ref, ss, "doc_id", "text", min_len=_Q172_L, base_hash="md5"
-    )
-    gatestats.build_ccnet_store(
-        ref.select("doc_id", "text"), cc,
-        langs=["en", "und"], keep_pct=_Q152_PCT, lam=_Q152_LAM,
-    )
-    gatestats.build_drift_baseline(
-        ref, bl, cat_cols=["lang"], num_cols=["n_chars"]
-    )
-    sketches.write_cardinality_sketches(
-        sketches.build_cardinality_sketches(ref, ["lang"], "doc_id"),
-        hl, ["lang"], "doc_id",
-    )
+        lambda: textops.write_substring_index(
+            ref, ss, "doc_id", "text", min_len=_Q172_L, base_hash="md5"
+        ),
+        lambda: gatestats.build_ccnet_store(
+            ref.select("doc_id", "text"), cc,
+            langs=["en", "und"], keep_pct=_Q152_PCT, lam=_Q152_LAM,
+        ),
+        lambda: gatestats.build_drift_baseline(
+            ref, bl, cat_cols=["lang"], num_cols=["n_chars"]
+        ),
+        lambda: sketches.write_cardinality_sketches(
+            sketches.build_cardinality_sketches(ref, ["lang"], "doc_id"),
+            hl, ["lang"], "doc_id",
+        ),
+    ]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for fut in [pool.submit(b) for b in builds]:
+            fut.result()
     return pipelines.ingest_micro_batch(
         spark, batch, "doc_id", "text",
         dedup_index_path=dd, dedup_threshold=_Q172_THRESH,
