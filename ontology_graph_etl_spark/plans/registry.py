@@ -10049,55 +10049,421 @@ LEFT JOIN ss_agg ss USING (doc_id)
 #: artifact (the round-8 failure mode q112 navigated in r10). Add
 #: any query whose oracle text or executed plan changes this round,
 #: and bump RECERTIFY_ROUND to 15.
-RECERTIFY_ROUND = 16
+RECERTIFY_ROUND = 17
 RECERTIFY: set[str] = {
-    # r16 ADVICE fixes (executed plan and/or oracle text changed):
-    # q173/q177 — derive_binned_cutoffs strata joins now eqNullSafe,
-    # the queries' stratum is nullif(lang,'zh') so the NULL-key path
-    # is driver-certified, and both oracles moved to IS NOT DISTINCT
-    # FROM joins (q177 also to presence-marker one-sided verdicts);
-    # q103/q148/q152/q165/q166/q172 — broadcast_if_small now
-    # materializes via localCheckpoint instead of persist (the
-    # per-micro-batch cache leak), which rewrites the gate's bucket
-    # frame in every plan routing through quality_percentile_gate /
-    # build_gate_cutoffs / build_ccnet_store.
-    "q173_binned_cutoff_screen",
-    "q177_cutoff_calibration",
-    "q103_quality_gate",
-    "q148_model_quality_gate",
-    "q152_ccnet_pipeline",
-    "q165_frozen_gate_screen",
-    "q166_ccnet_frozen_screen",
-    "q172_ingest_micro_batch",
+    # r16 optimization batches whose EXECUTED PLANS changed after the
+    # r16 window rotation was committed, so the driver has no green
+    # row for the new plans (the r16 VERDICT's mandatory item 1):
+    # q63/q76/q86/q119-q123/q137/q141/q146/q176/q178 via the
+    # similarity.py Arrow-encoder rewrite + kmeans-assign self-join
+    # removal + shared seed collect (q86 already re-certified green
+    # in-window in r16, so it is NOT re-listed here); q50/q78/q138
+    # via the dedup/substring index-build projection rework (band
+    # explode carries the shingle array; join-back removed).
+    "q63_ivf_topk",
+    "q76_kmeans_assign",
+    "q119_kmeans_train",
+    "q120_index_screen",
+    "q121_retrieval_eval",
+    "q122_ivf_trained_topk",
+    "q123_quantize_recon",
+    "q137_stored_ivf_search",
+    "q141_retrieval_pipeline",
+    "q146_semantic_outlier_gate",
+    "q176_pq_ivf_search",
+    "q178_semantic_join",
+    "q50_minhash_simjoin",
+    "q78_incremental_dedup",
+    "q138_substring_index_screen",
 }
 
 QUERIES: list[QueryDef] = [
-    # --- ROUND-16 WINDOW (first 50) ---
+    # --- ROUND-17 WINDOW (first 50) ---
     # REGENERATED MECHANICALLY from the CORRECTNESS history (the
     # standing r11 procedure: bucket names by latest-green round,
-    # fill by staleness). Composition: the 8 round-16 RECERTIFY
-    # members (executed plan and/or oracle text changed by the r15
-    # ADVICE fixes: q173/q177 null-safe strata joins + nullif
-    # stratum + oracle text; q103/q148/q152/q165/q166/q172 via
-    # broadcast_if_small's persist->localCheckpoint leak fix, which
-    # rewrites the gate's materialized bucket frame in every plan
-    # routing through quality_percentile_gate / build_gate_cutoffs /
-    # build_ccnet_store), then the 33 r12-green names that reach the
-    # ceil(171/50)=4-round staleness cap when the r16 artifact lands
-    # (the r15 VERDICT's mandatory gating item), then the 9 stalest
-    # r13-green fills in prior registry order. The 33 remaining r13
-    # names lead the tail and seed the r17 window, with the r14 then
-    # r15 blocks behind them; test_certification_window_freshness is
-    # the mechanical authority. New queries registered mid-round
-    # insert at the window head, each pushing the window's last
-    # entry to the tail head. Mid-round insertions so far: q179
-    # (semantic-dedup PQ-IVF store in the ingest loop; displaced
-    # q149 to the tail head), q180 (stored-quantizer IVF calibration
-    # report; displaced q150), q181 (URL/domain web hygiene;
-    # displaced q151), q182 (unigram-LM tokenizer training; displaced
-    # q153), q183 (cross-encoder rerank of the fused top-k; displaced
-    # q156), q184 (PQ-IVF calibration report; displaced q157), q185
-    # (stored URL index in the ingest loop; displaced q159).
+    # fill by staleness). Composition: the 15 round-17 RECERTIFY
+    # members (executed plan changed by the r16 optimization batches:
+    # q63/q76/q119-q123/q137/q141/q146/q176/q178 via the similarity.py
+    # Arrow-encoder rewrite + self-join removal, q50/q78/q138 via the
+    # dedup/substring index-build projection rework — the r16 VERDICT's
+    # mandatory item 1), then 35 r13-green fills in prior registry
+    # order (staleness 3 on the r16 artifact). Four r13-green names
+    # (q118/q109/q108/q15) tie at staleness 3 just outside the window
+    # (no inversion: boundary tie) and lead the tail to seed the r18
+    # window, with the r14/r15/r16 blocks behind them;
+    # test_certification_window_freshness is the mechanical authority.
+    # New queries registered mid-round insert at the window head, each
+    # pushing the window's last entry to the tail head.
+    QueryDef("q123_quantize_recon", _q123_quantize_recon, _q123_sql(), "§2.11"),
+    QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
+    QueryDef(
+        "q141_retrieval_pipeline",
+        _q141_retrieval_pipeline,
+        _q141_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q138_substring_index_screen",
+        _q138_substring_index_screen,
+        _q138_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q137_stored_ivf_search",
+        _q137_stored_ivf_search,
+        _q137_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q50_minhash_simjoin",
+        _q50_minhash_simjoin,
+        _q50_oracle_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q178_semantic_join",
+        _q178_semantic_join,
+        _q178_sql,
+        "§2.11",
+    ),
+    QueryDef(
+        "q176_pq_ivf_search",
+        _q176_pq_ivf_search,
+        _q176_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q78_incremental_dedup",
+        _q78_incremental_dedup,
+        _q78_oracle_sql(),
+        "§2.11",
+    ),
+    QueryDef("q119_kmeans_train", _q119_kmeans_train, _q119_sql(), "§2.11"),
+    QueryDef("q121_retrieval_eval", _q121_retrieval_eval, _q121_sql(), "§2.11"),
+    QueryDef(
+        "q122_ivf_trained_topk",
+        _q122_ivf_trained_topk,
+        _q122_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q120_index_screen",
+        _q120_index_screen,
+        _q78_oracle_sql(7),
+        "§2.11",
+    ),
+    QueryDef(
+        "q146_semantic_outlier_gate",
+        _q146_semantic_outlier_gate,
+        _q146_sql(),
+        "§2.11",
+    ),
+    QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
+    QueryDef(
+        "q159_group_ols",
+        _q159_group_ols,
+        _q159_sql,
+        "§2.7",
+    ),
+    QueryDef(
+        "q157_assoc_pairs",
+        _q157_assoc_pairs,
+        _q157_sql,
+        "§2.7",
+    ),
+    QueryDef(
+        "q156_scc",
+        _q156_scc,
+        _q156_sql,
+        "§2.8",
+    ),
+    QueryDef(
+        "q153_fuzzy_join",
+        _q153_fuzzy_join,
+        _q153_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q151_multimodal_neardup",
+        _q151_multimodal_neardup,
+        _q151_sql,
+        "multimodal",
+    ),
+    QueryDef(
+        "q150_bpe_train_deep",
+        _q150_bpe_train_deep,
+        _q150_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q149_fixpoint_removal",
+        _q149_fixpoint_removal,
+        _q149_sql(),
+        "§2.11",
+    ),
+    QueryDef("q142_shard_export", _q142_shard_export, _q142_sql(), "§2.11"),
+    QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
+    QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
+    QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
+    QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
+    QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
+    QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
+    QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
+    QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
+    QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
+    QueryDef("q25_rollup", _q25_rollup, _q25_sql, "§2.7"),
+    QueryDef("q27_cube", _q27_cube, _q27_sql, "§2.7"),
+    QueryDef("q01_scan_jsonl", _q01_scan_jsonl, _q01_sql, "S1,P1"),
+    QueryDef("q02_scan_map", _q02_scan_map, _q02_sql, "S3"),
+    QueryDef("q03_prefix_scan", _q03_prefix_scan, _q03_sql, "S5,P6"),
+    QueryDef("q04_meta_project", _q04_meta_project, _q04_sql, "S6"),
+    QueryDef("q08_lookup_join", _q08_lookup_join, _q08_sql, "J1,P5"),
+    QueryDef("q09_anti_join", _q09_anti_join, _q09_sql, "J2"),
+    QueryDef("q10_edge_join", _q10_edge_join, _q10_sql, "J3,G2"),
+    QueryDef("q13_group_count", _q13_group_count, _q13_sql, "A2"),
+    QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
+    QueryDef("q110_span_removal", _q110_span_removal, _q110_sql, "§2.11"),
+    QueryDef("q111_topo_depth", _q111_topo_depth, _q111_sql, "G12"),
+    QueryDef("q113_bm25_topk", _q113_bm25_topk, _q113_sql, "§2.11"),
+    QueryDef("q114_multi_profile", _q114_multi_profile, _q114_sql, "§2.11"),
+    QueryDef(
+        "q115_hybrid_retrieval",
+        _q115_hybrid_retrieval,
+        _q115_sql,
+        "§2.11",
+    ),
+    QueryDef("q116_pivot", _q116_pivot, _q116_sql, "§2.7"),
+    QueryDef("q117_unpivot", _q117_unpivot, _q117_sql, "§2.7"),
+    # --- TAIL (not certified this round; stalest first, seeding the r18 window) ---
+    QueryDef("q118_star_rollup", _q118_star_rollup, _q118_sql, "§2.7"),
+    QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
+    QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
+    QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
+    QueryDef(
+        "q171_crosstab_chi2",
+        _q171_crosstab_chi2,
+        _q171_sql,
+        "§2.11",
+    ),
+    QueryDef(
+        "q169_drift_baseline",
+        _q169_drift_baseline,
+        _q169_sql,
+        "§2.11",
+    ),
+    QueryDef(
+        "q168_corpus_health",
+        _q168_corpus_health,
+        _q168_sql,
+        "§2.11",
+    ),
+    QueryDef(
+        "q154_gapfill_locf",
+        _q154_gapfill_locf,
+        _q154_sql,
+        "§2.7",
+    ),
+    QueryDef(
+        "q155_adamic_adar",
+        _q155_adamic_adar,
+        _q155_sql,
+        "§2.8",
+    ),
+    QueryDef(
+        "q158_random_walks",
+        _q158_random_walks,
+        _q158_sql(),
+        "§2.8",
+    ),
+    QueryDef(
+        "q162_categorical_profile",
+        _q162_categorical_profile,
+        _q162_sql,
+        "§2.11",
+    ),
+    QueryDef(
+        "q163_hll_lifecycle",
+        _q163_hll_lifecycle,
+        _q163_sql,
+        "§2.11",
+    ),
+    QueryDef(
+        "q164_cdc_apply",
+        _q164_cdc_apply,
+        _q164_sql,
+        "A4",
+    ),
+    QueryDef("q17_format_string", _q17_format_string, _q17_sql, "F2,F4,K1"),
+    QueryDef("q05_conditional_props", _q05_conditional_props, _q05_sql, "P2"),
+    QueryDef("q06_filter_notnull", _q06_filter_notnull, _q06_sql, "P3"),
+    QueryDef("q07_filter_neq", _q07_filter_neq, _q07_sql, "P4"),
+    QueryDef("q11_semi_contains", _q11_semi_contains, _q11_sql, "J4"),
+    QueryDef("q12_array_distinct", _q12_array_distinct, _q12_sql, "A1,F3"),
+    QueryDef("q16_regex_sanitize", _q16_regex_sanitize, _q16_sql, "F1"),
+    QueryDef("q90_lpa_communities", _q90_lpa_communities, _q90_sql(), "§2.8"),
+    QueryDef("q97_rolling_agg", _q97_rolling_agg, _q97_sql, "§2.7"),
+    QueryDef(
+        "q140_cluster_balanced_sample",
+        _q140_cluster_balanced_sample,
+        _q140_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q139_bigram_logprob",
+        _q139_bigram_logprob,
+        _q139_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q136_containment_sketch",
+        _q136_containment_sketch,
+        _q136_sql(),
+        "§2.11",
+    ),
+    QueryDef("q133_doc_chunks", _q133_doc_chunks, _q133_sql(), "§2.11"),
+    QueryDef(
+        "q131_exact_substring_spans",
+        _q131_exact_substring_spans,
+        _q131_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q132_exact_substring_removal",
+        _q132_exact_substring_removal,
+        _q132_sql(),
+        "§2.11",
+    ),
+    QueryDef("q98_numeric_drift", _q98_numeric_drift, _q98_sql, "§2.11"),
+    QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
+    QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
+    QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),
+    QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
+    QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),
+    QueryDef(
+        "q35_connected_components",
+        _q35_connected_components,
+        _q35_sql,
+        "G9",
+    ),
+    QueryDef("q36_shortest_path", _q36_shortest_path, _q36_sql, "G7"),
+    QueryDef("q38_triangle_count", _q38_triangle_count, _q38_sql, "G10"),
+    QueryDef("q44_percentile", _q44_percentile, _q44_sql, "§2.7"),
+    QueryDef("q45_topk_per_group", _q45_topk_per_group, _q45_sql, "§2.7"),
+    QueryDef("q46_funnel", _q46_funnel, _q46_sql, "§2.10"),
+    QueryDef("q52_tfidf_topterms", _q52_tfidf_topterms, _q52_sql, "§2.11"),
+    QueryDef("q54_exact_dedup", _q54_exact_dedup, _q54_sql, "§2.11"),
+    QueryDef("q55_simhash", _q55_simhash, _q55_sql, "§2.11"),
+    QueryDef("q56_jaccard_pairs", _q56_jaccard_pairs, _q56_sql, "§2.11"),
+    QueryDef("q66_dedup_clusters", _q66_dedup_clusters, _q66_sql, "§2.11"),
+    QueryDef(
+        "q67_lsh_dedup_clusters",
+        _q67_lsh_dedup_clusters,
+        _q67_oracle_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q175_boundary_chunks",
+        _q175_boundary_chunks,
+        _q175_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q174_weighted_paths",
+        _q174_weighted_paths,
+        _q174_sql,
+        "§2.8,G7",
+    ),
+    QueryDef(
+        "q167_bipartite_project",
+        _q167_bipartite_project,
+        _q167_sql,
+        "§2.8",
+    ),
+    QueryDef(
+        "q170_robust_zscore",
+        _q170_robust_zscore,
+        _q170_sql,
+        "§2.11",
+    ),
+    QueryDef("q105_fill_budget", _q105_fill_budget, _q105_sql(), "§2.11"),
+    QueryDef(
+        "q143_token_budget_mix",
+        _q143_token_budget_mix,
+        _q143_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q69_cluster_representatives",
+        _q69_cluster_representatives,
+        _q69_sql,
+        "§2.11",
+    ),
+    QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
+    QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
+    QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),
+    QueryDef(
+        "q73_event_correlation",
+        _q73_event_correlation,
+        _q73_sql,
+        "§2.10",
+    ),
+    QueryDef("q81_media_features", _q81_media_features, _q81_sql, "multimodal"),
+    QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
+    QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
+    QueryDef("q126_kcore", _q126_kcore, _q126_sql(), "G14"),
+    QueryDef("q127_scd2_historize", _q127_scd2_historize, _q127_sql, "§2.7"),
+    QueryDef("q128_hard_negatives", _q128_hard_negatives, _q128_sql, "§2.11"),
+    QueryDef("q129_bpe_train", _q129_bpe_train, _q129_sql(), "§2.11"),
+    QueryDef("q124_bpe_pair_stats", _q124_bpe_pair_stats, _q124_sql, "§2.11"),
+    QueryDef(
+        "q125_leakage_free_split",
+        _q125_leakage_free_split,
+        _q125_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q112_depth_histogram_roots",
+        _q112_depth_histogram_roots,
+        _q112_sql,
+        "G12",
+    ),
+    QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
+    QueryDef(
+        "q147_winnow_fingerprints",
+        _q147_winnow_fingerprints,
+        _q147_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q145_ngram_novelty",
+        _q145_ngram_novelty,
+        _q145_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q144_tokenizer_fertility",
+        _q144_tokenizer_fertility,
+        _q144_sql(),
+        "§2.11",
+    ),
+    QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
+    QueryDef(
+        "q62_embedding_neardup",
+        _q62_embedding_neardup,
+        _q62_sql,
+        "§2.11",
+    ),
+    QueryDef(
+        "q100_apportion_budget",
+        _q100_apportion_budget,
+        _q100_sql,
+        "§2.11",
+    ),
+    QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),
+    QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
+    QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
+    QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
+    QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
     QueryDef(
         "q185_url_ingest",
         _q185_url_ingest,
@@ -10242,7 +10608,6 @@ QUERIES: list[QueryDef] = [
         "§2.11",
     ),
     QueryDef("q130_bpe_encode", _q130_bpe_encode, _q130_sql(), "§2.11"),
-    QueryDef("q123_quantize_recon", _q123_quantize_recon, _q123_sql(), "§2.11"),
     QueryDef("q61_lsh_topk", _q61_lsh_topk, _q61_sql(), "§2.11"),
     QueryDef("q75_domain_mix", _q75_domain_mix, _q75_sql, "§2.11"),
     QueryDef("q71_repetition", _q71_repetition, _q71_sql, "§2.11"),
@@ -10258,375 +10623,6 @@ QUERIES: list[QueryDef] = [
         _q160_sql(),
         "§2.11",
     ),
-    QueryDef(
-        "q159_group_ols",
-        _q159_group_ols,
-        _q159_sql,
-        "§2.7",
-    ),
-    QueryDef(
-        "q157_assoc_pairs",
-        _q157_assoc_pairs,
-        _q157_sql,
-        "§2.7",
-    ),
-    QueryDef(
-        "q156_scc",
-        _q156_scc,
-        _q156_sql,
-        "§2.8",
-    ),
-    QueryDef(
-        "q153_fuzzy_join",
-        _q153_fuzzy_join,
-        _q153_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q151_multimodal_neardup",
-        _q151_multimodal_neardup,
-        _q151_sql,
-        "multimodal",
-    ),
-    QueryDef(
-        "q150_bpe_train_deep",
-        _q150_bpe_train_deep,
-        _q150_sql(),
-        "§2.11",
-    ),
-    # --- TAIL (not certified this round; q149 displaced by q179, then the r13 block seeding r17) ---
-    QueryDef(
-        "q149_fixpoint_removal",
-        _q149_fixpoint_removal,
-        _q149_sql(),
-        "§2.11",
-    ),
-    QueryDef("q142_shard_export", _q142_shard_export, _q142_sql(), "§2.11"),
-    QueryDef("q76_kmeans_assign", _q76_kmeans_assign, _q76_sql, "§2.11"),
-    QueryDef("q87_semantic_dedup", _q87_semantic_dedup, _q87_sql, "§2.11"),
-    QueryDef("q93_boilerplate", _q93_boilerplate, _q93_sql, "§2.11"),
-    QueryDef("q94_dup_spans", _q94_dup_spans, _q94_sql, "§2.11"),
-    QueryDef("q96_temperature_mix", _q96_temperature_mix, _q96_sql, "§2.11"),
-    QueryDef("q20_join3", _q20_join3, _q20_sql, "§2.7"),
-    QueryDef("q21_agg_suite", _q21_agg_suite, _q21_sql, "§2.7"),
-    QueryDef("q22_sort_limit", _q22_sort_limit, _q22_sql, "§2.7"),
-    QueryDef("q23_window_rank", _q23_window_rank, _q23_sql, "§2.7"),
-    QueryDef("q24_set_ops", _q24_set_ops, _q24_sql, "§2.7"),
-    QueryDef("q25_rollup", _q25_rollup, _q25_sql, "§2.7"),
-    QueryDef("q27_cube", _q27_cube, _q27_sql, "§2.7"),
-    QueryDef("q01_scan_jsonl", _q01_scan_jsonl, _q01_sql, "S1,P1"),
-    QueryDef("q02_scan_map", _q02_scan_map, _q02_sql, "S3"),
-    QueryDef("q03_prefix_scan", _q03_prefix_scan, _q03_sql, "S5,P6"),
-    QueryDef("q04_meta_project", _q04_meta_project, _q04_sql, "S6"),
-    QueryDef("q08_lookup_join", _q08_lookup_join, _q08_sql, "J1,P5"),
-    QueryDef("q09_anti_join", _q09_anti_join, _q09_sql, "J2"),
-    QueryDef("q10_edge_join", _q10_edge_join, _q10_sql, "J3,G2"),
-    QueryDef("q13_group_count", _q13_group_count, _q13_sql, "A2"),
-    QueryDef("q14_upsert_first_wins", _q14_upsert_first_wins, _q14_sql, "A3,G1"),
-    QueryDef("q110_span_removal", _q110_span_removal, _q110_sql, "§2.11"),
-    QueryDef("q111_topo_depth", _q111_topo_depth, _q111_sql, "G12"),
-    QueryDef("q113_bm25_topk", _q113_bm25_topk, _q113_sql, "§2.11"),
-    QueryDef("q114_multi_profile", _q114_multi_profile, _q114_sql, "§2.11"),
-    QueryDef(
-        "q115_hybrid_retrieval",
-        _q115_hybrid_retrieval,
-        _q115_sql,
-        "§2.11",
-    ),
-    QueryDef("q116_pivot", _q116_pivot, _q116_sql, "§2.7"),
-    QueryDef("q117_unpivot", _q117_unpivot, _q117_sql, "§2.7"),
-    QueryDef("q118_star_rollup", _q118_star_rollup, _q118_sql, "§2.7"),
-    QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
-    QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
-    QueryDef("q15_update_by_key", _q15_update_by_key, _q15_sql, "A4"),
-    QueryDef(
-        "q171_crosstab_chi2",
-        _q171_crosstab_chi2,
-        _q171_sql,
-        "§2.11",
-    ),
-    QueryDef(
-        "q169_drift_baseline",
-        _q169_drift_baseline,
-        _q169_sql,
-        "§2.11",
-    ),
-    QueryDef(
-        "q168_corpus_health",
-        _q168_corpus_health,
-        _q168_sql,
-        "§2.11",
-    ),
-    QueryDef(
-        "q154_gapfill_locf",
-        _q154_gapfill_locf,
-        _q154_sql,
-        "§2.7",
-    ),
-    QueryDef(
-        "q155_adamic_adar",
-        _q155_adamic_adar,
-        _q155_sql,
-        "§2.8",
-    ),
-    QueryDef(
-        "q158_random_walks",
-        _q158_random_walks,
-        _q158_sql(),
-        "§2.8",
-    ),
-    QueryDef(
-        "q162_categorical_profile",
-        _q162_categorical_profile,
-        _q162_sql,
-        "§2.11",
-    ),
-    QueryDef(
-        "q163_hll_lifecycle",
-        _q163_hll_lifecycle,
-        _q163_sql,
-        "§2.11",
-    ),
-    QueryDef(
-        "q164_cdc_apply",
-        _q164_cdc_apply,
-        _q164_sql,
-        "A4",
-    ),
-    QueryDef("q17_format_string", _q17_format_string, _q17_sql, "F2,F4,K1"),
-    QueryDef("q05_conditional_props", _q05_conditional_props, _q05_sql, "P2"),
-    QueryDef("q06_filter_notnull", _q06_filter_notnull, _q06_sql, "P3"),
-    QueryDef("q07_filter_neq", _q07_filter_neq, _q07_sql, "P4"),
-    QueryDef("q11_semi_contains", _q11_semi_contains, _q11_sql, "J4"),
-    QueryDef("q12_array_distinct", _q12_array_distinct, _q12_sql, "A1,F3"),
-    QueryDef("q16_regex_sanitize", _q16_regex_sanitize, _q16_sql, "F1"),
-    QueryDef("q90_lpa_communities", _q90_lpa_communities, _q90_sql(), "§2.8"),
-    QueryDef("q97_rolling_agg", _q97_rolling_agg, _q97_sql, "§2.7"),
-    QueryDef(
-        "q141_retrieval_pipeline",
-        _q141_retrieval_pipeline,
-        _q141_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q140_cluster_balanced_sample",
-        _q140_cluster_balanced_sample,
-        _q140_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q139_bigram_logprob",
-        _q139_bigram_logprob,
-        _q139_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q138_substring_index_screen",
-        _q138_substring_index_screen,
-        _q138_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q137_stored_ivf_search",
-        _q137_stored_ivf_search,
-        _q137_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q136_containment_sketch",
-        _q136_containment_sketch,
-        _q136_sql(),
-        "§2.11",
-    ),
-    QueryDef("q133_doc_chunks", _q133_doc_chunks, _q133_sql(), "§2.11"),
-    QueryDef(
-        "q131_exact_substring_spans",
-        _q131_exact_substring_spans,
-        _q131_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q132_exact_substring_removal",
-        _q132_exact_substring_removal,
-        _q132_sql(),
-        "§2.11",
-    ),
-    QueryDef("q98_numeric_drift", _q98_numeric_drift, _q98_sql, "§2.11"),
-    QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
-    QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
-    QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),
-    QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
-    QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),
-    QueryDef(
-        "q35_connected_components",
-        _q35_connected_components,
-        _q35_sql,
-        "G9",
-    ),
-    QueryDef("q36_shortest_path", _q36_shortest_path, _q36_sql, "G7"),
-    QueryDef("q38_triangle_count", _q38_triangle_count, _q38_sql, "G10"),
-    QueryDef("q44_percentile", _q44_percentile, _q44_sql, "§2.7"),
-    QueryDef("q45_topk_per_group", _q45_topk_per_group, _q45_sql, "§2.7"),
-    QueryDef("q46_funnel", _q46_funnel, _q46_sql, "§2.10"),
-    QueryDef(
-        "q50_minhash_simjoin",
-        _q50_minhash_simjoin,
-        _q50_oracle_sql(),
-        "§2.11",
-    ),
-    QueryDef("q52_tfidf_topterms", _q52_tfidf_topterms, _q52_sql, "§2.11"),
-    QueryDef("q54_exact_dedup", _q54_exact_dedup, _q54_sql, "§2.11"),
-    QueryDef("q55_simhash", _q55_simhash, _q55_sql, "§2.11"),
-    QueryDef("q56_jaccard_pairs", _q56_jaccard_pairs, _q56_sql, "§2.11"),
-    QueryDef("q66_dedup_clusters", _q66_dedup_clusters, _q66_sql, "§2.11"),
-    QueryDef(
-        "q67_lsh_dedup_clusters",
-        _q67_lsh_dedup_clusters,
-        _q67_oracle_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q178_semantic_join",
-        _q178_semantic_join,
-        _q178_sql,
-        "§2.11",
-    ),
-    QueryDef(
-        "q176_pq_ivf_search",
-        _q176_pq_ivf_search,
-        _q176_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q175_boundary_chunks",
-        _q175_boundary_chunks,
-        _q175_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q174_weighted_paths",
-        _q174_weighted_paths,
-        _q174_sql,
-        "§2.8,G7",
-    ),
-    QueryDef(
-        "q167_bipartite_project",
-        _q167_bipartite_project,
-        _q167_sql,
-        "§2.8",
-    ),
-    QueryDef(
-        "q170_robust_zscore",
-        _q170_robust_zscore,
-        _q170_sql,
-        "§2.11",
-    ),
-    QueryDef("q105_fill_budget", _q105_fill_budget, _q105_sql(), "§2.11"),
-    QueryDef(
-        "q143_token_budget_mix",
-        _q143_token_budget_mix,
-        _q143_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q69_cluster_representatives",
-        _q69_cluster_representatives,
-        _q69_sql,
-        "§2.11",
-    ),
-    QueryDef("q74_sequence_pack", _q74_sequence_pack, _q74_sql, "§2.11"),
-    QueryDef("q77_vocab_topk", _q77_vocab_topk, _q77_sql, "§2.11"),
-    QueryDef("q70_decontaminate", _q70_decontaminate, _q70_sql, "§2.11"),
-    QueryDef(
-        "q73_event_correlation",
-        _q73_event_correlation,
-        _q73_sql,
-        "§2.10",
-    ),
-    QueryDef(
-        "q78_incremental_dedup",
-        _q78_incremental_dedup,
-        _q78_oracle_sql(),
-        "§2.11",
-    ),
-    QueryDef("q81_media_features", _q81_media_features, _q81_sql, "multimodal"),
-    QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
-    QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
-    QueryDef("q126_kcore", _q126_kcore, _q126_sql(), "G14"),
-    QueryDef("q127_scd2_historize", _q127_scd2_historize, _q127_sql, "§2.7"),
-    QueryDef("q128_hard_negatives", _q128_hard_negatives, _q128_sql, "§2.11"),
-    QueryDef("q129_bpe_train", _q129_bpe_train, _q129_sql(), "§2.11"),
-    QueryDef("q119_kmeans_train", _q119_kmeans_train, _q119_sql(), "§2.11"),
-    QueryDef("q121_retrieval_eval", _q121_retrieval_eval, _q121_sql(), "§2.11"),
-    QueryDef(
-        "q122_ivf_trained_topk",
-        _q122_ivf_trained_topk,
-        _q122_sql(),
-        "§2.11",
-    ),
-    QueryDef("q124_bpe_pair_stats", _q124_bpe_pair_stats, _q124_sql, "§2.11"),
-    QueryDef(
-        "q125_leakage_free_split",
-        _q125_leakage_free_split,
-        _q125_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q112_depth_histogram_roots",
-        _q112_depth_histogram_roots,
-        _q112_sql,
-        "G12",
-    ),
-    QueryDef(
-        "q120_index_screen",
-        _q120_index_screen,
-        _q78_oracle_sql(7),
-        "§2.11",
-    ),
-    QueryDef("q88_unigram_logprob", _q88_unigram_logprob, _q88_sql, "§2.11"),
-    QueryDef(
-        "q147_winnow_fingerprints",
-        _q147_winnow_fingerprints,
-        _q147_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q146_semantic_outlier_gate",
-        _q146_semantic_outlier_gate,
-        _q146_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q145_ngram_novelty",
-        _q145_ngram_novelty,
-        _q145_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q144_tokenizer_fertility",
-        _q144_tokenizer_fertility,
-        _q144_sql(),
-        "§2.11",
-    ),
-    QueryDef("q95_frame_sample", _q95_frame_sample, _q95_sql, "multimodal"),
-    QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
-    QueryDef(
-        "q62_embedding_neardup",
-        _q62_embedding_neardup,
-        _q62_sql,
-        "§2.11",
-    ),
-    QueryDef(
-        "q100_apportion_budget",
-        _q100_apportion_budget,
-        _q100_sql,
-        "§2.11",
-    ),
-    QueryDef("q102_exact_k_sample", _q102_exact_k_sample, _q102_sql, "§2.11"),
-    QueryDef("q57_lang_id", _q57_lang_id, _q57_sql, "§2.11"),
-    QueryDef("q58_quality_score", _q58_quality_score, _q58_sql, "§2.11"),
-    QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
-    QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
 ]
 
 
