@@ -840,6 +840,7 @@ def score_with_frozen_lm(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang_pred",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Score a batch under the FROZEN interpolated bigram model —
     the zero-corpus-recompute counterpart of :func:`textops.
@@ -875,18 +876,25 @@ def score_with_frozen_lm(
         "rebuild via write_lm_counts(mode='overwrite')",
     )
     lam = float(stored["lam"])
-    counts = (
-        # recursive: appended batches live as batch-* subdirectories
-        # (the crash-atomic commit of write_lm_counts mode='append')
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(path)
-        .groupBy("lang", "w1", "w2")
-        .agg(F.sum("c").cast("long").alias("c"))
-        # vocabulary-sized fold of the store feeding FOUR consumers
-        # (two unigram-term joins, the bigram join, the totals) —
-        # pin it, or the store scan+sum runs per consumer
-        .localCheckpoint()
-    )
+    if counts is None:
+        counts = (
+            # recursive: appended batches live as batch-* subdirectories
+            # (the crash-atomic commit of write_lm_counts mode='append')
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(path)
+            .groupBy("lang", "w1", "w2")
+            .agg(F.sum("c").cast("long").alias("c"))
+            # vocabulary-sized fold of the store feeding FOUR consumers
+            # (two unigram-term joins, the bigram join, the totals) —
+            # pin it, or the store scan+sum runs per consumer
+            .localCheckpoint()
+        )
+    # else: caller passed the store's ALREADY-MATERIALIZED folded count
+    # table (r17, guide §1.2 — build_ccnet_store just wrote it from the
+    # same frame; re-reading + re-folding the store it is a wasted
+    # scan+aggregate job). The caller owns the equivalence: the frame
+    # must be (lang, w1, w2, c) with one row per key, exactly what the
+    # recursive read + group-sum of `path` would return.
     uni = counts.where(F.col("w2").isNull()).select(
         F.col("lang").alias("__ul"),
         F.col("w1").alias("__ut"),
@@ -1339,12 +1347,26 @@ def build_ccnet_store(
         reference_docs.select(id_col, text_col), text_col
     ).where(F.col("lang_pred").isin(*langs)).localCheckpoint()
     lm_path = store_dir.rstrip("/") + "/lm"
-    write_lm_counts(
-        build_lm_counts(tagged, id_col, text_col, "lang_pred"),
-        lm_path,
-        lang_col="lang_pred",
-        lam=lam,
-    )
+    # r17 (guide §1.2, §5): materialize the vocabulary-sized count
+    # table ONCE and feed both the store write and the scoring pass —
+    # pre-r17 the build tokenized+aggregated the reference a second
+    # time inside score_with_frozen_lm's store re-read (scan + fold of
+    # rows written milliseconds earlier). For a one-shot overwrite the
+    # folded table IS the written table, so counts= is value-identical
+    # by construction (group-sum of single rows is the identity).
+    counts = build_lm_counts(
+        tagged, id_col, text_col, "lang_pred"
+    ).localCheckpoint()
+    write_lm_counts(counts, lm_path, lang_col="lang_pred", lam=lam)
+    # r17 (guide §5 — truncate the plan before a multi-consumer gate):
+    # the bucketed percentile gate consumes its input from THREE
+    # subtrees (min/max frame, local-rank side, slice-count side);
+    # left lazy, each re-derives the full frozen-LM scoring join
+    # chain. The scored frame is doc-metadata-sized (id, lang, score),
+    # so one localCheckpoint costs one scoring pass and the gate reads
+    # it three times for free. Measured (sf0.1, q172 build shape,
+    # interleaved A/B): build 6.1 -> 4.7 s warm, 14.0 -> 6.2 s cold;
+    # stored lm rows and cutoffs byte-identical.
     scored = quality_percentile_gate(
         score_with_frozen_lm(
             reference_docs.sparkSession,
@@ -1353,7 +1375,8 @@ def build_ccnet_store(
             id_col,
             text_col,
             "lang_pred",
-        ),
+            counts=counts,
+        ).localCheckpoint(),
         id_col,
         "lang_pred",
         "mean_logprob",
