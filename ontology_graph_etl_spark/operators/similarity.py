@@ -1934,7 +1934,14 @@ def _pq_store_cols_udf(cents, dim: int, codebooks):
     the same operand order, which the dim-loop accumulation preserves.
     NULL vector ⇒ (0, [0]*m, NULL), the expressions' own NULL
     semantics (greatest() drops the NULL norm to the 1e-12 floor and
-    the all-NULL-sim argmax ties to code 0)."""
+    the all-NULL-sim argmax ties to code 0). A vector SHORTER than
+    ``dim`` gets the same NULL-row treatment — the expression spec's
+    ``element_at`` past the end is NULL, which poisons every sim —
+    and a LONGER one uses its first ``dim`` components
+    (element_at(1..dim)); both pinned in tests. NaN components are
+    OUT OF CONTRACT and raise: Spark's array_max orders NaN greater
+    than every double while the strictly-greater argmax never selects
+    a NaN sim, so bit-identity is unachievable there (ADVICE r16)."""
     import math
 
     import numpy as np
@@ -2004,15 +2011,40 @@ def _pq_store_cols_udf(cents, dim: int, codebooks):
 
     @F.pandas_udf(out_type)
     def _encode(vecs: pd.Series) -> pd.DataFrame:
-        mask = vecs.notna().to_numpy()
+        # Rows shorter than `dim` get the expression spec's own NULL
+        # semantics (element_at past the end is NULL, which poisons
+        # every sim to NULL -> code 0 / norm NULL — identical to a
+        # NULL vector); rows LONGER than dim use their first `dim`
+        # components, exactly like the spec's element_at(1..dim)
+        # (ADVICE r16: np.stack raised on ragged input where the
+        # expression form degraded per row).
+        notna = vecs.notna().to_numpy()
+        mask = np.asarray(
+            [ok and len(v) >= dim for v, ok in zip(vecs, notna)]
+        )
         n_all = len(vecs)
         list_id = np.zeros(n_all, dtype=np.int64)
         codes = [[0] * m] * n_all
         norm = np.full(n_all, np.nan)
         if mask.any():
             V = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
+                [
+                    np.asarray(v[:dim], dtype=np.float64)
+                    for v, ok in zip(vecs, mask)
+                    if ok
+                ]
             )
+            # NaN components are OUT OF CONTRACT (ADVICE r16): Spark's
+            # array_max orders NaN greater than every double while the
+            # strictly-greater argmax below never selects a NaN sim,
+            # so the bit-identical guarantee cannot hold. Fail loudly
+            # rather than encode silently-divergent codes.
+            if np.isnan(V).any():
+                raise ValueError(
+                    "PQ encoder: NaN vector component — NaN embeddings "
+                    "are out of the encoder's bit-identical contract; "
+                    "sanitize vectors upstream"
+                )
             n = V.shape[0]
             nsq = np.zeros(n)
             for i in range(dim):
@@ -2025,11 +2057,15 @@ def _pq_store_cols_udf(cents, dim: int, codebooks):
                 sub_codes[:, j] = _argmax_rounded(
                     V[:, j * dsub : (j + 1) * dsub], books[j], book_norms[j]
                 )
-            it = iter(sub_codes.tolist())
+            # int32 lists: the declared Arrow schema is
+            # Array(IntegerType) — cast explicitly instead of leaning
+            # on PySpark's default unsafe int64->int32 Arrow cast
+            # (ADVICE r16; convertToArrowArraySafely=true would throw)
+            it = iter(sub_codes.astype(np.int32).tolist())
             codes = [next(it) if ok else [0] * m for ok in mask]
         return pd.DataFrame(
             {
-                "list_id": list_id,
+                "list_id": pd.Series(list_id.astype(np.int32)),
                 "codes": codes,
                 "norm": pd.Series(norm).where(pd.Series(mask)),
             }

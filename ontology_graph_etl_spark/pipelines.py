@@ -655,6 +655,13 @@ def corpus_health_report(
     return out
 
 
+def _future_exc(fut):
+    """The future's exception, waiting for completion — ``None`` when
+    it succeeded. Lets a fan-out loop drain every future and report
+    EVERY failure instead of dying on the first ``.result()``."""
+    return fut.exception()
+
+
 def ingest_micro_batch(
     spark,
     batch: DataFrame,
@@ -1037,11 +1044,28 @@ def ingest_micro_batch(
         if merges:
             from concurrent.futures import ThreadPoolExecutor
 
+            # drain EVERY future and surface every failure (ADVICE
+            # r16): with a bare first-fut.result() loop, later merges
+            # still ran to completion inside __exit__ but their
+            # exceptions were silently discarded — on a multi-store
+            # failure only one cause was reported while more stores
+            # may have mutated than under the sequential loop.
             with ThreadPoolExecutor(
                 max_workers=min(3, len(merges))
             ) as pool:
-                for fut in [pool.submit(m) for m in merges]:
-                    fut.result()
+                futs = [pool.submit(m) for m in merges]
+                errs = [
+                    e
+                    for f in futs
+                    if (e := _future_exc(f)) is not None
+                ]
+            if errs:
+                if len(errs) == 1:
+                    raise errs[0]
+                raise RuntimeError(
+                    f"{len(errs)} fold-back merges failed: "
+                    + "; ".join(f"{type(e).__name__}: {e}" for e in errs)
+                ) from errs[0]
     return trail
 
 

@@ -745,3 +745,53 @@ def test_ingest_micro_batch_intra_batch_dedup(spark, tmp_path):
         merge_accepted=False,
     )
     assert all(r.accepted for r in plain.collect())
+
+
+def test_ingest_merge_failures_all_surface(spark, sf_dir, tmp_path, monkeypatch):
+    """r17 ADVICE pin: when several fold-back merges fail in the
+    ingest thread pool, EVERY failure surfaces (aggregate error), not
+    just the first future's — and a single failure re-raises the
+    original exception type."""
+    import pytest
+
+    from ontology_graph_etl_spark import pipelines
+    from ontology_graph_etl_spark.io import load_table
+    from ontology_graph_etl_spark.operators import dedup as dedup_mod
+    from ontology_graph_etl_spark.operators import textops as textops_mod
+    from ontology_graph_etl_spark.operators.dedup import (
+        prepare_dedup_index,
+        write_dedup_index,
+    )
+    from ontology_graph_etl_spark.operators.textops import (
+        write_substring_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.where("doc_id % 2 = 0")
+    batch = docs.where("doc_id % 2 = 1")
+    dd, ss = str(tmp_path / "bands"), str(tmp_path / "substr")
+    write_dedup_index(
+        prepare_dedup_index(ref, "doc_id", "text", bands=4), dd, bands=4
+    )
+    write_substring_index(ref, ss, "doc_id", "text", min_len=10)
+
+    def boom_dd(*a, **k):
+        raise ValueError("dd merge boom")
+
+    def boom_ss(*a, **k):
+        raise KeyError("ss merge boom")
+
+    # single failure: the original exception type propagates
+    monkeypatch.setattr(dedup_mod, "merge_dedup_index", boom_dd)
+    with pytest.raises(ValueError, match="dd merge boom"):
+        pipelines.ingest_micro_batch(
+            spark, batch, "doc_id", "text",
+            dedup_index_path=dd, substring_index_path=ss,
+        )
+    # two failures: BOTH causes surface in one aggregate error
+    monkeypatch.setattr(textops_mod, "merge_substring_index", boom_ss)
+    with pytest.raises(RuntimeError, match="2 fold-back merges failed"):
+        pipelines.ingest_micro_batch(
+            spark, batch, "doc_id", "text",
+            dedup_index_path=dd, substring_index_path=ss,
+        )

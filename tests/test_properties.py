@@ -4979,3 +4979,44 @@ def test_pq_store_cols_udf_matches_expression_spec(spark, vecs):
     spec_m = {r.vec_id: (r.list_id, list(r.codes), r.norm) for r in spec}
     got_m = {r.vec_id: (r.list_id, list(r.codes), r.norm) for r in got}
     assert spec_m == got_m
+
+
+def test_pq_encoder_ragged_and_nan_contract(spark):
+    """r17 ADVICE hardening pins for the Arrow PQ encoder: a vector
+    SHORTER than dim gets the expression spec's NULL-row semantics
+    (element_at past the end poisons every sim -> list 0, [0]*m,
+    NULL norm), a LONGER one encodes from its first dim components
+    (element_at(1..dim)), the emitted Arrow types are int32 (the
+    declared IntegerType schema, no unsafe int64 cast), and a NaN
+    component raises instead of silently diverging from Spark's
+    NaN-as-greatest ordering."""
+    import pytest
+
+    from ontology_graph_etl_spark.operators.similarity import _pq_rows
+
+    dim, m = 4, 2
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    codebooks = [
+        [[1.0, 0.0], [0.0, 1.0]],
+        [[1.0, 0.0], [0.0, 1.0]],
+    ]
+    rows = [
+        (0, [0.1, 0.9, 0.2, 0.3]),          # normal
+        (1, [0.5, 0.5]),                     # short -> NULL semantics
+        (2, None),                           # NULL -> NULL semantics
+        (3, [0.1, 0.9, 0.2, 0.3, 9.9, 9.9]), # long -> first dim used
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = {
+        r.vec_id: (r.list_id, list(r.codes), r.norm)
+        for r in _pq_rows(df, "id", "v", cents, dim, codebooks).collect()
+    }
+    assert got[1] == (0, [0] * m, None)
+    assert got[2] == (0, [0] * m, None)
+    assert got[3][:2] == got[0][:2] and got[3][2] == got[0][2]
+    assert got[0][2] is not None
+    bad = spark.createDataFrame(
+        [(0, [float("nan"), 0.0, 0.0, 0.0])], "id long, v array<double>"
+    )
+    with pytest.raises(Exception, match="NaN"):
+        _pq_rows(bad, "id", "v", cents, dim, codebooks).collect()
