@@ -554,11 +554,13 @@ def kmeans_assign(
       O(k·dim); past a few thousand entries Catalyst analysis time
       becomes the bottleneck (a plan-size bomb at the k≈1000s used for
       real semantic sharding).
-    - ``broadcast`` — centroids as a broadcast k-row frame: broadcast
-      nested-loop join (each input partition × the k-row build side)
-      then a per-id max. Partial aggregation collapses the k candidate
-      rows per id map-side, so the one shuffle carries n rows, not n·k.
-      Requires unique ids (the E-step key). Plan size is O(1) in k.
+    - ``broadcast`` — the k×dim centroid matrix ships inside ONE
+      Arrow-vectorized batch node's task closure (r17; previously a
+      broadcast k-row crossJoin + per-id max whose one keyed shuffle
+      carried every corpus vector): a zero-shuffle projection, same
+      rounded-argmax arithmetic via :func:`_np_argmax_rounded`
+      (property-pinned equal to the literal path, NULL rows
+      included). Plan size is O(1) in k.
 
     ``auto`` picks ``literal`` while ``k·dim <= max_literal_entries``.
 
@@ -596,34 +598,22 @@ def kmeans_assign(
             F.lit(None).cast("double").alias("sim"),
         )
     if method == "broadcast":
-        spark = df.sparkSession
-        centroids = F.broadcast(
-            spark.createDataFrame(
-                [
-                    (i, [float(x) for x in row[vec_col]])
-                    for i, row in enumerate(seeds)
-                ],
-                "cid int, cvec array<double>",
-            )
-        )
-        scored = df.select(F.col(id_col), F.col(vec_col)).crossJoin(centroids)
-        return (
-            scored.select(
-                F.col(id_col),
-                F.struct(
-                    F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias(
-                        "sim"
-                    ),
-                    (-F.col("cid")).alias("neg_cid"),
-                ).alias("__cand"),
-            )
-            .groupBy(id_col)
-            .agg(F.max("__cand").alias("__best"))
-            .select(
-                F.col(id_col),
-                (-F.col("__best.neg_cid")).cast("int").alias("centroid_id"),
-                F.col("__best.sim").alias("sim"),
-            )
+        # r17 (guide §3/§4): ONE Arrow batch node instead of
+        # crossJoin(broadcast k-row frame) → per-id max(struct) — the
+        # old shape's one keyed shuffle carried every corpus vector
+        # inside the max struct per call; the UDF form is a zero-
+        # shuffle projection with the same rounded-argmax contract
+        # (property-pinned equal to the literal path, NULL rows
+        # included). Plan stays O(1) in k (the centroid matrix rides
+        # the task closure, not the plan).
+        cvecs = [[float(x) for x in row[vec_col]] for row in seeds]
+        assign = _assign_cols_udf(cvecs, len(cvecs[0]))
+        return df.select(
+            F.col(id_col), assign(F.col(vec_col)).alias("__a")
+        ).select(
+            F.col(id_col),
+            F.col("__a.centroid_id").alias("centroid_id"),
+            F.col("__a.sim").alias("sim"),
         )
     best = _literal_best_expr(
         F.col(vec_col), [row[vec_col] for row in seeds]
@@ -745,17 +735,17 @@ def kmeans_train(
       re-seeding RNG).
 
     Scale shape per round: ONE pass — the assignment is inlined into
-    the stats projection (literal centroids: zero shuffle; broadcast
-    centroids past the plan-size bound: the vector rides inside the
-    per-id max struct, one keyed shuffle) feeding a
+    the stats projection (literal centroids: zero-shuffle expression;
+    past the plan-size bound: one Arrow argmax node, also zero
+    shuffle — r17, replacing the crossJoin+per-id-max whose keyed
+    shuffle carried every corpus vector each round) feeding a
     ``posexplode``→``groupBy(cid, pos)`` aggregate whose map-side
     combine collapses n·dim rows to k·dim per partition before the
     shuffle; only k·dim aggregated rows reach the driver (the same
     O(k) scalar-fetch class as the seed pick). No corpus-sized state
-    on the driver, no per-row Python, and — since r16 — no corpus
-    self-join: the old ``df.join(assign, id)`` re-shuffled the whole
-    corpus by id every round to re-attach the vector column (guide
-    §2.4).
+    on the driver, no corpus self-join (r16: the old
+    ``df.join(assign, id)`` re-shuffled the whole corpus by id every
+    round to re-attach the vector column, guide §2.4).
     """
     import math
 
@@ -794,34 +784,22 @@ def kmeans_train(
                 F.col(vec_col),
             )
         else:
-            spark = df.sparkSession
-            ctr = F.broadcast(
-                spark.createDataFrame(
-                    [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-                    "cid int, cvec array<double>",
-                )
+            # r17 (guide §3/§4): the per-round keyed shuffle is gone —
+            # the old shape crossJoined the broadcast centroid frame
+            # and shuffled the corpus by id (the vector riding inside
+            # the per-id max struct) EVERY Lloyd round; one Arrow
+            # argmax node assigns in place, so the only per-round
+            # exchange left is the k·dim-row map-side-combined stats
+            # aggregate below. Same rounded-argmax contract
+            # (property-pinned equal to the literal path).
+            assign = _assign_cols_udf(
+                [[float(x) for x in c] for c in cents], dim
             )
-            assigned = (
-                df.select(F.col(id_col), F.col(vec_col))
-                .crossJoin(ctr)
-                .select(
-                    F.col(id_col),
-                    F.struct(
-                        F.round(
-                            cosine(F.col(vec_col), F.col("cvec")), 6
-                        ).alias("sim"),
-                        (-F.col("cid")).alias("neg_cid"),
-                        F.col(vec_col).alias("v"),
-                    ).alias("__cand"),
-                )
-                .groupBy(id_col)
-                .agg(F.max("__cand").alias("__best"))
-                .select(
-                    (-F.col("__best.neg_cid")).cast("int").alias(
-                        "centroid_id"
-                    ),
-                    F.col("__best.v").alias(vec_col),
-                )
+            assigned = df.select(
+                assign(F.col(vec_col))["centroid_id"].alias(
+                    "centroid_id"
+                ),
+                F.col(vec_col),
             )
         stats = (
             assigned.select(
@@ -1906,6 +1884,119 @@ def _round6_half_up(a):
     return fast
 
 
+def _np_argmax_rounded(sub, book, bnorms):
+    """Rounded-argmax over one candidate matrix: round(cos, 6) per
+    candidate (fold-ordered dots/norms, 1e-12 norm floors),
+    strictly-greater replacement so ties keep the LOWEST candidate id
+    — the array_max(struct(sim, -cid)) contract. Returns
+    ``(best_code int64[n], best_sim float64[n])``; NumPy float64
+    arithmetic in the same operand order as the JVM folds, so both
+    outputs are bit-identical to the expression forms."""
+    import numpy as np
+
+    n, d = sub.shape
+    nsq = np.zeros(n)
+    for i in range(d):
+        c = sub[:, i]
+        nsq = nsq + c * c
+    vnorm = np.maximum(np.sqrt(nsq), 1e-12)
+    best_sim = None
+    best_code = np.zeros(n, dtype=np.int64)
+    for ci in range(book.shape[0]):
+        dot = np.zeros(n)
+        for i in range(d):
+            dot = dot + sub[:, i] * book[ci, i]
+        sim = _round6_half_up(dot / (vnorm * bnorms[ci]))
+        if best_sim is None:
+            best_sim = sim
+        else:
+            repl = sim > best_sim
+            best_sim = np.where(repl, sim, best_sim)
+            best_code = np.where(repl, ci, best_code)
+    if best_sim is None:  # zero candidates: callers guard, belt+braces
+        best_sim = np.full(n, np.nan)
+    return best_code, best_sim
+
+
+def _assign_cols_udf(cents, dim: int):
+    """Arrow-vectorized twin of the BROADCAST assignment strategy —
+    ``struct(centroid_id, sim)`` per row from one batch node, replacing
+    the crossJoin(k-row frame) → per-id max(struct) shape whose ONE
+    keyed shuffle carried the whole corpus (vector riding inside the
+    max struct) every call (r17; guide §3/§4 — the r16 PQ-encoder
+    precedent applied to the k·dim > 4096 assignment path). The k×dim
+    centroid matrix ships once per task inside the UDF closure —
+    exactly the bytes the broadcast frame shipped — and the
+    rounded-argmax (:func:`_np_argmax_rounded`) reproduces
+    round(cosine, 6) + ties-to-lowest-cid bit-for-bit
+    (property-pinned equal to the literal path).
+
+    NULL semantics mirror BOTH JVM strategies: a NULL vector or any
+    length mismatch makes every ``zip_with`` product NULL, so sim is
+    NULL and the argmax ties to centroid 0 ⇒ ``(0, NULL)``. NaN
+    components are out of contract and raise (the
+    :func:`_pq_store_cols_udf` contract)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    cmat = np.asarray(cents, dtype=np.float64)
+    cnorms = np.asarray(
+        [
+            max(math.sqrt(sum(float(x) * float(x) for x in c)), 1e-12)
+            for c in cents
+        ],
+        dtype=np.float64,
+    )
+    out_type = StructType(
+        [
+            StructField("centroid_id", IntegerType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _assign(vecs: pd.Series) -> pd.DataFrame:
+        notna = vecs.notna().to_numpy()
+        mask = np.asarray(
+            [ok and len(v) == dim for v, ok in zip(vecs, notna)]
+        )
+        n_all = len(vecs)
+        cid = np.zeros(n_all, dtype=np.int64)
+        sim = np.full(n_all, np.nan)
+        if mask.any():
+            V = np.stack(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    for v, ok in zip(vecs, mask)
+                    if ok
+                ]
+            )
+            if np.isnan(V).any():
+                raise ValueError(
+                    "kmeans assignment: NaN vector component — NaN "
+                    "embeddings are out of the rounded-argmax "
+                    "bit-identical contract; sanitize vectors upstream"
+                )
+            code, best = _np_argmax_rounded(V, cmat, cnorms)
+            cid[mask] = code
+            sim[mask] = best
+        return pd.DataFrame(
+            {
+                "centroid_id": pd.Series(cid.astype(np.int32)),
+                "sim": pd.Series(sim).where(pd.Series(mask)),
+            }
+        )
+
+    return _assign
+
+
 def _pq_store_cols_udf(cents, dim: int, codebooks):
     """Vectorized Arrow-batch twin of the PQ store-row expressions —
     ``struct(list_id, codes, norm)`` computed per batch in NumPy with
@@ -1976,30 +2067,7 @@ def _pq_store_cols_udf(cents, dim: int, codebooks):
     )
 
     def _argmax_rounded(sub, book, bnorms):
-        """rounded-argmax over one candidate matrix: round(cos, 6)
-        per candidate (fold-ordered dots/norms), strictly-greater
-        replacement so ties keep the LOWEST candidate id — the
-        array_max(struct(sim, -cid)) contract."""
-        n, d = sub.shape
-        nsq = np.zeros(n)
-        for i in range(d):
-            c = sub[:, i]
-            nsq = nsq + c * c
-        vnorm = np.maximum(np.sqrt(nsq), 1e-12)
-        best_sim = None
-        best_code = np.zeros(n, dtype=np.int64)
-        for ci in range(book.shape[0]):
-            dot = np.zeros(n)
-            for i in range(d):
-                dot = dot + sub[:, i] * book[ci, i]
-            sim = _round6_half_up(dot / (vnorm * bnorms[ci]))
-            if best_sim is None:
-                best_sim = sim
-            else:
-                repl = sim > best_sim
-                best_sim = np.where(repl, sim, best_sim)
-                best_code = np.where(repl, ci, best_code)
-        return best_code
+        return _np_argmax_rounded(sub, book, bnorms)[0]
 
     out_type = StructType(
         [

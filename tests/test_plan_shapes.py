@@ -109,8 +109,11 @@ def test_stratified_sample_is_scan_plus_filter(spark, sf_dir):
 def test_kmeans_broadcast_plan_constant_in_k(spark, sf_dir):
     """kmeans_assign's broadcast strategy must not embed the centroid
     matrix in the plan: at k=256 the literal form is a Catalyst
-    analysis bomb (O(k*dim) literals per row expression); the broadcast
-    form's plan stays O(1) in k and joins a broadcast k-row frame."""
+    analysis bomb (O(k*dim) literals per row expression). Since r17 the
+    strategy is ONE Arrow argmax node (the centroid matrix rides the
+    task closure) — the plan must stay O(1) in k, contain exactly one
+    ArrowEvalPython, and contain NO exchange or join at all (the old
+    crossJoin + per-id max shape shuffled every corpus vector)."""
     from ontology_graph_etl_spark.io import load_table
     from ontology_graph_etl_spark.operators.similarity import kmeans_assign
 
@@ -121,7 +124,10 @@ def test_kmeans_broadcast_plan_constant_in_k(spark, sf_dir):
             "formatted"
         )
     )
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # one batch node, not two (formatted mode lists each node once in
+    # the tree — "ArrowEvalPython (n)" — and once in the details)
+    assert plan.count("ArrowEvalPython (") == 1
+    assert "Exchange" not in plan and "Join" not in plan
     lit = kmeans_assign(emb, "vec_id", "embedding", k=64, method="literal")
     lit_plan = lit._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
