@@ -74,6 +74,77 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
+def _pair_cos6_udf():
+    """Arrow-vectorized twin of ``F.round(cosine(a, b), 6)`` for a
+    two-vector pair stream — one batch node computing the same
+    left-fold dots/norms (1e-12 floors) and the same HALF_UP
+    6-decimal round (:func:`_round6_half_up`) in NumPy, bit-identical
+    to the HOF form (r17; guide §4.2 — higher-order-function lambdas
+    are interpreted row-at-a-time, measured 1.5× slower than the
+    Arrow twin on the q180 truth-pass pair stream, values identical
+    on all 94k pairs).
+
+    NULL semantics mirror ``zip_with``: a NULL on either side, or a
+    length mismatch between the two vectors (zip_with pads the
+    shorter with NULLs, poisoning the fold), yields NULL. Batches
+    with mixed vector lengths are processed per length group, still
+    vectorized. NaN components are out of contract and raise (the
+    :func:`_pq_store_cols_udf` contract)."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _cos6(a: pd.Series, b: pd.Series) -> pd.Series:
+        ok = a.notna().to_numpy() & b.notna().to_numpy()
+        lens = np.asarray(
+            [
+                len(x) if o and len(x) == len(y) else -1
+                for x, y, o in zip(a, b, ok)
+            ]
+        )
+        out = np.full(len(a), np.nan)
+        for L in np.unique(lens):
+            if L < 0:
+                continue
+            m = lens == L
+            A = np.stack(
+                [
+                    np.asarray(x, dtype=np.float64)
+                    for x, sel in zip(a, m)
+                    if sel
+                ]
+            )
+            B = np.stack(
+                [
+                    np.asarray(y, dtype=np.float64)
+                    for y, sel in zip(b, m)
+                    if sel
+                ]
+            )
+            if np.isnan(A).any() or np.isnan(B).any():
+                raise ValueError(
+                    "cosine pair scoring: NaN vector component — out "
+                    "of the bit-identical contract; sanitize vectors "
+                    "upstream"
+                )
+            n = A.shape[0]
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            dot = np.zeros(n)
+            for i in range(L):
+                x = A[:, i]
+                y = B[:, i]
+                na = na + x * x
+                nb = nb + y * y
+                dot = dot + x * y
+            na = np.maximum(np.sqrt(na), 1e-12)
+            nb = np.maximum(np.sqrt(nb), 1e-12)
+            out[m] = _round6_half_up(dot / (na * nb))
+        return pd.Series(out).where(pd.Series(lens >= 0))
+
+    return _cos6
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -84,25 +155,29 @@ def cosine_topk(
     """Brute-force exact cosine top-k: for every query vector, the k most
     similar corpus vectors (self-match excluded).
 
-    Plan shape: broadcast(queries) × corpus nested loop with a codegen'd
-    dot product, then ``row_number`` per query — the window shuffles only
-    (query, candidate-k-ish) rows after AQE. Ties broken by neighbor id
-    for determinism (hash-checked by the driver).
-
-    Scoring uses raw vectors (dot + two norm folds per pair, each a
-    single pass): pre-normalized arrays would be recomputed per element
-    once Catalyst collapses the projection into the join (higher-order
-    lambdas get no subexpression elimination).
+    Plan shape: broadcast(queries) × corpus nested loop feeding ONE
+    Arrow batch node (r17) that scores every pair vectorized in NumPy
+    — bit-identical to the previous zip_with/aggregate HOF form, which
+    was interpreted row-at-a-time (guide §4.2; measured 1.5× on the
+    q180 truth stream). Then ``row_number`` per query — the window
+    shuffles only (query, candidate) id/sim rows, never the vectors.
+    Ties broken by neighbor id for determinism (hash-checked by the
+    driver).
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_raw"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_raw"))
+    # r17 (guide §4.2): the quadratic pair stream is this instrument's
+    # whole cost, and the zip_with/aggregate HOF cosine is interpreted
+    # row-at-a-time — the Arrow pair twin computes the same rounded
+    # value 1.5× faster (bit-identical on the full q180 truth stream)
+    cos6 = _pair_cos6_udf()
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_raw"), F.col("c_raw")), 6).alias("cosine_sim"),
+            cos6(F.col("q_raw"), F.col("c_raw")).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -10075,22 +10075,35 @@ RECERTIFY: set[str] = {
     "q50_minhash_simjoin",
     "q78_incremental_dedup",
     "q138_substring_index_screen",
+    # r17 optimization: cosine_topk's pair scoring moved from the
+    # interpreted zip_with/aggregate HOF fold to the Arrow pair twin
+    # (_pair_cos6_udf, bit-identical — property-pinned incl. NULL /
+    # ragged pairs) — the queries whose EXECUTED plans contain the
+    # brute-force top-k change shape (q63/q121 already above; q121/
+    # q180/q184 consume it behind a localCheckpoint, so their executed
+    # plans are byte-stable — fingerprint-checked against the r17
+    # baseline capture — and stay out):
+    "q51_cosine_topk",
+    "q115_hybrid_retrieval",
+    "q183_rerank",
 }
 
 QUERIES: list[QueryDef] = [
     # --- ROUND-17 WINDOW (first 50) ---
     # REGENERATED MECHANICALLY from the CORRECTNESS history (the
     # standing r11 procedure: bucket names by latest-green round,
-    # fill by staleness). Composition: the 15 round-17 RECERTIFY
-    # members (executed plan changed by the r16 optimization batches:
-    # q63/q76/q119-q123/q137/q141/q146/q176/q178 via the similarity.py
-    # Arrow-encoder rewrite + self-join removal, q50/q78/q138 via the
-    # dedup/substring index-build projection rework — the r16 VERDICT's
-    # mandatory item 1), then 35 r13-green fills in prior registry
-    # order (staleness 3 on the r16 artifact). Four r13-green names
-    # (q118/q109/q108/q15) tie at staleness 3 just outside the window
-    # (no inversion: boundary tie) and lead the tail to seed the r18
-    # window, with the r14/r15/r16 blocks behind them;
+    # fill by staleness). Composition: the 18 round-17 RECERTIFY
+    # members (15 from the r16 optimization batches — similarity.py
+    # Arrow-encoder rewrite + self-join removal for q63/q76/q119-q123/
+    # q137/q141/q146/q176/q178, dedup/substring index-build rework for
+    # q50/q78/q138 — the r16 VERDICT's mandatory item 1; 3 from the
+    # r17 cosine_topk Arrow pair-scoring rewrite: q51/q115/q183, the
+    # queries whose executed plans carry the brute-force top-k
+    # un-checkpointed), then 32 r13-green fills in prior registry
+    # order (staleness 3 on the r16 artifact). Six r13-green names
+    # (q116/q117/q118/q109/q108/q15) tie at staleness 3 just outside
+    # the window (no inversion: boundary tie) and lead the tail to
+    # seed the r18 window, with the r14/r15/r16 blocks behind them;
     # test_certification_window_freshness is the mechanical authority.
     # New queries registered mid-round insert at the window head, each
     # pushing the window's last entry to the tail head.
@@ -10160,6 +10173,19 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef("q63_ivf_topk", _q63_ivf_topk, _q63_sql, "§2.11"),
     QueryDef(
+        "q115_hybrid_retrieval",
+        _q115_hybrid_retrieval,
+        _q115_sql,
+        "§2.11",
+    ),
+    QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
+    QueryDef(
+        "q183_rerank",
+        _q183_rerank,
+        _q183_sql(),
+        "§2.11",
+    ),
+    QueryDef(
         "q159_group_ols",
         _q159_group_ols,
         _q159_sql,
@@ -10226,15 +10252,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("q111_topo_depth", _q111_topo_depth, _q111_sql, "G12"),
     QueryDef("q113_bm25_topk", _q113_bm25_topk, _q113_sql, "§2.11"),
     QueryDef("q114_multi_profile", _q114_multi_profile, _q114_sql, "§2.11"),
-    QueryDef(
-        "q115_hybrid_retrieval",
-        _q115_hybrid_retrieval,
-        _q115_sql,
-        "§2.11",
-    ),
+    # --- TAIL (not certified this round; stalest first, seeding the r18 window) ---
     QueryDef("q116_pivot", _q116_pivot, _q116_sql, "§2.7"),
     QueryDef("q117_unpivot", _q117_unpivot, _q117_sql, "§2.7"),
-    # --- TAIL (not certified this round; stalest first, seeding the r18 window) ---
     QueryDef("q118_star_rollup", _q118_star_rollup, _q118_sql, "§2.7"),
     QueryDef("q109_json_extract", _q109_json_extract, _q109_sql, "S3,§2.11"),
     QueryDef("q108_weighted_sample", _q108_weighted_sample, _q108_sql, "§2.11"),
@@ -10335,7 +10355,6 @@ QUERIES: list[QueryDef] = [
     ),
     QueryDef("q98_numeric_drift", _q98_numeric_drift, _q98_sql, "§2.11"),
     QueryDef("q28_interval_join", _q28_interval_join, _q28_sql, "§2.7"),
-    QueryDef("q51_cosine_topk", _q51_cosine_topk, _q51_sql, "§2.11"),
     QueryDef("q91_snapshot_diff", _q91_snapshot_diff, _q91_sql, "§2.11"),
     QueryDef("q18_enrichment", _q18_enrichment, _q18_sql, "S8"),
     QueryDef("q19_merge_into", _q19_merge_into, _q19_sql, "A3,A4"),
@@ -10465,21 +10484,21 @@ QUERIES: list[QueryDef] = [
     QueryDef("q59_token_count", _q59_token_count, _q59_sql, "§2.11"),
     QueryDef("q60_fingerprint", _q60_fingerprint, _q60_sql, "§2.11"),
     QueryDef(
-        "q185_url_ingest",
-        _q185_url_ingest,
-        _q185_sql(),
-        "§2.11",
-    ),
-    QueryDef(
         "q184_pq_calibration",
         _q184_pq_calibration,
         _q184_sql(),
         "§2.11",
     ),
     QueryDef(
-        "q183_rerank",
-        _q183_rerank,
-        _q183_sql(),
+        "q180_ivf_calibration",
+        _q180_ivf_calibration,
+        _q180_sql(),
+        "§2.11",
+    ),
+    QueryDef(
+        "q185_url_ingest",
+        _q185_url_ingest,
+        _q185_sql(),
         "§2.11",
     ),
     QueryDef(
@@ -10492,12 +10511,6 @@ QUERIES: list[QueryDef] = [
         "q181_web_hygiene",
         _q181_web_hygiene,
         _q181_sql(),
-        "§2.11",
-    ),
-    QueryDef(
-        "q180_ivf_calibration",
-        _q180_ivf_calibration,
-        _q180_sql(),
         "§2.11",
     ),
     QueryDef(

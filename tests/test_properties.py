@@ -5020,3 +5020,61 @@ def test_pq_encoder_ragged_and_nan_contract(spark):
     )
     with pytest.raises(Exception, match="NaN"):
         _pq_rows(bad, "id", "v", cents, dim, codebooks).collect()
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.one_of(
+                st.none(),
+                st.lists(
+                    st.floats(
+                        min_value=-1.0, max_value=1.0,
+                        allow_nan=False, width=32,
+                    ),
+                    min_size=0, max_size=6,
+                ),
+            ),
+            st.one_of(
+                st.none(),
+                st.lists(
+                    st.floats(
+                        min_value=-1.0, max_value=1.0,
+                        allow_nan=False, width=32,
+                    ),
+                    min_size=0, max_size=6,
+                ),
+            ),
+        ),
+        min_size=1, max_size=12,
+    )
+)
+@SETTINGS
+def test_pair_cos6_udf_matches_hof_cosine(spark, pairs):
+    """The Arrow pair-cosine twin (_pair_cos6_udf, r17 — cosine_topk's
+    scoring node) is BIT-IDENTICAL to round(cosine(a,b), 6) on
+    arbitrary pairs: NULLs on either side, empty vectors, and length
+    MISMATCHES (zip_with pads the shorter side with NULLs, poisoning
+    the fold to NULL) included."""
+    from ontology_graph_etl_spark.operators.similarity import (
+        _pair_cos6_udf,
+        cosine,
+    )
+
+    rows = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    df = spark.createDataFrame(
+        rows, "id long, a array<float>, b array<float>"
+    )
+    hof = {
+        r.id: r.s
+        for r in df.select(
+            "id", F.round(cosine(F.col("a"), F.col("b")), 6).alias("s")
+        ).collect()
+    }
+    arrow = {
+        r.id: r.s
+        for r in df.select(
+            "id", _pair_cos6_udf()(F.col("a"), F.col("b")).alias("s")
+        ).collect()
+    }
+    assert hof == arrow
