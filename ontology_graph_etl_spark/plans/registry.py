@@ -10086,24 +10086,31 @@ RECERTIFY: set[str] = {
     "q51_cosine_topk",
     "q115_hybrid_retrieval",
     "q183_rerank",
+    # r17 optimization: kcore peel loop repartitioned on `a` once (the
+    # q37 device) — per-round degree shuffle removed, survivor set
+    # count-gated broadcast; q126's executed plan changes.
+    "q126_kcore",
 }
 
 QUERIES: list[QueryDef] = [
     # --- ROUND-17 WINDOW (first 50) ---
     # REGENERATED MECHANICALLY from the CORRECTNESS history (the
     # standing r11 procedure: bucket names by latest-green round,
-    # fill by staleness). Composition: the 18 round-17 RECERTIFY
+    # fill by staleness). Composition: the 19 round-17 RECERTIFY
     # members (15 from the r16 optimization batches — similarity.py
     # Arrow-encoder rewrite + self-join removal for q63/q76/q119-q123/
     # q137/q141/q146/q176/q178, dedup/substring index-build rework for
-    # q50/q78/q138 — the r16 VERDICT's mandatory item 1; 3 from the
-    # r17 cosine_topk Arrow pair-scoring rewrite: q51/q115/q183, the
-    # queries whose executed plans carry the brute-force top-k
-    # un-checkpointed), then 32 r13-green fills in prior registry
-    # order (staleness 3 on the r16 artifact). Six r13-green names
-    # (q116/q117/q118/q109/q108/q15) tie at staleness 3 just outside
-    # the window (no inversion: boundary tie) and lead the tail to
-    # seed the r18 window, with the r14/r15/r16 blocks behind them;
+    # q50/q78/q138 — the r16 VERDICT's mandatory item 1; 4 from r17
+    # optimizations: the cosine_topk Arrow pair-scoring rewrite
+    # changes q51/q115/q183's executed plans — q121/q180/q184 consume
+    # the truth pass behind a localCheckpoint, fingerprint-verified
+    # byte-stable, and stay out — and the kcore repartition-once
+    # rework changes q126's), then 31 r13-green fills in prior
+    # registry order (staleness 3 on the r16 artifact). Seven
+    # r13-green names (q114/q116/q117/q118/q109/q108/q15) tie at
+    # staleness 3 just outside the window (no inversion: boundary
+    # tie) and lead the tail to seed the r18 window, with the
+    # r14/r15/r16 blocks behind them;
     # test_certification_window_freshness is the mechanical authority.
     # New queries registered mid-round insert at the window head, each
     # pushing the window's last entry to the tail head.
@@ -10185,6 +10192,7 @@ QUERIES: list[QueryDef] = [
         _q183_sql(),
         "§2.11",
     ),
+    QueryDef("q126_kcore", _q126_kcore, _q126_sql(), "G14"),
     QueryDef(
         "q159_group_ols",
         _q159_group_ols,
@@ -10251,8 +10259,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("q110_span_removal", _q110_span_removal, _q110_sql, "§2.11"),
     QueryDef("q111_topo_depth", _q111_topo_depth, _q111_sql, "G12"),
     QueryDef("q113_bm25_topk", _q113_bm25_topk, _q113_sql, "§2.11"),
-    QueryDef("q114_multi_profile", _q114_multi_profile, _q114_sql, "§2.11"),
     # --- TAIL (not certified this round; stalest first, seeding the r18 window) ---
+    QueryDef("q114_multi_profile", _q114_multi_profile, _q114_sql, "§2.11"),
     QueryDef("q116_pivot", _q116_pivot, _q116_sql, "§2.7"),
     QueryDef("q117_unpivot", _q117_unpivot, _q117_sql, "§2.7"),
     QueryDef("q118_star_rollup", _q118_star_rollup, _q118_sql, "§2.7"),
@@ -10429,7 +10437,6 @@ QUERIES: list[QueryDef] = [
     QueryDef("q81_media_features", _q81_media_features, _q81_sql, "multimodal"),
     QueryDef("q83_paragraph_dedup", _q83_paragraph_dedup, _q83_sql, "§2.11"),
     QueryDef("q84_gopher_quality", _q84_gopher_quality, _q84_sql, "§2.11"),
-    QueryDef("q126_kcore", _q126_kcore, _q126_sql(), "G14"),
     QueryDef("q127_scd2_historize", _q127_scd2_historize, _q127_sql, "§2.7"),
     QueryDef("q128_hard_negatives", _q128_hard_negatives, _q128_sql, "§2.11"),
     QueryDef("q129_bpe_train", _q129_bpe_train, _q129_sql(), "§2.11"),
