@@ -10088,7 +10088,10 @@ RECERTIFY: set[str] = {
     "q183_rerank",
     # r17 optimization: kcore peel loop repartitioned on `a` once (the
     # q37 device) — per-round degree shuffle removed, survivor set
-    # count-gated broadcast; q126's executed plan changes.
+    # count-gated broadcast. The RETURNED frame's normalized plan
+    # fingerprint happens to stay stable (the change lives in the
+    # loop's checkpointed per-round jobs), but the executed job chain
+    # is new — kept in RECERTIFY as the conservative direction.
     "q126_kcore",
 }
 
